@@ -1,0 +1,36 @@
+"""Text column expressions — tokenization and shingling, JVM-side.
+
+Built from ``split``/``filter``/``transform``/``slice`` higher-order
+functions only, so the hot path of the dedup/text operators never leaves
+whole-stage codegen.  Semantics are deliberately mirror-able in ANSI SQL
+(DuckDB list functions) for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens, empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles joined by single spaces.
+
+    Documents with fewer than `n` tokens yield an empty array (guarded:
+    Spark's ``sequence(1, 0)`` would otherwise produce a DESCENDING range).
+    """
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))

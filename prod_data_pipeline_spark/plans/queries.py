@@ -1,0 +1,749 @@
+"""Named query registry: every operator from SURVEY.md §2 as a first-class,
+oracle-checked query.
+
+Each entry pairs a Spark DataFrame builder ``fn(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL string the DuckDB oracle runs over the same
+parquet tables.  Conventions that make the value-hash comparison exact:
+
+- every computed column is aliased identically on both sides;
+- money-style double sums go through DECIMAL(18,s) (exact, order-independent
+  addition — a parallel double sum is not reproducible) and are cast back to
+  DOUBLE at the end, so both engines emit bit-identical values;
+- averages are written as CAST(exact_sum AS DOUBLE) / count — one double
+  division instead of engine-specific AVG accumulation;
+- top-k queries always carry a unique tie-break key;
+- ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads int64 nanos
+  (sources.readers.load_table converts with `div 1000`), DuckDB truncates
+  on CAST(ts AS TIMESTAMP) — identical micros on both sides.
+
+Reference parity notes cite /root/reference file:line in each docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.schemas import TESTDATA_EVENT_TYPES
+from prod_data_pipeline_spark.session import tune
+from prod_data_pipeline_spark.sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # None => driver records rows-only check
+    headline: bool = False  # included in bench.py
+    tags: tuple = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, headline: bool = False, tags: tuple = ()):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(c, scale: int = 2) -> F.Column:
+    """Exact decimal sum cast back to double (deterministic across engines)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+_VALID_TYPES_SQL = ", ".join(f"'{t}'" for t in TESTDATA_EVENT_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries over `events`
+# (golden queries: /root/reference/sql/athena/curated_events.sql:17-36;
+#  DQ profile: glue/jobs/raw_to_curated_events_v3_dq.py:70-106)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_per_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    headline=True,
+    tags=("A2", "O1"),
+)
+def events_per_day(spark, sf_dir):
+    """Golden query #1: rows per ingestion day (curated_events.sql:17-20)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_null_profile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           CAST(SUM(CASE WHEN value   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type
+    FROM events
+    """,
+    tags=("A4", "P8"),
+)
+def events_null_profile(spark, sf_dir):
+    """Golden query #2: conditional null profile (curated_events.sql:23-27)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def nulls(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
+
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        nulls("user_id").alias("null_user_id"),
+        nulls("value").alias("null_value"),
+        nulls("event_type").alias("null_event_type"),
+    )
+
+
+@query(
+    "events_dq_profile",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+           CAST(SUM(CASE WHEN user_id  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           CAST(SUM(CASE WHEN event_type NOT IN ({_VALID_TYPES_SQL}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS invalid_type_rows,
+           CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_event_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_event_ids
+    FROM events
+    """,
+    tags=("A1", "A3", "P4", "P5"),
+)
+def events_dq_profile(spark, sf_dir):
+    """Single-pass DQ profile: the reference ran SEVEN actions for these
+    numbers (v3_dq.py:70-83); one fused agg computes them all, including the
+    duplicate count as count(id) - count(distinct id) (== sum(count-1),
+    v3_dq.py:81-83)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).cast("long").alias("null_event_id"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("null_user_id"),
+        F.sum(F.when(~F.col("event_type").isin(TESTDATA_EVENT_TYPES), 1).otherwise(0))
+        .cast("long")
+        .alias("invalid_type_rows"),
+        (F.count("event_id") - F.count_distinct(F.col("event_id"))).cast("long").alias("dup_event_rows"),
+        F.count_distinct(F.col("event_id")).cast("long").alias("distinct_event_ids"),
+    )
+
+
+@query(
+    "events_type_value_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(value), 0) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    WHERE event_type IN ({_VALID_TYPES_SQL})
+    GROUP BY event_type ORDER BY event_type
+    """,
+    headline=True,
+    tags=("P5", "A3"),
+)
+def events_type_value_stats(spark, sf_dir):
+    """Set-membership filter (v3_dq.py:78) + per-type value stats with
+    exact decimal summation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin(TESTDATA_EVENT_TYPES))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            (dsum("value") / F.when(F.count("value") > 0, F.count("value"))).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_hourly_activity",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("A2",),
+)
+def events_hourly_activity(spark, sf_dir):
+    """Hourly rollup — the time-series shape of the reference's daily
+    partition counts at finer grain."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "repeat_users_topk",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id HAVING COUNT(*) > 1
+    ORDER BY n_events DESC, user_id LIMIT 20
+    """,
+    tags=("A7", "O2", "P7"),
+)
+def repeat_users_topk(spark, sf_dir):
+    """HAVING + top-k with deterministic tie-break (curated_events.sql:31-36
+    shape, guaranteed-nonempty variant)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > 1)
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "dup_event_ids",
+    oracle="""
+    SELECT event_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM events GROUP BY event_id HAVING COUNT(*) > 1
+    ORDER BY occurrences DESC, event_id LIMIT 20
+    """,
+    tags=("A2", "A7", "O2"),
+)
+def dup_event_ids(spark, sf_dir):
+    """Golden query #3 verbatim shape: duplicate event_id inspection
+    (curated_events.sql:31-36)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .filter(F.col("occurrences") > 1)
+        .orderBy(F.desc("occurrences"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "props_key_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k) AS DOUBLE) / NULLIF(COUNT(k), 0) AS avg_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("P8", "json"),
+)
+def props_key_stats(spark, sf_dir):
+    """Semi-structured column: JSON path extraction stays JVM-side via
+    get_json_object — no Python UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    ev = ev.withColumn("k", k)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            (F.sum("k").cast("double") / F.when(F.count("k") > 0, F.count("k"))).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_curated_projection",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+           CAST(ts AS DATE) AS ingestion_date
+    FROM events ORDER BY event_id
+    """,
+    tags=("P1", "P2", "P3"),
+)
+def events_curated_projection(spark, sf_dir):
+    """The curate transform's deterministic columns (v3_dq.py:54-65):
+    typed timestamp + derived partition date.  processing_ts
+    (current_timestamp) is excluded — nondeterministic (SURVEY §7 risk)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("ingestion_date"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Star-schema extension surface (SURVEY.md §2.6/§7 step 3): joins, set ops,
+# windows, rollup/cube — all absent in the reference, required by the north
+# star.  Tables: TPC-H-ish star schema in /root/testdata.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("A2", "A3", "A4"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide partial-aggregatable scan-agg, the canonical
+    map-side-combine stress test."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+            ).alias("sum_charge"),
+            (dsum("l_quantity") / cnt).alias("avg_qty"),
+            (dsum("l_extendedprice") / cnt).alias("avg_price"),
+            (dsum("l_discount", 4) / cnt).alias("avg_disc"),
+            cnt.cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "top_orders_by_revenue",
+    oracle="""
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, c.c_mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, c.c_mktsegment
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+    """,
+    headline=True,
+    tags=("join", "O2"),
+)
+def top_orders_by_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: fact-fact join + broadcast dim join + grouped top-k.
+    customer is broadcast (dim-sized); orders⋈lineitem shuffles on the join
+    key, which AQE re-plans at runtime."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "c_mktsegment")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "regional_nation_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+    headline=True,
+    tags=("join",),
+)
+def regional_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join; every dimension broadcast, the two
+    fact tables shuffle once on l_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(c),
+            (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "brand_volume",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
+           CAST(SUM(p.p_size) AS DOUBLE) / COUNT(*) AS avg_size
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def brand_volume(spark, sf_dir):
+    """Fact x broadcast-dim join + agg: the bread-and-butter shape at 100 TB
+    (never shuffle the fact table for a dim lookup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("p_retailprice").alias("sum_retail"),
+            (F.sum("p_size").cast("double") / F.count(F.lit(1))).alias("avg_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY n_orders ORDER BY n_orders
+    """,
+    tags=("join", "A2"),
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join preserving zero-order customers +
+    two-level aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@query(
+    "customers_with_orders_by_segment",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("semi-join",),
+)
+def customers_with_orders_by_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("anti-join",),
+)
+def customers_without_orders(spark, sf_dir):
+    """Orphan check via anti-join — the scalable form of referential DQ."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "trading_nations",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey IN (
+      SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier
+    ) ORDER BY n_nationkey
+    """,
+    tags=("set-op", "union"),
+)
+def trading_nations(spark, sf_dir):
+    """UNION (distinct) + semi-join."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    keys = (
+        c.select(F.col("c_nationkey").alias("k"))
+        .union(s.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+    )
+    return (
+        n.join(keys, n.n_nationkey == keys.k, "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "nation_keys_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("set-op",),
+)
+def nation_keys_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "nation_keys_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("set-op",),
+)
+def nation_keys_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(s.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "order_rollup_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("rollup",),
+)
+def order_rollup_stats(spark, sf_dir):
+    """GROUPING SETS surface: rollup with subtotal + grand-total rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "events_cube_day_type",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY CUBE (CAST(ts AS DATE), event_type)
+    ORDER BY day, event_type
+    """,
+    tags=("cube",),
+)
+def events_cube_day_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (
+        ev.cube("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+    ) = 1
+    ORDER BY o_custkey
+    """,
+    tags=("window",),
+)
+def top_order_per_customer(spark, sf_dir):
+    """row_number window — the keep-first-per-key primitive that also backs
+    exact dedup (SURVEY §2.6)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "user_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events ORDER BY event_id
+    """,
+    tags=("window",),
+)
+def user_running_value(spark, sf_dir):
+    """Running (prefix) sum per user — exact decimal accumulation so the
+    running values are order-independent-reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_ts,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    headline=True,
+    tags=("window", "sessionization"),
+)
+def user_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via lag + conditional sum.
+    Gap arithmetic in integer epoch-micros on both engines — second-level
+    truncation would disagree at the boundary."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,75 @@
+"""SparkSession construction and tuning.
+
+All confs here are chosen for the 100 TB design point and validated on
+local[N]:
+
+- AQE on (runtime partition coalescing, skew-join splitting) so the same
+  plan survives a 1000-executor cluster without hand-tuned shuffle counts.
+- ``partitionOverwriteMode=dynamic`` gives partition-scoped idempotent
+  reruns (the reference purged the target partition by hand,
+  glue/jobs/raw_to_curated_events_v3_dq.py:152-162).
+- Session timezone pinned to UTC: the reference's event timestamps are
+  ISO-8601 ``Z`` strings (data/sample_raw/generate_events.py:9-10) and the
+  DuckDB correctness oracle compares naive-UTC timestamps.
+- ``nanosAsLong=true``: the test tables carry parquet TIMESTAMP(NANOS)
+  which Spark has no native type for; we read the raw int64 and convert to
+  micros explicitly (sources.readers.load_table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable (SQLConf) — applied both at build time and
+# to externally provided sessions via tune().
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # 128 MB input splits: at 100 TB that is ~800k tasks, the right order of
+    # magnitude for a 1000-executor cluster; locally it just means "one task
+    # per small file".
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "prod-data-pipeline-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned local SparkSession."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # With AQE coalescing on, this is an upper bound, not a fixed cost:
+        # small stages shrink back down at runtime.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to any session (incl. the driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime in this build — non-fatal.
+            pass
+    return spark
