@@ -1,0 +1,158 @@
+"""Pipeline-semantics tests (SURVEY §5 scenarios 2-4, C1-C6)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from prod_data_pipeline_spark.plans.pipeline import (
+    DQGateError,
+    DQThresholds,
+    backfill,
+    curate,
+    validate_date,
+)
+from prod_data_pipeline_spark.sources.writers import register_curated_table
+from tests.eventgen import generate_raw_events
+
+DATES = ["2025-01-01", "2025-01-02", "2025-01-03"]
+
+
+def paths(tmp):
+    return str(tmp / "raw"), str(tmp / "curated"), str(tmp / "metrics")
+
+
+def curated_count(spark, curated_base, d):
+    part = os.path.join(curated_base, f"ingestion_date={d}")
+    if not os.path.exists(part):
+        return 0
+    return spark.read.parquet(part).count()
+
+
+def test_happy_path_and_metrics(spark, tmp_path):
+    raw, curated, metrics = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES[:1])
+    report = curate(spark, raw, DATES[0], curated, metrics)
+    assert report["status"] == "PASS"
+    assert report["profile"]["total_rows"] == counts[DATES[0]]
+    assert curated_count(spark, curated, DATES[0]) == counts[DATES[0]]
+    with open(os.path.join(metrics, f"ingestion_date={DATES[0]}", "dq_report.json")) as f:
+        persisted = json.load(f)
+    assert persisted["status"] == "PASS"
+    # Curated schema matches the reference's (curated_events.sql:1-11).
+    df = spark.read.parquet(os.path.join(curated, f"ingestion_date={DATES[0]}"))
+    assert {"event_id", "user_id", "event_type", "event_ts", "amount", "processing_ts"} <= set(
+        df.columns
+    )
+    assert dict(df.dtypes)["event_ts"] == "timestamp"
+
+
+def test_dq_gate_blocks_write_and_alerts(spark, tmp_path):
+    raw, curated, metrics = paths(tmp_path)
+    generate_raw_events(raw, DATES[:1], null_user_rate=0.2)  # > 3% ceiling
+    alerts = []
+    with pytest.raises(DQGateError) as exc:
+        curate(spark, raw, DATES[0], curated, metrics, on_failure=alerts.append)
+    assert any("null_user_rate" in f for f in exc.value.report["failures"])
+    # C2: curated never touched; C3: FAIL report still persisted; C6: alert hook fired.
+    assert curated_count(spark, curated, DATES[0]) == 0
+    with open(os.path.join(metrics, f"ingestion_date={DATES[0]}", "dq_report.json")) as f:
+        assert json.load(f)["status"] == "FAIL"
+    assert len(alerts) == 1
+
+
+def test_gate_failures_each_rule(spark, tmp_path):
+    raw, curated, metrics = paths(tmp_path)
+    generate_raw_events(raw, [DATES[0]], dup_rate=0.10)
+    with pytest.raises(DQGateError, match="dup_event_rate"):
+        curate(spark, raw, DATES[0], curated, metrics)
+    generate_raw_events(raw, [DATES[1]], invalid_type_rate=0.05)
+    with pytest.raises(DQGateError, match="invalid event_type"):
+        curate(spark, raw, DATES[1], curated, metrics)
+    generate_raw_events(raw, [DATES[2]], null_id_rate=0.05)
+    with pytest.raises(DQGateError, match="null event_id"):
+        curate(spark, raw, DATES[2], curated, metrics)
+
+
+def test_idempotent_rerun_and_late_data(spark, tmp_path):
+    raw, curated, metrics = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES[:2])
+    for d in DATES[:2]:
+        curate(spark, raw, d, curated, metrics)
+    # Rerun same date: identical count, day-2 partition untouched (C1).
+    curate(spark, raw, DATES[0], curated, metrics)
+    assert curated_count(spark, curated, DATES[0]) == counts[DATES[0]]
+    assert curated_count(spark, curated, DATES[1]) == counts[DATES[1]]
+    # Late data: append 50 rows to day 1, rerun only that date -> exactly +50.
+    late = generate_raw_events(
+        raw, [DATES[0]], rows_per_day=50, dup_rate=0.0, seed=123, append=True, id_prefix="late-"
+    )
+    assert late[DATES[0]] == 50
+    curate(spark, raw, DATES[0], curated, metrics)
+    assert curated_count(spark, curated, DATES[0]) == counts[DATES[0]] + 50
+    assert curated_count(spark, curated, DATES[1]) == counts[DATES[1]]
+
+
+def test_backfill_aborts_on_first_failure(spark, tmp_path):
+    raw, curated, metrics = paths(tmp_path)
+    generate_raw_events(raw, [DATES[0], DATES[2]])
+    generate_raw_events(raw, [DATES[1]], null_user_rate=0.5)  # poison middle date
+    with pytest.raises(DQGateError):
+        backfill(spark, raw, DATES[0], DATES[2], curated, metrics)
+    assert curated_count(spark, curated, DATES[0]) > 0
+    assert curated_count(spark, curated, DATES[1]) == 0
+    assert curated_count(spark, curated, DATES[2]) == 0  # never attempted
+
+
+def test_backfill_happy_path(spark, tmp_path):
+    raw, curated, metrics = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES)
+    result = backfill(spark, raw, DATES[0], DATES[2], curated, metrics)
+    assert result.succeeded == DATES
+    for d in DATES:
+        assert curated_count(spark, curated, d) == counts[d]
+
+
+def test_catalog_registration_and_golden_sql(spark, tmp_path):
+    """S9: the reference's Athena DDL + golden queries run verbatim in
+    Spark SQL over the curated table (curated_events.sql:1-36)."""
+    raw, curated, metrics = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES)
+    backfill(spark, raw, DATES[0], DATES[2], curated, metrics)
+    register_curated_table(spark, curated, "curated_events_test")
+    per_day = spark.sql(
+        """
+        SELECT ingestion_date, COUNT(*) AS event_count
+        FROM curated_events_test GROUP BY ingestion_date ORDER BY ingestion_date
+        """
+    ).collect()
+    assert {r["ingestion_date"]: r["event_count"] for r in per_day} == counts
+    nulls = spark.sql(
+        """
+        SELECT SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user,
+               COUNT(*) AS total FROM curated_events_test
+        """
+    ).first()
+    assert 0 <= nulls["null_user"] < nulls["total"]
+    # Partition pruning: a date-filtered scan reads only that partition.
+    plan = (
+        spark.sql("SELECT * FROM curated_events_test WHERE ingestion_date = '2025-01-02'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    spark.sql("DROP TABLE IF EXISTS curated_events_test")
+
+
+def test_arg_validation_and_missing_input(spark, tmp_path):
+    raw, curated, metrics = paths(tmp_path)
+    with pytest.raises(ValueError):
+        validate_date("2025-13-99")
+    with pytest.raises(ValueError):
+        validate_date("2025-3-1")  # non-zero-padded would miss the partition path
+    with pytest.raises(ValueError):
+        curate(spark, raw, "01/02/2025", curated, metrics)
+    with pytest.raises(FileNotFoundError):
+        curate(spark, raw, "2025-01-01", curated, metrics)
