@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star extension surface (the reference only MEASURES duplicates and
+keeps them, SURVEY §2.6; these operators remove/detect them at scale).
+
+Scale design (100 TB):
+- exact dedup is a hash-groupBy on a digest, never on the full text — the
+  shuffle moves 32-byte keys + ids, not documents;
+- MinHash/LSH follows the classic shingle -> signature -> band-bucket ->
+  candidate-join -> verify pipeline: the only shuffle is on band keys, and
+  candidate verification touches just the colliding pairs (never the n^2
+  cross join);
+- two hash backends: "md5" (bit-identical in any engine -> used by the
+  DuckDB correctness oracle) and "xxhash64" (JVM-native, ~5x cheaper — the
+  production path);
+- SimHash gives a 64-bit near-dup key per document; Hamming-adjacent
+  bucketing is a byte-chunk band join, same shuffle shape as LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.functions.text import shingles, tokens
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content digest: keep lowest id, count copies.
+
+    GroupBy on md5(text) — at scale the map-side partial agg collapses local
+    copies before the shuffle, and only (digest, id, count) ever moves.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct content."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def _minhash_one(sh: Column, salt: int, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{salt}:"), s))))
+    if hash_fn == "xxhash64":
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(salt), s)))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def with_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Append MinHash signature columns mh_0..mh_{k-1} plus the distinct
+    shingle set (kept for verification joins)."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    out = df.withColumn("shingle_set", sh)
+    for j in range(num_hashes):
+        out = out.withColumn(f"mh_{j}", _minhash_one(F.col("shingle_set"), j, hash_fn))
+    return out
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
+    """Explode signatures into (id, band_id, band_key) rows: the LSH bucket
+    table.  band_key concatenates the band's minhashes — docs sharing any
+    band collide."""
+    assert num_hashes % band_size == 0
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh_{j}") for j in range(b * band_size, (b + 1) * band_size)]
+        bands.append(F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("band_key")))
+    return (
+        sig_df.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_key")
+        .filter(F.col("band_key") != "")  # docs with no shingles never collide
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays.
+
+    Zero-safe via try_divide: under ANSI mode (Spark 4 default) a plain
+    division would throw when both sets are empty — and Catalyst may
+    evaluate the expression as a join residual before other predicates
+    have filtered such pairs out.
+    """
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return F.try_divide(inter, union)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4
+    decimals.  Only band-colliding pairs are verified — the candidate join
+    shuffles the small bucket table, never the corpus against itself.
+    """
+    sig = with_minhash(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    sig = sig.select(id_col, "shingle_set", *[f"mh_{j}" for j in range(num_hashes)])
+    bands = lsh_bands(sig, id_col, num_hashes, band_size)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("set_a"), F.col("set_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple = ("lang", "source"),
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: exact similarity within blocking
+    groups (cheap attribute equality) instead of LSH candidates.  The n^2
+    blowup is bounded per block; pick block_cols so blocks stay small."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], sh.alias("sset"))
+    a = base.alias("a")
+    b = base.alias("b")
+    on = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, on)
+        .withColumn("jaccard", F.round(jaccard(F.col("a.sset"), F.col("b.sset")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def with_simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document from xxhash64 token hashes.
+
+    bit_b(simhash) = sign of sum over tokens of (+1 if bit_b(h(tok)) else -1).
+    Expressed as explode -> 64 conditional sums -> bit reassembly: one
+    shuffle on id, all arithmetic JVM-side.
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = toked.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bit = F.shiftleft(F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b)
+        sim = bit if sim is None else sim.bitwiseXOR(bit)
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_bucket_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs whose SimHashes agree on at least one of 4
+    16-bit chunks (pigeonhole: Hamming distance <= 3 guarantees a shared
+    chunk), verified by exact Hamming distance <= max_hamming."""
+    sim = with_simhash(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ]
+    )
+    b = sim.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk_id", "c.chunk"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,180 @@
+"""Embedding similarity search: brute-force cosine top-k + IVF scale path.
+
+North-star extension surface over the `embeddings` table
+(vec_id bigint, embedding array<float>, label int).
+
+Scale design (100 TB):
+- brute-force is correct-but-linear: broadcast the (small) query set and
+  scan the corpus once — never materialize corpus x corpus;
+- IVF (inverted-file) is the scale path: k-means-style coarse centroids
+  partition the corpus; a query probes only its nearest `nprobe` cells, so
+  the scan shrinks by ~n_cells/nprobe.  Centroid assignment is a broadcast
+  join (centroid table is tiny); cell search re-uses the brute-force kernel
+  inside each cell;
+- all vector math is JVM-side (functions/vector.py) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.functions.vector import cosine_sim, to_double_array
+
+
+def _norm_emb(df: DataFrame, emb_col: str) -> DataFrame:
+    return df.withColumn("_emb", to_double_array(F.col(emb_col)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_sim: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus scan + per-query window.
+
+    Returns (query_id, neighbor_id, sim, rank); self-matches excluded; ties
+    broken by neighbor id for determinism.
+    """
+    corpus = _norm_emb(df, emb_col).select(F.col(id_col).alias("neighbor_id"), "_emb")
+    queries = _norm_emb(query_df, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("_emb").alias("_qemb")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_sim"), round_sim).alias("sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def kmeans_cells(
+    df: DataFrame,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 8,
+    seed: int = 42,
+):
+    """Coarse quantizer: k-means over the corpus (pyspark.ml, Lloyd's on
+    DataFrames).  Returns (assignments(id, cell), centroids(cell, centroid)).
+
+    At 100 TB the fit runs on a sample (KMeans scans per iteration); the
+    assignment pass is one broadcast-join scan — same shape as assign_cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col), array_to_vector(to_double_array(F.col(emb_col))).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="features").fit(feats)
+    assignments = model.transform(feats).select(
+        F.col(id_col), F.col("prediction").alias("cell")
+    )
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    ).select("cell", to_double_array(F.col("centroid")).alias("centroid"))
+    return assignments, centroids
+
+
+def label_centroids(df: DataFrame, emb_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Element-wise mean embedding per label — deterministic coarse centroids.
+
+    posexplode -> (label, pos) avg -> re-assemble ordered array.  Exact mean
+    uses decimal accumulation so centroids are reproducible run-to-run
+    regardless of partial-agg order.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("cell"),
+        F.posexplode(to_double_array(F.col(emb_col))).alias("pos", "v"),
+    )
+    per_pos = exploded.groupBy("cell", "pos").agg(
+        (F.sum(F.col("v").cast("decimal(28,12)")) / F.count(F.lit(1))).cast("double").alias("m")
+    )
+    return (
+        per_pos.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def assign_cells(df: DataFrame, centroids: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid via broadcast join + argmax
+    cosine (min_by keeps it a single pass, no window)."""
+    v = _norm_emb(df, emb_col)
+    joined = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_sim(F.col("_emb"), F.col("centroid"))
+    )
+    others = [c for c in df.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.max_by(F.col("cell"), F.col("_csim")).alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_sim: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse cells; each query probes only
+    its nprobe nearest cells, shrinking the scan ~n_cells/nprobe-fold."""
+    assignments, cents = kmeans_cells(df, k=n_cells, emb_col=emb_col, id_col=id_col, seed=seed)
+    corpus = (
+        _norm_emb(df, emb_col)
+        .select(F.col(id_col).alias("neighbor_id"), "_emb")
+        .join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    )
+    q = _norm_emb(query_df, emb_col).select(F.col(id_col).alias("query_id"), F.col("_emb").alias("_qemb"))
+    # nprobe nearest cells per query (centroid table is tiny: window is cheap)
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_csim", cosine_sim(F.col("_qemb"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qemb", "cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_sim"), round_sim).alias("sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

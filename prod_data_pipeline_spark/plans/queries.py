@@ -747,3 +747,353 @@ def user_sessions(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis / similarity extension surface (north star;
+# SURVEY §7 step 3).  Oracle SQL mirrors the exact Spark expression —
+# including md5-based MinHash so signatures are bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _minhash_sql(num_hashes: int = 8) -> str:
+    mh = ",\n           ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    )
+    SELECT doc_id,
+           {mh}
+    FROM s ORDER BY doc_id
+    """
+
+
+@query(
+    "dedup_docs_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """,
+    tags=("dedup",),
+)
+def dedup_docs_exact(spark, sf_dir):
+    """Exact dedup groups: digest group-by, keep-lowest-id (operators.dedup)."""
+    from prod_data_pipeline_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs).orderBy("content_hash")
+
+
+@query(
+    "docs_minhash_signatures",
+    oracle=_minhash_sql(8),
+    tags=("dedup", "minhash"),
+)
+def docs_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 hashes, word-3-gram shingles, md5 backend) —
+    bit-identical to the SQL oracle; production swaps hash_fn='xxhash64'."""
+    from prod_data_pipeline_spark.operators.dedup import with_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = with_minhash(docs, num_hashes=8, hash_fn="md5")
+    return sig.select("doc_id", *[f"mh_{j}" for j in range(8)]).orderBy("doc_id")
+
+
+@query(
+    "docs_near_dup_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, """ + _TOKS_SQL + """ AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh_0,
+             list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh_1,
+             list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh_2,
+             list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh_3,
+             list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min') AS mh_4,
+             list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min') AS mh_5,
+             list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min') AS mh_6,
+             list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min') AS mh_7
+      FROM s
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig WHERE len(sh) > 0
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "lsh"),
+)
+def docs_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs (4 bands x 2 rows) with exact
+    Jaccard >= 0.5 verification on band collisions only."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.5, hash_fn="md5")
+
+
+@query(
+    "docs_ngram_jaccard_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, """ + _TOKS_SQL + """ AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def docs_ngram_jaccard_pairs(spark, sf_dir):
+    """Blocked exact n-gram Jaccard pairs (block on lang+source)."""
+    from prod_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@query("docs_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
+def docs_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates (16-bit chunk pigeonhole, Hamming <= 3).
+    xxhash64-based — no cross-engine oracle; rows-only check + unit tests
+    with planted near-dups (tests/test_dedup_text.py)."""
+    from prod_data_pipeline_spark.operators.dedup import simhash_bucket_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_bucket_pairs(docs)
+
+
+@query("docs_winnow_fingerprints", oracle=None, tags=("text", "fingerprint"))
+def docs_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (xxhash64 rolling-min) — rows-only check +
+    containment unit tests."""
+    from prod_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs).select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints")
+    ).orderBy("doc_id")
+
+
+_LANG_SQL_SETS = {
+    "en": "['the','a','and','of','to','is','in']",
+    "es": "['el','la','de','que','y','los','un']",
+    "fr": "['le','la','de','et','un','les','des']",
+    "de": "['der','die','und','das','ist','von','ein']",
+}
+
+
+@query(
+    "docs_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct({_TOKS_SQL}) AS dt FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             len(list_intersect(dt, {_LANG_SQL_SETS['en']})) AS h_en,
+             len(list_intersect(dt, {_LANG_SQL_SETS['es']})) AS h_es,
+             len(list_intersect(dt, {_LANG_SQL_SETS['fr']})) AS h_fr,
+             len(list_intersect(dt, {_LANG_SQL_SETS['de']})) AS h_de
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+                WHEN h_fr > 0 AND h_fr >= h_de THEN 'fr'
+                WHEN h_de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("text", "lang-id"),
+)
+def docs_lang_id(spark, sf_dir):
+    """Stopword-hit language-ID heuristic: labeled vs predicted confusion
+    counts (operators.text.predicted_lang)."""
+    from prod_data_pipeline_spark.functions.text import distinct_tokens
+    from prod_data_pipeline_spark.operators.text import predicted_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted_lang", predicted_lang(distinct_tokens(F.col("text"))))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+@query(
+    "docs_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                 + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality
+    FROM t ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def docs_quality_scores(spark, sf_dir):
+    """Per-document quality score (length saturation + lexical diversity)."""
+    from prod_data_pipeline_spark.operators.text import quality_score, token_profile
+
+    docs = token_profile(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("dtoks").cast("long").alias("n_distinct"),
+        quality_score(F.col("toks"), F.col("dtoks")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "docs_token_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avg_tokens_per_doc
+    FROM e GROUP BY lang ORDER BY lang
+    """,
+    headline=True,
+    tags=("text", "tokens"),
+)
+def docs_token_stats(spark, sf_dir):
+    """Corpus token statistics per language: explode -> one aggregation."""
+    from prod_data_pipeline_spark.functions.text import tokens as toks_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.select("doc_id", "lang", F.explode(toks_fn(F.col("text"))).alias("tok"))
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.count_distinct(F.col("tok")).alias("distinct_tokens"),
+            (F.count(F.lit(1)).cast("double") / F.count_distinct(F.col("doc_id"))).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "emb_topk_bruteforce",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
+                * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
+             AS sim
+      FROM q, v WHERE q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    headline=True,
+    tags=("similarity", "ann"),
+)
+def emb_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for query vectors vec_id < 8 —
+    broadcast-queries x one corpus scan (operators.similarity)."""
+    from prod_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("emb_topk_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+def emb_topk_ivf(spark, sf_dir):
+    """IVF approximate top-5 (label-cell coarse quantizer, nprobe=1) —
+    rows-only check; recall-vs-bruteforce asserted in unit tests."""
+    from prod_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries_df, k=5, nprobe=2, n_cells=8)
+
+
+@query("events_approx_distinct_users", oracle=None, tags=("approx",))
+def events_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate distinct users per event_type — sketch
+    values are engine-specific, so rows-only; the exact-vs-approx error
+    bound is asserted in unit tests."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,149 @@
+"""Dedup + text operators on planted fixtures (recall/behavior checks the
+rows-only queries can't express)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.operators.dedup import (
+    drop_exact_dups,
+    exact_dedup_groups,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_bucket_pairs,
+    with_minhash,
+    with_simhash,
+)
+from prod_data_pipeline_spark.operators.text import predicted_lang, winnow_fingerprints
+from prod_data_pipeline_spark.functions.text import distinct_tokens
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+NEAR = BASE.replace("green forest", "dark forest")  # 1-token edit => high jaccard
+FAR = "completely different content about spark query engines and distributed columnar execution plans"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en", "s1"),
+        (2, BASE, "en", "s1"),  # exact dup of 1
+        (3, NEAR, "en", "s1"),  # near dup of 1
+        (4, FAR, "en", "s1"),
+        (5, "tiny", "en", "s1"),  # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    by_hash = {r["content_hash"]: r for r in groups}
+    assert len(groups) == 4  # 5 docs, one exact pair
+    dup_group = [r for r in groups if r["n_copies"] == 2]
+    assert len(dup_group) == 1 and dup_group[0]["keep_id"] == 1
+    kept = drop_exact_dups(docs)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_minhash_lsh_finds_planted_pairs(docs, hash_fn):
+    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn=hash_fn).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup: jaccard 1.0
+    assert (1, 3) in found and (2, 3) in found  # near dup
+    assert not any(4 in p for p in found)  # unrelated doc never pairs
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 <= j[(1, 3)] < 1.0
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = with_minhash(docs, num_hashes=4).filter(F.col("doc_id").isin(1, 2)).collect()
+    a, b = sorted(sig, key=lambda r: r["doc_id"])
+    for jj in range(4):
+        assert a[f"mh_{jj}"] == b[f"mh_{jj}"]
+
+
+def test_minhash_empty_shingles_null_signature(docs):
+    sig = with_minhash(docs).filter(F.col("doc_id") == 5).first()
+    assert sig["mh_0"] is None  # "tiny" has <3 tokens -> no shingles -> null
+
+
+def test_ngram_jaccard_blocked_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+
+
+def test_simhash_near_dups_close_far_docs_far(spark, docs):
+    sims = {r["doc_id"]: r["simhash"] for r in with_simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sims[1] == sims[2]  # identical text -> identical simhash
+    assert ham(sims[1], sims[3]) < ham(sims[1], sims[4])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_bucket_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_simhash_buckets_find_long_near_dups(spark):
+    """SimHash bit-flip probability per bit is ~theta/pi, so near-dup
+    detection needs long docs: a 1-word edit in a 180-token doc flips ~2
+    bits of 64, inside the <=3-Hamming 16-bit-chunk pigeonhole."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(300)]
+    long_base = " ".join(rng.choice(vocab) for _ in range(180))
+    words = long_base.split()
+    words[90] = "CHANGED"
+    long_near = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, long_base), (2, long_near), (3, FAR)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_bucket_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_fingerprint_containment(spark):
+    """A doc and the same doc with extra prefix share most fingerprints —
+    the winnowing containment property; unrelated docs share ~none."""
+    rows = [
+        (1, BASE),
+        (2, "breaking news today " + BASE),
+        (3, FAR),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in winnow_fingerprints(df).collect()}
+    overlap_near = len(fps[1] & fps[2]) / len(fps[1])
+    overlap_far = len(fps[1] & fps[3]) / len(fps[1])
+    assert overlap_near > 0.6
+    assert overlap_far == 0.0
+
+
+def test_lang_id_on_real_sentences(spark):
+    rows = [
+        (1, "the cat is in the house and a dog"),
+        (2, "el perro y el gato de la casa que ladra"),
+        (3, "le chien et le chat de la maison les arbres"),
+        (4, "der Hund und die Katze ist von das Haus"),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", predicted_lang(distinct_tokens(F.col("text"))).alias("p")).collect()
+    }
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
+
+
+def test_approx_distinct_error_bound(spark):
+    from prod_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["events_approx_distinct_users"].fn(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
