@@ -1,0 +1,137 @@
+"""Structured Streaming surface: the curate pipeline as a stream.
+
+The reference explicitly scoped streaming out (docs/design.md:25) and
+handled late data by re-running whole dates (docs/design.md:88).  This
+module maps those semantics onto Structured Streaming so the same engine
+covers both modes:
+
+- ``stream_events``: readStream over the raw NDJSON landing with the same
+  enforced schema (no inference — streaming requires explicit schemas
+  anyway, which matches the reference's discipline);
+- ``streaming_daily_counts``: the daily-partition rollup as a watermarked
+  tumbling window — late events inside the watermark update their day,
+  events later than the watermark are dropped instead of triggering a
+  manual backfill;
+- ``streaming_curate``: append-mode partitioned parquet sink with
+  checkpointing — the streaming twin of plans.pipeline.curate;
+- ``streaming_user_sessions``: custom stateful operator via
+  applyInPandasWithState (30-min-gap sessionization, the streaming twin of
+  the `user_sessions` batch query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.schemas import EVENT_RAW_SCHEMA
+
+
+def stream_events(spark: SparkSession, raw_glob: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """readStream over the NDJSON landing zone (one file per partition dir)."""
+    return (
+        spark.readStream.schema(EVENT_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(raw_glob)
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+    )
+
+
+def streaming_daily_counts(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Watermarked tumbling daily counts — the reference's per-day partition
+    rollup (curated_events.sql:17-20) with late-data handled by the engine
+    instead of manual re-runs."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", "1 day").alias("day_window"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.to_date(F.col("day_window.start")).alias("day"),
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def streaming_curate(
+    spark: SparkSession,
+    raw_glob: str,
+    curated_base: str,
+    checkpoint_dir: str,
+):
+    """Streaming twin of plans.pipeline.curate: append curated rows as they
+    land, partitioned by ingestion_date derived from event_ts.  Returns the
+    StreamingQuery (caller manages lifecycle/trigger)."""
+    events = stream_events(spark, raw_glob)
+    curated = events.withColumn("ingestion_date", F.date_format("event_ts", "yyyy-MM-dd")).withColumn(
+        "processing_ts", F.current_timestamp()
+    )
+    return (
+        curated.writeStream.format("parquet")
+        .option("path", curated_base)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("ingestion_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: per-user session counting with an
+    inactivity gap, via applyInPandasWithState (GroupState keeps last-seen
+    timestamp + session count per user across micro-batches)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", TimestampType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            for ts in pdf["event_ts"].sort_values():
+                if pd.isna(ts):
+                    continue
+                if last_ts is None or (ts - last_ts).value // 1000 > gap_us:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = ts
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
