@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the 100 TB design properties.
+
+A query that silently loses predicate pushdown, column pruning, or a
+broadcast join still passes value checks at sf0.01 — and then falls over at
+cluster scale.  These tests pin the plan shapes (SURVEY §4: "optimizer
+effort goes into not defeating Catalyst")."""
+
+from __future__ import annotations
+
+import pytest
+
+from prod_data_pipeline_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed_plan(spark, name: str) -> str:
+    return QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _full_plan(spark, name: str) -> str:
+    return QUERIES[name].fn(spark, SF)._jdf.queryExecution().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _full_plan(spark, "q1_pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: unused lineitem columns never leave the scan
+    assert "l_comment" not in plan
+    scan_cols = plan.split("FileScan parquet")[1].split("]")[0]
+    assert "l_orderkey" not in scan_cols and "l_partkey" not in scan_cols
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    for name in ("brand_volume", "top_orders_by_revenue", "regional_nation_revenue"):
+        plan = _executed_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join lost its broadcast"
+        assert "CartesianProduct" not in plan, f"{name}: accidental cross join"
+
+
+def test_no_plan_has_cartesian_product(spark):
+    """No registered query may fall back to a cartesian product — the one
+    join strategy that cannot survive scale.  (Similarity queries use an
+    explicit broadcast-nest loop over a tiny query set, which is fine.)"""
+    for name in QUERIES:
+        plan = _executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_scan_agg_queries_single_pass(spark):
+    """The fused DQ profile is ONE scan of events (the reference needed 7)."""
+    plan = _executed_plan(spark, "events_dq_profile")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    # AQE only finalizes the physical plan on execution; run the query first
+    # so executedPlan shows the real (isFinalPlan=true) plan with codegen spans.
+    for name in ("q1_pricing_summary", "events_per_day", "user_sessions"):
+        df = QUERIES[name].fn(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # in executedPlan().toString() codegen stages show as the "*(n) " operator
+        # prefix (explain("formatted") would spell out WholeStageCodegen)
+        assert "WholeStageCodegen" in plan or "*(" in plan, f"{name}: fell out of codegen"
+
+
+def test_curated_partition_pruning(spark, tmp_path):
+    """A date-filtered query over the curated table scans only that
+    partition (the reference hand-built partition paths; Catalyst must do
+    it from the filter alone)."""
+    from tests.eventgen import generate_raw_events
+    from prod_data_pipeline_spark.plans.pipeline import backfill
+    from prod_data_pipeline_spark.sources.writers import register_curated_table
+
+    raw, curated, metrics = str(tmp_path / "r"), str(tmp_path / "c"), str(tmp_path / "m")
+    generate_raw_events(raw, ["2025-01-01", "2025-01-02"], rows_per_day=50, dup_rate=0.0)
+    backfill(spark, raw, "2025-01-01", "2025-01-02", curated, metrics)
+    register_curated_table(spark, curated, "ce_prune_test")
+    try:
+        df = spark.sql("SELECT event_id FROM ce_prune_test WHERE ingestion_date = '2025-01-02'")
+        plan = df._jdf.queryExecution().toString()
+        assert "ingestion_date=2025-01-02" in plan.replace("%3D", "=") or (
+            "PartitionFilters" in plan and "2025-01-02" in plan
+        )
+        # and the pruned scan really reads one partition's rows only
+        assert df.count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ce_prune_test")
