@@ -18,6 +18,19 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, simplified to the regex
+# subset Java and RE2 share so the DuckDB oracle can mirror it exactly):
+# letter runs | digit runs | single non-alnum-non-space marks.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokens (the token-counting path a training pipeline
+    budgets with): splits punctuation off words, keeps digit runs whole."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)
+
+
 def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 

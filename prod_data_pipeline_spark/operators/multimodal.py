@@ -57,6 +57,27 @@ def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
+def fake_media_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic media-asset table fabricated from `documents`: payload
+    is the UTF-8 text bytes, media_type cycles by doc_id.  Lets the full
+    binary-column pipeline (schema -> mapInPandas decode -> profile) run —
+    and be oracle-checked — without shipping real media in the container."""
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        media_type.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, (F.col("n_chars") * 10).cast("long")).alias(
+            "duration_ms"
+        ),
+    )
+
+
 def decode_and_featurize(df: DataFrame, feature_dim: int = 16, batch_hint: int = 4096) -> DataFrame:
     """Decode media payloads and emit fixed-width features via mapInPandas.
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from prod_data_pipeline_spark.functions.vector import cosine_sim, to_double_array
+from prod_data_pipeline_spark.functions.vector import cosine_sim, dot, to_double_array
 
 
 def _norm_emb(df: DataFrame, emb_col: str) -> DataFrame:
@@ -128,6 +128,131 @@ def assign_cells(df: DataFrame, centroids: DataFrame, emb_col: str = "embedding"
     return (
         joined.groupBy(*others)
         .agg(F.max_by(F.col("cell"), F.col("_csim")).alias("cell"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    block_cols: tuple = ("label",),
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_sim: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on cheap attribute
+    equality (same shape as dedup.ngram_jaccard_pairs): exact cosine within
+    blocks, never corpus x corpus.  The oracle-checkable exact counterpart
+    of srp_near_dup_pairs."""
+    base = _norm_emb(df, emb_col).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], "_emb"
+    )
+    a, b = base.alias("a"), base.alias("b")
+    on = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, on)
+        .withColumn("sim", F.round(cosine_sim(F.col("a._emb"), F.col("b._emb")), round_sim))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "sim",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _srp_planes(dim: int, nbits: int, seed: int = 42):
+    """Deterministic random hyperplanes for sign-LSH (seeded, inlined as
+    literals so the plan is reproducible — no Date.now()/rand() in the DAG)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def with_srp_signature(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 16,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Append a signed-random-projection (SimHash-for-cosine) signature:
+    bit b = sign(e . r_b) for seeded Gaussian hyperplanes r_b.  Collision
+    probability per bit is 1 - angle/pi, so banding the bits gives an LSH
+    family for cosine similarity.  All arithmetic JVM-side."""
+    v = _norm_emb(df, emb_col)
+    planes = _srp_planes(dim, nbits, seed)
+    sig = None
+    for b in range(nbits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        bit = F.shiftleft(
+            F.when(dot(F.col("_emb"), plane) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
+        )
+        sig = bit if sig is None else sig.bitwiseXOR(bit)
+    return v.withColumn("srp_sig", sig)
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    nbits: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_sim: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify.
+
+    The scale path: candidates are pairs agreeing on at least one
+    `band_bits`-bit chunk of the SRP signature (a self-equi-join on band
+    keys, the only shuffle), then only those pairs pay the exact cosine.
+    Approximate by construction — recall rises with nbits/band count; the
+    planted-duplicate recall bound is unit-tested (tests/test_similarity.py).
+    """
+    assert nbits % band_bits == 0
+    sig = with_srp_signature(df, dim, nbits, seed, emb_col)
+    sig = sig.select(F.col(id_col), "_emb", "srp_sig")
+    n_bands = nbits // band_bits
+    mask = (1 << band_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band_id"),
+                F.shiftright(F.col("srp_sig"), band_bits * c)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for c in range(n_bands)
+        ]
+    )
+    b = sig.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col, "c.band_id", "c.band_key"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    ea = sig.select(F.col(id_col).alias("id_a"), F.col("_emb").alias("_ea"))
+    eb = sig.select(F.col(id_col).alias("id_b"), F.col("_emb").alias("_eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim", F.round(cosine_sim(F.col("_ea"), F.col("_eb")), round_sim))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
     )
 
 

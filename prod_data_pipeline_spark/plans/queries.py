@@ -1083,6 +1083,165 @@ def emb_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_df, k=5, nprobe=2, n_cells=8)
 
 
+@query(
+    "events_asof_last_view",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), v AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+    )
+    SELECT p.event_id, p.user_id, p.purchase_ts,
+           v.view_ts AS last_view_ts,
+           epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+    ORDER BY p.event_id
+    """,
+    tags=("asof-join", "window"),
+)
+def events_asof_last_view(spark, sf_dir):
+    """As-of join (operators.joins.asof_join): each purchase matched to the
+    same user's latest view at-or-before it — union+window, never a range
+    join (DuckDB oracle uses its native ASOF JOIN for the same semantics)."""
+    from prod_data_pipeline_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull()).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    v = ev.filter((F.col("event_type") == "view") & F.col("user_id").isNotNull()).select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    out = asof_join(p, v, by="user_id", left_ts="purchase_ts", right_ts="view_ts",
+                    matched_prefix="last_")
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("last_view_ts"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("last_view_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@query(
+    "docs_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len({_TOKS_SQL}) AS ws_n,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_n) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_n) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(bpe_n) AS DOUBLE) / COUNT(*) AS avg_bpe_per_doc
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def docs_bpe_token_stats(spark, sf_dir):
+    """Token counting both ways (whitespace + BPE-ish regex pre-tokens) —
+    the token-budget accounting pass of a training-data pipeline."""
+    from prod_data_pipeline_spark.functions.text import bpe_tokens, tokens as toks_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(toks_fn(F.col("text"))).alias("ws_n"),
+        F.size(bpe_tokens(F.col("text"))).alias("bpe_n"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_n").cast("long").alias("ws_tokens"),
+            F.sum("bpe_n").cast("long").alias("bpe_tokens"),
+            (F.sum("bpe_n").cast("double") / F.count(F.lit(1))).alias("avg_bpe_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * a.e[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i] * b.e[i]))))"
+)
+
+
+@query(
+    "emb_cosine_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 4) AS sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL}, 4) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity"),
+)
+def emb_cosine_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked on label: the exact
+    (oracle-checked) counterpart of the SRP-LSH scale path."""
+    from prod_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.3, block_cols=("label",))
+
+
+@query("emb_srp_near_dup_pairs", oracle=None, tags=("dedup", "similarity", "lsh"))
+def emb_srp_near_dup_pairs(spark, sf_dir):
+    """Sign-LSH (random-hyperplane) bucketed near-dup candidates + exact
+    cosine verify — the 100 TB path (no blocking attribute needed).
+    Approximate: rows-only check; planted-duplicate recall is unit-tested."""
+    from prod_data_pipeline_spark.operators.similarity import srp_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_near_dup_pairs(emb, dim=64, threshold=0.3)
+
+
+@query(
+    "media_decode_profile",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(16) AS BIGINT) AS total_feature_vals
+    FROM documents GROUP BY 1 ORDER BY media_type
+    """,
+    tags=("multimodal",),
+)
+def media_decode_profile(spark, sf_dir):
+    """Multimodal plumbing end-to-end: fabricated binary payloads ->
+    Arrow-batched mapInPandas decode/featurize -> per-type profile.  The
+    oracle checks row fidelity and byte counts through the Python stage."""
+    from prod_data_pipeline_spark.operators.multimodal import (
+        decode_and_featurize,
+        fake_media_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = decode_and_featurize(fake_media_assets(docs))
+    return (
+        dec.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.size("features")).cast("long").alias("total_feature_vals"),
+        )
+        .orderBy("media_type")
+    )
+
+
 @query("events_approx_distinct_users", oracle=None, tags=("approx",))
 def events_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ approximate distinct users per event_type — sketch

@@ -34,6 +34,40 @@ def write_curated(
     the AWS-proprietary purge call, and atomically per partition.
     """
     df.write.mode(mode).partitionBy(partition_col).parquet(curated_base)
+    # A partition rerun replaces files in place; readers that already
+    # resolved this path (or a table registered over it) hold a cached file
+    # listing and would otherwise 404 on the deleted parquet parts.
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(curated_base)
+    _refresh_tables_at(spark, curated_base)
+
+
+def _normalize_loc(p: str) -> str:
+    for scheme in ("file:", "hdfs:", "s3a:", "s3:"):
+        if p.startswith(scheme):
+            p = p[len(scheme):]
+    return "/" + p.strip("/")
+
+
+def _refresh_tables_at(spark: SparkSession, base: str) -> None:
+    """REFRESH (+ partition re-discovery) for catalog tables located at
+    `base` — keeps registered curated tables consistent across partition
+    reruns and late-data backfills within the same session."""
+    target = _normalize_loc(os.path.abspath(base))
+    try:
+        rows = spark.sql("SHOW TABLE EXTENDED LIKE '*'").collect()
+    except Exception:
+        return
+    for r in rows:
+        loc = next(
+            (ln.split(":", 1)[1].strip() for ln in r.information.splitlines()
+             if ln.startswith("Location")),
+            None,
+        )
+        if loc and _normalize_loc(loc) == target:
+            name = f"{r.namespace}.{r.tableName}" if r.namespace else r.tableName
+            spark.sql(f"REFRESH TABLE {name}")
+            spark.sql(f"MSCK REPAIR TABLE {name}")
 
 
 def write_json_report(report: dict, path: str) -> str:

@@ -146,6 +146,25 @@ def test_catalog_registration_and_golden_sql(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS curated_events_test")
 
 
+def test_registered_table_survives_rerun_and_late_partition(spark, tmp_path):
+    """A catalog table stays consistent across partition reruns (no stale
+    file-listing 404s) and sees late-added partitions — write_curated
+    refreshes + re-discovers partitions for tables at its target path."""
+    raw, curated, metrics = paths(tmp_path)
+    generate_raw_events(raw, DATES[:2], rows_per_day=100, dup_rate=0.0)
+    backfill(spark, raw, DATES[0], DATES[1], curated, metrics)
+    register_curated_table(spark, curated, "ce_refresh_test")
+    try:
+        before = spark.sql("SELECT COUNT(*) c FROM ce_refresh_test").first().c
+        curate(spark, raw, DATES[0], curated, metrics)  # in-place rerun
+        assert spark.sql("SELECT COUNT(*) c FROM ce_refresh_test").first().c == before
+        generate_raw_events(raw, [DATES[2]], rows_per_day=60, dup_rate=0.0)
+        curate(spark, raw, DATES[2], curated, metrics)  # brand-new partition
+        assert spark.sql("SELECT COUNT(*) c FROM ce_refresh_test").first().c == before + 60
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ce_refresh_test")
+
+
 def test_arg_validation_and_missing_input(spark, tmp_path):
     raw, curated, metrics = paths(tmp_path)
     with pytest.raises(ValueError):

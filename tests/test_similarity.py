@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from prod_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    cosine_near_dup_pairs,
     ivf_topk,
     label_centroids,
+    srp_near_dup_pairs,
 )
 from prod_data_pipeline_spark.sources.readers import load_table
 
@@ -69,6 +71,52 @@ def test_centroids_shape(spark, emb):
     assert {r["cell"] for r in cents} == labels
     dim = len(emb.first()["embedding"])
     assert all(len(r["centroid"]) == dim for r in cents)
+
+
+def _planted(spark, emb):
+    """Corpus + a near-identical copy of vec 0 (cosine ~1) with a fresh id."""
+    base = emb.select("vec_id", "embedding", "label")
+    dup = base.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(dup)
+
+
+def test_srp_finds_planted_duplicate(spark, emb):
+    """A cosine~1 pair agrees on every SRP bit, so band bucketing ALWAYS
+    surfaces it — the LSH recall floor for true duplicates."""
+    corpus = _planted(spark, emb)
+    pairs = srp_near_dup_pairs(corpus, dim=64, threshold=0.99).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1_000_000 for r in pairs)
+    assert all(r["sim"] >= 0.99 for r in pairs)
+
+
+def test_srp_pairs_subset_of_exact(spark, emb):
+    """LSH candidates post-verify are a subset of the exact blocked pairs
+    (same threshold, block = everything via constant label)."""
+    one_block = emb.withColumn("label", F.lit(0))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(one_block, threshold=0.25).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_dup_pairs(emb, dim=64, threshold=0.25).collect()
+    }
+    assert approx <= exact
+
+
+def test_cosine_near_dup_blocked_on_label(spark, emb):
+    """Blocked pairs only ever pair within a block, and sims respect the
+    threshold."""
+    rows = cosine_near_dup_pairs(emb, threshold=0.25).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r["id_a"]] == labels[r["id_b"]]
+        assert r["sim"] >= 0.25
+        assert r["id_a"] < r["id_b"]
 
 
 def test_ivf_nprobe_full_equals_bruteforce(spark, emb):
