@@ -21,6 +21,65 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: float = -600.0,
+    upper_s: float = 0.0,
+    right_value_cols: Sequence[str] = (),
+    matched_prefix: str = "r_",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs sharing the `by` key with
+    ``right_ts`` in ``[left_ts + lower_s, left_ts + upper_s]`` seconds.
+
+    A naive ``l.ts BETWEEN ...`` condition on top of the key equality makes
+    Spark evaluate the range as a post-join residual over every key match —
+    fine — but with NO key it degenerates to a nested-loop join, and with a
+    hot key it still materializes every in-key pair.  This implementation
+    bins time into windows of width ``upper_s - lower_s`` and equi-joins on
+    (key, bin): each left row lands in at most two bins, each right row in
+    exactly one, so a pair can match only once (no post-dedup) and the
+    shuffle is a plain hash partition on (key, bin) — skew-bounded by bin
+    width, AQE-splittable.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    lo_us, up_us = int(lower_s * 1_000_000), int(upper_s * 1_000_000)
+    width_us = up_us - lo_us
+    if width_us <= 0:
+        raise ValueError("upper_s must exceed lower_s")
+    lcols = left.columns
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l = left.withColumn(  # noqa: E741
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor((l_us + lo_us) / width_us), F.floor((l_us + up_us) / width_us)
+            )
+        ),
+    )
+    r = right.select(
+        *[F.col(c) for c in by],
+        F.floor(r_us / width_us).alias("_bin"),
+        F.col(right_ts).alias(f"{matched_prefix}{right_ts}"),
+        *[F.col(c).alias(f"{matched_prefix}{c}") for c in right_value_cols],
+    )
+    m_us = F.unix_micros(F.col(f"{matched_prefix}{right_ts}"))
+    return (
+        l.join(r, by + ["_bin"])
+        .filter((m_us >= F.unix_micros(F.col(left_ts)) + lo_us)
+                & (m_us <= F.unix_micros(F.col(left_ts)) + up_us))
+        .select(
+            *lcols,
+            F.col(f"{matched_prefix}{right_ts}"),
+            *[F.col(f"{matched_prefix}{c}") for c in right_value_cols],
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

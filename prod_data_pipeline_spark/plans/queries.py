@@ -1127,6 +1127,49 @@ def events_asof_last_view(spark, sf_dir):
 
 
 @query(
+    "events_clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_clicks_10m
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+    LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'click' AND user_id IS NOT NULL) c
+      ON c.user_id = p.user_id
+     AND c.ts >= CAST(p.ts AS TIMESTAMP) - INTERVAL 600 SECOND
+     AND c.ts <= CAST(p.ts AS TIMESTAMP)
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("range-join",),
+)
+def events_clicks_before_purchase(spark, sf_dir):
+    """Time-range (interval) join: clicks within the 10 minutes before each
+    purchase, per user — binned equi-join (operators.joins.time_range_join),
+    never a nested-loop range join."""
+    from prod_data_pipeline_spark.operators.joins import time_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull()).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter((F.col("event_type") == "click") & F.col("user_id").isNotNull()).select(
+        "user_id", "ts"
+    )
+    pairs = time_range_join(
+        p, c, by="user_id", left_ts="purchase_ts", right_ts="ts", lower_s=-600.0, upper_s=0.0
+    )
+    keys = ["event_id", "user_id", "purchase_ts"]
+    counts = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.select(*keys)
+        .distinct()
+        .join(counts, keys, "left")
+        .select(*keys, F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks_10m"))
+        .orderBy(*keys)
+    )
+
+
+@query(
     "docs_bpe_token_stats",
     oracle=f"""
     WITH t AS (

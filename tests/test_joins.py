@@ -7,7 +7,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
-from prod_data_pipeline_spark.operators.joins import asof_join
+from prod_data_pipeline_spark.operators.joins import asof_join, time_range_join
 
 
 def _ts(s):
@@ -54,6 +54,40 @@ def test_asof_tiebreak_picks_greatest(spark):
         left, right, by="user", value_cols=["v"], tiebreak_cols=["k"]
     ).collect()
     assert rows[0]["asof_v"] == "hi"
+
+
+def test_time_range_join_matches_bruteforce(spark):
+    """Binned equi-join must produce exactly the pairs a naive range
+    predicate produces — including boundary-inclusive matches and pairs
+    that straddle a bin edge."""
+    left = spark.range(40).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 4).alias("user"),
+        F.timestamp_micros(F.col("id") * 37_000_000).alias("ts"),  # 37 s apart
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 4).alias("user"),
+        F.timestamp_micros(F.col("id") * 23_000_000).alias("ts"),
+    )
+    got = {
+        (r["lid"], r["r_ts"])
+        for r in time_range_join(
+            left, right, by="user", lower_s=-100.0, upper_s=50.0
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rts"])
+        for r in left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user") == F.col("r.user"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 100 SECOND"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 50 SECOND")),
+        )
+        .select(F.col("l.lid").alias("lid"), F.col("r.ts").alias("rts"))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
 
 
 def test_asof_no_pair_blowup_in_plan(spark):
