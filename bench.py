@@ -28,7 +28,10 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    # Best-of-2 by default: the first execution of each query pays one-off
+    # whole-stage-codegen compilation (~0.5-1 s locally) that a cluster
+    # amortizes over minutes of runtime; best-of-N reports steady state.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
