@@ -92,6 +92,26 @@ def events_per_day(spark, sf_dir):
 
 
 @query(
+    "events_per_day_sql",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("A2", "O1", "sql-api"),
+)
+def events_per_day_sql(spark, sf_dir):
+    """Golden query #1 through the SQL entry point (parse -> analyze ->
+    Catalyst -> same physical plan as the DataFrame form): the engine's
+    spark.sql surface, mirroring the reference's Athena path
+    (curated_events.sql:17-20)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql(
+        "SELECT to_date(ts) AS day, COUNT(*) AS n_events FROM events_v GROUP BY 1 ORDER BY 1"
+    )
+
+
+@query(
     "events_null_profile",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
@@ -979,31 +999,53 @@ def docs_lang_id(spark, sf_dir):
     )
 
 
+_STOP_ALL_SQL = (
+    "['the','a','and','of','to','is','in','el','la','de','que','y','los','un',"
+    "'le','et','les','des','der','die','und','das','ist','von','ein']"
+)
+
+
 @query(
     "docs_quality_scores",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_n,
+             len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS punct_n
+      FROM documents
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
            ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-                 + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality
+                 + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality,
+           ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_ALL_SQL}, x)))
+                      AS DOUBLE) / NULLIF(len(toks), 0), 4) AS stopword_ratio,
+           ROUND(CAST(punct_n AS DOUBLE) / NULLIF(bpe_n, 0), 4) AS punct_ratio
     FROM t ORDER BY doc_id
     """,
     tags=("text", "quality"),
 )
 def docs_quality_scores(spark, sf_dir):
-    """Per-document quality score (length saturation + lexical diversity)."""
-    from prod_data_pipeline_spark.operators.text import quality_score, token_profile
+    """Per-document quality features: length-saturation + lexical-diversity
+    composite, stopword ratio (union stoplist), punctuation ratio over
+    BPE-ish pre-tokens — the filterable signals of a training-data quality
+    gate, all JVM-side expressions."""
+    from prod_data_pipeline_spark.functions.text import BPE_PATTERN
+    from prod_data_pipeline_spark.operators.text import STOPWORDS, quality_score, token_profile
 
+    stop_all = sorted({w for ws in STOPWORDS.values() for w in ws})
     docs = token_profile(_t(spark, sf_dir, "documents"))
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(stop_all)))
+    bpe_n = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
+    punct_n = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[^a-z0-9\s]"), 0))
     return docs.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.size("dtoks").cast("long").alias("n_distinct"),
         quality_score(F.col("toks"), F.col("dtoks")).alias("quality"),
+        F.round(F.try_divide(n_stop.cast("double"), F.size("toks")), 4).alias("stopword_ratio"),
+        F.round(F.try_divide(punct_n.cast("double"), bpe_n), 4).alias("punct_ratio"),
     ).orderBy("doc_id")
 
 
