@@ -640,6 +640,107 @@ def nation_keys_except(spark, sf_dir):
 
 
 @query(
+    "nation_keys_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    tags=("set-op",),
+)
+def nation_keys_except_all(spark, sf_dir):
+    """Multiset EXCEPT ALL (bag semantics — each supplier occurrence cancels
+    one customer occurrence), vs the distinct-set `nation_keys_except`."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(s.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "events_grouping_sets",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type))
+    ORDER BY day, event_type
+    """,
+    tags=("grouping-sets", "sql-api"),
+)
+def events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither rollup nor cube): per-day totals and
+    per-type totals in one pass, via the SQL surface."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs_v")
+    return spark.sql(
+        """
+        SELECT to_date(ts) AS day, event_type, COUNT(*) AS n_events
+        FROM events_gs_v
+        GROUP BY GROUPING SETS ((to_date(ts)), (event_type))
+        ORDER BY day, event_type
+        """
+    )
+
+
+@query(
+    "events_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("quantile",),
+)
+def events_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per type (Spark `percentile` == DuckDB
+    `quantile_cont`; the approximate production path is
+    `approx_percentile`, same API shape, sketch-mergeable at scale)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.9), 6).alias("p90"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_daily_type_pivot",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+               for t in sorted(TESTDATA_EVENT_TYPES)
+           )}
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("pivot",),
+)
+def events_daily_type_pivot(spark, sf_dir):
+    """Pivot day x event_type — explicit value list so the plan is a single
+    pass (unlisted pivot values would need an extra distinct-scan job)."""
+    ev = _t(spark, sf_dir, "events")
+    vals = sorted(TESTDATA_EVENT_TYPES)
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", vals)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, vals)
+        .orderBy("day")
+    )
+
+
+@query(
     "order_rollup_stats",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
