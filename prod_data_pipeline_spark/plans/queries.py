@@ -1030,6 +1030,90 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+@query(
+    "corpus_curation_stats",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), t AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM dedup
+    ), s AS (
+      SELECT doc_id, lang, toks,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             {", ".join(
+                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+                 for j in range(8)
+             )}
+      FROM s
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
+          "FROM sig WHERE len(sh) > 0"
+          for b in range(4)
+      )}
+    ), losers AS (
+      SELECT DISTINCT c.id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
+    ), q AS (
+      SELECT lang, len(toks) AS n,
+             ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                   + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4)
+                 AS quality
+      FROM s WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_quality
+    FROM q WHERE quality >= 0.45
+    GROUP BY lang ORDER BY lang
+    """,
+    headline=False,
+    tags=("dedup", "text", "pipeline"),
+)
+def corpus_curation_stats(spark, sf_dir):
+    """Flagship training-data composition (operators.corpus.curate_corpus):
+    exact dedup -> MinHash-LSH near-dup removal -> quality gate, reported
+    per language.  The oracle replays the ENTIRE pipeline in SQL, so the
+    value-hash checks dedup keep-rules, LSH banding, Jaccard verification,
+    and the quality filter end-to-end."""
+    from prod_data_pipeline_spark.operators.corpus import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_corpus(docs, jaccard_threshold=0.5, min_quality=0.45, hash_fn="md5")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("docs_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
 def docs_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidates (16-bit chunk pigeonhole, Hamming <= 3).

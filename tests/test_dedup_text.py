@@ -147,3 +147,28 @@ def test_approx_distinct_error_bound(spark):
     rows = QUERIES["events_approx_distinct_users"].fn(spark, "/root/testdata/sf0.001").collect()
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
+
+
+def test_curate_corpus_drops_planted_dups_and_low_quality(spark):
+    """curate_corpus removes an exact copy AND a near-copy of a seed doc,
+    keeps the lowest id, and enforces the quality floor."""
+    from prod_data_pipeline_spark.operators.corpus import curate_corpus
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    seed = docs.filter(F.col("doc_id") == 0)
+    exact_copy = seed.select((F.col("doc_id") + 10_000).alias("doc_id"), "lang", "text")
+    near_copy = seed.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" tail tail")).alias("text"),
+    )
+    corpus = docs.unionByName(exact_copy).unionByName(near_copy)
+    kept = curate_corpus(corpus, jaccard_threshold=0.5, min_quality=0.0)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 10_000 not in ids and 20_000 not in ids
+    gated = curate_corpus(corpus, jaccard_threshold=0.5, min_quality=0.45)
+    assert all(r["quality"] >= 0.45 for r in gated.collect())
+    assert 0 < gated.count() < kept.count()
