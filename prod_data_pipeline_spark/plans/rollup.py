@@ -1,0 +1,63 @@
+"""Incremental daily rollup: a materialized per-date summary table.
+
+The reference's analytical layer re-aggregates the curated table on every
+Athena query (sql/athena/curated_events.sql:17-27).  At 100 TB that is a
+full scan per dashboard refresh; the scale pattern is a rollup table
+maintained incrementally — when a date's curated partition changes (first
+write, rerun, late-data backfill), recompute ONLY that date's summary and
+overwrite only that rollup partition.
+
+Invariants:
+- idempotent per partition: same inputs -> byte-identical rollup partition
+  (dynamic partition overwrite, like the curated table itself, C1);
+- exact: money sums go through DECIMAL so the rollup equals a full
+  recompute regardless of partial-agg order (tests assert equality);
+- incremental cost: one partition-pruned scan of the changed date, never a
+  full-table pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.session import tune
+from prod_data_pipeline_spark.sources.writers import write_curated
+
+
+def daily_rollup_frame(curated: DataFrame) -> DataFrame:
+    """The rollup aggregation: per (ingestion_date, event_type) counts,
+    distinct users, and exact amount sums."""
+    return curated.groupBy("ingestion_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("sum_amount"),
+        F.max("event_ts").alias("max_event_ts"),
+    )
+
+
+def update_daily_rollup(
+    spark: SparkSession,
+    curated_base: str,
+    rollup_base: str,
+    ingestion_date: str,
+) -> None:
+    """Recompute one date's rollup partition from its curated partition.
+
+    The filter on the partition column prunes the scan to the one changed
+    directory (Catalyst partition pruning — verified for this layout in
+    tests/test_plans.py); dynamic partition overwrite replaces exactly the
+    matching rollup partition.
+    """
+    tune(spark)
+    day = (
+        spark.read.parquet(curated_base)
+        .filter(F.col("ingestion_date") == ingestion_date)
+    )
+    write_curated(daily_rollup_frame(day), rollup_base)
+
+
+def full_rollup(spark: SparkSession, curated_base: str) -> DataFrame:
+    """Full recompute — the equivalence oracle for the incremental path."""
+    tune(spark)
+    return daily_rollup_frame(spark.read.parquet(curated_base))
