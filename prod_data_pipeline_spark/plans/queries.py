@@ -943,6 +943,7 @@ def docs_minhash_signatures(spark, sf_dir):
 
 @query(
     "docs_near_dup_pairs",
+    headline=True,
     oracle="""
     WITH t AS (
       SELECT doc_id, """ + _TOKS_SQL + """ AS toks FROM documents
@@ -1086,7 +1087,7 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
     FROM q WHERE quality >= 0.45
     GROUP BY lang ORDER BY lang
     """,
-    headline=False,
+    headline=True,
     tags=("dedup", "text", "pipeline"),
 )
 def corpus_curation_stats(spark, sf_dir):
