@@ -1534,6 +1534,29 @@ def media_decode_profile(spark, sf_dir):
     )
 
 
+@query("media_feature_topk", oracle=None, tags=("multimodal", "similarity"))
+def media_feature_topk(spark, sf_dir):
+    """Cross-modal composition: decoded media features flow straight into
+    the generic ANN operator (decode -> fixed-width arrays -> cosine
+    top-3).  Deterministic fake features; rows-only check (the byte-level
+    sha256 feature math has no tractable SQL mirror) + unit coverage in
+    tests/test_multimodal.py."""
+    from prod_data_pipeline_spark.operators.multimodal import (
+        decode_and_featurize,
+        fake_media_assets,
+    )
+    from prod_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = (
+        decode_and_featurize(fake_media_assets(docs))
+        .filter(F.col("n_bytes") > 0)
+        .select(F.col("asset_id").alias("vec_id"), F.col("features").alias("embedding"))
+    )
+    out = brute_force_topk(feats, feats.filter(F.col("vec_id") < 4), k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("events_approx_distinct_users", oracle=None, tags=("approx",))
 def events_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ approximate distinct users per event_type — sketch

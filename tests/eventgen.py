@@ -29,6 +29,7 @@ def generate_raw_events(
     source_system: str = "app",
     append: bool = False,
     id_prefix: str = "",
+    filename: str = "events.json",
 ) -> dict[str, int]:
     """Returns rows written per date (including injected duplicates)."""
     counts: dict[str, int] = {}
@@ -58,7 +59,7 @@ def generate_raw_events(
         part_dir = os.path.join(base, f"source_system={source_system}", f"ingestion_date={d}")
         os.makedirs(part_dir, exist_ok=True)
         mode = "a" if append else "w"
-        with open(os.path.join(part_dir, "events.json"), mode) as f:
+        with open(os.path.join(part_dir, filename), mode) as f:
             for row in rows:
                 f.write(json.dumps(row) + "\n")
         counts[d] = len(rows)

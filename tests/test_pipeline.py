@@ -175,3 +175,26 @@ def test_arg_validation_and_missing_input(spark, tmp_path):
         curate(spark, raw, "01/02/2025", curated, metrics)
     with pytest.raises(FileNotFoundError):
         curate(spark, raw, "2025-01-01", curated, metrics)
+
+
+def test_sorted_write_clusters_rows_within_files(spark, tmp_path):
+    """sort_cols produces files whose rows are event_ts-ordered, giving
+    disjoint parquet row-group min/max ranges for scan-time skipping."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.readers import read_events_ndjson
+    from prod_data_pipeline_spark.sources.writers import write_curated
+    from prod_data_pipeline_spark.plans.pipeline import curate_transform
+
+    raw, curated, _ = paths(tmp_path)
+    generate_raw_events(raw, DATES[:1], rows_per_day=300, dup_rate=0.0)
+    part = os.path.join(raw, "source_system=app", f"ingestion_date={DATES[0]}")
+    df = curate_transform(read_events_ndjson(spark, part), DATES[0])
+    write_curated(df, curated, sort_cols=["event_ts"])
+    files = globmod.glob(os.path.join(curated, "ingestion_date=*", "*.parquet"))
+    assert files
+    for f in files:
+        ts = [r["event_ts"] for r in spark.read.parquet(f).select("event_ts").collect()]
+        assert ts == sorted(ts), f"rows not clustered by event_ts in {f}"

@@ -61,6 +61,42 @@ def test_streaming_daily_counts_complete_mode(spark, raw, tmp_path):
     assert rows == counts
 
 
+def test_streaming_late_data_resumes_from_checkpoint(spark, raw, tmp_path):
+    """Late-arriving file + restart from the same checkpoint: the windowed
+    aggregation state survives and the affected day's count grows by
+    exactly the late rows (inside the 2-day watermark) — the streaming twin
+    of the batch backfill scenario."""
+    base, counts = raw
+    ckpt = str(tmp_path / "ckpt_late")
+
+    def run_once():
+        agg = streaming_daily_counts(stream_events(spark, _glob(base)))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_counts_t")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            str(r["day"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM late_counts_t").collect()
+        }
+
+    first = run_once()
+    assert first == counts
+    # 40 late events land in an existing day's partition dir as a new file
+    late_day = DATES[1]
+    generate_raw_events(
+        base, [late_day], rows_per_day=40, dup_rate=0.0, filename="late.json"
+    )
+    second = run_once()
+    assert second[late_day] == counts[late_day] + 40
+    assert second[DATES[0]] == counts[DATES[0]]
+
+
 def test_streaming_sessions_match_batch(spark, raw):
     """The stateful streaming sessionizer agrees with the batch window
     implementation on a single availableNow pass."""
