@@ -503,6 +503,73 @@ def brand_volume(spark, sf_dir):
 
 
 @query(
+    "slow_orders_by_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("semi-join", "correlated"),
+)
+def slow_orders_by_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS decorrelated into a left-semi join
+    whose condition spans both tables (ship lag > 90 days) — one shuffle on
+    the order key, no subquery re-execution per row."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    slow = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        slow.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "small_quantity_parts_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    tags=("correlated", "scalar-subquery"),
+)
+def small_quantity_parts_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar AVG subquery decorrelated into a
+    per-part pre-aggregate + join (the per-part averages are one narrow
+    shuffle; exact decimal arithmetic keeps the 0.2*avg threshold
+    bit-identical across engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pa = li.groupBy("l_partkey").agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
     "customer_order_distribution",
     oracle="""
     SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
