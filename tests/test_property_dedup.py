@@ -1,0 +1,67 @@
+"""Property-based checks (hypothesis) for the dedup family: LSH results are
+always a subset of brute-force truth, and true duplicates can never be
+missed (identical shingle sets -> identical signatures -> same buckets)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    near_dup_pairs,
+)
+
+# Tiny vocabulary forces token overlap -> real near-dup structure.
+WORD = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+DOC = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+CORPUS = st.lists(DOC, min_size=1, max_size=12)
+
+
+def _brute_jaccard_pairs(texts, n=3, threshold=0.5):
+    def sh(t):
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = set()
+    sets = [sh(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = sets[i], sets[j]
+            union = len(a | b)
+            if union and round(len(a & b) / union, 4) >= threshold:
+                out.add((i, j))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=CORPUS)
+def test_near_dup_pairs_subset_of_truth_and_catches_identicals(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(df, threshold=0.5, hash_fn="md5").collect()
+    }
+    truth = _brute_jaccard_pairs(texts, threshold=0.5)
+    # verified LSH candidates never invent a pair
+    assert got <= truth
+    # identical non-empty shingle sets have identical signatures -> always caught
+    for i, j in truth:
+        a = [w for w in texts[i].lower().split() if w]
+        if texts[i].lower().split() == texts[j].lower().split() and len(a) >= 3:
+            assert (i, j) in got
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=CORPUS)
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    rows = exact_dedup_groups(df).collect()
+    assert sum(r["n_copies"] for r in rows) == len(texts)
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    keep = {r["keep_id"] for r in rows}
+    assert keep == {min(ids) for ids in by_text.values()}
