@@ -306,6 +306,33 @@ def props_key_stats(spark, sf_dir):
 
 
 @query(
+    "props_typed_struct_stats",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (SELECT ts, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("json", "struct"),
+)
+def props_typed_struct_stats(spark, sf_dir):
+    """Semi-structured column via from_json with an explicit schema (the
+    typed-struct sibling of props_key_stats' path extraction): parse once,
+    then ordinary columnar refs — still JVM-side, still one pass."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json(F.col("props"), "k INT"))
+    return (
+        parsed.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("p.k").alias("n_with_k"),
+            F.sum("p.k").cast("long").alias("sum_k"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
     "events_curated_projection",
     oracle="""
     SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,

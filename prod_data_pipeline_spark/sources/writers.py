@@ -25,6 +25,7 @@ def write_curated(
     partition_col: str = "ingestion_date",
     mode: str = "overwrite",
     sort_cols: list[str] | None = None,
+    file_format: str = "parquet",
 ) -> None:
     """S5 + C1: write the curated table partitioned by date.
 
@@ -41,7 +42,12 @@ def write_curated(
     """
     if sort_cols:
         df = df.sortWithinPartitions(partition_col, *sort_cols)
-    df.write.mode(mode).partitionBy(partition_col).parquet(curated_base)
+    (
+        df.write.mode(mode)
+        .partitionBy(partition_col)
+        .format(file_format)  # parquet default; orc is the bundled alternative
+        .save(curated_base)
+    )
     # A partition rerun replaces files in place; readers that already
     # resolved this path (or a table registered over it) hold a cached file
     # listing and would otherwise 404 on the deleted parquet parts.

@@ -198,3 +198,31 @@ def test_sorted_write_clusters_rows_within_files(spark, tmp_path):
     for f in files:
         ts = [r["event_ts"] for r in spark.read.parquet(f).select("event_ts").collect()]
         assert ts == sorted(ts), f"rows not clustered by event_ts in {f}"
+
+
+def test_orc_format_roundtrip_with_partition_overwrite(spark, tmp_path):
+    """file_format='orc': same partitioned layout, same dynamic-overwrite
+    rerun semantics, read back via spark.read.orc."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.plans.pipeline import curate_transform
+    from prod_data_pipeline_spark.sources.readers import read_events_ndjson
+    from prod_data_pipeline_spark.sources.writers import write_curated
+
+    raw, curated, _ = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES[:2], rows_per_day=80, dup_rate=0.0)
+    for d in DATES[:2]:
+        part = os.path.join(raw, "source_system=app", f"ingestion_date={d}")
+        write_curated(
+            curate_transform(read_events_ndjson(spark, part), d), curated,
+            file_format="orc",
+        )
+    df = spark.read.orc(curated)
+    assert df.count() == sum(counts.values())
+    # rerun one date: partition-scoped overwrite, other partition untouched
+    part0 = os.path.join(raw, "source_system=app", f"ingestion_date={DATES[0]}")
+    write_curated(
+        curate_transform(read_events_ndjson(spark, part0), DATES[0]), curated,
+        file_format="orc",
+    )
+    assert spark.read.orc(curated).count() == sum(counts.values())
