@@ -1,0 +1,59 @@
+"""Source operators S1-S4: schema-enforced NDJSON, recursive multi-partition
+scan, and the file-provenance partition column (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.sources.readers import (
+    read_events_ndjson,
+    with_ingestion_date_from_path,
+)
+from tests.eventgen import generate_raw_events
+
+DATES = ["2025-01-01", "2025-01-02"]
+
+
+def test_recursive_scan_with_path_provenance(spark, tmp_path):
+    """S2 + S4: one recursive read over the whole landing zone; each row's
+    ingestion_date comes from its source file path (reference v1.py:26-37)."""
+    base = str(tmp_path / "raw")
+    counts = generate_raw_events(base, DATES, rows_per_day=120, dup_rate=0.0)
+    df = with_ingestion_date_from_path(read_events_ndjson(spark, base, recursive=True))
+    got = {
+        r["ingestion_date"]: r["n"]
+        for r in df.groupBy("ingestion_date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == counts
+
+
+def test_provenance_drops_unpartitioned_paths(spark, tmp_path):
+    """Rows from files outside an ingestion_date= dir are dropped, as in the
+    reference's v1 filter (v1.py:47)."""
+    base = str(tmp_path / "raw")
+    generate_raw_events(base, DATES[:1], rows_per_day=50, dup_rate=0.0)
+    stray_dir = os.path.join(base, "stray")
+    os.makedirs(stray_dir)
+    with open(os.path.join(stray_dir, "events.json"), "w") as f:
+        f.write('{"event_id": "x", "user_id": "1", "event_type": "login", '
+                '"event_ts": "2025-01-01T00:00:00Z", "amount": null}\n')
+    df = with_ingestion_date_from_path(read_events_ndjson(spark, base, recursive=True))
+    assert df.count() == 50  # stray row filtered, partitioned rows kept
+
+
+def test_schema_enforced_no_inference(spark, tmp_path):
+    """S1: the reader applies the declared schema even to malformed rows
+    (extra fields ignored, wrong-typed amount nulled, no inference pass)."""
+    base = str(tmp_path / "raw" / "source_system=app" / "ingestion_date=2025-01-01")
+    os.makedirs(base)
+    with open(os.path.join(base, "events.json"), "w") as f:
+        f.write('{"event_id": "a", "user_id": "1", "event_type": "login", '
+                '"event_ts": "2025-01-01T01:00:00Z", "amount": 5.5, "extra": "ignored"}\n')
+        f.write('{"event_id": "b", "user_id": "2", "event_type": "purchase", '
+                '"event_ts": "2025-01-01T02:00:00Z", "amount": "not-a-number"}\n')
+    df = read_events_ndjson(spark, base)
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert set(df.columns) == {"event_id", "user_id", "event_type", "event_ts", "amount"}
+    assert rows["a"]["amount"] == 5.5
