@@ -597,6 +597,42 @@ def small_quantity_parts_revenue(spark, sf_dir):
 
 
 @query(
+    "disjunctive_brand_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
+    """,
+    tags=("join", "disjunctive-pushdown"),
+)
+def disjunctive_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs mixed predicate over a broadcast join.
+    Catalyst splits the disjunction: the part-only conjuncts
+    ((brand, size) OR (brand, size)) push below the join into the dim scan,
+    while the cross-table residual evaluates post-join — filter early on
+    both inputs even with ORs in the way."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "customer_order_distribution",
     oracle="""
     SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
