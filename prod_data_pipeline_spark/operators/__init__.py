@@ -1,0 +1,58 @@
+"""Operator surface: dedup, similarity, text, temporal joins, skew/layout,
+multimodal, corpus curation."""
+
+from prod_data_pipeline_spark.operators.corpus import curate_corpus
+from prod_data_pipeline_spark.operators.dedup import (
+    drop_exact_dups,
+    exact_dedup_groups,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_bucket_pairs,
+    with_minhash,
+    with_simhash,
+)
+from prod_data_pipeline_spark.operators.joins import asof_join, time_range_join
+from prod_data_pipeline_spark.operators.multimodal import (
+    decode_and_featurize,
+    fake_media_assets,
+    repartition_for_payloads,
+    sample_video_frames,
+)
+from prod_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    srp_near_dup_pairs,
+)
+from prod_data_pipeline_spark.operators.skew import salted_join, write_bucketed
+from prod_data_pipeline_spark.operators.text import (
+    predicted_lang,
+    quality_score,
+    winnow_fingerprints,
+)
+
+__all__ = [
+    "asof_join",
+    "brute_force_topk",
+    "cosine_near_dup_pairs",
+    "curate_corpus",
+    "decode_and_featurize",
+    "drop_exact_dups",
+    "exact_dedup_groups",
+    "fake_media_assets",
+    "ivf_topk",
+    "near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "predicted_lang",
+    "quality_score",
+    "repartition_for_payloads",
+    "salted_join",
+    "sample_video_frames",
+    "simhash_bucket_pairs",
+    "srp_near_dup_pairs",
+    "time_range_join",
+    "winnow_fingerprints",
+    "with_minhash",
+    "with_simhash",
+    "write_bucketed",
+]
