@@ -96,6 +96,43 @@ def write_json_report(report: dict, path: str) -> str:
     return path
 
 
+def compact_partition(
+    spark: SparkSession,
+    base: str,
+    value: str,
+    partition_col: str = "ingestion_date",
+    target_files: int = 1,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Maintenance: rewrite one partition's many small files into
+    `target_files` (optionally sorted for row-group skipping).
+
+    Streaming appends and per-batch writes accumulate small files that
+    crush scan throughput at scale (one task + one open per file).  The
+    rewrite stages into a temp dir and swaps via rename, so a concurrent
+    reader sees either the old or the new layout, never a half-written
+    partition.  (On object stores swap via a manifest/table format instead
+    of rename — this path targets HDFS/local semantics.)  Returns the row
+    count.
+    """
+    import shutil
+
+    part_path = os.path.join(base, f"{partition_col}={value}")
+    tmp_path = os.path.join(base, f".compact_tmp_{partition_col}={value}")
+    df = spark.read.parquet(part_path)
+    if sort_cols:
+        df = df.repartition(target_files).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(target_files)
+    df.write.mode("overwrite").parquet(tmp_path)
+    n = spark.read.parquet(tmp_path).count()
+    shutil.rmtree(part_path)
+    os.rename(tmp_path, part_path)
+    spark.catalog.refreshByPath(base)
+    _refresh_tables_at(spark, base)
+    return n
+
+
 def register_curated_table(
     spark: SparkSession,
     curated_base: str,

@@ -226,3 +226,39 @@ def test_orc_format_roundtrip_with_partition_overwrite(spark, tmp_path):
         file_format="orc",
     )
     assert spark.read.orc(curated).count() == sum(counts.values())
+
+
+def test_compact_partition_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Many small files -> one; rows identical; a registered catalog table
+    stays readable through the swap."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.plans.pipeline import curate_transform
+    from prod_data_pipeline_spark.sources.readers import read_events_ndjson
+    from prod_data_pipeline_spark.sources.writers import compact_partition, write_curated
+
+    raw, curated, _ = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES[:1], rows_per_day=200, dup_rate=0.0)
+    part = os.path.join(raw, "source_system=app", f"ingestion_date={DATES[0]}")
+    df = curate_transform(read_events_ndjson(spark, part), DATES[0]).repartition(6)
+    write_curated(df, curated)
+    pdir = os.path.join(curated, f"ingestion_date={DATES[0]}")
+    assert len(globmod.glob(os.path.join(pdir, "*.parquet"))) > 1
+    before = {r["event_id"] for r in spark.read.parquet(pdir).collect()}
+    register_curated_table(spark, curated, "ce_compact_test")
+    try:
+        n = compact_partition(spark, curated, DATES[0], sort_cols=["event_ts"])
+        assert n == counts[DATES[0]]
+        assert len(globmod.glob(os.path.join(pdir, "*.parquet"))) == 1
+        after = {r["event_id"] for r in spark.read.parquet(pdir).collect()}
+        assert after == before
+        assert (
+            spark.sql("SELECT COUNT(*) c FROM ce_compact_test").first().c
+            == counts[DATES[0]]
+        )
+        ts = [r["event_ts"] for r in spark.read.parquet(pdir).select("event_ts").collect()]
+        assert ts == sorted(ts)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ce_compact_test")
