@@ -48,6 +48,20 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def read_curated(spark: SparkSession, curated_base: str, merge_schema: bool = True) -> DataFrame:
+    """Read the curated table with additive schema evolution.
+
+    The reference defers schema evolution entirely (design.md:165); Spark
+    gives the additive case for free: with mergeSchema, partitions written
+    before a column existed read as null for it, and the unified schema is
+    the union across partition footers.  Columns may be ADDED over time;
+    renames/type changes still require a rewrite (as everywhere).
+    """
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(curated_base)
+    )
+
+
 def read_events_ndjson(
     spark: SparkSession,
     path: str,

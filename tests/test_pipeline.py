@@ -262,3 +262,33 @@ def test_compact_partition_preserves_rows_and_shrinks_files(spark, tmp_path):
         assert ts == sorted(ts)
     finally:
         spark.sql("DROP TABLE IF EXISTS ce_compact_test")
+
+
+def test_additive_schema_evolution_across_partitions(spark, tmp_path):
+    """A column added in a later partition: mergeSchema reads the union
+    schema, pre-existing partitions yield null for the new column — the
+    additive-evolution case the reference deferred (design.md:165)."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.plans.pipeline import curate_transform
+    from prod_data_pipeline_spark.sources.readers import read_curated, read_events_ndjson
+    from prod_data_pipeline_spark.sources.writers import write_curated
+
+    raw, curated, _ = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES[:2], rows_per_day=60, dup_rate=0.0)
+    p0 = os.path.join(raw, "source_system=app", f"ingestion_date={DATES[0]}")
+    p1 = os.path.join(raw, "source_system=app", f"ingestion_date={DATES[1]}")
+    write_curated(curate_transform(read_events_ndjson(spark, p0), DATES[0]), curated)
+    evolved = curate_transform(read_events_ndjson(spark, p1), DATES[1]).withColumn(
+        "pipeline_version", F.lit(2)
+    )
+    write_curated(evolved, curated)
+    df = read_curated(spark, curated)
+    assert "pipeline_version" in df.columns
+    assert df.count() == sum(counts.values())
+    per_day = {
+        str(r["ingestion_date"]): r["n"]
+        for r in df.filter(F.col("pipeline_version").isNull())
+        .groupBy("ingestion_date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_day == {DATES[0]: counts[DATES[0]]}  # old partition nulls, new doesn't
