@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.text import tokens
 from prod_data_pipeline_spark.operators.dedup import drop_exact_dups, near_dup_pairs
@@ -36,7 +37,9 @@ def curate_corpus(
 ) -> DataFrame:
     """Curated corpus: per-document (doc_id, lang, n_tokens, quality) after
     exact dedup, near-dup removal, and the quality threshold."""
-    d1 = drop_exact_dups(docs, id_col, text_col)
+    # d1 feeds both the near-dup pipeline and the final keep-join; persist
+    # so the exact-dedup semi-join runs once, not per branch
+    d1 = drop_exact_dups(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = near_dup_pairs(
         d1, id_col, text_col, threshold=jaccard_threshold, hash_fn=hash_fn
     )
