@@ -1463,6 +1463,72 @@ def emb_topk_ivf(spark, sf_dir):
 
 
 @query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.day) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act a JOIN firstday f ON f.user_id = a.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("window", "retention"),
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-seen day, counted
+    per (cohort, day-offset).  Two narrow aggregates + one join on user_id
+    — the classic product-analytics query, shuffle-bounded by |users|."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "user_event_type_paths",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ordered-agg", "path"),
+)
+def user_event_type_paths(spark, sf_dir):
+    """Ordered aggregation: each user's full event-type journey as a
+    '>'-joined string.  collect_list gives no ordering guarantee under
+    parallel merge, so rows carry a (ts, event_id) sort key into
+    array_sort before joining — deterministic at any parallelism."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    keyed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(keyed)), lambda s: s["event_type"]
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "events_asof_last_view",
     oracle="""
     WITH p AS (
