@@ -137,6 +137,44 @@ def events_null_profile(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+
+
+@query(
+    "events_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM events"""
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY column_name",
+    tags=("profiling", "A1", "A4"),
+)
+def events_column_profile(spark, sf_dir):
+    """Whole-table column profile (null count + exact distinct per column)
+    in ONE aggregation pass + an unpivot — the generic data-profiling
+    sibling of the events DQ gate.  Distinct counts share one Expand pass;
+    at very large scale swap count_distinct for approx_count_distinct and
+    the plan loses the Expand entirely."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    row = ev.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS)
+    return (
+        row.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_null, n_distinct)"
+        )
+        .orderBy("column_name")
+    )
+
+
 @query(
     "events_dq_profile",
     oracle=f"""
