@@ -222,28 +222,68 @@ def backfill(
     thresholds: DQThresholds | None = None,
     source_system: str = "app",
     on_failure: Callable[[dict], None] | None = None,
+    max_parallel: int = 1,
 ) -> BackfillResult:
-    """C5: sequential per-date rerun, abort on first failure
-    (run_backfill.py:62-89).  Dates are independent, so callers may
-    parallelize, but sequential-with-abort is the audit-friendly default
-    the reference chose (design.md:140-149)."""
+    """C5: per-date rerun over the range, abort on first failure
+    (run_backfill.py:62-89).
+
+    Sequential (max_parallel=1) is the audit-friendly default the reference
+    chose (design.md:140-149).  Dates are fully independent — each touches
+    only its own raw/curated/metrics partition — so max_parallel>1 submits
+    them as concurrent Spark jobs from driver threads (Spark's scheduler
+    interleaves fairly).  Parallel failure semantics: every date that was
+    already in flight finishes (its partition is either fully written or
+    untouched, same as sequential), no new date starts after the first
+    failure, and the earliest failed date raises.
+    """
     result = BackfillResult()
-    for d in daterange(start, end):
-        try:
-            result.reports[d] = curate(
-                spark,
-                raw_base,
-                d,
-                curated_base,
-                metrics_base,
-                thresholds,
-                source_system,
-                on_failure,
-            )
-            result.succeeded.append(d)
-        except Exception:
-            result.failed = d
-            raise
+    dates = list(daterange(start, end))
+
+    def run_one(d: str) -> dict:
+        return curate(
+            spark, raw_base, d, curated_base, metrics_base,
+            thresholds, source_system, on_failure,
+        )
+
+    if max_parallel <= 1:
+        for d in dates:
+            try:
+                result.reports[d] = run_one(d)
+                result.succeeded.append(d)
+            except Exception:
+                result.failed = d
+                raise
+        return result
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        futures = {}
+        failed: list[tuple[str, Exception]] = []
+        for d in dates:
+            if failed:
+                break  # no new dates after a known failure
+            futures[d] = pool.submit(run_one, d)
+            # drain completed futures opportunistically to notice failures early
+            for fd, fut in list(futures.items()):
+                if fut.done():
+                    del futures[fd]
+                    try:
+                        result.reports[fd] = fut.result()
+                        result.succeeded.append(fd)
+                    except Exception as ex:  # noqa: BLE001
+                        failed.append((fd, ex))
+        for fd, fut in futures.items():
+            try:
+                result.reports[fd] = fut.result()
+                result.succeeded.append(fd)
+            except Exception as ex:  # noqa: BLE001
+                failed.append((fd, ex))
+    if failed:
+        failed.sort(key=lambda t: t[0])
+        result.failed = failed[0][0]
+        raise failed[0][1]
+    result.succeeded.sort()
     return result
 
 

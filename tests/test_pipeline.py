@@ -292,3 +292,21 @@ def test_additive_schema_evolution_across_partitions(spark, tmp_path):
         .groupBy("ingestion_date").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_day == {DATES[0]: counts[DATES[0]]}  # old partition nulls, new doesn't
+
+
+def test_parallel_backfill_matches_sequential(spark, tmp_path):
+    """max_parallel>1 writes exactly the partitions sequential does, and a
+    poisoned date still raises + never writes its partition."""
+    raw, curated, metrics = paths(tmp_path)
+    counts = generate_raw_events(raw, DATES, rows_per_day=120, dup_rate=0.0)
+    result = backfill(spark, raw, DATES[0], DATES[2], curated, metrics, max_parallel=3)
+    assert result.succeeded == DATES
+    for d in DATES:
+        assert curated_count(spark, curated, d) == counts[d]
+
+    raw2, curated2, metrics2 = (str(tmp_path / p) for p in ("r2", "c2", "m2"))
+    generate_raw_events(raw2, [DATES[0], DATES[2]], rows_per_day=120, dup_rate=0.0)
+    generate_raw_events(raw2, [DATES[1]], rows_per_day=120, null_user_rate=0.5)
+    with pytest.raises(DQGateError):
+        backfill(spark, raw2, DATES[0], DATES[2], curated2, metrics2, max_parallel=3)
+    assert curated_count(spark, curated2, DATES[1]) == 0
