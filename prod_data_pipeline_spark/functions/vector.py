@@ -32,4 +32,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity, zero-norm-safe.
+
+    try_divide yields NULL (not NaN) when either vector has zero norm.
+    NULL is the right poison value here: Spark sorts NaN ABOVE every
+    number, so a NaN sim would pass `sim >= threshold` filters and rank
+    #1 in desc-order top-k windows, while NULL is excluded by both.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

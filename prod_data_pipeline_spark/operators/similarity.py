@@ -52,6 +52,8 @@ def brute_force_topk(
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+        # zero-norm vectors have NULL cosine (try_divide): not a neighbor
+        .filter(F.col("_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (
@@ -318,6 +320,7 @@ def ivf_topk(
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+        .filter(F.col("_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (

@@ -42,7 +42,17 @@ def salted_join(
 
     Use when the small side is too big to broadcast but small enough to
     replicate `salt` times; `salt` caps the per-key parallelism gain.
+
+    Only inner/left/left_semi joins are supported: replicating the small
+    side salt-ways would emit `salt` copies of every UNMATCHED small-side
+    row under right/full-outer semantics, silently corrupting the result.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, got how={how!r}: "
+            "outer joins on the replicated side would duplicate unmatched rows"
+        )
     on = [on] if isinstance(on, str) else list(on)
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))

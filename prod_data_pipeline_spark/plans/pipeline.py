@@ -103,6 +103,13 @@ def dq_profile(df: DataFrame, thresholds: DQThresholds) -> dict:
         (F.count("event_id") - F.count_distinct(F.col("event_id"))).alias("dup_event_rows"),
     ).first()
     p = {k: int(row[k] or 0) for k in row.asDict()}
+    # count(event_id) skips NULLs, but the reference's groupBy('event_id')
+    # .count() treats all NULL ids as ONE group — n nulls contribute n-1
+    # duplicate rows (v3_dq.py:81-83).  Matters when forbid_null_event_id
+    # is relaxed: without this the dup-rate gate is weaker than the
+    # reference's.  Same single pass — null_event_id is already in the agg.
+    if p["null_event_id"] > 1:
+        p["dup_event_rows"] += p["null_event_id"] - 1
     total = p["total_rows"]
     # Divide-by-zero-guarded rates (v3_dq.py:86-87).
     p["null_user_rate"] = (p["null_user_id"] / total) if total else 0.0
@@ -255,30 +262,33 @@ def backfill(
                 raise
         return result
 
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
+    # Bounded submission: at most max_parallel dates are ever in flight, and
+    # a new date is only submitted after an earlier one completes without a
+    # failure having been observed.  (Submitting everything up front and
+    # checking `fut.done()` opportunistically does NOT give abort-on-failure:
+    # the submit loop finishes in microseconds, so every date would run.)
     with ThreadPoolExecutor(max_workers=max_parallel) as pool:
-        futures = {}
+        pending: dict = {}  # future -> date
         failed: list[tuple[str, Exception]] = []
-        for d in dates:
-            if failed:
-                break  # no new dates after a known failure
-            futures[d] = pool.submit(run_one, d)
-            # drain completed futures opportunistically to notice failures early
-            for fd, fut in list(futures.items()):
-                if fut.done():
-                    del futures[fd]
-                    try:
-                        result.reports[fd] = fut.result()
-                        result.succeeded.append(fd)
-                    except Exception as ex:  # noqa: BLE001
-                        failed.append((fd, ex))
-        for fd, fut in futures.items():
-            try:
-                result.reports[fd] = fut.result()
-                result.succeeded.append(fd)
-            except Exception as ex:  # noqa: BLE001
-                failed.append((fd, ex))
+        remaining = iter(dates)
+        while True:
+            while not failed and len(pending) < max_parallel:
+                d = next(remaining, None)
+                if d is None:
+                    break
+                pending[pool.submit(run_one, d)] = d
+            if not pending:
+                break
+            done, _ = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                fd = pending.pop(fut)
+                try:
+                    result.reports[fd] = fut.result()
+                    result.succeeded.append(fd)
+                except Exception as ex:  # noqa: BLE001
+                    failed.append((fd, ex))
     if failed:
         failed.sort(key=lambda t: t[0])
         result.failed = failed[0][0]

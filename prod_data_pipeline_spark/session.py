@@ -73,6 +73,17 @@ def ensure_parallelism(df, factor: int = 1):
     at real scale (thousands of input splits) this never adds a shuffle.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
+    files = df.inputFiles()
+    if files:
+        # File-source scan: input-split count is bounded below by file count
+        # (maxPartitionBytes only splits further), so >= target files means
+        # enough parallelism with no plan inspection at all.  This avoids
+        # df.rdd, which forces a logical->RDD plan conversion per call.
+        if len(files) >= target:
+            return df
+        return df.repartition(target)
+    # Non-file source (in-memory test data, mid-plan relations): fall back
+    # to the RDD partition count — rare, and never on the 100 TB scan path.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

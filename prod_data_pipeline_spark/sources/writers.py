@@ -109,9 +109,11 @@ def compact_partition(
 
     Streaming appends and per-batch writes accumulate small files that
     crush scan throughput at scale (one task + one open per file).  The
-    rewrite stages into a temp dir and swaps via rename, so a concurrent
-    reader sees either the old or the new layout, never a half-written
-    partition.  (On object stores swap via a manifest/table format instead
+    rewrite stages into a temp dir, renames the old partition aside, and
+    renames the new one into place — the path is never missing, and a
+    concurrent reader sees either the old or the new layout, never a
+    half-written partition.  (On object stores swap via a manifest/table
+    format instead
     of rename — this path targets HDFS/local semantics.)  Returns the row
     count.
     """
@@ -126,8 +128,15 @@ def compact_partition(
         df = df.coalesce(target_files)
     df.write.mode("overwrite").parquet(tmp_path)
     n = spark.read.parquet(tmp_path).count()
-    shutil.rmtree(part_path)
+    # Rename the old partition aside BEFORE renaming the new one into place:
+    # the partition path is never missing (rmtree-then-rename would leave a
+    # window where a concurrent reader 404s).  The old dir is deleted last.
+    old_path = os.path.join(base, f".compact_old_{partition_col}={value}")
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)  # leftover from a crashed prior compaction
+    os.rename(part_path, old_path)
     os.rename(tmp_path, part_path)
+    shutil.rmtree(old_path)
     spark.catalog.refreshByPath(base)
     _refresh_tables_at(spark, base)
     return n

@@ -294,6 +294,39 @@ def test_additive_schema_evolution_across_partitions(spark, tmp_path):
     assert per_day == {DATES[0]: counts[DATES[0]]}  # old partition nulls, new doesn't
 
 
+def test_dup_event_rows_counts_null_id_group(spark):
+    """count(event_id) skips NULLs, but the reference's groupBy('event_id')
+    .count() treats all NULL ids as ONE group — n nulls must contribute n-1
+    duplicate rows (v3_dq.py:81-83) or the dup-rate gate is weaker than the
+    reference's when forbid_null_event_id is relaxed."""
+    from prod_data_pipeline_spark.plans.pipeline import dq_profile
+
+    rows = [("a",), ("a",), ("b",), (None,), (None,), (None,)]
+    df = spark.createDataFrame(rows, "event_id string").selectExpr(
+        "event_id", "cast(null as string) as user_id", "'login' as event_type"
+    )
+    p = dq_profile(df, DQThresholds())
+    assert p["dup_event_rows"] == 3  # 'a' contributes 1, the 3 nulls contribute 2
+
+
+def test_parallel_backfill_aborts_after_failure(spark, tmp_path):
+    """Bounded submission: after the first failure no NEW date starts, so
+    dates beyond the in-flight window are never written (sequential
+    abort-on-first-failure parity, run_backfill.py:85-87)."""
+    raw, curated, metrics = paths(tmp_path)
+    dates = [f"2025-02-0{i}" for i in range(1, 6)]
+    generate_raw_events(raw, dates[1:], rows_per_day=60, dup_rate=0.0)
+    # dates[0] has no raw partition -> fails (fast) with FileNotFoundError
+    with pytest.raises(FileNotFoundError):
+        backfill(spark, raw, dates[0], dates[-1], curated, metrics, max_parallel=2)
+    # With 2 in flight, at most dates[1] (and, in one interleaving, dates[2])
+    # could already have started when dates[0] failed; dates[3:] must not
+    # exist in ANY interleaving.  The old submit-everything loop wrote all 4.
+    for d in dates[3:]:
+        assert curated_count(spark, curated, d) == 0
+    assert curated_count(spark, curated, dates[0]) == 0
+
+
 def test_parallel_backfill_matches_sequential(spark, tmp_path):
     """max_parallel>1 writes exactly the partitions sequential does, and a
     poisoned date still raises + never writes its partition."""

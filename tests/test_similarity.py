@@ -126,3 +126,18 @@ def test_ivf_nprobe_full_equals_bruteforce(spark, emb):
     full = ivf_topk(emb, queries, k=3, nprobe=8, n_cells=8).collect()
     key = lambda rows: {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
     assert key(exact) == key(full)
+
+
+def test_zero_norm_vector_never_matches_or_ranks(spark):
+    """cosine_sim is zero-norm-safe via try_divide -> NULL.  A NaN cosine
+    would pass every `sim >= t` filter AND rank #1 in desc top-k windows
+    (Spark sorts NaN above all numbers); NULL is excluded by both."""
+    rows = [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 0.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pair_ids = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.1).collect()
+    }
+    assert pair_ids == {(0, 1)}  # the zero vector pairs with nothing
+    top = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in top] == [1]  # never the zero vector

@@ -29,6 +29,18 @@ def test_salted_join_matches_plain_join(spark):
         assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
 
 
+def test_salted_join_rejects_outer_joins(spark):
+    """Replicating the small side salt-ways would emit `salt` copies of each
+    unmatched small-side row under right/full-outer semantics — reject."""
+    import pytest
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=how)
+
+
 def test_salt_is_deterministic_across_reruns(spark):
     """xxhash64 salting (not rand()): identical output set on recompute —
     required for task retries / speculative execution."""
