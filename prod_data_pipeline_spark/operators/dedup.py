@@ -185,25 +185,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def _token_bit(h: Column, b: int, hash_fn: str) -> Column:
+    """Bit ``b`` of a per-token hash.  xxhash64: direct shift on the bigint.
+    md5: the bit lives in hex nibble ``b // 4`` of the lowercase digest —
+    identical nibble arithmetic is expressible in DuckDB (strpos on the hex
+    alphabet), which is what makes the md5 backend oracle-checkable."""
+    if hash_fn == "xxhash64":
+        return F.shiftright(h, b).bitwiseAND(F.lit(1))
+    if hash_fn == "md5":
+        nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+        return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def with_simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 64,
+    bits: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document from xxhash64 token hashes.
+    """SimHash per document (64-bit xxhash64 production path; 60-bit md5
+    oracle path — 15 hex nibbles keep the value inside a signed bigint).
 
     bit_b(simhash) = sign of sum over tokens of (+1 if bit_b(h(tok)) else -1).
-    Expressed as explode -> 64 conditional sums -> bit reassembly: one
+    Expressed as explode -> per-bit conditional sums -> bit reassembly: one
     shuffle on id, all arithmetic JVM-side.
     """
+    if bits is None:
+        bits = 60 if hash_fn == "md5" else 64
     toked = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"))
+    h = F.md5(F.col("tok")) if hash_fn == "md5" else F.xxhash64(F.col("tok"))
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(_token_bit(h, b, hash_fn) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(bits)
     ]
@@ -220,16 +237,26 @@ def simhash_bucket_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs whose SimHashes agree on at least one of 4
-    16-bit chunks (pigeonhole: Hamming distance <= 3 guarantees a shared
+    bit-chunks (pigeonhole: Hamming distance <= 3 guarantees a shared
     chunk), verified by exact Hamming distance <= max_hamming."""
-    sim = with_simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if bits is None:
+        bits = 60 if hash_fn == "md5" else 64
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    sim = with_simhash(df, id_col, text_col, bits, hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                F.shiftright(F.col("simhash"), chunk_bits * c)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
             )
             for c in range(4)
         ]

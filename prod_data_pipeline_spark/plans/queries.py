@@ -1283,27 +1283,101 @@ def corpus_curation_stats(spark, sf_dir):
     )
 
 
-@query("docs_simhash_pairs", oracle=None, tags=("dedup", "simhash"))
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB replay of the md5-backend SimHash pipeline: per-token bit from
+    hex-nibble arithmetic, sign-of-sum per bit, 4-chunk pigeonhole bucketing,
+    exact Hamming verify.  Mirrors operators/dedup.py bit for bit."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)" for b in range(bits)
+    )
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, md5(tok) AS h FROM t
+    ), s AS (
+      SELECT doc_id, {sums}
+      FROM h GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, {simexpr} AS simhash FROM s
+    ), c AS (
+      SELECT doc_id, simhash, chunk_id,
+             (simhash >> ({chunk_bits} * chunk_id)) & {mask} AS chunk
+      FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk_id)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS sa, r.simhash AS sb
+      FROM c l JOIN c r
+        ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("docs_simhash_pairs", oracle=_simhash_sql(), tags=("dedup", "simhash"))
 def docs_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates (16-bit chunk pigeonhole, Hamming <= 3).
-    xxhash64-based — no cross-engine oracle; rows-only check + unit tests
-    with planted near-dups (tests/test_dedup_text.py)."""
+    """SimHash near-dup candidates (4-chunk pigeonhole, Hamming <= 3).
+    md5 backend (60-bit) so the DuckDB oracle replays the scheme exactly;
+    production swaps hash_fn='xxhash64' (64-bit, JVM-native).  Planted
+    near-dup unit tests cover the xxhash64 path (tests/test_dedup_text.py)."""
     from prod_data_pipeline_spark.operators.dedup import simhash_bucket_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_bucket_pairs(docs)
+    return simhash_bucket_pairs(docs, hash_fn="md5")
 
 
-@query("docs_winnow_fingerprints", oracle=None, tags=("text", "fingerprint"))
+def _winnow_sql(k: int = 3, window: int = 4) -> str:
+    """DuckDB replay of md5-backend winnowing: k-gram shingles (ordered,
+    with duplicates), md5 per shingle, lexicographic min of each w-window
+    (a short doc keeps the min of everything it has), distinct + explode."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {k}
+                  THEN list_transform(range(1, len(toks) - {k - 2}),
+                         i -> md5(array_to_string(toks[i:i+{k - 1}], ' ')))
+                  ELSE [] END AS hs
+      FROM t
+    ), w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN []::VARCHAR[]
+                  WHEN len(hs) < {window} THEN [list_aggregate(hs, 'min')]
+                  ELSE list_transform(range(1, len(hs) - {window - 2}),
+                         i -> list_aggregate(hs[i:i+{window - 1}], 'min'))
+                  END AS wmins
+      FROM s
+    )
+    SELECT doc_id, fingerprint FROM (
+      SELECT doc_id, unnest(list_sort(list_distinct(wmins))) AS fingerprint FROM w
+    ) ORDER BY doc_id, fingerprint
+    """
+
+
+@query("docs_winnow_fingerprints", oracle=_winnow_sql(), tags=("text", "fingerprint"))
 def docs_winnow_fingerprints(spark, sf_dir):
-    """Winnowing fingerprints (xxhash64 rolling-min) — rows-only check +
-    containment unit tests."""
+    """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows.
+    md5 backend (lexicographic window min) so the DuckDB oracle replays the
+    whole scheme; production swaps hash_fn='xxhash64' — containment unit
+    tests cover that path."""
     from prod_data_pipeline_spark.operators.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs).select(
-        "doc_id", F.size("fingerprints").alias("n_fingerprints")
-    ).orderBy("doc_id")
+    return (
+        winnow_fingerprints(docs, hash_fn="md5")
+        .select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
 
 
 _LANG_SQL_SETS = {

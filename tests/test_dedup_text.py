@@ -109,6 +109,40 @@ def test_simhash_buckets_find_long_near_dups(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_simhash_md5_backend_matches_semantics(spark):
+    """The md5 oracle backend (60-bit) finds the same planted long-doc
+    near-dup as the xxhash64 production path and keeps far docs apart."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    long_base = " ".join(rng.choice(vocab) for _ in range(180))
+    words = long_base.split()
+    words[45] = "EDITED"
+    df = spark.createDataFrame(
+        [(1, long_base), (2, " ".join(words)), (3, FAR)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_bucket_pairs(df, max_hamming=6, hash_fn="md5").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_md5_backend_containment(spark):
+    """md5 (string-min) winnowing preserves the containment property."""
+    df = spark.createDataFrame(
+        [(1, BASE), (2, "breaking news today " + BASE), (3, FAR)], ["doc_id", "text"]
+    )
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(df, hash_fn="md5").collect()
+    }
+    assert len(fps[1] & fps[2]) / len(fps[1]) > 0.6
+    assert len(fps[1] & fps[3]) == 0
+
+
 def test_winnow_fingerprint_containment(spark):
     """A doc and the same doc with extra prefix share most fingerprints —
     the winnowing containment property; unrelated docs share ~none."""
