@@ -1,7 +1,7 @@
 """Operator surface: dedup, similarity, text, temporal joins, skew/layout,
 multimodal, corpus curation."""
 
-from prod_data_pipeline_spark.operators.corpus import curate_corpus
+from prod_data_pipeline_spark.operators.corpus import curate_corpus, dup_clusters
 from prod_data_pipeline_spark.operators.dedup import (
     drop_exact_dups,
     exact_dedup_groups,
@@ -36,6 +36,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_near_dup_pairs",
     "curate_corpus",
+    "dup_clusters",
     "decode_and_featurize",
     "drop_exact_dups",
     "exact_dedup_groups",

@@ -1202,7 +1202,7 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
 @query(
     "corpus_curation_stats",
     oracle=f"""
-    WITH dedup AS (
+    WITH RECURSIVE dedup AS (
       SELECT doc_id, lang, text FROM (
         SELECT doc_id, lang, text,
                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -1230,8 +1230,8 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
           "FROM sig WHERE len(sh) > 0"
           for b in range(4)
       )}
-    ), losers AS (
-      SELECT DISTINCT c.id_b FROM (
+    ), pairs AS (
+      SELECT c.id_a, c.id_b FROM (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1240,6 +1240,16 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
       JOIN sig sb ON sb.doc_id = c.id_b
       WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk AS (
+      SELECT src, dst AS reach FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), losers AS (
+      SELECT src AS id_b FROM walk GROUP BY src HAVING src > MIN(reach)
     ), q AS (
       SELECT lang, len(toks) AS n,
              ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
@@ -1260,9 +1270,11 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
 )
 def corpus_curation_stats(spark, sf_dir):
     """Flagship training-data composition (operators.corpus.curate_corpus):
-    exact dedup -> MinHash-LSH near-dup removal -> quality gate, reported
-    per language.  The oracle replays the ENTIRE pipeline in SQL, so the
-    value-hash checks dedup keep-rules, LSH banding, Jaccard verification,
+    exact dedup -> transitive near-dup removal (connected components over
+    the LSH pair graph) -> quality gate, reported per language.  The oracle
+    replays the ENTIRE pipeline in SQL — recursive-CTE reachability stands
+    in for the iterative label propagation — so the value-hash checks dedup
+    keep-rules, LSH banding, Jaccard verification, transitive clustering,
     and the quality filter end-to-end."""
     from prod_data_pipeline_spark.operators.corpus import curate_corpus
 
@@ -1281,6 +1293,69 @@ def corpus_curation_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "corpus_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             {", ".join(
+                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+                 for j in range(8)
+             )}
+      FROM s
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_key "
+          "FROM sig WHERE len(sh) > 0"
+          for b in range(4)
+      )}
+    ), pairs AS (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk AS (
+      SELECT src, dst AS reach FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT src AS doc_id, least(src, MIN(reach)) AS cluster_id
+    FROM walk GROUP BY src ORDER BY doc_id
+    """,
+    tags=("dedup", "clustering"),
+)
+def corpus_dup_clusters(spark, sf_dir):
+    """Transitive near-duplicate clusters: connected components over the
+    MinHash-LSH verified pair graph (operators.corpus.dup_clusters,
+    iterative min-label propagation to fixpoint).  cluster_id is the
+    smallest doc_id in each component; the oracle computes the same
+    closure with a DuckDB recursive CTE."""
+    from prod_data_pipeline_spark.operators.corpus import dup_clusters
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn="md5")
+    return dup_clusters(pairs).orderBy("doc_id")
 
 
 def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:

@@ -208,6 +208,47 @@ def test_curate_corpus_drops_planted_dups_and_low_quality(spark):
     assert 0 < gated.count() < kept.count()
 
 
+def test_dup_clusters_transitive_chain(spark):
+    """A chain a~b~c with no direct (a, c) pair collapses into ONE cluster
+    labeled by the min id — the transitive upgrade over pairwise
+    loser-dropping; disjoint components keep separate labels."""
+    from prod_data_pipeline_spark.operators.corpus import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 33)],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30, 32: 30, 33: 30}
+
+
+def test_curate_corpus_drops_transitive_chain(spark):
+    """curate_corpus keeps only the min-id representative of a 3-doc
+    near-dup chain: the (base, +tail) and (+tail, +tail tail) pairs collide
+    but the endpoints need not — transitivity must drop both copies."""
+    from prod_data_pipeline_spark.operators.corpus import curate_corpus
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    seed = docs.filter(F.col("doc_id") == 0)
+    mid = seed.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" alpha beta")).alias("text"),
+    )
+    far = seed.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" alpha beta gamma delta")).alias("text"),
+    )
+    corpus = docs.unionByName(mid).unionByName(far)
+    kept = curate_corpus(corpus, jaccard_threshold=0.5, min_quality=0.0)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 10_000 not in ids and 20_000 not in ids
+
+
 def test_near_dup_agrees_with_pyspark_ml_minhashlsh(spark):
     """Cross-check vs the built-in pyspark.ml MinHashLSH: on a corpus with
     one planted near-identical pair, both our shingle-MinHash pipeline
