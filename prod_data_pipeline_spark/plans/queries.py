@@ -292,18 +292,28 @@ def repeat_users_topk(spark, sf_dir):
 @query(
     "dup_event_ids",
     oracle="""
+    WITH ev AS (
+      SELECT event_id FROM events
+      UNION ALL
+      SELECT event_id FROM events WHERE event_id % 100 = 0
+    )
     SELECT event_id, CAST(COUNT(*) AS BIGINT) AS occurrences
-    FROM events GROUP BY event_id HAVING COUNT(*) > 1
+    FROM ev GROUP BY event_id HAVING COUNT(*) > 1
     ORDER BY occurrences DESC, event_id LIMIT 20
     """,
     tags=("A2", "A7", "O2"),
 )
 def dup_event_ids(spark, sf_dir):
     """Golden query #3 verbatim shape: duplicate event_id inspection
-    (curated_events.sql:31-36)."""
-    ev = _t(spark, sf_dir, "events")
+    (curated_events.sql:31-36).  The raw table has no duplicate ids, so the
+    input unions a deterministic slice (event_id % 100 == 0) back in — the
+    HAVING > 1 path is exercised on non-empty output instead of vacuously
+    hash-matching an empty set."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    planted = ev.filter(F.col("event_id") % 100 == 0)
     return (
-        ev.groupBy("event_id")
+        ev.union(planted)
+        .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("occurrences"))
         .filter(F.col("occurrences") > 1)
         .orderBy(F.desc("occurrences"), F.asc("event_id"))
@@ -723,18 +733,30 @@ def customers_with_orders_by_segment(spark, sf_dir):
 @query(
     "customers_without_orders",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name FROM customer WHERE c_custkey % 15 = 0
+    )
+    SELECT c_custkey, c_name FROM c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     ORDER BY c_custkey
     """,
     tags=("anti-join",),
 )
 def customers_without_orders(spark, sf_dir):
-    """Orphan check via anti-join — the scalable form of referential DQ."""
-    c = _t(spark, sf_dir, "customer")
+    """Orphan check via anti-join — the scalable form of referential DQ.
+    Every custkey in the test data has orders, so a deterministic shifted
+    slice (custkey + 10M) is unioned in as guaranteed orphans: the anti-join
+    is verified on non-empty output."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orphans = c.filter(F.col("c_custkey") % 15 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"), "c_name"
+    )
     o = _t(spark, sf_dir, "orders")
+    cc = c.union(orphans)
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        cc.join(o, cc.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -790,7 +812,11 @@ def nation_keys_intersect(spark, sf_dir):
 @query(
     "nation_keys_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT c_nationkey + 100 FROM customer WHERE c_nationkey < 5
+    )
     EXCEPT
     SELECT s_nationkey FROM supplier
     ORDER BY nationkey
@@ -798,11 +824,19 @@ def nation_keys_intersect(spark, sf_dir):
     tags=("set-op",),
 )
 def nation_keys_except(spark, sf_dir):
+    """Distinct-set EXCEPT.  Customers and suppliers cover the same 25
+    nationkeys in the test data, so a shifted slice (+100 for nationkey < 5)
+    is unioned into the left side — the subtract is verified on non-empty
+    output instead of an empty set."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
+    left = c.select(F.col("c_nationkey").alias("nationkey")).union(
+        c.filter(F.col("c_nationkey") < 5).select(
+            (F.col("c_nationkey") + 100).alias("nationkey")
+        )
+    )
     return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .subtract(s.select(F.col("s_nationkey").alias("nationkey")))
+        left.subtract(s.select(F.col("s_nationkey").alias("nationkey")))
         .orderBy("nationkey")
     )
 
