@@ -1,0 +1,118 @@
+"""Command-line entry points: ``python -m prod_data_pipeline_spark``.
+
+Operational parity with the reference's shell surface — the Glue job
+invocation (``aws glue start-job-run --arguments '{"--ingestion_date":
+...}'``, scripts/run_backfill.py:28-40) becomes ``curate``, and the
+backfill driver (run_backfill.py:62-89: sequential per-date runs, abort
+on first failure) becomes ``backfill``.  Argument validation matches the
+job's fail-fast date check (raw_to_curated_events_v3_dq.py:31-37) via the
+same validate_date used by the library API.
+
+Exit codes: 0 success, 1 pipeline failure (DQ gate / missing partition —
+mirrors run_backfill.py:85-87 raising on the first non-SUCCEEDED state),
+2 bad arguments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="prod_data_pipeline_spark",
+        description="Curate raw event NDJSON into the partitioned parquet table.",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_shared(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("--raw-base", required=True, help="raw NDJSON root")
+        sp.add_argument("--curated-base", required=True, help="curated parquet root")
+        sp.add_argument("--metrics-base", required=True, help="DQ report root")
+        sp.add_argument("--source-system", default="app")
+        sp.add_argument(
+            "--cpus", type=int, default=None, help="local[N] cores (default: all)"
+        )
+
+    c = sub.add_parser("curate", help="run one ingestion date end-to-end")
+    add_shared(c)
+    c.add_argument("ingestion_date", help="YYYY-MM-DD")
+
+    b = sub.add_parser("backfill", help="run an inclusive date range, abort on failure")
+    add_shared(b)
+    b.add_argument("start", help="YYYY-MM-DD")
+    b.add_argument("end", help="YYYY-MM-DD")
+    b.add_argument(
+        "--max-parallel", type=int, default=1,
+        help="concurrent dates (default 1: sequential, audit-friendly)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from prod_data_pipeline_spark.plans.pipeline import (
+        DQGateError,
+        backfill,
+        curate,
+        validate_date,
+    )
+    from prod_data_pipeline_spark.session import get_spark
+
+    try:
+        if args.cmd == "curate":
+            validate_date(args.ingestion_date)
+        else:
+            validate_date(args.start)
+            validate_date(args.end)
+    except ValueError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name=f"pdp-{args.cmd}", cpus=args.cpus)
+    try:
+        if args.cmd == "curate":
+            report = curate(
+                spark,
+                args.raw_base,
+                args.ingestion_date,
+                args.curated_base,
+                args.metrics_base,
+                source_system=args.source_system,
+            )
+            print(json.dumps(report, default=str))
+            return 0
+        result = None
+        try:
+            result = backfill(
+                spark,
+                args.raw_base,
+                args.start,
+                args.end,
+                args.curated_base,
+                args.metrics_base,
+                source_system=args.source_system,
+                max_parallel=args.max_parallel,
+            )
+        except (DQGateError, FileNotFoundError) as ex:
+            print(f"backfill aborted: {ex}", file=sys.stderr)
+            return 1
+        for d in result.succeeded:
+            print(f"[{d}] SUCCEEDED")
+        print(f"backfill complete: {len(result.succeeded)} dates")
+        return 0
+    except DQGateError as ex:
+        print(f"DQ gate failed: {json.dumps(ex.report, default=str)}", file=sys.stderr)
+        return 1
+    except FileNotFoundError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""CLI entry points (`python -m prod_data_pipeline_spark`) — subprocess
+tests mirroring the reference's shell operation: a 3-date backfill with a
+poisoned final date must abort with a non-zero exit and leave only the
+good dates' partitions (run_backfill.py:85-87 semantics)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = "/root/repo"
+
+
+def _write_raw(raw: pathlib.Path, date: str, rows: list[dict]) -> None:
+    p = raw / "source_system=app" / f"ingestion_date={date}"
+    p.mkdir(parents=True)
+    (p / "events.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _good_rows(n: int = 40) -> list[dict]:
+    return [
+        {
+            "event_id": f"e{i}",
+            "user_id": f"u{i % 5}",
+            "event_type": "login",
+            "ts": f"2025-01-01T00:00:{i % 60:02d}Z",
+            "value": 2.5,
+        }
+        for i in range(n)
+    ]
+
+
+def _run(args: list[str], **kw) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "prod_data_pipeline_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=600,
+        **kw,
+    )
+
+
+def test_cli_backfill_aborts_on_poisoned_date(tmp_path):
+    raw, cur, rep = tmp_path / "raw", tmp_path / "curated", tmp_path / "reports"
+    _write_raw(raw, "2025-01-01", _good_rows())
+    _write_raw(raw, "2025-01-02", _good_rows())
+    bad = [dict(r, event_id=None) for r in _good_rows(10)]
+    _write_raw(raw, "2025-01-03", bad)
+
+    proc = _run(
+        [
+            "backfill",
+            "--raw-base", str(raw),
+            "--curated-base", str(cur),
+            "--metrics-base", str(rep),
+            "--cpus", "4",
+            "2025-01-01", "2025-01-03",
+        ]
+    )
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    assert "aborted" in proc.stderr
+    parts = {p.name for p in cur.rglob("ingestion_date=*")}
+    assert "ingestion_date=2025-01-01" in parts
+    assert "ingestion_date=2025-01-02" in parts
+    assert "ingestion_date=2025-01-03" not in parts
+
+
+def test_cli_curate_one_date_succeeds(tmp_path):
+    raw, cur, rep = tmp_path / "raw", tmp_path / "curated", tmp_path / "reports"
+    _write_raw(raw, "2025-02-01", _good_rows())
+    proc = _run(
+        [
+            "curate",
+            "--raw-base", str(raw),
+            "--curated-base", str(cur),
+            "--metrics-base", str(rep),
+            "--cpus", "4",
+            "2025-02-01",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["status"] == "PASS"
+    assert list(cur.rglob("ingestion_date=2025-02-01"))
+
+
+def test_cli_bad_date_exits_2_without_spark(tmp_path):
+    proc = _run(
+        [
+            "curate",
+            "--raw-base", str(tmp_path),
+            "--curated-base", str(tmp_path / "c"),
+            "--metrics-base", str(tmp_path / "m"),
+            "2025-3-1",
+        ]
+    )
+    assert proc.returncode == 2
+    assert "invalid ingestion_date" in proc.stderr
