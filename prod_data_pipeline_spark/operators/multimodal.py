@@ -132,11 +132,23 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def repartition_for_payloads(df: DataFrame, target_partition_bytes: int = 128 << 20,
-                             avg_payload_bytes: int = 1 << 20) -> DataFrame:
+def repartition_for_payloads(
+    df: DataFrame,
+    target_partition_bytes: int = 128 << 20,
+    avg_payload_bytes: int = 1 << 20,
+    row_count: int | None = None,
+) -> DataFrame:
     """Size partitions by payload volume, not row count: media rows are MBs
-    wide, so the default rows-per-partition heuristics overshoot memory."""
-    rows_per_part = max(1, target_partition_bytes // avg_payload_bytes)
+    wide, so the default rows-per-partition heuristics overshoot memory.
+
+    Never triggers an action: row_count is a caller-supplied estimate
+    (catalog statistics, a prior count, a sampled extrapolation).  Without
+    one, fall back to the session's default parallelism — an extra full
+    scan of a 100 TB media table just to pick a partition count is never
+    worth it.
+    """
     n = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    cnt = df.count()
-    return df.repartition(max(n, int(cnt / rows_per_part) + 1))
+    if row_count is None:
+        return df.repartition(n)
+    rows_per_part = max(1, target_partition_bytes // avg_payload_bytes)
+    return df.repartition(max(n, int(row_count / rows_per_part) + 1))

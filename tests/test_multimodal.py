@@ -9,6 +9,7 @@ from prod_data_pipeline_spark.operators.multimodal import (
     HAVE_PIL,
     decode_and_featurize,
     real_decode,
+    repartition_for_payloads,
     sample_video_frames,
 )
 from prod_data_pipeline_spark.schemas import MEDIA_ASSET_SCHEMA
@@ -56,6 +57,27 @@ def test_video_frame_sampling(spark, assets):
     frames = sample_video_frames(assets, every_ms=1000).collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3, 4]
     assert frames[-1]["frame_ts_ms"] == 4000
+
+
+def test_repartition_for_payloads_triggers_no_action(spark):
+    """Building the repartitioned plan must not run a job: a poison UDF in
+    the lineage would explode if anything (like the old eager count())
+    materialized the input."""
+    @F.udf("int")
+    def boom(x):
+        raise RuntimeError("repartition_for_payloads must not trigger an action")
+
+    poisoned = spark.range(100).withColumn("payload_len", boom("id"))
+    # plan construction alone — the old implementation would raise here
+    repartition_for_payloads(poisoned)
+    repartition_for_payloads(poisoned, row_count=100_000)
+
+    n = spark.sparkContext.defaultParallelism
+    clean = spark.range(100)
+    assert repartition_for_payloads(clean).rdd.getNumPartitions() == n
+    # 100k rows x 1 MiB into 128 MiB partitions -> 100000/128 + 1 = 782
+    sized = repartition_for_payloads(clean, row_count=100_000)
+    assert sized.rdd.getNumPartitions() == max(n, 782)
 
 
 def test_real_decode_is_gated(spark, assets):
