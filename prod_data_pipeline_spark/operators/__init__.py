@@ -21,6 +21,7 @@ from prod_data_pipeline_spark.operators.multimodal import (
 from prod_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_recall_at_k,
     ivf_topk,
     srp_near_dup_pairs,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "drop_exact_dups",
     "exact_dedup_groups",
     "fake_media_assets",
+    "ivf_recall_at_k",
     "ivf_topk",
     "near_dup_pairs",
     "ngram_jaccard_pairs",

@@ -1683,6 +1683,22 @@ def emb_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_df, k=5, nprobe=2, n_cells=8)
 
 
+@query("emb_ivf_recall", oracle=None, tags=("similarity", "ann", "ivf", "quality"))
+def emb_ivf_recall(spark, sf_dir):
+    """Per-query recall@5 of IVF (nprobe=4 of 8 k-means cells) vs exact
+    brute force — approximation quality as a first-class, per-run metric.
+    rows-only (k-means has no cross-engine mirror); an average-recall floor
+    is unit-tested (tests/test_similarity.py).  Note the test embeddings
+    are near-random unit vectors (top-5 cosine ~0.3), the hardest case for
+    any coarse quantizer — recall here is a conservative lower bound for
+    real clustered embeddings."""
+    from prod_data_pipeline_spark.operators.similarity import ivf_recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return ivf_recall_at_k(emb, queries_df, k=5, nprobe=4, n_cells=8)
+
+
 @query(
     "user_retention_cohorts",
     oracle="""

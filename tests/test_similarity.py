@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from prod_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_recall_at_k,
     ivf_topk,
     label_centroids,
     srp_near_dup_pairs,
@@ -63,6 +64,21 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ivf_recall_at_k_floor(spark, emb):
+    """The one-plan recall@k metric: every query reports n_exact=k, and
+    average recall at nprobe=4 of 8 cells clears the floor.  The corpus is
+    near-random unit vectors (hardest case for a coarse quantizer); the
+    seeded k-means makes the measured 0.9 deterministic, 0.8 allows slack
+    for pyspark.ml implementation drift."""
+    rows = ivf_recall_at_k(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, nprobe=4, n_cells=8
+    ).collect()
+    assert len(rows) == 8
+    assert all(r["n_exact"] == 5 for r in rows)
+    avg = sum(r["recall"] for r in rows) / len(rows)
+    assert avg >= 0.8, f"avg recall {avg}"
 
 
 def test_centroids_shape(spark, emb):
