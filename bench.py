@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+from functools import reduce
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -24,6 +25,49 @@ from prod_data_pipeline_spark.session import get_spark
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# Synthetic inflation: fact tables get `factor` key-shifted copies (the key
+# shift is a large constant so copies never collide and fact-fact joins stay
+# consistent); dimension + text/embedding tables are unchanged — the TPC-H
+# scaling shape, where facts grow linearly and dims stay put.
+INFLATE_KEYS = {"events": "event_id", "orders": "o_orderkey", "lineitem": "l_orderkey"}
+KEY_SHIFT = 1 << 40
+
+# Relational headliners whose cost scales with the inflated facts.  The
+# text/ANN headliners read documents/embeddings, which inflation leaves
+# untouched — re-timing them at the same data adds nothing.
+INFLATED_QUERIES = [
+    "events_per_day",
+    "events_type_value_stats",
+    "q1_pricing_summary",
+    "top_orders_by_revenue",
+    "regional_nation_revenue",
+    "user_sessions",
+]
+
+
+def build_inflated(spark, sf_dir: str, factor: int, out_dir: str) -> None:
+    """Materialize the inflated dataset once (marker-cached across runs)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from prod_data_pipeline_spark.sources.readers import TABLES, load_table
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t in INFLATE_KEYS:
+            key = INFLATE_KEYS[t]
+            df = reduce(
+                DataFrame.union,
+                [df.withColumn(key, df[key] + (i * KEY_SHIFT)) for i in range(factor)],
+            )
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
 
 
 def main() -> None:
@@ -51,17 +95,37 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Second pass at an inflated scale (default 10x -> sf1-equivalent fact
+    # volume): sf0.1 warm-JVM numbers are startup-dominated and cannot catch
+    # a plan regression that only bites when the data outgrows a partition.
+    factor = int(os.environ.get("SPARK_GRAFT_BENCH_INFLATE", "10"))
+    if factor > 1:
+        inflated_dir = os.path.join(
+            os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
+            f"spark_graft_bench_sf{sf}x{factor}",
         )
-    )
+        build_inflated(spark, sf_dir, factor, inflated_dir)
+        inflated: dict[str, float] = {}
+        for name in INFLATED_QUERIES:
+            t0 = time.perf_counter()
+            materialize(QUERIES[name].fn(spark, inflated_dir))
+            inflated[name] = round(time.perf_counter() - t0, 3)
+        result["inflated"] = {
+            "factor": factor,
+            "sf_equivalent": round(sf * factor, 3),
+            "queries": inflated,
+            "total": round(sum(inflated.values()), 3),
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -34,6 +34,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair graph.
 
@@ -41,18 +42,53 @@ def dup_clusters(
     (id_col, cluster_id) for every node appearing in at least one pair,
     where cluster_id is the smallest id in the node's component.
 
-    Iterative min-label propagation: label(x) starts at min(x, min
-    neighbor) and each round takes the min of its own and all neighbors'
-    labels, until a fixpoint (at most the graph diameter rounds; near-dup
-    components are small, so this is a handful of iterations).  Each round
-    is one equi-join plus one groupBy — both shuffle on node id, nothing
-    ever widens beyond (id, label) rows.  localCheckpoint truncates the
-    per-iteration lineage; on a real cluster set a reliable checkpoint dir
-    (sc.setCheckpointDir) and swap in .checkpoint() for fault tolerance.
+    Adaptive execution, same answer on both paths:
+
+    - **small graphs** (at most driver_edge_threshold edges — a verified
+      near-dup pair list is typically orders of magnitude smaller than the
+      corpus): one limit-bounded collect, then union-find on the driver.
+      ~32 bytes/edge, so the default bound is ~64 MB of driver memory and
+      ONE Spark job instead of a multi-job fixpoint loop.
+    - **large graphs**: distributed min-label propagation — label(x)
+      starts at min(x, min neighbor), each round takes the min of its own
+      and all neighbors' labels, to fixpoint (at most the component
+      diameter rounds).  Each round is one equi-join plus one groupBy,
+      both shuffled on node id; nothing widens beyond (id, label) rows.
+      localCheckpoint truncates per-iteration lineage; on a real cluster
+      set a reliable checkpoint dir (sc.setCheckpointDir) and swap in
+      .checkpoint() for fault tolerance.
     """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    head = e.limit(driver_edge_threshold + 1).collect()
+    if len(head) <= driver_edge_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in head:
+            a, b = r["id_a"], r["id_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so every root IS its component's min id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = sorted((n, find(n)) for n in parent)
+        return spark.createDataFrame(rows, [id_col, "cluster_id"])
+
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -72,22 +108,19 @@ def dup_clusters(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "id")
         )
-        new_labels = (
+        # carry old + new labels through one materialization, so change
+        # detection is a filter on the checkpointed result, not another join
+        stepped = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = stepped.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -218,8 +218,16 @@ def test_dup_clusters_transitive_chain(spark):
         [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 33)],
         ["id_a", "id_b"],
     )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30, 32: 30, 33: 30}
+    # driver union-find path (small graph)
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30, 32: 30, 33: 30}
+    assert got == want
+    # distributed label-propagation path (threshold forced to 0)
+    got_dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, driver_edge_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_curate_corpus_drops_transitive_chain(spark):
