@@ -146,8 +146,10 @@ def curate_corpus(
     # d1 feeds both the near-dup pipeline and the final keep-join; persist
     # so the exact-dedup semi-join runs once, not per branch
     d1 = drop_exact_dups(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # sort=False: the pair relation feeds cluster resolution, so the
+    # deterministic output sort would be a wasted range-exchange
     pairs = near_dup_pairs(
-        d1, id_col, text_col, threshold=jaccard_threshold, hash_fn=hash_fn
+        d1, id_col, text_col, threshold=jaccard_threshold, hash_fn=hash_fn, sort=False
     )
     clusters = dup_clusters(pairs, id_col=id_col)
     losers = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)

@@ -27,6 +27,14 @@ from prod_data_pipeline_spark.functions.text import shingles, tokens
 from prod_data_pipeline_spark.session import ensure_parallelism
 
 
+def _maybe_sort(pairs: DataFrame, sort: bool) -> DataFrame:
+    """Deterministic (id_a, id_b) ordering for oracle comparison and stable
+    reports.  Production pipelines that only consume the pair RELATION
+    (cluster resolution, anti-joins) should pass sort=False — the global
+    sort is a full range-exchange that buys nothing downstream."""
+    return pairs.orderBy("id_a", "id_b") if sort else pairs
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-duplicate groups by content digest: keep lowest id, count copies.
 
@@ -113,6 +121,7 @@ def near_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    sort: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
 
@@ -142,14 +151,14 @@ def near_dup_pairs(
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("shingle_set").alias("set_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("shingle_set").alias("set_b"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("set_a"), F.col("set_b")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
+    return _maybe_sort(out, sort)
 
 
 def ngram_jaccard_pairs(
@@ -159,6 +168,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple = ("lang", "source"),
     shingle_n: int = 3,
     threshold: float = 0.2,
+    sort: bool = True,
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: exact similarity within blocking
     groups (cheap attribute equality) instead of LSH candidates.  The n^2
@@ -172,7 +182,7 @@ def ngram_jaccard_pairs(
     on = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
         on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    out = (
         a.join(b, on)
         .withColumn("jaccard", F.round(jaccard(F.col("a.sset"), F.col("b.sset")), 4))
         .filter(F.col("jaccard") >= threshold)
@@ -181,8 +191,8 @@ def ngram_jaccard_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             "jaccard",
         )
-        .orderBy("id_a", "id_b")
     )
+    return _maybe_sort(out, sort)
 
 
 def _token_bit(h: Column, b: int, hash_fn: str) -> Column:
@@ -239,6 +249,7 @@ def simhash_bucket_pairs(
     max_hamming: int = 3,
     bits: int | None = None,
     hash_fn: str = "xxhash64",
+    sort: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs whose SimHashes agree on at least one of 4
     bit-chunks (pigeonhole: Hamming distance <= 3 guarantees a shared
@@ -281,9 +292,9 @@ def simhash_bucket_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
     )
+    return _maybe_sort(out, sort)

@@ -146,11 +146,13 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_sim: int = 4,
+    sort: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on cheap attribute
     equality (same shape as dedup.ngram_jaccard_pairs): exact cosine within
     blocks, never corpus x corpus.  The oracle-checkable exact counterpart
-    of srp_near_dup_pairs."""
+    of srp_near_dup_pairs.  sort=False skips the output range-exchange for
+    pipelines that consume the pair relation downstream."""
     base = _norm_emb(df, emb_col).select(
         F.col(id_col), *[F.col(c) for c in block_cols], "_emb"
     )
@@ -158,7 +160,7 @@ def cosine_near_dup_pairs(
     on = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for c in block_cols:
         on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    out = (
         a.join(b, on)
         .withColumn("sim", F.round(cosine_sim(F.col("a._emb"), F.col("b._emb")), round_sim))
         .filter(F.col("sim") >= threshold)
@@ -167,8 +169,8 @@ def cosine_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             "sim",
         )
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def _srp_planes(dim: int, nbits: int, seed: int = 42):
@@ -226,6 +228,7 @@ def srp_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     round_sim: int = 4,
+    sort: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify.
 
@@ -276,14 +279,14 @@ def srp_near_dup_pairs(
     )
     ea = sig.select(F.col(id_col).alias("id_a"), F.col("_emb").alias("_ea"))
     eb = sig.select(F.col(id_col).alias("id_b"), F.col("_emb").alias("_eb"))
-    return (
+    out = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("sim", F.round(cosine_sim(F.col("_ea"), F.col("_eb")), round_sim))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
 
 
 def ivf_recall_at_k(
