@@ -16,7 +16,13 @@ covers both modes:
   checkpointing — the streaming twin of plans.pipeline.curate;
 - ``streaming_user_sessions``: custom stateful operator via
   applyInPandasWithState (30-min-gap sessionization, the streaming twin of
-  the `user_sessions` batch query).
+  the `user_sessions` batch query);
+- ``streaming_dedup_events``: exactly-once event dedup inside the
+  watermark horizon via dropDuplicatesWithinWatermark — the streaming twin
+  of the batch dup_event_ids DQ check, state bounded by the watermark;
+- ``streaming_enriched``: stream-static broadcast join against a
+  dimension table — the static side is re-read per micro-batch, so dim
+  updates are picked up without restarting the query.
 """
 
 from __future__ import annotations
@@ -77,6 +83,33 @@ def streaming_curate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_events(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming exact dedup on event_id: keeps the first occurrence seen,
+    drops re-deliveries that arrive within the watermark horizon.
+
+    dropDuplicatesWithinWatermark bounds the dedup state: an event_id is
+    remembered only until the watermark passes it, so state size tracks
+    the (event-time) horizon instead of growing with the whole stream —
+    the property that makes exactly-once dedup viable on an unbounded
+    100 TB/day feed.  Re-deliveries later than the watermark are a
+    DQ/backfill concern (handled by the batch path), not a streaming one.
+    """
+    return events.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def streaming_enriched(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table.
+
+    The static side is broadcast (dimension tables are small by
+    definition) and re-resolved every micro-batch, so a dim refresh lands
+    without restarting the query.  Stream-static inner/left joins are
+    stateless — no watermark needed, nothing accumulates.
+    """
+    return events.join(F.broadcast(dim), on, "left")
 
 
 def streaming_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

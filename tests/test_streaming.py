@@ -140,3 +140,52 @@ def test_streaming_sessions_match_batch(spark, raw):
         .collect()
     }
     assert stream_out == batch_out
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per event_id across a
+    10% injected re-delivery rate."""
+    from prod_data_pipeline_spark.streaming.curate_stream import streaming_dedup_events
+
+    base = str(tmp_path / "rawdup")
+    counts = generate_raw_events(base, DATES, rows_per_day=200, dup_rate=0.10)
+    deduped = streaming_dedup_events(stream_events(spark, _glob(base)))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total_rows = sum(counts.values())
+    out = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_t").first()
+    assert out["n"] == out["d"]          # no duplicate survived
+    assert out["n"] < total_rows         # duplicates existed and were dropped
+
+
+def test_streaming_enriched_stream_static_join(spark, raw):
+    """Stream-static broadcast join: every output row carries its dim
+    attribute; unmatched types survive with a null (left join)."""
+    from prod_data_pipeline_spark.streaming.curate_stream import streaming_enriched
+
+    base, counts = raw
+    dim = spark.createDataFrame(
+        [("login", "auth"), ("purchase", "commerce"), ("view_item", "browse")],
+        ["event_type", "category"],
+    )
+    enriched = streaming_enriched(stream_events(spark, _glob(base)), dim)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT count(*) AS n, sum(CASE WHEN category IS NULL THEN 1 ELSE 0 END) AS unmatched, "
+        "count(DISTINCT category) AS cats FROM enriched_t"
+    ).first()
+    assert rows["n"] == sum(counts.values())  # left join drops nothing
+    assert rows["cats"] >= 2
