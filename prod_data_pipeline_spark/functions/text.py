@@ -35,6 +35,30 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
+# PII patterns, restricted to the regex subset Java and RE2/DuckDB share
+# (no lookaround, no backrefs) so the scrub is oracle-mirrorable.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact PII-shaped spans with typed placeholder tokens — the text
+    cleaning a training corpus runs before anything else sees the data.
+    Pure regexp_replace chain: codegen'd, no Python boundary."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pattern in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pattern, f"<{kind.upper()}>")
+    return c
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Number of PII matches of one kind in a document."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), 0))
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles joined by single spaces.
 

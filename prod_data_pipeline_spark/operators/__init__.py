@@ -12,6 +12,12 @@ from prod_data_pipeline_spark.operators.dedup import (
     with_simhash,
 )
 from prod_data_pipeline_spark.operators.joins import asof_join, time_range_join
+from prod_data_pipeline_spark.operators.packing import chunk_spans, pack_greedy
+from prod_data_pipeline_spark.operators.sampling import (
+    hash_sample,
+    mixing_weights,
+    stratified_sample,
+)
 from prod_data_pipeline_spark.operators.multimodal import (
     decode_and_featurize,
     fake_media_assets,
@@ -35,6 +41,7 @@ from prod_data_pipeline_spark.operators.text import (
 __all__ = [
     "asof_join",
     "brute_force_topk",
+    "chunk_spans",
     "cosine_near_dup_pairs",
     "curate_corpus",
     "dup_clusters",
@@ -42,14 +49,18 @@ __all__ = [
     "drop_exact_dups",
     "exact_dedup_groups",
     "fake_media_assets",
+    "hash_sample",
     "ivf_recall_at_k",
     "ivf_topk",
+    "mixing_weights",
     "near_dup_pairs",
+    "pack_greedy",
     "ngram_jaccard_pairs",
     "predicted_lang",
     "quality_score",
     "repartition_for_payloads",
     "salted_join",
+    "stratified_sample",
     "sample_video_frames",
     "simhash_bucket_pairs",
     "srp_near_dup_pairs",

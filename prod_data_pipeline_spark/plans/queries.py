@@ -1683,6 +1683,211 @@ def emb_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, queries_df, k=5, nprobe=2, n_cells=8)
 
 
+# md5 hash-bucket replay for the deterministic sampling operators: value of
+# the first 8 hex nibbles of md5(salt:key), uniform over [0, 2^32).
+def _md5_bucket_terms(h: str = "h") -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+
+
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_B32 = 1 << 32
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, n_chars,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), v AS (
+      SELECT source, n_chars, {_md5_bucket_terms()} AS bucket FROM b
+    ), kept AS (
+      SELECT * FROM v WHERE bucket <
+        CASE source
+          {" ".join(f"WHEN '{s}' THEN {int(r * _B32)}" for s, r in _SAMPLE_RATES.items())}
+          ELSE {int(_SAMPLE_DEFAULT * _B32)} END
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    tags=("sampling", "mixing"),
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators.sampling) — per-source
+    keep rates from md5 hash buckets, so retries/re-runs/engines all keep
+    the SAME rows (df.sample's rand() can't offer that).  Aggregated to
+    per-source counts; the oracle replays the bucket arithmetic exactly."""
+    from prod_data_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, _SAMPLE_RATES, "source", "doc_id", default_rate=_SAMPLE_DEFAULT, salt="mix"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_mixing_weights",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source
+    ), t AS (
+      SELECT source, n_rows,
+             CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                              WHEN 'src2' THEN 0.2 END AS DOUBLE) AS target_share
+      FROM c WHERE source IN ('src0', 'src1', 'src2')
+    ), m AS (SELECT MIN(n_rows / target_share) AS m FROM t)
+    SELECT source, n_rows, target_share,
+           ROUND((target_share * m) / n_rows, 6) AS keep_rate
+    FROM t, m ORDER BY source
+    """,
+    tags=("sampling", "mixing"),
+)
+def docs_mixing_weights(spark, sf_dir):
+    """Data-mixing rates: per-source keep rates that hit a target mixture
+    (0.5/0.3/0.2) with no upsampling — the most-over-represented source
+    caps at 1.0 (operators.sampling.mixing_weights)."""
+    from prod_data_pipeline_spark.operators.sampling import mixing_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixing_weights(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source")
+
+
+@query(
+    "docs_chunk_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks, md5('pack:' || CAST(doc_id AS VARCHAR)) AS h FROM t
+    ), v AS (
+      SELECT doc_id, toks, ({_md5_bucket_terms()}) % 8 AS grp FROM b
+    ), w AS (
+      SELECT doc_id, toks, grp,
+             SUM(toks) OVER (PARTITION BY grp ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - toks AS start_off,
+             SUM(toks) OVER (PARTITION BY grp ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS end_off
+      FROM v
+    )
+    SELECT doc_id, toks,
+           grp * 1099511627776 + (start_off // 512) AS first_chunk,
+           grp * 1099511627776 + (end_off // 512) AS last_chunk,
+           start_off % 512 AS chunk_offset
+    FROM w WHERE toks > 0 ORDER BY doc_id
+    """,
+    tags=("packing", "training-data"),
+)
+def docs_chunk_spans(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence layout (operators.packing):
+    documents laid end-to-end per deterministic layout group, sliced into
+    512-token chunks; each doc reports its chunk span.  Pure window
+    arithmetic — the oracle replays the running sums exactly."""
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.packing import chunk_spans
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text")))
+    )
+    return chunk_spans(
+        docs, budget=512, n_groups=8, hash_fn="md5"
+    ).orderBy("doc_id")
+
+
+@query("docs_packed_bins", oracle=None, tags=("packing", "training-data"))
+def docs_packed_bins(spark, sf_dir):
+    """No-split first-fit-decreasing bin packing into 512-token bins
+    (operators.packing.pack_greedy, Arrow-batched per layout group) —
+    rows-only (the greedy loop is inherently sequential, no SQL mirror);
+    budget/lossless/determinism invariants are unit-tested
+    (tests/test_packing_sampling.py)."""
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text")))
+    )
+    return pack_greedy(docs, budget=512, n_groups=8).orderBy("doc_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "docs_pii_scrub_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN doc_id % 25 = 0
+                  THEN text || ' contact agent007@example.com from 192.168.10.1'
+                  ELSE text END AS text
+      FROM documents
+    ), c AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip
+      FROM d
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN n_email + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS total_emails,
+           CAST(SUM(n_ip) AS BIGINT) AS total_ips
+    FROM c GROUP BY source ORDER BY source
+    """,
+    tags=("text", "cleaning", "pii"),
+)
+def docs_pii_scrub_stats(spark, sf_dir):
+    """PII detection stats per source (functions.text.pii_count) over a
+    corpus with deterministic planted PII (doc_id % 25 == 0 — the raw
+    table carries none, so the regexes are exercised on non-empty output).
+    The scrub itself (scrub_pii) is unit-tested for idempotent redaction."""
+    from prod_data_pipeline_spark.functions.text import pii_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact agent007@example.com from 192.168.10.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counted = docs.select(
+        "source",
+        pii_count(F.col("text"), "email").alias("n_email"),
+        pii_count(F.col("text"), "ip").alias("n_ip"),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("n_email") + F.col("n_ip") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.sum("n_ip").cast("long").alias("total_ips"),
+        )
+        .orderBy("source")
+    )
+
+
 @query("emb_ivf_recall", oracle=None, tags=("similarity", "ann", "ivf", "quality"))
 def emb_ivf_recall(spark, sf_dir):
     """Per-query recall@5 of IVF (nprobe=4 of 8 k-means cells) vs exact

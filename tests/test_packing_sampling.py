@@ -1,0 +1,125 @@
+"""Training-data operators: deterministic sampling, sequence packing, PII
+scrub — invariants the oracles can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.functions.text import pii_count, scrub_pii, tokens
+from prod_data_pipeline_spark.operators.packing import chunk_spans, pack_greedy
+from prod_data_pipeline_spark.operators.sampling import (
+    hash_sample,
+    mixing_weights,
+    stratified_sample,
+)
+from prod_data_pipeline_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_tok(spark, docs):
+    return docs.withColumn("n_tokens", F.size(tokens(F.col("text")))).cache()
+
+
+def test_hash_sample_deterministic_and_proportional(spark, docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    assert a == b  # same rows every run — no rand() anywhere
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~30% within hash noise
+    # monotone: a higher rate keeps a superset
+    c = {r["doc_id"] for r in hash_sample(docs, 0.6, "doc_id").select("doc_id").collect()}
+    assert a <= c
+
+
+def test_hash_sample_rejects_bad_rate(spark, docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_sample_respects_rates(spark, docs):
+    kept = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.0}, "source", "doc_id", default_rate=0.0
+    )
+    got = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got.get("src0") == full["src0"]  # rate 1.0 keeps everything
+    assert "src1" not in got  # rate 0.0 drops everything
+    assert set(got) == {"src0"}  # default 0.0 drops the rest
+
+
+def test_mixing_weights_hit_target_mixture(spark, docs):
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    rows = {r["source"]: r for r in mixing_weights(docs, targets, "source").collect()}
+    assert set(rows) == set(targets)
+    assert max(r["keep_rate"] for r in rows.values()) == pytest.approx(1.0)
+    # expected kept rows are proportional to the target shares
+    kept = {s: rows[s]["n_rows"] * rows[s]["keep_rate"] for s in rows}
+    total = sum(kept.values())
+    for s, share in targets.items():
+        assert kept[s] / total == pytest.approx(share, rel=1e-4)
+
+
+def test_chunk_spans_layout_invariants(spark, docs_tok):
+    budget, groups = 128, 4
+    out = chunk_spans(docs_tok, budget=budget, n_groups=groups, hash_fn="md5").collect()
+    nonempty = docs_tok.filter(F.col("n_tokens") > 0)
+    assert len(out) == nonempty.count()  # every non-empty doc placed once
+    assert sum(r["toks"] for r in out) == (
+        nonempty.agg(F.sum("n_tokens")).first()[0]
+    )  # lossless
+    for r in out:
+        assert 0 <= r["chunk_offset"] < budget
+        assert r["first_chunk"] <= r["last_chunk"]
+        # span width matches the token count at that offset
+        n_chunks = (r["chunk_offset"] + r["toks"] + budget - 1) // budget
+        assert r["last_chunk"] - r["first_chunk"] == n_chunks - 1
+
+
+def test_pack_greedy_bin_invariants(spark, docs_tok):
+    budget = 256
+    out = pack_greedy(docs_tok, budget=budget, n_groups=4).collect()
+    nonempty_n = docs_tok.filter(F.col("n_tokens") > 0).count()
+    assert len(out) == nonempty_n  # every doc in exactly one bin
+    assert len({r["doc_id"] for r in out}) == nonempty_n
+    fills: dict[int, int] = {}
+    for r in out:
+        fills.setdefault(r["bin_id"], 0)
+        fills[r["bin_id"]] += r["n_tokens"]
+    for r in out:
+        assert fills[r["bin_id"]] == r["bin_fill"]  # reported fill is the real sum
+        if r["bin_fill"] > budget:
+            # only a single over-budget doc may overflow its own bin
+            assert fills[r["bin_id"]] == r["n_tokens"]
+    # deterministic across runs
+    again = pack_greedy(docs_tok, budget=budget, n_groups=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_scrub_pii_redacts_and_is_idempotent(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at alice.smith+spam@corp.example.org or 10.0.0.7 today"),
+            (2, "no pii here at all"),
+        ],
+        ["id", "text"],
+    )
+    once = df.select("id", scrub_pii("text").alias("text"))
+    rows = {r["id"]: r["text"] for r in once.collect()}
+    assert "<EMAIL>" in rows[1] and "<IP>" in rows[1]
+    assert "@" not in rows[1] and "10.0.0.7" not in rows[1]
+    assert rows[2] == "no pii here at all"
+    twice = once.select("id", scrub_pii("text").alias("text"))
+    assert {r["id"]: r["text"] for r in twice.collect()} == rows
+    counts = df.select(
+        pii_count("text", "email").alias("e"), pii_count("text", "ip").alias("i")
+    ).collect()
+    assert (counts[0]["e"], counts[0]["i"]) == (1, 1)
+    assert (counts[1]["e"], counts[1]["i"]) == (0, 0)
