@@ -1,6 +1,11 @@
 """Operator surface: dedup, similarity, text, temporal joins, skew/layout,
-multimodal, corpus curation."""
+multimodal, corpus curation, content-quality gates, CDC/SCD."""
 
+from prod_data_pipeline_spark.operators.cdc import (
+    latest_snapshot,
+    merge_upsert,
+    scd2_history,
+)
 from prod_data_pipeline_spark.operators.corpus import curate_corpus, dup_clusters
 from prod_data_pipeline_spark.operators.dedup import (
     drop_exact_dups,
@@ -31,6 +36,10 @@ from prod_data_pipeline_spark.operators.similarity import (
     ivf_topk,
     srp_near_dup_pairs,
 )
+from prod_data_pipeline_spark.operators.quality import (
+    contamination_overlap,
+    repetition_profile,
+)
 from prod_data_pipeline_spark.operators.skew import salted_join, write_bucketed
 from prod_data_pipeline_spark.operators.text import (
     predicted_lang,
@@ -42,6 +51,7 @@ __all__ = [
     "asof_join",
     "brute_force_topk",
     "chunk_spans",
+    "contamination_overlap",
     "cosine_near_dup_pairs",
     "curate_corpus",
     "dup_clusters",
@@ -52,6 +62,8 @@ __all__ = [
     "hash_sample",
     "ivf_recall_at_k",
     "ivf_topk",
+    "latest_snapshot",
+    "merge_upsert",
     "mixing_weights",
     "near_dup_pairs",
     "pack_greedy",
@@ -59,7 +71,9 @@ __all__ = [
     "predicted_lang",
     "quality_score",
     "repartition_for_payloads",
+    "repetition_profile",
     "salted_join",
+    "scd2_history",
     "stratified_sample",
     "sample_video_frames",
     "simhash_bucket_pairs",

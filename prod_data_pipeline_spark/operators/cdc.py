@@ -1,0 +1,101 @@
+"""Change-data-capture compaction and slowly-changing-dimension history.
+
+The reference rebuilds curated partitions wholesale (purge + rewrite,
+glue/jobs/raw_to_curated_events_v3_dq.py:113-121); these operators cover
+the incremental-update patterns a warehouse layered on the same engine
+needs: collapse a change stream to its latest state (SCD type 1) and
+derive effective-dated history with change compression (SCD type 2).
+
+Scale notes: both are single-window plans — one shuffle on the entity
+key, no joins, no second pass.  At 100 TB the shuffle is unavoidable
+(per-key ordering is the semantics); what matters is that there is
+exactly ONE exchange and every downstream column derives from the same
+sorted run (lag/lead/row_number share the window frame).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """SCD1 / CDC log compaction: the most recent row per key.
+
+    ``tiebreak`` columns break order_col ties deterministically (pass a
+    unique id when the change stream can carry equal timestamps).
+    """
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """SCD2 effective-dated history of one tracked attribute, change-
+    compressed: consecutive rows with the same attribute value collapse
+    into one validity interval.
+
+    Output: (key, attr, effective_from, effective_to, is_current) where
+    effective_to is NULL on each key's open interval.  Two stacked window
+    functions over the SAME window spec — Catalyst evaluates both in a
+    single sort, so the plan is one exchange + one sort despite the
+    change-detection lag and the interval-closing lead.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(key).orderBy(*order)
+    changed = (
+        df.select(key, ts_col, attr_col, *tiebreak)
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col(attr_col) != F.col("__prev"))
+            | (F.col("__prev").isNotNull() & F.col(attr_col).isNull())
+        )
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return changed.select(
+        F.col(key),
+        F.col(attr_col),
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w2).alias("effective_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Upsert a change batch into a snapshot: union then latest-per-key.
+
+    Equivalent to MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT for append-style batches, expressed as a plain relational plan
+    so it runs on bare parquet (no table-format dependency).  The union
+    is shuffle-free; the single exchange is the latest_snapshot window.
+    """
+    cols = current.columns
+    return latest_snapshot(
+        current.select(*cols).unionByName(updates.select(*cols)),
+        keys,
+        order_col,
+    )

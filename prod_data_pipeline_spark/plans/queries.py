@@ -2209,3 +2209,297 @@ def events_approx_distinct_users(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+# ---------------------------------------------------------------------------
+# Content-quality gates (operators.quality) — Gopher-style repetition rules
+# and GPT-3-style benchmark decontamination.  Extends the reference's row-
+# level DQ gating (raw_to_curated_events_v3_dq.py:70-106) to document
+# content, the gates a pretraining corpus needs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct_tokens,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                         i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS grams
+      FROM t
+    ), e AS (
+      SELECT doc_id, unnest(grams) AS gram FROM s
+    ), c AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM e GROUP BY 1, 2
+    ), a AS (
+      SELECT doc_id, SUM(c) AS total_grams, MAX(c) AS max_gram_count,
+             COUNT(*) AS n_distinct_grams
+      FROM c GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(s.n_distinct_tokens AS DOUBLE) / s.n_tokens, 6)
+               AS distinct_token_ratio,
+           CAST(COALESCE(a.total_grams, 0) AS BIGINT) AS total_grams,
+           COALESCE(ROUND(CAST(a.max_gram_count AS DOUBLE) / a.total_grams, 6), 0.0)
+               AS top_ngram_frac,
+           COALESCE(ROUND(1.0 - CAST(a.n_distinct_grams AS DOUBLE) / a.total_grams, 6), 0.0)
+               AS dup_ngram_frac
+    FROM s LEFT JOIN a USING (doc_id) ORDER BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def docs_repetition_stats(spark, sf_dir):
+    """Per-document repetition profile (operators.quality.repetition_profile):
+    Gopher/MassiveText-style duplicate-bigram and top-bigram fractions plus
+    lexical diversity.  One explode + two doc-keyed hash aggs, all JVM-side;
+    map-side partial agg collapses each document's grams before the shuffle."""
+    from prod_data_pipeline_spark.operators.quality import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_profile(docs, n=2).orderBy("doc_id")
+
+
+@query(
+    "docs_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 17 = 0
+    ), dg AS (
+      SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 17 <> 0
+    ), j AS (
+      SELECT dg.doc_id, dg.gram,
+             CASE WHEN b.gram IS NOT NULL THEN 1 END AS hit
+      FROM dg LEFT JOIN bench b USING (gram)
+    ), a AS (
+      SELECT doc_id, COUNT(gram) AS n_grams,
+             CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_contaminated
+      FROM j GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN COALESCE(a.n_grams, 0) > 0
+                THEN ROUND(CAST(a.n_contaminated AS DOUBLE) / a.n_grams, 6)
+                ELSE 0.0 END AS contamination_frac
+    FROM (SELECT doc_id FROM s WHERE doc_id % 17 <> 0) d
+    LEFT JOIN a USING (doc_id) ORDER BY doc_id
+    """,
+    tags=("text", "quality", "decontamination"),
+)
+def docs_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators.quality.contamination_overlap):
+    every 17th document plays the held-out benchmark; the rest are scored by
+    the fraction of their distinct trigrams that appear anywhere in it.  The
+    benchmark gram set is broadcast — the corpus side is scanned once with a
+    map-side probe, so the plan holds at 100 TB where the benchmark stays
+    small."""
+    from prod_data_pipeline_spark.operators.quality import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    scored = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_overlap(scored, bench, n=3).orderBy("doc_id")
+
+
+@query(
+    "docs_tfidf_top_terms",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, lang, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), per AS (
+      SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM e GROUP BY 1, 2
+    ), nd AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1
+    ), scored AS (
+      SELECT per.lang, per.term,
+             CAST(per.tf AS BIGINT) AS tf,
+             CAST(per.df AS BIGINT) AS df,
+             ROUND(per.tf * (ln((CAST(nd.n_docs AS DOUBLE) + 1) / (per.df + 1)) + 1), 6)
+                 AS tfidf
+      FROM per JOIN nd USING (lang)
+    )
+    SELECT lang, term, tf, df, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) <= 5
+    ORDER BY lang, tfidf DESC, term
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def docs_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF: top-5 terms per language by smoothed tf-idf.  The
+    (lang, term) aggregation is combiner-friendly; the per-lang doc counts
+    are a tiny broadcast relation; ranking orders by the ROUNDED score (then
+    term) so both engines rank identical doubles, never last-ulp ln noise."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    e = docs.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("term"))
+    per = e.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    nd = docs.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = per.join(F.broadcast(nd), "lang").select(
+        "lang",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * (F.log((F.col("n_docs").cast("double") + 1) / (F.col("df") + 1)) + 1),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", F.desc("tfidf"), "term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction / SCD history (operators.cdc) — incremental-warehouse
+# counterparts to the reference's full-partition rewrites (v3_dq.py:113-121).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           event_type AS last_type,
+           value AS last_value
+    FROM events
+    WHERE user_id IS NOT NULL
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+    ) = 1
+    ORDER BY user_id
+    """,
+    tags=("cdc", "window"),
+)
+def events_latest_per_user(spark, sf_dir):
+    """SCD1 / CDC log compaction (operators.cdc.latest_snapshot): each
+    user's most recent event, event_id as the deterministic tie-break.
+    One exchange on user_id, one sort, no joins."""
+    from prod_data_pipeline_spark.operators.cdc import latest_snapshot
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    snap = latest_snapshot(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")
+
+
+@query(
+    "events_user_type_scd2",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev
+      FROM events WHERE user_id IS NOT NULL
+    ), ch AS (
+      SELECT user_id, ts, event_type, event_id FROM c
+      WHERE prev IS NULL OR event_type <> prev
+         OR (prev IS NOT NULL AND event_type IS NULL)
+    )
+    SELECT user_id, event_type,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, effective_from
+    """,
+    tags=("cdc", "scd2", "window"),
+)
+def events_user_type_scd2(spark, sf_dir):
+    """SCD2 effective-dated history (operators.cdc.scd2_history): each
+    user's event_type as a change-compressed validity interval —
+    consecutive equal values collapse; effective_to is NULL on the open
+    interval.  Both window passes share one (exchange, sort)."""
+    from prod_data_pipeline_spark.operators.cdc import scd2_history
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return scd2_history(ev, "user_id", "ts", "event_type", tiebreak=["event_id"]).orderBy(
+        "user_id", "effective_from"
+    )
+
+
+@query(
+    "orders_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+             CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE) AS o_totalprice,
+             2 AS version
+      FROM orders WHERE o_orderkey % 50 = 0
+    ), unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+      FROM orders
+      UNION ALL SELECT * FROM updates
+    ), merged AS (
+      SELECT * FROM unioned
+      QUALIFY row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC
+      ) = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged
+    """,
+    tags=("cdc", "merge"),
+)
+def orders_merge_upsert(spark, sf_dir):
+    """MERGE-INTO semantics on bare parquet (operators.cdc.merge_upsert):
+    a deterministic change batch (every 50th order repriced +10%) upserted
+    into the orders snapshot via union + latest-per-key — one window
+    exchange, no table-format dependency.  Verified by count / updated-row
+    count / exact decimal total."""
+    from prod_data_pipeline_spark.operators.cdc import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).withColumn("version", F.lit(1))
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("P").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"], "version")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias("n_updated"),
+        dsum("o_totalprice").alias("total_price"),
+    )
