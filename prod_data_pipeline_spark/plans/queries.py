@@ -2503,3 +2503,127 @@ def orders_merge_upsert(spark, sf_dir):
         F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias("n_updated"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics: fixed-width histograms, quantile-threshold outlier
+# detection, and deterministic correlation from exact decimal sums.  These
+# extend the reference's DQ numerics (avg/min/max, v3_dq.py:89-106) to the
+# profiling surface a warehouse exposes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25.0) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS bin_min,
+           ROUND(MAX(value), 6) AS bin_max
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("stats", "histogram"),
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values (25-unit bins): a single
+    combiner-friendly aggregation — the bin id is a pure projection, so at
+    100 TB this is one scan + a tiny shuffle of ~20 partial rows per task."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "events_value_p99_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.99), 6) AS p99
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, q.p99
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value > q.p99
+    ORDER BY e.event_id
+    """,
+    tags=("stats", "outliers"),
+)
+def events_value_p99_outliers(spark, sf_dir):
+    """Per-type outlier detection against an exact P99 threshold: the
+    per-group quantile relation is tiny (one row per type) and broadcast,
+    so the detail side is scanned once with a map-side probe — no second
+    shuffle.  Thresholds are ROUNDed before comparison so both engines
+    compare against identical doubles (quantile interpolation is the only
+    cross-engine float risk here)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.99), 6).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select("event_id", "event_type", "value", "p99")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "lineitem_qty_price_corr",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS qty_price_corr,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS qty_price_covar
+    FROM s
+    """,
+    tags=("stats", "correlation"),
+)
+def lineitem_qty_price_corr(spark, sf_dir):
+    """Pearson correlation + sample covariance of quantity vs extended
+    price, computed from EXACT decimal component sums (order-independent
+    addition) with the float arithmetic confined to one final projection of
+    identical structure on both engines.  A parallel double `corr()` is not
+    reproducible across partitionings; this is, at any cluster size — the
+    pattern for every distributed second-moment statistic in the engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        n.cast("bigint").alias("n_rows"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+        F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 6).alias("qty_price_covar"),
+    )
