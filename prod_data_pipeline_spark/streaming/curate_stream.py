@@ -23,6 +23,11 @@ covers both modes:
 - ``streaming_enriched``: stream-static broadcast join against a
   dimension table — the static side is re-read per micro-batch, so dim
   updates are picked up without restarting the query.
+- ``streaming_click_attribution``: stream-stream interval join
+  (purchases ⋈ clicks within a lookback window) — both sides watermarked
+  so join state is evicted once the event-time horizon passes, the
+  streaming twin of the batch time-range join
+  (operators.joins.time_range_join).
 """
 
 from __future__ import annotations
@@ -110,6 +115,58 @@ def streaming_enriched(events: DataFrame, dim: DataFrame, on: str = "event_type"
     stateless — no watermark needed, nothing accumulates.
     """
     return events.join(F.broadcast(dim), on, "left")
+
+
+def streaming_click_attribution(
+    events: DataFrame,
+    lookback_minutes: int = 10,
+    watermark: str = "30 minutes",
+    click_type: str = "view_item",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback_minutes``.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on BOTH ends, so Spark can evict buffered rows once the watermark
+    passes them — state is proportional to the lookback horizon, not the
+    stream length.  An unbounded condition (plain equi-join of streams)
+    would accumulate state forever; this is the scale-safe form.
+
+    Pass the same stream twice or two independent streams; the split into
+    clicks/purchases happens here so callers can't mismatch filters.
+    """
+    # Distinct column names on each side: both branches share the same
+    # lineage (one stream filtered twice), so same-name Column references
+    # would resolve ambiguously (a trivially-true `user_id == user_id`).
+    clicks = (
+        events.filter(F.col("event_type") == click_type)
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == purchase_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
 def streaming_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -189,3 +189,56 @@ def test_streaming_enriched_stream_static_join(spark, raw):
     ).first()
     assert rows["n"] == sum(counts.values())  # left join drops nothing
     assert rows["cats"] >= 2
+
+
+def test_streaming_click_attribution_matches_batch(spark, raw):
+    """Stream-stream interval join equals the batch interval join over the
+    same fixture (availableNow drains everything, so no late-drop delta)."""
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        streaming_click_attribution,
+    )
+
+    # Dense fixture: enough events per user that same-user click→purchase
+    # pairs inside the lookback actually occur.
+    base = str(raw[1] and raw[0])  # reuse tmp dir root from the fixture
+    base = base + "_dense"
+    generate_raw_events(base, DATES, rows_per_day=4000, dup_rate=0.0)
+    joined = streaming_click_attribution(
+        stream_events(spark, _glob(base)), lookback_minutes=60
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM attrib_t").collect()
+    }
+
+    ev = (
+        spark.read.json(_glob(base))
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+    )
+    c = ev.filter(F.col("event_type") == "view_item").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("event_ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("event_ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises the join
