@@ -5,6 +5,7 @@ from prod_data_pipeline_spark.operators.cdc import (
     latest_snapshot,
     merge_upsert,
     scd2_history,
+    table_diff,
 )
 from prod_data_pipeline_spark.operators.corpus import curate_corpus, dup_clusters
 from prod_data_pipeline_spark.operators.dedup import (
@@ -76,6 +77,7 @@ __all__ = [
     "scd2_history",
     "stratified_sample",
     "sample_video_frames",
+    "table_diff",
     "simhash_bucket_pairs",
     "srp_near_dup_pairs",
     "time_range_join",

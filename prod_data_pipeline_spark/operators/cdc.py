@@ -80,6 +80,50 @@ def scd2_history(
     )
 
 
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Data reconciliation: key-level diff of two relations.
+
+    Emits one row per key that differs — ``diff_status`` is
+    ``left_only`` / ``right_only`` / ``changed`` (any compare column
+    differs under null-safe comparison); identical keys are dropped.
+    The migration-validation companion to merge_upsert: after an upsert,
+    ``table_diff(old, new, ...)`` is exactly the change set.
+
+    Scale: one full-outer shuffle join on the key — both sides exchange
+    once, compare columns ride along, no second pass.  Column comparison
+    is null-safe (`eqNullSafe`), the relational IS DISTINCT FROM.
+    """
+    lm = left.select(
+        *keys,
+        F.lit(1).alias("__l"),
+        *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+    )
+    rm = right.select(
+        *keys,
+        F.lit(1).alias("__r"),
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    joined = lm.join(rm, list(keys), "full_outer")
+    any_changed = F.lit(False)
+    for c in compare_cols:
+        any_changed = any_changed | ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    status = (
+        F.when(F.col("__r").isNull(), F.lit("left_only"))
+        .when(F.col("__l").isNull(), F.lit("right_only"))
+        .when(any_changed, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("diff_status", status)
+        .filter(F.col("diff_status").isNotNull())
+        .select(*keys, "diff_status")
+    )
+
+
 def merge_upsert(
     current: DataFrame,
     updates: DataFrame,

@@ -2627,3 +2627,71 @@ def lineitem_qty_price_corr(spark, sf_dir):
         ).alias("qty_price_corr"),
         F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 6).alias("qty_price_covar"),
     )
+
+
+@query(
+    "orders_table_diff",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 0 THEN 'P' ELSE o_orderstatus END
+                 AS o_orderstatus,
+             CASE WHEN o_orderkey % 50 = 0
+                  THEN CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT CAST(900000000000 AS BIGINT), 'O', CAST(1.0 AS DOUBLE)
+    )
+    SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN r.o_orderkey IS NULL THEN 'left_only'
+                WHEN l.o_orderkey IS NULL THEN 'right_only'
+                WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                  OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+                THEN 'changed' END AS diff_status
+    FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE CASE WHEN r.o_orderkey IS NULL THEN 'left_only'
+               WHEN l.o_orderkey IS NULL THEN 'right_only'
+               WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+                 OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+               THEN 'changed' END IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+    tags=("cdc", "reconciliation"),
+)
+def orders_table_diff(spark, sf_dir):
+    """Key-level reconciliation (operators.cdc.table_diff) of the orders
+    snapshot against a deterministically perturbed copy: every 50th order
+    repriced (changed), every 97th dropped (left_only), one synthetic key
+    added (right_only).  One full-outer shuffle join; null-safe column
+    comparison."""
+    from prod_data_pipeline_spark.operators.cdc import table_diff
+
+    left = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    right = (
+        left.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 50 == 0, F.lit("P"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 50 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(900000000000, "O", 1.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    return table_diff(
+        left, right, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")

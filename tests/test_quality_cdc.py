@@ -113,3 +113,20 @@ def test_merge_upsert_update_and_insert(spark):
     )
     out = {r["k"]: r["v"] for r in merge_upsert(current, updates, ["k"], "version").collect()}
     assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_table_diff_statuses(spark):
+    from prod_data_pipeline_spark.operators.cdc import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "X", 3.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r["diff_status"] for r in table_diff(left, right, ["k"], ["s", "v"]).collect()}
+    # 1 identical (dropped), 2 identical incl. null==null (dropped),
+    # 3 changed, 4 left_only, 5 right_only
+    assert out == {3: "changed", 4: "left_only", 5: "right_only"}
