@@ -167,3 +167,30 @@ def register_curated_table(
         """
     )
     spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
+def write_range_ordered(
+    df,
+    path: str,
+    order_cols: list[str],
+    num_files: int,
+) -> None:
+    """Globally range-ordered parquet layout: file i's max(order_cols) <=
+    file i+1's min — the clustering that makes parquet min/max row-group
+    statistics actually prune (a point/range predicate on the order column
+    touches one file instead of all of them).
+
+    ``repartitionByRange`` samples the order-column distribution to place
+    balanced range boundaries (skew-resistant, unlike hash or manual
+    bucketing on a value range), then each partition sorts locally — so
+    the global order costs ONE range exchange + per-partition sorts, never
+    a single-reducer global sort.  This is the write-side half of data
+    skipping; the read side is free (parquet footer stats + pushed
+    filters).
+    """
+    (
+        df.repartitionByRange(num_files, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

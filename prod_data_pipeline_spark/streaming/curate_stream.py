@@ -225,3 +225,34 @@ def streaming_user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Native session-window aggregation: per-user sessions delimited by a
+    `gap_minutes` inactivity gap, via ``F.session_window`` — Spark merges
+    overlapping windows and finalizes a session once the watermark passes
+    its close.
+
+    This is the built-in twin of ``streaming_user_sessions``
+    (applyInPandasWithState): prefer this form — state is managed JVM-side
+    with no Python boundary; reach for the custom-state operator only when
+    the per-group logic outgrows an aggregation (e.g. emitting
+    mid-session updates)."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("event_ts"), f"{gap_minutes} minutes").alias("session"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )

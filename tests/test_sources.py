@@ -57,3 +57,35 @@ def test_schema_enforced_no_inference(spark, tmp_path):
     rows = {r["event_id"]: r for r in df.collect()}
     assert set(df.columns) == {"event_id", "user_id", "event_type", "event_ts", "amount"}
     assert rows["a"]["amount"] == 5.5
+
+
+def test_write_range_ordered_global_file_order(spark, tmp_path):
+    """Range-ordered layout: every file's [min, max] of the order column is
+    disjoint and ordered across files — the property parquet footer stats
+    need for real file-level skipping."""
+    import glob as _glob_mod
+
+    from prod_data_pipeline_spark.sources.writers import write_range_ordered
+
+    df = spark.range(0, 10_000).withColumn(
+        "k", (F.col("id") * 2654435761) % 10_000  # scrambled insert order
+    )
+    out = str(tmp_path / "ranged")
+    write_range_ordered(df, out, ["k"], num_files=8)
+
+    files = sorted(_glob_mod.glob(out + "/part-*.parquet"))
+    assert len(files) == 8
+    spans = []
+    for f in files:
+        stats = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n")
+        ).first()
+        spans.append((stats["lo"], stats["hi"], stats["n"]))
+    spans.sort()
+    for (lo_a, hi_a, _), (lo_b, hi_b, _) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b  # disjoint, globally ordered
+    # range partitioner balances: no file holds more than ~3x the mean
+    ns = [n for _, _, n in spans]
+    assert max(ns) < 3 * (sum(ns) / len(ns))
+    # round-trip preserves the data
+    assert spark.read.parquet(out).count() == 10_000

@@ -200,8 +200,7 @@ def test_streaming_click_attribution_matches_batch(spark, raw):
 
     # Dense fixture: enough events per user that same-user click→purchase
     # pairs inside the lookback actually occur.
-    base = str(raw[1] and raw[0])  # reuse tmp dir root from the fixture
-    base = base + "_dense"
+    base = raw[0] + "_dense"
     generate_raw_events(base, DATES, rows_per_day=4000, dup_rate=0.0)
     joined = streaming_click_attribution(
         stream_events(spark, _glob(base)), lookback_minutes=60
@@ -242,3 +241,51 @@ def test_streaming_click_attribution_matches_batch(spark, raw):
     }
     assert got == want
     assert len(want) > 0  # the fixture actually exercises the join
+
+
+def test_streaming_session_window_matches_batch(spark, raw):
+    """Native session_window agg: per-user session count equals the batch
+    lag-gap sessionization over the same fixture."""
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        streaming_session_stats,
+    )
+    from pyspark.sql import Window
+
+    base, counts = raw
+    sess = streaming_session_stats(stream_events(spark, _glob(base)))
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("native_sess_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n FROM native_sess_t "
+            "WHERE user_id IS NOT NULL GROUP BY user_id"
+        ).collect()
+    }
+
+    ev = (
+        spark.read.json(_glob(base))
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+        .filter(F.col("user_id").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("event_ts")
+    batch = (
+        ev.withColumn("prev", F.lag("event_ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | (F.unix_timestamp("event_ts") - F.unix_timestamp("prev") > 1800)
+            ).cast("long"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n"))
+    )
+    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
