@@ -2695,3 +2695,60 @@ def orders_table_diff(spark, sf_dir):
     return table_diff(
         left, right, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     ).orderBy("o_orderkey")
+
+
+@query(
+    "docs_token_budget",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_tokens) AS total FROM per
+    )
+    SELECT per.source, per.n_tokens,
+           ROUND(CAST(per.n_tokens AS DOUBLE) / tot.total, 6) AS share,
+           ROUND(CAST(SUM(per.n_tokens) OVER (
+                   ORDER BY per.n_tokens DESC, per.source
+                 ) AS DOUBLE) / tot.total, 6) AS cum_share,
+           CAST(per.n_tokens AS DOUBLE) / tot.total > 0.075 AS over_budget
+    FROM per CROSS JOIN tot
+    ORDER BY per.n_tokens DESC, per.source
+    """,
+    tags=("text", "tokens", "budget"),
+)
+def docs_token_budget(spark, sf_dir):
+    """Token-budget accounting per source: BPE-token totals, corpus share,
+    cumulative share in descending order, and an over-budget flag against
+    a uniform-mix ceiling (7.5% for 20 sources) — the governance view a
+    data-mixing pipeline watches, feeding operators.sampling.mixing_weights.
+    Per-document token counts collapse map-side; the window runs over the
+    tiny per-source relation (one row per source), so cost is one scan +
+    one narrow agg at any corpus size."""
+    from prod_data_pipeline_spark.functions.text import bpe_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(bpe_tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    total = per.agg(F.sum("n_tokens").alias("total"))
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("n_tokens").over(w).cast("double") / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+            (F.col("n_tokens").cast("double") / F.col("total") > 0.075).alias(
+                "over_budget"
+            ),
+        )
+        .orderBy(F.desc("n_tokens"), "source")
+    )
