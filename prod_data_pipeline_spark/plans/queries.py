@@ -2752,3 +2752,119 @@ def docs_token_budget(spark, sf_dir):
         )
         .orderBy(F.desc("n_tokens"), "source")
     )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS next_type
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("window", "transitions"),
+)
+def events_type_transitions(spark, sf_dir):
+    """Markov transition matrix of event types: per-user lead() pairs
+    counted into a |types|^2 relation.  One exchange on user_id for the
+    window; the count aggregation collapses map-side to at most 25 rows
+    per task."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@query(
+    "events_funnel_daily",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL
+    ), s1 AS (
+      SELECT user_id, day,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM ud GROUP BY 1, 2
+    ), s2 AS (
+      SELECT ud.user_id, ud.day, s1.t_view,
+             MIN(CASE WHEN ud.event_type = 'click' AND ud.ts >= s1.t_view
+                      THEN ud.ts END) AS t_click
+      FROM ud JOIN s1 USING (user_id, day)
+      GROUP BY 1, 2, 3
+    ), s3 AS (
+      SELECT ud.user_id, ud.day, s2.t_view, s2.t_click,
+             MIN(CASE WHEN ud.event_type = 'purchase' AND ud.ts >= s2.t_click
+                      THEN ud.ts END) AS t_purchase
+      FROM ud JOIN s2 USING (user_id, day)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase
+    FROM s3 GROUP BY day ORDER BY day
+    """,
+    tags=("window", "funnel"),
+)
+def events_funnel_daily(spark, sf_dir):
+    """Ordered three-step funnel per day (view -> click after the view ->
+    purchase after the click), counted over (user, day) grains.
+
+    The step timestamps are conditional mins layered as three window
+    projections over the SAME (user_id, day) partition — Catalyst
+    evaluates all three in one exchange + one sort; the daily rollup is a
+    trailing tiny aggregation.  At 100 TB this is one shuffle of (user,
+    day) keyed rows, no self-joins."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"), "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id", "day")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user_day = staged.groupBy("user_id", "day").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return (
+        per_user_day.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+            F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("n_click"),
+            F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias(
+                "n_purchase"
+            ),
+        )
+        .orderBy("day")
+    )
