@@ -2868,3 +2868,63 @@ def events_funnel_daily(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, pos,
+           ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS centroid_val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("similarity", "centroids"),
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label centroid vectors in long form (label, dimension, mean) —
+    the prototype/coarse-quantizer computation behind IVF and label-based
+    ANN blocking.  posexplode + one (label, pos) aggregation: dimension
+    keys spread the shuffle |labels|x|dims| ways and partial aggregation
+    collapses each task to at most that many rows, so a billion-vector
+    corpus exchanges kilobytes.  (Row-form reassembly would need a
+    collect_list ordered by pos — long form keeps the oracle exact and
+    the plan narrow.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias(
+                "centroid_val"
+            )
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@query("events_hll_mergeable_users", oracle=None, tags=("approx", "sketch"))
+def events_hll_mergeable_users(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): per-day
+    user sketches unioned into a corpus-wide estimate alongside the
+    single-pass sketch and the exact count.
+
+    This is the incremental-rollup pattern for COUNT(DISTINCT) at 100 TB:
+    daily partitions keep a few-KB binary sketch each; any date-range
+    distinct count is a union of sketches — no re-scan of raw data.
+    Sketch bytes are engine-specific, so rows-only; the merged-vs-direct
+    agreement and error-bound properties are unit-tested
+    (tests/test_quality_cdc.py)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_users")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias(
+            "direct_users"
+        ),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(direct)

@@ -130,3 +130,27 @@ def test_table_diff_statuses(spark):
     # 1 identical (dropped), 2 identical incl. null==null (dropped),
     # 3 changed, 4 left_only, 5 right_only
     assert out == {3: "changed", 4: "left_only", 5: "right_only"}
+
+
+def test_hll_mergeable_sketches(spark):
+    """Union of partial HLL sketches equals the single-pass sketch on the
+    same data (mergeability), and both land within the configured error
+    bound of the exact count."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50_000).select((F.col("id") % 9_173).alias("u"))
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est")
+    ).first()["est"]
+    merged = (
+        df.withColumn("g", F.col("u") % 37)
+        .groupBy("g")
+        .agg(F.hll_sketch_agg("u").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    # Union is not bit-identical to the single-pass sketch (sparse->dense
+    # mode transitions differ), but both stay inside the HLL error bound.
+    assert abs(merged - direct) / 9_173 < 0.02
+    assert abs(direct - 9_173) / 9_173 < 0.05
+    assert abs(merged - 9_173) / 9_173 < 0.05
