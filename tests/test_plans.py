@@ -88,3 +88,34 @@ def test_curated_partition_pruning(spark, tmp_path):
         assert df.count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS ce_prune_test")
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """events_funnel_daily stacks three conditional-min windows over the
+    same (user_id, day) partition — Catalyst must evaluate them off ONE
+    hash exchange, or the funnel triples its shuffle cost at scale."""
+    plan = _executed_plan(spark, "events_funnel_daily")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """scd2_history's lag-filter and lead-interval windows share the same
+    spec: one exchange on the entity key (the final orderBy is a range
+    exchange for oracle determinism, not a hash shuffle)."""
+    plan = _executed_plan(spark, "events_user_type_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_broadcast_small_relations(spark):
+    """Small-side relations must broadcast: the contamination benchmark
+    gram set, the per-type P99 threshold, the tf-idf per-lang doc counts —
+    a shuffle join on any of these turns a map-side probe into a full
+    exchange of the 100 TB side."""
+    for name in (
+        "docs_contamination",
+        "events_value_p99_outliers",
+        "docs_tfidf_top_terms",
+    ):
+        plan = _executed_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: lost its broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: small side shuffled"

@@ -154,3 +154,74 @@ def test_hll_mergeable_sketches(spark):
     assert abs(merged - direct) / 9_173 < 0.02
     assert abs(direct - 9_173) / 9_173 < 0.05
     assert abs(merged - 9_173) / 9_173 < 0.05
+
+
+# --- property-based invariants (hypothesis) ---------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+EVT = st.tuples(
+    st.integers(min_value=1, max_value=3),            # user
+    st.integers(min_value=0, max_value=20),           # ts offset (days)
+    st.integers(min_value=0, max_value=1_000_000),    # unique-ish event id
+    st.sampled_from(["a", "b", "c"]),                 # attr
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        EVT,
+        min_size=1,
+        max_size=20,
+        # unique event ids, and unique ts per user: equal-ts rows would make
+        # the interval sort in the assertions ambiguous (the operator itself
+        # handles ties via the event_id tiebreak)
+        unique_by=(lambda r: r[2], lambda r: (r[0], r[1])),
+    )
+)
+def test_scd2_intervals_partition_the_timeline(spark, rows):
+    """For every key: intervals are change-compressed (no two consecutive
+    intervals share a value), abut exactly, and exactly one is current."""
+    data = [
+        (u, _ts("2025-01-01T00:00:00") + dt.timedelta(days=off), eid, a)
+        for (u, off, eid, a) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, attr string"
+    )
+    out = scd2_history(df, "user_id", "ts", "attr", tiebreak=["event_id"]).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["effective_from"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["effective_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["effective_to"] == b["effective_from"]  # abut exactly
+            assert a["attr"] != b["attr"]  # change-compressed
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(EVT, min_size=1, max_size=20, unique_by=lambda r: r[2]))
+def test_merge_upsert_idempotent_and_latest_wins(spark, rows):
+    """Applying the same batch twice equals applying it once, and every
+    surviving row is its key's max-version row."""
+    cur = spark.createDataFrame(
+        [(u, f"v{eid}", 1) for (u, _, eid, _) in rows[: len(rows) // 2 + 1]],
+        "k long, v string, version int",
+    ).dropDuplicates(["k"])
+    upd = spark.createDataFrame(
+        [(u, f"w{eid}", 2) for (u, _, eid, _) in rows[len(rows) // 2 :]] or [(99, "w", 2)],
+        "k long, v string, version int",
+    ).dropDuplicates(["k"])
+    once = merge_upsert(cur, upd, ["k"], "version")
+    twice = merge_upsert(once, upd, ["k"], "version")
+    a = sorted((r["k"], r["v"]) for r in once.collect())
+    b = sorted((r["k"], r["v"]) for r in twice.collect())
+    assert a == b
+    upd_keys = {r["k"] for r in upd.collect()}
+    for k, v in a:
+        if k in upd_keys:
+            assert v.startswith("w")  # update batch always wins
