@@ -28,6 +28,11 @@ covers both modes:
   so join state is evicted once the event-time horizon passes, the
   streaming twin of the batch time-range join
   (operators.joins.time_range_join).
+- ``streaming_session_stats``: native ``F.session_window`` gap sessions
+  (JVM-managed state; prefer over the custom-state operator).
+- ``streaming_upsert_sink``: foreachBatch CDC apply — per-batch
+  latest-per-key compaction merged into a snapshot table
+  (operators.cdc.merge_upsert), idempotent under batch replay.
 """
 
 from __future__ import annotations
@@ -255,4 +260,59 @@ def streaming_session_stats(
             F.col("session.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def streaming_upsert_sink(
+    events: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    order_col: str = "event_ts",
+):
+    """Streaming CDC apply: maintain a latest-state snapshot table from an
+    event stream via foreachBatch + operators.cdc.merge_upsert.
+
+    Each micro-batch is first compacted to its own latest-per-key rows
+    (a batch can re-deliver a key many times), then merged into the
+    snapshot and atomically swapped in (write to tmp dir + rename).  The
+    checkpoint makes delivery effectively exactly-once: a replayed batch
+    re-merges the same rows, and merge_upsert is idempotent.
+
+    Scale: the snapshot rewrite is proportional to the SNAPSHOT size, not
+    the stream history — on a real deployment back this with a table
+    format's MERGE for partition-level rewrites; the operator composition
+    (per-batch compaction -> keyed merge) is identical.
+    """
+    import os
+    import shutil
+
+    from prod_data_pipeline_spark.operators.cdc import latest_snapshot, merge_upsert
+
+    key_cols = keys or ["event_id"]
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        compact = latest_snapshot(batch, key_cols, order_col)
+        if os.path.exists(snapshot_path):
+            current = spark.read.parquet(snapshot_path)
+            merged = merge_upsert(current, compact.select(*current.columns), key_cols, order_col)
+        else:
+            merged = compact
+        tmp = snapshot_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = snapshot_path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(snapshot_path):
+            os.rename(snapshot_path, old)
+        os.rename(tmp, snapshot_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -289,3 +289,38 @@ def test_streaming_session_window_matches_batch(spark, raw):
     )
     want = {r["user_id"]: r["n"] for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_upsert_sink_matches_batch_snapshot(spark, tmp_path):
+    """foreachBatch CDC apply: after draining a stream with injected
+    re-deliveries, the maintained snapshot equals the batch
+    latest_snapshot over the same raw data."""
+    from prod_data_pipeline_spark.operators.cdc import latest_snapshot
+    from prod_data_pipeline_spark.streaming.curate_stream import streaming_upsert_sink
+
+    base = str(tmp_path / "rawup")
+    generate_raw_events(base, DATES, rows_per_day=300, dup_rate=0.10)
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt_upsert")
+
+    q = streaming_upsert_sink(
+        stream_events(spark, _glob(base)), snap, ckpt, keys=["event_id"]
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["event_id"]: r["event_ts"]
+        for r in spark.read.parquet(snap).collect()
+        if r["event_id"] is not None
+    }
+    batch = (
+        spark.read.json(_glob(base))
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+        .filter(F.col("event_id").isNotNull())
+    )
+    want = {
+        r["event_id"]: r["event_ts"]
+        for r in latest_snapshot(batch, ["event_id"], "event_ts").collect()
+    }
+    assert got.keys() == want.keys()
+    assert got == want
