@@ -74,6 +74,35 @@ def read_events_ndjson(
     return reader.json(path)
 
 
+def read_events_csv(
+    spark: SparkSession,
+    path: str,
+    recursive: bool = False,
+    header: bool = True,
+) -> DataFrame:
+    """Schema-enforced CSV landing (same contract as the NDJSON path).
+
+    PERMISSIVE mode with a rescue column: rows that fail the schema land
+    in `_corrupt_record` instead of silently becoming nulls, so the DQ
+    gate can count and fail on them — the reference's enforce-don't-infer
+    discipline (v3_dq.py:54-57) applied to CSV.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        EVENT_RAW_SCHEMA.fields + [StructField("_corrupt_record", StringType())]
+    )
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.csv(path)
+
+
 def with_ingestion_date_from_path(df: DataFrame, col: str = "ingestion_date") -> DataFrame:
     """S4: derive the partition value from the source file path.
 

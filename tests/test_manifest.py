@@ -1,0 +1,81 @@
+"""Manifest-committed snapshot tables: atomicity, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.sources.manifest import (
+    commit_snapshot,
+    current_version,
+    read_snapshot,
+    snapshots,
+    vacuum,
+)
+from prod_data_pipeline_spark.sources.readers import read_events_csv
+
+
+def test_commit_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df1 = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    s1 = commit_snapshot(df1, t, mode="append")
+    assert (s1.version, s1.n_rows) == (1, 100)
+
+    df2 = spark.range(100, 150).withColumn("v", F.col("id") * 2)
+    s2 = commit_snapshot(df2, t, mode="append")
+    assert (s2.version, s2.n_rows) == (2, 150)
+    assert read_snapshot(spark, t).count() == 150
+
+    # overwrite: new version lists ONLY the new files; old files untouched
+    df3 = spark.range(0, 7).withColumn("v", F.lit(0).cast("long"))
+    s3 = commit_snapshot(df3, t, mode="overwrite")
+    assert (s3.version, s3.n_rows) == (3, 7)
+    assert read_snapshot(spark, t).count() == 7
+
+    # time travel: every historical version still reads exactly
+    assert read_snapshot(spark, t, version=1).count() == 100
+    assert read_snapshot(spark, t, version=2).count() == 150
+    assert [s.version for s in snapshots(t)] == [1, 2, 3]
+    assert current_version(t) == 3
+
+
+def test_reader_isolation_from_concurrent_commit(spark, tmp_path):
+    """A reader that resolved version N keeps reading N's files even after
+    an overwrite commits version N+1 (no torn reads)."""
+    t = str(tmp_path / "tbl2")
+    commit_snapshot(spark.range(0, 50), t)
+    old = read_snapshot(spark, t)  # plan pinned to v1's file list
+    commit_snapshot(spark.range(0, 3), t, mode="overwrite")
+    assert old.count() == 50          # unaffected by the new commit
+    assert read_snapshot(spark, t).count() == 3
+
+
+def test_vacuum_removes_only_expired_files(spark, tmp_path):
+    t = str(tmp_path / "tbl3")
+    commit_snapshot(spark.range(0, 10), t)
+    commit_snapshot(spark.range(10, 20), t, mode="overwrite")
+    commit_snapshot(spark.range(20, 30), t, mode="overwrite")
+    deleted = vacuum(t, keep_last=2)
+    assert deleted  # v1's files went away
+    assert read_snapshot(spark, t).count() == 10          # current fine
+    assert read_snapshot(spark, t, version=2).count() == 10  # kept version fine
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, version=1).count()        # expired
+
+
+def test_read_events_csv_schema_enforced(spark, tmp_path):
+    p = str(tmp_path / "ev.csv")
+    with open(p, "w") as f:
+        f.write("event_id,user_id,event_type,event_ts,amount\n")
+        f.write("e1,u1,login,2025-01-01T00:00:00Z,\n")
+        f.write("e2,u2,purchase,2025-01-01T01:00:00Z,12.5\n")
+        f.write("e3,u3,purchase,2025-01-01T02:00:00Z,not_a_number\n")
+    df = read_events_csv(spark, p)
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["event_id"] for r in good} == {"e1", "e2"}
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
