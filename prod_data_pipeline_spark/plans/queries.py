@@ -2928,3 +2928,83 @@ def events_hll_mergeable_users(spark, sf_dir):
         F.count_distinct("user_id").alias("exact_users"),
     )
     return merged.crossJoin(direct)
+
+
+@query(
+    "large_volume_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY 1, 2, 3, 4
+    ORDER BY total_qty DESC, o.o_orderkey
+    """,
+    tags=("join", "subquery", "Q18"),
+)
+def large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery with a HAVING aggregate, decorrelated
+    to a semi-join.  The qualifying-order relation is a pre-aggregation of
+    lineitem on its OWN key (one shuffle of per-order sums), then a
+    left-semi join prunes orders before the customer join — the fact table
+    is never joined un-filtered.  Exact decimal quantity sums."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+    return (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
+        .agg(dsum(qty).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+@query(
+    "parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+    tags=("join", "anti-join", "Q16"),
+)
+def parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) with a
+    NOT IN exclusion subquery.  The exclusion list (negative-balance
+    suppliers) has a non-nullable key, so NOT IN is exactly a left-anti
+    join — broadcast, since the exclusion side is tiny; part is broadcast
+    for the same reason.  The only shuffle is the distinct-count agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part.filter(F.col("p_brand") != "Brand#1")),
+              li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
