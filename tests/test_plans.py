@@ -115,6 +115,7 @@ def test_broadcast_small_relations(spark):
         "docs_contamination",
         "events_value_p99_outliers",
         "docs_tfidf_top_terms",
+        "parts_supplier_counts",
     ):
         plan = _executed_plan(spark, name)
         assert "BroadcastHashJoin" in plan, f"{name}: lost its broadcast join"
