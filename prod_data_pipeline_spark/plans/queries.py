@@ -3008,3 +3008,86 @@ def parts_supplier_counts(spark, sf_dir):
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
+
+
+@query(
+    "orders_price_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    tags=("window", "ntile"),
+)
+def orders_price_deciles(spark, sf_dir):
+    """Equal-population price deciles via NTILE, with per-bucket bounds and
+    exact decimal totals.  NTILE needs a global order — acceptable here
+    because the windowed relation is a single column projection; at 100 TB
+    prefer approx_percentile boundaries + a join (see
+    events_value_p99_outliers) unless exact equal-population buckets are a
+    requirement.  o_orderkey tie-break keeps both engines' bucket
+    assignment identical."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "events_rolling_7day",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(SUM(n_events) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_7d,
+           ROUND(CAST(SUM(n_events) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 7.0, 6) AS rolling_7d_avg
+    FROM daily ORDER BY day
+    """,
+    tags=("window", "range-frame", "rolling"),
+)
+def events_rolling_7day(spark, sf_dir):
+    """Trailing 7-day event volume: a RANGE-frame window over calendar
+    days (gap-correct — a missing day shrinks the window, unlike a
+    6-ROWS-PRECEDING frame).  The window runs over the pre-aggregated
+    daily relation (one row per day), so the global order is over
+    |days| rows regardless of corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # RANGE frame over days: order by epoch-day number, range 6 preceding
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("rolling_7d"),
+        F.round(F.sum("n_events").over(w).cast("double") / 7.0, 6).alias(
+            "rolling_7d_avg"
+        ),
+    ).orderBy("day")
