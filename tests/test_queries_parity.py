@@ -18,6 +18,34 @@ def test_query_matches_oracle(spark, name):
     check_query(spark, name, SF_DIR)
 
 
+def test_driver_order_policy():
+    """The driver checks only the first 50 queries() entries: the ordered
+    registry must front-load DRIVER_ORDER (never-checked + changed queries)
+    and still expose every registered query exactly once."""
+    from prod_data_pipeline_spark.plans.queries import (
+        DRIVER_ORDER,
+        ordered_queries,
+    )
+
+    assert len(DRIVER_ORDER) == len(set(DRIVER_ORDER)), "duplicate in DRIVER_ORDER"
+    assert set(DRIVER_ORDER) <= set(QUERIES), "DRIVER_ORDER names a missing query"
+    oq = list(ordered_queries())
+    assert oq[: len(DRIVER_ORDER)] == DRIVER_ORDER
+    assert set(oq) == set(QUERIES)
+    # The round-3 re-verification targets must sit inside the 50-entry window.
+    window = set(oq[:50])
+    must_see = {
+        "docs_packed_bins",
+        "events_rolling_7day",
+        "docs_chunk_spans",
+        "user_retention_cohorts",
+        "events_user_type_scd2",
+        "orders_price_deciles",
+        "events_value_quantiles",
+    }
+    assert must_see <= window
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
