@@ -60,15 +60,21 @@ def scd2_history(
     """
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key).orderBy(*order)
+    # Change detection must be null-safe: lag() returns NULL both on the
+    # first row and after a NULL attribute, so "prev IS NULL" cannot stand
+    # in for "first row" without splitting runs of consecutive NULL attrs
+    # into duplicate uncompressed intervals.  Detect the first row
+    # explicitly (row_number over the same spec — still one sort) and
+    # compare attr to prev with IS DISTINCT FROM (~eqNullSafe).
     changed = (
         df.select(key, ts_col, attr_col, *tiebreak)
         .withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(
-            F.col("__prev").isNull()
-            | (F.col(attr_col) != F.col("__prev"))
-            | (F.col("__prev").isNotNull() & F.col(attr_col).isNull())
+            (F.col("__rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
         )
-        .drop("__prev")
+        .drop("__prev", "__rn")
     )
     w2 = Window.partitionBy(key).orderBy(*order)
     return changed.select(
@@ -129,6 +135,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     order_col: str,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Upsert a change batch into a snapshot: union then latest-per-key.
 
@@ -136,10 +143,19 @@ def merge_upsert(
     INSERT for append-style batches, expressed as a plain relational plan
     so it runs on bare parquet (no table-format dependency).  The union
     is shuffle-free; the single exchange is the latest_snapshot window.
+
+    Ordering ties resolve update-wins: after ``order_col`` and any caller
+    ``tiebreak`` columns, an internal source-priority column (updates=1,
+    current=0) is the final tiebreak, so an update carrying the same
+    order value as the stored row still replaces it — MERGE WHEN MATCHED
+    UPDATE semantics rather than a nondeterministic winner.
     """
     cols = current.columns
-    return latest_snapshot(
-        current.select(*cols).unionByName(updates.select(*cols)),
-        keys,
-        order_col,
+    tagged = (
+        current.select(*cols)
+        .withColumn("__src", F.lit(0))
+        .unionByName(updates.select(*cols).withColumn("__src", F.lit(1)))
     )
+    return latest_snapshot(
+        tagged, keys, order_col, tiebreak=[*tiebreak, "__src"]
+    ).drop("__src")

@@ -2420,12 +2420,14 @@ def events_latest_per_user(spark, sf_dir):
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS prev
+             ) AS prev,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS rn
       FROM events WHERE user_id IS NOT NULL
     ), ch AS (
       SELECT user_id, ts, event_type, event_id FROM c
-      WHERE prev IS NULL OR event_type <> prev
-         OR (prev IS NOT NULL AND event_type IS NULL)
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id, event_type,
            ts AS effective_from,

@@ -24,6 +24,13 @@ mutable pointer.  This module implements that pattern minimally:
   thousand files; the pointer swap is the only coordination point.  (Real
   formats add manifest trees and optimistic locking for multi-writer —
   single-writer semantics are assumed here, as in the reference.)
+- **Path scope**: data files go through Spark writers (any Hadoop FS),
+  but manifest/pointer IO and post-write file discovery use driver-local
+  Python IO (`os.listdir`/`open`/`os.rename`), so `table_path` must be a
+  driver-visible POSIX path in this implementation.  Pointing it at an
+  object store requires routing those few calls through the Hadoop
+  FileSystem API (`spark._jvm.org.apache.hadoop.fs.FileSystem`) — the
+  protocol itself is unchanged; only the IO shim differs.
 """
 
 from __future__ import annotations

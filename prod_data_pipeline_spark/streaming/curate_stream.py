@@ -275,9 +275,16 @@ def streaming_upsert_sink(
 
     Each micro-batch is first compacted to its own latest-per-key rows
     (a batch can re-deliver a key many times), then merged into the
-    snapshot and atomically swapped in (write to tmp dir + rename).  The
-    checkpoint makes delivery effectively exactly-once: a replayed batch
-    re-merges the same rows, and merge_upsert is idempotent.
+    snapshot and swapped in (write to tmp dir, rename snapshot aside,
+    rename tmp into place).  The swap is TWO renames, so it is not
+    atomic by itself; the crash window between them is covered by
+    recovery at the top of every batch — if the snapshot is missing but
+    the ``.old`` directory exists, the previous snapshot is restored
+    before merging, so accumulated state is never silently discarded.
+    (For a single-rename commit, sources/manifest.py's pointer-file
+    protocol is the stronger primitive.)  With that, the checkpoint
+    makes delivery effectively exactly-once: a replayed batch re-merges
+    the same rows, and merge_upsert is idempotent.
 
     Scale: the snapshot rewrite is proportional to the SNAPSHOT size, not
     the stream history — on a real deployment back this with a table
@@ -293,6 +300,12 @@ def streaming_upsert_sink(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        old = snapshot_path + ".old"
+        # Crash recovery: a failure between the two swap renames below
+        # leaves snapshot_path absent with the prior state in .old —
+        # restore it instead of reinitializing from this batch alone.
+        if not os.path.exists(snapshot_path) and os.path.exists(old):
+            os.rename(old, snapshot_path)
         compact = latest_snapshot(batch, key_cols, order_col)
         if os.path.exists(snapshot_path):
             current = spark.read.parquet(snapshot_path)
@@ -301,7 +314,6 @@ def streaming_upsert_sink(
             merged = compact
         tmp = snapshot_path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        old = snapshot_path + ".old"
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(snapshot_path):

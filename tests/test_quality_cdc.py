@@ -104,6 +104,42 @@ def test_scd2_history_change_compression(spark):
     assert [r["is_current"] for r in rows] == [False, False, True]
 
 
+def test_scd2_history_null_attr_runs_compress(spark):
+    """Consecutive NULL attribute values are ONE interval (null-safe
+    change detection), and NULL->value / value->NULL are real changes."""
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2025-01-01T00:00:00"), 1, None),
+            (1, _ts("2025-01-02T00:00:00"), 2, None),  # same (NULL) value: compressed
+            (1, _ts("2025-01-03T00:00:00"), 3, "a"),
+            (1, _ts("2025-01-04T00:00:00"), 4, None),  # back to NULL: new interval
+            (1, _ts("2025-01-05T00:00:00"), 5, None),  # compressed into it
+        ],
+        "user_id long, ts timestamp, event_id long, attr string",
+    )
+    rows = (
+        scd2_history(df, "user_id", "ts", "attr", tiebreak=["event_id"])
+        .orderBy("effective_from")
+        .collect()
+    )
+    assert [r["attr"] for r in rows] == [None, "a", None]
+    assert rows[0]["effective_to"] == rows[1]["effective_from"]
+    assert rows[1]["effective_to"] == rows[2]["effective_from"]
+    assert [r["is_current"] for r in rows] == [False, False, True]
+
+
+def test_merge_upsert_equal_order_update_wins(spark):
+    """MERGE WHEN MATCHED UPDATE semantics: an update with the SAME
+    order_col value as the stored row still replaces it (source-priority
+    tiebreak, not a nondeterministic row_number winner)."""
+    current = spark.createDataFrame([(1, "stored", 5)], "k long, v string, version int")
+    updates = spark.createDataFrame([(1, "update", 5)], "k long, v string, version int")
+    out = {r["k"]: r["v"] for r in merge_upsert(current, updates, ["k"], "version").collect()}
+    assert out == {1: "update"}
+    # and the internal priority column does not leak into the output
+    assert merge_upsert(current, updates, ["k"], "version").columns == ["k", "v", "version"]
+
+
 def test_merge_upsert_update_and_insert(spark):
     current = spark.createDataFrame(
         [(1, "old", 1), (2, "keep", 1)], "k long, v string, version int"

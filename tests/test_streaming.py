@@ -324,3 +324,40 @@ def test_streaming_upsert_sink_matches_batch_snapshot(spark, tmp_path):
     }
     assert got.keys() == want.keys()
     assert got == want
+
+
+def test_streaming_upsert_sink_recovers_snapshot_from_old(spark, tmp_path):
+    """Crash-window recovery: a failure between the sink's two swap
+    renames leaves snapshot_path absent and the prior state in `.old`.
+    The next batch must restore it instead of reinitializing the snapshot
+    from that batch alone."""
+    import os
+
+    from prod_data_pipeline_spark.streaming.curate_stream import streaming_upsert_sink
+
+    base1 = str(tmp_path / "raw1")
+    generate_raw_events(base1, DATES[:1], rows_per_day=200, dup_rate=0.0)
+    snap = str(tmp_path / "snapshot")
+
+    q = streaming_upsert_sink(
+        stream_events(spark, _glob(base1)), snap, str(tmp_path / "ckpt1"), keys=["event_id"]
+    )
+    q.awaitTermination(180)
+    first_keys = {r["event_id"] for r in spark.read.parquet(snap).collect()}
+    assert len(first_keys) > 0
+
+    # Simulate the torn swap: snapshot renamed aside, crash before tmp
+    # was renamed into place.
+    os.rename(snap, snap + ".old")
+
+    base2 = str(tmp_path / "raw2")
+    generate_raw_events(base2, DATES[1:2], rows_per_day=200, dup_rate=0.0)
+    q2 = streaming_upsert_sink(
+        stream_events(spark, _glob(base2)), snap, str(tmp_path / "ckpt2"), keys=["event_id"]
+    )
+    q2.awaitTermination(180)
+
+    final_keys = {r["event_id"] for r in spark.read.parquet(snap).collect()}
+    assert first_keys <= final_keys, "accumulated state was discarded"
+    assert len(final_keys) > len(first_keys)
+    assert not os.path.exists(snap + ".old")
