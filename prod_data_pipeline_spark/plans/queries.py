@@ -901,17 +901,26 @@ def events_grouping_sets(spark, sf_dir):
     tags=("quantile",),
 )
 def events_value_quantiles(spark, sf_dir):
-    """Exact interpolated quantiles per type (Spark `percentile` == DuckDB
-    `quantile_cont`; the approximate production path is
-    `approx_percentile`, same API shape, sketch-mergeable at scale)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    """Exact interpolated quantiles per type, distributed.  `F.percentile`
+    buffers every group value in one aggregation state (~1/n_types of the
+    column per task at 100 TB); operators.ranking.exact_quantiles keeps
+    the same quantile_cont answer via bucketed exact ranking — parallel
+    at any scale.  Use `approx_percentile` instead when sketch error is
+    acceptable (one pass, mergeable)."""
+    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    q = exact_quantiles(
+        ev, "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}, by=["event_type"]
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.percentile("value", 0.5), 6).alias("p50"),
-            F.round(F.percentile("value", 0.9), 6).alias("p90"),
-            F.round(F.percentile("value", 0.99), 6).alias("p99"),
-        )
+        q.groupBy("event_type")
+        .pivot("qname", ["p50", "p90", "p99"])
+        .agg(F.round(F.first("quantile"), 6))
         .orderBy("event_type")
     )
 
@@ -2558,15 +2567,20 @@ def events_value_histogram(spark, sf_dir):
     tags=("stats", "outliers"),
 )
 def events_value_p99_outliers(spark, sf_dir):
-    """Per-type outlier detection against an exact P99 threshold: the
-    per-group quantile relation is tiny (one row per type) and broadcast,
-    so the detail side is scanned once with a map-side probe — no second
-    shuffle.  Thresholds are ROUNDed before comparison so both engines
-    compare against identical doubles (quantile interpolation is the only
-    cross-engine float risk here)."""
+    """Per-type outlier detection against an exact P99 threshold.  The
+    threshold comes from operators.ranking.exact_quantiles (bucketed exact
+    ranking — no per-group value buffering, unlike `F.percentile`), lands
+    as a tiny one-row-per-type relation, and is broadcast so the detail
+    side is scanned once with a map-side probe.  Thresholds are ROUNDed
+    before comparison so both engines compare against identical doubles."""
+    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
+
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    q = ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.99), 6).alias("p99")
+    q = (
+        exact_quantiles(
+            ev.select("event_type", "value"), "value", {"p99": 0.99}, by=["event_type"]
+        )
+        .select("event_type", F.round("quantile", 6).alias("p99"))
     )
     return (
         ev.join(F.broadcast(q), "event_type")
@@ -3030,17 +3044,28 @@ def parts_supplier_counts(spark, sf_dir):
     tags=("window", "ntile"),
 )
 def orders_price_deciles(spark, sf_dir):
-    """Equal-population price deciles via NTILE, with per-bucket bounds and
-    exact decimal totals.  NTILE needs a global order — acceptable here
-    because the windowed relation is a single column projection; at 100 TB
-    prefer approx_percentile boundaries + a join (see
-    events_value_p99_outliers) unless exact equal-population buckets are a
-    requirement.  o_orderkey tie-break keeps both engines' bucket
-    assignment identical."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """Equal-population price deciles with per-bucket bounds and exact
+    decimal totals — EXACT NTILE semantics without NTILE's global-order
+    window.  A bare `Window.orderBy` moves every order into one task;
+    instead operators.ranking.bucketed_global_rank buckets rows by
+    approx_percentile boundaries (load balance only — correctness never
+    depends on the sketch), ranks within buckets in parallel, offsets by
+    bucket counts, and ntile_from_rank reproduces the NTILE(10) bucket
+    assignment in closed form.  o_orderkey tie-break keeps both engines'
+    assignment identical; plan pinned single-partition-free in
+    tests/test_plans.py."""
+    from prod_data_pipeline_spark.operators.ranking import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = bucketed_global_rank(orders, ["o_totalprice", "o_orderkey"])
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select(
+            "o_totalprice",
+            ntile_from_rank(F.col("rank"), F.col("n_total"), 10).alias("decile"),
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -7,6 +7,8 @@ effort goes into not defeating Catalyst")."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from prod_data_pipeline_spark.plans.queries import QUERIES
@@ -104,6 +106,43 @@ def test_scd2_windows_share_one_exchange(spark):
     exchange for oracle determinism, not a hash shuffle)."""
     plan = _executed_plan(spark, "events_user_type_scd2")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ranking_queries_have_no_unbounded_global_sort(spark):
+    """The ranking-based queries must never sort the fact table in one
+    task.  A global window (NTILE / percentile over Window.orderBy with no
+    partition) plans as Sort over Exchange SinglePartition fed by raw scan
+    output; the only tolerated Sort-over-SinglePartition is one whose
+    exchange input is an Aggregate (bounded rows: the bucket-count or
+    sketch relations)."""
+    for name in (
+        "orders_price_deciles",
+        "events_value_quantiles",
+        "events_value_p99_outliers",
+    ):
+        plan = _executed_plan(spark, name)
+        # \bntile( — but not approx_percentile(
+        assert not re.search(r"(?<![A-Za-z_])ntile\(", plan), (
+            f"{name}: global NTILE window came back"
+        )
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln and i and "Sort [" in lines[i - 1]:
+                child = lines[i + 1] if i + 1 < len(lines) else ""
+                assert "Aggregate" in child, (
+                    f"{name}: single-partition sort over unaggregated input:\n"
+                    f"{lines[i - 1]}\n{ln}\n{child}"
+                )
+
+
+def test_cdc_queries_single_fact_exchange(spark):
+    """latest_snapshot and merge_upsert are one-window plans: exactly one
+    hash exchange of the fact side (merge_upsert's trailing scalar agg
+    adds a SinglePartition merge of per-task partials, which is bounded)."""
+    for name in ("events_latest_per_user", "orders_merge_upsert"):
+        plan = _executed_plan(spark, name)
+        n = plan.count("Exchange hashpartitioning")
+        assert n == 1, f"{name}: expected 1 hash exchange, got {n}"
 
 
 def test_broadcast_small_relations(spark):

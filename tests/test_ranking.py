@@ -1,0 +1,89 @@
+"""operators.ranking: exact distributed rank / NTILE / quantiles agree
+with the single-sort window answers on randomized data, including tie
+and tiny-group edges."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.operators.ranking import (
+    bucketed_global_rank,
+    exact_quantiles,
+    ntile_from_rank,
+)
+
+
+def _rand_df(spark, n=5003, seed=11, dup_every=7):
+    rng = random.Random(seed)
+    # every dup_every-th row repeats the previous value: exercises ties
+    rows, last = [], None
+    for i in range(n):
+        v = last if (i % dup_every == 0 and last is not None) else rng.uniform(0, 100)
+        rows.append((i, v))
+        last = v
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+def test_rank_matches_global_sort(spark):
+    df = _rand_df(spark)
+    mine = bucketed_global_rank(df, ["v", "id"], n_buckets=16)
+    ref = df.withColumn("rrank", F.row_number().over(Window.orderBy("v", "id")))
+    assert mine.join(ref, ["id"]).filter(F.col("rank") != F.col("rrank")).count() == 0
+    assert mine.count() == df.count()
+
+
+def test_grouped_rank_and_totals(spark):
+    df = _rand_df(spark).withColumn("g", (F.col("id") % 4).cast("int"))
+    mine = bucketed_global_rank(df, ["v", "id"], by=["g"], n_buckets=8)
+    w = Window.partitionBy("g").orderBy("v", "id")
+    ref = df.withColumn("rrank", F.row_number().over(w))
+    assert mine.join(ref, ["id"]).filter(F.col("rank") != F.col("rrank")).count() == 0
+    totals = {r["g"]: r["n_total"] for r in mine.select("g", "n_total").distinct().collect()}
+    want = {r["g"]: r["cnt"] for r in df.groupBy("g").agg(F.count("*").alias("cnt")).collect()}
+    assert totals == want
+
+
+@pytest.mark.parametrize("k", [3, 10])
+def test_ntile_from_rank_matches_window_ntile(spark, k):
+    df = _rand_df(spark, n=1009)
+    mine = bucketed_global_rank(df, ["v", "id"], n_buckets=8).select(
+        "id", ntile_from_rank(F.col("rank"), F.col("n_total"), k).alias("d")
+    )
+    ref = df.select("id", F.ntile(k).over(Window.orderBy("v", "id")).alias("rd"))
+    assert mine.join(ref, "id").filter(F.col("d") != F.col("rd")).count() == 0
+
+
+def test_exact_quantiles_matches_percentile(spark):
+    df = _rand_df(spark).withColumn("g", (F.col("id") % 3).cast("int"))
+    got = {
+        (r["g"], r["qname"]): r["quantile"]
+        for r in exact_quantiles(
+            df, "v", {"p50": 0.5, "p90": 0.9, "p99": 0.99}, by=["g"]
+        ).collect()
+    }
+    ref = df.groupBy("g").agg(
+        *[F.percentile("v", p).alias(nm) for nm, p in
+          [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]]
+    )
+    for r in ref.collect():
+        for nm in ("p50", "p90", "p99"):
+            assert got[(r["g"], nm)] == pytest.approx(r[nm], abs=1e-9)
+
+
+def test_exact_quantiles_tiny_groups(spark):
+    """n=1 and n=2 groups: interpolation degenerates correctly (h=1 ->
+    the single value; p=0.5 over two values -> their midpoint)."""
+    df = spark.createDataFrame(
+        [("a", 42.0), ("b", 10.0), ("b", 20.0)], "g string, v double"
+    )
+    got = {
+        (r["g"], r["qname"]): r["quantile"]
+        for r in exact_quantiles(df, "v", {"p50": 0.5, "p99": 0.99}, by=["g"]).collect()
+    }
+    assert got[("a", "p50")] == 42.0 and got[("a", "p99")] == 42.0
+    assert got[("b", "p50")] == pytest.approx(15.0)
+    assert got[("b", "p99")] == pytest.approx(10.0 + 0.99 * 10.0)
