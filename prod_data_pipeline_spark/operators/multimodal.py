@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-North-star surface for image/audio/video data in a training pipeline.  The
-Spark-side design is fully real — schema (schemas.MEDIA_ASSET_SCHEMA),
-Arrow-batched mapInPandas decode/feature kernels, partition sizing — while
-the actual codec step is stubbed: this container ships no image/audio
-libraries, so decode uses a clearly-marked deterministic fake unless a real
-decoder import succeeds (PIL/soundfile gated behind import-try, per the
-build brief).
+North-star surface for image/audio/video data in a training pipeline.
+The Spark-side design is fully real — schema (schemas.MEDIA_ASSET_SCHEMA),
+Arrow-batched mapInPandas decode/feature kernels, partition sizing — and
+so is the codec path for uncompressed containers: `real_decode` parses
+BMP / WAV (PCM16) / YUV4MPEG2 payloads in pure Python + numpy
+(functions.codecs; no imaging libraries needed).  Compressed formats
+(JPEG/MP3/H.264) would still need external decoders — gate those behind
+import-try (PIL/soundfile) when deploying outside this container; the
+`decode_and_featurize` fake-feature kernel remains for plumbing tests
+that want codec-independent determinism.
 
 Scale notes:
 - payloads never pass through Python row-at-a-time: mapInPandas streams
@@ -28,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real decoder path — not available in this container
+try:  # compressed-format decoder — absent in this container, unused below
     import PIL.Image  # noqa: F401
 
     HAVE_PIL = True
@@ -105,16 +108,121 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 16, batch_hint: int =
     return df.mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
-def real_decode(df: DataFrame) -> DataFrame:
-    """Real codec path — requires imaging libraries absent from this
-    container.  Kept as the integration point; see decode_and_featurize for
-    the tested plumbing."""
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "real media decode needs PIL/torchvision; this container has none "
-            "(stubbed per build brief — use decode_and_featurize)"
-        )
-    raise NotImplementedError("wire PIL decode here when available")
+REAL_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthetic_media_assets(docs: DataFrame, batch_hint: int = 4096) -> DataFrame:
+    """Fabricate a media-asset table with REAL container payloads from
+    `documents`: doc_id % 3 picks the modality — 0 -> 24-bit BMP image,
+    1 -> PCM16 WAV audio, 2 -> YUV4MPEG2 (C420) video — with header
+    geometry derived arithmetically from doc_id (so an independent SQL
+    oracle can recompute every header fact) and pixel/sample content
+    tiled from the document text.  Construction runs in an Arrow-batched
+    mapInPandas kernel; no per-row Python in the Spark plan beyond it."""
+    from prod_data_pipeline_spark.functions.codecs import (
+        encode_bmp,
+        encode_wav,
+        encode_y4m,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                content = (text or "").encode("utf-8")
+                kind = doc_id % 3
+                if kind == 0:
+                    types.append("image")
+                    payloads.append(
+                        encode_bmp(4 + doc_id % 13, 4 + doc_id % 7, content)
+                    )
+                elif kind == 1:
+                    types.append("audio")
+                    payloads.append(
+                        encode_wav(80 + 8 * (doc_id % 120), 8000, content)
+                    )
+                else:
+                    types.append("video")
+                    payloads.append(
+                        encode_y4m(
+                            4 + 2 * (doc_id % 7),
+                            4 + 2 * (doc_id % 5),
+                            1 + doc_id % 4,
+                            content,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"], "media_type": types, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema=schema)
+
+
+def real_decode(df: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """REAL codec path: parse BMP / WAV / Y4M payloads (pure-Python +
+    numpy header/plane decoding, functions.codecs) inside an Arrow-batched
+    mapInPandas kernel.  Every output fact — dimensions, frame count,
+    sample rate, duration, declared byte size — comes from the parsed
+    bytes, never carried alongside them, so an oracle recomputing the
+    header arithmetic independently verifies the decoder end-to-end.
+    Unrecognized payloads yield format='unknown' rows with zeroed facts
+    (poison-pill media must not kill a 100 TB scan).  Features are
+    normalized intensity histograms over the decoded sample plane."""
+    from prod_data_pipeline_spark.functions.codecs import (
+        decode_media,
+        intensity_histogram,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in REAL_DECODED_SCHEMA.fieldNames()}
+            for asset_id, mtype, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                info = decode_media(bytes(payload) if payload is not None else b"")
+                rows["asset_id"].append(asset_id)
+                rows["media_type"].append(mtype)
+                if info is None:
+                    rows["format"].append("unknown")
+                    for k in ("width", "height", "n_frames", "sample_rate"):
+                        rows[k].append(0)
+                    rows["duration_ms"].append(0)
+                    rows["n_bytes"].append(0)
+                    rows["features"].append([0.0] * feature_dim)
+                else:
+                    rows["format"].append(info.format)
+                    rows["width"].append(info.width)
+                    rows["height"].append(info.height)
+                    rows["n_frames"].append(info.n_frames)
+                    rows["sample_rate"].append(info.sample_rate)
+                    rows["duration_ms"].append(info.duration_ms)
+                    rows["n_bytes"].append(info.declared_bytes)
+                    rows["features"].append(intensity_histogram(info.samples, feature_dim))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=REAL_DECODED_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -2150,31 +2150,66 @@ def emb_srp_near_dup_pairs(spark, sf_dir):
 @query(
     "media_decode_profile",
     oracle="""
-    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                ELSE 'video' END AS media_type,
+    WITH f AS (
+      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN 54 + ((3*(4 + doc_id % 13) + 3) // 4 * 4) * (4 + doc_id % 7)
+          WHEN 1 THEN 44 + 2*(80 + 8*(doc_id % 120))
+          ELSE length('YUV4MPEG2 W' || CAST(4 + 2*(doc_id % 7) AS VARCHAR)
+                      || ' H' || CAST(4 + 2*(doc_id % 5) AS VARCHAR)
+                      || ' F25:1 C420') + 1
+               + (1 + doc_id % 4)
+                 * (6 + (4 + 2*(doc_id % 7)) * (4 + 2*(doc_id % 5))
+                      + 2*(((4 + 2*(doc_id % 7)) // 2) * ((4 + 2*(doc_id % 5)) // 2)))
+        END AS n_bytes,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 + doc_id % 13
+             WHEN 1 THEN 0 ELSE 4 + 2*(doc_id % 7) END AS w,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 + doc_id % 7
+             WHEN 1 THEN 0 ELSE 4 + 2*(doc_id % 5) END AS h,
+        CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 + doc_id % 4 ELSE 1 END AS nf,
+        CASE CAST(doc_id % 3 AS INT)
+          WHEN 1 THEN (80 + 8*(doc_id % 120)) // 8
+          WHEN 2 THEN (1 + doc_id % 4) * 40 ELSE 0 END AS dur
+      FROM documents
+    )
+    SELECT media_type,
            CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(w) AS BIGINT) AS total_width,
+           CAST(SUM(h) AS BIGINT) AS total_height,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(dur) AS BIGINT) AS total_duration_ms,
            CAST(SUM(16) AS BIGINT) AS total_feature_vals
-    FROM documents GROUP BY 1 ORDER BY media_type
+    FROM f GROUP BY 1 ORDER BY media_type
     """,
     tags=("multimodal",),
 )
 def media_decode_profile(spark, sf_dir):
-    """Multimodal plumbing end-to-end: fabricated binary payloads ->
-    Arrow-batched mapInPandas decode/featurize -> per-type profile.  The
-    oracle checks row fidelity and byte counts through the Python stage."""
+    """Multimodal REAL-codec path end-to-end: synthetic_media_assets
+    fabricates genuine BMP / PCM16-WAV / YUV4MPEG2 payloads, real_decode
+    (operators.multimodal, functions.codecs) PARSES them — dimensions,
+    frame counts, durations, declared byte sizes all come from the bytes
+    — and the oracle recomputes every header fact from doc_id arithmetic
+    independently, so a parser bug (wrong offset, wrong padding, wrong
+    plane math) breaks the hash even though no media library exists on
+    either side."""
     from prod_data_pipeline_spark.operators.multimodal import (
-        decode_and_featurize,
-        fake_media_assets,
+        real_decode,
+        synthetic_media_assets,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    dec = decode_and_featurize(fake_media_assets(docs))
+    dec = real_decode(synthetic_media_assets(docs))
     return (
         dec.groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
             F.sum("n_bytes").alias("total_bytes"),
+            F.sum("width").cast("long").alias("total_width"),
+            F.sum("height").cast("long").alias("total_height"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum("duration_ms").alias("total_duration_ms"),
             F.sum(F.size("features")).cast("long").alias("total_feature_vals"),
         )
         .orderBy("media_type")
@@ -2183,20 +2218,20 @@ def media_decode_profile(spark, sf_dir):
 
 @query("media_feature_topk", oracle=None, tags=("multimodal", "similarity"))
 def media_feature_topk(spark, sf_dir):
-    """Cross-modal composition: decoded media features flow straight into
+    """Cross-modal composition: REAL-decoded media features (intensity
+    histograms over parsed BMP/WAV/Y4M sample planes) flow straight into
     the generic ANN operator (decode -> fixed-width arrays -> cosine
-    top-3).  Deterministic fake features; rows-only check (the byte-level
-    sha256 feature math has no tractable SQL mirror) + unit coverage in
-    tests/test_multimodal.py."""
+    top-3).  Rows-only check (pixel-plane histogram math has no tractable
+    SQL mirror) + unit coverage in tests/test_multimodal.py."""
     from prod_data_pipeline_spark.operators.multimodal import (
-        decode_and_featurize,
-        fake_media_assets,
+        real_decode,
+        synthetic_media_assets,
     )
     from prod_data_pipeline_spark.operators.similarity import brute_force_topk
 
     docs = _t(spark, sf_dir, "documents")
     feats = (
-        decode_and_featurize(fake_media_assets(docs))
+        real_decode(synthetic_media_assets(docs))
         .filter(F.col("n_bytes") > 0)
         .select(F.col("asset_id").alias("vec_id"), F.col("features").alias("embedding"))
     )

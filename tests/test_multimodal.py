@@ -80,7 +80,85 @@ def test_repartition_for_payloads_triggers_no_action(spark):
     assert sized.rdd.getNumPartitions() == max(n, 782)
 
 
-def test_real_decode_is_gated(spark, assets):
-    if not HAVE_PIL:
-        with pytest.raises(NotImplementedError, match="stubbed"):
-            real_decode(assets)
+def test_codec_roundtrips():
+    """Pure-Python codecs: encode -> decode recovers every header fact,
+    the declared byte size equals the actual payload length, and decoded
+    samples round-trip the tiled content."""
+    import numpy as np
+
+    from prod_data_pipeline_spark.functions.codecs import (
+        decode_bmp,
+        decode_media,
+        decode_wav,
+        decode_y4m,
+        encode_bmp,
+        encode_wav,
+        encode_y4m,
+        intensity_histogram,
+    )
+
+    content = b"some deterministic document text \xf0\x9f\x8c\x8d"
+
+    bmp = encode_bmp(13, 7, content)
+    info = decode_bmp(bmp)
+    assert (info.width, info.height, info.n_frames) == (13, 7, 1)
+    assert info.declared_bytes == len(bmp)
+    row = (3 * 13 + 3) // 4 * 4
+    assert info.samples.size == row * 7
+
+    wav = encode_wav(808, 8000, content)
+    info = decode_wav(wav)
+    assert (info.sample_rate, info.duration_ms) == (8000, 101)
+    assert info.declared_bytes == len(wav)
+    want = np.tile(np.frombuffer(content, np.uint8), -(-808 // len(content)))[:808]
+    assert np.array_equal(info.samples, want)  # PCM16 folds back exactly
+
+    y4m = encode_y4m(10, 6, 3, content)
+    info = decode_y4m(y4m)
+    assert (info.width, info.height, info.n_frames, info.duration_ms) == (10, 6, 3, 120)
+    assert info.declared_bytes == len(y4m)
+    assert info.samples.size == 60  # first-frame luma plane
+
+    # dispatch + junk handling
+    assert decode_media(bmp).format == "bmp"
+    assert decode_media(wav).format == "wav"
+    assert decode_media(y4m).format == "y4m"
+    assert decode_media(b"\x89PNG not supported") is None
+    assert decode_media(b"") is None
+
+    h = intensity_histogram(info.samples)
+    assert len(h) == 16 and abs(sum(h) - 1.0) < 1e-9
+
+
+def test_real_decode_parses_synthetic_assets(spark):
+    """End-to-end real codec path: fabricated BMP/WAV/Y4M payloads parse
+    back to the geometry the construction arithmetic dictates; junk
+    payloads degrade to format='unknown' rows instead of failing."""
+    from prod_data_pipeline_spark.operators.multimodal import synthetic_media_assets
+
+    docs = spark.createDataFrame(
+        [(i, "text for document %d" % i, len("text")) for i in range(30)],
+        "doc_id long, text string, n_chars int",
+    )
+    out = {r["asset_id"]: r for r in real_decode(synthetic_media_assets(docs)).collect()}
+    assert len(out) == 30
+    for i, r in out.items():
+        kind = i % 3
+        if kind == 0:
+            assert r["format"] == "bmp" and r["media_type"] == "image"
+            assert (r["width"], r["height"]) == (4 + i % 13, 4 + i % 7)
+        elif kind == 1:
+            assert r["format"] == "wav" and r["sample_rate"] == 8000
+            assert r["duration_ms"] == (80 + 8 * (i % 120)) // 8
+        else:
+            assert r["format"] == "y4m"
+            assert (r["width"], r["height"]) == (4 + 2 * (i % 7), 4 + 2 * (i % 5))
+            assert r["n_frames"] == 1 + i % 4 and r["duration_ms"] == 40 * (1 + i % 4)
+        assert len(r["features"]) == 16 and abs(sum(r["features"]) - 1.0) < 1e-6
+
+    junk = spark.createDataFrame(
+        [(99, "image", bytearray(b"\x89PNG not a bmp"))],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = real_decode(junk).collect()
+    assert rows[0]["format"] == "unknown" and rows[0]["n_bytes"] == 0
