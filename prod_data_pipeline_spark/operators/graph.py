@@ -1,0 +1,99 @@
+"""Iterative graph algorithms over DataFrame edge lists.
+
+Companion to operators.corpus.dup_clusters (connected components): where
+CC answers "which docs are transitively duplicates", PageRank answers
+"which nodes are most central" — used in training-data pipelines to rank
+duplicate-cluster representatives, citation/link-graph importance, or
+seed selection for crawl frontiers.
+
+Spark-first shape: the classic power iteration expressed as joins +
+aggregations, NOT an RDD Pregel loop — every iteration is
+
+    contribs = ranks JOIN out_degreed_edges ON src  (one hash shuffle)
+               GROUP BY dst SUM(rank/degree)        (same key space)
+    ranks    = nodes LEFT JOIN contribs             (co-partitioned)
+
+with `localCheckpoint` every few rounds to truncate the query-plan
+lineage (an unbounded iterative plan re-derives every prior join at each
+action — the canonical Spark iterative-algorithm trap).  On a real
+cluster, set `sc.setCheckpointDir` and swap in `.checkpoint()` for
+fault-tolerant truncation.
+
+Scale: state per iteration is one (node, rank) row per node and the edge
+list is reused as-is; nothing widens.  Persisting `edges` (done here)
+keeps the per-iteration cost at one shuffle of (node, rank) + one scan
+of the cached degree-annotated edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+    handle_dangling: bool = True,
+) -> DataFrame:
+    """PageRank by power iteration over a directed edge list.
+
+    Output: (node, rank) for every node appearing as src or dst.  Uses
+    the uniform-teleport formulation `rank = (1-d)/N + d * sum(in)`;
+    dangling nodes (no out-edges) redistribute their mass uniformly each
+    round, so total rank stays 1 and the result matches the standard
+    eigenvector definition (numpy-verified in tests/test_graph.py).
+
+    ``handle_dangling=False`` drops the per-iteration dangling-mass
+    aggregation branch — pass it when every node is known to have
+    out-edges (e.g. a symmetrized undirected graph), saving one job per
+    iteration.  The edge and node relations are pre-partitioned on the
+    join key before persisting, so each iteration shuffles only the
+    (node, rank) relation.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()  # one bounded action; also materializes the cache
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edged = (
+        e.join(deg, "src")
+        .select("src", "dst", "out_deg")
+        .repartition("src")  # cached partitioning survives into the loop joins
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    for i in range(n_iters):
+        contribs = (
+            ranks.join(edged, ranks.node == edged.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        new_rank = F.lit((1.0 - damping) / n_nodes) + F.lit(damping) * F.coalesce(
+            "contrib", F.lit(0.0)
+        )
+        joined = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        if handle_dangling:
+            # dangling mass: rank not held by any src with out-edges
+            dangling = (
+                ranks.join(deg, ranks.node == deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+            new_rank = new_rank + F.lit(damping) * F.col("m") / n_nodes
+        ranks = joined.select("node", new_rank.alias("rank"))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    return ranks

@@ -3457,6 +3457,36 @@ def user_activity_streaks(spark, sf_dir):
     )
 
 
+@query("docs_dup_pagerank", oracle=None, tags=("graph", "iterative", "dedup"))
+def docs_dup_pagerank(spark, sf_dir):
+    """Iterative-algorithm surface: PageRank (operators.graph) over the
+    symmetrized MinHash-LSH near-dup pair graph — ranks the most central
+    documents of each duplicate neighborhood (natural cluster
+    representatives).  Power iteration as joins + aggregations with
+    localCheckpoint lineage truncation; rows-only (10 float iterations
+    have no tractable SQL mirror — DuckDB's recursive CTE cannot carry
+    the damping fixpoint exactly), numpy-verified in tests/test_graph.py."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+    from prod_data_pipeline_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # symmetrized graph: every node has out-edges, so skip the dangling
+    # branch (one job per iteration saved); 6 rounds separates cluster
+    # centers on near-dup graphs (tiny diameters).
+    ranks = pagerank(sym, n_iters=6, checkpoint_every=3, handle_dangling=False)
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"), F.round("rank", 9).alias("centrality")
+        )
+        .orderBy(F.desc("centrality"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a

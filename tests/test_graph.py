@@ -1,0 +1,51 @@
+"""operators.graph.pagerank vs a dense numpy power iteration, including
+dangling-node mass redistribution and rank conservation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _numpy_pagerank(n, edges, n_iters=10, d=0.85):
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[t] += r[s] / out_deg[s]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return r
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    # 0->1, 0->2, 1->2, 2->0, 3->2 ; node 4 is dangling (appears as dst only)
+    return [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)]
+
+
+def test_pagerank_matches_numpy(spark, small_graph):
+    from prod_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(small_graph, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+    want = _numpy_pagerank(5, small_graph, n_iters=10)
+    assert set(got) == set(range(5))
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], abs=1e-12)
+    # total rank is conserved (dangling mass redistributed, not lost)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    """A node every other node points at must end up ranked first."""
+    from prod_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 9) for i in range(9)] + [(9, 0)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=15).collect()}
+    assert max(ranks, key=ranks.get) == 9
