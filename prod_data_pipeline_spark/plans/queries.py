@@ -3457,6 +3457,166 @@ def user_activity_streaks(spark, sf_dir):
     )
 
 
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+    tags=("correlated", "tpch", "q21"),
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (receiptdate -> shipdate-vs-orderdate against this
+    schema): suppliers who were the SOLE late supplier of a multi-supplier
+    order.  The two correlated subqueries (EXISTS another supplier /
+    NOT EXISTS another late supplier) decorrelate into per-order counts:
+    n_suppliers from lineitem, n_late from the late pair set — each one
+    narrow aggregation keyed on the order, then two broadcast-probe
+    filters.  No per-row subquery execution, no semi/anti join of the
+    fact table against itself."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers")
+    )
+    n_late = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
+    return (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_balances",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (2, 7, 12, 17, 22)
+    ), avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+      FROM pool WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM pool c, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("correlated", "tpch", "q22"),
+)
+def q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape (phone country code -> nation key against this
+    schema): wealthy-but-lapsed customers per country — above the pooled
+    positive-balance average (scalar subquery -> broadcast one-row
+    relation) with no orders since 2000 (NOT EXISTS -> left-anti join
+    against the date-pruned o_custkey projection).  The threshold is an
+    exact decimal sum / count, so the float compare is bit-identical on
+    both engines."""
+    pool = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(2, 7, 12, 17, 22))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("a")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tr
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(CAST(r.tr AS DOUBLE), 2) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.tr = (SELECT MAX(tr) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("correlated", "tpch", "q15"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the supplier(s) hitting the window's MAX revenue — the
+    max-of-aggregate join-back pattern.  Revenue stays DECIMAL through
+    the max comparison (exact equality; a double max would be a
+    last-ulp lottery), the one-row max relation broadcasts, and ALL ties
+    surface, matching the SQL subquery semantics."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("tr")
+    )
+    mx = rev.agg(F.max("tr").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("tr") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round(F.col("tr").cast("double"), 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 @query("docs_dup_pagerank", oracle=None, tags=("graph", "iterative", "dedup"))
 def docs_dup_pagerank(spark, sf_dir):
     """Iterative-algorithm surface: PageRank (operators.graph) over the
@@ -3546,16 +3706,16 @@ DRIVER_ORDER: list[str] = [
     "events_daily_distinct_users",
     "events_salted_type_counts",
     "user_activity_streaks",
+    "q21_waiting_suppliers",
+    "q22_idle_balances",
+    "q15_top_supplier",
     # -- regression sentinels (driver-green in r01/r02), one per family --
     "events_per_day",
     "q1_pricing_summary",
     "regional_nation_revenue",
-    "customers_without_orders",
-    "nation_keys_except_all",
     "user_sessions",
     "docs_near_dup_pairs",
     "corpus_dup_clusters",
-    "emb_topk_bruteforce",
 ]
 
 

@@ -47,6 +47,21 @@ def test_grouped_rank_and_totals(spark):
     assert totals == want
 
 
+def test_ntile_fewer_rows_than_buckets(spark):
+    """n < k: NTILE assigns bucket == rank (one row per leading bucket);
+    the closed form must not trip on its empty-bucket division branch."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(3)], "id long, v double")
+    got = sorted(
+        (r["id"], r["d"])
+        for r in bucketed_global_rank(df, ["v", "id"])
+        .select("id", ntile_from_rank(F.col("rank"), F.col("n_total"), 10).alias("d"))
+        .collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
 @pytest.mark.parametrize("k", [3, 10])
 def test_ntile_from_rank_matches_window_ntile(spark, k):
     df = _rand_df(spark, n=1009)
