@@ -2499,15 +2499,16 @@ def events_user_type_scd2(spark, sf_dir):
 @query(
     "orders_merge_upsert",
     oracle="""
-    WITH updates AS (
-      SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
-             CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE) AS o_totalprice,
-             2 AS version
-      FROM orders WHERE o_orderkey % 50 = 0
-    ), unioned AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
       FROM orders
-      UNION ALL SELECT * FROM updates
+    ), unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, 1 AS version
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'P', (price_cents * 110) // 100, 2
+      FROM base WHERE o_orderkey % 50 = 0
     ), merged AS (
       SELECT * FROM unioned
       QUALIFY row_number() OVER (
@@ -2516,7 +2517,7 @@ def events_user_type_scd2(spark, sf_dir):
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           CAST(SUM(price_cents) AS DOUBLE) / 100.0 AS total_price
     FROM merged
     """,
     tags=("cdc", "merge"),
@@ -2525,29 +2526,33 @@ def orders_merge_upsert(spark, sf_dir):
     """MERGE-INTO semantics on bare parquet (operators.cdc.merge_upsert):
     a deterministic change batch (every 50th order repriced +10%) upserted
     into the orders snapshot via union + latest-per-key — one window
-    exchange, no table-format dependency.  Verified by count / updated-row
-    count / exact decimal total."""
+    exchange, no table-format dependency.  Prices are carried as integer
+    cents (the repriced value is ``cents*110 div 100``) so both engines do
+    exact integer arithmetic: ``ROUND(double*1.1, 2)`` tie-breaks
+    differently in Spark (HALF_UP on the exact binary expansion) vs DuckDB
+    (half-away-from-zero on the double), which flipped 4/300 rows by one
+    cent — r03's one hash-red driver row."""
     from prod_data_pipeline_spark.operators.cdc import merge_upsert
 
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    ).withColumn("version", F.lit(1))
-    updates = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 50 == 0)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.lit("P").alias("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
-            F.lit(2).alias("version"),
-        )
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    orders = base.withColumn("version", F.lit(1))
+    updates = base.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("P").alias("o_orderstatus"),
+        F.expr("(price_cents * 110) div 100").alias("price_cents"),
+        F.lit(2).alias("version"),
     )
     merged = merge_upsert(orders, updates, ["o_orderkey"], "version")
     return merged.agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias("n_updated"),
-        dsum("o_totalprice").alias("total_price"),
+        (F.sum("price_cents").cast("double") / F.lit(100.0)).alias("total_price"),
     )
 
 

@@ -32,6 +32,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without a timezone annotation (isAdjustedToUTC=false)
+    # read as TIMESTAMP_LTZ, not TIMESTAMP_NTZ.  The test tables store naive
+    # micros; with the session pinned to UTC the instant is identical, and the
+    # whole engine (unix_micros, window ranges, date_trunc) keeps the single
+    # TIMESTAMP type.  DuckDB reads the same file as naive-UTC, so oracles
+    # agree.  load_table also casts defensively for sessions we didn't build.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # 128 MB input splits: at 100 TB that is ~800k tasks, the right order of
     # magnitude for a 1000-executor cluster; locally it just means "one task
     # per small file".

@@ -41,6 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Naive parquet timestamps read as TIMESTAMP_NTZ unless the session sets
+    # parquet.inferTimestampNTZ.enabled=false (session.RUNTIME_CONFS does; this
+    # covers externally built sessions).  Session tz is UTC, so the NTZ->LTZ
+    # cast preserves the instant and matches DuckDB's naive-UTC reading.
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
