@@ -32,16 +32,21 @@ def test_driver_order_policy():
     oq = list(ordered_queries())
     assert oq[: len(DRIVER_ORDER)] == DRIVER_ORDER
     assert set(oq) == set(QUERIES)
-    # The round-3 re-verification targets must sit inside the 50-entry window.
+    # The round-4 re-verification targets must sit inside the 50-entry window:
+    # the r03 hash-red (fixed), the never-driver-checked pagerank, and the
+    # queries new this round.
     window = set(oq[:50])
     must_see = {
-        "docs_packed_bins",
-        "events_rolling_7day",
-        "docs_chunk_spans",
-        "user_retention_cohorts",
-        "events_user_type_scd2",
-        "orders_price_deciles",
-        "events_value_quantiles",
+        "orders_merge_upsert",
+        "docs_dup_pagerank",
+        "q6_forecast_revenue",
+        "q4_late_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "docs_train_val_test_split",
+        "docs_vocab_coverage",
+        "emb_quantization_error",
     }
     assert must_see <= window
 
