@@ -48,6 +48,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-parallel", type=int, default=1,
         help="concurrent dates (default 1: sequential, audit-friendly)",
     )
+
+    q = sub.add_parser(
+        "query", help="run a registered analytics query against a table directory"
+    )
+    q.add_argument("name", nargs="?", default=None, help="query name (see --list)")
+    q.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01",
+        help="directory holding the parquet tables (default: sf0.01 testdata)",
+    )
+    q.add_argument(
+        "--out", default=None,
+        help="write the result as parquet here instead of printing",
+    )
+    q.add_argument("--limit", type=int, default=20, help="rows to print (default 20)")
+    q.add_argument("--list", action="store_true", help="list query names and exit")
+    q.add_argument(
+        "--cpus", type=int, default=None, help="local[N] cores (default: all)"
+    )
     return p
 
 
@@ -61,6 +79,31 @@ def main(argv: list[str] | None = None) -> int:
         validate_date,
     )
     from prod_data_pipeline_spark.session import get_spark
+
+    if args.cmd == "query":
+        from prod_data_pipeline_spark.plans.queries import QUERIES
+
+        if args.list:
+            for name in QUERIES:
+                print(name)
+            return 0
+        if args.name is None:
+            print("error: query name required (or --list)", file=sys.stderr)
+            return 2
+        if args.name not in QUERIES:
+            print(f"error: unknown query {args.name!r} (try --list)", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"pdp-query-{args.name}", cpus=args.cpus)
+        try:
+            df = QUERIES[args.name].fn(spark, args.sf_dir)
+            if args.out:
+                df.write.mode("overwrite").parquet(args.out)
+                print(f"wrote {args.out}")
+            else:
+                df.show(args.limit, truncate=False)
+            return 0
+        finally:
+            spark.stop()
 
     try:
         if args.cmd == "curate":

@@ -99,3 +99,27 @@ def test_cli_bad_date_exits_2_without_spark(tmp_path):
     )
     assert proc.returncode == 2
     assert "invalid ingestion_date" in proc.stderr
+
+
+def test_cli_query_list_and_unknown():
+    proc = _run(["query", "--list"])
+    assert proc.returncode == 0
+    names = proc.stdout.split()
+    assert "events_per_day" in names and len(names) >= 100
+    proc = _run(["query", "no_such_query"])
+    assert proc.returncode == 2
+    assert "unknown query" in proc.stderr
+
+
+def test_cli_query_runs_and_writes(tmp_path):
+    out = tmp_path / "result"
+    proc = _run(
+        [
+            "query", "events_per_day",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(out),
+            "--cpus", "4",
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert list(out.glob("*.parquet")) or list(out.glob("part-*"))

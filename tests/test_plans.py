@@ -159,3 +159,39 @@ def test_broadcast_small_relations(spark):
         plan = _executed_plan(spark, name)
         assert "BroadcastHashJoin" in plan, f"{name}: lost its broadcast join"
         assert "SortMergeJoin" not in plan, f"{name}: small side shuffled"
+
+
+def test_round4_tpch_shapes_broadcast_dims(spark):
+    """The round-4 TPC-H shapes keep every dimension on the broadcast
+    side: a SortMergeJoin in any of these means a dim lookup started
+    shuffling the fact table."""
+    for name in (
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+    ):
+        plan = _executed_plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: lost its broadcast joins"
+        assert "SortMergeJoin" not in plan, f"{name}: a dim join shuffled the fact side"
+
+
+def test_q6_single_exchange(spark):
+    """Q6 is scan + filter + global agg: exactly one exchange (the
+    SinglePartition merge of per-task partials), and the filters reach
+    the parquet scan."""
+    plan = _executed_plan(spark, "q6_forecast_revenue")
+    assert plan.count("Exchange") == 1, "q6: extra exchange appeared"
+    assert "PushedFilters: []" not in plan, "q6: filters not pushed to scan"
+
+
+def test_debounce_fact_shuffles_once(spark):
+    """Debounce shuffles the fact table exactly once — the window exchange
+    on (user_id, event_type).  The second hash exchange re-keys the
+    per-task AGGREGATED partials on event_type (bounded: n_types x tasks
+    rows), which is fine; a third fact-sized exchange is not."""
+    plan = _executed_plan(spark, "events_debounce_stats")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange hashpartitioning(user_id" in plan, "window exchange lost its keys"
+    # the partial-agg HashAggregate must sit BELOW the event_type exchange
+    # (map-side combine before the re-key)
+    assert "partial_count" in plan
