@@ -194,3 +194,82 @@ def write_range_ordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_value(cols, bits: int = 16):
+    """Z-order (Morton) key over normalized columns, as a pure Column
+    expression.
+
+    Each input column is first normalized by the caller to an integer in
+    [0, 2**bits) (see ``write_zordered``, which min/max-scales); this
+    function interleaves their bits so that rows close in EVERY dimension
+    get close z-values.  Sorting the layout by this one key gives parquet
+    min/max statistics pruning power on ALL the z-ordered columns at once
+    — a single-column sort perfectly prunes one column and shreds the
+    others; Z-order trades a little per-column locality for locality on
+    each dimension (the Delta/Iceberg OPTIMIZE ZORDER layout).
+
+    Codegen-only: the interleave unrolls to ``bits`` shift/or terms per
+    column — no UDF, no shuffle of its own.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            # bit b of column i lands at position b*n + i of the z-value
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-ordered parquet layout: multi-dimensional data skipping.
+
+    Normalizes each z-order column to [0, 2**bits) by min/max scaling (one
+    tiny global agg, broadcast back — at 100 TB this is a scan of footer
+    stats in practice), interleaves bits into a Morton key, then lays the
+    data out exactly like ``write_range_ordered`` on that key: one range
+    exchange, per-file local sorts, balanced file sizes.  Point/range
+    predicates on ANY z-ordered column then skip most files via parquet
+    min/max stats, instead of only predicates on the first sort column.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in zorder_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+        ]
+    bounds = df.agg(*aggs)
+    scaled_max = (1 << bits) - 1
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    norm_cols = []
+    for c in zorder_cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        norm_cols.append(
+            F.least(
+                F.lit(scaled_max),
+                F.floor((F.col(c).cast("double") - mn) / span * scaled_max).cast("long"),
+            )
+        )
+    z = zorder_value(norm_cols, bits=bits)
+    (
+        with_bounds.withColumn("__z", z)
+        .drop(*[f"__mn_{c}" for c in zorder_cols], *[f"__mx_{c}" for c in zorder_cols])
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
