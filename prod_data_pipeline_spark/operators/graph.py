@@ -97,3 +97,59 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
 
     return ranks
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph given as canonical
+    (id_a < id_b) edge pairs: edge count, wedge count (open 2-paths),
+    triangle count, and the global clustering coefficient
+    3*triangles/wedges.
+
+    The classic distributed formulation: with every edge stored once in
+    canonical order, each triangle {a<b<c} is found exactly once by
+    joining (a,b)x(b,c) into a wedge and probing (a,c).  Both joins are
+    equi-joins on a single node id — shuffle keyed on vertices, never an
+    all-pairs product — and the wedge relation is the size of the true
+    wedge set, so cost tracks graph structure (sum of deg^2), the known
+    lower bound for exact counting.  Wedges come from one degree
+    aggregation over the symmetrized edges: sum(deg*(deg-1)/2).
+    """
+    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long")).distinct()
+    n_edges = e.count()
+
+    deg = (
+        e.select(F.col("id_a").alias("v"))
+        .union(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("n_wedges")
+    )
+
+    ab = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    ac = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+    spark = pairs.sparkSession
+    base = spark.createDataFrame([(n_edges,)], ["n_edges"])
+    out = base.crossJoin(F.broadcast(wedges)).crossJoin(F.broadcast(tri))
+    return out.select(
+        F.col("n_edges").cast("long"),
+        "n_wedges",
+        F.col("n_triangles").cast("long"),
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("global_clustering"),
+    )

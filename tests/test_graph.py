@@ -49,3 +49,21 @@ def test_pagerank_sink_attracts_mass(spark):
     )
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=15).collect()}
     assert max(ranks, key=ranks.get) == 9
+
+
+def test_triangle_stats_known_graphs(spark):
+    from prod_data_pipeline_spark.operators.graph import triangle_stats
+
+    # 4-clique: 6 edges, 12 wedges (4 nodes x C(3,2)), 4 triangles, CC=1.0
+    clique = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], ["id_a", "id_b"]
+    )
+    r = triangle_stats(clique).first()
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (6, 12, 4)
+    assert r["global_clustering"] == 1.0
+
+    # path 1-2-3: one wedge, no triangle
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    r = triangle_stats(path).first()
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (2, 1, 0)
+    assert r["global_clustering"] == 0.0
