@@ -72,6 +72,31 @@ def streaming_daily_counts(events: DataFrame, watermark: str = "2 days") -> Data
     )
 
 
+def streaming_sliding_rates(
+    events: DataFrame,
+    window_len: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked SLIDING-window event rates: each event lands in
+    window_len/slide overlapping windows, giving the smoothed rate curve
+    an alerting/monitoring consumer reads (tumbling windows quantize rate
+    changes to window boundaries; sliding windows see them at slide
+    granularity).  State per key is bounded by windows-per-slide x the
+    watermark horizon, exactly like the tumbling case scaled by the
+    overlap factor."""
+    return (
+        events.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window_len, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_curate(
     spark: SparkSession,
     raw_glob: str,

@@ -12,6 +12,7 @@ from prod_data_pipeline_spark.streaming.curate_stream import (
     stream_events,
     streaming_curate,
     streaming_daily_counts,
+    streaming_sliding_rates,
     streaming_user_sessions,
 )
 from tests.eventgen import generate_raw_events
@@ -361,3 +362,38 @@ def test_streaming_upsert_sink_recovers_snapshot_from_old(spark, tmp_path):
     assert first_keys <= final_keys, "accumulated state was discarded"
     assert len(final_keys) > len(first_keys)
     assert not os.path.exists(snap + ".old")
+
+
+def test_streaming_sliding_rates_match_batch(spark, raw, tmp_path):
+    """Sliding-window rates (6h window / 3h slide) from the stream equal
+    the same windowed aggregation computed in batch over the same files —
+    every event in window_len/slide overlapping windows, none dropped."""
+    base, _ = raw
+    agg = streaming_sliding_rates(stream_events(spark, _glob(base)))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_rates_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), str(r["window_end"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_rates_t").collect()
+    }
+
+    from prod_data_pipeline_spark.sources.readers import read_events_ndjson
+
+    batch_src = read_events_ndjson(spark, _glob(base)).withColumn(
+        "event_ts", F.to_timestamp("event_ts")
+    )
+    batch = (
+        batch_src.groupBy(F.window("event_ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(str(r["w"]["start"]), str(r["w"]["end"])): r["n"] for r in batch}
+    assert got == want
+    # overlap sanity: total windowed rows = 2x raw rows (each event in 2 windows)
+    assert sum(got.values()) == 2 * batch_src.count()
