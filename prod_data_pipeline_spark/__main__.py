@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", type=int, default=20, help="rows to print (default 20)")
     q.add_argument("--list", action="store_true", help="list query names and exit")
     q.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
+    q.add_argument(
         "--cpus", type=int, default=None, help="local[N] cores (default: all)"
     )
     return p
@@ -96,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name=f"pdp-query-{args.name}", cpus=args.cpus)
         try:
             df = QUERIES[args.name].fn(spark, args.sf_dir)
+            if args.explain:
+                df.explain("formatted")
+                return 0
             if args.out:
                 df.write.mode("overwrite").parquet(args.out)
                 print(f"wrote {args.out}")
