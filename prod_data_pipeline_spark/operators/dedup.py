@@ -298,3 +298,95 @@ def simhash_bucket_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return _maybe_sort(out, sort)
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold_pct: int = 70,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity join via prefix filtering
+    (the PPJoin/AllPairs family) — the deterministic complement to the
+    probabilistic MinHash-LSH path: no false negatives, no banding
+    parameters, at the cost of one global token-frequency pass.
+
+    threshold_pct is an integer percentage (70 = Jaccard >= 0.7) so every
+    bound below stays in integer arithmetic — 0.7 is not binary-exact and
+    ``ceil(0.7*L)`` off-by-ulp bugs are the classic trap here.
+
+    The filter: order each document's distinct tokens rarest-first (by
+    global document frequency, token as tie-break — rare-first makes
+    prefixes maximally selective), keep each doc's first
+    ``L - ceil(t*L) + 1`` tokens as its prefix; two sets with
+    Jaccard >= t MUST share a prefix token, so the candidate join is on
+    single prefix tokens instead of all pairs.  A length filter
+    (``t*|b| <= |a|``, integers again) prunes candidates before
+    verification; exact verification compares ``10^2*inter >=
+    t_pct*union`` in integers — no float ever decides membership.
+
+    Shuffles: one token-DF agg, one prefix-token self-join (candidates ∝
+    shared rare tokens, never n²), one verify join on ids.  At 100 TB the
+    frequency relation is the big-data analog of a dictionary: df-ranked
+    token ids are exactly what a tokenizer/vocab pass already produces.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    toks = ensure_parallelism(toks).persist(StorageLevel.MEMORY_AND_DISK)
+
+    tok = toks.select(F.col(id_col), F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("df", "token")
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    t = threshold_pct
+    # prefix length L - ceil(t*L/100) + 1, all-integer ceiling
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr(f"({t} * sz + 99) div 100") + 1
+    ).select(F.col(id_col), "token", "sz")
+
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("token"), F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("token"), F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: Jaccard >= t/100 requires t*max(|a|,|b|) <= 100*min
+        .filter(
+            F.lit(t) * F.greatest("sz_a", "sz_b")
+            <= F.lit(100) * F.least("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    sb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("union_sz", union)
+        # integer threshold test: inter/union >= t/100  <=>  100*inter >= t*union
+        .filter(F.lit(100) * F.col("inter") >= F.lit(t) * F.col("union_sz"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("union_sz").cast("long").alias("union_sz"),
+            F.round(F.col("inter") / F.col("union_sz"), 4).alias("jaccard"),
+        )
+    )
+    return verified

