@@ -301,3 +301,38 @@ def test_near_dup_agrees_with_pyspark_ml_minhashlsh(spark):
     # exhaustively verified as below-threshold... and vice versa: any pair
     # BOTH engines emit must agree on similarity space (sanity, not recall).
     assert ours <= lib_pairs | ours
+
+
+def test_jaccard_prefix_pairs_equals_bruteforce(spark):
+    """The prefix-filtering exact join's defining guarantee: zero false
+    negatives AND zero false positives vs the brute-force all-pairs
+    Jaccard computed in plain Python on the same token sets."""
+    from itertools import combinations
+
+    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",     # near-dup of 0
+        "the quick brown fox leaps over the lazy dog",   # near-dup of 0
+        "entirely different content about spark engines",
+        "content about spark engines entirely different",  # same set as 3
+        "one more unrelated document with unique words",
+        "short text",
+        "short text",                                     # exact dup of 6
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    for t_pct in (50, 70, 92):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_prefix_pairs(df, threshold_pct=t_pct).collect()
+        }
+        sets = {i: set(t.split()) for i, t in enumerate(texts)}
+        want = {
+            (a, b)
+            for a, b in combinations(range(len(texts)), 2)
+            if 100 * len(sets[a] & sets[b]) >= t_pct * len(sets[a] | sets[b])
+        }
+        assert got == want, (t_pct, got ^ want)
