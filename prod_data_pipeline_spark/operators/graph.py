@@ -153,3 +153,70 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             6,
         ).alias("global_clustering"),
     )
+
+
+def pagerank_quantized(
+    pairs: DataFrame,
+    n_iters: int = 6,
+    damping: float = 0.85,
+    scale: int = 12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Cross-engine-deterministic PageRank over an undirected pair graph
+    (canonical (id_a, id_b) input; edges are symmetrized here).
+
+    The plain power iteration sums float contributions whose ORDER depends
+    on partitioning — correct to ~1e-15 but never bit-identical across
+    engines, which is why iterative algorithms are usually "rows-only" in
+    exact-hash correctness harnesses.  This variant quantizes at the two
+    float points of each iteration: every contribution rank/deg rounds to
+    `scale` digits and sums as exact DECIMAL (associative, order-free),
+    and the damped update rounds back to `scale` digits.  Every float op
+    left (two divisions, one multiply-add) is a single IEEE operation on
+    identical inputs, so ANY engine replaying the recurrence — including
+    a SQL engine with the iterations unrolled as CTEs — produces the
+    same bits.  The quantization perturbs ranks by <= n_iters * 1e-scale,
+    far below reporting precision.
+
+    Same scale shape as `pagerank`: one (node, rank) shuffle per
+    iteration + a scan of the persisted symmetrized edges; symmetric
+    graphs have no dangling nodes, so no dangling branch."""
+    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    edges = (
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # symmetric graph: every node appears as src
+    if n == 0:
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame([], "node long, rank double")
+
+    dec = f"decimal({max(scale + 8, 18)},{scale})"
+    ranks = deg.select(
+        F.col("src").alias("node"), F.round(F.lit(1.0) / n, scale).alias("rank")
+    )
+    for i in range(n_iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("deg"), scale).cast(dec).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            F.round(
+                F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("s").cast("double"),
+                scale,
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
+    return ranks

@@ -3622,27 +3622,135 @@ def q15_top_supplier(spark, sf_dir):
     )
 
 
-@query("docs_dup_pagerank", oracle=None, tags=("graph", "iterative", "dedup"))
+@query(
+    "docs_dup_pagerank",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh_0,
+             list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh_1,
+             list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh_2,
+             list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh_3,
+             list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min') AS mh_4,
+             list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min') AS mh_5,
+             list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min') AS mh_6,
+             list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min') AS mh_7
+      FROM s
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, mh_2 || '|' || mh_3 AS band_key FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh_4 || '|' || mh_5 AS band_key FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 3 AS band_id, mh_6 || '|' || mh_7 AS band_key FROM sig WHERE len(sh) > 0
+    ), pairs AS (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM deg
+    ), c0 AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT dst AS node,
+             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
+      FROM c0
+    ), c1 AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT dst AS node,
+             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
+      FROM c1
+    ), c2 AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT dst AS node,
+             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
+      FROM c2
+    ), c3 AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN r3 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r4 AS (
+      SELECT dst AS node,
+             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
+      FROM c3
+    ), c4 AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN r4 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r5 AS (
+      SELECT dst AS node,
+             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
+      FROM c4
+    ), c5 AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN r5 r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r6 AS (
+      SELECT dst AS node,
+             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
+      FROM c5
+    )
+    SELECT node AS doc_id, ROUND(rank, 9) AS centrality
+    FROM r6
+    ORDER BY centrality DESC, doc_id LIMIT 50
+    """,
+    tags=("graph", "iterative", "dedup"),
+)
 def docs_dup_pagerank(spark, sf_dir):
-    """Iterative-algorithm surface: PageRank (operators.graph) over the
-    symmetrized MinHash-LSH near-dup pair graph — ranks the most central
-    documents of each duplicate neighborhood (natural cluster
-    representatives).  Power iteration as joins + aggregations with
-    localCheckpoint lineage truncation; rows-only (10 float iterations
-    have no tractable SQL mirror — DuckDB's recursive CTE cannot carry
-    the damping fixpoint exactly), numpy-verified in tests/test_graph.py."""
+    """Iterative-algorithm surface, ORACLE-CHECKED: PageRank over the
+    symmetrized MinHash-LSH near-dup pair graph via
+    operators.graph.pagerank_quantized — per-iteration quantization
+    (round contributions to 12 digits, sum as exact DECIMAL, round the
+    damped update back) makes the float recurrence bit-identical across
+    engines, so the DuckDB oracle can replay all 6 power iterations as
+    unrolled CTEs and the driver's exact value-hash holds.  Rounds 1-3
+    shipped this rows-only; the quantization error (<= 6e-12) is three
+    orders below the 9-digit reporting precision, so ranking is
+    unchanged.  Numpy-verified in tests/test_graph.py."""
     from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.operators.graph import pagerank
+    from prod_data_pipeline_spark.operators.graph import pagerank_quantized
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # symmetrized graph: every node has out-edges, so skip the dangling
-    # branch (one job per iteration saved); 6 rounds separates cluster
-    # centers on near-dup graphs (tiny diameters).
-    ranks = pagerank(sym, n_iters=6, checkpoint_every=3, handle_dangling=False)
+    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False).select("id_a", "id_b")
+    ranks = pagerank_quantized(pairs, n_iters=6, checkpoint_every=3)
     return (
         ranks.select(
             F.col("node").alias("doc_id"), F.round("rank", 9).alias("centrality")

@@ -67,3 +67,34 @@ def test_triangle_stats_known_graphs(spark):
     r = triangle_stats(path).first()
     assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (2, 1, 0)
     assert r["global_clustering"] == 0.0
+
+
+def test_pagerank_quantized_matches_numpy(spark):
+    """The quantized recurrence stays within 1e-9 of an exact float64
+    numpy power iteration (quantization bound: n_iters * 1e-12), and the
+    rank ORDER is identical."""
+    import numpy as np
+
+    from prod_data_pipeline_spark.operators.graph import pagerank_quantized
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["node"]: r["rank"] for r in pagerank_quantized(df, n_iters=6).collect()}
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(6):
+        r = 0.15 / n + 0.85 * (adj.T @ (r / deg))
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    # rank ORDER matches up to exact ties (nodes 0 and 1 are graph-symmetric)
+    for a in nodes:
+        for b in nodes:
+            if r[idx[a]] - r[idx[b]] > 1e-9:
+                assert got[a] > got[b], (a, b)
