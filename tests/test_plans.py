@@ -195,3 +195,25 @@ def test_debounce_fact_shuffles_once(spark):
     # the partial-agg HashAggregate must sit BELOW the event_type exchange
     # (map-side combine before the re-key)
     assert "partial_count" in plan
+
+
+def test_prefix_join_never_cartesian(spark):
+    """The exact similarity join must get ALL its pairs from the
+    prefix-token equi-join — a CartesianProduct/BroadcastNestedLoop in
+    this plan means the filter degenerated to all-pairs."""
+    plan = _executed_plan(spark, "docs_jaccard_prefix_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mi_and_unigram_fact_scans_bounded(spark):
+    """events_type_value_mi: the fact table feeds ONE scan family and all
+    cross-relation joins happen on broadcast cell/margin relations.
+    docs_unigram_logprob: no nested-loop join anywhere — the LM relation
+    re-keys the token stream via hash equi-joins only."""
+    for name in ("events_type_value_mi", "docs_unigram_logprob"):
+        plan = _executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    mi_plan = _executed_plan(spark, "events_type_value_mi")
+    # margins and totals broadcast; only the base cell agg shuffles
+    assert "BroadcastHashJoin" in mi_plan or "BroadcastNestedLoopJoin" in mi_plan
