@@ -176,3 +176,36 @@ def intensity_histogram(samples: np.ndarray, bins: int = 16) -> list[float]:
         return [0.0] * bins
     counts = np.bincount(samples >> 4, minlength=bins)[:bins]
     return (counts / samples.size).astype(float).tolist()
+
+
+def resize_bmp(payload: bytes, new_width: int, new_height: int) -> bytes:
+    """Nearest-neighbor resize of a 24-bit BMP, pure numpy.
+
+    Rows are unpacked respecting the 4-byte stride padding, sampled with
+    the exact integer map ``src_idx = (dst_idx * src_len) // dst_len``
+    (floor arithmetic — no float coordinate math, so every engine/OS
+    produces identical bytes), and re-encoded with the same header layout
+    ``encode_bmp`` writes.  The standard image-pipeline preprocessing step
+    (thumbnail / model-input normalization) with zero library
+    dependencies."""
+    if new_width <= 0 or new_height <= 0:
+        raise ValueError("resize dimensions must be positive")
+    info = decode_bmp(payload)
+    stride = (3 * info.width + 3) // 4 * 4
+    plane = info.samples[: stride * info.height].reshape(info.height, stride)
+    pix = plane[:, : 3 * info.width].reshape(info.height, info.width, 3)
+    yi = (np.arange(new_height) * info.height) // new_height
+    xi = (np.arange(new_width) * info.width) // new_width
+    out = pix[yi][:, xi]  # (new_h, new_w, 3)
+    new_stride = (3 * new_width + 3) // 4 * 4
+    padded = np.zeros((new_height, new_stride), dtype=np.uint8)
+    padded[:, : 3 * new_width] = out.reshape(new_height, 3 * new_width)
+    row = new_stride
+    size = 54 + row * new_height
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", size, 0, 0, 54,
+        40, new_width, new_height, 1, 24,
+        0, row * new_height, 2835, 2835, 0, 0,
+    )
+    return header + padded.tobytes()

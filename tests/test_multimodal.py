@@ -162,3 +162,42 @@ def test_real_decode_parses_synthetic_assets(spark):
     )
     rows = real_decode(junk).collect()
     assert rows[0]["format"] == "unknown" and rows[0]["n_bytes"] == 0
+
+
+def test_resize_images_real_bmp(spark):
+    """resize_images: BMP payloads resize to the target dims with exact
+    nearest-neighbor pixels (integer floor map); non-BMP payloads pass
+    through untouched with zeroed dims."""
+    import numpy as np
+
+    from prod_data_pipeline_spark.functions.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from prod_data_pipeline_spark.operators.multimodal import resize_images
+
+    # 4x4 gradient BMP + one WAV-ish junk payload
+    content = bytes(range(48))
+    rows = [
+        (1, "image", bytearray(encode_bmp(4, 4, content))),
+        (2, "audio", bytearray(b"RIFFnotabmp")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    out = {r["asset_id"]: r for r in resize_images(df, 2, 2).collect()}
+
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    resized = decode_bmp(bytes(out[1]["payload"]))
+    assert (resized.width, resized.height) == (2, 2)
+    # exact nearest-neighbor expectation computed in plain numpy
+    stride = (3 * 4 + 3) // 4 * 4
+    src = np.frombuffer(encode_bmp(4, 4, content)[54:], dtype=np.uint8)
+    pix = src.reshape(4, stride)[:, :12].reshape(4, 4, 3)
+    want = pix[(np.arange(2) * 4) // 2][:, (np.arange(2) * 4) // 2]
+    got_stride = (3 * 2 + 3) // 4 * 4
+    got = np.frombuffer(bytes(out[1]["payload"])[54:], dtype=np.uint8).reshape(2, got_stride)[
+        :, :6
+    ].reshape(2, 2, 3)
+    assert (got == want).all()
+    # junk passes through byte-identical with zero dims
+    assert (out[2]["width"], out[2]["height"]) == (0, 0)
+    assert bytes(out[2]["payload"]) == b"RIFFnotabmp"
