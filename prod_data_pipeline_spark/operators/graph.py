@@ -114,7 +114,14 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     lower bound for exact counting.  Wedges come from one degree
     aggregation over the symmetrized edges: sum(deg*(deg-1)/2).
     """
-    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long")).distinct()
+    # The input pair plan may be expensive (e.g. the whole LSH pipeline);
+    # the census reads it from five places (edge count, degrees, three
+    # join roles), so persist the canonical edge list once.
+    e = (
+        pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_edges = e.count()
 
     deg = (
@@ -141,7 +148,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     spark = pairs.sparkSession
     base = spark.createDataFrame([(n_edges,)], ["n_edges"])
     out = base.crossJoin(F.broadcast(wedges)).crossJoin(F.broadcast(tri))
-    return out.select(
+    result = out.select(
         F.col("n_edges").cast("long"),
         "n_wedges",
         F.col("n_triangles").cast("long"),
@@ -152,7 +159,9 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("global_clustering"),
-    )
+    ).localCheckpoint(eager=True)  # one-row summary: cut lineage to the cache
+    e.unpersist()
+    return result
 
 
 def pagerank_quantized(
@@ -218,5 +227,9 @@ def pagerank_quantized(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize the final state BEFORE releasing the edge cache — the tail
+    # iterations' lineage still reads it, and unpersisting a lazy result
+    # would silently recompute the whole edge plan at first action
+    ranks = ranks.localCheckpoint(eager=True)
     edges.unpersist()
     return ranks
