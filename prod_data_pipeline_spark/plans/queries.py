@@ -869,7 +869,7 @@ def nation_keys_except_all(spark, sf_dir):
     SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type))
-    ORDER BY day, event_type
+    ORDER BY day NULLS FIRST, event_type NULLS FIRST
     """,
     tags=("grouping-sets", "sql-api"),
 )
@@ -959,7 +959,7 @@ def events_daily_type_pivot(spark, sf_dir):
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
     tags=("rollup",),
 )
@@ -982,7 +982,7 @@ def order_rollup_stats(spark, sf_dir):
     SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY CUBE (CAST(ts AS DATE), event_type)
-    ORDER BY day, event_type
+    ORDER BY day NULLS FIRST, event_type NULLS FIRST
     """,
     tags=("cube",),
 )
