@@ -194,6 +194,12 @@ def resize_bmp(payload: bytes, new_width: int, new_height: int) -> bytes:
     stride = (3 * info.width + 3) // 4 * 4
     plane = info.samples[: stride * info.height].reshape(info.height, stride)
     pix = plane[:, : 3 * info.width].reshape(info.height, info.width, 3)
+    # decode_bmp abs()'s biHeight; a negative raw value means a top-down BMP
+    # (rows stored first-row-first).  The output is always encoded bottom-up,
+    # so flip such sources into bottom-up row order to preserve orientation.
+    raw_height = struct.unpack_from("<i", payload, 22)[0]
+    if raw_height < 0:
+        pix = pix[::-1]
     yi = (np.arange(new_height) * info.height) // new_height
     xi = (np.arange(new_width) * info.width) // new_width
     out = pix[yi][:, xi]  # (new_h, new_w, 3)

@@ -300,11 +300,113 @@ def simhash_bucket_pairs(
     return _maybe_sort(out, sort)
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    window: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+    min_count: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Span-level EXACT substring dedup (the ExactSubstr family): find the
+    maximal token spans that occur (>= min_count times) ANYWHERE in the
+    corpus — across documents or repeated within one — as opposed to the
+    whole-document exact/near dedup above.  This is the standard LLM-corpus
+    pass that strips boilerplate/licenses/templates repeated verbatim
+    inside otherwise-distinct documents.
+
+    Spark-shaped suffix-array replacement: slide a `window`-token hash over
+    every document (one hash per start position, computed INSIDE a
+    higher-order transform so the token array is scanned once and never
+    duplicated per window row), groupBy the window hash to find repeats,
+    semi-join the repeated hashes back onto the position table, and merge
+    overlapping/adjacent duplicated windows into maximal spans per doc with
+    one partitionBy(doc) window pass (running-max interval union).
+
+    Scale: shuffle is proportional to TOKEN WINDOWS (≈ corpus token count),
+    never to document pairs — the groupBy key is a 16-byte digest with
+    map-side partial aggregation, exactly the exact-dedup shuffle shape one
+    level down.  No n² anywhere; the span merge shuffles only the (small)
+    duplicated-window subset keyed by doc.
+
+    Backends: "md5" (bit-identical in any engine -> DuckDB oracle replays
+    the whole pipeline); "xxhash64" (JVM-native, production).  Returns
+    (id, span_start, span_end, n_windows) with 1-based inclusive token
+    positions.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    toks = ensure_parallelism(toks).filter(F.size("toks") >= window)
+    sep = "\x1f"  # unit separator: token-boundary-safe concat key
+
+    def _win_hash(s: Column) -> Column:
+        if hash_fn == "md5":
+            return F.md5(s)
+        if hash_fn == "xxhash64":
+            return F.xxhash64(s).cast("string")
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+    win_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - window + 1),
+        lambda p: F.struct(
+            p.alias("p"),
+            _win_hash(F.concat_ws(sep, F.slice(F.col("toks"), p, window))).alias("h"),
+        ),
+    )
+    w = (
+        toks.select(F.col(id_col), F.explode(win_arr).alias("w"))
+        .select(F.col(id_col), F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup_h = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dupw = w.join(dup_h, "h", "left_semi").select(
+        F.col(id_col), F.col("p"), (F.col("p") + window - 1).alias("e")
+    )
+    if materialize:
+        # two plan branches read `w` (hash agg + semi probe); materialize the
+        # small duplicated-window relation, then release the cache so the
+        # operator doesn't leak session-lifetime storage per call.
+        dupw = dupw.localCheckpoint(eager=True)
+        w.unpersist()
+
+    from pyspark.sql import Window as W
+
+    prev = W.partitionBy(id_col).orderBy("p").rowsBetween(W.unboundedPreceding, -1)
+    run = W.partitionBy(id_col).orderBy("p")
+    with_isl = (
+        dupw.withColumn("prev_end", F.max("e").over(prev))
+        # new maximal span when this window starts past the farthest end
+        # reached so far (+1: adjacent coverage still merges)
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("p") > F.col("prev_end") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("new_span").over(run))
+    )
+    return (
+        with_isl.groupBy(F.col(id_col), F.col("span_id"))
+        .agg(
+            F.min("p").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(F.col(id_col), "span_start", "span_end", "n_windows")
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     threshold_pct: int = 70,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold set-similarity join via prefix filtering
     (the PPJoin/AllPairs family) — the deterministic complement to the
@@ -389,4 +491,12 @@ def jaccard_prefix_pairs(
             F.round(F.col("inter") / F.col("union_sz"), 4).alias("jaccard"),
         )
     )
+    if materialize:
+        # The returned plan references the persisted `toks` relation from
+        # three branches; materialize the (small) verified pair set, then
+        # release the cache so repeated calls don't leak session-lifetime
+        # storage.  materialize=False hands the lazy plan back for
+        # inspection/composition — the CALLER then owns the cache lifetime.
+        verified = verified.localCheckpoint(eager=True)
+        toks.unpersist()
     return verified

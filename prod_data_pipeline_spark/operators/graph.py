@@ -130,8 +130,11 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # deg*(deg-1) is always even, so integer `div 2` is exact — and keeping
+    # the whole sum integral (never double) preserves exactness past 2^53,
+    # where SUM(double) would silently lose integer precision at scale.
     wedges = deg.agg(
-        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0.0))
+        F.coalesce(F.sum(F.expr("(deg * (deg - 1)) div 2")), F.lit(0).cast("long"))
         .cast("long")
         .alias("n_wedges")
     )
@@ -182,10 +185,14 @@ def pagerank_quantized(
     `scale` digits and sums as exact DECIMAL (associative, order-free),
     and the damped update rounds back to `scale` digits.  Every float op
     left (two divisions, one multiply-add) is a single IEEE operation on
-    identical inputs, so ANY engine replaying the recurrence — including
-    a SQL engine with the iterations unrolled as CTEs — produces the
-    same bits.  The quantization perturbs ranks by <= n_iters * 1e-scale,
-    far below reporting precision.
+    identical inputs, so an engine replaying the recurrence — including
+    a SQL engine with the iterations unrolled as CTEs — reproduces the
+    values bit-for-bit in practice.  Residual caveat: the rounding itself
+    is engine-implemented (Spark rounds the decimal expansion HALF_UP,
+    DuckDB rounds the double half-away-from-zero); the two agree except
+    on exact ties at digit `scale`, which after a division are
+    astronomically rare but not impossible.  The quantization perturbs
+    ranks by <= n_iters * 1e-scale, far below reporting precision.
 
     Same scale shape as `pagerank`: one (node, rank) shuffle per
     iteration + a scan of the persisted symmetrized edges; symmetric

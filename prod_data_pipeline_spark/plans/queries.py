@@ -4133,10 +4133,10 @@ def docs_vocab_coverage(spark, sf_dir):
     oracle="""
     WITH q AS (
       SELECT label,
-             ROUND(
+             ROUND(CASE WHEN s = 0 THEN 0.0 ELSE
                list_sum(list_transform(range(1, len(e) + 1),
                  i -> pow(e[i] - (mn + round((e[i] - mn) / s) * s), 2)))
-               / len(e), 10) AS mse
+               / len(e) END, 10) AS mse
       FROM (
         SELECT label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -4175,18 +4175,27 @@ def emb_quantization_error(spark, sf_dir):
     ).select(
         "label",
         F.round(
-            F.aggregate(
-                F.transform(
-                    F.col("e"),
-                    lambda x: F.pow(
-                        x - (F.col("mn") + F.round((x - F.col("mn")) / F.col("s")) * F.col("s")),
-                        F.lit(2),
+            # constant vector => span 0 => scale 0: reconstruction is exact,
+            # so MSE is 0 by definition (the unguarded 0/0 would be NaN, which
+            # Spark casts to NULL DECIMAL while DuckDB errors — divergent).
+            F.when(F.col("s") == 0.0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    F.transform(
+                        F.col("e"),
+                        lambda x: F.pow(
+                            x
+                            - (
+                                F.col("mn")
+                                + F.round((x - F.col("mn")) / F.col("s")) * F.col("s")
+                            ),
+                            F.lit(2),
+                        ),
                     ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.size(F.col("e")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size(F.col("e"))
+            ),
             10,
         ).alias("mse"),
     )
@@ -4417,7 +4426,7 @@ def docs_unigram_logprob(spark, sf_dir):
         SELECT id_a AS v FROM edges UNION ALL SELECT id_b AS v FROM edges
       ) GROUP BY v
     ), wedge AS (
-      SELECT COALESCE(CAST(SUM(deg * (deg - 1) / 2) AS BIGINT), 0) AS w FROM degs
+      SELECT COALESCE(CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT), 0) AS w FROM degs
     ), tri AS (
       SELECT COUNT(*) AS t FROM edges e1
       JOIN edges e2 ON e1.id_b = e2.id_a
@@ -4606,6 +4615,86 @@ def events_type_value_mi(spark, sf_dir):
         n_cells.crossJoin(F.broadcast(mi))
         .crossJoin(F.broadcast(hx))
         .crossJoin(F.broadcast(hy))
+    )
+
+
+@query(
+    "docs_substring_dup_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), t2 AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 12
+    ), win AS (
+      SELECT doc_id, unnest(range(1, n - 12 + 2)) AS p, toks FROM t2
+    ), wh AS (
+      SELECT doc_id, p, md5(array_to_string(toks[p:p+11], chr(31))) AS h FROM win
+    ), duph AS (
+      SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2
+    ), dupw AS (
+      SELECT doc_id, p, p + 11 AS e FROM wh JOIN duph USING (h)
+    ), isl AS (
+      SELECT doc_id, p, e,
+             CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dupw
+    ), isl2 AS (
+      SELECT doc_id, p, e,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, span_id, MIN(p) AS sp, MAX(e) AS ep, COUNT(*) AS nw
+      FROM isl2 GROUP BY doc_id, span_id
+    )
+    SELECT sp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(ep - sp.sp + 1) AS BIGINT) AS dup_tokens,
+           CAST(ANY_VALUE(d.n) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(ep - sp.sp + 1) AS DOUBLE) / ANY_VALUE(d.n), 4) AS dup_frac
+    FROM spans sp JOIN t2 d USING (doc_id)
+    GROUP BY sp.doc_id ORDER BY sp.doc_id
+    """,
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def docs_substring_dup_spans(spark, sf_dir):
+    """Span-level exact substring dedup audit (ExactSubstr family): per
+    document, the maximal 12-token-window spans whose content occurs at
+    least twice anywhere in the corpus, with the duplicated-token fraction
+    — the report an LLM-corpus pipeline uses to strip repeated
+    boilerplate/templates that whole-document dedup cannot see.  Built on
+    operators.dedup.substring_dup_spans (sliding window hashes -> repeat
+    groupBy -> per-doc interval union); the oracle replays the entire
+    pipeline in SQL with the md5 backend, so every span boundary is
+    hash-checked.  Shuffle ∝ token windows (corpus token count), never
+    doc pairs; all-integer span arithmetic — no float decides a span."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+    from prod_data_pipeline_spark.operators.dedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = substring_dup_spans(docs, window=12, hash_fn="md5")
+    sizes = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.round(F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -336,3 +336,59 @@ def test_jaccard_prefix_pairs_equals_bruteforce(spark):
             if 100 * len(sets[a] & sets[b]) >= t_pct * len(sets[a] | sets[b])
         }
         assert got == want, (t_pct, got ^ want)
+
+
+def _bruteforce_dup_spans(texts: dict[int, str], window: int, min_count: int = 2):
+    """Plain-Python reference for substring_dup_spans: slide token windows,
+    count occurrences corpus-wide, merge duplicated windows per doc."""
+    wins: dict[int, list[tuple[int, tuple]]] = {}
+    counts: dict[tuple, int] = {}
+    for i, t in texts.items():
+        toks = t.lower().split()
+        wins[i] = []
+        for p in range(len(toks) - window + 1):
+            key = tuple(toks[p : p + window])
+            wins[i].append((p + 1, key))  # 1-based
+            counts[key] = counts.get(key, 0) + 1
+    spans = set()
+    for i, wlist in wins.items():
+        dup = sorted(p for p, k in wlist if counts[k] >= min_count)
+        cur = None
+        for p in dup:
+            s, e = p, p + window - 1
+            if cur and s <= cur[1] + 1:
+                cur = (cur[0], max(cur[1], e))
+            else:
+                if cur:
+                    spans.add((i, cur[0], cur[1]))
+                cur = (s, e)
+        if cur:
+            spans.add((i, cur[0], cur[1]))
+    return spans
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_substring_dup_spans_equals_bruteforce(spark, hash_fn):
+    """Span-level exact substring dedup: boundaries match a plain-Python
+    sliding-window reference exactly, on a corpus with cross-doc repeated
+    boilerplate, within-doc repetition, and a too-short doc."""
+    from prod_data_pipeline_spark.operators.dedup import substring_dup_spans
+
+    boiler = "this document is provided as is without warranty of any kind either express or implied"
+    texts = {
+        1: boiler + " alpha beta gamma delta epsilon zeta eta theta unique one",
+        2: "totally different opening words here then " + boiler + " trailing tail",
+        3: "no repeated content at all just original words flowing along nicely today",
+        4: "loop loop loop loop loop loop loop loop loop loop loop loop",  # self-repeat
+        5: "short doc",  # below window
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    W = 6
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(df, window=W, hash_fn=hash_fn).collect()
+    }
+    assert got == _bruteforce_dup_spans(texts, W)
+    # the boilerplate span must cover the shared sentence in both docs
+    assert any(d == 1 and s == 1 for d, s, e in got)
+    assert not any(d in (3, 5) for d, s, e in got)

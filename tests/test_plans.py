@@ -200,8 +200,15 @@ def test_debounce_fact_shuffles_once(spark):
 def test_prefix_join_never_cartesian(spark):
     """The exact similarity join must get ALL its pairs from the
     prefix-token equi-join — a CartesianProduct/BroadcastNestedLoop in
-    this plan means the filter degenerated to all-pairs."""
-    plan = _executed_plan(spark, "docs_jaccard_prefix_pairs")
+    this plan means the filter degenerated to all-pairs.  Inspect the
+    LAZY plan (materialize=False): the default path checkpoints the
+    result, which would hide the join tree behind an RDD scan."""
+    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = jaccard_prefix_pairs(docs, threshold_pct=92, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
