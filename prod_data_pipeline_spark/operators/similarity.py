@@ -182,12 +182,41 @@ def _srp_planes(dim: int, nbits: int, seed: int = 42):
     return rng.standard_normal((nbits, dim))
 
 
+def _md5_planes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Hyperplanes any engine can regenerate: component (b, i) is
+    ``2*(md5("{seed}:{b}:{i}")[:13 hex] / 2^52) - 1`` — uniform in [-1, 1).
+
+    13 hex digits = 52 bits < 2^53, so the int->double conversion is exact,
+    the division by 2^52 is exact power-of-two scaling, and the final
+    multiply/subtract are single IEEE ops — a SQL engine computing the same
+    recipe (DuckDB: ('0x' || substr(md5(s), 1, 13))::BIGINT) produces
+    bit-identical doubles.  Uniform-cube directions are not perfectly
+    spherical (the Gaussian backend is), which shifts per-bit collision
+    probability slightly — irrelevant for a candidate generator whose
+    output is exact-cosine verified."""
+    import hashlib
+
+    return [
+        [
+            2.0
+            * (
+                int(hashlib.md5(f"{seed}:{b}:{i}".encode()).hexdigest()[:13], 16)
+                / 2**52
+            )
+            - 1.0
+            for i in range(dim)
+        ]
+        for b in range(nbits)
+    ]
+
+
 def with_srp_signature(
     df: DataFrame,
     dim: int,
     nbits: int = 32,
     seed: int = 42,
     emb_col: str = "embedding",
+    backend: str = "mt",
 ) -> DataFrame:
     """Append a signed-random-projection (SimHash-for-cosine) signature:
     bit b = sign(e . r_b) for seeded Gaussian hyperplanes r_b.  Collision
@@ -202,7 +231,25 @@ def with_srp_signature(
     nbits), while the vectorized matmul is effectively free per row.  The
     hyperplanes are seeded + baked into the closure: recomputed lineage is
     identical, so task retries are safe.
+
+    backend="md5" swaps in md5-derived hyperplanes (_md5_planes) and an
+    in-order expression fold for each dot product — ~2x slower, but every
+    float op is replayable bit-for-bit in another engine, which turns the
+    downstream pair query from rows-only into exact-hash-oracle-checked
+    (the same recipe that oracled pagerank_quantized).  The sign test
+    ``dot > 0`` branches on identical doubles, so the signature — and
+    therefore the candidate set — is engine-independent.
     """
+    if backend == "md5":
+        v = _norm_emb(df, emb_col)
+        sig = None
+        for b, row in enumerate(_md5_planes(dim, nbits, seed)):
+            d = dot(F.col("_emb"), F.array(*[F.lit(x) for x in row]))
+            bit = F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+            sig = bit if sig is None else sig + bit
+        return v.withColumn("srp_sig", sig)
+    if backend != "mt":
+        raise ValueError(f"unknown backend {backend!r}")
     planes_t = _srp_planes(dim, nbits, seed).T.copy()  # (dim, nbits)
     weights = (1 << np.arange(nbits, dtype=np.uint64)).astype("float64")
 
@@ -229,6 +276,8 @@ def srp_near_dup_pairs(
     emb_col: str = "embedding",
     round_sim: int = 4,
     sort: bool = True,
+    backend: str = "mt",
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify.
 
@@ -246,7 +295,7 @@ def srp_near_dup_pairs(
     thresholds it is a candidate generator, not an exhaustive search.
     """
     assert nbits % band_bits == 0
-    sig = with_srp_signature(df, dim, nbits, seed, emb_col)
+    sig = with_srp_signature(df, dim, nbits, seed, emb_col, backend)
     # referenced by both band sides + both verify sides: persist or the
     # 1024-literal projection re-evaluates four times
     sig = sig.select(F.col(id_col), "_emb", "srp_sig").persist(StorageLevel.MEMORY_AND_DISK)
@@ -286,6 +335,11 @@ def srp_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    if materialize:
+        # sig feeds four plan branches; materialize the (small) verified
+        # pair set and release the cache — no per-call storage leak.
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
     return out.orderBy("id_a", "id_b") if sort else out
 
 

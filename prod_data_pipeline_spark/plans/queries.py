@@ -2136,15 +2136,51 @@ def emb_cosine_near_dup_pairs(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, block_cols=("label",))
 
 
-@query("emb_srp_near_dup_pairs", oracle=None, tags=("dedup", "similarity", "lsh"))
+@query(
+    "emb_srp_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, b,
+             list_sum(list_transform(range(1, len(e)+1),
+               i -> e[i] * (2.0 * (('0x' || substr(md5('42:' || b || ':' || (i-1)), 1, 13))::BIGINT
+                                   / 4503599627370496.0) - 1.0))) AS d
+      FROM v, range(0, 32) t(b)
+    ), bands AS (
+      SELECT vec_id, CAST(b // 8 AS INT) AS band_id,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 << CAST(b % 8 AS INT) ELSE 0 END) AS BIGINT)
+                 AS band_key
+      FROM sig GROUP BY vec_id, b // 8
+    ), cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.vec_id < r.vec_id
+    )
+    SELECT c.id_a, c.id_b, ROUND({_COS_SQL}, 4) AS sim
+    FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+    WHERE ROUND({_COS_SQL}, 4) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "similarity", "lsh"),
+)
 def emb_srp_near_dup_pairs(spark, sf_dir):
     """Sign-LSH (random-hyperplane) bucketed near-dup candidates + exact
     cosine verify — the 100 TB path (no blocking attribute needed).
-    Approximate: rows-only check; planted-duplicate recall is unit-tested."""
+
+    Runs the md5-hyperplane backend: each plane component is derived from
+    an md5 digest (13 hex digits / 2^52, exact in double) and every dot
+    product is an in-order fold, so DuckDB regenerates the planes, the
+    signatures, the candidate set, and the verified similarities
+    bit-for-bit — the determinism recipe that oracled pagerank_quantized,
+    applied to LSH.  The numpy-Gaussian matmul backend (backend="mt",
+    operator default) remains the production path; its planted-dup recall
+    is unit-tested (tests/test_similarity.py)."""
     from prod_data_pipeline_spark.operators.similarity import srp_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return srp_near_dup_pairs(emb, dim=64, threshold=0.3)
+    return srp_near_dup_pairs(emb, dim=64, threshold=0.3, backend="md5")
 
 
 @query(
