@@ -46,6 +46,11 @@ INFLATED_QUERIES = [
     "top_orders_by_revenue",
     "regional_nation_revenue",
     "user_sessions",
+    # standing sf1-equivalent timing for the two-pass bucketed-rank plans
+    # (operators/ranking.py) — the plans most likely to regress silently
+    # under AQE changes, since a global-sort NTILE would still pass value
+    # checks at small scale.
+    "orders_price_deciles",
 ]
 
 

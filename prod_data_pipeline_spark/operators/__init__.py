@@ -25,10 +25,11 @@ from prod_data_pipeline_spark.operators.sampling import (
     stratified_sample,
 )
 from prod_data_pipeline_spark.operators.multimodal import (
-    decode_and_featurize,
-    fake_media_assets,
+    real_decode,
     repartition_for_payloads,
+    resize_images,
     sample_video_frames,
+    synthetic_media_assets,
 )
 from prod_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
@@ -56,10 +57,8 @@ __all__ = [
     "cosine_near_dup_pairs",
     "curate_corpus",
     "dup_clusters",
-    "decode_and_featurize",
     "drop_exact_dups",
     "exact_dedup_groups",
-    "fake_media_assets",
     "hash_sample",
     "ivf_recall_at_k",
     "ivf_topk",
@@ -71,12 +70,15 @@ __all__ = [
     "ngram_jaccard_pairs",
     "predicted_lang",
     "quality_score",
+    "real_decode",
     "repartition_for_payloads",
     "repetition_profile",
+    "resize_images",
     "salted_join",
     "scd2_history",
     "stratified_sample",
     "sample_video_frames",
+    "synthetic_media_assets",
     "table_diff",
     "simhash_bucket_pairs",
     "srp_near_dup_pairs",

@@ -407,6 +407,7 @@ def jaccard_prefix_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    hot_df: int = 100_000,
 ) -> DataFrame:
     """EXACT Jaccard-threshold set-similarity join via prefix filtering
     (the PPJoin/AllPairs family) — the deterministic complement to the
@@ -431,6 +432,20 @@ def jaccard_prefix_pairs(
     shared rare tokens, never n²), one verify join on ids.  At 100 TB the
     frequency relation is the big-data analog of a dictionary: df-ranked
     token ids are exactly what a tokenizer/vocab pass already produces.
+
+    Hot-token guard: a single ultra-common token that survives prefixing
+    (possible in short-doc corpora, where the prefix is most of the doc)
+    concentrates its whole posting list on ONE join key — the classic
+    skew cliff.  Tokens whose df exceeds `hot_df` are split into
+    m = ceil(df/hot_df) deterministic chunks (xxhash64(id) % m) and the
+    candidate join runs on (token, chunk_a, chunk_b): each side
+    replicates m-fold for hot tokens only, every (a, b) pair meets under
+    exactly one (chunk_a, chunk_b) key, and per-key candidate volume is
+    bounded by ~hot_df² instead of df².  Cold tokens take m = 1, which
+    degenerates to the plain join — one code path, zero row growth.  The
+    candidate SET is identical with or without the split (this is work
+    redistribution, not filtering), so exactness and the oracle are
+    untouched.
     """
     toks = df.select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
@@ -449,19 +464,35 @@ def jaccard_prefix_pairs(
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
     t = threshold_pct
-    # prefix length L - ceil(t*L/100) + 1, all-integer ceiling
+    # prefix length L - ceil(t*L/100) + 1, all-integer ceiling; keep df for
+    # the hot-token chunk count
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.expr(f"({t} * sz + 99) div 100") + 1
-    ).select(F.col(id_col), "token", "sz")
+    ).select(
+        F.col(id_col),
+        "token",
+        "sz",
+        F.ceil(F.col("df") / F.lit(hot_df)).cast("int").alias("m"),
+    )
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int")
+    rep = F.explode(F.sequence(F.lit(0), F.col("m") - 1))
 
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("token"), F.col("sz").alias("sz_a")
+        F.col(id_col).alias("id_a"),
+        F.col("token"),
+        F.col("sz").alias("sz_a"),
+        chunk.alias("ca"),
+        rep.alias("cb"),  # meet every b-chunk of this token
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("token"), F.col("sz").alias("sz_b")
+        F.col(id_col).alias("id_b"),
+        F.col("token"),
+        F.col("sz").alias("sz_b"),
+        rep.alias("ca"),  # meet every a-chunk of this token
+        chunk.alias("cb"),
     )
     cand = (
-        a.join(b, "token")
+        a.join(b, ["token", "ca", "cb"])
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter: Jaccard >= t/100 requires t*max(|a|,|b|) <= 100*min
         .filter(

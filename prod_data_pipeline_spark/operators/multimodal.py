@@ -52,9 +52,11 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
-    """Deterministic stand-in for a codec+embedding step: byte-histogram
-    features from a sha256-seeded digest.  STUB — replace with a real
-    decoder when PIL/torchvision are present."""
+    """TEST-ONLY deterministic stand-in for a codec+embedding step:
+    byte-histogram features from a sha256-seeded digest.  Production and
+    all registered queries use `real_decode` (real BMP/WAV/Y4M parsing);
+    this path exists solely for codec-independent plumbing tests and is
+    deliberately NOT re-exported from operators/__init__.py."""
     if payload is None:
         return [0.0] * dim
     digest = hashlib.sha256(payload).digest()
@@ -62,10 +64,12 @@ def _fake_decode_features(payload: bytes, dim: int = 16) -> list[float]:
 
 
 def fake_media_assets(docs: DataFrame) -> DataFrame:
-    """Deterministic media-asset table fabricated from `documents`: payload
-    is the UTF-8 text bytes, media_type cycles by doc_id.  Lets the full
-    binary-column pipeline (schema -> mapInPandas decode -> profile) run —
-    and be oracle-checked — without shipping real media in the container."""
+    """TEST-ONLY media-asset table fabricated from `documents`: payload is
+    the raw UTF-8 text bytes (NOT a valid container), media_type cycles by
+    doc_id.  Pairs with decode_and_featurize for codec-independent plumbing
+    tests; registered queries build real container payloads with
+    `synthetic_media_assets` instead.  Not re-exported from
+    operators/__init__.py."""
     media_type = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
@@ -83,13 +87,12 @@ def fake_media_assets(docs: DataFrame) -> DataFrame:
 
 
 def decode_and_featurize(df: DataFrame, feature_dim: int = 16, batch_hint: int = 4096) -> DataFrame:
-    """Decode media payloads and emit fixed-width features via mapInPandas.
-
-    The kernel sees Arrow batches (columnar, zero-copy into pandas); output
-    schema is fixed so Catalyst can prune/push around the Python stage.
-    Raises NotImplementedError for media types that would need a real codec
-    when none is installed, EXCEPT the deterministic 'fake' feature path
-    which is always available for plumbing tests.
+    """TEST-ONLY plumbing kernel: decode media payloads into fixed-width
+    fake features via mapInPandas (see _fake_decode_features).  Exercises
+    the Arrow batch shape / fixed output schema / null-payload handling
+    without any codec dependency; every registered query and the
+    production path use `real_decode` instead.  Not re-exported from
+    operators/__init__.py.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -392,3 +392,43 @@ def test_substring_dup_spans_equals_bruteforce(spark, hash_fn):
     # the boilerplate span must cover the shared sentence in both docs
     assert any(d == 1 and s == 1 for d, s, e in got)
     assert not any(d in (3, 5) for d, s, e in got)
+
+
+def test_jaccard_prefix_pairs_hot_token_guard(spark):
+    """Skew guard: one token in ~50% of docs that SURVIVES prefixing
+    (short docs => the prefix covers most tokens).  With hot_df forced
+    tiny the hot posting list splits into m > 1 chunks — the result must
+    still equal brute force exactly (the split redistributes work, never
+    filters candidates), at several thresholds."""
+    from itertools import combinations
+
+    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
+
+    # 40 docs, ~half contain the hot token "common"; 3-4 tokens each so the
+    # 50%-threshold prefix is 2 tokens and "common" lands in many prefixes.
+    texts = {}
+    for i in range(40):
+        uniq = f"u{i}"
+        if i % 2 == 0:
+            texts[i] = f"common {uniq} alpha"      # hot token up front
+        else:
+            texts[i] = f"{uniq} beta gamma delta"
+    # planted near-dup pairs sharing the hot token
+    texts[40] = "common shared phrase here"
+    texts[41] = "common shared phrase there"
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    sets = {i: set(t.split()) for i, t in texts.items()}
+    for t_pct in (50, 75):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_prefix_pairs(df, threshold_pct=t_pct, hot_df=3).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in combinations(sorted(texts), 2)
+            if 100 * len(sets[a] & sets[b]) >= t_pct * len(sets[a] | sets[b])
+        }
+        assert got == want, (t_pct, got ^ want)
+        if t_pct == 50:
+            assert (40, 41) in got  # planted 60%-Jaccard pair found at 50
