@@ -32,21 +32,24 @@ def test_driver_order_policy():
     oq = list(ordered_queries())
     assert oq[: len(DRIVER_ORDER)] == DRIVER_ORDER
     assert set(oq) == set(QUERIES)
-    # The round-4 re-verification targets must sit inside the 50-entry window:
-    # the r03 hash-red (fixed), the never-driver-checked pagerank, and the
-    # queries new this round.
+    # The round-5 re-verification targets must sit inside the 50-entry
+    # window: everything new or semantically changed this round, plus the
+    # 8 queries whose last driver row dates to r02.
     window = set(oq[:50])
     must_see = {
-        "orders_merge_upsert",
-        "docs_dup_pagerank",
-        "q6_forecast_revenue",
-        "q4_late_order_priority",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "docs_train_val_test_split",
-        "docs_vocab_coverage",
+        "docs_substring_dup_spans",
+        "emb_srp_near_dup_pairs",
+        "docs_jaccard_prefix_pairs",
+        "docs_dup_triangles",
         "emb_quantization_error",
+        "events_column_profile",
+        "events_curated_projection",
+        "events_hourly_activity",
+        "events_null_profile",
+        "events_per_day_sql",
+        "nation_keys_except_all",
+        "nation_keys_intersect",
+        "props_key_stats",
     }
     assert must_see <= window
 
