@@ -224,3 +224,32 @@ def test_mi_and_unigram_fact_scans_bounded(spark):
     mi_plan = _executed_plan(spark, "events_type_value_mi")
     # margins and totals broadcast; only the base cell agg shuffles
     assert "BroadcastHashJoin" in mi_plan or "BroadcastNestedLoopJoin" in mi_plan
+
+
+def test_substring_spans_never_cartesian_and_windows_scan_once(spark):
+    """Span dedup: window hashes must come from ONE higher-order transform
+    per doc (no per-window duplication of the token array), the repeat
+    probe is an equi-(semi-)join, and nothing degenerates to all-pairs.
+    Inspect the LAZY operator plan (materialize=False) — the registered
+    query checkpoints the duplicated-window relation."""
+    from prod_data_pipeline_spark.operators.dedup import substring_dup_spans
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    df = substring_dup_spans(docs, window=12, materialize=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the corpus-wide repeat detection is a hash agg with map-side partials
+    assert "partial_count" in plan
+
+
+def test_bpe_merge_candidates_pair_work_is_vocab_sized(spark):
+    """BPE pair counts: the corpus-sized stage is the word-frequency agg
+    (map-side combine before its exchange); pair explosion happens on the
+    post-agg distinct-word relation, and the top-20 is a TakeOrdered, not
+    a global sort."""
+    plan = _executed_plan(spark, "docs_bpe_merge_candidates")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
