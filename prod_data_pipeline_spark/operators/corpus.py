@@ -134,6 +134,7 @@ def curate_corpus(
     hash_fn: str = "md5",
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> DataFrame:
     """Curated corpus: per-document (doc_id, lang, n_tokens, quality) after
     exact dedup, transitive near-dup removal, and the quality threshold.
@@ -142,6 +143,12 @@ def curate_corpus(
     component of the verified pair graph (dup_clusters), so duplicate
     chains collapse to one survivor even when the endpoints never collided
     directly.
+
+    Cache lifecycle: with the default materialize=False the exact-dedup
+    and LSH-signature caches live until session end (caller-owned; keeps
+    the composition one pipelined job — eager checkpoints measured ~2x on
+    this operator's wall at sf0.1).  Pass materialize=True in long-running
+    sessions: the result is checkpointed and both caches are released.
     """
     # d1 feeds both the near-dup pipeline and the final keep-join; persist
     # so the exact-dedup semi-join runs once, not per branch
@@ -149,7 +156,13 @@ def curate_corpus(
     # sort=False: the pair relation feeds cluster resolution, so the
     # deterministic output sort would be a wasted range-exchange
     pairs = near_dup_pairs(
-        d1, id_col, text_col, threshold=jaccard_threshold, hash_fn=hash_fn, sort=False
+        d1,
+        id_col,
+        text_col,
+        threshold=jaccard_threshold,
+        hash_fn=hash_fn,
+        sort=False,
+        materialize=materialize,
     )
     clusters = dup_clusters(pairs, id_col=id_col)
     losers = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
@@ -161,4 +174,10 @@ def curate_corpus(
         F.size(toks).cast("long").alias("n_tokens"),
         quality_score(toks, F.array_distinct(toks)).alias("quality"),
     )
-    return scored.filter(F.col("quality") >= min_quality)
+    out = scored.filter(F.col("quality") >= min_quality)
+    if materialize:
+        # checkpoint the (per-surviving-doc, 4-column) result, then release
+        # the exact-dedup cache — no session-lifetime storage per call
+        out = out.localCheckpoint(eager=True)
+        d1.unpersist()
+    return out

@@ -96,6 +96,12 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
             ranks = ranks.localCheckpoint(eager=True)
 
+    # materialize the final state BEFORE releasing the node/edge caches —
+    # the tail iterations' lineage still reads both, and unpersisting a
+    # lazy result would silently recompute the whole loop at first action
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    edged.unpersist()
     return ranks
 
 
