@@ -4789,6 +4789,84 @@ def docs_bpe_merge_candidates(spark, sf_dir):
 
 
 @query(
+    "docs_bpe_second_merge",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    ), tf AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), p1 AS (
+      SELECT unnest(list_transform(range(1, length(token)), i -> substr(token, i, 2)))
+                 AS pair, c
+      FROM tf WHERE length(token) >= 2
+    ), m1 AS (
+      SELECT pair FROM p1 GROUP BY pair
+      ORDER BY SUM(c) DESC, pair ASC LIMIT 1
+    ), t2 AS (
+      SELECT replace(token, (SELECT pair FROM m1), '1') AS token, c FROM tf
+    ), p2 AS (
+      SELECT unnest(list_transform(range(1, length(token)), i -> substr(token, i, 2)))
+                 AS pair, c
+      FROM t2 WHERE length(token) >= 2
+    )
+    SELECT (SELECT pair FROM m1) AS merge_1, pair, CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM p2 GROUP BY pair
+    ORDER BY pair_count DESC, pair ASC LIMIT 10
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "iterative"),
+)
+def docs_bpe_second_merge(spark, sf_dir):
+    """BPE training iteration TWO: take the argmax pair of iteration one
+    (count-desc + pair-asc tie-break makes the winner engine-independent),
+    apply the merge to every word's symbol sequence (left-to-right
+    non-overlapping replace — identical semantics in the JVM and DuckDB;
+    the merged symbol becomes '1', a character outside the corpus's pure
+    a-z token alphabet), and recount adjacent symbol pairs.  Proof that
+    the BPE recurrence — not just its first statistic — is expressible as
+    a deterministic dataflow any engine replays exactly, the same
+    unrolled-iteration recipe that oracled PageRank.  Work per iteration
+    stays vocab-sized: the corpus is touched once (word counts); merges
+    rewrite the distinct-word table only."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_expl = lambda src: src.filter(F.length("token") >= 2).select(  # noqa: E731
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.substring(F.col("token"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    m1 = (
+        pair_expl(tf)
+        .groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("merge_1"))
+    )
+    t2 = tf.crossJoin(F.broadcast(m1)).select(
+        F.replace(F.col("token"), F.col("merge_1"), F.lit("1")).alias("token"), "c"
+    )
+    return (
+        pair_expl(t2)
+        .groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("pair_count"))
+        .crossJoin(F.broadcast(m1))
+        .select("merge_1", "pair", "pair_count")
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(10)
+    )
+
+
+@query(
     "docs_quality_weighted_sample",
     oracle=f"""
     WITH t AS (
@@ -4872,20 +4950,22 @@ def docs_quality_weighted_sample(spark, sf_dir):
 #   2. the 8 queries whose last driver row is r02 (three rounds stale),
 #   3. 37 of the 49 queries last checked in r03 — they sat outside r04's
 #      window while queries.py took its biggest diff.
-# 13 r03-green queries stay just outside (the three rows-only-by-design
-# entries, whose driver rows carry no hash, plus ten aggs with untouched
-# semantics: events_daily_distinct_users, events_latest_per_user,
+# 14 r03-green queries stay just outside (the three rows-only-by-design
+# entries, whose driver rows carry no hash, plus eleven aggs with
+# untouched semantics: events_daily_distinct_users, events_latest_per_user,
 # events_clicks_before_purchase, events_asof_last_view,
 # large_volume_orders, lineitem_priority_by_status,
 # orders_priority_extremes, parts_supplier_counts,
-# events_salted_type_counts, events_value_histogram) — rotate them first
-# in round 6 along with the r04 window.
+# events_salted_type_counts, events_value_histogram,
+# events_rolling_7day) — rotate them first in round 6 along with the r04
+# window.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
     # -- new or changed in round 5: first driver look / re-verify --
     "docs_substring_dup_spans",
     "docs_bpe_merge_candidates",
+    "docs_bpe_second_merge",
     "docs_quality_weighted_sample",
     "emb_srp_near_dup_pairs",
     "docs_jaccard_prefix_pairs",
@@ -4916,7 +4996,6 @@ DRIVER_ORDER: list[str] = [
     "emb_label_centroids",
     "events_funnel_daily",
     "events_per_day",
-    "events_rolling_7day",
     "events_type_transitions",
     "events_user_type_scd2",
     "events_value_p99_outliers",
