@@ -4867,6 +4867,127 @@ def docs_bpe_second_merge(spark, sf_dir):
 
 
 @query(
+    "docs_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token FROM t
+    ), cu AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), nn AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cu
+    ), bi AS (
+      SELECT doc_id, lang, toks[i] AS prev, toks[i+1] AS cur
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ), cb AS (
+      SELECT prev, cur, COUNT(*) AS c FROM bi GROUP BY prev, cur
+    ), cc AS (
+      SELECT prev, SUM(c) AS c FROM cb GROUP BY prev
+    ), nll AS (
+      SELECT cb.prev, cb.cur,
+             ROUND(-ln(
+               0.8 * (CAST(cb.c AS DOUBLE) / CAST(cc.c AS DOUBLE))
+               + 0.2 * (CAST(cu.c AS DOUBLE) / (SELECT n FROM nn))), 7) AS nll
+      FROM cb JOIN cc USING (prev) JOIN cu ON cu.token = cb.cur
+    ), per_doc AS (
+      SELECT bi.doc_id, bi.lang,
+             ROUND(CAST(SUM(CAST(nll.nll AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*), 6)
+                 AS ce
+      FROM bi JOIN nll ON nll.prev = bi.prev AND nll.cur = bi.cur
+      GROUP BY bi.doc_id, bi.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_ce,
+           ROUND(MIN(ce), 6) AS min_ce,
+           ROUND(MAX(ce), 6) AS max_ce
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "lm", "pipeline"),
+)
+def docs_bigram_logprob(spark, sf_dir):
+    """Order-2 language-model quality signal: Jelinek-Mercer interpolated
+    bigram LM (lambda=0.8 bigram MLE + 0.2 unigram MLE — the standard
+    smoothing that keeps unseen-in-context continuations finite) trained
+    on the corpus, scoring each document's mean NLL over positions 2..n,
+    per language.  The KenN-gram upgrade of docs_unigram_logprob: context
+    counts derive from the bigram-count relation itself (one extra tiny
+    agg), the per-BIGRAM-TYPE NLL is computed once and joined back onto
+    the bigram stream (vocabulary-sized relation, never corpus-sized
+    float math), and the round(7)-then-DECIMAL-sum recipe makes scores
+    independent of summation order.  All probability arithmetic is a
+    fixed chain of single IEEE ops on identical inputs, so DuckDB
+    replays it bit-for-bit.  Docs with fewer than 2 tokens have no
+    scored positions and are excluded by construction."""
+    from prod_data_pipeline_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    tok = t.select(F.explode("toks").alias("token"))
+    cu = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    nn = cu.agg(F.sum("cu").cast("double").alias("n"))
+    bi = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("prev"),
+                    F.element_at(F.col("toks"), i + 1).alias("cur"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    cb = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    cc = cb.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    nll = (
+        cb.join(cc, "prev")
+        .join(cu.withColumnRenamed("token", "cur"), "cur")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                -F.log(
+                    F.lit(0.8) * (F.col("cb").cast("double") / F.col("cc").cast("double"))
+                    + F.lit(0.2) * (F.col("cu").cast("double") / F.col("n"))
+                ),
+                7,
+            ).alias("nll"),
+        )
+    )
+    per_doc = (
+        bi.join(nll, ["prev", "cur"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,7)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ce")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("ce").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ce"),
+            F.round(F.min("ce"), 6).alias("min_ce"),
+            F.round(F.max("ce"), 6).alias("max_ce"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "docs_quality_weighted_sample",
     oracle=f"""
     WITH t AS (
@@ -4950,15 +5071,16 @@ def docs_quality_weighted_sample(spark, sf_dir):
 #   2. the 8 queries whose last driver row is r02 (three rounds stale),
 #   3. 37 of the 49 queries last checked in r03 — they sat outside r04's
 #      window while queries.py took its biggest diff.
-# 14 r03-green queries stay just outside (the three rows-only-by-design
-# entries, whose driver rows carry no hash, plus eleven aggs with
-# untouched semantics: events_daily_distinct_users, events_latest_per_user,
+# 15 r03-green queries stay just outside (the three rows-only-by-design
+# entries, whose driver rows carry no hash, plus twelve queries with
+# untouched semantics and standing local parity/plan coverage:
+# events_daily_distinct_users, events_latest_per_user,
 # events_clicks_before_purchase, events_asof_last_view,
 # large_volume_orders, lineitem_priority_by_status,
 # orders_priority_extremes, parts_supplier_counts,
 # events_salted_type_counts, events_value_histogram,
-# events_rolling_7day) — rotate them first in round 6 along with the r04
-# window.
+# events_rolling_7day, events_funnel_daily) — rotate them first in round
+# 6 along with the r04 window.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
@@ -4966,6 +5088,7 @@ DRIVER_ORDER: list[str] = [
     "docs_substring_dup_spans",
     "docs_bpe_merge_candidates",
     "docs_bpe_second_merge",
+    "docs_bigram_logprob",
     "docs_quality_weighted_sample",
     "emb_srp_near_dup_pairs",
     "docs_jaccard_prefix_pairs",
@@ -4994,7 +5117,6 @@ DRIVER_ORDER: list[str] = [
     "emb_cosine_near_dup_pairs",
     "emb_ivf_recall",
     "emb_label_centroids",
-    "events_funnel_daily",
     "events_per_day",
     "events_type_transitions",
     "events_user_type_scd2",

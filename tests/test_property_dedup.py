@@ -65,3 +65,23 @@ def test_exact_dedup_partitions_the_corpus(spark, texts):
         by_text.setdefault(t, []).append(i)
     keep = {r["keep_id"] for r in rows}
     assert keep == {min(ids) for ids in by_text.values()}
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(st.lists(WORD, min_size=0, max_size=14).map(" ".join),
+                      min_size=1, max_size=10))
+def test_substring_dup_spans_equals_bruteforce_property(spark, texts):
+    """Random tiny-vocab corpora (dense accidental window repeats): span
+    boundaries from the operator must equal the plain-Python sliding-window
+    reference exactly — including within-doc repeats and merged overlaps."""
+    from prod_data_pipeline_spark.operators.dedup import substring_dup_spans
+    from tests.test_dedup_text import _bruteforce_dup_spans
+
+    W = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(df, window=W, hash_fn="md5").collect()
+    }
+    assert got == _bruteforce_dup_spans(dict(enumerate(texts)), W)
