@@ -4988,6 +4988,68 @@ def docs_bigram_logprob(spark, sf_dir):
 
 
 @query(
+    "docs_shard_assignment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), assigned AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shard:' || doc_id), 1, 10))::BIGINT % 8 AS INT)
+                 AS shard,
+             len(toks) AS n_tokens
+      FROM t
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    tags=("sampling", "shard", "llm-pipeline"),
+)
+def docs_shard_assignment(spark, sf_dir):
+    """Training-shard assignment audit: every document routes to one of 8
+    output shards by a content-free md5 key hash (first 10 hex digits mod
+    8) — the writer layout a pretraining pipeline uses so any shard
+    subset is an unbiased corpus sample, re-runs are idempotent
+    (no rand(), no global state), and shards can be written in parallel
+    with no coordination.  The audit reports per-shard doc/token totals
+    (law-of-large-numbers balance check — a skewed shard means a broken
+    hash) plus id ranges.  One scan, one 8-row agg; at 100 TB the same
+    expression IS the `partitionBy` key for the sharded writer."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 10
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 8
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            shard.alias("shard"),
+            F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
     "docs_quality_weighted_sample",
     oracle=f"""
     WITH t AS (
@@ -5071,16 +5133,18 @@ def docs_quality_weighted_sample(spark, sf_dir):
 #   2. the 8 queries whose last driver row is r02 (three rounds stale),
 #   3. 37 of the 49 queries last checked in r03 — they sat outside r04's
 #      window while queries.py took its biggest diff.
-# 15 r03-green queries stay just outside (the three rows-only-by-design
-# entries, whose driver rows carry no hash, plus twelve queries with
+# 16 r03-green queries stay just outside (the three rows-only-by-design
+# entries, whose driver rows carry no hash, plus thirteen queries with
 # untouched semantics and standing local parity/plan coverage:
 # events_daily_distinct_users, events_latest_per_user,
 # events_clicks_before_purchase, events_asof_last_view,
 # large_volume_orders, lineitem_priority_by_status,
 # orders_priority_extremes, parts_supplier_counts,
 # events_salted_type_counts, events_value_histogram,
-# events_rolling_7day, events_funnel_daily) — rotate them first in round
-# 6 along with the r04 window.
+# events_rolling_7day, events_funnel_daily, events_value_p99_outliers) —
+# rotate them first in round 6 along with the r04 window.  Every deferred
+# query is still replayed against its oracle at sf0.001 by the local test
+# suite each round.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
@@ -5089,6 +5153,7 @@ DRIVER_ORDER: list[str] = [
     "docs_bpe_merge_candidates",
     "docs_bpe_second_merge",
     "docs_bigram_logprob",
+    "docs_shard_assignment",
     "docs_quality_weighted_sample",
     "emb_srp_near_dup_pairs",
     "docs_jaccard_prefix_pairs",
@@ -5120,7 +5185,6 @@ DRIVER_ORDER: list[str] = [
     "events_per_day",
     "events_type_transitions",
     "events_user_type_scd2",
-    "events_value_p99_outliers",
     "events_value_quantiles",
     "lineitem_qty_price_corr",
     "media_decode_profile",
