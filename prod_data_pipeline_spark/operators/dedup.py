@@ -428,6 +428,7 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     materialize: bool = True,
     hot_df: int = 100_000,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold set-similarity join via prefix filtering
     (the PPJoin/AllPairs family) — the deterministic complement to the
@@ -466,10 +467,21 @@ def jaccard_prefix_pairs(
     candidate SET is identical with or without the split (this is work
     redistribution, not filtering), so exactness and the oracle are
     untouched.
+
+    shingle_n switches the similarity space from distinct TOKENS to
+    distinct word n-gram SHINGLES — the space MinHash-LSH banding
+    operates in, which makes this operator the exact ground truth for
+    LSH recall measurement (order-sensitive, and shingles are far rarer
+    than tokens, so prefixes get MORE selective).
     """
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
-    ).filter(F.size("toks") > 0)
+    elems = (
+        tokens(F.col(text_col))
+        if shingle_n is None
+        else shingles(tokens(F.col(text_col)), shingle_n)
+    )
+    toks = df.select(F.col(id_col), F.array_distinct(elems).alias("toks")).filter(
+        F.size("toks") > 0
+    )
     toks = ensure_parallelism(toks).persist(StorageLevel.MEMORY_AND_DISK)
 
     tok = toks.select(F.col(id_col), F.explode("toks").alias("token"))

@@ -4988,6 +4988,142 @@ def docs_bigram_logprob(spark, sf_dir):
 
 
 @query(
+    "docs_lsh_recall_vs_exact",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct(list_transform(range(1, len(tk)-1),
+                         i -> array_to_string(tk[i:i+2], ' ')))
+                  ELSE [] END AS toks
+      FROM t0
+    ), t2 AS (
+      SELECT doc_id, toks FROM sh WHERE len(toks) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT doc_id, token, sz,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
+      FROM tok JOIN dfreq USING (token)
+    ), prefix AS (
+      SELECT doc_id, token, sz FROM ranked
+      WHERE rn <= sz - ((50 * sz + 99) // 100) + 1
+    ), pcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE 50 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
+    ), exact AS (
+      SELECT c.id_a, c.id_b FROM pcand c
+      JOIN t2 ta ON ta.doc_id = c.id_a
+      JOIN t2 tb ON tb.doc_id = c.id_b
+      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
+            >= 50 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+    ), sig AS (
+      SELECT doc_id, toks,
+             {", ".join(
+                 f"list_aggregate(list_transform(toks, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+                 for j in range(8)
+             )}
+      FROM t2
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key FROM sig"
+          for b in range(4)
+      )}
+    ), lcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), lsh AS (
+      SELECT c.id_a, c.id_b FROM lcand c
+      JOIN t2 ta ON ta.doc_id = c.id_a
+      JOIN t2 tb ON tb.doc_id = c.id_b
+      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
+            >= 50 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT COUNT(*) FROM exact) - (SELECT COUNT(*) FROM lsh) AS BIGINT)
+               AS n_missed,
+           ROUND(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM exact), 1), 4) AS recall
+    """,
+    tags=("dedup", "similarity", "recall", "instrumentation"),
+)
+def docs_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH recall audit against EXACT ground truth, both sides
+    hash-oracle-checked: the prefix-filtered exact similarity join
+    (operators.dedup.jaccard_prefix_pairs in SHINGLE space — the space
+    LSH banding actually operates in) enumerates every pair with 3-gram
+    shingle Jaccard >= 0.5; the MinHash-LSH path (8 md5 hashes, 4 bands
+    of 2) finds the subset whose signatures collide in some band.  Both
+    memberships use the identical all-integer rule (100*inter >=
+    50*union) — no rounding boundary can make the sides disagree, so
+    recall is exact and n_missed = n_exact - n_lsh by construction.  The
+    text-side twin of emb_ivf_recall, but fully oracled: approximation
+    quality as a first-class, driver-verified measurement instead of a
+    unit-test assertion."""
+    from prod_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        lsh_bands,
+        with_minhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = jaccard_prefix_pairs(docs, threshold_pct=50, shingle_n=3).select(
+        "id_a", "id_b"
+    )
+    sig = with_minhash(docs, num_hashes=8, shingle_n=3, hash_fn="md5").select(
+        "doc_id", "shingle_set", *[f"mh_{j}" for j in range(8)]
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = lsh_bands(sig, "doc_id", 8, 2)
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("set_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    lsh = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.lit(100) * inter >= F.lit(50) * union)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # materialize, then release the sig cache
+    )
+    sig.unpersist()
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            (F.col("n_exact") - F.col("n_lsh")).alias("n_missed"),
+            F.round(
+                F.col("n_lsh").cast("double") / F.greatest("n_exact", F.lit(1)), 4
+            ).alias("recall"),
+        )
+    )
+
+
+@query(
     "docs_shard_assignment",
     oracle=f"""
     WITH t AS (
@@ -5141,10 +5277,10 @@ def docs_quality_weighted_sample(spark, sf_dir):
 # large_volume_orders, lineitem_priority_by_status,
 # orders_priority_extremes, parts_supplier_counts,
 # events_salted_type_counts, events_value_histogram,
-# events_rolling_7day, events_funnel_daily, events_value_p99_outliers) —
-# rotate them first in round 6 along with the r04 window.  Every deferred
-# query is still replayed against its oracle at sf0.001 by the local test
-# suite each round.
+# events_rolling_7day, events_funnel_daily, events_value_p99_outliers,
+# orders_table_diff) — rotate them first in round 6 along with the r04
+# window.  Every deferred query is still replayed against its oracle at
+# sf0.001 by the local test suite each round.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
@@ -5154,6 +5290,7 @@ DRIVER_ORDER: list[str] = [
     "docs_bpe_second_merge",
     "docs_bigram_logprob",
     "docs_shard_assignment",
+    "docs_lsh_recall_vs_exact",
     "docs_quality_weighted_sample",
     "emb_srp_near_dup_pairs",
     "docs_jaccard_prefix_pairs",
@@ -5189,7 +5326,6 @@ DRIVER_ORDER: list[str] = [
     "lineitem_qty_price_corr",
     "media_decode_profile",
     "orders_price_deciles",
-    "orders_table_diff",
     "q10_returned_revenue",
     "q14_promo_revenue",
     "q15_top_supplier",
