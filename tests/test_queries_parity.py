@@ -61,3 +61,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_rows_only_queries_document_their_justification():
+    """Governance: a query without an oracle gets only the driver's weak
+    rows-only check, so its docstring must say why that is the strongest
+    check its semantics admit (approximate output, order-nondeterminism,
+    no tractable SQL mirror) — no silent oracle omissions."""
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            doc = (spec.fn.__doc__ or "").lower()
+            assert "rows-only" in doc, f"{name}: no_oracle without justification"
