@@ -2252,13 +2252,69 @@ def media_decode_profile(spark, sf_dir):
     )
 
 
-@query("media_feature_topk", oracle=None, tags=("multimodal", "similarity"))
+@query(
+    "media_feature_topk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n, CAST(doc_id % 3 AS INT) AS kind
+      FROM documents
+    ), geom AS (
+      SELECT doc_id, text, n,
+        CASE kind
+          WHEN 0 THEN ((3*(4 + doc_id % 13) + 3) // 4 * 4) * (4 + doc_id % 7)
+          WHEN 1 THEN 80 + 8*(doc_id % 120)
+          ELSE (4 + 2*(doc_id % 7)) * (4 + 2*(doc_id % 5))
+        END AS L
+      FROM d
+    ), w AS (
+      SELECT doc_id, L, unicode(substr(text, p + 1, 1)) // 16 AS nib,
+             (L - p + n - 1) // n AS wt
+      FROM (SELECT doc_id, text, n, L, unnest(range(0, n)) AS p FROM geom)
+    ), cnt AS (
+      SELECT doc_id, nib, SUM(wt) AS c FROM w GROUP BY doc_id, nib
+    ), grid AS (
+      SELECT gr.doc_id, gr.L, gr.i AS nib, COALESCE(c.c, 0) AS c
+      FROM (SELECT g.doc_id, g.L, r.i FROM geom g CROSS JOIN range(0,16) r(i)) gr
+      LEFT JOIN cnt c ON c.doc_id = gr.doc_id AND c.nib = gr.i
+    ), feat32 AS (
+      SELECT doc_id, list(CAST(CAST(c AS DOUBLE)/L AS REAL) ORDER BY nib) AS e32
+      FROM grid GROUP BY doc_id, L
+    ), v AS (
+      SELECT doc_id AS vec_id, list_transform(e32, x -> CAST(x AS DOUBLE)) AS e
+      FROM feat32
+    ), q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 4),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
+                * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
+             AS sim
+      FROM q, v WHERE q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    ORDER BY query_id, rank
+    """,
+    tags=("multimodal", "similarity"),
+)
 def media_feature_topk(spark, sf_dir):
     """Cross-modal composition: REAL-decoded media features (intensity
     histograms over parsed BMP/WAV/Y4M sample planes) flow straight into
     the generic ANN operator (decode -> fixed-width arrays -> cosine
-    top-3).  Rows-only check (pixel-plane histogram math has no tractable
-    SQL mirror) + unit coverage in tests/test_multimodal.py."""
+    top-3).  Oracled since round 5: every synthetic payload's sample
+    plane is the document's text bytes cyclically tiled to the
+    container's geometry (BMP pixel+pad area, WAV PCM fold-back, Y4M
+    first-frame luma), so the 16-bin nibble histogram equals a
+    weighted character count — position p of an n-byte text occurs
+    ceil((L-p)/n) times in the first L tiled bytes — which DuckDB
+    computes exactly, reproduces the float32 feature quantization
+    (CAST(count/L AS REAL), bit-identical to numpy->Arrow), and replays
+    the cosine top-3.  Validated feature-for-feature against the Python
+    codec on all 500 sf0.01 docs before wiring; the decoder itself stays
+    independently checked by media_decode_profile + codec unit tests."""
     from prod_data_pipeline_spark.operators.multimodal import (
         real_decode,
         synthetic_media_assets,
@@ -5269,8 +5325,8 @@ def docs_quality_weighted_sample(spark, sf_dir):
 #   2. the 8 queries whose last driver row is r02 (three rounds stale),
 #   3. 37 of the 49 queries last checked in r03 — they sat outside r04's
 #      window while queries.py took its biggest diff.
-# 16 r03-green queries stay just outside (the three rows-only-by-design
-# entries, whose driver rows carry no hash, plus thirteen queries with
+# 16 r03-green queries stay just outside (two rows-only-by-design
+# entries, whose driver rows carry no hash, plus fourteen queries with
 # untouched semantics and standing local parity/plan coverage:
 # events_daily_distinct_users, events_latest_per_user,
 # events_clicks_before_purchase, events_asof_last_view,
@@ -5278,9 +5334,9 @@ def docs_quality_weighted_sample(spark, sf_dir):
 # orders_priority_extremes, parts_supplier_counts,
 # events_salted_type_counts, events_value_histogram,
 # events_rolling_7day, events_funnel_daily, events_value_p99_outliers,
-# orders_table_diff) — rotate them first in round 6 along with the r04
-# window.  Every deferred query is still replayed against its oracle at
-# sf0.001 by the local test suite each round.
+# orders_table_diff, user_event_type_paths) — rotate them first in round
+# 6 along with the r04 window.  Every deferred query is still replayed
+# against its oracle at sf0.001 by the local test suite each round.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
@@ -5291,6 +5347,7 @@ DRIVER_ORDER: list[str] = [
     "docs_bigram_logprob",
     "docs_shard_assignment",
     "docs_lsh_recall_vs_exact",
+    "media_feature_topk",
     "docs_quality_weighted_sample",
     "emb_srp_near_dup_pairs",
     "docs_jaccard_prefix_pairs",
@@ -5334,7 +5391,6 @@ DRIVER_ORDER: list[str] = [
     "q22_idle_balances",
     "regional_nation_revenue",
     "user_activity_streaks",
-    "user_event_type_paths",
     "user_retention_cohorts",
     "user_sessions",
 ]
