@@ -112,8 +112,15 @@ def label_centroids(df: DataFrame, emb_col: str = "embedding", label_col: str = 
         F.col(label_col).alias("cell"),
         F.posexplode(to_double_array(F.col(emb_col))).alias("pos", "v"),
     )
+    # exact decimal sum -> double, then ONE double division: the repo's
+    # standard cross-engine mean (a decimal-domain quotient would round at
+    # an engine-chosen scale; this form is a single IEEE op on identical
+    # inputs in any engine)
     per_pos = exploded.groupBy("cell", "pos").agg(
-        (F.sum(F.col("v").cast("decimal(28,12)")) / F.count(F.lit(1))).cast("double").alias("m")
+        (
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
     )
     return (
         per_pos.groupBy("cell")
@@ -383,6 +390,94 @@ def ivf_recall_at_k(
             ).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+def ivf_topk_label(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_sim: int = 4,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: cells are the
+    exact per-label centroid means (label_centroids — decimal-sum exact,
+    engine-independent), assignment/probing is squared-euclidean argmin
+    with an explicit (distance, cell) tie-break, and cell search is the
+    usual cosine top-k.  Every float op is an in-order fold on identical
+    inputs, so the WHOLE index — centroids, assignments, probes, results
+    — replays bit-for-bit in another engine: the oracle-checkable IVF,
+    where the k-means variant (ivf_topk) is partitioning-sensitive by
+    construction and stays rows-only.
+
+    The centroid table is collected to the driver (bounded by distinct
+    labels — control-plane size, like a catalog read) and inlined as
+    literals: cell assignment becomes a zero-shuffle projection, the
+    exact scale shape a real IVF index wants (the centroid codebook
+    always ships to every executor anyway)."""
+    cents = label_centroids(df, emb_col, label_col)
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def sqd(e: F.Column, c: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(e, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # per-vector (distance, cell) ranking: array_sort on the struct sorts
+    # field-wise, so equal distances fall back to the cell id — fully
+    # deterministic even on exact float ties
+    ranked_cells = F.array_sort(
+        F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                sqd(F.col("_emb"), s["c"]).alias("d"), s["cell"].alias("cell")
+            ),
+        )
+    )
+    corpus = _norm_emb(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "_emb",
+        ranked_cells[0]["cell"].alias("cell"),
+    )
+    q = _norm_emb(query_df, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_emb").alias("_qemb"),
+        F.slice(ranked_cells, 1, nprobe).alias("_probes"),
+    )
+    probes = q.select(
+        "query_id", "_qemb", F.explode(F.col("_probes")["cell"]).alias("cell")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+        .filter(F.col("_sim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_sim"), round_sim).alias("sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )
 
 

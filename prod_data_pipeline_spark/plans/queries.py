@@ -1681,15 +1681,77 @@ def emb_topk_bruteforce(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("emb_topk_ivf", oracle=None, tags=("similarity", "ann", "ivf"))
+_SQDIST_SQL = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+
+@query(
+    "emb_topk_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), cm AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
+      GROUP BY 1, 2
+    ), cent AS (
+      SELECT cell, list(m ORDER BY pos) AS c FROM cm GROUP BY cell
+    ), acell AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent.c")}, cent.cell) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT v.vec_id AS query_id, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent.c")}, cent.cell) AS rn
+        FROM v, cent WHERE v.vec_id < 8
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i] * c.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i] * q.e[i])))
+                * sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i] * c.e[i]))))
+             AS sim
+      FROM probes p
+      JOIN acell a ON a.cell = p.cell
+      JOIN v c ON c.vec_id = a.vec_id
+      JOIN v q ON q.vec_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
 def emb_topk_ivf(spark, sf_dir):
-    """IVF approximate top-5 (label-cell coarse quantizer, nprobe=1) —
-    rows-only check; recall-vs-bruteforce asserted in unit tests."""
-    from prod_data_pipeline_spark.operators.similarity import ivf_topk
+    """IVF approximate top-5 with the DETERMINISTIC label-centroid coarse
+    quantizer (operators.similarity.ivf_topk_label): exact decimal-mean
+    centroids, squared-euclidean argmin assignment with (distance, cell)
+    tie-break, nprobe=2 probing, cosine search inside probed cells.
+    Oracled since round 5 — DuckDB rebuilds the entire index (centroids,
+    assignments, probes) and replays the search bit-for-bit, turning the
+    ANN scale path itself into a hash-verified query.  The k-means
+    quantizer variant (ivf_topk) is partitioning-sensitive by
+    construction and remains instrumented via emb_ivf_recall instead."""
+    from prod_data_pipeline_spark.operators.similarity import ivf_topk_label
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries_df, k=5, nprobe=2, n_cells=8)
+    return ivf_topk_label(emb, queries_df, k=5, nprobe=2).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 # md5 hash-bucket replay for the deterministic sampling operators: value of
@@ -5334,9 +5396,10 @@ def docs_quality_weighted_sample(spark, sf_dir):
 # orders_priority_extremes, parts_supplier_counts,
 # events_salted_type_counts, events_value_histogram,
 # events_rolling_7day, events_funnel_daily, events_value_p99_outliers,
-# orders_table_diff, user_event_type_paths) — rotate them first in round
-# 6 along with the r04 window.  Every deferred query is still replayed
-# against its oracle at sf0.001 by the local test suite each round.
+# orders_table_diff, user_event_type_paths, user_activity_streaks) —
+# rotate them first in round 6 along with the r04 window.  Every deferred
+# query is still replayed against its oracle at sf0.001 by the local test
+# suite each round.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
@@ -5348,6 +5411,7 @@ DRIVER_ORDER: list[str] = [
     "docs_shard_assignment",
     "docs_lsh_recall_vs_exact",
     "media_feature_topk",
+    "emb_topk_ivf",
     "docs_quality_weighted_sample",
     "emb_srp_near_dup_pairs",
     "docs_jaccard_prefix_pairs",
@@ -5390,7 +5454,6 @@ DRIVER_ORDER: list[str] = [
     "q21_waiting_suppliers",
     "q22_idle_balances",
     "regional_nation_revenue",
-    "user_activity_streaks",
     "user_retention_cohorts",
     "user_sessions",
 ]
