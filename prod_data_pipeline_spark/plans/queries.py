@@ -1878,20 +1878,64 @@ def docs_chunk_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("docs_packed_bins", oracle=None, tags=("packing", "training-data"))
+@query(
+    "docs_packed_bins",
+    oracle=f"""
+    WITH RECURSIVE src AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 8 AS grp,
+             len({_TOKS_SQL}) AS toks
+      FROM documents
+    ), base AS MATERIALIZED (
+      -- MATERIALIZED: the recursive step joins base once per iteration;
+      -- without the hint DuckDB re-inlines (re-tokenizes) it every step
+      SELECT grp, doc_id, toks,
+             row_number() OVER (PARTITION BY grp ORDER BY toks DESC, doc_id) AS rn
+      FROM src WHERE toks > 0
+    ), step AS (
+      SELECT grp, rn, doc_id, toks, 0 AS bin, [toks] AS fills
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.grp, b.rn, b.doc_id, b.toks,
+        CASE WHEN list_position(list_transform(s.fills, f -> f + b.toks <= 512), true) = 0
+             THEN len(s.fills)
+             ELSE list_position(list_transform(s.fills, f -> f + b.toks <= 512), true) - 1 END,
+        CASE WHEN list_position(list_transform(s.fills, f -> f + b.toks <= 512), true) = 0
+             THEN list_append(s.fills, b.toks)
+             ELSE list_transform(s.fills, (f, i) ->
+                    CASE WHEN i = list_position(list_transform(s.fills, f2 -> f2 + b.toks <= 512), true)
+                         THEN f + b.toks ELSE f END) END
+      FROM step s JOIN base b ON b.grp = s.grp AND b.rn = s.rn + 1
+    ), lastrn AS (
+      SELECT grp, max(rn) AS mx FROM step GROUP BY grp
+    ), ff AS (
+      SELECT s.grp, s.fills FROM step s JOIN lastrn l ON l.grp = s.grp AND l.mx = s.rn
+    )
+    SELECT s.grp * 1099511627776 + s.bin AS bin_id, s.doc_id,
+           CAST(s.toks AS BIGINT) AS n_tokens, CAST(f.fills[s.bin + 1] AS BIGINT) AS bin_fill
+    FROM step s JOIN ff f USING (grp)
+    ORDER BY s.doc_id
+    """,
+    tags=("packing", "training-data"),
+)
 def docs_packed_bins(spark, sf_dir):
     """No-split first-fit-decreasing bin packing into 512-token bins
-    (operators.packing.pack_greedy, Arrow-batched per layout group) —
-    rows-only (the greedy loop is inherently sequential, no SQL mirror);
-    budget/lossless/determinism invariants are unit-tested
-    (tests/test_packing_sampling.py)."""
+    (operators.packing.pack_greedy, Arrow-batched per layout group).
+    Oracled since round 5: the greedy loop is sequential but fully
+    DETERMINISTIC (md5 layout groups, toks-desc + id tie-break scan
+    order), so DuckDB replays it exactly with a recursive CTE that
+    carries each group's bin-fill LIST as recursion state — one step per
+    document, first-fit index via list_position over the fills.
+    Sequentiality was never nondeterminism; fixing the order made even
+    the packing loop hash-verifiable.  Budget/lossless invariants remain
+    unit-tested (tests/test_packing_sampling.py)."""
     from prod_data_pipeline_spark.functions.text import tokens
     from prod_data_pipeline_spark.operators.packing import pack_greedy
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", F.size(tokens(F.col("text")))
     )
-    return pack_greedy(docs, budget=512, n_groups=8).orderBy("doc_id")
+    return pack_greedy(docs, budget=512, n_groups=8, hash_fn="md5").orderBy("doc_id")
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
