@@ -2420,7 +2420,11 @@ def media_feature_topk(spark, sf_dir):
     (CAST(count/L AS REAL), bit-identical to numpy->Arrow), and replays
     the cosine top-3.  Validated feature-for-feature against the Python
     codec on all 500 sf0.01 docs before wiring; the decoder itself stays
-    independently checked by media_decode_profile + codec unit tests."""
+    independently checked by media_decode_profile + codec unit tests.
+    ASSUMES pure-ASCII document text (chars == UTF-8 bytes; true of the
+    generated testdata, probed at round 5) — if a testdata regen ever
+    introduces non-ASCII, the oracle's unicode()-per-char byte model is
+    the first place to look for a hash mismatch."""
     from prod_data_pipeline_spark.operators.multimodal import (
         real_decode,
         synthetic_media_assets,
