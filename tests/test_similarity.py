@@ -157,3 +157,40 @@ def test_zero_norm_vector_never_matches_or_ranks(spark):
     assert pair_ids == {(0, 1)}  # the zero vector pairs with nothing
     top = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
     assert [r["neighbor_id"] for r in top] == [1]  # never the zero vector
+
+
+def test_ivf_topk_label_deterministic_and_recall(spark, emb):
+    """The deterministic-quantizer IVF (ivf_topk_label): two independent
+    runs are row-identical (the whole index is a pure function of the
+    data), self-matches are excluded, ranks are 1..k, and recall vs
+    exact brute force clears a floor at nprobe=2 of the label cells."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_label,
+    )
+
+    q = emb.filter(F.col("vec_id") < 8)
+    a = ivf_topk_label(emb, q, k=5, nprobe=2).collect()
+    b = ivf_topk_label(emb, q, k=5, nprobe=2).collect()
+    assert a == b, "deterministic index must reproduce itself exactly"
+    assert all(r["query_id"] != r["neighbor_id"] for r in a)
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in a}
+    recall = len(got & exact) / len(exact)
+    # random unit vectors are the worst case for any non-adaptive coarse
+    # quantizer; at nprobe=2 of ~10 label cells a loose floor is honest
+    assert recall >= 0.25, f"label-IVF recall {recall}"
+    # crisp invariant: probing EVERY cell degenerates to exact brute force
+    n_cells = emb.select("label").distinct().count()
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_label(emb, q, k=5, nprobe=n_cells).collect()
+    }
+    assert full == exact, "nprobe=all-cells must equal brute force"
