@@ -5290,6 +5290,155 @@ def docs_lsh_recall_vs_exact(spark, sf_dir):
 
 
 @query(
+    "docs_cross_source_dup_matrix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, list_distinct({_TOKS_SQL}) AS toks FROM documents
+    ), t2 AS (
+      SELECT doc_id, source, toks FROM t WHERE len(toks) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT doc_id, token, sz,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
+      FROM tok JOIN dfreq USING (token)
+    ), prefix AS (
+      SELECT doc_id, token, sz FROM ranked
+      WHERE rn <= sz - ((92 * sz + 99) // 100) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE 92 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
+    ), pairs AS (
+      SELECT ta.source AS sa, tb.source AS sb FROM cand c
+      JOIN t2 ta ON ta.doc_id = c.id_a
+      JOIN t2 tb ON tb.doc_id = c.id_b
+      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
+            >= 92 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+    )
+    SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("dedup", "curation", "diagnostics"),
+)
+def docs_cross_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: exact Jaccard>=0.92 near-dup pair
+    counts between every (source, source) combination — the diagnostic a
+    curation pipeline uses to decide WHICH feeds mirror each other (and
+    so which to down-weight or dedup against which).  Built on the exact
+    prefix-filtered similarity join (zero false negatives: a source pair
+    reported clean IS clean); sources are canonically ordered
+    (least/greatest) so the matrix is upper-triangular and
+    order-independent.  Adds one broadcast-sized source lookup to the
+    proven prefix-join plan; the matrix itself is |sources|² rows."""
+    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_prefix_pairs(docs, threshold_pct=92).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb"), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "docs_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    ), tf AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT token, c,
+             row_number() OVER (ORDER BY c DESC, token) AS rnk
+      FROM tf
+    ), top AS (
+      SELECT ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(c AS DOUBLE)), 9) AS y
+      FROM ranked WHERE rnk <= 1000
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+      FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS intercept
+    FROM s
+    """,
+    tags=("text", "diagnostics", "corpus-health"),
+)
+def docs_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus frequency table: least-squares slope
+    of ln(freq) vs ln(rank) for the top-1000 tokens (a healthy natural
+    corpus slopes near -1; template/boilerplate-heavy corpora flatten, a
+    broken tokenizer steepens — the one-number corpus-health check).
+    Ranks use a count-desc + token tie-break so the ranking is total and
+    engine-independent; the regression's four sums go through
+    round(9)-then-exact-DECIMAL so float order never touches the fit, and
+    the closed-form slope/intercept are a fixed chain of IEEE ops on
+    identical inputs.  One corpus-sized token count (combiner-friendly);
+    the global rank window never sees the full vocabulary — any global
+    top-1000 token is in its partition's top-1000, so an exact
+    per-partition prune bounds the single-partition sort at
+    1000 x tasks rows regardless of vocab size."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy(F.spark_partition_id()).orderBy(F.desc("c"), F.asc("token"))
+    cand = (
+        tf.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= 1000)
+        .drop("prn")
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    top = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 1000)
+        .select(
+            F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
+        )
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(18,9)")).cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )
+
+
+@query(
     "docs_shard_assignment",
     oracle=f"""
     WITH t AS (
@@ -5444,10 +5593,12 @@ def docs_quality_weighted_sample(spark, sf_dir):
 # orders_priority_extremes, parts_supplier_counts,
 # events_salted_type_counts, events_value_histogram,
 # events_rolling_7day, events_funnel_daily, events_value_p99_outliers,
-# orders_table_diff, user_event_type_paths, user_activity_streaks) —
-# rotate them first in round 6 along with the r04 window.  Every deferred
-# query is still replayed against its oracle at sf0.001 by the local test
-# suite each round.
+# orders_table_diff, user_event_type_paths, user_activity_streaks,
+# lineitem_qty_price_corr, user_retention_cohorts) — rotate them first in
+# round 6 along with the r04 window.  Every deferred query is still
+# replayed against its oracle at sf0.001 by the local test suite each
+# round, and the structural bound is ceil(n_queries/50) rounds between
+# driver rows per query.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
@@ -5460,6 +5611,8 @@ DRIVER_ORDER: list[str] = [
     "docs_lsh_recall_vs_exact",
     "media_feature_topk",
     "emb_topk_ivf",
+    "docs_cross_source_dup_matrix",
+    "docs_zipf_fit",
     "docs_quality_weighted_sample",
     "emb_srp_near_dup_pairs",
     "docs_jaccard_prefix_pairs",
@@ -5492,7 +5645,6 @@ DRIVER_ORDER: list[str] = [
     "events_type_transitions",
     "events_user_type_scd2",
     "events_value_quantiles",
-    "lineitem_qty_price_corr",
     "media_decode_profile",
     "orders_price_deciles",
     "q10_returned_revenue",
@@ -5502,7 +5654,6 @@ DRIVER_ORDER: list[str] = [
     "q21_waiting_suppliers",
     "q22_idle_balances",
     "regional_nation_revenue",
-    "user_retention_cohorts",
     "user_sessions",
 ]
 
