@@ -432,3 +432,24 @@ def test_jaccard_prefix_pairs_hot_token_guard(spark):
         assert got == want, (t_pct, got ^ want)
         if t_pct == 50:
             assert (40, 41) in got  # planted 60%-Jaccard pair found at 50
+
+
+def test_substring_dup_spans_saturated_boilerplate(spark):
+    """Pathological skew shape: EVERY doc carries the same 8-token
+    boilerplate (one window hash holds the entire corpus in its posting
+    list).  The pass must still complete with the exact per-doc span —
+    the repeat groupBy collapses map-side and the span merge is keyed by
+    doc, so no single key ever concentrates row volume."""
+    from prod_data_pipeline_spark.operators.dedup import substring_dup_spans
+
+    boiler = "standard license header applies to this file verbatim"
+    rows = [(i, f"unique{i} alpha{i} beta{i} gamma{i} {boiler} trailing{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    W = 8
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(df, window=W, hash_fn="xxhash64").collect()
+    }
+    # tokens 1-4 and 13 are per-doc unique, boiler occupies positions 5..12:
+    # the only repeated 8-window is exactly the boilerplate span
+    assert got == {(i, 5, 12) for i in range(200)}
