@@ -563,3 +563,37 @@ def jaccard_prefix_pairs(
         verified = verified.localCheckpoint(eager=True)
         toks.unpersist()
     return verified
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    key_col: str = "fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: flag each batch row against a
+    previously-ingested snapshot and against earlier rows of the same
+    batch — the nightly-crawl ingestion primitive (dedup today's crawl
+    against the corpus without re-touching the corpus).
+
+    Adds two int columns:
+      dup_snapshot — the row's `key_col` already exists in `snapshot`;
+      dup_batch    — a lower-`id_col` row of THIS batch shares the key
+                     (kept-first rule, deterministic without any sort).
+    A row is ingestable iff both are 0.  Shape: one distinct() over the
+    snapshot keys (shuffle ∝ unique keys, not corpus rows), one left join
+    on the key, and one per-key min-id aggregation joined back — all
+    key-partitioned equi-joins; the snapshot text never moves, only its
+    key column does.  At 100 TB the snapshot key relation is a compact
+    digest table that can be bucketed once and reused nightly."""
+    snap_keys = snapshot.select(F.col(key_col)).distinct().withColumn("_in_snap", F.lit(1))
+    first_ids = batch.groupBy(key_col).agg(F.min(id_col).alias("_first_id"))
+    return (
+        batch.join(snap_keys, key_col, "left")
+        .join(first_ids, key_col, "left")
+        .withColumn("dup_snapshot", F.when(F.col("_in_snap").isNotNull(), 1).otherwise(0))
+        .withColumn(
+            "dup_batch", F.when(F.col(id_col) > F.col("_first_id"), 1).otherwise(0)
+        )
+        .drop("_in_snap", "_first_id")
+    )

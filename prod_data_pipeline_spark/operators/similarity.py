@@ -541,3 +541,42 @@ def ivf_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    block_cols: tuple = ("label",),
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_sim: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): inside each semantic cluster, prune every vector
+    that is >= threshold cosine-similar to a lower-id vector, keeping the
+    lowest id of each similar group's chain heads.
+
+    This is the *dominated-id* variant, not the paper's sequential greedy
+    sweep: a vector is pruned iff ANY lower-id cluster-mate clears the
+    threshold, regardless of whether that mate itself survives.  The rule
+    is order-free, embarrassingly parallel, and SQL-expressible (EXISTS
+    self-join), at the cost of occasionally pruning one more vector per
+    chain (A~B, B~C, A!~C removes both B and C; greedy keeps C).  For
+    corpus curation that bias is the safe direction — it never keeps a
+    pair above threshold.
+
+    The similarity test reuses cosine_near_dup_pairs verbatim (double
+    cast, in-order fold, ROUND to `round_sim` before the compare), so the
+    kept set is bit-reproducible across engines.  Cost: within-block
+    pairs only — never corpus x corpus; at 100 TB blocks come from a
+    k-means/IVF cell assignment (assign_cells) so block sizes are
+    controlled by the cell count."""
+    pruned = (
+        cosine_near_dup_pairs(
+            df, threshold=threshold, block_cols=block_cols, id_col=id_col,
+            emb_col=emb_col, round_sim=round_sim, sort=False,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(pruned, id_col, "left_anti")

@@ -453,3 +453,30 @@ def test_substring_dup_spans_saturated_boilerplate(spark):
     # tokens 1-4 and 13 are per-doc unique, boiler occupies positions 5..12:
     # the only repeated 8-window is exactly the boilerplate span
     assert got == {(i, 5, 12) for i in range(200)}
+
+
+def test_incremental_dedup_flags(spark):
+    """incremental_dedup invariants on a hand-built batch/snapshot: the
+    kept-first rule marks only later duplicate ids, snapshot hits flag
+    every batch row sharing the key, and ingestable rows are exactly the
+    never-seen-first-occurrence set."""
+    from prod_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    snapshot = spark.createDataFrame(
+        [("k1",), ("k2",)], ["fp"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "k1"), (11, "k3"), (12, "k3"), (13, "k4"), (14, "k1")],
+        ["doc_id", "fp"],
+    )
+    out = {r["doc_id"]: (r["dup_snapshot"], r["dup_batch"])
+           for r in incremental_dedup(batch, snapshot).collect()}
+    assert out == {
+        10: (1, 0),   # in snapshot, first of its key in batch
+        11: (0, 0),   # new key, first occurrence -> ingest
+        12: (0, 1),   # new key, later occurrence
+        13: (0, 0),   # new key -> ingest
+        14: (1, 1),   # in snapshot AND a later batch occurrence
+    }
+    ingest = [k for k, (s, b) in out.items() if s == 0 and b == 0]
+    assert sorted(ingest) == [11, 13]

@@ -194,3 +194,25 @@ def test_ivf_topk_label_deterministic_and_recall(spark, emb):
         for r in ivf_topk_label(emb, q, k=5, nprobe=n_cells).collect()
     }
     assert full == exact, "nprobe=all-cells must equal brute force"
+
+
+def test_semdedup_no_kept_pair_above_threshold(spark, emb):
+    """semdedup invariant: the kept set contains NO pair at or above the
+    threshold (the dominated-id rule's safety direction), every pruned id
+    has a lower-id witness >= threshold, and pruning is deterministic."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semdedup,
+    )
+
+    kept = semdedup(emb, threshold=0.3, block_cols=("label",))
+    assert kept.count() == semdedup(emb, threshold=0.3, block_cols=("label",)).count()
+    leftover = cosine_near_dup_pairs(kept, threshold=0.3, block_cols=("label",))
+    assert leftover.count() == 0, "kept set still contains a >=threshold pair"
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    pruned_ids = {r["vec_id"] for r in emb.select("vec_id").collect()} - kept_ids
+    witnesses = {
+        r["id_b"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.3, block_cols=("label",)).collect()
+    }
+    assert pruned_ids == witnesses, "pruned iff a lower-id witness exists"
