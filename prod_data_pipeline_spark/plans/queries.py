@@ -5735,7 +5735,16 @@ def q11_important_part_value(spark, sf_dir):
     values.  The threshold test is exact: per-part DECIMAL sums, the
     global total a DECIMAL sum of those, and an integer-scaled comparison
     (v*500 > total) — no float ever decides membership.  One fact shuffle
-    on l_partkey; the one-row total broadcasts."""
+    on l_partkey; the one-row total broadcasts.
+
+    The per-part relation is localCheckpoint'd (lazy) before it forks
+    into the total branch and the filter branch: without it Catalyst
+    re-derives both branches from the scan and the fact table is read
+    TWICE (AQE's ReuseExchange does not fire here — the grouping branches
+    canonicalize differently).  The checkpoint materializes only the
+    per-part aggregates (bounded by |parts|, not |lineitem|), which is
+    the cheap side of that trade at any scale; cf. SCALE.md "cache
+    lifecycle" policy."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -5751,6 +5760,7 @@ def q11_important_part_value(spark, sf_dir):
             ).alias("v")
         )
     )
+    val = val.localCheckpoint(eager=False)
     total = val.agg(F.sum("v").alias("total"))
     return (
         val.join(F.broadcast(total))
