@@ -353,3 +353,39 @@ def streaming_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    snapshot_keys: DataFrame,
+    key_col: str = "fp",
+    watermark_col: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of operators.dedup.incremental_dedup: ingest a
+    document stream, dropping anything already in the static snapshot AND
+    anything already seen earlier in the stream.
+
+    Two stages, both state-bounded:
+      1. stream-static LEFT ANTI join against the snapshot's compact key
+         relation (broadcast — it is fingerprints, never document text;
+         re-resolved each micro-batch so a snapshot refresh lands without
+         a restart);
+      2. streaming dropDuplicates on the key for the within-stream
+         kept-first rule.  With `watermark_col` set the state is
+         watermark-bounded (dropDuplicatesWithinWatermark) — the
+         unbounded-stream-safe form; without it, plain dropDuplicates
+         keeps all-keys state and is only for bounded replays/tests.
+
+    The batch operator's kept-first rule picks MIN(id); the streaming rule
+    is arrival-order — equivalent whenever ids are assigned in arrival
+    order, which is the invariant the batch docstring already assumes.
+    """
+    fresh = docs.join(
+        F.broadcast(snapshot_keys.select(key_col)), key_col, "left_anti"
+    )
+    if watermark_col is not None:
+        return fresh.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+            [key_col]
+        )
+    return fresh.dropDuplicates([key_col])

@@ -397,3 +397,46 @@ def test_streaming_sliding_rates_match_batch(spark, raw, tmp_path):
     assert got == want
     # overlap sanity: total windowed rows = 2x raw rows (each event in 2 windows)
     assert sum(got.values()) == 2 * batch_src.count()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """The streaming twin keeps exactly one doc per fresh fingerprint —
+    the same kept fingerprint set as the batch incremental_dedup
+    (src0-9 = static snapshot, src10-19 replayed as the stream)."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.dedup import incremental_dedup
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)))
+    sn = F.substring(F.col("source"), 4, 10).cast("int")
+    d = docs.select("doc_id", "source", "text", sn.alias("sn"), fp.alias("fp"))
+    snapshot = d.filter(F.col("sn") < 10).select("doc_id", "source", "fp")
+    batch = d.filter(F.col("sn") >= 10).select("doc_id", "source", "text", "fp")
+
+    stream_dir = str(tmp_path / "docstream")
+    batch.write.json(stream_dir)
+    stream = spark.readStream.schema(batch.schema).json(stream_dir)
+
+    out = streaming_incremental_dedup(stream, snapshot)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("incdedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_fps = {r["fp"] for r in spark.sql("SELECT fp FROM incdedup_t").collect()}
+    got_n = spark.sql("SELECT count(*) AS n FROM incdedup_t").first()["n"]
+
+    flagged = incremental_dedup(batch.select("doc_id", "source", "fp"), snapshot)
+    expected = flagged.filter((F.col("dup_snapshot") == 0) & (F.col("dup_batch") == 0))
+    exp_fps = {r["fp"] for r in expected.select("fp").collect()}
+    assert got_fps == exp_fps, "streaming kept a different fingerprint set"
+    assert got_n == len(exp_fps), "streaming kept more than one doc per fingerprint"
