@@ -85,3 +85,39 @@ def test_substring_dup_spans_equals_bruteforce_property(spark, texts):
         for r in substring_dup_spans(df, window=W, hash_fn="md5").collect()
     }
     assert got == _bruteforce_dup_spans(dict(enumerate(texts)), W)
+
+
+def _brute_incremental(batch, snapshot_keys):
+    """(id -> (dup_snapshot, dup_batch)) by definition."""
+    first = {}
+    for i, k in sorted(batch):
+        first.setdefault(k, i)
+    return {
+        i: (1 if k in snapshot_keys else 0, 1 if first[k] < i else 0)
+        for i, k in batch
+    }
+
+
+KEY = st.sampled_from("k1 k2 k3 k4".split())
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    batch_keys=st.lists(KEY, min_size=1, max_size=10),
+    snap_keys=st.lists(KEY, min_size=0, max_size=4),
+)
+def test_incremental_dedup_matches_bruteforce(spark, batch_keys, snap_keys):
+    """incremental_dedup flags equal the brute-force definition on random
+    key multisets: dup_snapshot iff key in snapshot; dup_batch iff a
+    lower id shares the key."""
+    from prod_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    batch = [(i, k) for i, k in enumerate(batch_keys)]
+    expected = _brute_incremental(batch, set(snap_keys))
+    bdf = spark.createDataFrame(batch, ["doc_id", "fp"])
+    sdf = spark.createDataFrame([(k,) for k in set(snap_keys)] or [("__none__",)], ["fp"])
+    got = {
+        r["doc_id"]: (r["dup_snapshot"], r["dup_batch"])
+        for r in incremental_dedup(bdf, sdf).collect()
+    }
+    assert got == expected
