@@ -580,7 +580,10 @@ def incremental_dedup(
       dup_snapshot — the row's `key_col` already exists in `snapshot`;
       dup_batch    — a lower-`id_col` row of THIS batch shares the key
                      (kept-first rule, deterministic without any sort).
-    A row is ingestable iff both are 0.  Shape: one distinct() over the
+    A row is ingestable iff both are 0.  A NULL key never equi-joins, so
+    null-keyed rows come back (0, 0) — callers must pre-filter or derive
+    a total key (a digest of a non-null column) if NULL means "unknown"
+    rather than "unique".  Shape: one distinct() over the
     snapshot keys (shuffle ∝ unique keys, not corpus rows), one left join
     on the key, and one per-key min-id aggregation joined back — all
     key-partitioned equi-joins; the snapshot text never moves, only its
