@@ -146,3 +146,40 @@ def pack_greedy(
         _layout_group(id_col, n_groups, hash_fn).alias("grp"),
     ).filter(F.col("toks") > 0)
     return base.groupBy("grp").applyInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def rag_chunks(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """Overlapping sliding-window chunker (RAG / long-context preprocessing):
+    one row per (doc, chunk), windows of `window` tokens starting every
+    `stride` tokens — consecutive chunks overlap by window - stride.
+
+    Start offsets are `range(0, n, stride)` (every start < n), so the
+    final chunk may be short — kept as-is rather than silently merged,
+    because retrieval stores want deterministic, closed-form chunk ids:
+    chunk_idx = start/stride, n_chunks = floor((n-1)/stride)+1, and any
+    engine recomputes the identical chunking from (n, window, stride)
+    alone.  All arithmetic is integer; the chunk relation is a per-doc
+    sequence + explode — linear in n/stride, document-local, perfectly
+    parallel (no shuffle at all until a downstream agg keys on something).
+    """
+    n = F.size(F.col(tokens_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_idx"),
+            s.cast("long").alias("start"),
+            F.least(F.lit(window), n - s).cast("long").alias("chunk_len"),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), n.cast("long").alias("n_tokens"), F.explode(chunks).alias("c"))
+        .select(id_col, "n_tokens", "c.chunk_idx", "c.start", "c.chunk_len")
+    )

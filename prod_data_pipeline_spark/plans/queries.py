@@ -6410,6 +6410,67 @@ def docs_distribution_shift(spark, sf_dir):
     )
 
 
+@query(
+    "docs_rag_chunk_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), d AS (
+      SELECT doc_id, source, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), per AS (
+      SELECT doc_id, source, n,
+             len(range(0, n, 24)) AS n_chunks,
+             list_sum(list_transform(range(0, n, 24), s -> least(32, n - s)))
+                 AS chunk_tokens,
+             len(list_filter(range(0, n, 24), s -> n - s < 32)) AS n_short
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+           CAST(SUM(n_short) AS BIGINT) AS n_short_chunks,
+           ROUND(CAST(SUM(chunk_tokens) AS DOUBLE) / SUM(n), 6)
+               AS expansion_ratio
+    FROM per GROUP BY source ORDER BY source
+    """,
+    tags=("chunking", "rag", "llm-pipeline"),
+)
+def docs_rag_chunk_stats(spark, sf_dir):
+    """Sliding-window RAG chunking audit (operators.packing.rag_chunks):
+    windows of 32 tokens every 24 (8-token overlap), per-source chunk
+    counts, token expansion from the overlap, and short-tail chunks.
+    Chunk geometry is closed-form integer arithmetic — any engine
+    recomputes the identical chunking from token counts alone.  The chunk
+    relation is document-local (sequence + explode, no shuffle); only the
+    per-source rollup exchanges a handful of rows."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+    from prod_data_pipeline_spark.operators.packing import rag_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    chunks = rag_chunks(base, window=32, stride=24).join(
+        base.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
+            F.sum(F.when(F.col("chunk_len") < 32, 1).otherwise(0))
+            .cast("long")
+            .alias("n_short_chunks"),
+            F.round(
+                F.sum("chunk_len").cast("double")
+                / F.sum(F.when(F.col("chunk_idx") == 0, F.col("n_tokens")).otherwise(0)),
+                6,
+            ).alias("expansion_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a
@@ -6422,15 +6483,15 @@ def docs_distribution_shift(spark, sf_dir):
 #      plus the four new TPC-H completions (q2/q5/q11/q20 — first driver
 #      look takes priority over hygiene re-checks),
 #   2. the 8 queries whose last driver row is r02 (three rounds stale),
-#   3. 16 of the 49 queries last checked in r03 — they sat outside r04's
+#   3. 15 of the 49 queries last checked in r03 — they sat outside r04's
 #      window while queries.py took its biggest diff.
-# 27 r03-green queries stay just outside (two rows-only-by-design
+# 28 r03-green queries stay just outside (two rows-only-by-design
 # entries, whose driver rows carry no hash, plus fourteen queries with
 # untouched semantics and standing local parity/plan coverage:
 # events_per_day, docs_bpe_token_stats, docs_chunk_spans,
 # docs_token_budget, events_type_transitions, events_user_type_scd2,
 # docs_contamination, docs_pii_scrub_stats, docs_tfidf_top_terms,
-# emb_label_centroids, events_value_quantiles,
+# emb_label_centroids, events_value_quantiles, docs_repetition_stats,
 # events_daily_distinct_users, events_latest_per_user,
 # events_clicks_before_purchase, events_asof_last_view,
 # large_volume_orders, lineitem_priority_by_status,
@@ -6473,6 +6534,7 @@ DRIVER_ORDER: list[str] = [
     "parts_fuzzy_name_matches",
     "docs_filter_funnel",
     "docs_distribution_shift",
+    "docs_rag_chunk_stats",
     # -- last driver row is r02: three rounds stale --
     "events_column_profile",
     "events_curated_projection",
@@ -6486,7 +6548,6 @@ DRIVER_ORDER: list[str] = [
     "corpus_dup_clusters",
     "docs_near_dup_pairs",
     "docs_packed_bins",
-    "docs_repetition_stats",
     "emb_cosine_near_dup_pairs",
     "emb_ivf_recall",
     "media_decode_profile",
