@@ -154,6 +154,7 @@ def rag_chunks(
     stride: int = 24,
     id_col: str = "doc_id",
     tokens_col: str = "toks",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Overlapping sliding-window chunker (RAG / long-context preprocessing):
     one row per (doc, chunk), windows of `window` tokens starting every
@@ -178,8 +179,9 @@ def rag_chunks(
             F.least(F.lit(window), n - s).cast("long").alias("chunk_len"),
         ),
     )
+    keep = [F.col(c) for c in keep_cols]
     return (
         df.filter(n > 0)
-        .select(F.col(id_col), n.cast("long").alias("n_tokens"), F.explode(chunks).alias("c"))
-        .select(id_col, "n_tokens", "c.chunk_idx", "c.start", "c.chunk_len")
+        .select(F.col(id_col), *keep, n.cast("long").alias("n_tokens"), F.explode(chunks).alias("c"))
+        .select(id_col, *keep_cols, "n_tokens", "c.chunk_idx", "c.start", "c.chunk_len")
     )

@@ -6442,16 +6442,16 @@ def docs_rag_chunk_stats(spark, sf_dir):
     counts, token expansion from the overlap, and short-tail chunks.
     Chunk geometry is closed-form integer arithmetic — any engine
     recomputes the identical chunking from token counts alone.  The chunk
-    relation is document-local (sequence + explode, no shuffle); only the
-    per-source rollup exchanges a handful of rows."""
+    relation is document-local (sequence + explode, no shuffle — source
+    rides through as a kept column, so the corpus is scanned and
+    tokenized exactly once); only the per-source rollup exchanges a
+    handful of rows."""
     from prod_data_pipeline_spark.functions.text import tokens as _tokens
     from prod_data_pipeline_spark.operators.packing import rag_chunks
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
-    chunks = rag_chunks(base, window=32, stride=24).join(
-        base.select("doc_id", "source"), "doc_id"
-    )
+    chunks = rag_chunks(base, window=32, stride=24, keep_cols=("source",))
     return (
         chunks.groupBy("source")
         .agg(
