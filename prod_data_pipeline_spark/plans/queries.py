@@ -6037,13 +6037,16 @@ def events_value_mad_outliers(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
+    ), nz AS (
+      SELECT vec_id, e FROM v
+      WHERE list_sum(list_transform(range(1, len(e)+1), i -> e[i] * e[i])) > 0
     ), r AS (
       SELECT vec_id, k,
              ROUND(
                list_sum(list_transform(range(1, k+1), i -> e[i] * e[i]))
                / list_sum(list_transform(range(1, len(e)+1), i -> e[i] * e[i])),
                6) AS energy
-      FROM v, (VALUES (8), (16), (32), (64)) t(k)
+      FROM nz, (VALUES (8), (16), (32), (64)) t(k)
     )
     SELECT k,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -6066,8 +6069,12 @@ def emb_matryoshka_energy(spark, sf_dir):
     per row, one |k|-row agg; no shuffle carries vectors."""
     emb = _t(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = emb.select("vec_id", e.alias("e"))
     full = F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
+    # zero-norm guard: a zero vector would make every ratio 0/0 = NaN,
+    # which Spark and DuckDB cast differently (NULL-skip vs error) — the
+    # same divergence emb_quantization_error guards against.  Exclude
+    # zero vectors identically on both sides instead.
+    v = emb.select("vec_id", e.alias("e")).filter(full > 0)
     ks = [8, 16, 32, 64]
     r = v.select(
         "vec_id",
