@@ -1,0 +1,149 @@
+"""Distributed linear algebra over embedding columns, engine-reproducible.
+
+The covariance matrix is computed as relational aggregation (dimension-pair
+keys, exact DECIMAL sums — order-independent at any parallelism), and the
+top principal component comes from power iteration expressed as relational
+matvec (join + agg per round) with the same per-iteration round-then-
+DECIMAL quantization that made PageRank exact-hash-oracle-able
+(operators/graph.py::pagerank_quantized): every float that enters a sum is
+first rounded to a fixed digit budget, so the recurrence is bit-identical
+on any engine that replays it.
+
+Provenance: extension surface beyond the reference (north-star scope —
+/root/reference has no linear algebra); the quantization recipe is this
+repo's own (see graph.py), residual HALF_UP-vs-half-away tie caveat
+documented there applies here too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.functions.vector import to_double_array
+
+
+def covariance_matrix(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_term: int = 12,
+) -> DataFrame:
+    """Exact sample covariance as a (i, j, c) relation.
+
+    posexplode -> per-dim exact means (DECIMAL sum, ONE double division)
+    -> centered values -> dimension-pair products -> DECIMAL-summed per
+    (i, j) -> /(n-1).  The only corpus-sized shuffle carries (i, j)
+    partials (map-side combined to d^2 rows per task); the self-join on
+    the row id is co-partitioned.  Products are rounded to `round_term`
+    digits before the exact sum — the quantization that makes the result
+    independent of partition order AND replayable by the SQL oracle.
+
+    At 100 TB prefer d <= a few hundred (d^2 pair terms per row); above
+    that, block the dimension range and union the blocks.
+    """
+    x = df.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(to_double_array(F.col(emb_col))).alias("i", "xi"),
+    )
+    n = df.count()
+    means = (
+        x.groupBy("i")
+        .agg(
+            (
+                F.sum(F.col("xi").cast("decimal(38,12)")).cast("double") / F.lit(float(n))
+            ).alias("mu")
+        )
+    )
+    c = (
+        x.join(F.broadcast(means), "i")
+        .select("_rid", "i", (F.col("xi") - F.col("mu")).alias("ci"))
+    )
+    a = c.alias("a")
+    b = c.select(
+        F.col("_rid"), F.col("i").alias("j"), F.col("ci").alias("cj")
+    ).alias("b")
+    return (
+        a.join(b, "_rid")
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("ci") * F.col("cj"), round_term).cast("decimal(38,12)")
+                ).cast("double")
+                / F.lit(float(n - 1))
+            ).alias("c")
+        )
+    )
+
+
+def top_principal_component(
+    cov: DataFrame,
+    dim: int,
+    n_iters: int = 6,
+    round_term: int = 12,
+    round_vec: int = 9,
+) -> DataFrame:
+    """Top eigenvector of a (i, j, c) covariance relation by power
+    iteration as relational matvec: u = C v is a join on j + an exact
+    DECIMAL sum per i; normalization divides by the DECIMAL-summed norm.
+
+    Start vector is 1/sqrt(dim) in every coordinate — exact when dim is a
+    power of two (1/8 for d=64), and fully deterministic regardless.
+    Each round quantizes: terms rounded to `round_term` before summing,
+    the normalized vector rounded to `round_vec` — so iteration t+1 sees
+    bit-identical inputs on every engine and the final loadings
+    hash-compare exactly.  Returns (pos, loading, eigenvalue), where the
+    eigenvalue is the final pre-normalization norm (the Rayleigh estimate
+    under v'v = 1).
+
+    Scale: the matvec relation is d^2 rows — this is for the SMALL side
+    (dimension space), computed once after the corpus-sized covariance
+    pass; d^2 at d=1024 is a 1M-row join, trivial for any cluster.
+    """
+    spark = cov.sparkSession
+    v0 = 1.0 / float(dim) ** 0.5
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"), F.lit(v0).alias("v")
+    )
+    eig = None
+    for _ in range(n_iters):
+        u = (
+            cov.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("c") * F.col("v"), round_term).cast("decimal(38,12)")
+                )
+                .cast("double")
+                .alias("u")
+            )
+        )
+        norm = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), round_term).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        vn = (
+            u.join(F.broadcast(norm))
+            .select(
+                F.col("i").alias("j"),
+                F.round(F.col("u") / F.col("nrm"), round_vec).alias("v"),
+                F.col("nrm"),
+            )
+        )
+        # truncate lineage each round: the relation is d rows
+        vn = vn.localCheckpoint(eager=True)
+        v = vn.select("j", "v")
+        eig = vn.select("nrm").limit(1)
+    return (
+        v.join(F.broadcast(eig))
+        .select(
+            F.col("j").alias("pos"),
+            F.col("v").alias("loading"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+        )
+        .orderBy("pos")
+    )
