@@ -246,3 +246,53 @@ def pagerank_quantized(
     ranks = ranks.localCheckpoint(eager=True)
     edges.unpersist()
     return ranks
+
+
+def min_hop_distance(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bounded BFS over an undirected pair relation: the minimum hop count
+    from any seed, up to `max_hops` — the taint / blast-radius primitive
+    of corpus curation (a contaminated or policy-flagged document's
+    near-duplicates are suspect at hop 1, their near-duplicates at hop 2).
+
+    ALL-INTEGER iterative state — no quantization needed at all (cf. the
+    round-then-DECIMAL machinery pagerank_quantized requires): each round
+    is one hash join of the frontier against the symmetrized edges plus a
+    MIN aggregation, and integer MIN is associative/commutative, so any
+    engine that replays the rounds agrees exactly.  Returns (id, hop)
+    for every node within max_hops of a seed; unreached nodes are simply
+    absent (callers LEFT JOIN and treat NULL as clean).
+
+    Scale: state is one (node, hop) row per reached node; edges persist
+    across rounds; localCheckpoint truncates lineage per round.  Wall
+    cost ~ max_hops shuffles of the reached set — bounded by design
+    (blast-radius queries want small max_hops; full closure is
+    operators.corpus.dup_clusters' job).
+    """
+    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    edges = (
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist = seeds.select(F.col(id_col).cast("long").alias("node")).distinct().withColumn(
+        "hop", F.lit(0)
+    )
+    for _ in range(max_hops):
+        reached = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return dist.select(F.col("node").alias(id_col), "hop")

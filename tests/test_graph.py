@@ -98,3 +98,20 @@ def test_pagerank_quantized_matches_numpy(spark):
         for b in nodes:
             if r[idx[a]] - r[idx[b]] > 1e-9:
                 assert got[a] > got[b], (a, b)
+
+
+def test_min_hop_distance_known_chain(spark):
+    """BFS hops on a hand-built chain 1-2-3-4-5 with a branch 3-6, seed=1:
+    exact hop counts, max_hops cap honored, unreached nodes absent."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.operators.graph import min_hop_distance
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (8, 9)], ["id_a", "id_b"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["doc_id"])
+    got = {r["doc_id"]: r["hop"] for r in min_hop_distance(pairs, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 6: 3}  # 5 is 4 hops: capped out; 8,9 unreachable
+    got2 = {r["doc_id"]: r["hop"] for r in min_hop_distance(pairs, seeds, max_hops=4).collect()}
+    assert got2[5] == 4
