@@ -215,3 +215,24 @@ def resize_bmp(payload: bytes, new_width: int, new_height: int) -> bytes:
         0, row * new_height, 2835, 2835, 0, 0,
     )
     return header + padded.tobytes()
+
+
+def y4m_frame_luma(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Y (luma) plane of frame `frame_idx` — the per-frame complement of
+    decode_y4m (which surfaces only frame 0).  Raises on malformed
+    payloads or an out-of-range index; pure byte arithmetic, no state."""
+    if not payload.startswith(Y4M_MAGIC):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    width = height = 0
+    for tok in payload[len(Y4M_MAGIC) : nl].split(b" "):
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+    frame = _y4m_frame_bytes(width, height)
+    n_frames = (len(payload) - nl - 1) // frame
+    if not 0 <= frame_idx < n_frames:
+        raise ValueError(f"frame {frame_idx} out of range 0..{n_frames - 1}")
+    y0 = nl + 1 + frame_idx * frame + 6  # skip b"FRAME\n"
+    return np.frombuffer(payload, dtype=np.uint8, offset=y0, count=width * height)

@@ -364,3 +364,43 @@ def audio_features(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
             )
 
     return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def video_frame_features(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
+    """Per-FRAME luma statistics from REAL Y4M decoding: one row per
+    (asset, frame) with the Y-plane sum and peak — the brightness /
+    black-frame screen of a video-corpus curation pass, and (with the
+    synthetic tiling) a sample-level verification that every frame body
+    parses at the right offset: a frame-stride bug shifts every
+    subsequent frame's bytes and flips the hash.
+
+    Integer statistics only (sum and max of uint8 luma), Arrow-batched
+    mapInPandas, frames enumerated inside the kernel — the linear scan a
+    real decoder does anyway.  Non-Y4M / unparseable payloads are
+    skipped (quarantine behavior, as in audio_features)."""
+    from prod_data_pipeline_spark.functions.codecs import decode_y4m, y4m_frame_luma
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("y_sum", T.LongType()),
+            T.StructField("y_peak", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    payload = bytes(payload)
+                    info = decode_y4m(payload)
+                    for i in range(info.n_frames):
+                        y = y4m_frame_luma(payload, i).astype(np.int64)
+                        rows.append((int(asset_id), i, int(y.sum()), int(y.max()) if y.size else 0))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "y_sum", "y_peak"])
+
+    return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
