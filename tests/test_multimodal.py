@@ -201,3 +201,46 @@ def test_resize_images_real_bmp(spark):
     # junk passes through byte-identical with zero dims
     assert (out[2]["width"], out[2]["height"]) == (0, 0)
     assert bytes(out[2]["payload"]) == b"RIFFnotabmp"
+
+
+def test_audio_features_known_wav_and_quarantine(spark):
+    """audio_features on a hand-built WAV: exact integer stats (samples
+    are (byte-128)*256 of the tiled content); junk payloads are skipped."""
+    from prod_data_pipeline_spark.functions.codecs import encode_wav
+    from prod_data_pipeline_spark.operators.multimodal import audio_features
+
+    content = b"AB"  # bytes 65, 66 -> pcm -16128, -15872 tiled
+    wav = encode_wav(4, 8000, content)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"not a wav at all")], ["asset_id", "payload"]
+    )
+    rows = {r["asset_id"]: r for r in audio_features(df).collect()}
+    assert list(rows) == [1]  # junk quarantined
+    r = rows[1]
+    pcm = [(65 - 128) * 256, (66 - 128) * 256] * 2
+    assert r["n_samples"] == 4
+    assert r["abs_amp_sum"] == sum(abs(x) for x in pcm)
+    assert r["energy"] == sum(x * x for x in pcm)
+    assert r["peak_amp"] == max(abs(x) for x in pcm)
+
+
+def test_video_frame_features_known_y4m(spark):
+    """video_frame_features on a hand-built 2-frame Y4M: per-frame Y sums
+    follow the content[i:] tiling rule exactly."""
+    from prod_data_pipeline_spark.functions.codecs import encode_y4m
+    from prod_data_pipeline_spark.operators.multimodal import video_frame_features
+
+    content = b"ABCD"  # frame 0 tiles "ABCD", frame 1 tiles "BCD"
+    y4m = encode_y4m(4, 4, 2, content)
+    df = spark.createDataFrame([(7, y4m)], ["asset_id", "payload"])
+    rows = sorted(video_frame_features(df).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+
+    def tile(src, n):
+        return [src[i % len(src)] for i in range(n)]
+
+    wh = 16
+    f0 = tile(b"ABCD", wh)
+    f1 = tile(b"BCD", wh)
+    assert rows[0]["y_sum"] == sum(f0) and rows[0]["y_peak"] == max(f0)
+    assert rows[1]["y_sum"] == sum(f1) and rows[1]["y_peak"] == max(f1)
