@@ -147,3 +147,59 @@ def top_principal_component(
         )
         .orderBy("pos")
     )
+
+
+def deflate(cov: DataFrame, component: DataFrame, round_term: int = 12) -> DataFrame:
+    """Hotelling deflation as a relation: C' = C - λ·v·vᵀ, with the rank-1
+    term quantized to `round_term` digits so the deflated matrix — and
+    every subsequent iteration on it — stays engine-reproducible.
+    `component` is top_principal_component's output (pos, loading,
+    eigenvalue); its 6-digit eigenvalue rounding is part of the recipe
+    (the oracle replays the same rounded λ)."""
+    vi = component.select(
+        F.col("pos").alias("i"),
+        F.col("loading").alias("vi"),
+        F.col("eigenvalue").alias("lam"),
+    )
+    vj = component.select(F.col("pos").alias("j"), F.col("loading").alias("vj"))
+    return (
+        cov.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("c")
+                - F.round(F.col("lam") * F.col("vi") * F.col("vj"), round_term)
+            ).alias("c"),
+        )
+    )
+
+
+def top_principal_components(
+    cov: DataFrame,
+    dim: int,
+    n_components: int = 2,
+    n_iters: int = 6,
+    round_term: int = 12,
+    round_vec: int = 9,
+) -> DataFrame:
+    """Top-k eigenpairs by power iteration + Hotelling deflation, all
+    relational and all quantized: component m is power-iterated on the
+    (m-1)-times-deflated covariance.  Returns (component, pos, loading,
+    eigenvalue) with component 1-indexed.  Same determinism guarantee as
+    the single-component path — deflation only adds one quantized rank-1
+    join per extracted component."""
+    out = None
+    cur = cov
+    for m in range(1, n_components + 1):
+        comp = top_principal_component(
+            cur, dim, n_iters=n_iters, round_term=round_term, round_vec=round_vec
+        ).localCheckpoint(eager=True)
+        tagged = comp.select(
+            F.lit(m).alias("component"), "pos", "loading", "eigenvalue"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+        if m < n_components:
+            cur = deflate(cur, comp, round_term=round_term).localCheckpoint(eager=True)
+    return out.orderBy("component", "pos")

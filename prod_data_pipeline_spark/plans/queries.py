@@ -6916,6 +6916,101 @@ def events_daily_anomalies(spark, sf_dir):
     )
 
 
+def _pca_chain_sql(prefix: str, src: str, n_iters: int, dim: int) -> str:
+    """One power-iteration chain as unrolled CTEs reading matrix `src`."""
+    out = [
+        f""", {prefix}v0 AS (
+      SELECT CAST(i AS INT) AS j, 1.0 / sqrt({dim}.0) AS v FROM range(0, {dim}) t(i)
+    )"""
+    ]
+    prev = f"{prefix}v0"
+    for t in range(1, n_iters + 1):
+        out.append(
+            f""", {prefix}u{t} AS MATERIALIZED (
+      SELECT {src}.i,
+             CAST(SUM(CAST(ROUND({src}.c * {prev}.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
+      FROM {src} JOIN {prev} ON {prev}.j = {src}.j GROUP BY {src}.i
+    ), {prefix}n{t} AS MATERIALIZED (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM {prefix}u{t}
+    ), {prefix}v{t} AS MATERIALIZED (
+      SELECT i AS j, ROUND(u / (SELECT nrm FROM {prefix}n{t}), 9) AS v FROM {prefix}u{t}
+    )"""
+        )
+        prev = f"{prefix}v{t}"
+    return "".join(out)
+
+
+def _pca2_oracle_sql(n_iters: int = 8, dim: int = 64) -> str:
+    """Two-component replay: chain 1 on cov, quantized Hotelling deflation,
+    chain 2 on the deflated matrix — mirrors operators.linalg exactly."""
+    cov_part = f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id AS rid, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS xi
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), nn AS MATERIALIZED (
+      SELECT COUNT(*) AS n FROM embeddings
+    ), mu AS MATERIALIZED (
+      SELECT i, CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE)
+                / (SELECT n FROM nn) AS mu
+      FROM x GROUP BY i
+    ), cx AS MATERIALIZED (
+      SELECT rid, x.i, xi - mu AS ci FROM x JOIN mu USING (i)
+    ), cov AS MATERIALIZED (
+      SELECT a.i, b.i AS j,
+             CAST(SUM(CAST(ROUND(a.ci * b.ci, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / ((SELECT n FROM nn) - 1) AS c
+      FROM cx a JOIN cx b USING (rid)
+      GROUP BY 1, 2
+    )"""
+    c1 = _pca_chain_sql("a_", "cov", n_iters, dim)
+    defl = f""", defl AS MATERIALIZED (
+      SELECT cov.i, cov.j,
+             cov.c - ROUND((SELECT ROUND(nrm, 6) FROM a_n{n_iters})
+                           * va.v * vb.v, 12) AS c
+      FROM cov
+      JOIN a_v{n_iters} va ON va.j = cov.i
+      JOIN a_v{n_iters} vb ON vb.j = cov.j
+    )"""
+    c2 = _pca_chain_sql("b_", "defl", n_iters, dim)
+    final = f"""
+    SELECT 1 AS component, CAST(j AS INT) AS pos, v AS loading,
+           ROUND((SELECT nrm FROM a_n{n_iters}), 6) AS eigenvalue
+    FROM a_v{n_iters}
+    UNION ALL
+    SELECT 2 AS component, CAST(j AS INT) AS pos, v AS loading,
+           ROUND((SELECT nrm FROM b_n{n_iters}), 6) AS eigenvalue
+    FROM b_v{n_iters}
+    ORDER BY component, pos
+    """
+    return cov_part + c1 + defl + c2 + final
+
+
+@query(
+    "emb_top2_principal_components",
+    oracle=_pca2_oracle_sql(8, 64),
+    tags=("linalg", "pca", "embeddings", "iterative", "deflation"),
+)
+def emb_top2_principal_components(spark, sf_dir):
+    """Top-2 principal components via power iteration + quantized
+    Hotelling deflation (operators/linalg.py::top_principal_components):
+    component 2 is extracted from C − λ₁v₁v₁ᵀ with the rank-1 update
+    rounded to 12 digits, so the deflated recurrence — like the original
+    one — replays bit-for-bit in DuckDB's unrolled CTEs.  8 rounds per
+    component (the determinism guarantee is iteration-count-independent;
+    the anisotropic-data unit test shows convergence where a spectrum gap
+    exists).  One corpus-sized covariance pass total; everything after is
+    d²-row relational algebra."""
+    from prod_data_pipeline_spark.operators.linalg import (
+        covariance_matrix,
+        top_principal_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov = covariance_matrix(emb).localCheckpoint(eager=True)
+    return top_principal_components(cov, dim=64, n_components=2, n_iters=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a

@@ -276,3 +276,43 @@ def test_power_iteration_pca_converges_on_anisotropic_data(spark):
     assert cos > 0.99, f"cos to true eigvec {cos}"
     eig = float(out["eigenvalue"].iloc[0])
     assert abs(eig - w[-1]) / w[-1] < 0.02, f"eig {eig} vs {w[-1]}"
+
+
+def test_deflation_recovers_top_two_components(spark):
+    """Two planted orthogonal directions with distinct strengths: power
+    iteration + quantized Hotelling deflation recovers BOTH numpy
+    eigenvectors (|cos| > 0.99), in strength order, near-orthogonal."""
+    import numpy as np
+
+    from prod_data_pipeline_spark.operators.linalg import (
+        covariance_matrix,
+        top_principal_components,
+    )
+
+    rng = np.random.RandomState(11)
+    d, n = 12, 400
+    q, _ = np.linalg.qr(rng.standard_normal((d, 2)))
+    u1, u2 = q[:, 0], q[:, 1]
+    X = (
+        rng.standard_normal((n, d)) * 0.05
+        + np.outer(rng.standard_normal(n) * 3.0, u1)
+        + np.outer(rng.standard_normal(n) * 1.5, u2)
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    cov = covariance_matrix(df).localCheckpoint(eager=True)
+    out = top_principal_components(cov, dim=d, n_components=2, n_iters=10).toPandas()
+    C = np.cov(X, rowvar=False)
+    w, V = np.linalg.eigh(C)
+    v1 = out[out.component == 1].sort_values("pos")["loading"].values
+    v2 = out[out.component == 2].sort_values("pos")["loading"].values
+    cos1 = abs(float(v1 @ V[:, -1])) / (np.linalg.norm(v1) * np.linalg.norm(V[:, -1]))
+    cos2 = abs(float(v2 @ V[:, -2])) / (np.linalg.norm(v2) * np.linalg.norm(V[:, -2]))
+    assert cos1 > 0.99 and cos2 > 0.99, (cos1, cos2)
+    assert abs(float(v1 @ v2)) < 0.05, "components not near-orthogonal"
+    e1 = float(out[out.component == 1].eigenvalue.iloc[0])
+    e2 = float(out[out.component == 2].eigenvalue.iloc[0])
+    assert e1 > e2, "strength order lost"
+    assert abs(e1 - w[-1]) / w[-1] < 0.02 and abs(e2 - w[-2]) / w[-2] < 0.05
