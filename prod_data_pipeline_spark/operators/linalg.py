@@ -17,7 +17,7 @@ documented there applies here too.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prod_data_pipeline_spark.functions.vector import to_double_array
