@@ -7090,6 +7090,133 @@ def customer_rfm_segments(spark, sf_dir):
     )
 
 
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT p_type, SUM(r) AS t, COUNT(*) AS n_suppliers FROM rev GROUP BY 1
+    ), shares AS (
+      SELECT rev.p_type,
+             ROUND(CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE), 9) AS s,
+             tot.n_suppliers
+      FROM rev JOIN tot USING (p_type)
+    )
+    SELECT p_type,
+           CAST(ANY_VALUE(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(10000 * s * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS hhi
+    FROM shares GROUP BY p_type ORDER BY p_type
+    """,
+    tags=("analytics", "concentration", "hhi"),
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Supplier-concentration Herfindahl–Hirschman index per part type:
+    HHI = Σ (100·share)² over each type's suppliers — the standard
+    market-concentration screen (≥2500 = highly concentrated), here
+    auditing supply-chain single-source risk.  Revenue shares come from
+    exact DECIMAL sums; each squared share is rounded to 6 digits before
+    the exact DECIMAL re-sum, so the index is order-independent at any
+    parallelism.  One fact shuffle on (type, suppkey); the per-type
+    totals ride the same key space."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("r")
+        )
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shares = rev.join(tot, "p_type").select(
+        "p_type",
+        "n_suppliers",
+        F.round(F.col("r").cast("double") / F.col("t").cast("double"), 9).alias("s"),
+    )
+    return (
+        shares.groupBy("p_type")
+        .agg(
+            F.first("n_suppliers").cast("long").alias("n_suppliers"),
+            F.sum(
+                F.round(F.lit(10000) * F.col("s") * F.col("s"), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("hhi"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "orders_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+    ), t AS (
+      SELECT SUM(n) AS total FROM c
+    )
+    SELECT c.digit,
+           CAST(c.n AS BIGINT) AS n_orders,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_freq,
+           ROUND(log10(1.0 + 1.0 / c.digit), 6) AS benford_freq,
+           ROUND(abs(CAST(c.n AS DOUBLE) / t.total - log10(1.0 + 1.0 / c.digit)), 6)
+               AS abs_deviation
+    FROM c, t ORDER BY c.digit
+    """,
+    tags=("analytics", "audit", "benford"),
+)
+def orders_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the classic
+    forensic screen for fabricated or truncated monetary data: natural
+    multi-scale amounts put digit d first with probability log10(1+1/d),
+    and a flat or spiked distribution flags generator artifacts the same
+    way it flags fraud.  Digit extraction is integer string arithmetic
+    (floor → first char), frequencies are single double divisions of
+    exact counts, and the Benford reference is a per-digit constant — all
+    deterministic.  One scan, nine-row output."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_freq"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("total")
+                    - F.log10(1.0 + 1.0 / F.col("digit"))
+                ),
+                6,
+            ).alias("abs_deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a
