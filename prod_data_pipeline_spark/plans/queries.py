@@ -7217,6 +7217,100 @@ def orders_benford_audit(spark, sf_dir):
     )
 
 
+@query(
+    "basket_part_pair_lift",
+    oracle="""
+    WITH ol AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ol
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM ol GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
+      FROM ol a JOIN ol b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.part_a, p.part_b, p.pair_n,
+             ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+             ROUND(CAST(p.pair_n AS DOUBLE) / (SELECT n_orders FROM n), 6)
+                 AS support,
+             ROUND(CAST(p.pair_n AS DOUBLE) / ia.cnt, 6) AS confidence_ab,
+             ROUND(CAST(p.pair_n AS DOUBLE) * (SELECT n_orders FROM n)
+                   / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+      FROM pair p
+      JOIN item ia ON ia.l_partkey = p.part_a
+      JOIN item ib ON ib.l_partkey = p.part_b
+      WHERE p.pair_n >= 2
+    )
+    SELECT part_a, part_b, CAST(pair_n AS BIGINT) AS pair_n,
+           CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+           support, confidence_ab, lift
+    FROM scored
+    ORDER BY pair_n DESC, part_a, part_b LIMIT 50
+    """,
+    tags=("analytics", "market-basket", "association"),
+)
+def basket_part_pair_lift(spark, sf_dir):
+    """Market-basket association mining: the top co-purchased part pairs
+    with support / confidence / lift — the frequent-itemset primitive of
+    retail analytics (and of co-occurrence feature engineering
+    generally).  Pair generation self-joins the DISTINCT (order, part)
+    relation on the order key, so the work is Σ basket_size² — bounded by
+    the largest basket, never |parts|²; at 100 TB add a min-support
+    pre-filter on the item counts (downward closure) exactly as Apriori
+    does.  All ratios are single double divisions of exact counts,
+    rounded to 6; the min-support gate (pair_n ≥ 2) and the (pair_n,
+    part_a, part_b) tie-break keep the top-50 deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    ol = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = ol.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = ol.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ol.alias("a")
+    b = ol.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            F.round(F.col("pair_n").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_n").cast("double") / F.col("cnt_a"), 6).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_n"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a
