@@ -7311,6 +7311,142 @@ def basket_part_pair_lift(spark, sf_dir):
     )
 
 
+@query(
+    "docs_heaps_law_fit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                i -> array_to_string(toks[i:i+1], ' '))
+                         ELSE [] END) AS gram
+      FROM t
+    ), firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    ), percount AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
+    ), mx AS (
+      SELECT MAX(doc_id) AS m FROM documents
+    ), ks AS (
+      SELECT CAST(k AS INT) AS k, ((SELECT m FROM mx) * k) // 10 AS t
+      FROM range(1, 11) r(k)
+    ), pts AS (
+      SELECT ks.k,
+             (SELECT COUNT(*) FROM firsts WHERE first_doc <= ks.t) AS v,
+             (SELECT COALESCE(SUM(n_grams), 0) FROM percount
+              WHERE doc_id <= ks.t) AS n
+      FROM ks
+    ), xy AS (
+      SELECT ROUND(ln(CAST(n AS DOUBLE)), 9) AS x,
+             ROUND(ln(CAST(v AS DOUBLE)), 9) AS y
+      FROM pts WHERE n > 0 AND v > 0
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_checkpoints,
+           ROUND((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx), 6)
+               AS heaps_beta,
+           ROUND((s.sy - ((s.n * s.sxy - s.sx * s.sy)
+                          / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6)
+               AS intercept,
+           (SELECT CAST(v AS BIGINT) FROM pts WHERE k = 10) AS vocab_final,
+           (SELECT CAST(n AS BIGINT) FROM pts WHERE k = 10) AS grams_final
+    FROM s
+    """,
+    tags=("text", "diagnostics", "corpus-health", "heaps"),
+)
+def docs_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit — the companion corpus-health number to the Zipf
+    slope: vocabulary growth V(n) ≈ K·n^β measured on bigram TYPES (the
+    unigram vocabulary of the synthetic corpus saturates instantly; the
+    pattern level actually grows) at 10 doc-id-prefix checkpoints.
+    β ≈ 0.5–0.8 is a healthy natural corpus; β → 0 means the crawl has
+    stopped discovering new language (or dedup failed), β → 1 flags
+    near-random token soup.  Checkpoint thresholds are integer doc-id
+    arithmetic, V_k counts first-appearance docs (one groupBy-min over
+    the gram stream), and the OLS fit reuses the Zipf-fit
+    round(9)-then-DECIMAL determinism recipe."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    grams_arr = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(grams_arr).alias("gram"))
+    )
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    percount = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    ks = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "m"
+    ).select("k", F.expr("(m * k) div 10").alias("t"))
+    v = (
+        firsts.join(F.broadcast(ks))
+        .filter(F.col("first_doc") <= F.col("t"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    n = (
+        percount.join(F.broadcast(ks))
+        .filter(F.col("doc_id") <= F.col("t"))
+        .groupBy("k")
+        .agg(F.sum("n_grams").alias("n"))
+    )
+    pts = ks.select("k").join(v, "k", "left").join(n, "k", "left").select(
+        "k",
+        F.coalesce("v", F.lit(0)).alias("v"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    xy = pts.filter((F.col("n") > 0) & (F.col("v") > 0)).select(
+        F.round(F.log(F.col("n").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("v").cast("double")), 9).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(18,9)")).cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)")).cast("double").alias("sxx"),
+    )
+    fin = pts.filter(F.col("k") == 10).select(
+        F.col("v").cast("long").alias("vocab_final"),
+        F.col("n").cast("long").alias("grams_final"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.join(F.broadcast(fin))
+        .select(
+            F.col("n").cast("long").alias("n_checkpoints"),
+            F.round(slope, 6).alias("heaps_beta"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+            "vocab_final",
+            "grams_final",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a
