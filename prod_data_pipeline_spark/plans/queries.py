@@ -7447,6 +7447,90 @@ def docs_heaps_law_fit(spark, sf_dir):
     )
 
 
+def _local_cc_oracle_sql() -> str:
+    """Near-dup edges (same LSH pipeline as the triangle/taint oracles) +
+    per-node triangle credit and local clustering coefficient."""
+    mh = ",\n             ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+        for j in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
+        "FROM sig WHERE len(sh) > 0"
+        for b in range(4)
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {{_TOKS_SQL}} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, sh, {mh} FROM s
+    ), bands AS ({bands}
+    ), edges AS MATERIALIZED (
+      SELECT c.id_a AS a, c.id_b AS b FROM (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    ), deg AS MATERIALIZED (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+      ) GROUP BY v
+    ), tri AS MATERIALIZED (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), credit AS (
+      SELECT v, COUNT(*) AS t FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri
+      ) GROUP BY v
+    )
+    SELECT deg.v, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(COALESCE(credit.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.deg >= 2 THEN 1 ELSE 0 END AS INT) AS defined,
+           CASE WHEN deg.deg >= 2
+                THEN ROUND(2.0 * COALESCE(credit.t, 0)
+                           / (deg.deg * (deg.deg - 1)), 6)
+                ELSE 0.0 END AS local_cc
+    FROM deg LEFT JOIN credit ON credit.v = deg.v
+    ORDER BY deg.v
+    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL)
+
+
+@query(
+    "docs_local_clustering",
+    oracle=_local_cc_oracle_sql(),
+    tags=("graph", "dedup", "clustering-coefficient"),
+)
+def docs_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficients over the near-dup graph
+    (operators.graph.local_clustering): cc(v) near 1 marks documents
+    sitting in tight duplicate cliques (safe to transitively remove), cc
+    near 0 marks bridge documents whose removal would over-delete — the
+    node-level companion to docs_dup_triangles' global coefficient.
+    Triangles list once via the canonical a<b<c wedge join; degrees and
+    credits are vertex-keyed aggs; cc is one double division of exact
+    integers rounded to 6.  Graph-sized throughout."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+    from prod_data_pipeline_spark.operators.graph import local_clustering
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
+    return local_clustering(pairs).orderBy("v")
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a

@@ -115,3 +115,19 @@ def test_min_hop_distance_known_chain(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 6: 3}  # 5 is 4 hops: capped out; 8,9 unreachable
     got2 = {r["doc_id"]: r["hop"] for r in min_hop_distance(pairs, seeds, max_hops=4).collect()}
     assert got2[5] == 4
+
+
+def test_local_clustering_known_graph(spark):
+    """Local cc on a known graph: triangle {1,2,3} plus pendant 3-4:
+    cc(1)=cc(2)=1, cc(3)=1/3 (deg 3, one triangle), cc(4)=0 undefined."""
+    from prod_data_pipeline_spark.operators.graph import local_clustering
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r["v"]: r for r in local_clustering(pairs).collect()}
+    assert got[1]["local_cc"] == 1.0 and got[1]["deg"] == 2
+    assert got[2]["local_cc"] == 1.0
+    assert got[3]["deg"] == 3 and abs(got[3]["local_cc"] - round(1 / 3, 6)) < 1e-9
+    assert got[4]["defined"] == 0 and got[4]["local_cc"] == 0.0
+    assert got[3]["n_triangles"] == 1 and got[4]["n_triangles"] == 0
