@@ -354,3 +354,59 @@ def local_clustering(pairs: DataFrame) -> DataFrame:
             .alias("local_cc"),
         )
     )
+
+
+def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where every
+    node keeps degree >= k — the standard "dense duplicate neighborhood"
+    extractor (a 3-core of the near-dup graph is a set of documents each
+    near-duplicating >= 3 others in the set: prime candidates for
+    template/boilerplate removal, vs bridge nodes peeled away).
+
+    Classic peeling, expressed relationally: each round computes degrees
+    over the surviving symmetrized edges (one vertex-keyed agg), drops
+    nodes below k, and semi-joins the edge list on both endpoints.
+    Peeling is MONOTONE — once the survivor set stops shrinking it is the
+    k-core, and further rounds are no-ops — so running a FIXED number of
+    rounds equals the fixpoint whenever it converges within the bound,
+    which is what lets a SQL engine replay the exact recurrence as
+    `max_rounds` unrolled CTEs (ALL-INTEGER state: degrees and node ids —
+    no quantization machinery needed, cf. pagerank_quantized).  The
+    early-exit below saves work without changing the result.
+
+    Returns (node, core_deg): surviving nodes with their within-core
+    degree.  Empty result = no k-core.  Scale: per round one shuffle of
+    the (shrinking) edge relation keyed on vertices + one degree agg;
+    localCheckpoint truncates the per-round lineage.  Real corpora peel
+    in few rounds (degeneracy ordering removes whole shells at once);
+    `max_rounds` bounds the worst case, and callers needing certainty
+    can assert `converged` via one extra round's count.
+    """
+    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    edges = (
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_edges = None
+    for _ in range(max_rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if prev_edges is not None and n_next == prev_edges:
+            edges = nxt
+            break
+        prev_edges, edges = n_next, nxt
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= k)  # equality holds at fixpoint; keep total
+        .select(F.col("src").alias("node"), F.col("core_deg").cast("long"))
+    )

@@ -1,0 +1,149 @@
+"""Mergeable count-min sketches over DataFrames.
+
+Companion to the HLL family (plans/queries.py `events_hll_mergeable_users`):
+where HLL answers "how many distinct keys", a count-min sketch (CMS,
+Cormode & Muthukrishnan 2005) answers "about how often does THIS key
+occur" from sub-linear state — the standard streaming/heavy-hitter
+sketch.  The reference ships no sketch operators; this is north-star
+extension surface like the HLL entries (SURVEY.md §2.6).
+
+Representation: a sketch is a relation (row, bucket, cnt) — `depth`
+hash rows × `width` buckets, counts are exact integer sums of whatever
+was added.  That relational form is what makes everything compose:
+
+- **build** is one groupBy over (row, bucket) — map-side partial agg
+  collapses local duplicates, the shuffle carries at most depth×width
+  rows per task regardless of input size;
+- **merge** of per-partition/per-day sketches is the SAME groupBy-sum
+  (CMS cells are counters — addition is the merge), so daily sketches
+  roll up to monthly ones without touching raw data;
+- **estimate** for a key is min over its `depth` cells: join the key's
+  (row, bucket) probes against the sketch and take MIN(cnt); the join
+  side is depth rows per key, the sketch side is bounded state.
+
+Guarantee: estimate >= true count always (cells only over-count via
+collisions); with width w and depth d, the overestimate exceeds
+2N/w with probability <= 2^-d (N = total additions).
+
+Hash backends mirror operators/dedup.py: "md5" derives the bucket from
+the first 12 hex digits of md5 (48 bits, exact in int64, replayable in
+any engine — the DuckDB oracle recomputes every cell bit-for-bit) and
+"xxhash64" is the cheaper JVM production path.  Both are deterministic
+per (salt, row) — safe under task retry/speculation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: F.Column, row: int, width: int, hash_fn: str, salt: str) -> F.Column:
+    """Bucket of `key` in hash row `row`: non-negative int64 mod width."""
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}{row}:"), key)), 1, 12), 16, 10
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.concat(F.lit(f"{salt}{row}:"), key))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 512,
+    hash_fn: str = "md5",
+    salt: str = "cms",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build a count-min sketch of `key_col` occurrences (or weights).
+
+    Returns (group_cols..., row, bucket, cnt).  With `group_cols` one
+    independent sketch is built per group (e.g. per day) — the groups
+    merge later with `cms_merge`, which is how a 100 TB corpus gets
+    sketched incrementally: sketch each daily partition as it lands,
+    never re-reading history.
+
+    One wide-then-narrow pass: each input row explodes to `depth` cells
+    (constant fan-out), then groupBy (group, row, bucket) sums — partial
+    aggregation bounds the shuffle at groups × depth × width rows.
+    """
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(key, r, width, hash_fn, salt).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(cells).alias("c"), w.alias("w"))
+        .groupBy(*group_cols, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(sketch: DataFrame) -> DataFrame:
+    """Merge per-group sketches into one: drop the group columns and sum
+    cell-wise.  CMS cells are counters, so merge IS addition — the same
+    property that makes the build retry-safe and the rollup incremental."""
+    return sketch.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    hash_fn: str = "md5",
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each key in `keys`: min over its depth cells.
+
+    keys explodes to depth probe rows, equi-joins the sketch on
+    (row, bucket), and MIN(cnt) per key is the estimate.  Cells missing
+    from the sketch relation are zero-count (the key was never added):
+    the left join + coalesce(0) keeps the min exact.  Probe cost is
+    depth rows per key; the sketch side stays bounded, so Spark
+    broadcast-joins it when small.
+    """
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(key, r, width, hash_fn, salt).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(sketch, on=["row", "bucket"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count"))
+    )
+
+
+def cms_error_bound(depth: int, width: int, n_total: int) -> tuple[float, float]:
+    """(epsilon*N, failure probability): overestimate <= e/width * N with
+    probability >= 1 - exp(-depth) — the textbook CMS bound, exposed for
+    tests and capacity planning."""
+    import math
+
+    return (math.e / width) * n_total, math.exp(-depth)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -7529,6 +7530,692 @@ def docs_local_clustering(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
     return local_clustering(pairs).orderBy("v")
+
+
+# ---------------------------------------------------------------------------
+# Round 6: mergeable count-min sketches, k-core decomposition, exact-rational
+# EWMA baselines, referential-integrity audit, interval concurrency, embedding
+# class separation, and content-defined chunk dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cms_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS true_count
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5('cms' || j || ':' || user_id), 1, 12))::BIGINT
+                  % 512 AS INT) AS bucket,
+             SUM(true_count) AS cnt
+      FROM counts CROSS JOIN (SELECT unnest(range(4)) AS j)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT user_id, true_count FROM counts
+      ORDER BY true_count DESC, user_id LIMIT 20
+    ), est AS (
+      SELECT t.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_count
+      FROM top t
+      CROSS JOIN (SELECT unnest(range(4)) AS j) r
+      LEFT JOIN cells c
+        ON c.j = r.j
+       AND c.bucket = CAST(('0x' || substr(md5('cms' || r.j || ':' || t.user_id), 1, 12))::BIGINT
+                           % 512 AS INT)
+      GROUP BY 1
+    )
+    SELECT t.user_id,
+           CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(e.cms_count AS BIGINT) AS cms_count,
+           CAST(e.cms_count - t.true_count AS BIGINT) AS overcount
+    FROM top t JOIN est e USING (user_id)
+    ORDER BY true_count DESC, user_id
+    """,
+    tags=("sketch", "cms", "heavy-hitters"),
+)
+def events_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter frequency estimation via MERGEABLE count-min sketches
+    (operators/sketches.py): each day builds its own depth-4 x width-512
+    sketch (the incremental path — daily partitions sketch as they land,
+    history is never re-read), the daily sketches merge by cell-wise
+    addition, and the merged sketch answers point queries for the exact
+    top-20 users, whose CMS estimate is compared against truth.  The
+    overcount column is the sketch's collision error — always >= 0 by
+    construction (a negative value anywhere would prove the operator
+    wrong).  The md5 bucket derivation is replayed bit-for-bit by the
+    oracle, which builds the sketch globally — cell addition is
+    associative, so per-day-then-merge MUST equal one global build; the
+    hash check proves the mergeability property, not just the estimates.
+    Sketch state is bounded (days x 4 x 512 rows) regardless of corpus
+    size."""
+    from prod_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    daily = cms_build(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        "user_id",
+        depth=4,
+        width=512,
+        hash_fn="md5",
+        group_cols=("day",),
+    )
+    merged = cms_merge(daily)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    top = counts.orderBy(F.desc("true_count"), "user_id").limit(20)
+    est = cms_estimate(merged, top.select("user_id"), "user_id", depth=4, width=512)
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("true_count").cast("long"),
+            F.col("cms_count").cast("long"),
+            (F.col("cms_count") - F.col("true_count")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("true_count"), "user_id")
+    )
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    """Near-dup edges (same LSH pipeline as the triangle/taint oracles) +
+    `rounds` unrolled peeling iterations.  Peeling is monotone, so a
+    fixed unroll equals the Spark side's early-exited fixpoint whenever
+    the graph converges within the bound (and equals its partial state
+    otherwise — the two engines replay the identical recurrence)."""
+    mh = ",\n             ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+        for j in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
+        "FROM sig WHERE len(sh) > 0"
+        for b in range(4)
+    )
+    parts = [
+        f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, sh, {mh} FROM s
+    ), bands AS ({bands}
+    ), pairs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    ), e0 AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    )"""
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", k{r} AS MATERIALIZED (
+      SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
+    ), e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN k{r} x ON x.src = e.src
+      JOIN k{r} y ON y.src = e.dst
+    )"""
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"""
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM {prev} GROUP BY src HAVING COUNT(*) >= {k} ORDER BY node
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "docs_kcore_summary",
+    oracle=_kcore_oracle_sql(k=2, rounds=6),
+    tags=("graph", "dedup", "kcore"),
+)
+def docs_kcore_summary(spark, sf_dir):
+    """2-core of the near-dup graph (operators.graph.kcore): the maximal
+    subgraph where every document near-duplicates >= 2 others in the set
+    — bridge/pendant nodes peel away, leaving the dense template and
+    boilerplate neighborhoods a curation pass reviews first.  ALL-INTEGER
+    iterative peeling (degrees + semi-joins), so the DuckDB oracle
+    replays the recurrence exactly as 6 unrolled CTE rounds; monotonicity
+    makes Spark's early exit at the fixpoint equal the fixed unroll.
+    Per round: one vertex-keyed degree agg + two semi-joins over a
+    shrinking edge relation — graph-sized, never corpus-sized."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+    from prod_data_pipeline_spark.operators.graph import kcore
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
+    return kcore(pairs, k=2, max_rounds=6).orderBy("node")
+
+
+_EWMA_LAGS = 14  # weights 2^(14-k) for lag k: exact integer arithmetic
+_EWMA_DENOM = (1 << _EWMA_LAGS) - 1  # 16383 = sum of the weights
+
+
+@query(
+    "events_ewma_anomalies",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), ty AS (
+      SELECT DISTINCT event_type FROM events
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), dense AS (
+      SELECT s.day, ty.event_type, COALESCE(d.n, 0) AS n
+      FROM spine s CROSS JOIN ty
+      LEFT JOIN daily d ON d.day = s.day AND d.event_type = ty.event_type
+    ), wnd AS (
+      SELECT day, event_type, n,
+             row_number() OVER w AS rn,
+             {" + ".join(f"lag(n, {kk}) OVER w * {1 << (_EWMA_LAGS - kk)}" for kk in range(1, _EWMA_LAGS + 1))} AS num
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT day, event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(num / {_EWMA_DENOM}.0, 6) AS ewma,
+           CAST(CASE WHEN n * {_EWMA_DENOM} > 2 * num THEN 1 ELSE 0 END AS INT) AS spike
+    FROM wnd WHERE rn > {_EWMA_LAGS}
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "anomaly", "ewma"),
+)
+def events_ewma_anomalies(spark, sf_dir):
+    """EWMA daily-volume baseline with EXACT RATIONAL arithmetic: the
+    smoothing weights are 2^(14-k) over the trailing 14 days (half-life
+    one day), so the weighted sum is a pure int64 expression and the
+    spike decision `count > 2 x EWMA` cross-multiplies integers — no
+    float ever decides a flag, so any engine replaying the recurrence
+    agrees bit-for-bit (the reported `ewma` column does one double
+    division of exact integers, rounded to 6).  Gap-filled on the
+    calendar spine first: a day with zero events must drag the baseline
+    down, which a sparse GROUP BY would silently skip.  Per-type windows
+    partition the shuffle; state is days x types rows — tiny at any
+    corpus scale."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    ty = ev.select("event_type").distinct()
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = (
+        spine.crossJoin(F.broadcast(ty))
+        .join(F.broadcast(daily), ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = reduce(
+        lambda a, b: a + b,
+        [
+            F.lag("n", kk).over(w) * F.lit(1 << (_EWMA_LAGS - kk))
+            for kk in range(1, _EWMA_LAGS + 1)
+        ],
+    )
+    return (
+        dense.select(
+            "day",
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.row_number().over(w).alias("rn"),
+            num.alias("num"),
+        )
+        .filter(F.col("rn") > _EWMA_LAGS)
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.round(F.col("num") / F.lit(float(_EWMA_DENOM)), 6).alias("ewma"),
+            F.when(
+                F.col("n_events") * _EWMA_DENOM > 2 * F.col("num"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("spike"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_FK_EDGES: list[tuple[str, str, str, str]] = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _fk_oracle_sql() -> str:
+    selects = []
+    for c, ck, p, pk in _FK_EDGES:
+        orphan_where = (
+            f"{ck} IS NOT NULL AND {ck} NOT IN "
+            f"(SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL)"
+        )
+        selects.append(
+            f"""SELECT '{c}.{ck}->{p}.{pk}' AS relationship,
+           CAST((SELECT COUNT(*) FROM {c}) AS BIGINT) AS n_child_rows,
+           CAST((SELECT COUNT(*) FROM {c} WHERE {ck} IS NULL) AS BIGINT) AS n_null_keys,
+           CAST((SELECT COUNT(DISTINCT {ck}) FROM {c}) AS BIGINT) AS n_distinct_keys,
+           CAST((SELECT COUNT(*) FROM {c} WHERE {orphan_where}) AS BIGINT) AS n_orphan_rows,
+           CAST((SELECT COUNT(DISTINCT {ck}) FROM {c} WHERE {orphan_where}) AS BIGINT) AS n_orphan_keys"""
+        )
+
+    return "\n    UNION ALL\n    ".join(selects) + "\n    ORDER BY relationship"
+
+
+@query(
+    "fk_integrity_audit",
+    oracle=_fk_oracle_sql(),
+    tags=("dq", "constraints", "referential-integrity"),
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit over every foreign-key edge of the
+    schema: child cardinality, NULL keys, distinct keys, and orphan rows/
+    keys (child keys with no parent).  This is the cross-TABLE data-quality
+    gate the single-table DQ profile (events_dq_profile, reference
+    raw_to_curated_events_v3_dq.py:70-106) cannot express — a broken
+    upstream join key shows up here first.  Each edge costs one
+    combiner-friendly child agg plus one left-anti join keyed on the FK
+    (dimension parents broadcast; fact-fact edges shuffle-hash on the
+    key); the 7 one-row results union driver-side.  NULL keys are counted
+    separately, never as orphans — SQL FK semantics."""
+    rows = []
+    for c, ck, p, pk in _FK_EDGES:
+        child = _t(spark, sf_dir, c)
+        parent = _t(spark, sf_dir, p).select(F.col(pk).alias("__pk")).distinct()
+        nn = child.filter(F.col(ck).isNotNull())
+        orph = nn.join(parent, nn[ck] == parent["__pk"], "left_anti")
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+            F.countDistinct(ck).alias("n_distinct_keys"),
+        )
+        ostats = orph.agg(
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.countDistinct(ck).alias("n_orphan_keys"),
+        )
+        rows.append(
+            stats.crossJoin(F.broadcast(ostats)).select(
+                F.lit(f"{c}.{ck}->{p}.{pk}").alias("relationship"),
+                "n_child_rows",
+                "n_null_keys",
+                "n_distinct_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("relationship")
+
+
+@query(
+    "sessions_peak_concurrency",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, sid, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+      FROM s GROUP BY 1, 2
+    ), d AS (
+      SELECT start_ts AS ts, 1 AS delta FROM sess
+      UNION ALL
+      SELECT end_ts AS ts, -1 AS delta FROM sess
+    ), r AS (
+      SELECT CAST(ts AS DATE) AS day, delta,
+             SUM(delta) OVER (PARTITION BY CAST(ts AS DATE)
+                              ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d
+    ), loc AS (
+      SELECT day, MAX(run) AS mx, SUM(delta) AS net,
+             SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts
+      FROM r GROUP BY day
+    ), c AS (
+      SELECT day, n_starts, mx,
+             COALESCE(SUM(net) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS carry
+      FROM loc
+    )
+    SELECT day,
+           CAST(n_starts AS BIGINT) AS n_sessions_started,
+           CAST(carry + greatest(mx, 0) AS BIGINT) AS peak_concurrency
+    FROM c ORDER BY day
+    """,
+    tags=("window", "sessionization", "sweep-line"),
+)
+def sessions_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day by distributed sweep-line: the
+    single-machine formulation (sort ALL +1/-1 boundary events globally,
+    running sum) is a global sort — forbidden at scale — so this splits
+    it into (a) a per-day windowed running sum over boundary deltas and
+    (b) a day-level carry-in = cumulative net of prior days, computed on
+    the tiny days-sized relation where a global window is free.  Peak =
+    carry + max(local running max, 0); sessions crossing midnight are
+    exactly the carry.  Tie policy: at the same timestamp, starts (+1)
+    process before ends (-1) — inclusive [start, end] intervals — pinned
+    by ORDER BY (ts, delta DESC) identically on both engines; reorderings
+    within equal (ts, delta) groups cannot change the running-max
+    multiset, so the result is deterministic at any parallelism.
+    Sessions come from the same 30-min-gap sessionization as
+    user_sessions (oracle-green r03)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    is_new = F.when(
+        F.lag("ts").over(wu).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    d = sess.select(F.col("start_ts").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    wd = Window.partitionBy("day").orderBy("ts", F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = d.withColumn("day", F.to_date("ts")).withColumn("run", F.sum("delta").over(wd))
+    loc = r.groupBy("day").agg(
+        F.max("run").alias("mx"),
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
+    )
+    # day-level relation: rows == distinct days, so the global window is
+    # a one-partition job over a tiny input — not a data-sized sort
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        loc.withColumn("carry", F.coalesce(F.sum("net").over(wc), F.lit(0)))
+        .select(
+            "day",
+            F.col("n_starts").cast("long").alias("n_sessions_started"),
+            (F.col("carry") + F.greatest("mx", F.lit(0)))
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "emb_label_separation",
+    oracle="""
+    WITH cent AS (
+      SELECT label, pos,
+             ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
+      GROUP BY 1, 2
+    ), carr AS (
+      SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label
+    ), rowcos AS (
+      SELECT e.label,
+             ROUND(
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * a.carr[i]))
+               / greatest(
+                   sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(a.carr, x -> x * x))),
+                   1e-12),
+               6) AS cs
+      FROM embeddings e JOIN carr a USING (label)
+    ), own AS (
+      SELECT label, COUNT(*) AS n_vecs,
+             ROUND(CAST(SUM(CAST(cs AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_cos_own
+      FROM rowcos GROUP BY label
+    ), cc AS (
+      SELECT x.label AS la, y.label AS lb,
+             ROUND(
+               list_sum(list_transform(range(1, len(x.carr) + 1),
+                        i -> x.carr[i] * y.carr[i]))
+               / greatest(
+                   sqrt(list_sum(list_transform(x.carr, v -> v * v)))
+                   * sqrt(list_sum(list_transform(y.carr, v -> v * v))),
+                   1e-12),
+               6) AS cs
+      FROM carr x JOIN carr y ON x.label <> y.label
+    ), best AS (
+      SELECT la, lb, cs,
+             row_number() OVER (PARTITION BY la ORDER BY cs DESC, lb) AS rn
+      FROM cc
+    )
+    SELECT o.label, o.n_vecs, o.mean_cos_own,
+           b.lb AS nearest_other_label, b.cs AS cos_nearest_other,
+           ROUND(o.mean_cos_own - b.cs, 6) AS margin
+    FROM own o JOIN best b ON b.la = o.label AND b.rn = 1
+    ORDER BY o.label
+    """,
+    tags=("similarity", "embeddings", "class-separation"),
+)
+def emb_label_separation(spark, sf_dir):
+    """Embedding class-separation diagnostic: per label, the mean cosine
+    of member vectors to their OWN centroid versus the highest cosine
+    between that centroid and any OTHER label's centroid — the
+    Fisher-style margin that predicts whether label-blocked ANN
+    (cosine_near_dup_pairs' block_cols) and IVF cells will work on this
+    corpus.  Centroids reuse the long-form aggregation of
+    emb_label_centroids (oracle-green r03), round to 6 at source, and
+    broadcast-join back as arrays; per-row cosines round to 6 then sum as
+    exact DECIMAL, so partial-agg order cannot flip the hash.  The
+    centroid-pair stage is labels^2 rows — label-sized, never
+    corpus-sized; the per-row stage is one broadcast join + one pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_long = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("c"))
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    )
+
+    def _cos(a: F.Column, b: F.Column) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        na = F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        nb = F.sqrt(
+            F.aggregate(
+                F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            )
+        )
+        return F.round(dot / F.greatest(na * nb, F.lit(1e-12)), 6)
+
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rowcos = emb.join(F.broadcast(cent), "label").select(
+        "label", _cos(e_dbl, F.col("carr")).alias("cs")
+    )
+    own = rowcos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("cs").cast("decimal(18,10)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos_own"),
+    )
+    a = cent.select(F.col("label").alias("la"), F.col("carr").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), F.col("carr").alias("cb"))
+    cc = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb", _cos(F.col("ca"), F.col("cb")).alias("cs"))
+    )
+    wb = Window.partitionBy("la").orderBy(F.desc("cs"), "lb")
+    best = cc.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+    return (
+        own.join(best, own.label == best.la)
+        .select(
+            "label",
+            "n_vecs",
+            "mean_cos_own",
+            F.col("lb").alias("nearest_other_label"),
+            F.col("cs").alias("cos_nearest_other"),
+            F.round(F.col("mean_cos_own") - F.col("cs"), 6).alias("margin"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "docs_cdc_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, source, i AS pos, toks[i] AS tok,
+             CASE WHEN ('0x' || substr(md5('cdc:' || toks[i]), 1, 8))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+      WHERE len(toks) > 0
+    ), marked AS (
+      SELECT doc_id, source, pos, tok,
+             COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM tok
+    ), chunks AS (
+      SELECT doc_id, source, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+             COUNT(*) AS n_tokens
+      FROM marked GROUP BY 1, 2, 3
+    ), freq AS (
+      SELECT chunk_hash, COUNT(*) AS n_occ FROM chunks GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.n_occ > 1 THEN c.n_tokens ELSE 0 END) AS BIGINT)
+             AS n_dup_tokens,
+           ROUND(CAST(SUM(CASE WHEN f.n_occ > 1 THEN c.n_tokens ELSE 0 END) AS DOUBLE)
+                 / SUM(c.n_tokens), 6) AS dup_token_frac
+    FROM chunks c JOIN freq f USING (chunk_hash)
+    GROUP BY c.source ORDER BY c.source
+    """,
+    tags=("dedup", "cdc-chunking", "llm-pipeline"),
+)
+def docs_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunk dedup (the FastCDC/rsync family, token-level):
+    chunk boundaries fall where a token's content hash lands in a fixed
+    residue class (expected chunk length 8 tokens), so INSERTING text
+    shifts chunk ids but not chunk CONTENT — unlike the fixed sliding
+    windows of docs_substring_dup_spans, edits only perturb the one chunk
+    they touch.  Chunks hash globally; a chunk appearing in >1 place
+    (same doc or across docs/sources) is duplicated, and the per-source
+    duplicated-token fraction is the storage/training-redundancy the
+    corpus carries.  Boundary decisions are pure token-hash residues
+    (md5 backend — the oracle replays every boundary bit-for-bit);
+    chunking is one per-doc window pass, dedup one groupBy on chunk
+    hash — shuffle proportional to chunks, never doc pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(_tokens(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tok")
+    boundary = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("cdc:"), F.col("tok"))), 1, 8), 16, 10)
+        .cast("long")
+        % 8
+        == 0,
+        1,
+    ).otherwise(0)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = toks.withColumn("boundary", boundary).withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(wdoc), F.lit(0))
+    )
+    chunks = (
+        marked.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    freq = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_tok = F.sum(F.when(F.col("n_occ") > 1, F.col("n_tokens")).otherwise(0))
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            dup_tok.cast("long").alias("n_dup_tokens"),
+            F.round(dup_tok.cast("double") / F.sum("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -131,3 +131,30 @@ def test_local_clustering_known_graph(spark):
     assert got[3]["deg"] == 3 and abs(got[3]["local_cc"] - round(1 / 3, 6)) < 1e-9
     assert got[4]["defined"] == 0 and got[4]["local_cc"] == 0.0
     assert got[3]["n_triangles"] == 1 and got[4]["n_triangles"] == 0
+
+
+def test_kcore_known_graph(spark):
+    """Triangle {0,1,2} with a pendant chain 2-3-4: the 2-core is exactly
+    the triangle (3 and 4 peel — 4 first, then 3), and every survivor
+    reports its within-core degree."""
+    from prod_data_pipeline_spark.operators.graph import kcore
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    out = {r["node"]: r["core_deg"] for r in kcore(pairs, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_empty_and_full(spark):
+    from prod_data_pipeline_spark.operators.graph import kcore
+
+    # a pure chain has no 2-core
+    chain = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"])
+    assert kcore(chain, k=2).count() == 0
+    # a 4-clique is its own 3-core
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], ["id_a", "id_b"]
+    )
+    out = {r["node"]: r["core_deg"] for r in kcore(clique, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}

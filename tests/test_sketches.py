@@ -1,0 +1,67 @@
+"""Count-min sketch invariants: never-underestimate, exactness at ample
+width, and mergeability (per-group build + merge == global build)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod_data_pipeline_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _events(spark):
+    # 3 groups x keys with known skew: key k appears k+1 times per group
+    rows = [(g, f"k{k}") for g in range(3) for k in range(20) for _ in range(k + 1)]
+    return spark.createDataFrame(rows, ["g", "key"])
+
+
+def test_cms_never_underestimates(spark):
+    df = _events(spark)
+    sk = cms_merge(cms_build(df, "key", depth=4, width=16, group_cols=("g",)))
+    keys = df.select("key").distinct()
+    est = cms_estimate(sk, keys, "key", depth=4, width=16)
+    true = df.groupBy("key").agg(F.count(F.lit(1)).alias("t"))
+    joined = est.join(true, "key").collect()
+    assert len(joined) == 20
+    assert all(r["cms_count"] >= r["t"] for r in joined)
+
+
+def test_cms_exact_when_wide(spark):
+    """With width >> keys, collisions are (overwhelmingly) absent and the
+    estimate is exact — depth rows all agree on the true count."""
+    df = _events(spark)
+    sk = cms_build(df, "key", depth=4, width=4096)
+    est = cms_estimate(
+        sk, df.select("key").distinct(), "key", depth=4, width=4096
+    )
+    true = df.groupBy("key").agg(F.count(F.lit(1)).alias("t"))
+    assert all(
+        r["cms_count"] == r["t"] for r in est.join(true, "key").collect()
+    )
+
+
+def test_cms_merge_equals_global_build(spark):
+    """Cell-wise: building per group then merging must equal one global
+    build — the property that makes daily sketch rollups sound."""
+    df = _events(spark)
+    merged = cms_merge(cms_build(df, "key", depth=4, width=16, group_cols=("g",)))
+    direct = cms_build(df, "key", depth=4, width=16)
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b
+
+
+def test_cms_weighted_and_backends(spark):
+    df = _events(spark).withColumn("w", F.lit(3))
+    for backend in ("md5", "xxhash64"):
+        sk = cms_build(df, "key", weight_col="w", depth=3, width=64, hash_fn=backend)
+        est = cms_estimate(
+            sk, df.select("key").distinct(), "key", depth=3, width=64, hash_fn=backend
+        )
+        true = df.groupBy("key").agg((3 * F.count(F.lit(1))).alias("t"))
+        assert all(
+            r["cms_count"] >= r["t"] for r in est.join(true, "key").collect()
+        )
