@@ -49,6 +49,10 @@ class Snapshot:
     files: list[str]
     n_rows: int
     mode: str  # "append" | "overwrite"
+    # zone maps: {file: {col: [min, max]}} for the columns the writer chose
+    # to track (commit_snapshot stats_cols=...).  Files written before stats
+    # were tracked simply have no entry and are never pruned away.
+    stats: dict = None  # type: ignore[assignment]
 
 
 def _manifest_dir(table_path: str) -> str:
@@ -71,7 +75,11 @@ def read_manifest(table_path: str, version: int) -> Snapshot:
     with open(os.path.join(_manifest_dir(table_path), f"v{version}.json")) as f:
         m = json.load(f)
     return Snapshot(
-        version=m["version"], files=m["files"], n_rows=m["n_rows"], mode=m["mode"]
+        version=m["version"],
+        files=m["files"],
+        n_rows=m["n_rows"],
+        mode=m["mode"],
+        stats=m.get("stats", {}),
     )
 
 
@@ -81,7 +89,51 @@ def snapshots(table_path: str) -> list[Snapshot]:
     return [read_manifest(table_path, i) for i in range(1, (v or 0) + 1)]
 
 
-def commit_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> Snapshot:
+def _collect_file_stats(
+    spark: SparkSession, written: list[str], stats_cols: tuple[str, ...]
+) -> tuple[int, dict]:
+    """One scan of the just-written files: per-file row count plus min/max
+    zone maps for `stats_cols`.  Cost is a single combiner-friendly agg
+    over data the page cache still holds — the write-side toll every
+    zone-mapped table format pays (Iceberg/Delta collect the same stats
+    from parquet footers at commit time)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = (
+        spark.read.parquet(*written)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def _plain(v):
+        # JSON-serializable zone-map bound; temporal/decimal go via str
+        # (ISO order == value order for dates/timestamps of one column)
+        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+    by_base = {}
+    n_new = 0
+    for r in rows:
+        n_new += r["__n"]
+        if stats_cols:
+            base = os.path.basename(r["__f"])
+            by_base[base] = {
+                c: [_plain(r[f"__mn_{c}"]), _plain(r[f"__mx_{c}"])] for c in stats_cols
+            }
+    stats = {f: by_base[os.path.basename(f)] for f in written if os.path.basename(f) in by_base}
+    return n_new, stats
+
+
+def commit_snapshot(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    stats_cols: tuple[str, ...] = (),
+) -> Snapshot:
     """Commit a new table version.
 
     Data files are written to an immutable per-commit directory; the new
@@ -89,6 +141,15 @@ def commit_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> Sna
     version); the `_current` pointer is swapped last via atomic rename.
     A crash before the swap leaves orphan files but NO visible change —
     readers can never observe a partial commit.
+
+    `stats_cols` opts columns into per-file min/max **zone maps** stored in
+    the manifest: readers prune whole files whose range cannot match a
+    predicate (read_snapshot `prune=`) without opening them — at object-
+    store scale this turns a selective scan over N files into a scan over
+    the few files whose zone overlaps, the same data-skipping design as
+    Iceberg/Delta file stats.  Pruning pays off in proportion to how well
+    the writer CLUSTERED the column (sources.writers write_range_ordered /
+    write_zordered exist for exactly that).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -102,19 +163,28 @@ def commit_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> Sna
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    n_new = spark.read.parquet(*written).count() if written else 0
+    n_new, new_stats = (
+        _collect_file_stats(spark, written, tuple(stats_cols)) if written else (0, {})
+    )
 
     prev_v = current_version(table_path)
     if mode == "append" and prev_v is not None:
         prev = read_manifest(table_path, prev_v)
         files = prev.files + written
         n_rows = prev.n_rows + n_new
+        stats = {**(prev.stats or {}), **new_stats}
     else:
-        files, n_rows = written, n_new
+        files, n_rows, stats = written, n_new, new_stats
     version = (prev_v or 0) + 1
 
     os.makedirs(_manifest_dir(table_path), exist_ok=True)
-    manifest = {"version": version, "files": files, "n_rows": n_rows, "mode": mode}
+    manifest = {
+        "version": version,
+        "files": files,
+        "n_rows": n_rows,
+        "mode": mode,
+        "stats": stats,
+    }
     mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
@@ -124,20 +194,61 @@ def commit_snapshot(df: DataFrame, table_path: str, mode: str = "append") -> Sna
     with open(ptr + ".tmp", "w") as f:
         f.write(str(version))
     os.rename(ptr + ".tmp", ptr)  # the commit point: atomic on POSIX
-    return Snapshot(version=version, files=files, n_rows=n_rows, mode=mode)
+    return Snapshot(version=version, files=files, n_rows=n_rows, mode=mode, stats=stats)
+
+
+def prune_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
+    """Files of `snap` that may contain rows with lo <= col <= hi, by zone
+    map.  A file is skipped ONLY when its recorded [min, max] provably
+    cannot overlap; files without stats for `col` are always kept (sound
+    by construction — pruning can never drop a matching row).  Bounds
+    compare with Python ordering, so pass values of the column's type
+    (or its str() form for temporal columns, whose ISO strings sort)."""
+    kept = []
+    for f in snap.files:
+        rng = (snap.stats or {}).get(f, {}).get(col)
+        if rng is None or rng[0] is None or rng[1] is None:
+            kept.append(f)
+            continue
+        mn, mx = rng
+        if not (mx < lo or mn > hi):
+            kept.append(f)
+    return kept
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read a table version (default: current).  Time travel = pass an
     older version; the files it lists are immutable, so the read is
-    reproducible forever (until a vacuum)."""
+    reproducible forever (until a vacuum).
+
+    `prune=(col, lo, hi)` applies zone-map data skipping: only files whose
+    recorded [min, max] range can overlap [lo, hi] are opened, and the
+    predicate is re-applied to the surviving rows, so the result equals
+    `read_snapshot(...).filter(lo <= col <= hi)` exactly — skipping is a
+    physical optimization, never a semantic one."""
+    from pyspark.sql import functions as F
+
     v = version if version is not None else current_version(table_path)
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     snap = read_manifest(table_path, v)
-    return spark.read.parquet(*snap.files)
+    if prune is None:
+        return spark.read.parquet(*snap.files)
+    col, lo, hi = prune
+    kept = prune_files(snap, col, lo, hi)
+    if not kept:
+        # zone maps prove zero matches: an empty frame with the right schema
+        return (
+            spark.read.parquet(*snap.files)
+            .filter(F.lit(False))
+            .filter(F.col(col).between(lo, hi))
+        )
+    return spark.read.parquet(*kept).filter(F.col(col).between(lo, hi))
 
 
 def vacuum(table_path: str, keep_last: int = 1) -> list[str]:

@@ -79,3 +79,65 @@ def test_read_events_csv_schema_enforced(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["event_id"] for r in good} == {"e1", "e2"}
     assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+def test_zone_map_pruning_reads_fewer_files_same_answer(spark, tmp_path):
+    """Range-clustered commit + zone maps: a selective read opens only the
+    overlapping files, and the result equals the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import (
+        prune_files,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 10_000)
+        .withColumn("v", F.col("id").cast("long"))
+        .repartitionByRange(8, "v")
+        .sortWithinPartitions("v")
+    )
+    snap = commit_snapshot(df, t, stats_cols=("v",))
+    assert len(snap.files) == 8
+    assert all("v" in snap.stats[f] for f in snap.files)
+
+    kept = prune_files(snap, "v", 2000, 2600)
+    assert 0 < len(kept) < len(snap.files)
+
+    pruned = read_snapshot(spark, t, prune=("v", 2000, 2600))
+    full = read_snapshot(spark, t).filter(F.col("v").between(2000, 2600))
+    assert sorted(r["v"] for r in pruned.collect()) == sorted(
+        r["v"] for r in full.collect()
+    )
+    # the manifest round-trips the stats (reader process != writer process)
+    snap2 = read_manifest(t, snap.version)
+    assert snap2.stats == snap.stats
+
+
+def test_zone_map_append_merges_stats_and_unclustered_files_survive(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import prune_files
+
+    t = str(tmp_path / "tbl")
+    lo = spark.range(0, 100).withColumn("v", F.col("id").cast("long")).coalesce(1)
+    hi = spark.range(5000, 5100).withColumn("v", F.col("id").cast("long")).coalesce(1)
+    commit_snapshot(lo, t, stats_cols=("v",))
+    s2 = commit_snapshot(hi, t, mode="append", stats_cols=("v",))
+    assert len(s2.files) == 2 and len(s2.stats) == 2
+
+    assert len(prune_files(s2, "v", 0, 10)) == 1
+    assert len(prune_files(s2, "v", 5050, 5060)) == 1
+    assert len(prune_files(s2, "v", 200, 300)) == 0
+    # zero-overlap read: empty result, schema intact
+    empty = read_snapshot(spark, t, prune=("v", 200, 300))
+    assert empty.count() == 0 and "v" in empty.columns
+
+    # a commit WITHOUT stats keeps its files unprunable (sound default)
+    s3 = commit_snapshot(
+        spark.range(9000, 9100).withColumn("v", F.col("id").cast("long")).coalesce(1),
+        t,
+        mode="append",
+    )
+    assert len(prune_files(s3, "v", 0, 10)) == 2  # old low file + statless file
