@@ -404,3 +404,61 @@ def video_frame_features(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "y_sum", "y_peak"])
 
     return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) of REAL-decoded BMP images: an
+    8x8 nearest-neighbor downsample of integer grayscale, thresholded at
+    the mean — the classic perceptual fingerprint that groups visually
+    identical/near-identical images regardless of container bytes, which
+    is how multimodal corpora dedup images (exact payload hashing misses
+    re-encodes; aHash buckets them).
+
+    ALL-INTEGER definition, fixed to the STORED pixel orientation so an
+    independent engine can replay it from the synthetic byte tiling:
+    for cell (v, u) in [0,8)^2, sample the pixel at stored row
+    y = v*h//8, column x = u*w//8 (byte offset y*stride + 3x into the
+    pixel area, stride = (3w+3)//4*4), gray = (b0+b1+b2)//3; the cell's
+    bit is 1 iff 64*gray > sum(grays) — integer cross-multiplication, no
+    float mean.  The hash is emitted as a 64-char bitstring (row-major),
+    which avoids signed-int64 overflow for bit 63 and keeps the value
+    engine-portable.  Arrow-batched mapInPandas; non-BMP payloads are
+    skipped (quarantine semantics, as in audio_features)."""
+    from prod_data_pipeline_spark.functions.codecs import decode_bmp
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("phash", T.StringType()),
+        ]
+    )
+    hs = hash_size
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    info = decode_bmp(bytes(payload))
+                except Exception:
+                    continue
+                w, h = info.width, info.height
+                stride = (3 * w + 3) // 4 * 4
+                p = info.samples  # raw pixel-area bytes, stored row order
+                grays = []
+                for v in range(hs):
+                    y = v * h // hs
+                    for u in range(hs):
+                        x = u * w // hs
+                        i0 = y * stride + 3 * x
+                        grays.append(int(p[i0]) + int(p[i0 + 1]) + int(p[i0 + 2]))
+                grays = [g // 3 for g in grays]
+                total = sum(grays)
+                n = hs * hs
+                bits = "".join("1" if n * g > total else "0" for g in grays)
+                rows.append((int(asset_id), int(w), int(h), bits))
+            yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "phash"])
+
+    return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)

@@ -8218,6 +8218,74 @@ def docs_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "media_image_phash_groups",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text,
+             CAST(4 + doc_id % 13 AS BIGINT) AS w,
+             CAST(4 + doc_id % 7 AS BIGINT) AS h,
+             (3 * (4 + doc_id % 13) + 3) // 4 * 4 AS stride,
+             length(text) AS l
+      FROM documents WHERE doc_id % 3 = 0
+    ), g AS (
+      SELECT doc_id, w, h,
+             list_transform(range(0, 64), c ->
+               ( ascii(substr(text, CAST(((c // 8) * h // 8) * stride
+                                         + 3 * ((c % 8) * w // 8) AS BIGINT) % l + 1, 1))
+               + ascii(substr(text, CAST(((c // 8) * h // 8) * stride
+                                         + 3 * ((c % 8) * w // 8) + 1 AS BIGINT) % l + 1, 1))
+               + ascii(substr(text, CAST(((c // 8) * h // 8) * stride
+                                         + 3 * ((c % 8) * w // 8) + 2 AS BIGINT) % l + 1, 1))
+               ) // 3) AS grays
+      FROM img
+    ), ph AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(grays,
+                 gr -> CASE WHEN 64 * gr > list_sum(grays) THEN '1' ELSE '0' END),
+               '') AS phash
+      FROM g
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS min_asset_id,
+           MAX(doc_id) AS max_asset_id
+    FROM ph GROUP BY phash ORDER BY phash
+    """,
+    tags=("multimodal", "image", "perceptual-hash", "dedup"),
+)
+def media_image_phash_groups(spark, sf_dir):
+    """Perceptual image dedup: REAL BMP payloads decode to pixels, each
+    image gets an all-integer 64-bit average-hash
+    (operators.multimodal.image_phash), and images group by fingerprint —
+    the multimodal counterpart of exact text dedup (re-encoded or
+    resized-identical images share a perceptual bucket even when payload
+    bytes differ).  The oracle regenerates every SAMPLED PIXEL from
+    doc_id geometry + the documented byte tiling (ASCII text assumption
+    as in the media-feature/audio oracles), so a single wrong byte
+    anywhere in the decode -> downsample -> threshold path flips the
+    hash.  Fingerprinting is one Arrow-batched kernel pass; grouping is
+    one 64-char-key groupBy — payload bytes never shuffle."""
+    from prod_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+        synthetic_media_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "image")
+    ph = image_phash(assets)
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("asset_id").alias("min_asset_id"),
+            F.max("asset_id").alias("max_asset_id"),
+        )
+        .orderBy("phash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a

@@ -37,6 +37,8 @@ covers both modes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -389,3 +391,51 @@ def streaming_incremental_dedup(
             [key_col]
         )
     return fresh.dropDuplicates([key_col])
+
+
+def streaming_cms_sink(
+    events: DataFrame,
+    key_col: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 512,
+    hash_fn: str = "xxhash64",
+):
+    """Streaming frequency sketch: maintain a mergeable count-min sketch
+    of `key_col` occurrences from a stream via foreachBatch +
+    operators.sketches — the streaming twin of events_cms_heavy_hitters'
+    batch build.
+
+    Each micro-batch builds its own bounded sketch (at most depth x width
+    rows regardless of batch size) and writes it to a DETERMINISTIC
+    per-batch delta directory ``batch=<batch_id>`` in overwrite mode.
+    CMS merge is addition — NOT idempotent — so replay safety cannot come
+    from re-merging (the upsert sink's trick); it comes from the
+    deterministic path: a batch replayed after a crash overwrites its own
+    delta rather than double-counting.  `read_cms` unions the deltas and
+    folds them with cms_merge, which an engine can do lazily at query
+    time or compact periodically — sketch state grows as
+    batches x depth x width rows, independent of stream volume.
+    """
+    from prod_data_pipeline_spark.operators.sketches import cms_build
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sk = cms_build(batch, key_col, depth=depth, width=width, hash_fn=hash_fn)
+        sk.write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"batch={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Fold the per-batch sketch deltas into one current sketch."""
+    from prod_data_pipeline_spark.operators.sketches import cms_merge
+
+    return cms_merge(spark.read.parquet(os.path.join(sketch_path, "batch=*")))

@@ -244,3 +244,24 @@ def test_video_frame_features_known_y4m(spark):
     f1 = tile(b"BCD", wh)
     assert rows[0]["y_sum"] == sum(f0) and rows[0]["y_peak"] == max(f0)
     assert rows[1]["y_sum"] == sum(f1) and rows[1]["y_peak"] == max(f1)
+
+
+def test_image_phash_known_payloads(spark):
+    """aHash on hand-built BMPs: a uniform image thresholds to all-zero
+    bits (no gray exceeds the mean), a half-dark/half-bright image sets
+    exactly the bright rows, and junk payloads are quarantined."""
+    from prod_data_pipeline_spark.functions.codecs import encode_bmp
+    from prod_data_pipeline_spark.operators.multimodal import image_phash
+
+    uniform = encode_bmp(8, 8, bytes([100]))
+    # stride for w=8 is (24+3)//4*4 = 24, no padding; stored rows 0..3 dark,
+    # 4..7 bright -> sampled y = v for v in 0..7
+    half = encode_bmp(8, 8, bytes([0] * (24 * 4) + [200] * (24 * 4)))
+    df = spark.createDataFrame(
+        [(1, bytearray(uniform)), (2, bytearray(half)), (3, bytearray(b"junk"))],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] == "0" * 64
+    assert out[2] == "0" * 32 + "1" * 32

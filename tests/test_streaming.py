@@ -15,6 +15,7 @@ from prod_data_pipeline_spark.streaming.curate_stream import (
     streaming_sliding_rates,
     streaming_user_sessions,
 )
+from prod_data_pipeline_spark.schemas import EVENT_RAW_SCHEMA
 from tests.eventgen import generate_raw_events
 
 DATES = ["2025-01-01", "2025-01-02"]
@@ -440,3 +441,37 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     exp_fps = {r["fp"] for r in expected.select("fp").collect()}
     assert got_fps == exp_fps, "streaming kept a different fingerprint set"
     assert got_n == len(exp_fps), "streaming kept more than one doc per fingerprint"
+
+
+def test_streaming_cms_sink_matches_batch_sketch(spark, raw, tmp_path):
+    """Per-batch sketch deltas folded with cms_merge must equal one batch
+    build over the whole stream (merge == addition), and estimates must
+    never underestimate the true counts."""
+    from prod_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        read_cms,
+        stream_events,
+        streaming_cms_sink,
+    )
+
+    base, _ = raw
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    ev = stream_events(spark, _glob(base), max_files_per_trigger=1)  # >1 batch
+    q = streaming_cms_sink(ev, "user_id", sketch, ckpt, depth=4, width=128)
+    q.awaitTermination(120)
+
+    merged = read_cms(spark, sketch)
+    batch_ev = spark.read.json(_glob(base), schema=EVENT_RAW_SCHEMA)
+    direct = cms_build(batch_ev, "user_id", depth=4, width=128, hash_fn="xxhash64")
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b
+
+    keys = batch_ev.select("user_id").distinct()
+    est = cms_estimate(merged, keys, "user_id", depth=4, width=128, hash_fn="xxhash64")
+    true = batch_ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
+    assert all(r["cms_count"] >= r["t"] for r in est.join(true, "user_id").collect())
