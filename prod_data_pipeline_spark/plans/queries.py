@@ -8286,6 +8286,216 @@ def media_image_phash_groups(spark, sf_dir):
     )
 
 
+def _threshold_sweep_oracle_sql(thresholds: tuple[float, ...]) -> str:
+    mh = ",\n             ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+        for j in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
+        "FROM sig WHERE len(sh) > 0"
+        for b in range(4)
+    )
+    theta_rows = " UNION ALL ".join(f"SELECT {t} AS theta" for t in thresholds)
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, sh, {mh} FROM s
+    ), bands AS ({bands}
+    ), scored AS MATERIALIZED (
+      SELECT id_a, id_b, jac FROM (
+        SELECT c.id_a, c.id_b,
+               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
+        FROM (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ) c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+      ) WHERE jac >= 0.5
+    ), ends AS MATERIALIZED (
+      SELECT id_a AS v, jac FROM scored UNION ALL SELECT id_b AS v, jac FROM scored
+    ), thetas AS ({theta_rows})
+    SELECT theta,
+           CAST((SELECT COUNT(*) FROM scored WHERE jac >= theta) AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(DISTINCT v) FROM ends WHERE jac >= theta) AS BIGINT)
+             AS n_nodes,
+           ROUND(COALESCE(
+             (SELECT CAST(SUM(CAST(jac AS DECIMAL(18,8))) AS DOUBLE)
+                     / COUNT(*) FROM scored WHERE jac >= theta), 0.0), 6) AS avg_jaccard
+    FROM thetas ORDER BY theta
+    """
+
+
+@query(
+    "docs_dup_threshold_sweep",
+    oracle=_threshold_sweep_oracle_sql((0.5, 0.6, 0.7, 0.8)),
+    tags=("dedup", "diagnostics", "threshold-sweep"),
+)
+def docs_dup_threshold_sweep(spark, sf_dir):
+    """Dedup-aggressiveness knob sweep: the verified LSH near-dup pairs are
+    scored ONCE (the expensive corpus-sized pass), then each candidate
+    threshold theta reads the bounded pair relation — pairs retained,
+    documents touched, and mean retained similarity per theta.  This is
+    the curve a curation team inspects before committing to a dedup
+    threshold (too low over-deletes via chains, too high leaves
+    templates); sweeping by re-running the pipeline per theta would cost
+    |thetas| corpus scans instead of one.  Candidates come from banding
+    tuned for theta=0.5, so higher-theta rows measure the SAME verified
+    pair set filtered tighter — stated in the name: this sweeps the dedup
+    decision, not LSH recall (emb_ivf_recall / docs_lsh_recall_vs_exact
+    cover recall).  The pair relation localCheckpoints so four theta
+    aggregates don't re-run LSH."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False, materialize=True)
+    thetas = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8)], ["theta"])
+    ends = pairs.select(F.col("id_a").alias("v"), "jaccard").unionByName(
+        pairs.select(F.col("id_b").alias("v"), "jaccard")
+    )
+    kept = thetas.crossJoin(pairs).filter(F.col("jaccard") >= F.col("theta"))
+    kept_ends = thetas.crossJoin(ends).filter(F.col("jaccard") >= F.col("theta"))
+    agg_pairs = kept.groupBy("theta").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jaccard").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_jaccard"),
+    )
+    agg_nodes = kept_ends.groupBy("theta").agg(
+        F.countDistinct("v").alias("n_nodes")
+    )
+    return (
+        thetas.join(agg_pairs, "theta", "left")
+        .join(agg_nodes, "theta", "left")
+        .select(
+            "theta",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("avg_jaccard", F.lit(0.0)).alias("avg_jaccard"),
+        )
+        .orderBy("theta")
+    )
+
+
+@query(
+    "docs_bpe_encode_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+    ), tsrc AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), tf AS (
+      SELECT token, SUM(c) AS c FROM tsrc GROUP BY token
+    ), p1 AS (
+      SELECT unnest(list_transform(range(1, length(token)), i -> substr(token, i, 2)))
+                 AS pair, c
+      FROM tf WHERE length(token) >= 2
+    ), m1 AS (
+      SELECT pair FROM p1 GROUP BY pair ORDER BY SUM(c) DESC, pair ASC LIMIT 1
+    ), v1 AS (
+      SELECT token, replace(token, (SELECT pair FROM m1), '1') AS t1, c FROM tf
+    ), p2 AS (
+      SELECT unnest(list_transform(range(1, length(t1)), i -> substr(t1, i, 2)))
+                 AS pair, c
+      FROM v1 WHERE length(t1) >= 2
+    ), m2 AS (
+      SELECT pair FROM p2 GROUP BY pair ORDER BY SUM(c) DESC, pair ASC LIMIT 1
+    ), vocab AS (
+      SELECT token, length(token) AS len_b,
+             length(replace(t1, (SELECT pair FROM m2), '2')) AS len_a
+      FROM v1
+    )
+    SELECT s.source,
+           CAST(SUM(s.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(s.c * v.len_b) AS BIGINT) AS n_symbols_before,
+           CAST(SUM(s.c * v.len_a) AS BIGINT) AS n_symbols_after,
+           ROUND(CAST(SUM(s.c * v.len_a) AS DOUBLE) / SUM(s.c * v.len_b), 6)
+             AS compression
+    FROM tsrc s JOIN vocab v USING (token)
+    GROUP BY s.source ORDER BY s.source
+    """,
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def docs_bpe_encode_stats(spark, sf_dir):
+    """BPE ENCODE applied end-to-end: the two merges learned by
+    docs_bpe_merge_candidates / docs_bpe_second_merge rewrite the
+    distinct-word vocabulary (vocab-sized work), and each source's corpus
+    re-encodes through that vocabulary by join — symbol counts before vs
+    after measure the tokenizer's compression per source, the statistic
+    that decides how many merges a corpus needs.  The corpus is touched
+    exactly once (per-source word counts); merge selection, application,
+    and re-encoding all run on the (word, count) relation — the structure
+    that keeps real BPE trainers tractable at 100 TB.  Deterministic
+    merge winners via count-desc + pair-asc tie-break, exactly as the
+    prior two queries (both oracle-green r05-window)."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tsrc = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = tsrc.groupBy("token").agg(F.sum("c").alias("c"))
+
+    def pair_counts(src, col):
+        return (
+            src.filter(F.length(col) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(col) - 1),
+                        lambda i: F.substring(F.col(col), i, F.lit(2)),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+
+    m1 = pair_counts(tf, "token").select(F.col("pair").alias("m1"))
+    v1 = tf.crossJoin(F.broadcast(m1)).select(
+        "token", F.replace(F.col("token"), F.col("m1"), F.lit("1")).alias("t1"), "c"
+    )
+    m2 = pair_counts(v1, "t1").select(F.col("pair").alias("m2"))
+    vocab = v1.crossJoin(F.broadcast(m2)).select(
+        "token",
+        F.length("token").alias("len_b"),
+        F.length(F.replace(F.col("t1"), F.col("m2"), F.lit("2"))).alias("len_a"),
+    )
+    return (
+        tsrc.join(vocab, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("len_b")).cast("long").alias("n_symbols_before"),
+            F.sum(F.col("c") * F.col("len_a")).cast("long").alias("n_symbols_after"),
+            F.round(
+                F.sum(F.col("c") * F.col("len_a")).cast("double")
+                / F.sum(F.col("c") * F.col("len_b")),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a

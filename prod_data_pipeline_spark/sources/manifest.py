@@ -53,6 +53,10 @@ class Snapshot:
     # to track (commit_snapshot stats_cols=...).  Files written before stats
     # were tracked simply have no entry and are never pruned away.
     stats: dict = None  # type: ignore[assignment]
+    # per-file bloom filters: {file: {col: [set bit positions]}} for
+    # equality pruning on high-cardinality keys (commit_snapshot
+    # bloom_cols=...); md5-derived positions, 1024 bits x 3 hashes.
+    blooms: dict = None  # type: ignore[assignment]
 
 
 def _manifest_dir(table_path: str) -> str:
@@ -80,6 +84,7 @@ def read_manifest(table_path: str, version: int) -> Snapshot:
         n_rows=m["n_rows"],
         mode=m["mode"],
         stats=m.get("stats", {}),
+        blooms=m.get("blooms", {}),
     )
 
 
@@ -90,8 +95,11 @@ def snapshots(table_path: str) -> list[Snapshot]:
 
 
 def _collect_file_stats(
-    spark: SparkSession, written: list[str], stats_cols: tuple[str, ...]
-) -> tuple[int, dict]:
+    spark: SparkSession,
+    written: list[str],
+    stats_cols: tuple[str, ...],
+    bloom_cols: tuple[str, ...] = (),
+) -> tuple[int, dict, dict]:
     """One scan of the just-written files: per-file row count plus min/max
     zone maps for `stats_cols`.  Cost is a single combiner-friendly agg
     over data the page cache still holds — the write-side toll every
@@ -103,6 +111,12 @@ def _collect_file_stats(
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
+    for c in bloom_cols:
+        # per-file SET of bloom bit positions (bounded by _BLOOM_BITS entries
+        # per hash row, whatever the file's cardinality) — the whole bloom
+        # filter IS this set, serialized into the manifest
+        for j in range(_BLOOM_K):
+            aggs.append(F.collect_set(_bloom_pos_col(c, j)).alias(f"__bf_{c}_{j}"))
     rows = (
         spark.read.parquet(*written)
         .groupBy(F.input_file_name().alias("__f"))
@@ -116,16 +130,62 @@ def _collect_file_stats(
         return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
 
     by_base = {}
+    bloom_by_base = {}
     n_new = 0
     for r in rows:
         n_new += r["__n"]
+        base = os.path.basename(r["__f"])
         if stats_cols:
-            base = os.path.basename(r["__f"])
             by_base[base] = {
                 c: [_plain(r[f"__mn_{c}"]), _plain(r[f"__mx_{c}"])] for c in stats_cols
             }
+        if bloom_cols:
+            bloom_by_base[base] = {
+                c: sorted(
+                    {p for j in range(_BLOOM_K) for p in r[f"__bf_{c}_{j}"] or []}
+                )
+                for c in bloom_cols
+            }
     stats = {f: by_base[os.path.basename(f)] for f in written if os.path.basename(f) in by_base}
-    return n_new, stats
+    blooms = {
+        f: bloom_by_base[os.path.basename(f)]
+        for f in written
+        if os.path.basename(f) in bloom_by_base
+    }
+    return n_new, stats, blooms
+
+
+_BLOOM_BITS = 1024
+_BLOOM_K = 3
+
+
+def _bloom_positions_py(value, bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> list[int]:
+    """The k bloom bit positions of a value — md5-derived so the DRIVER
+    (plain Python, no JVM) computes the identical positions the Spark-side
+    collection did: position_j = int(md5("bf{j}:" + str(value))[:12], 16)
+    mod bits.  Values hash by str() form on both sides."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"bf{j}:{s}".encode()).hexdigest()[:12], 16) % bits
+        for j in range(k)
+    ]
+
+
+def _bloom_pos_col(col: str, j: int, bits: int = _BLOOM_BITS):
+    from pyspark.sql import functions as F
+
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{j}:"), F.col(col).cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(bits),
+    ).cast("int")
 
 
 def commit_snapshot(
@@ -133,6 +193,7 @@ def commit_snapshot(
     table_path: str,
     mode: str = "append",
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> Snapshot:
     """Commit a new table version.
 
@@ -163,8 +224,10 @@ def commit_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    n_new, new_stats = (
-        _collect_file_stats(spark, written, tuple(stats_cols)) if written else (0, {})
+    n_new, new_stats, new_blooms = (
+        _collect_file_stats(spark, written, tuple(stats_cols), tuple(bloom_cols))
+        if written
+        else (0, {}, {})
     )
 
     prev_v = current_version(table_path)
@@ -173,8 +236,9 @@ def commit_snapshot(
         files = prev.files + written
         n_rows = prev.n_rows + n_new
         stats = {**(prev.stats or {}), **new_stats}
+        blooms = {**(prev.blooms or {}), **new_blooms}
     else:
-        files, n_rows, stats = written, n_new, new_stats
+        files, n_rows, stats, blooms = written, n_new, new_stats, new_blooms
     version = (prev_v or 0) + 1
 
     os.makedirs(_manifest_dir(table_path), exist_ok=True)
@@ -184,6 +248,7 @@ def commit_snapshot(
         "n_rows": n_rows,
         "mode": mode,
         "stats": stats,
+        "blooms": blooms,
     }
     mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
     with open(mpath + ".tmp", "w") as f:
@@ -194,7 +259,10 @@ def commit_snapshot(
     with open(ptr + ".tmp", "w") as f:
         f.write(str(version))
     os.rename(ptr + ".tmp", ptr)  # the commit point: atomic on POSIX
-    return Snapshot(version=version, files=files, n_rows=n_rows, mode=mode, stats=stats)
+    return Snapshot(
+        version=version, files=files, n_rows=n_rows, mode=mode, stats=stats,
+        blooms=blooms,
+    )
 
 
 def prune_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
@@ -212,6 +280,28 @@ def prune_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
             continue
         mn, mx = rng
         if not (mx < lo or mn > hi):
+            kept.append(f)
+    return kept
+
+
+def prune_files_eq(snap: Snapshot, col: str, value) -> list[str]:
+    """Files of `snap` that may contain rows with col == value, by per-file
+    bloom filter: keep a file unless its bloom PROVES absence (some probe
+    bit unset).  False positives only — a kept file may still lack the
+    value; a dropped file provably cannot contain it.  Files without a
+    bloom for `col` are always kept.  Zone maps answer range predicates
+    on clustered columns; blooms answer point lookups on high-cardinality
+    keys the layout was NOT sorted by — the complementary half of
+    Iceberg/Delta-style file skipping."""
+    probes = _bloom_positions_py(value)
+    kept = []
+    for f in snap.files:
+        setbits = (snap.blooms or {}).get(f, {}).get(col)
+        if setbits is None:
+            kept.append(f)
+            continue
+        bits = set(setbits)
+        if all(p in bits for p in probes):
             kept.append(f)
     return kept
 
@@ -271,3 +361,26 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
                 os.remove(f)
                 deleted.append(f)
     return deleted
+
+
+def snapshot_changelog(
+    spark: SparkSession,
+    table_path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change feed between two committed versions: key-level inserted /
+    deleted / changed rows, computed by operators.cdc.table_diff over the
+    two immutable snapshots — the manifest's time travel is what makes
+    "diff table@v3 against table@v7" a well-posed question at all (a
+    directory-listing table has no stable versions to diff).  One
+    full-outer keyed join; at warehouse scale the table format's native
+    changelog (if kept) replaces the join, but the semantics are these."""
+    from prod_data_pipeline_spark.operators.cdc import table_diff
+
+    old = read_snapshot(spark, table_path, v_from)
+    new = read_snapshot(spark, table_path, v_to)
+    cmp_cols = compare_cols or [c for c in new.columns if c not in keys]
+    return table_diff(old, new, keys, cmp_cols)

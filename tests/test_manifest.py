@@ -141,3 +141,48 @@ def test_zone_map_append_merges_stats_and_unclustered_files_survive(spark, tmp_p
         mode="append",
     )
     assert len(prune_files(s3, "v", 0, 10)) == 2  # old low file + statless file
+
+
+def test_bloom_pruning_point_lookup(spark, tmp_path):
+    """Blooms prune point lookups on a column the layout is NOT sorted by:
+    hash-partitioned files each hold a disjoint key subset, and a key's
+    probe keeps (at least) the one file that truly has it while the
+    filtered read stays exact."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import prune_files_eq
+
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 4000)
+        .withColumn("k", F.concat(F.lit("user"), F.col("id")))
+        .repartition(8, "k")  # hash layout: zone maps on k would be useless
+    )
+    snap = commit_snapshot(df, t, bloom_cols=("k",))
+    assert len(snap.files) == 8 and len(snap.blooms) == 8
+
+    kept = prune_files_eq(snap, "k", "user1234")
+    assert 1 <= len(kept) < len(snap.files)  # 3 probes vs 1024 bits: FP-rare
+    rows = spark.read.parquet(*kept).filter(F.col("k") == "user1234").collect()
+    assert len(rows) == 1 and rows[0]["id"] == 1234
+
+    # absent key: blooms may keep a false-positive file, never ALL of them
+    assert len(prune_files_eq(snap, "k", "nosuchkey")) < len(snap.files)
+
+
+def test_snapshot_changelog_between_versions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import snapshot_changelog
+
+    t = str(tmp_path / "tbl")
+    v1_df = spark.range(0, 10).withColumn("v", F.col("id") * 10)
+    commit_snapshot(v1_df, t)
+    v2_df = spark.range(5, 12).withColumn("v", F.col("id") * 100)
+    commit_snapshot(v2_df, t, mode="overwrite")
+
+    diff = snapshot_changelog(spark, t, 1, 2, keys=["id"]).collect()
+    status = {r["id"]: r["diff_status"] for r in diff}
+    assert all(status[i] == "left_only" for i in range(0, 5))
+    assert all(status[i] == "changed" for i in range(5, 10))
+    assert all(status[i] == "right_only" for i in (10, 11))
