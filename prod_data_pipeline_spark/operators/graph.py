@@ -410,3 +410,58 @@ def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
         .filter(F.col("core_deg") >= k)  # equality holds at fixpoint; keep total
         .select(F.col("src").alias("node"), F.col("core_deg").cast("long"))
     )
+
+
+def label_propagation(
+    pairs: DataFrame, n_rounds: int = 4, checkpoint_every: int = 2
+) -> DataFrame:
+    """Synchronous label-propagation communities over an undirected pair
+    relation, made ENGINE-DETERMINISTIC: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties broken by smallest label — an all-integer argmax, so
+    the recurrence replays exactly in any engine (unrolled CTEs in the
+    oracle).  Where connected components answers "what is reachable",
+    LPA finds DENSE communities: a thin bridge between two near-dup
+    clusters keeps them separate here but merges them in CC — the
+    community view is what protects curation from over-deleting through
+    false-positive bridge edges.
+
+    Synchronous LPA can oscillate on bipartite structure; a fixed round
+    count (replayed identically by the oracle) makes the output
+    well-defined regardless — callers wanting a fixpoint can compare
+    successive rounds.  Per round: one join of the (node, label) relation
+    against the persisted symmetrized edges + one count agg + one
+    per-node argmax — state never exceeds one row per node.  Isolated
+    nodes (no edges) keep their own label by the left join."""
+    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    edges = (
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window as W
+
+    for i in range(n_rounds):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        best = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_rounds:
+            labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
+    return labels

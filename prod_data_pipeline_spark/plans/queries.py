@@ -8496,6 +8496,208 @@ def docs_bpe_encode_stats(spark, sf_dir):
     )
 
 
+def _lpa_oracle_sql(n_rounds: int = 4) -> str:
+    """Near-dup edges (same LSH pipeline as the kcore/taint oracles) +
+    `n_rounds` unrolled synchronous label-propagation rounds with the
+    count-desc/label-asc argmax tie-break."""
+    mh = ",\n             ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+        for j in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
+        "FROM sig WHERE len(sh) > 0"
+        for b in range(4)
+    )
+    parts = [
+        f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, sh, {mh} FROM s
+    ), bands AS ({bands}
+    ), pairs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    ), e0 AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM e0
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", n{r} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM e0 e JOIN l{r-1} l ON l.node = e.src GROUP BY 1, 2
+    ), b{r} AS (
+      SELECT node, label AS new_label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM n{r}
+      ) WHERE rn = 1
+    ), l{r} AS MATERIALIZED (
+      SELECT l.node, COALESCE(b.new_label, l.label) AS label
+      FROM l{r-1} l LEFT JOIN b{r} b USING (node)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_member,
+           MAX(node) AS max_member
+    FROM l{n_rounds} GROUP BY label ORDER BY community
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "docs_lpa_communities",
+    oracle=_lpa_oracle_sql(4),
+    tags=("graph", "dedup", "communities"),
+)
+def docs_lpa_communities(spark, sf_dir):
+    """Label-propagation communities over the near-dup graph
+    (operators.graph.label_propagation): dense duplicate communities
+    rather than mere reachability — a thin false-positive bridge between
+    two template families keeps them SEPARATE here, where connected
+    components (corpus_dup_clusters) would merge them; comparing the two
+    partitions is how a curation pass detects over-merging before
+    deleting.  Deterministic synchronous LPA (most-frequent neighbor
+    label, ties to the smallest label — all-integer argmax), 4 rounds,
+    replayed exactly by the oracle's unrolled CTEs.  Per round one
+    (node, label) shuffle against the persisted edges; community-level
+    output."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+    from prod_data_pipeline_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
+    labels = label_propagation(pairs, n_rounds=4)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_member"),
+            F.max("node").alias("max_member"),
+        )
+        .orderBy("community")
+    )
+
+
+@query(
+    "emb_centroid_drift",
+    oracle="""
+    WITH cent AS (
+      SELECT label, vec_id % 2 AS half, pos,
+             ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
+      GROUP BY 1, 2, 3
+    ), paired AS (
+      SELECT a.label, a.pos, a.c AS c0, b.c AS c1
+      FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1
+    ), sums AS (
+      SELECT label,
+             CAST(SUM(CAST(ROUND(c0 * c1, 12) AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(ROUND(c0 * c0, 12) AS DECIMAL(28,14))) AS DOUBLE) AS n0,
+             CAST(SUM(CAST(ROUND(c1 * c1, 12) AS DECIMAL(28,14))) AS DOUBLE) AS n1
+      FROM paired GROUP BY label
+    ), counts AS (
+      SELECT label,
+             SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT s.label,
+           CAST(c.n_a AS BIGINT) AS n_a,
+           CAST(c.n_b AS BIGINT) AS n_b,
+           ROUND(s.dot / greatest(sqrt(s.n0) * sqrt(s.n1), 1e-12), 6) AS cos_drift
+    FROM sums s JOIN counts c USING (label) ORDER BY s.label
+    """,
+    tags=("similarity", "embeddings", "drift"),
+)
+def emb_centroid_drift(spark, sf_dir):
+    """Embedding drift check between two halves of the corpus (vec_id
+    parity stands in for old-snapshot vs new-crawl): per label, the
+    cosine between the halves' centroids — cos near 1 means the label's
+    geometry is stable and ANN indexes / classifiers transfer; a drop
+    flags distribution shift at the REPRESENTATION level, complementing
+    the token-level docs_distribution_shift.  Determinism: centroids
+    round to 6 at source (the emb_label_centroids recipe), every product
+    term rounds to 12 digits and sums as exact DECIMAL — label-keyed
+    aggregation of 64-term sums, corpus touched once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode("embedding").alias("pos0", "v"),
+        )
+        .groupBy("label", "half", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("c"))
+    )
+    a = cent.filter(F.col("half") == 0).select("label", "pos", F.col("c").alias("c0"))
+    b = cent.filter(F.col("half") == 1).select("label", "pos", F.col("c").alias("c1"))
+    dec = "decimal(28,14)"
+    sums = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.round(F.col("c0") * F.col("c1"), 12).cast(dec))
+            .cast("double")
+            .alias("dot"),
+            F.sum(F.round(F.col("c0") * F.col("c0"), 12).cast(dec))
+            .cast("double")
+            .alias("n0"),
+            F.sum(F.round(F.col("c1") * F.col("c1"), 12).cast(dec))
+            .cast("double")
+            .alias("n1"),
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        sums.join(counts, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot")
+                / F.greatest(F.sqrt("n0") * F.sqrt("n1"), F.lit(1e-12)),
+                6,
+            ).alias("cos_drift"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 entries of queries() in dict order, so registration order is a

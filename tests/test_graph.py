@@ -158,3 +158,18 @@ def test_kcore_empty_and_full(spark):
     )
     out = {r["node"]: r["core_deg"] for r in kcore(clique, k=3).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA keeps them as two
+    communities (each clique converges to its min label), while CC would
+    merge them — the over-merge-detection property the query relies on."""
+    from prod_data_pipeline_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = spark.createDataFrame(c1 + c2 + [(3, 10)], ["id_a", "id_b"])
+    labels = {r["node"]: r["label"] for r in label_propagation(pairs, n_rounds=4).collect()}
+    comm1 = {labels[n] for n in range(4)}
+    comm2 = {labels[n] for n in range(10, 14)}
+    assert len(comm1) == 1 and len(comm2) == 1 and comm1 != comm2
