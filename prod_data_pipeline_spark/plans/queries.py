@@ -8700,99 +8700,78 @@ def emb_centroid_drift(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
-# FIRST 50 entries of queries() in dict order, so registration order is a
-# visibility policy, not just cosmetics.  The round-5 window front-loads:
-#   1. 29 queries new or semantically changed in round 5 (first driver look
-#      takes priority over hygiene re-checks): the substring-dedup operator,
-#      the newly-oracled SRP/IVF/media/packing entries, the TPC-H
-#      completions (q2/q5/q11/q20 — all 22 shapes now present), SemDeDup,
-#      incremental dedup, MAD outliers, Matryoshka energy, fuzzy
-#      entity-resolution, the curation funnel, distribution shift, RAG
-#      chunking, the per-source token cap, and quantized power-iteration
-#      PCA, plus the skew/zero-span/wedge fixes from round-4 advice
-#      (docs_jaccard_prefix_pairs, emb_quantization_error,
-#      docs_dup_triangles),
-#   2. the 8 queries whose last driver row is r02 (three rounds stale),
-#   3. 8 of the 49 queries last checked in r03 — they sat outside r04's
-#      window while queries.py took its biggest diff.
-# 35 r03-green queries stay just outside (two rows-only-by-design
-# entries, whose driver rows carry no hash, plus queries with
-# untouched semantics and standing local parity/plan coverage:
-# events_per_day, docs_bpe_token_stats, docs_chunk_spans,
-# docs_token_budget, events_type_transitions, events_user_type_scd2,
-# docs_contamination, docs_pii_scrub_stats, docs_tfidf_top_terms,
-# emb_label_centroids, events_value_quantiles, docs_repetition_stats,
-# corpus_dup_clusters, docs_near_dup_pairs, q14_promo_revenue,
-# q10_returned_revenue, q15_top_supplier, q21_waiting_suppliers,
-# media_decode_profile,
-# events_daily_distinct_users, events_latest_per_user,
-# events_clicks_before_purchase, events_asof_last_view,
-# large_volume_orders, lineitem_priority_by_status,
-# orders_priority_extremes, parts_supplier_counts,
-# events_salted_type_counts, events_value_histogram,
-# events_rolling_7day, events_funnel_daily, events_value_p99_outliers,
-# orders_table_diff, user_event_type_paths, user_activity_streaks,
-# lineitem_qty_price_corr, user_retention_cohorts) — rotate them first in
-# round 6 along with the r04 window.  Every deferred query is still
+# FIRST 50 queries() entries in dict order, so registration order is a
+# visibility policy, not just cosmetics.  The round-6 window front-loads:
+#   1. the 18 queries with NO driver row yet: six registered after round 5's
+#      window was frozen (HHI, Benford, basket lift, Heaps fit, local
+#      clustering, top-2 PCA) and the twelve new round-6 operators (CMS
+#      heavy hitters, k-core, EWMA anomalies, FK integrity, session
+#      concurrency, label separation, CDC chunk dedup, image perceptual
+#      hash, threshold sweep, BPE encode, LPA communities, centroid drift);
+#   2. 32 of the 39 queries whose last driver row is r03 (three rounds old,
+#      spanning round-4/5 queries.py churn).
+# Seven r03-green queries stay just outside — the simplest scan/agg shapes
+# with untouched semantics and standing local parity + plan-pin coverage
+# (events_per_day [bench headline, plan-pinned], events_daily_distinct_users,
+# events_rolling_7day, large_volume_orders, lineitem_priority_by_status,
+# orders_priority_extremes, parts_supplier_counts) — rotate them first in
+# round 7 together with the r04 cohort.  Every deferred query is still
 # replayed against its oracle at sf0.001 by the local test suite each
 # round, and the structural bound is ceil(n_queries/50) rounds between
 # driver rows per query.
 # ---------------------------------------------------------------------------
 
 DRIVER_ORDER: list[str] = [
-    # -- new or changed in round 5: first driver look / re-verify --
-    "docs_substring_dup_spans",
-    "docs_bpe_merge_candidates",
-    "docs_bpe_second_merge",
-    "docs_bigram_logprob",
-    "docs_shard_assignment",
-    "docs_lsh_recall_vs_exact",
-    "media_feature_topk",
-    "emb_topk_ivf",
-    "docs_cross_source_dup_matrix",
-    "docs_zipf_fit",
-    "docs_quality_weighted_sample",
-    "emb_srp_near_dup_pairs",
-    "docs_jaccard_prefix_pairs",
-    "docs_dup_triangles",
-    "emb_quantization_error",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q11_important_part_value",
-    "q20_promotable_suppliers",
-    "emb_semdedup_stats",
-    "docs_incremental_dedup",
-    "events_value_mad_outliers",
-    "emb_matryoshka_energy",
-    "parts_fuzzy_name_matches",
-    "docs_filter_funnel",
-    "docs_distribution_shift",
-    "docs_rag_chunk_stats",
-    "docs_source_token_cap",
-    "emb_top_principal_component",
-    "docs_taint_blast_radius",
-    "media_audio_waveform_stats",
-    "media_video_frame_stats",
-    "events_daily_anomalies",
-    "customer_rfm_segments",
-    # -- last driver row is r02: three rounds stale --
-    "events_column_profile",
-    "events_curated_projection",
-    "events_hourly_activity",
-    "events_null_profile",
-    "events_per_day_sql",
-    "nation_keys_except_all",
-    "nation_keys_intersect",
-    "props_key_stats",
-    # -- last driver row is r03 (sat outside the r04 window) --
-    "docs_packed_bins",
-    "emb_cosine_near_dup_pairs",
-    "emb_ivf_recall",
-    "orders_price_deciles",
-    "q1_pricing_summary",
-    "q22_idle_balances",
-    "regional_nation_revenue",
-    "user_sessions",
+    "emb_top2_principal_components",
+    "supplier_concentration_hhi",
+    "orders_benford_audit",
+    "basket_part_pair_lift",
+    "docs_heaps_law_fit",
+    "docs_local_clustering",
+    "events_cms_heavy_hitters",
+    "docs_kcore_summary",
+    "events_ewma_anomalies",
+    "fk_integrity_audit",
+    "sessions_peak_concurrency",
+    "emb_label_separation",
+    "docs_cdc_chunk_dedup",
+    "media_image_phash_groups",
+    "docs_dup_threshold_sweep",
+    "docs_bpe_encode_stats",
+    "docs_lpa_communities",
+    "emb_centroid_drift",
+    "corpus_dup_clusters",
+    "docs_bpe_token_stats",
+    "docs_chunk_spans",
+    "docs_contamination",
+    "docs_near_dup_pairs",
+    "docs_pii_scrub_stats",
+    "docs_repetition_stats",
+    "docs_tfidf_top_terms",
+    "docs_token_budget",
+    "emb_label_centroids",
+    "events_approx_distinct_users",
+    "events_asof_last_view",
+    "events_clicks_before_purchase",
+    "events_funnel_daily",
+    "events_hll_mergeable_users",
+    "events_latest_per_user",
+    "events_salted_type_counts",
+    "events_type_transitions",
+    "events_user_type_scd2",
+    "events_value_histogram",
+    "events_value_p99_outliers",
+    "events_value_quantiles",
+    "lineitem_qty_price_corr",
+    "media_decode_profile",
+    "orders_table_diff",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "user_activity_streaks",
+    "user_event_type_paths",
+    "user_retention_cohorts",
 ]
 
 

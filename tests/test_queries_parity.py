@@ -32,24 +32,30 @@ def test_driver_order_policy():
     oq = list(ordered_queries())
     assert oq[: len(DRIVER_ORDER)] == DRIVER_ORDER
     assert set(oq) == set(QUERIES)
-    # The round-5 re-verification targets must sit inside the 50-entry
-    # window: everything new or semantically changed this round, plus the
-    # 8 queries whose last driver row dates to r02.
+    # The round-6 re-verification targets must sit inside the 50-entry
+    # window: every query with no driver row yet (six registered after the
+    # round-5 window froze + the twelve new round-6 operators), plus the
+    # oldest rotation cohort.
     window = set(oq[:50])
     must_see = {
-        "docs_substring_dup_spans",
-        "emb_srp_near_dup_pairs",
-        "docs_jaccard_prefix_pairs",
-        "docs_dup_triangles",
-        "emb_quantization_error",
-        "events_column_profile",
-        "events_curated_projection",
-        "events_hourly_activity",
-        "events_null_profile",
-        "events_per_day_sql",
-        "nation_keys_except_all",
-        "nation_keys_intersect",
-        "props_key_stats",
+        "emb_top2_principal_components",
+        "supplier_concentration_hhi",
+        "orders_benford_audit",
+        "basket_part_pair_lift",
+        "docs_heaps_law_fit",
+        "docs_local_clustering",
+        "events_cms_heavy_hitters",
+        "docs_kcore_summary",
+        "events_ewma_anomalies",
+        "fk_integrity_audit",
+        "sessions_peak_concurrency",
+        "emb_label_separation",
+        "docs_cdc_chunk_dedup",
+        "media_image_phash_groups",
+        "docs_dup_threshold_sweep",
+        "docs_bpe_encode_stats",
+        "docs_lpa_communities",
+        "emb_centroid_drift",
     }
     assert must_see <= window
 
