@@ -8364,8 +8364,15 @@ def docs_dup_threshold_sweep(spark, sf_dir):
     ends = pairs.select(F.col("id_a").alias("v"), "jaccard").unionByName(
         pairs.select(F.col("id_b").alias("v"), "jaccard")
     )
-    kept = thetas.crossJoin(pairs).filter(F.col("jaccard") >= F.col("theta"))
-    kept_ends = thetas.crossJoin(ends).filter(F.col("jaccard") >= F.col("theta"))
+    # Broadcast the 4-row theta relation explicitly: the bounded pair side is
+    # a localCheckpointed RDD with no stats, so without the hint the non-equi
+    # join degenerates to CartesianProduct instead of BroadcastNestedLoop.
+    kept = pairs.crossJoin(F.broadcast(thetas)).filter(
+        F.col("jaccard") >= F.col("theta")
+    )
+    kept_ends = ends.crossJoin(F.broadcast(thetas)).filter(
+        F.col("jaccard") >= F.col("theta")
+    )
     agg_pairs = kept.groupBy("theta").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(
