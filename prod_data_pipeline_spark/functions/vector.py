@@ -31,6 +31,17 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def sq_l2_dist(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold squared L2 distance of two double
+    arrays (no sqrt: monotone for ranking, one fewer float op to match
+    across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity, zero-norm-safe.
 

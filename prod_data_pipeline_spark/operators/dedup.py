@@ -600,3 +600,105 @@ def incremental_dedup(
         )
         .drop("_in_snap", "_first_id")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    key_len: int = 16,
+    threshold: float = 0.3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic entity-resolution
+    alternative to LSH banding): sort the corpus by a normalized prefix
+    key, compare each record only against its `window` successors in
+    that order, verify candidates by shingle Jaccard.  Catches
+    prefix-stable near-dups (shared title/boilerplate head) that land in
+    one neighborhood regardless of how later edits perturb MinHash
+    bands — the complementary recall profile to docs_near_dup_pairs.
+
+    Scale: the global order comes from operators.ranking's two-pass
+    bucketed rank — NO single-partition sort.  The rank relation is slim
+    (id, key, rank); the window expansion is a `window`-fold sequence
+    explode joined back on rank (equi-join), and shingle sets join in by
+    id afterwards, so documents shuffle at most twice and never as
+    key-cartesian blocks.  Candidate count is exactly n*window — load is
+    data-size-linear by construction, the property LSH can't promise
+    under adversarial key skew.
+
+    Bucketing correctness: bucketed_global_rank buckets on its FIRST
+    order column, which must be numeric and monotone in the sort order.
+    `_key_num` packs the space-padded first 7 bytes of the (ASCII
+    [a-z0-9]) key big-endian into a bigint — space (0x20) sorts below
+    every key character (0x30+), so the numeric order equals the
+    byte-lexicographic string order and bucket boundaries can never
+    split out of order; full (key, id) ordering inside buckets settles
+    the remaining ties.
+
+    Output: (id_a, id_b, rank_gap, jaccard) for verified pairs, where
+    id_a precedes id_b in key order and 1 <= rank_gap <= window.
+    """
+    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
+
+    key = F.substring(
+        F.regexp_replace(
+            F.lower(F.substring(F.col(text_col), 1, 4 * key_len)), "[^a-z0-9]", ""
+        ),
+        1,
+        key_len,
+    )
+    keyed = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            key.alias("_key"),
+            F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("_sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keyed_slim = keyed.select(
+        "doc_id",
+        "_key",
+        F.conv(F.hex(F.rpad(F.col("_key"), 7, " ")), 16, 10)
+        .cast("bigint")
+        .alias("_key_num"),
+    )
+    ranked = bucketed_global_rank(
+        keyed_slim, order_cols=("_key_num", "_key", "doc_id")
+    ).select("doc_id", "rank")
+    probes = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(F.sequence(F.col("rank") + 1, F.col("rank") + window)).alias(
+            "rank_b"
+        ),
+    )
+    cand = probes.join(
+        ranked.select(F.col("doc_id").alias("id_b"), F.col("rank").alias("rank_b")),
+        "rank_b",
+    )
+    sh = keyed.select("doc_id", "_sh")
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb")),
+            "id_b",
+        )
+        .filter((F.size("_sha") > 0) & (F.size("_shb") > 0))
+        .withColumn("jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rank_b") - F.col("rank_a")).cast("long").alias("rank_gap"),
+            "jaccard",
+        )
+    )
+    verified = verified.localCheckpoint(eager=True)
+    keyed.unpersist()
+    return verified

@@ -69,6 +69,40 @@ def brute_force_topk(
     )
 
 
+def l2_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k: broadcast queries x corpus scan, rank by
+    ascending distance (ties by neighbor id).  The unnormalized-metric
+    companion to brute_force_topk — rankings genuinely differ from
+    cosine when vector norms vary, which is what rank-fusion consumers
+    (RRF) exploit.  Returns (query_id, neighbor_id, dist, rank)."""
+    from prod_data_pipeline_spark.functions.vector import sq_l2_dist
+
+    corpus = _norm_emb(df, emb_col).select(F.col(id_col).alias("neighbor_id"), "_emb")
+    queries = _norm_emb(query_df, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("_emb").alias("_qemb")
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("_d", sq_l2_dist(F.col("_qemb"), F.col("_emb")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_d"), 4).alias("dist"),
+            "rank",
+        )
+    )
+
+
 def kmeans_cells(
     df: DataFrame,
     k: int = 16,

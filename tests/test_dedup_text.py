@@ -480,3 +480,56 @@ def test_incremental_dedup_flags(spark):
     }
     ingest = [k for k, (s, b) in out.items() if s == 0 and b == 0]
     assert sorted(ingest) == [11, 13]
+
+
+def _snm_reference(docs, window=5, key_len=16, threshold=0.3):
+    """Pure-python sorted-neighborhood: the definition the operator must
+    reproduce (normalized prefix key sort, compare each doc with its
+    `window` successors, 3-gram Jaccard verify)."""
+    import re
+
+    def key(text):
+        return re.sub(r"[^a-z0-9]", "", text[: 4 * key_len].lower())[:key_len]
+
+    def sh(text):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    rows = sorted(((key(t), i, sh(t)) for i, t in docs), key=lambda r: (r[0], r[1]))
+    out = {}
+    for a in range(len(rows)):
+        for gap in range(1, window + 1):
+            b = a + gap
+            if b >= len(rows):
+                break
+            sa, sb = rows[a][2], rows[b][2]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            jac = round(inter / (len(sa) + len(sb) - inter), 4)
+            if jac >= threshold:
+                out[(rows[a][1], rows[b][1])] = (gap, jac)
+    return out
+
+
+def test_sorted_neighborhood_matches_reference(spark):
+    """40 docs, several shared-prefix families spanning bucket boundaries:
+    the bucketed-rank operator must reproduce the plain-sort definition
+    exactly (pairs, gaps, and scores)."""
+    from prod_data_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = []
+    for i in range(40):
+        fam = i % 4
+        body = " ".join(f"tok{fam}{j}" for j in range(8))
+        # family-shared prefix, per-doc tail edit -> near dups adjacent in key order
+        docs.append((i, f"family {fam} shared head {body} tail{i}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.rank_gap, r.jaccard)
+        for r in sorted_neighborhood_pairs(df).collect()
+    }
+    want = _snm_reference(docs)
+    assert got == want
+    assert want, "reference produced no pairs - test corpus too weak"
+    assert all(1 <= gap <= 5 for gap, _ in got.values())

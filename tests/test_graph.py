@@ -173,3 +173,39 @@ def test_label_propagation_two_cliques_with_bridge(spark):
     comm1 = {labels[n] for n in range(4)}
     comm2 = {labels[n] for n in range(10, 14)}
     assert len(comm1) == 1 and len(comm2) == 1 and comm1 != comm2
+
+
+def test_adamic_adar_four_cycle(spark):
+    """On the 4-cycle 1-2-3-4-1 the only non-adjacent pairs are the two
+    diagonals, each with two degree-2 common neighbors: score 2/ln(2)."""
+    import math
+
+    from prod_data_pipeline_spark.operators.graph import adamic_adar
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "id_a long, id_b long"
+    )
+    rows = {(r.id_a, r.id_b): r for r in adamic_adar(pairs).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert r.common_neighbors == 2
+        assert r.aa_score == pytest.approx(2.0 / math.log(2.0), abs=1e-6)
+
+
+def test_adamic_adar_excludes_existing_edges_and_hubs_weigh_less(spark):
+    """Star 0-{1,2,3} plus edge 1-2: (1,3)/(2,3) predicted via hub 0
+    (deg 3 -> weight 1/ln 3); (1,2) is an existing edge and must NOT
+    appear even though it also has a common neighbor."""
+    import math
+
+    from prod_data_pipeline_spark.operators.graph import adamic_adar
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "id_a long, id_b long"
+    )
+    rows = {(r.id_a, r.id_b): r for r in adamic_adar(pairs).collect()}
+    assert (1, 2) not in rows
+    assert set(rows) == {(1, 3), (2, 3)}
+    for r in rows.values():
+        assert r.common_neighbors == 1
+        assert r.aa_score == pytest.approx(1.0 / math.log(3.0), abs=1e-6)

@@ -38,6 +38,11 @@ def test_driver_order_policy():
     # oldest rotation cohort.
     window = set(oq[:50])
     must_see = {
+        "parts_adamic_adar_links",
+        "docs_novelty_by_source",
+        "docs_sorted_neighborhood_pairs",
+        "emb_rrf_topk",
+        "docs_collocations_pmi",
         "emb_top2_principal_components",
         "supplier_concentration_hhi",
         "orders_benford_audit",
