@@ -248,6 +248,85 @@ def pagerank_quantized(
     return ranks
 
 
+def ppr_quantized(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 6,
+    damping: float = 0.85,
+    scale: int = 12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Cross-engine-deterministic PERSONALIZED PageRank (random walk with
+    restart) over an undirected pair graph: probability mass teleports
+    back to the `seeds` relation (one `node` column) instead of the
+    uniform vector, so the stationary ranks measure proximity TO THE
+    SEEDS — the classic related-items / seed-expansion primitive
+    (recommendations from a basket, crawl frontiers from trusted pages,
+    contamination neighborhoods from flagged docs).
+
+    Same quantization recipe as pagerank_quantized (contributions round
+    to `scale` digits and sum as exact DECIMAL; the damped update rounds
+    back), so a SQL engine replaying the unrolled recurrence reproduces
+    the bits.  State stays SPARSE: only reached nodes carry rank rows
+    (mass on unreached nodes is exactly zero by induction, so absent
+    rows ARE the correct value) — per iteration one (node, rank) shuffle
+    plus a scan of the persisted symmetrized edges, with the seed
+    relation broadcast into the teleport full-join.  Seeds with zero
+    degree contribute teleport mass but never diffuse — allowed.
+
+    Returns (node, rank) for every node with nonzero mass after
+    n_iters, seeds included.
+    """
+    e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    edges = (
+        e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed_nodes = seeds.select(F.col("node").cast("long")).distinct()
+    ns = seed_nodes.count()
+    if ns == 0:
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame([], "node long, rank double")
+
+    dec = f"decimal({max(scale + 8, 18)},{scale})"
+    tele = (1.0 - damping) / ns  # two IEEE ops, replayed identically in SQL
+    ranks = seed_nodes.select("node", F.round(F.lit(1.0 / ns), scale).alias("rank"))
+    for i in range(n_iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("deg"), scale).cast(dec).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            contribs.select(F.col("dst").alias("node"), "s")
+            .join(
+                F.broadcast(seed_nodes.withColumn("_seed", F.lit(1))), "node", "full"
+            )
+            .select(
+                "node",
+                F.round(
+                    F.when(F.col("_seed") == 1, F.lit(tele)).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    scale,
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    edges.unpersist()
+    return ranks
+
+
 def min_hop_distance(
     pairs: DataFrame,
     seeds: DataFrame,

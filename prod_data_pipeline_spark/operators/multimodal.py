@@ -366,6 +366,67 @@ def audio_features(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
 
 
+def audio_band_energies(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
+    """DFT-bin band energies over REAL PCM16-WAV decoding — spectral
+    analysis with an EXACT cross-engine story: per band (normalized
+    freqs 1/4, 1/8, 1/16, 1/32), the cos/sin projections are int64 dot
+    products of the decoded samples against integer-scaled coefficient
+    tables (functions.dsp — trig runs once at import, never at query
+    time), and power = sc^2 + ss^2 needs just four IEEE float ops on
+    identical inputs in any engine.  Dominant band = argmax of the
+    rounded powers, ties to the lower band.  This is the
+    tonal-content / bandwidth screen of an audio curation pass (e.g.
+    drop clips whose energy sits entirely below 1/32 cycles/sample —
+    DC rumble), and the template for mel-bin feature extraction.
+    Arrow-batched mapInPandas; undecodable payloads are skipped."""
+    from prod_data_pipeline_spark.functions.codecs import decode_wav
+    from prod_data_pipeline_spark.functions.dsp import COEF_SCALE, goertzel_tables
+
+    tables = goertzel_tables()
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("n_samples", T.LongType())]
+        + [T.StructField(f"p_band{i}", T.DoubleType()) for i in range(len(tables))]
+        + [T.StructField("dominant_band", T.IntegerType())]
+    )
+
+    def _round2(x: float) -> float:
+        # half-UP on the shortest decimal expansion — matches Spark's
+        # BigDecimal round and DuckDB's half-away-from-zero (python's
+        # built-in round() is banker's and would diverge on .xx5 ties)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            ["asset_id", "n_samples"]
+            + [f"p_band{i}" for i in range(len(tables))]
+            + ["dominant_band"]
+        )
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    info = decode_wav(bytes(payload))
+                except Exception:
+                    continue
+                pcm = (info.samples.astype(np.int64) - 128) * 256
+                n = pcm.size
+                powers = []
+                for p, cos_t, sin_t in tables:
+                    idx = np.arange(n) % p
+                    c = np.asarray(cos_t, dtype=np.int64)[idx]
+                    s = np.asarray(sin_t, dtype=np.int64)[idx]
+                    sc = int((pcm * c).sum()) / float(COEF_SCALE)
+                    ss = int((pcm * s).sum()) / float(COEF_SCALE)
+                    powers.append(_round2(sc * sc + ss * ss))
+                dom = max(range(len(powers)), key=lambda i: (powers[i], -i))
+                rows.append((int(asset_id), int(n), *powers, int(dom)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
+
+
 def video_frame_features(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
     """Per-FRAME luma statistics from REAL Y4M decoding: one row per
     (asset, frame) with the Y-plane sum and peak — the brightness /

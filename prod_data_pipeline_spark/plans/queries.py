@@ -9156,6 +9156,104 @@ def parts_adamic_adar_links(spark, sf_dir):
     )
 
 
+def _ppr_oracle_sql(n_iters: int = 6, n_seeds: int = 4, top_n: int = 25) -> str:
+    """Co-purchase edges + personalized-PageRank recurrence unrolled as
+    CTEs (same quantization replay as the docs_dup_pagerank oracle)."""
+    its = []
+    prev = "r0"
+    for k in range(n_iters):
+        its.append(f"""
+    c{k} AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r{k+1} AS (
+      SELECT COALESCE(c.dst, s.node) AS node,
+             ROUND(CASE WHEN s.node IS NOT NULL
+                        THEN (1.0 - 0.85) / (SELECT n FROM ns) ELSE 0.0 END
+                   + 0.85 * COALESCE(CAST(c.s AS DOUBLE), 0.0), 12) AS rank
+      FROM c{k} c FULL JOIN seeds s ON s.node = c.dst
+    )""")
+        prev = f"r{k+1}"
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), sym AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e
+    ), deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+    ), seeds AS MATERIALIZED (
+      SELECT src AS node FROM deg ORDER BY src LIMIT {n_seeds}
+    ), ns AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds
+    ), r0 AS (
+      SELECT node, ROUND(1.0 / (SELECT n FROM ns), 12) AS rank FROM seeds
+    ),{",".join(its)}
+    SELECT node AS part_id, ROUND(rank, 9) AS ppr
+    FROM {prev}
+    WHERE node NOT IN (SELECT node FROM seeds)
+    ORDER BY ppr DESC, part_id LIMIT {top_n}
+    """
+
+
+@query(
+    "parts_related_by_ppr",
+    oracle=_ppr_oracle_sql(6, 4, 25),
+    tags=("graph", "iterative", "recommendation"),
+)
+def parts_related_by_ppr(spark, sf_dir):
+    """Related-products by personalized PageRank
+    (operators.graph.ppr_quantized): a random walk with restart over the
+    part co-purchase graph (support >= 2 edges, as
+    parts_adamic_adar_links), teleporting to the four lowest-keyed parts
+    as the seed basket; the top 25 non-seed parts by stationary mass are
+    the multi-hop recommendation set — unlike Adamic-Adar it sees past
+    2-hop wedges and weighs paths by walk probability.  The fourth
+    iterative algorithm made exact-hash-oracle-checkable by the
+    round-then-DECIMAL quantization recipe (after PageRank, PCA power
+    iteration, Hotelling deflation): the DuckDB oracle replays all 6
+    damped iterations as unrolled CTEs.  State is sparse (only reached
+    nodes carry rows); per iteration one (node, rank) shuffle + a scan
+    of the persisted symmetrized edges."""
+    from prod_data_pipeline_spark.operators.graph import ppr_quantized
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        op.alias("a")
+        .join(op.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("id_a", "id_b")
+        # graph-sized relation read by sym-union, seeds, and the anti join:
+        # materialize once or every consumer re-runs the basket self-join
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("node"))
+        .union(edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(4).localCheckpoint(eager=True)
+    ranks = ppr_quantized(edges, seeds, n_iters=6)
+    return (
+        ranks.join(F.broadcast(seeds), "node", "left_anti")
+        .select(
+            F.col("node").alias("part_id"), F.round("rank", 9).alias("ppr")
+        )
+        .orderBy(F.desc("ppr"), "part_id")
+        .limit(25)
+    )
+
+
 @query(
     "docs_novelty_by_source",
     oracle=f"""
@@ -9388,6 +9486,86 @@ def emb_rrf_topk(spark, sf_dir):
     )
 
 
+def _audio_band_oracle_sql() -> str:
+    """PCM regeneration (as media_audio_waveform_stats) + integer-scaled
+    DFT-bin projections with the SAME coefficient literals the Arrow
+    kernel embeds (functions.dsp) — no engine runs trig at query time."""
+    from prod_data_pipeline_spark.functions.dsp import COEF_SCALE, goertzel_tables
+
+    proj_cols, pw_cols = [], []
+    for i, (p, cos_t, sin_t) in enumerate(goertzel_tables()):
+        c_lit = "[" + ", ".join(str(v) for v in cos_t) + "]"
+        s_lit = "[" + ", ".join(str(v) for v in sin_t) + "]"
+        for name, lit in ((f"sc{i}", c_lit), (f"ss{i}", s_lit)):
+            proj_cols.append(
+                f"CAST(list_sum(list_transform(range(0, n), k -> "
+                f"CAST(pcm[CAST(k AS INT) + 1] AS BIGINT)"
+                f" * ({lit})[CAST(k % {p} AS INT) + 1]))"
+                f" AS DOUBLE) / CAST({COEF_SCALE} AS DOUBLE) AS {name}"
+            )
+        pw_cols.append(f"ROUND(sc{i} * sc{i} + ss{i} * ss{i}, 2) AS p_band{i}")
+    sep = ",\n             "
+    proj_sql = sep.join(proj_cols)
+    pw_sql = sep.join(pw_cols)
+    return f"""
+    WITH a AS (
+      SELECT doc_id, text,
+             80 + 8 * (doc_id % 120) AS n,
+             length(text) AS l
+      FROM documents WHERE doc_id % 3 = 1
+    ), f AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               k -> (ascii(substr(text, CAST(k % l AS INT) + 1, 1)) - 128) * 256)
+                 AS pcm
+      FROM a
+    ), proj AS (
+      SELECT doc_id, n,
+             {proj_sql}
+      FROM f
+    ), pw AS (
+      SELECT doc_id, n,
+             {pw_sql}
+      FROM proj
+    )
+    SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+           p_band0, p_band1, p_band2, p_band3,
+           CAST(CASE
+             WHEN p_band0 >= p_band1 AND p_band0 >= p_band2 AND p_band0 >= p_band3 THEN 0
+             WHEN p_band1 >= p_band2 AND p_band1 >= p_band3 THEN 1
+             WHEN p_band2 >= p_band3 THEN 2
+             ELSE 3 END AS INT) AS dominant_band
+    FROM pw ORDER BY asset_id
+    """
+
+
+@query(
+    "media_audio_dominant_band",
+    oracle=_audio_band_oracle_sql(),
+    tags=("multimodal", "audio", "dsp"),
+)
+def media_audio_dominant_band(spark, sf_dir):
+    """Spectral band analysis over REAL WAV decode
+    (operators.multimodal.audio_band_energies): per-asset DFT-bin
+    energies at normalized frequencies 1/4, 1/8, 1/16, 1/32 plus the
+    dominant band — the tonal-content screen of an audio curation pass,
+    done with ZERO runtime trigonometry: functions.dsp evaluates the
+    cos/sin tables once at import and embeds them as integer literals in
+    BOTH the Arrow kernel and this oracle, so each projection is an
+    exact int64 dot product and the only float math is four IEEE ops on
+    identical inputs.  The oracle regenerates the decoded waveform from
+    the documented byte tiling and replays the same integer projections
+    — a wrong sample anywhere flips the hash."""
+    from prod_data_pipeline_spark.operators.multimodal import (
+        audio_band_energies,
+        synthetic_media_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "audio")
+    return audio_band_energies(assets).orderBy("asset_id")
+
+
 @query(
     "docs_collocations_pmi",
     oracle=f"""
@@ -9498,7 +9676,9 @@ def docs_collocations_pmi(spark, sf_dir):
 # per-source novelty, sorted-neighborhood blocking, RRF fusion, PMI
 # collocations) take the head of the window; to keep it at 50, five
 # r03/r04-green TPC-H/CDC entries (orders_table_diff, q10, q14, q15, q21)
-# moved just outside and rotate back in round 7.
+# moved just outside and rotate back in round 7 (media_decode_profile and
+# events_value_quantiles joined them when parts_related_by_ppr and
+# media_audio_dominant_band took the seventh and eighth new slots).
 # Thirteen r03-green queries stay just outside — the simplest
 # scan/agg/window shapes with untouched semantics and standing local parity
 # + plan-pin coverage (events_per_day [bench headline, plan-pinned],
@@ -9515,6 +9695,8 @@ def docs_collocations_pmi(spark, sf_dir):
 
 DRIVER_ORDER: list[str] = [
     "parts_adamic_adar_links",
+    "parts_related_by_ppr",
+    "media_audio_dominant_band",
     "docs_novelty_by_source",
     "docs_sorted_neighborhood_pairs",
     "emb_rrf_topk",
@@ -9562,8 +9744,6 @@ DRIVER_ORDER: list[str] = [
     "events_salted_type_counts",
     "events_type_transitions",
     "events_user_type_scd2",
-    "events_value_quantiles",
-    "media_decode_profile",
 ]
 
 

@@ -209,3 +209,34 @@ def test_adamic_adar_excludes_existing_edges_and_hubs_weigh_less(spark):
     for r in rows.values():
         assert r.common_neighbors == 1
         assert r.aa_score == pytest.approx(1.0 / math.log(3.0), abs=1e-6)
+
+
+def test_ppr_quantized_matches_dense_reference(spark):
+    """Path 1-2-3 plus a disconnected pair 10-11, seed {1}: ranks must
+    match the dense random-walk-with-restart recurrence, and the
+    unreached component must stay ABSENT (sparse state is exact zero)."""
+    from prod_data_pipeline_spark.operators.graph import ppr_quantized
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.rank for r in ppr_quantized(pairs, seeds, n_iters=6).collect()}
+
+    # dense reference over the reachable component {1,2,3}
+    import numpy as np
+
+    deg = {1: 1, 2: 2, 3: 1}
+    r = {1: 1.0, 2: 0.0, 3: 0.0}
+    adj = {1: [2], 2: [1, 3], 3: [2]}
+    for _ in range(6):
+        contrib = {n: 0.0 for n in r}
+        for s, nbrs in adj.items():
+            for t in nbrs:
+                contrib[t] += r[s] / deg[s]
+        r = {n: (0.15 if n == 1 else 0.0) + 0.85 * contrib[n] for n in r}
+    assert set(got) == {1, 2, 3}, "unreached component must carry no rows"
+    for n in (1, 2, 3):
+        assert got[n] == pytest.approx(r[n], abs=1e-9)
+    # more mass at the seed than two hops out
+    assert got[1] > got[3]

@@ -265,3 +265,28 @@ def test_image_phash_known_payloads(spark):
     assert set(out) == {1, 2}
     assert out[1] == "0" * 64
     assert out[2] == "0" * 32 + "1" * 32
+
+
+def test_audio_band_energies_pure_tone(spark):
+    """A pure 1/8-cycle tone must put its energy in band 1 (period 8),
+    and a constant (DC) signal projects to ~zero in every band with the
+    tie resolving to band 0."""
+    import math
+
+    from prod_data_pipeline_spark.functions.codecs import encode_wav
+    from prod_data_pipeline_spark.operators.multimodal import audio_band_energies
+
+    tone = bytes(128 + int(round(100 * math.cos(2 * math.pi * j / 8))) for j in range(8))
+    dc = bytes([200] * 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(64, 8000, tone))),
+         (2, bytearray(encode_wav(64, 8000, dc)))],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in audio_band_energies(df).collect()}
+    t = rows[1]
+    assert t.dominant_band == 1
+    assert t.p_band1 > 100 * max(t.p_band0, t.p_band2, t.p_band3)
+    d = rows[2]
+    assert d.dominant_band == 0
+    assert max(d.p_band0, d.p_band1, d.p_band2, d.p_band3) < 1.0

@@ -39,6 +39,8 @@ def test_driver_order_policy():
     window = set(oq[:50])
     must_see = {
         "parts_adamic_adar_links",
+        "parts_related_by_ppr",
+        "media_audio_dominant_band",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
