@@ -41,6 +41,9 @@ def test_driver_order_policy():
         "parts_adamic_adar_links",
         "parts_related_by_ppr",
         "media_audio_dominant_band",
+        "docs_shard_rebalance_audit",
+        "customers_survival_curve",
+        "docs_trigram_logprob",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
