@@ -467,6 +467,139 @@ def video_frame_features(df: DataFrame, batch_hint: int = 4096) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
 
 
+def image_edge_density(df: DataFrame) -> DataFrame:
+    """Sobel edge density of REAL-decoded BMP images — all-integer 3x3
+    convolution over the stored-orientation grayscale grid: per interior
+    pixel gx/gy with the classic [-1,0,1;-2,0,2;-1,0,1] kernels,
+    edge_sum = sum(|gx|) + sum(|gy|).  This is the blur/flat-image
+    screen of an image curation pass (near-zero density = synthetic
+    fills, gray cards, corrupted scans) and, because gray, gx, gy are
+    integers, an engine regenerating the byte tiling replays the
+    convolution EXACTLY — sample-level verification extended from
+    point lookups (phash) to a neighborhood operator.  Vertical-flip
+    invariant, so the stored (bottom-up) row order gives the same sums
+    as display order.  Arrow-batched; undecodable payloads skipped."""
+    from prod_data_pipeline_spark.functions.codecs import decode_bmp
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_interior", T.LongType()),
+            T.StructField("edge_sum", T.LongType()),
+            T.StructField("mean_edge", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "width", "height", "n_interior", "edge_sum", "mean_edge"]
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    info = decode_bmp(bytes(payload))
+                except Exception:
+                    continue
+                w, h = info.width, info.height
+                if w < 3 or h < 3:
+                    continue
+                stride = (3 * w + 3) // 4 * 4
+                p = info.samples
+                if p.size < h * stride:
+                    continue
+                g = (
+                    p[: h * stride]
+                    .reshape(h, stride)[:, : 3 * w]
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    // 3
+                )
+                gx = (
+                    -g[:-2, :-2]
+                    + g[:-2, 2:]
+                    - 2 * g[1:-1, :-2]
+                    + 2 * g[1:-1, 2:]
+                    - g[2:, :-2]
+                    + g[2:, 2:]
+                )
+                gy = (
+                    -g[:-2, :-2]
+                    - 2 * g[:-2, 1:-1]
+                    - g[:-2, 2:]
+                    + g[2:, :-2]
+                    + 2 * g[2:, 1:-1]
+                    + g[2:, 2:]
+                )
+                n_int = (h - 2) * (w - 2)
+                esum = int(np.abs(gx).sum() + np.abs(gy).sum())
+                rows.append(
+                    (
+                        int(asset_id),
+                        int(w),
+                        int(h),
+                        int(n_int),
+                        esum,
+                        float(esum) / n_int,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
+    # the single float op (one division of exact integers) rounds at the
+    # plan layer so both engines quantize identically
+    return out.withColumn("mean_edge", F.round("mean_edge", 4))
+
+
+def video_motion_energy(df: DataFrame) -> DataFrame:
+    """Temporal motion energy from REAL Y4M decoding: per consecutive
+    frame pair, the sum of absolute per-pixel luma differences — the
+    static-clip / slideshow screen of a video curation pass (motion ~0
+    means a still rendered as video; a spike localizes a cut, at pixel
+    granularity rather than the frame-mean granularity of the
+    scene-change query).  All integers; one row per (asset, frame pair);
+    single-frame assets yield no rows by construction.  Arrow-batched;
+    undecodable payloads skipped."""
+    from prod_data_pipeline_spark.functions.codecs import decode_y4m, y4m_frame_luma
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("motion_sum", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "frame_idx", "n_pixels", "motion_sum"]
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    payload = bytes(payload)
+                    info = decode_y4m(payload)
+                    prev = None
+                    for i in range(info.n_frames):
+                        y = y4m_frame_luma(payload, i).astype(np.int64)
+                        if prev is not None:
+                            rows.append(
+                                (
+                                    int(asset_id),
+                                    i,
+                                    int(y.size),
+                                    int(np.abs(y - prev).sum()),
+                                )
+                            )
+                        prev = y
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
+
+
 def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
     """Perceptual average-hash (aHash) of REAL-decoded BMP images: an
     8x8 nearest-neighbor downsample of integer grayscale, thresholded at

@@ -290,3 +290,67 @@ def test_audio_band_energies_pure_tone(spark):
     d = rows[2]
     assert d.dominant_band == 0
     assert max(d.p_band0, d.p_band1, d.p_band2, d.p_band3) < 1.0
+
+
+def test_image_edge_density_step_edge(spark):
+    """Hand-built BMP: numpy Sobel on the same decoded grid must equal the
+    operator exactly (integers), and a constant image must give zero."""
+    import numpy as np
+
+    from prod_data_pipeline_spark.functions.codecs import decode_bmp, encode_bmp
+    from prod_data_pipeline_spark.operators.multimodal import image_edge_density
+
+    w, h = 8, 6
+    content = bytes((7 * i) % 251 for i in range(101))
+    flat = bytes([57] * 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(w, h, content))),
+         (2, bytearray(encode_bmp(w, h, flat)))],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in image_edge_density(df).collect()}
+
+    info = decode_bmp(encode_bmp(w, h, content))
+    stride = (3 * w + 3) // 4 * 4
+    g = (
+        info.samples[: h * stride].reshape(h, stride)[:, : 3 * w]
+        .reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+    )
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+    want = 0
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            win = g[y - 1 : y + 2, x - 1 : x + 2]
+            want += abs(int((win * kx).sum())) + abs(int((win * kx.T).sum()))
+    assert rows[1].edge_sum == want
+    assert rows[1].n_interior == (h - 2) * (w - 2)
+    assert rows[2].edge_sum == 0 and rows[2].mean_edge == 0.0
+
+
+def test_video_motion_energy_pairs(spark):
+    """Two hand-built Y4M clips: per-pair motion equals the numpy frame
+    diff, and a single-frame clip yields no rows."""
+    import numpy as np
+
+    from prod_data_pipeline_spark.functions.codecs import (
+        decode_y4m,
+        encode_y4m,
+        y4m_frame_luma,
+    )
+    from prod_data_pipeline_spark.operators.multimodal import video_motion_energy
+
+    w, h = 6, 4
+    content = bytes((11 * i + 3) % 256 for i in range(77))
+    clip = encode_y4m(w, h, 3, content)
+    still = encode_y4m(w, h, 1, content)
+    df = spark.createDataFrame(
+        [(1, bytearray(clip)), (2, bytearray(still))],
+        "asset_id long, payload binary",
+    )
+    got = {(r.asset_id, r.frame_idx): r.motion_sum for r in video_motion_energy(df).collect()}
+    info = decode_y4m(clip)
+    ys = [y4m_frame_luma(clip, i).astype(np.int64) for i in range(info.n_frames)]
+    want = {
+        (1, i): int(np.abs(ys[i] - ys[i - 1]).sum()) for i in range(1, info.n_frames)
+    }
+    assert got == want and want, got

@@ -44,6 +44,8 @@ def test_driver_order_policy():
         "docs_shard_rebalance_audit",
         "customers_survival_curve",
         "docs_trigram_logprob",
+        "media_image_edge_density",
+        "media_video_motion_energy",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
