@@ -46,6 +46,8 @@ def test_driver_order_policy():
         "docs_trigram_logprob",
         "media_image_edge_density",
         "media_video_motion_energy",
+        "events_scd2_asof_snapshot",
+        "orders_revenue_trend_ols",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
