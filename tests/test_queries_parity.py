@@ -48,6 +48,8 @@ def test_driver_order_policy():
         "media_video_motion_energy",
         "events_scd2_asof_snapshot",
         "orders_revenue_trend_ols",
+        "docs_token_mass_quantiles",
+        "lineitem_mahalanobis_outliers",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
