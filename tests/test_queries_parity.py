@@ -50,6 +50,8 @@ def test_driver_order_policy():
         "orders_revenue_trend_ols",
         "docs_token_mass_quantiles",
         "lineitem_mahalanobis_outliers",
+        "events_value_sketch_quantiles",
+        "emb_mmr_rerank",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",

@@ -316,3 +316,37 @@ def test_deflation_recovers_top_two_components(spark):
     e2 = float(out[out.component == 2].eigenvalue.iloc[0])
     assert e1 > e2, "strength order lost"
     assert abs(e1 - w[-1]) / w[-1] < 0.02 and abs(e2 - w[-2]) / w[-2] < 0.05
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """Two near-duplicate high-relevance vectors and one diverse
+    moderate one: plain top-k orders (A1, A2, B); MMR must demote the
+    duplicate and pick (A1, B, A2)."""
+    from prod_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (1, [0.9, 0.1, 0.0, 0.0]),        # A1: high sim to q
+        (2, [0.9, 0.11, 0.0, 0.0]),       # A2: near-copy of A1
+        (3, [0.5, 0.0, 0.8, 0.0]),        # B: moderate sim, diverse
+        (4, [0.0, 0.0, 0.0, 1.0]),        # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = emb.filter("vec_id = 0")
+    # diversity-heavy weights so the near-copy's redundancy penalty
+    # exceeds its relevance edge; also checks lam/mu are honored
+    out = [
+        (r.mmr_rank, r.neighbor_id)
+        for r in mmr_rerank(emb, qv, k_candidates=3, k_select=3, lam=0.3, mu=0.7)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert [nid for _, nid in out] == [1, 3, 2], out
+    # relevance-only degenerate case reduces to plain top-k order
+    topk = [
+        r.neighbor_id
+        for r in mmr_rerank(emb, qv, k_candidates=3, k_select=3, lam=1.0, mu=0.0)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert topk == [1, 2, 3], topk
