@@ -300,3 +300,30 @@ def test_incremental_dedup_snapshot_text_never_moves(spark):
     exec_plan = _executed_plan(spark, "docs_incremental_dedup")
     for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", exec_plan):
         assert "text" not in exch, f"document text entered a shuffle: {exch}"
+
+
+def test_new_round6_operator_plan_shapes(spark):
+    """Plan pins for the late-round-6 operators: the sorted-neighborhood
+    and sketch-quantile ranks must keep the bucketed (no raw-input
+    single-partition sort) shape; the shard-rebalance vnode join must
+    broadcast; the Mahalanobis top-50 must be TakeOrdered, never a full
+    sort exchange."""
+    for name in ("docs_sorted_neighborhood_pairs", "events_value_sketch_quantiles"):
+        plan = _executed_plan(spark, name)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln and i and "Sort [" in lines[i - 1]:
+                child = lines[i + 1] if i + 1 < len(lines) else ""
+                assert "Aggregate" in child, (
+                    f"{name}: single-partition sort over unaggregated input"
+                )
+
+    plan = _executed_plan(spark, "docs_shard_rebalance_audit")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        "shard audit lost the vnode broadcast"
+    )
+
+    plan = _executed_plan(spark, "lineitem_mahalanobis_outliers")
+    assert "TakeOrderedAndProject" in plan, (
+        "mahalanobis top-50 regressed to a full sort"
+    )
