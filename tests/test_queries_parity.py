@@ -52,6 +52,7 @@ def test_driver_order_policy():
         "lineitem_mahalanobis_outliers",
         "events_value_sketch_quantiles",
         "emb_mmr_rerank",
+        "docs_snm_recall_vs_exact",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
