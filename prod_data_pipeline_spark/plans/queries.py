@@ -10845,6 +10845,183 @@ def docs_snm_recall_vs_exact(spark, sf_dir):
     )
 
 
+@query(
+    "docs_lang_source_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+    ), rt AS (
+      SELECT lang, SUM(obs) AS r FROM o GROUP BY 1
+    ), ct AS (
+      SELECT source, SUM(obs) AS c FROM o GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM o
+    ), cells AS (
+      SELECT rt.lang, ct.source,
+             COALESCE(o.obs, 0) AS obs,
+             CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / (SELECT n FROM n) AS exp
+      FROM rt CROSS JOIN ct
+      LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+    ), terms AS (
+      SELECT lang, source,
+             ROUND((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp,
+                   10) AS t
+      FROM cells
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_langs,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_sources,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(CAST(t AS DECIMAL(24,10))) AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+    tags=("analytics", "statistics", "independence"),
+)
+def docs_lang_source_chi2(spark, sf_dir):
+    """Pearson chi-square independence test for language x source — the
+    corpus-mix drift tripwire: a significant statistic means sources do
+    NOT share a language distribution, so per-source sampling weights
+    change the language mix (and a jump between snapshots means a
+    source's crawler changed).  Observed counts are integers, expected =
+    row*col/n is a fixed float chain, per-cell terms round to 10 and sum
+    as exact DECIMAL (order-free, the usual recipe), and zero-count
+    cells are materialized by the row x column cross join so the
+    statistic covers the full contingency table.  One groupBy of the
+    corpus; everything else is |langs| x |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").cast("double").alias("n"))
+    cells = (
+        rt.crossJoin(ct)
+        .join(o, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (F.col("r").cast("double") * F.col("c").cast("double") / F.col("n")).alias(
+                "exp"
+            ),
+        )
+    )
+    terms = cells.select(
+        F.round(
+            (F.col("obs").cast("double") - F.col("exp"))
+            * (F.col("obs").cast("double") - F.col("exp"))
+            / F.col("exp"),
+            10,
+        ).alias("t")
+    )
+    n_langs = rt.count()
+    n_sources = ct.count()
+    return terms.agg(
+        F.lit(n_langs).cast("long").alias("n_langs"),
+        F.lit(n_sources).cast("long").alias("n_sources"),
+        F.lit((n_langs - 1) * (n_sources - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sum(F.col("t").cast("decimal(24,10)")).cast("double"), 6
+        ).alias("chi2"),
+    )
+
+
+def _seq_patterns() -> list[str]:
+    initials = ["c", "e", "p", "s", "v"]  # click error purchase signup view
+    return [a + b + c for a in initials for b in initials for c in initials]
+
+
+@query(
+    "users_frequent_type_sequences",
+    oracle=f"""
+    WITH seqs AS MATERIALIZED (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), pats AS (
+      SELECT unnest([{", ".join(repr(p) for p in _seq_patterns())}]) AS pat
+    ), sup AS (
+      SELECT p.pat,
+             SUM(CASE WHEN regexp_matches(s.s,
+                   substr(p.pat, 1, 1) || '.*' || substr(p.pat, 2, 1)
+                   || '.*' || substr(p.pat, 3, 1))
+                 THEN 1 ELSE 0 END) AS support
+      FROM pats p CROSS JOIN seqs s
+      GROUP BY p.pat
+    )
+    SELECT pat AS pattern, CAST(support AS BIGINT) AS n_users,
+           ROUND(CAST(support AS DOUBLE)
+                 / (SELECT COUNT(*) FROM seqs), 4) AS support_frac
+    FROM sup
+    ORDER BY n_users DESC, pattern LIMIT 20
+    """,
+    tags=("sequence-mining", "events", "behavior"),
+)
+def users_frequent_type_sequences(spark, sf_dir):
+    """Frequent length-3 event-type SUBSEQUENCES (PrefixSpan-style
+    support counting): for each of the 125 ordered type triples, how
+    many users exhibit it somewhere in their time-ordered event stream —
+    not necessarily adjacent, which is what separates sequential-pattern
+    support from the adjacent-only transition matrix
+    (events_type_transitions).  Each user's stream compresses to a
+    type-initial string ONCE (one groupBy with an ordered aggregation);
+    subsequence containment is then a fixed regex a.*b.*c per pattern
+    against the broadcast 125-pattern relation — corpus work is one
+    pass, pattern work is |users| x 125 boolean matches, all integer
+    counting."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                    )
+                ),
+                lambda x: F.substring(x["event_type"], 1, 1),
+            ),
+        ).alias("s")
+    )
+    n_users = seqs.count()
+    pats = spark.createDataFrame([(p,) for p in _seq_patterns()], "pat string")
+    sup = (
+        seqs.crossJoin(F.broadcast(pats))
+        .select(
+            "pat",
+            F.when(
+                F.regexp_like(
+                    F.col("s"),
+                    F.concat(
+                        F.substring("pat", 1, 1),
+                        F.lit(".*"),
+                        F.substring("pat", 2, 1),
+                        F.lit(".*"),
+                        F.substring("pat", 3, 1),
+                    ),
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("pat")
+        .agg(F.sum("hit").alias("support"))
+    )
+    return (
+        sup.select(
+            F.col("pat").alias("pattern"),
+            F.col("support").cast("long").alias("n_users"),
+            F.round(F.col("support").cast("double") / n_users, 4).alias(
+                "support_frac"
+            ),
+        )
+        .orderBy(F.desc("n_users"), "pattern")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
@@ -10869,9 +11046,10 @@ def docs_snm_recall_vs_exact(spark, sf_dir):
 # events_hll_mergeable_users, events_latest_per_user,
 # events_clicks_before_purchase, events_funnel_daily,
 # events_approx_distinct_users, events_asof_last_view,
-# docs_token_budget, emb_label_centroids and docs_tfidf_top_terms
-# joined them as the twenty operators registered after the freeze —
-# through docs_snm_recall_vs_exact — took the head slots).
+# docs_token_budget, emb_label_centroids, docs_tfidf_top_terms,
+# docs_pii_scrub_stats and docs_repetition_stats joined them as the
+# twenty-two operators registered after the freeze — through
+# users_frequent_type_sequences — took the head slots).
 # Thirteen r03-green queries stay just outside — the simplest
 # scan/agg/window shapes with untouched semantics and standing local parity
 # + plan-pin coverage (events_per_day [bench headline, plan-pinned],
@@ -10899,6 +11077,8 @@ DRIVER_ORDER: list[str] = [
     "events_value_sketch_quantiles",
     "emb_mmr_rerank",
     "docs_snm_recall_vs_exact",
+    "docs_lang_source_chi2",
+    "users_frequent_type_sequences",
     "docs_shard_rebalance_audit",
     "customers_survival_curve",
     "docs_trigram_logprob",
@@ -10935,8 +11115,6 @@ DRIVER_ORDER: list[str] = [
     "docs_chunk_spans",
     "docs_contamination",
     "docs_near_dup_pairs",
-    "docs_pii_scrub_stats",
-    "docs_repetition_stats",
 ]
 
 

@@ -53,6 +53,8 @@ def test_driver_order_policy():
         "events_value_sketch_quantiles",
         "emb_mmr_rerank",
         "docs_snm_recall_vs_exact",
+        "docs_lang_source_chi2",
+        "users_frequent_type_sequences",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
