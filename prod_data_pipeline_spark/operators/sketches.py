@@ -147,3 +147,41 @@ def cms_error_bound(depth: int, width: int, n_total: int) -> tuple[float, float]
     import math
 
     return (math.e / width) * n_total, math.exp(-depth)
+
+
+def value_histogram_build(
+    df: DataFrame,
+    value_col: str = "value",
+    by: tuple = (),
+    n_buckets: int = 64,
+    vmax_cents: int = 50_000,
+) -> DataFrame:
+    """Equal-width bucket-count quantile sketch on CENTS integers: bucket
+    = clamp(round(value*100) * n_buckets div vmax_cents).  Merge IS
+    addition (same property as the CMS cells), the build bounds each
+    group's contribution at n_buckets rows, and — unlike hash sketches —
+    the structure is fully DETERMINISTIC, which is what lets
+    events_value_sketch_quantiles hash-check it against DuckDB.  The
+    estimate error is one bucket width by construction.
+
+    ``by`` prepends group columns (e.g. a day column) so per-partition
+    sketches can be maintained incrementally and folded later with
+    value_histogram_merge.  Returns (*by, bucket, cnt)."""
+    bucket = F.least(
+        F.expr(
+            f"(CAST(ROUND({value_col} * 100) AS BIGINT) * {n_buckets})"
+            f" div {vmax_cents}"
+        ),
+        F.lit(n_buckets - 1).cast("long"),
+    ).alias("bucket")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by, bucket)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def value_histogram_merge(sketch: DataFrame) -> DataFrame:
+    """Fold per-group histogram sketches into one: drop the group columns
+    and sum cell-wise — merge is addition, exactly like cms_merge."""
+    return sketch.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))

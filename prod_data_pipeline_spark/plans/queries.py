@@ -10603,18 +10603,19 @@ def events_value_sketch_quantiles(spark, sf_dir):
     are fixed bucket-edge arithmetic."""
     from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
 
+    from prod_data_pipeline_spark.operators.sketches import (
+        value_histogram_build,
+        value_histogram_merge,
+    )
+
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     r = ev.select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("vc")
     )
-    sk = ev.groupBy(
-        F.to_date("ts").alias("day"),
-        F.least(
-            F.expr("(CAST(ROUND(value * 100) AS BIGINT) * 64) div 50000"),
-            F.lit(63).cast("long"),
-        ).alias("bucket"),
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    merged = sk.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    sk = value_histogram_build(
+        ev, "value", by=(F.to_date("ts").alias("day"),), n_buckets=64, vmax_cents=50_000
+    )
+    merged = value_histogram_merge(sk)
     w_all = Window.partitionBy(F.lit(0))
     w_run = w_all.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

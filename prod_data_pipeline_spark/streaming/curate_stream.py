@@ -439,3 +439,48 @@ def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
     from prod_data_pipeline_spark.operators.sketches import cms_merge
 
     return cms_merge(spark.read.parquet(os.path.join(sketch_path, "batch=*")))
+
+
+def streaming_histogram_sink(
+    events: DataFrame,
+    value_col: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    vmax_cents: int = 50_000,
+):
+    """Streaming quantile sketch: maintain the mergeable equal-width
+    value histogram (operators.sketches.value_histogram_build) from a
+    stream via foreachBatch — the streaming twin of
+    events_value_sketch_quantiles' batch build, completing the
+    every-mergeable-sketch-has-a-streaming-twin symmetry (CMS already
+    has one).  Same replay-safety design as streaming_cms_sink:
+    histogram merge is addition (not idempotent), so each micro-batch's
+    bounded delta (at most n_buckets rows) lands in a DETERMINISTIC
+    ``batch=<id>`` directory in overwrite mode — a crash-replayed batch
+    overwrites its own delta instead of double-counting."""
+    from prod_data_pipeline_spark.operators.sketches import value_histogram_build
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sk = value_histogram_build(
+            batch, value_col, n_buckets=n_buckets, vmax_cents=vmax_cents
+        )
+        sk.write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"batch={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Fold the per-batch histogram deltas into one current sketch."""
+    from prod_data_pipeline_spark.operators.sketches import value_histogram_merge
+
+    return value_histogram_merge(
+        spark.read.parquet(os.path.join(sketch_path, "batch=*"))
+    )

@@ -475,3 +475,52 @@ def test_streaming_cms_sink_matches_batch_sketch(spark, raw, tmp_path):
     est = cms_estimate(merged, keys, "user_id", depth=4, width=128, hash_fn="xxhash64")
     true = batch_ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
     assert all(r["cms_count"] >= r["t"] for r in est.join(true, "user_id").collect())
+
+
+def test_streaming_histogram_sink_matches_batch_sketch(spark, raw, tmp_path):
+    """Per-batch histogram deltas folded with value_histogram_merge must
+    equal one batch build over the whole stream (merge == addition), and
+    every quantile estimate from the merged sketch must sit within one
+    bucket width of the exact value."""
+    from prod_data_pipeline_spark.operators.sketches import (
+        value_histogram_build,
+        value_histogram_merge,
+    )
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        read_histogram,
+        stream_events,
+        streaming_histogram_sink,
+    )
+
+    base, _ = raw
+    sketch = str(tmp_path / "hsketch")
+    ckpt = str(tmp_path / "hckpt")
+    ev = stream_events(spark, _glob(base), max_files_per_trigger=1)  # >1 batch
+    q = streaming_histogram_sink(ev, "amount", sketch, ckpt, n_buckets=32)
+    q.awaitTermination(120)
+
+    merged = read_histogram(spark, sketch)
+    batch_ev = spark.read.json(_glob(base), schema=EVENT_RAW_SCHEMA)
+    direct = value_histogram_merge(
+        value_histogram_build(batch_ev, "amount", n_buckets=32)
+    )
+    a = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    b = {r["bucket"]: r["cnt"] for r in direct.collect()}
+    assert a == b and a, "stream-folded sketch differs from one batch build"
+
+    # quantile estimates within one bucket width (500.00/32 dollars)
+    vals = sorted(
+        r["amount"] for r in batch_ev.select("amount").collect() if r["amount"] is not None
+    )
+    buckets = sorted(a.items())
+    n = sum(c for _, c in buckets)
+    width = 50_000 / 32 / 100.0
+    for q100 in (25, 50, 75, 90):
+        cum = 0
+        for bkt, c in buckets:
+            cum += c
+            if 100 * cum >= q100 * n:
+                est = (bkt + 1) * width
+                break
+        exact = vals[(q100 * len(vals) + 99) // 100 - 1]
+        assert abs(est - exact) <= width + 1e-9, (q100, est, exact)
