@@ -55,6 +55,7 @@ def test_driver_order_policy():
         "docs_snm_recall_vs_exact",
         "docs_lang_source_chi2",
         "users_frequent_type_sequences",
+        "events_type_markov_stationary",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
