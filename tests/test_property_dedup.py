@@ -121,3 +121,96 @@ def test_incremental_dedup_matches_bruteforce(spark, batch_keys, snap_keys):
         for r in incremental_dedup(bdf, sdf).collect()
     }
     assert got == expected
+
+
+def _snm_truth(texts, window=5, key_len=16, threshold=0.3, n=3):
+    import re
+
+    def key(t):
+        return re.sub(r"[^a-z0-9]", "", t[: 4 * key_len].lower())[:key_len]
+
+    def sh(t):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    rows = sorted(
+        ((key(t), i, sh(t)) for i, t in enumerate(texts)), key=lambda r: (r[0], r[1])
+    )
+    out = {}
+    for a in range(len(rows)):
+        for gap in range(1, window + 1):
+            b = a + gap
+            if b >= len(rows):
+                break
+            sa, sb = rows[a][2], rows[b][2]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            jac = round(inter / (len(sa) + len(sb) - inter), 4)
+            if jac >= threshold:
+                out[(rows[a][1], rows[b][1])] = (gap, jac)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=CORPUS)
+def test_sorted_neighborhood_matches_pure_python_definition(spark, texts):
+    """Arbitrary small corpora: the bucketed-rank operator reproduces the
+    plain-sort sorted-neighborhood definition exactly — pairs, gaps, and
+    rounded scores; the bucket-monotone key packing can't reorder."""
+    from prod_data_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.rank_gap, r.jaccard)
+        for r in sorted_neighborhood_pairs(df).collect()
+    }
+    assert got == _snm_truth(texts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_adamic_adar_matches_brute_force(spark, pairs):
+    """Random small graphs: adamic_adar equals the brute-force definition
+    over all non-adjacent wedge endpoints."""
+    import math
+
+    from prod_data_pipeline_spark.operators.graph import adamic_adar
+
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): (r.common_neighbors, r.aa_score)
+        for r in adamic_adar(df).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in edges:
+                continue
+            common = adj[u] & adj[v]
+            if not common:
+                continue
+            score = sum(
+                round(1.0 / math.log(len(adj[z])), 12) for z in common
+            )
+            want[(u, v)] = (len(common), round(score, 6))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])

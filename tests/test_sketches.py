@@ -65,3 +65,39 @@ def test_cms_weighted_and_backends(spark):
         assert all(
             r["cms_count"] >= r["t"] for r in est.join(true, "key").collect()
         )
+
+
+def test_value_histogram_merge_equals_global_build(spark):
+    """Per-group histogram sketches folded with value_histogram_merge must
+    equal one global build (merge is addition), and each quantile
+    estimate from the merged sketch sits within one bucket width of the
+    exact rank value."""
+    from prod_data_pipeline_spark.operators.sketches import (
+        value_histogram_build,
+        value_histogram_merge,
+    )
+
+    vals = [round(((7 * i * i + 3 * i) % 49999) / 100.0, 2) for i in range(2000)]
+    df = spark.createDataFrame(
+        [(i % 5, v) for i, v in enumerate(vals)], "g int, value double"
+    )
+    merged = value_histogram_merge(
+        value_histogram_build(df, "value", by=("g",), n_buckets=64)
+    )
+    direct = value_histogram_merge(value_histogram_build(df, "value", n_buckets=64))
+    a = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    b = {r["bucket"]: r["cnt"] for r in direct.collect()}
+    assert a == b and sum(a.values()) == len(vals)
+
+    svals = sorted(vals)
+    buckets = sorted(a.items())
+    width = 50_000 / 64 / 100.0
+    for q100 in (10, 25, 50, 75, 90, 99):
+        cum = 0
+        for bkt, c in buckets:
+            cum += c
+            if 100 * cum >= q100 * len(vals):
+                est = (bkt + 1) * width
+                break
+        exact = svals[(q100 * len(vals) + 99) // 100 - 1]
+        assert abs(est - exact) <= width + 1e-9
