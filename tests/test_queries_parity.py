@@ -56,6 +56,8 @@ def test_driver_order_policy():
         "docs_lang_source_chi2",
         "users_frequent_type_sequences",
         "events_type_markov_stationary",
+        "docs_weighted_reservoir_topk",
+        "customers_cohort_ltv",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
