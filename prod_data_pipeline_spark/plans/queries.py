@@ -11295,6 +11295,10 @@ def customers_cohort_ltv(spark, sf_dir):
 # docs_contamination joined them as the twenty-five operators registered
 # after the freeze — through customers_cohort_ltv — took the head
 # slots).
+# Final swap: corpus_dup_clusters and docs_bpe_token_stats (both
+# r03-driver-green) ceded their slots to docs_substring_dup_spans and
+# docs_lsh_recall_vs_exact, making the window 50/50 never-driver-checked
+# queries — no slot re-verifies what a prior round already proved.
 # Thirteen r03-green queries stay just outside — the simplest
 # scan/agg/window shapes with untouched semantics and standing local parity
 # + plan-pin coverage (events_per_day [bench headline, plan-pinned],
@@ -11358,8 +11362,8 @@ DRIVER_ORDER: list[str] = [
     "join_key_skew_report",
     "events_kanonymity_audit",
     "customer_revenue_gini",
-    "corpus_dup_clusters",
-    "docs_bpe_token_stats",
+    "docs_substring_dup_spans",
+    "docs_lsh_recall_vs_exact",
 ]
 
 
