@@ -58,6 +58,7 @@ def test_driver_order_policy():
         "events_type_markov_stationary",
         "docs_weighted_reservoir_topk",
         "customers_cohort_ltv",
+        "events_conversion_latency",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
