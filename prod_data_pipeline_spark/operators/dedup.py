@@ -602,6 +602,105 @@ def incremental_dedup(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold_pct: int = 95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_container_ratio: int = 2,
+) -> DataFrame:
+    """EXACT asymmetric containment join: pairs (a, b) where at least
+    ``threshold_pct``% of a's distinct tokens also occur in b — the
+    quote/excerpt/subset relationship that symmetric Jaccard dedup
+    structurally misses (a 50-token excerpt inside a 5000-token page has
+    Jaccard ~0.01 but containment ~1.0).  This is the whole-doc
+    companion to span-level substring dedup: it finds WHICH documents
+    are engulfed by others, the signal for dropping the fragment and
+    keeping the superset.
+
+    Prefix filtering, asymmetric: only the CONTAINED side needs a
+    prefix.  Order a's tokens rarest-first (global df, token
+    tie-break); keep the first |a| - ceil(t*|a|) + 1.  If b contains
+    >= t*|a| of a's tokens, at most ceil(t*|a|) - 1 < t*|a| of them can
+    avoid the prefix — pigeonhole — so every qualifying pair shares a
+    prefix token and the candidate join runs prefix(a) x posting
+    lists(b), never all pairs.  A size bound (|b| >= t*|a|, integers)
+    prunes before verification; membership is decided by
+    ``100*inter >= t_pct*|a|`` — all integer, no float boundary.
+
+    Shuffles: one token-df agg, one prefix-vs-posting join (cost ∝
+    Σ df(rare prefix tokens)), one verify join on ids.  Same hot-token
+    caveat as jaccard_prefix_pairs — a token common to half the corpus
+    that survives prefixing concentrates one key; the df-ranked
+    rare-first prefix makes that the exception.
+
+    Two guards keep the pair set the INTERESTING one: the contained doc
+    needs >= min_tokens distinct tokens (trivially small sets are
+    contained in everything), and the container must be >=
+    min_container_ratio x larger (the excerpt-in-page case; same-size
+    high-overlap pairs are the symmetric near-dup family, already
+    covered).  On shared-vocabulary corpora these bounds also keep the
+    output size sane — at 80%/no-asymmetry this corpus yields ~58% of
+    ALL ordered pairs.
+
+    Returns (id_small, id_container, inter, containment) with
+    containment = inter/|a| rounded to 4.
+    """
+    from pyspark.sql import Window
+
+    from prod_data_pipeline_spark.functions.text import distinct_tokens
+
+    t = threshold_pct
+    toksets = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), distinct_tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= min_tokens)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tok = toksets.select(
+        "doc_id", F.explode("toks").alias("token"), F.size("toks").alias("sz")
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = tok.join(dfreq, "token").withColumn("rn", F.row_number().over(w))
+    # prefix length: sz - ceil(t*sz/100) + 1 = sz - (t*sz + 99) div 100 + 1
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.expr(f"({t} * sz + 99) div 100") + 1
+    ).select(F.col("doc_id").alias("id_a"), "token", F.col("sz").alias("sz_a"))
+    posting = tok.select(
+        F.col("doc_id").alias("id_b"), "token", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        prefix.join(posting, "token")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("sz_b") >= min_container_ratio * F.col("sz_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = toksets.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toksets.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .filter(100 * F.col("inter") >= t * F.size("ta"))
+        .select(
+            F.col("id_a").alias("id_small"),
+            F.col("id_b").alias("id_container"),
+            F.col("inter").cast("long").alias("inter"),
+            F.round(
+                F.col("inter").cast("double") / F.size("ta"), 4
+            ).alias("containment"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    toksets.unpersist()
+    return out
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -11336,6 +11336,63 @@ def events_conversion_latency(spark, sf_dir):
     )
 
 
+@query(
+    "docs_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+    ), t2 AS MATERIALIZED (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 10
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT doc_id, token, sz,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
+      FROM tok JOIN dfreq USING (token)
+    ), prefix AS (
+      SELECT doc_id AS id_a, token, sz AS sz_a FROM ranked
+      WHERE rn <= sz - ((95 * sz + 99) // 100) + 1
+    ), cand AS (
+      SELECT DISTINCT p.id_a, b.doc_id AS id_b
+      FROM prefix p JOIN tok b ON b.token = p.token
+      WHERE p.id_a <> b.doc_id AND b.sz >= 2 * p.sz_a
+    ), v AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(ta.toks, tb.toks)) AS inter,
+             len(ta.toks) AS sz_a
+      FROM cand c
+      JOIN t2 ta ON ta.doc_id = c.id_a
+      JOIN t2 tb ON tb.doc_id = c.id_b
+    )
+    SELECT id_a AS id_small, id_b AS id_container,
+           CAST(inter AS BIGINT) AS inter,
+           ROUND(CAST(inter AS DOUBLE) / sz_a, 4) AS containment
+    FROM v WHERE 100 * inter >= 95 * sz_a
+    ORDER BY id_small, id_container
+    """,
+    tags=("dedup", "containment", "exact-join"),
+)
+def docs_containment_pairs(spark, sf_dir):
+    """EXACT asymmetric containment join at 95% with a 2x container
+    size bound (operators.dedup.containment_pairs): pairs where >= 95%
+    of the smaller document's distinct tokens occur in a >= 2x-larger
+    container — the
+    quote/excerpt relationship symmetric Jaccard structurally misses
+    (an excerpt inside a long page has Jaccard ~0 but containment ~1),
+    and the whole-doc companion to span-level substring dedup.  The
+    prefix filter is one-sided (pigeonhole on the contained doc's
+    rarest tokens), the size bound and membership are all-integer, so
+    both engines agree on the exact pair set."""
+    from prod_data_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold_pct=95).orderBy(
+        "id_small", "id_container"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
@@ -11405,6 +11462,7 @@ DRIVER_ORDER: list[str] = [
     "docs_weighted_reservoir_topk",
     "customers_cohort_ltv",
     "events_conversion_latency",
+    "docs_containment_pairs",
     "docs_shard_rebalance_audit",
     "customers_survival_curve",
     "docs_trigram_logprob",
@@ -11433,7 +11491,6 @@ DRIVER_ORDER: list[str] = [
     "orders_pareto_frontier",
     "media_video_scene_changes",
     "tables_fingerprint_audit",
-    "join_key_skew_report",
     "events_kanonymity_audit",
     "docs_substring_dup_spans",
     "docs_lsh_recall_vs_exact",

@@ -59,6 +59,7 @@ def test_driver_order_policy():
         "docs_weighted_reservoir_topk",
         "customers_cohort_ltv",
         "events_conversion_latency",
+        "docs_containment_pairs",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
