@@ -341,6 +341,103 @@ def read_snapshot(
     return spark.read.parquet(*kept).filter(F.col(col).between(lo, hi))
 
 
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+) -> Snapshot:
+    """Targeted row deletion (the GDPR right-to-be-forgotten shape) as a
+    new immutable version: bloom/zone pruning identifies the files that
+    MAY contain ``col == value``; only those are rewritten without the
+    matching rows, and every other file carries over UNTOUCHED — file
+    paths (and bytes) identical in the new manifest, so write
+    amplification is proportional to the key's file footprint, not the
+    table.  With a bloom-filtered key column the rewrite set is the few
+    files whose filter can't prove absence — the copy-on-write DELETE
+    Iceberg/Delta implement, driven entirely by the manifest.
+
+    Deleted rows remain physically present in PRIOR versions until
+    ``vacuum()`` expires them — the standard two-step: the delete is
+    immediately invisible to readers of the current version, and the
+    retention window bounds when the bytes are actually gone (for a
+    compliance clock, follow with ``vacuum(keep_last=1)``).
+
+    Rows where ``col`` IS NULL are never deleted (null-safe inequality),
+    matching SQL ``DELETE WHERE col = value`` semantics.  Stats and
+    blooms for rewritten files are re-collected over the SAME columns
+    the snapshot already tracked; carried-over files keep theirs.
+    Returns the new Snapshot.
+    """
+    from pyspark.sql import functions as F
+
+    v = current_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    snap = read_manifest(table_path, v)
+    rewrite = set(prune_files_eq(snap, col, value))
+    carried = [f for f in snap.files if f not in rewrite]
+
+    stats_cols = tuple(
+        sorted({c for per_file in (snap.stats or {}).values() for c in per_file})
+    )
+    bloom_cols = tuple(
+        sorted({c for per_file in (snap.blooms or {}).values() for c in per_file})
+    )
+
+    written: list[str] = []
+    n_new, new_stats, new_blooms = 0, {}, {}
+    n_rewritten_before = 0
+    if rewrite:
+        src = spark.read.parquet(*sorted(rewrite))
+        n_rewritten_before = src.count()
+        kept_rows = src.filter(~F.col(col).eqNullSafe(F.lit(value)))
+        commit_id = uuid.uuid4().hex
+        data_dir = os.path.join(table_path, "data", commit_id)
+        kept_rows.write.mode("error").parquet(data_dir)
+        written = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+        if written:
+            n_new, new_stats, new_blooms = _collect_file_stats(
+                spark, written, stats_cols, bloom_cols
+            )
+
+    files = carried + written
+    n_rows = snap.n_rows - n_rewritten_before + n_new
+    stats = {
+        **{f: s for f, s in (snap.stats or {}).items() if f in set(carried)},
+        **new_stats,
+    }
+    blooms = {
+        **{f: b for f, b in (snap.blooms or {}).items() if f in set(carried)},
+        **new_blooms,
+    }
+    version = v + 1
+    manifest = {
+        "version": version,
+        "files": files,
+        "n_rows": n_rows,
+        "mode": "delete",
+        "stats": stats,
+        "blooms": blooms,
+    }
+    mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(mpath + ".tmp", mpath)
+    ptr = _pointer_path(table_path)
+    with open(ptr + ".tmp", "w") as f:
+        f.write(str(version))
+    os.rename(ptr + ".tmp", ptr)  # atomic commit point, as in commit_snapshot
+    return Snapshot(
+        version=version, files=files, n_rows=n_rows, mode="delete",
+        stats=stats, blooms=blooms,
+    )
+
+
 def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced ONLY by expired versions (all but the
     last `keep_last`).  Returns the deleted paths.  Time travel to expired

@@ -186,3 +186,50 @@ def test_snapshot_changelog_between_versions(spark, tmp_path):
     assert all(status[i] == "left_only" for i in range(0, 5))
     assert all(status[i] == "changed" for i in range(5, 10))
     assert all(status[i] == "right_only" for i in (10, 11))
+
+
+def test_delete_where_rewrites_only_pruned_files(spark, tmp_path):
+    """GDPR-shape targeted delete: the new version lacks the key, only the
+    bloom-pruned files are rewritten (others carry over by identical
+    path), prior versions still contain the rows until vacuum expires
+    them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import (
+        delete_where,
+        read_manifest,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 4000)
+        .withColumn("k", F.concat(F.lit("user"), F.col("id") % 100))
+        .repartition(8, "k")
+    )
+    v1 = commit_snapshot(df, t, bloom_cols=("k",))
+
+    v2 = delete_where(spark, t, "k", "user7")
+    assert v2.version == v1.version + 1 and v2.mode == "delete"
+    # the key is gone from the current version, everything else intact
+    cur = read_snapshot(spark, t)
+    assert cur.filter(F.col("k") == "user7").count() == 0
+    assert cur.count() == 4000 - 40 and v2.n_rows == 4000 - 40
+    # only files the bloom could not clear were rewritten
+    carried = set(v1.files) & set(v2.files)
+    rewritten_src = set(v1.files) - carried
+    assert carried, "delete rewrote every file despite bloom pruning"
+    assert rewritten_src, "delete rewrote nothing"
+    # carried files keep their blooms; every file still tracked
+    assert set(v2.blooms) == set(v2.files)
+    # time travel: the old version still shows the rows
+    old = read_snapshot(spark, t, version=v1.version)
+    assert old.filter(F.col("k") == "user7").count() == 40
+    # vacuum expires the old version's exclusive files
+    removed = vacuum(t, keep_last=1)
+    assert set(removed) == rewritten_src
+    assert all(os.path.exists(f) for f in v2.files)
+    assert read_snapshot(spark, t).count() == 4000 - 40
