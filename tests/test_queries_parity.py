@@ -60,6 +60,7 @@ def test_driver_order_policy():
         "customers_cohort_ltv",
         "events_conversion_latency",
         "docs_containment_pairs",
+        "docs_bm25_topk",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
