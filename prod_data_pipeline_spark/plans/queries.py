@@ -11510,6 +11510,147 @@ def docs_bm25_topk(spark, sf_dir):
     )
 
 
+@query(
+    "docs_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             {", ".join(
+                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+                 for j in range(8)
+             )}
+      FROM s
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_key "
+          "FROM sig WHERE len(sh) > 0"
+          for b in range(4)
+      )}
+    ), pairs AS (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk AS (
+      SELECT src, dst AS reach FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT src AS doc_id, least(src, MIN(reach)) AS cluster_id
+      FROM walk GROUP BY src
+    ), assigned AS MATERIALIZED (
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             COALESCE(comp.cluster_id, t.doc_id) AS cluster_id,
+             CASE
+               WHEN ('0x' || substr(md5('lsplit:'
+                       || COALESCE(comp.cluster_id, t.doc_id)), 1, 10))::BIGINT
+                    % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5('lsplit:'
+                       || COALESCE(comp.cluster_id, t.doc_id)), 1, 10))::BIGINT
+                    % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+      FROM t LEFT JOIN comp ON comp.doc_id = t.doc_id
+    ), leak AS (
+      SELECT COUNT(*) AS n FROM pairs p
+      JOIN assigned a ON a.doc_id = p.id_a
+      JOIN assigned b ON b.doc_id = p.id_b
+      WHERE a.split <> b.split
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((SELECT n FROM leak) AS BIGINT) AS n_cross_split_dup_pairs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    tags=("sampling", "dedup", "llm-pipeline", "leakage"),
+)
+def docs_leakage_safe_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split: the 80/10/10 hash split is
+    assigned per near-dup CLUSTER (transitive LSH components; singletons
+    are their own cluster), not per document — so a near-duplicate of a
+    training doc can never land in val/test, the eval-contamination
+    failure mode a plain per-doc split (docs_train_val_test_split)
+    cannot rule out.  The output carries its own proof: the
+    n_cross_split_dup_pairs column counts verified near-dup pairs whose
+    endpoints straddle splits, and is 0 BY CONSTRUCTION — an engine or
+    clustering bug would surface as a nonzero count before any hash
+    mismatch.  Cluster ids come from the same min-label components the
+    curation pipeline uses; the split hash is content-free md5 on the
+    cluster representative (retry-safe, no rand())."""
+    from prod_data_pipeline_spark.operators.corpus import dup_clusters
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+    from prod_data_pipeline_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn="md5", sort=False, materialize=True)
+    comp = dup_clusters(pairs)
+    base = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    assigned = (
+        base.join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lsplit:"), F.col("cluster_id").cast("string"))),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100,
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("h") < 80, "train")
+            .when(F.col("h") < 90, "val")
+            .otherwise("test"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    n_leak = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb")).count()
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_tokens",
+            F.lit(n_leak).cast("long").alias("n_cross_split_dup_pairs"),
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
@@ -11581,6 +11722,7 @@ DRIVER_ORDER: list[str] = [
     "events_conversion_latency",
     "docs_containment_pairs",
     "docs_bm25_topk",
+    "docs_leakage_safe_split",
     "docs_shard_rebalance_audit",
     "customers_survival_curve",
     "docs_trigram_logprob",
@@ -11608,7 +11750,6 @@ DRIVER_ORDER: list[str] = [
     "emb_centroid_drift",
     "orders_pareto_frontier",
     "media_video_scene_changes",
-    "tables_fingerprint_audit",
     "docs_substring_dup_spans",
     "docs_lsh_recall_vs_exact",
 ]

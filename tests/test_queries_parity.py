@@ -61,6 +61,7 @@ def test_driver_order_policy():
         "events_conversion_latency",
         "docs_containment_pairs",
         "docs_bm25_topk",
+        "docs_leakage_safe_split",
         "docs_novelty_by_source",
         "docs_sorted_neighborhood_pairs",
         "emb_rrf_topk",
