@@ -11654,104 +11654,98 @@ def docs_leakage_safe_split(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
-# visibility policy, not just cosmetics.  The round-6 window front-loads:
-#   1. the 24 queries with NO driver row yet: six registered after round 5's
-#      window was frozen (HHI, Benford, basket lift, Heaps fit, local
-#      clustering, top-2 PCA) and the twelve new round-6 operators (CMS
-#      heavy hitters, k-core, EWMA anomalies, FK integrity, session
-#      concurrency, label separation, CDC chunk dedup, image perceptual
-#      hash, threshold sweep, BPE encode, LPA communities, centroid drift,
-#      Pareto frontier, video scene changes, table fingerprints, key-skew
-#      report, k-anonymity audit, revenue Gini);
-#   2. 26 of the 39 queries whose last driver row is r03 (three rounds old,
-#      spanning round-4/5 queries.py churn).
-# The five operators added after that freeze (Adamic-Adar link prediction,
-# per-source novelty, sorted-neighborhood blocking, RRF fusion, PMI
-# collocations) take the head of the window; to keep it at 50, five
-# r03/r04-green TPC-H/CDC entries (orders_table_diff, q10, q14, q15, q21)
-# moved just outside and rotate back in round 7 (media_decode_profile,
-# events_value_quantiles, events_salted_type_counts,
-# events_type_transitions, events_user_type_scd2,
-# events_hll_mergeable_users, events_latest_per_user,
-# events_clicks_before_purchase, events_funnel_daily,
-# events_approx_distinct_users, events_asof_last_view,
-# docs_token_budget, emb_label_centroids, docs_tfidf_top_terms,
-# docs_pii_scrub_stats, docs_repetition_stats and docs_near_dup_pairs
-# (bench headline, plan-pinned, r04-green), docs_chunk_spans and
-# docs_contamination joined them as the twenty-five operators registered
-# after the freeze — through customers_cohort_ltv — took the head
-# slots).
-# Final swap: corpus_dup_clusters and docs_bpe_token_stats (both
-# r03-driver-green) ceded their slots to docs_substring_dup_spans and
-# docs_lsh_recall_vs_exact, making the window 50/50 never-driver-checked
-# queries — no slot re-verifies what a prior round already proved
-# (customer_revenue_gini later ceded its slot to events_conversion_latency;
-# both are never-checked, so the 50/50 property held).
-# Thirteen r03-green queries stay just outside — the simplest
-# scan/agg/window shapes with untouched semantics and standing local parity
-# + plan-pin coverage (events_per_day [bench headline, plan-pinned],
-# events_daily_distinct_users, events_rolling_7day, large_volume_orders,
-# lineitem_priority_by_status, orders_priority_extremes,
-# parts_supplier_counts, user_activity_streaks, user_event_type_paths,
-# user_retention_cohorts, events_value_histogram, events_value_p99_outliers,
-# lineitem_qty_price_corr) — rotate them first in
-# round 7 together with the r04 cohort.  Every deferred query is still
-# replayed against its oracle at sf0.001 by the local test suite each
-# round, and the structural bound is ceil(n_queries/50) rounds between
-# driver rows per query.
+# visibility policy, not just cosmetics.  The round-6 window (per the
+# round-5 verdict's #1 directive) front-loads:
+#   1. the 30 queries that have NEVER had a driver CORRECTNESS row (all
+#      registered after round 5's window froze; every one is
+#      DuckDB-parity-green in the local suite): the TPC-H completers
+#      Q2/Q5/Q11/Q20, SemDeDup, incremental dedup, PCA top-1, fuzzy ER
+#      join, k-anonymity, key-skew report, Gini, RFM, bigram-LM, the BPE
+#      merge pair, shard/taint/zipf/filter-funnel/matryoshka/MAD/
+#      fingerprint/cross-source/distribution-shift/RAG-chunk/token-cap/
+#      quality-weighted-sample audits, media waveform/frame stats, and
+#      day-of-week anomalies;
+#   2. the 4 queries that gained real oracles in round 5 but whose latest
+#      driver rows predate the oracle (recorded rows-only):
+#      emb_srp_near_dup_pairs, emb_topk_ivf, media_feature_topk,
+#      docs_packed_bins — their first hash-checked driver rows land here;
+#   3. all 8 queries whose latest driver row dates to r02 (the oldest
+#      evidence in the repo);
+#   4. 8 staleness/sentinel fills from the r03 cohort — including the
+#      bench headlines events_per_day, q1_pricing_summary and
+#      docs_near_dup_pairs as permanently pinned sentinels (advisor
+#      round-5 note: keep high-traffic previously-green queries inside
+#      the window each round so operator regressions surface externally,
+#      not just locally).
+# Every deferred query is still replayed against its oracle at sf0.001 by
+# the local test suite each round; the structural bound is
+# ceil(n_queries/50) rounds between driver rows per query, and round 6
+# deliberately pauses operator growth (verdict directive #2) so the window
+# catches up instead of falling further behind.
 # ---------------------------------------------------------------------------
 
+#: Bench-headline sentinels pinned in every round's window (advisor ask).
+DRIVER_SENTINELS: tuple[str, ...] = (
+    "events_per_day",
+    "q1_pricing_summary",
+    "docs_near_dup_pairs",
+)
+
 DRIVER_ORDER: list[str] = [
-    "parts_adamic_adar_links",
-    "parts_related_by_ppr",
-    "media_audio_dominant_band",
-    "media_image_edge_density",
-    "media_video_motion_energy",
-    "events_scd2_asof_snapshot",
-    "orders_revenue_trend_ols",
-    "docs_token_mass_quantiles",
-    "lineitem_mahalanobis_outliers",
-    "events_value_sketch_quantiles",
-    "emb_mmr_rerank",
-    "docs_snm_recall_vs_exact",
-    "docs_lang_source_chi2",
-    "users_frequent_type_sequences",
-    "events_type_markov_stationary",
-    "docs_weighted_reservoir_topk",
-    "customers_cohort_ltv",
-    "events_conversion_latency",
-    "docs_containment_pairs",
-    "docs_bm25_topk",
-    "docs_leakage_safe_split",
-    "docs_shard_rebalance_audit",
-    "customers_survival_curve",
-    "docs_trigram_logprob",
-    "docs_novelty_by_source",
-    "docs_sorted_neighborhood_pairs",
-    "emb_rrf_topk",
-    "docs_collocations_pmi",
-    "emb_top2_principal_components",
-    "supplier_concentration_hhi",
-    "orders_benford_audit",
-    "basket_part_pair_lift",
-    "docs_heaps_law_fit",
-    "docs_local_clustering",
-    "events_cms_heavy_hitters",
-    "docs_kcore_summary",
-    "events_ewma_anomalies",
-    "fk_integrity_audit",
-    "sessions_peak_concurrency",
-    "emb_label_separation",
-    "docs_cdc_chunk_dedup",
-    "media_image_phash_groups",
-    "docs_dup_threshold_sweep",
-    "docs_bpe_encode_stats",
-    "docs_lpa_communities",
-    "emb_centroid_drift",
-    "orders_pareto_frontier",
-    "media_video_scene_changes",
-    "docs_substring_dup_spans",
-    "docs_lsh_recall_vs_exact",
+    # --- 1. never driver-checked (30) ---
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q11_important_part_value",
+    "q20_promotable_suppliers",
+    "emb_semdedup_stats",
+    "docs_incremental_dedup",
+    "emb_top_principal_component",
+    "parts_fuzzy_name_matches",
+    "events_kanonymity_audit",
+    "join_key_skew_report",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "docs_bigram_logprob",
+    "docs_bpe_merge_candidates",
+    "docs_bpe_second_merge",
+    "docs_shard_assignment",
+    "docs_taint_blast_radius",
+    "docs_zipf_fit",
+    "docs_filter_funnel",
+    "emb_matryoshka_energy",
+    "events_value_mad_outliers",
+    "tables_fingerprint_audit",
+    "docs_cross_source_dup_matrix",
+    "docs_distribution_shift",
+    "docs_rag_chunk_stats",
+    "docs_source_token_cap",
+    "docs_quality_weighted_sample",
+    "media_audio_waveform_stats",
+    "media_video_frame_stats",
+    "events_daily_anomalies",
+    # --- 2. oracled in r5, latest driver row still rows-only (4) ---
+    "emb_srp_near_dup_pairs",
+    "emb_topk_ivf",
+    "media_feature_topk",
+    "docs_packed_bins",
+    # --- 3. oldest driver evidence: full r02 cohort (8) ---
+    "events_per_day_sql",
+    "events_null_profile",
+    "events_column_profile",
+    "events_hourly_activity",
+    "props_key_stats",
+    "events_curated_projection",
+    "nation_keys_intersect",
+    "nation_keys_except_all",
+    # --- 4. r03 staleness fills + pinned bench sentinels (8) ---
+    "events_per_day",
+    "q1_pricing_summary",
+    "docs_near_dup_pairs",
+    "regional_nation_revenue",
+    "user_sessions",
+    "corpus_dup_clusters",
+    "docs_chunk_spans",
+    "events_value_quantiles",
 ]
 
 

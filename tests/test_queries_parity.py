@@ -32,59 +32,52 @@ def test_driver_order_policy():
     oq = list(ordered_queries())
     assert oq[: len(DRIVER_ORDER)] == DRIVER_ORDER
     assert set(oq) == set(QUERIES)
-    # The round-6 re-verification targets must sit inside the 50-entry
-    # window: every query with no driver row yet (six registered after the
-    # round-5 window froze + the twelve new round-6 operators), plus the
-    # oldest rotation cohort.
+    # Round-6 policy (verdict r5 directive #1): the 50-entry window must
+    # contain (a) every query that has never had a driver CORRECTNESS row,
+    # (b) the 4 queries whose r5 oracles have never been driver-exercised,
+    # and (c) the pinned bench-headline sentinels (advisor r5 ask).
+    from prod_data_pipeline_spark.plans.queries import DRIVER_SENTINELS
+
     window = set(oq[:50])
-    must_see = {
-        "parts_adamic_adar_links",
-        "parts_related_by_ppr",
-        "media_audio_dominant_band",
-        "docs_shard_rebalance_audit",
-        "customers_survival_curve",
-        "docs_trigram_logprob",
-        "media_image_edge_density",
-        "media_video_motion_energy",
-        "events_scd2_asof_snapshot",
-        "orders_revenue_trend_ols",
-        "docs_token_mass_quantiles",
-        "lineitem_mahalanobis_outliers",
-        "events_value_sketch_quantiles",
-        "emb_mmr_rerank",
-        "docs_snm_recall_vs_exact",
-        "docs_lang_source_chi2",
-        "users_frequent_type_sequences",
-        "events_type_markov_stationary",
-        "docs_weighted_reservoir_topk",
-        "customers_cohort_ltv",
-        "events_conversion_latency",
-        "docs_containment_pairs",
-        "docs_bm25_topk",
-        "docs_leakage_safe_split",
-        "docs_novelty_by_source",
-        "docs_sorted_neighborhood_pairs",
-        "emb_rrf_topk",
-        "docs_collocations_pmi",
-        "emb_top2_principal_components",
-        "supplier_concentration_hhi",
-        "orders_benford_audit",
-        "basket_part_pair_lift",
-        "docs_heaps_law_fit",
-        "docs_local_clustering",
-        "events_cms_heavy_hitters",
-        "docs_kcore_summary",
-        "events_ewma_anomalies",
-        "fk_integrity_audit",
-        "sessions_peak_concurrency",
-        "emb_label_separation",
-        "docs_cdc_chunk_dedup",
-        "media_image_phash_groups",
-        "docs_dup_threshold_sweep",
-        "docs_bpe_encode_stats",
-        "docs_lpa_communities",
-        "emb_centroid_drift",
+    never_checked = {
+        "q2_min_cost_supplier",
+        "q5_local_supplier_volume",
+        "q11_important_part_value",
+        "q20_promotable_suppliers",
+        "emb_semdedup_stats",
+        "docs_incremental_dedup",
+        "emb_top_principal_component",
+        "parts_fuzzy_name_matches",
+        "events_kanonymity_audit",
+        "join_key_skew_report",
+        "customer_revenue_gini",
+        "customer_rfm_segments",
+        "docs_bigram_logprob",
+        "docs_bpe_merge_candidates",
+        "docs_bpe_second_merge",
+        "docs_shard_assignment",
+        "docs_taint_blast_radius",
+        "docs_zipf_fit",
+        "docs_filter_funnel",
+        "emb_matryoshka_energy",
+        "events_value_mad_outliers",
+        "tables_fingerprint_audit",
+        "docs_cross_source_dup_matrix",
+        "docs_distribution_shift",
+        "docs_rag_chunk_stats",
+        "docs_source_token_cap",
+        "docs_quality_weighted_sample",
+        "media_audio_waveform_stats",
+        "media_video_frame_stats",
+        "events_daily_anomalies",
     }
+    newly_oracled = {
+        "emb_srp_near_dup_pairs",
+        "emb_topk_ivf",
+        "media_feature_topk",
+        "docs_packed_bins",
+    }
+    must_see = never_checked | newly_oracled | set(DRIVER_SENTINELS)
     assert must_see <= window
 
 
