@@ -609,6 +609,7 @@ def containment_pairs(
     text_col: str = "text",
     min_tokens: int = 10,
     min_container_ratio: int = 2,
+    hot_df: int = 100_000,
 ) -> DataFrame:
     """EXACT asymmetric containment join: pairs (a, b) where at least
     ``threshold_pct``% of a's distinct tokens also occur in b — the
@@ -630,10 +631,20 @@ def containment_pairs(
     ``100*inter >= t_pct*|a|`` — all integer, no float boundary.
 
     Shuffles: one token-df agg, one prefix-vs-posting join (cost ∝
-    Σ df(rare prefix tokens)), one verify join on ids.  Same hot-token
-    caveat as jaccard_prefix_pairs — a token common to half the corpus
-    that survives prefixing concentrates one key; the df-ranked
-    rare-first prefix makes that the exception.
+    Σ df(rare prefix tokens)), one verify join on ids.
+
+    Hot-token guard (same mechanism as jaccard_prefix_pairs): a token
+    common to half the corpus that survives prefixing (short contained
+    docs make this routine — their prefix is most of the doc) would
+    concentrate its ENTIRE posting list on one join key.  Tokens with
+    df > `hot_df` split into m = ceil(df/hot_df) deterministic chunks
+    (xxhash64(doc_id) % m) on BOTH sides; the candidate join runs on
+    (token, chunk_a, chunk_b), each side replicating m-fold for hot
+    tokens only, so per-key candidate volume is bounded by ~hot_df²
+    instead of prefix_df × posting_df.  Every (a, b) pair meets under
+    exactly one (chunk_a, chunk_b) key and cold tokens take m = 1, so
+    the candidate SET — and therefore the oracle — is unchanged: the
+    split redistributes work, it never filters.
 
     Two guards keep the pair set the INTERESTING one: the contained doc
     needs >= min_tokens distinct tokens (trivially small sets are
@@ -662,17 +673,33 @@ def containment_pairs(
         "doc_id", F.explode("toks").alias("token"), F.size("toks").alias("sz")
     )
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # hot-token chunk count rides the df relation so both join sides agree
+    dfreq = dfreq.withColumn(
+        "m", F.ceil(F.col("df") / F.lit(hot_df)).cast("int")
+    )
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     ranked = tok.join(dfreq, "token").withColumn("rn", F.row_number().over(w))
+    chunk = F.pmod(F.xxhash64(F.col("doc_id")), F.col("m")).cast("int")
+    rep = F.explode(F.sequence(F.lit(0), F.col("m") - 1))
     # prefix length: sz - ceil(t*sz/100) + 1 = sz - (t*sz + 99) div 100 + 1
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.expr(f"({t} * sz + 99) div 100") + 1
-    ).select(F.col("doc_id").alias("id_a"), "token", F.col("sz").alias("sz_a"))
-    posting = tok.select(
-        F.col("doc_id").alias("id_b"), "token", F.col("sz").alias("sz_b")
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        "token",
+        F.col("sz").alias("sz_a"),
+        chunk.alias("ca"),
+        rep.alias("cb"),  # meet every posting chunk of this token
+    )
+    posting = tok.join(dfreq.select("token", "m"), "token").select(
+        F.col("doc_id").alias("id_b"),
+        "token",
+        F.col("sz").alias("sz_b"),
+        rep.alias("ca"),  # meet every prefix chunk of this token
+        chunk.alias("cb"),
     )
     cand = (
-        prefix.join(posting, "token")
+        prefix.join(posting, ["token", "ca", "cb"])
         .filter(
             (F.col("id_a") != F.col("id_b"))
             & (F.col("sz_b") >= min_container_ratio * F.col("sz_a"))

@@ -533,3 +533,49 @@ def test_sorted_neighborhood_matches_reference(spark):
     assert got == want
     assert want, "reference produced no pairs - test corpus too weak"
     assert all(1 <= gap <= 5 for gap, _ in got.values())
+
+
+def test_containment_pairs_hot_token_guard(spark):
+    """Skew guard for the asymmetric containment join: one token in ~50%
+    of docs that survives prefixing (short contained docs => the prefix
+    is most of the doc).  With hot_df forced tiny the hot posting list
+    splits into m > 1 chunks on both join sides — the result must still
+    equal brute force exactly (the split redistributes work, never
+    filters candidates), at several thresholds."""
+    from prod_data_pipeline_spark.operators.dedup import containment_pairs
+
+    texts = {}
+    for i in range(30):
+        uniq = f"u{i}"
+        if i % 2 == 0:
+            texts[i] = f"common {uniq} alpha"  # hot token up front
+        else:
+            texts[i] = f"{uniq} beta gamma"
+    # planted containers engulfing two of the hot-token excerpts (>=2x size)
+    texts[30] = "common u0 alpha beta gamma extra1 extra2 extra3"
+    texts[31] = "common u2 alpha filler1 filler2 filler3 filler4"
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    sets = {i: set(t.split()) for i, t in texts.items()}
+    for t_pct in (80, 100):
+        got = {
+            (r["id_small"], r["id_container"])
+            for r in containment_pairs(
+                df,
+                threshold_pct=t_pct,
+                min_tokens=2,
+                min_container_ratio=2,
+                hot_df=3,
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a in sets
+            for b in sets
+            if a != b
+            and len(sets[a]) >= 2
+            and len(sets[b]) >= 2 * len(sets[a])
+            and 100 * len(sets[a] & sets[b]) >= t_pct * len(sets[a])
+        }
+        assert got == want, (t_pct, got ^ want)
+        assert (0, 30) in got and (2, 31) in got
