@@ -567,10 +567,21 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
     distinct neighbors, so 1/ln(1) never arises; the filter keeps the
     weight relation total anyway).
 
+    The input is canonicalized internally — each undirected edge becomes
+    (least, greatest) before the distinct — so a caller may pass (a, b),
+    (b, a), or both without double-counting degrees, duplicating wedges,
+    or slipping reversed edges past the existing-edge exclusion.
+    Self-loops are dropped (they carry no wedge information and would
+    corrupt degrees).
+
     Output: id_a < id_b, common_neighbors (bigint), aa_score (double).
     """
+    a, b = F.col("id_a").cast("long"), F.col("id_b").cast("long")
     e = (
-        pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+        pairs.select(
+            F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -87,9 +87,17 @@ def l2_topk(
     queries = _norm_emb(query_df, emb_col).select(
         F.col(id_col).alias("query_id"), F.col("_emb").alias("_qemb")
     )
-    scored = corpus.join(
-        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("_d", sq_l2_dist(F.col("_qemb"), F.col("_emb")))
+    scored = (
+        corpus.join(
+            F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+        )
+        .withColumn("_d", sq_l2_dist(F.col("_qemb"), F.col("_emb")))
+        # a zero-length or length-mismatched embedding yields NULL distance,
+        # and ascending order sorts NULLs FIRST — without this filter one
+        # malformed vector would take rank 1 in EVERY query's top-k (the
+        # guard brute_force_topk already carries)
+        .filter(F.col("_d").isNotNull())
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

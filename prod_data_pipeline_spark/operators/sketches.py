@@ -166,13 +166,24 @@ def value_histogram_build(
 
     ``by`` prepends group columns (e.g. a day column) so per-partition
     sketches can be maintained incrementally and folded later with
-    value_histogram_merge.  Returns (*by, bucket, cnt)."""
-    bucket = F.least(
-        F.expr(
-            f"(CAST(ROUND({value_col} * 100) AS BIGINT) * {n_buckets})"
-            f" div {vmax_cents}"
+    value_histogram_merge.  Returns (*by, bucket, cnt).
+
+    Both ends clamp: values above vmax_cents land in the top bucket and
+    negative values in bucket 0 (without the low clamp a negative value
+    would produce a negative bucket id — and Spark's `div` truncates
+    toward zero while DuckDB's `//` floors, so negative numerators are
+    also where the two engines' integer division disagrees; clamping
+    first keeps the sketch total and cross-engine-deterministic on ANY
+    value domain, not just the non-negative cents column it ships on)."""
+    bucket = F.greatest(
+        F.least(
+            F.expr(
+                f"(CAST(ROUND({value_col} * 100) AS BIGINT) * {n_buckets})"
+                f" div {vmax_cents}"
+            ),
+            F.lit(n_buckets - 1).cast("long"),
         ),
-        F.lit(n_buckets - 1).cast("long"),
+        F.lit(0).cast("long"),
     ).alias("bucket")
     return (
         df.filter(F.col(value_col).isNotNull())

@@ -173,6 +173,24 @@ def _bloom_positions_py(value, bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> li
     ]
 
 
+def _bloom_value_render_safe(value) -> bool:
+    """True iff Python ``str(value)`` is guaranteed to equal Spark's
+    ``CAST(col AS STRING)`` rendering — the identity the bloom probe
+    depends on.  str and int round-trip identically; datetime.date does
+    too ("2024-01-02" on both sides).  bool does NOT (Python "True" vs
+    Spark "true"), floats diverge in scientific-notation territory
+    (Python "1e+20" vs Spark "1.0E20"), and timestamp/decimal renderings
+    carry engine-specific precision trimming — for those a bloom could
+    falsely "prove absence", which would make ``delete_where`` silently
+    keep rows it was asked to delete.  Callers must skip bloom pruning
+    (treat every file as a candidate) when this returns False."""
+    import datetime
+
+    if isinstance(value, bool) or isinstance(value, datetime.datetime):
+        return False
+    return isinstance(value, (str, int, datetime.date))
+
+
 def _bloom_pos_col(col: str, j: int, bits: int = _BLOOM_BITS):
     from pyspark.sql import functions as F
 
@@ -292,7 +310,16 @@ def prune_files_eq(snap: Snapshot, col: str, value) -> list[str]:
     bloom for `col` are always kept.  Zone maps answer range predicates
     on clustered columns; blooms answer point lookups on high-cardinality
     keys the layout was NOT sorted by — the complementary half of
-    Iceberg/Delta-style file skipping."""
+    Iceberg/Delta-style file skipping.
+
+    Pruning applies only to value types whose Python str() rendering
+    provably matches Spark's CAST(col AS STRING) (str / int / date);
+    for any other type (float, bool, timestamp, decimal) every file is
+    kept — correct, just unpruned — because a rendering mismatch would
+    turn the bloom's false-positive-only contract into false NEGATIVES,
+    and delete_where would silently skip rows it must delete."""
+    if not _bloom_value_render_safe(value):
+        return list(snap.files)
     probes = _bloom_positions_py(value)
     kept = []
     for f in snap.files:

@@ -240,3 +240,22 @@ def test_ppr_quantized_matches_dense_reference(spark):
         assert got[n] == pytest.approx(r[n], abs=1e-9)
     # more mass at the seed than two hops out
     assert got[1] > got[3]
+
+
+def test_adamic_adar_canonicalizes_mixed_orientation_input(spark):
+    """Passing both (a,b) and (b,a) — plus a self-loop — must give the
+    SAME result as the canonical relation: degrees not doubled, wedges
+    not duplicated, reversed existing edges still excluded."""
+    import math
+
+    from prod_data_pipeline_spark.operators.graph import adamic_adar
+
+    canonical = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    messy = canonical + [(b, a) for a, b in canonical] + [(2, 2)]
+    rows = {(r.id_a, r.id_b): r for r in adamic_adar(
+        spark.createDataFrame(messy, "id_a long, id_b long")
+    ).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert r.common_neighbors == 2
+        assert r.aa_score == pytest.approx(2.0 / math.log(2.0), abs=1e-6)

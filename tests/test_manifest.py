@@ -233,3 +233,41 @@ def test_delete_where_rewrites_only_pruned_files(spark, tmp_path):
     assert set(removed) == rewritten_src
     assert all(os.path.exists(f) for f in v2.files)
     assert read_snapshot(spark, t).count() == 4000 - 40
+
+
+def test_delete_where_unsafe_render_type_skips_bloom_pruning(spark, tmp_path):
+    """A float key's Python str() can diverge from Spark's CAST(col AS
+    STRING) (scientific notation), so the bloom probe could falsely
+    prove absence and the delete would silently keep matching rows.
+    For such types pruning must be skipped — every file becomes a
+    rewrite candidate and the delete stays CORRECT, just unpruned."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import (
+        _bloom_value_render_safe,
+        delete_where,
+        read_snapshot,
+    )
+
+    # rendering divergence is real: Python 1e+20 vs Spark 1.0E20
+    assert str(1e20) == "1e+20"
+    assert not _bloom_value_render_safe(1e20)
+    assert not _bloom_value_render_safe(True)  # Python "True" vs Spark "true"
+    assert _bloom_value_render_safe("user7")
+    assert _bloom_value_render_safe(42)
+    import datetime
+
+    assert _bloom_value_render_safe(datetime.date(2024, 1, 2))
+    assert not _bloom_value_render_safe(datetime.datetime(2024, 1, 2, 3, 4, 5))
+
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 400)
+        .withColumn("v", F.when(F.col("id") % 10 == 0, 1e20).otherwise(F.col("id").cast("double")))
+        .repartition(4, "v")
+    )
+    commit_snapshot(df, t, bloom_cols=("v",))
+    v2 = delete_where(spark, t, "v", 1e20)
+    cur = read_snapshot(spark, t)
+    assert cur.filter(F.col("v") == 1e20).count() == 0, "float delete missed rows"
+    assert cur.count() == 400 - 40 and v2.n_rows == 400 - 40

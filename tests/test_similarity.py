@@ -350,3 +350,26 @@ def test_mmr_rerank_prefers_diversity(spark):
         .collect()
     ]
     assert topk == [1, 2, 3], topk
+
+
+def test_l2_topk_ignores_malformed_embeddings(spark):
+    """A zero-length (or length-mismatched) embedding yields NULL
+    distance; ascending order sorts NULLs first, so without the guard
+    the malformed vector would take rank 1 in every query's top-k."""
+    from prod_data_pipeline_spark.operators.similarity import l2_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (99, []),  # malformed: empty embedding
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = [(r.neighbor_id, r.rank) for r in l2_topk(corpus, queries, k=3).collect()]
+    assert 99 not in {n for n, _ in got}
+    assert got[0] == (1, 1)  # exact match ranks first, not the NULL row

@@ -101,3 +101,18 @@ def test_value_histogram_merge_equals_global_build(spark):
                 break
         exact = svals[(q100 * len(vals) + 99) // 100 - 1]
         assert abs(est - exact) <= width + 1e-9
+
+
+def test_value_histogram_clamps_negative_values_to_bucket_zero(spark):
+    """Negative values must land in bucket 0, not a negative bucket id
+    (where Spark's truncating `div` and DuckDB's flooring `//` also
+    disagree); the sketch stays total — counts sum to input rows."""
+    from prod_data_pipeline_spark.operators.sketches import value_histogram_build
+
+    df = spark.createDataFrame(
+        [(-50.0,), (-0.01,), (0.0,), (250.0,), (1e9,)], "value double"
+    )
+    rows = {r.bucket: r.cnt for r in value_histogram_build(df, n_buckets=64).collect()}
+    assert min(rows) == 0 and max(rows) == 63
+    assert rows[0] == 3  # two negatives + 0.0
+    assert sum(rows.values()) == 5
