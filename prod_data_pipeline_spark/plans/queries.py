@@ -5222,7 +5222,7 @@ def docs_bigram_logprob(spark, sf_dir):
     """,
     tags=("dedup", "similarity", "recall", "instrumentation"),
 )
-def docs_lsh_recall_vs_exact(spark, sf_dir):
+def docs_lsh_recall_vs_exact(spark, sf_dir, sample_pct: int = 100):
     """LSH recall audit against EXACT ground truth, both sides
     hash-oracle-checked: the prefix-filtered exact similarity join
     (operators.dedup.jaccard_prefix_pairs in SHINGLE space — the space
@@ -5234,7 +5234,17 @@ def docs_lsh_recall_vs_exact(spark, sf_dir):
     recall is exact and n_missed = n_exact - n_lsh by construction.  The
     text-side twin of emb_ivf_recall, but fully oracled: approximation
     quality as a first-class, driver-verified measurement instead of a
-    unit-test assertion."""
+    unit-test assertion.
+
+    ``sample_pct`` keeps the audit runnable at 100x corpus scale: below
+    100, a deterministic md5-bucketed DOC sample (operators.sampling
+    .hash_sample, fixed salt) restricts BOTH the exact ground truth and
+    the LSH side to the same subcorpus, so the recall ratio is measured
+    on an unbiased pair subsample (band collision probability depends
+    only on the two docs' shingles, not on who else is in the corpus,
+    so per-pair LSH membership is identical in the subsample).  The
+    oracle and driver run the full-corpus default; the knob is the
+    production configuration for petabyte audits."""
     from prod_data_pipeline_spark.operators.dedup import (
         jaccard_prefix_pairs,
         lsh_bands,
@@ -5242,6 +5252,10 @@ def docs_lsh_recall_vs_exact(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    if sample_pct < 100:
+        from prod_data_pipeline_spark.operators.sampling import hash_sample
+
+        docs = hash_sample(docs, sample_pct / 100.0, "doc_id", salt="recall_audit")
     exact = jaccard_prefix_pairs(docs, threshold_pct=50, shingle_n=3).select(
         "id_a", "id_b"
     )
@@ -10800,7 +10814,7 @@ def emb_mmr_rerank(spark, sf_dir):
     """,
     tags=("dedup", "blocking", "recall", "instrumentation"),
 )
-def docs_snm_recall_vs_exact(spark, sf_dir):
+def docs_snm_recall_vs_exact(spark, sf_dir, sample_pct: int = 100):
     """Sorted-neighborhood recall audit against the SAME exact ground
     truth the LSH audit uses (docs_lsh_recall_vs_exact): every pair with
     3-gram shingle Jaccard >= 0.5 from the prefix-filtered exact join,
@@ -10810,13 +10824,27 @@ def docs_snm_recall_vs_exact(spark, sf_dir):
     regardless of band luck, LSH catches prefix-divergent rewrites —
     which is the evidence for running both and unioning candidates in a
     production dedup pass.  SNM pairs canonicalize to (min, max) id for
-    the overlap join; both memberships replay identically in SQL."""
+    the overlap join; both memberships replay identically in SQL.
+
+    ``sample_pct`` (same knob and salt as the LSH audit) restricts both
+    sides to a deterministic md5-bucketed doc subsample so the exact
+    prefix-join ground truth — the expensive half — stays runnable at
+    100x.  Caveat specific to SNM: sampling DENSIFIES neighborhoods
+    (each survivor's 5 successors in the sampled sort order span a wider
+    window of the full corpus), so sampled recall is a slightly
+    OPTIMISTIC estimate; still the right audit knob because the bias
+    direction is known and one-sided.  Full corpus remains the oracle
+    and driver default."""
     from prod_data_pipeline_spark.operators.dedup import (
         jaccard_prefix_pairs,
         sorted_neighborhood_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    if sample_pct < 100:
+        from prod_data_pipeline_spark.operators.sampling import hash_sample
+
+        docs = hash_sample(docs, sample_pct / 100.0, "doc_id", salt="recall_audit")
     exact = jaccard_prefix_pairs(
         docs, threshold_pct=50, shingle_n=3, materialize=True
     ).select("id_a", "id_b")

@@ -579,3 +579,22 @@ def test_containment_pairs_hot_token_guard(spark):
         }
         assert got == want, (t_pct, got ^ want)
         assert (0, 30) in got and (2, 31) in got
+
+
+def test_recall_audits_sample_pct_knob(spark):
+    """The md5-bucketed sample_pct knob keeps the exact-recall audits
+    runnable at 100x corpus scale: both sides restrict to the same
+    deterministic doc subsample, counts shrink, and on the synthetic
+    corpus the sampled recall matches the full-corpus recall."""
+    from prod_data_pipeline_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("docs_lsh_recall_vs_exact", "docs_snm_recall_vs_exact"):
+        fn = QUERIES[name].fn
+        full = fn(spark, sf).collect()[0]
+        samp = fn(spark, sf, sample_pct=60).collect()[0]
+        assert 0 < samp["n_exact"] < full["n_exact"], name
+        assert samp["recall"] == full["recall"] == 1.0, name
+        # determinism: same subsample every run
+        again = fn(spark, sf, sample_pct=60).collect()[0]
+        assert again == samp, name
