@@ -5033,6 +5033,120 @@ def docs_bpe_second_merge(spark, sf_dir):
     )
 
 
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-CTE oracle for the N-merge BPE trainer: tf0 is the
+    corpus-weighted distinct-word relation; each level i extracts
+    adjacent symbol pairs from tf(i-1), takes the deterministic argmax
+    (count desc, pair asc), and rewrites the vocab with the merge's
+    single-char symbol — the same recipe that oracled PageRank/PCA,
+    generated mechanically instead of hand-written 16 times.
+
+    Every tf/m level is AS MATERIALIZED: tf{i} references tf{i-1} twice
+    (pair argmax + rewrite), so default CTE inlining would expand tf0
+    2^N times — 65536 scans of documents.parquet at N=16."""
+    parts = [
+        f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    ), tf0 AS MATERIALIZED (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        sym = chr(ord("A") + i - 1)
+        parts.append(
+            f""", m{i} AS MATERIALIZED (
+      SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, length(token)), j -> substr(token, j, 2)))
+                   AS pair, c
+        FROM tf{i - 1} WHERE length(token) >= 2
+      ) GROUP BY pair
+      ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), tf{i} AS MATERIALIZED (
+      SELECT replace(token, (SELECT pair FROM m{i}), '{sym}') AS token, c
+      FROM tf{i - 1}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank,"
+        f" (SELECT pair FROM m{i}) AS pair,"
+        f" (SELECT cnt FROM m{i}) AS pair_count,"
+        f" '{chr(ord('A') + i - 1)}' AS new_symbol"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f" SELECT * FROM ({selects}) ORDER BY merge_rank")
+    return "".join(parts)
+
+
+@query(
+    "docs_bpe_train_16",
+    oracle=_bpe_train_oracle(16),
+    tags=("text", "tokenizer", "llm-pipeline", "iterative"),
+)
+def docs_bpe_train_16(spark, sf_dir, n_merges: int = 16):
+    """Generalized BPE TRAINER: the full Sennrich et al. loop for 16
+    merges, not a two-step demo — the output is the ordered merge table
+    (merge_rank, pair, pair_count, new_symbol) a tokenizer ships.  Each
+    iteration takes the deterministic argmax adjacent-symbol pair
+    (count desc, pair asc tie-break) over the corpus-weighted
+    DISTINCT-WORD relation and rewrites that vocab with a fresh
+    single-char symbol ('A'..'P', outside the corpus's pure a-z token
+    alphabet), exactly like docs_bpe_second_merge but iterated; since
+    every merged symbol is one char, the symbol sequence IS the string
+    and left-to-right non-overlapping replace() has identical semantics
+    in the JVM and DuckDB.
+
+    Scale shape — the part that matters at 100 TB: the CORPUS is
+    touched exactly once (the combiner-friendly word-count agg; only
+    (word, count) pairs shuffle).  All 16 iterations run on the
+    vocab-sized relation (|distinct words| rows), each a tiny pair agg
+    + a projection; the per-iteration argmax is a single-row collect —
+    the merge table is the driver-resident artifact by design, the
+    vocab never leaves the cluster.  Lineage is truncated every 4
+    merges so the plan depth stays bounded for any n_merges.  Oracle:
+    16-level unrolled CTEs generated by _bpe_train_oracle (the
+    PageRank/PCA unrolled-iteration recipe)."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # vocab-sized; corpus never re-read
+    )
+    merges: list[tuple[int, str, int, str]] = []
+    cur = vocab
+    for i in range(1, n_merges + 1):
+        top = (
+            cur.filter(F.length("token") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("token") - 1),
+                        lambda j: F.substring(F.col("token"), j, F.lit(2)),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()
+        )
+        sym = chr(ord("A") + i - 1)
+        merges.append((i, top["pair"], int(top["cnt"]), sym))
+        cur = cur.select(
+            F.replace(F.col("token"), F.lit(top["pair"]), F.lit(sym)).alias("token"),
+            "c",
+        )
+        if i % 4 == 0 and i < n_merges:
+            cur = cur.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair string, pair_count long, new_symbol string"
+    )
+
+
 @query(
     "docs_bigram_logprob",
     oracle=f"""
