@@ -656,3 +656,65 @@ def image_phash(df: DataFrame, hash_size: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "phash"])
 
     return df.select("asset_id", "payload").mapInPandas(kernel, schema=schema)
+
+
+def audio_band_hash(df: DataFrame) -> DataFrame:
+    """Perceptual AUDIO dedup key: the sign pattern of the DFT-bin band
+    energies (audio_band_energies) against their mean — bit i is 1 iff
+    n_bands * p_band_i > sum(p_bands), the same integer-free
+    cross-multiplication trick image_phash uses so no float mean is ever
+    formed.  Re-encoded / level-identical clips share the key even when
+    payload bytes differ — the audio counterpart of aHash, computed from
+    spectral shape instead of pixels.  The band powers are already
+    rounded to 2 decimals by the kernel and the comparison is a fixed
+    IEEE chain on identical doubles in any engine.
+
+    One Arrow kernel pass (payloads never shuffle) + a per-asset
+    projection.  Returns (asset_id, n_samples, band_hash)."""
+    from prod_data_pipeline_spark.functions.dsp import goertzel_tables
+
+    n_bands = len(goertzel_tables())
+    feats = audio_band_energies(df)
+    total = None
+    for i in range(n_bands):
+        c = F.col(f"p_band{i}")
+        total = c if total is None else total + c
+    bits = [
+        F.when(F.lit(float(n_bands)) * F.col(f"p_band{i}") > total, "1").otherwise("0")
+        for i in range(n_bands)
+    ]
+    return feats.select(
+        "asset_id", "n_samples", F.concat(*bits).alias("band_hash")
+    )
+
+
+def video_temporal_hash(df: DataFrame) -> DataFrame:
+    """Perceptual VIDEO dedup key: the per-frame brightness sign sequence
+    — frame i's bit is 1 iff n_frames * y_sum_i > sum(y_sums), i.e. the
+    frame is brighter than the clip average (all-integer
+    cross-multiplication; y sums come from the real Y4M decode in
+    video_frame_features).  Two re-muxed/re-encoded clips with the same
+    frame content share the sequence; the key's LENGTH also pins the
+    frame count, so clips of different lengths can never collide.  This
+    is the aHash idea transposed to the TIME axis — the standard cheap
+    video fingerprint before per-frame spatial hashing is worth paying
+    for.
+
+    Shape: one Arrow kernel pass emits (asset, frame) integer rows; the
+    hash is a per-asset agg over that slim relation (payloads never
+    shuffle, frames ordered by index inside the agg).  Returns
+    (asset_id, n_frames, temporal_hash)."""
+    per_frame = video_frame_features(df)
+    agg = per_frame.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("y_sum").alias("_tot"),
+        F.array_sort(F.collect_list(F.struct("frame_idx", "y_sum"))).alias("_fr"),
+    )
+    bit = lambda s: F.when(  # noqa: E731
+        F.col("n_frames") * s["y_sum"] > F.col("_tot"), "1"
+    ).otherwise("0")
+    return agg.select(
+        "asset_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.concat_ws("", F.transform("_fr", bit)).alias("temporal_hash"),
+    )

@@ -9614,10 +9614,12 @@ def emb_rrf_topk(spark, sf_dir):
     )
 
 
-def _audio_band_oracle_sql() -> str:
-    """PCM regeneration (as media_audio_waveform_stats) + integer-scaled
-    DFT-bin projections with the SAME coefficient literals the Arrow
-    kernel embeds (functions.dsp) — no engine runs trig at query time."""
+def _audio_band_pw_cte() -> str:
+    """Shared oracle prefix: PCM regeneration (as
+    media_audio_waveform_stats) + integer-scaled DFT-bin projections
+    with the SAME coefficient literals the Arrow kernel embeds
+    (functions.dsp) — no engine runs trig at query time.  Ends with the
+    `pw` CTE exposing (doc_id, n, p_band0..3)."""
     from prod_data_pipeline_spark.functions.dsp import COEF_SCALE, goertzel_tables
 
     proj_cols, pw_cols = [], []
@@ -9655,7 +9657,13 @@ def _audio_band_oracle_sql() -> str:
       SELECT doc_id, n,
              {pw_sql}
       FROM proj
-    )
+    )"""
+
+
+def _audio_band_oracle_sql() -> str:
+    return (
+        _audio_band_pw_cte()
+        + """
     SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
            p_band0, p_band1, p_band2, p_band3,
            CAST(CASE
@@ -9665,6 +9673,27 @@ def _audio_band_oracle_sql() -> str:
              ELSE 3 END AS INT) AS dominant_band
     FROM pw ORDER BY asset_id
     """
+    )
+
+
+def _audio_band_hash_oracle_sql() -> str:
+    total = " + ".join(f"p_band{i}" for i in range(4))
+    bits = " || ".join(
+        f"(CASE WHEN 4.0 * p_band{i} > {total} THEN '1' ELSE '0' END)"
+        for i in range(4)
+    )
+    return (
+        _audio_band_pw_cte()
+        + f""", hb AS (
+      SELECT doc_id, {bits} AS band_hash FROM pw
+    )
+    SELECT band_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           MIN(doc_id) AS min_asset_id,
+           MAX(doc_id) AS max_asset_id
+    FROM hb GROUP BY band_hash ORDER BY band_hash
+    """
+    )
 
 
 @query(
@@ -9692,6 +9721,114 @@ def media_audio_dominant_band(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     assets = synthetic_media_assets(docs).filter(F.col("media_type") == "audio")
     return audio_band_energies(assets).orderBy("asset_id")
+
+
+@query(
+    "media_audio_band_hash_groups",
+    oracle=_audio_band_hash_oracle_sql(),
+    tags=("multimodal", "audio", "perceptual-hash", "dedup"),
+)
+def media_audio_band_hash_groups(spark, sf_dir):
+    """Perceptual AUDIO dedup: each real-decoded WAV gets a band-energy
+    sign hash (operators.multimodal.audio_band_hash — bit i set iff band
+    i's DFT power exceeds the across-band mean, by cross-multiplication)
+    and clips group by the key — the audio member of the perceptual
+    dedup triad next to media_image_phash_groups (aHash) and
+    media_video_framehash_groups (temporal hash): re-encoded or
+    container-differing clips with the same spectral shape share a
+    bucket that exact payload hashing misses.  The oracle regenerates
+    the decoded PCM and replays the integer DFT projections, so a wrong
+    sample anywhere flips the hash.  One Arrow kernel pass + one
+    4-char-key groupBy; payload bytes never shuffle."""
+    from prod_data_pipeline_spark.operators.multimodal import (
+        audio_band_hash,
+        synthetic_media_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "audio")
+    return (
+        audio_band_hash(assets)
+        .groupBy("band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("asset_id").alias("min_asset_id"),
+            F.max("asset_id").alias("max_asset_id"),
+        )
+        .orderBy("band_hash")
+    )
+
+
+@query(
+    "media_video_framehash_groups",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, text,
+             4 + 2 * (doc_id % 7) AS w,
+             4 + 2 * (doc_id % 5) AS h,
+             1 + doc_id % 4 AS nf,
+             length(text) AS l
+      FROM documents WHERE doc_id % 3 = 2
+    ), fr AS (
+      SELECT doc_id, w * h AS wh, l, unnest(range(0, nf)) AS i FROM v
+    ), fs AS (
+      SELECT f.doc_id, f.i,
+             CAST(list_sum(list_transform(range(0, f.wh),
+               k -> CASE WHEN f.l > f.i
+                         THEN ascii(substr(v.text,
+                                CAST(k % (f.l - f.i) AS INT) + CAST(f.i AS INT) + 1, 1))
+                         ELSE ascii(substr(v.text, CAST(k % f.l AS INT) + 1, 1))
+                    END)) AS BIGINT) AS ys
+      FROM fr f JOIN v ON v.doc_id = f.doc_id
+    ), w2 AS (
+      SELECT doc_id, i, ys,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nf,
+             SUM(ys) OVER (PARTITION BY doc_id) AS tot
+      FROM fs
+    ), h AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN nf * ys > tot THEN '1' ELSE '0' END,
+                        '' ORDER BY i) AS temporal_hash
+      FROM w2 GROUP BY doc_id
+    )
+    SELECT temporal_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_videos,
+           MIN(doc_id) AS min_asset_id,
+           MAX(doc_id) AS max_asset_id
+    FROM h GROUP BY temporal_hash ORDER BY temporal_hash
+    """,
+    tags=("multimodal", "video", "perceptual-hash", "dedup"),
+)
+def media_video_framehash_groups(spark, sf_dir):
+    """Perceptual VIDEO dedup: each real-decoded Y4M clip gets its
+    per-frame brightness sign sequence (operators.multimodal
+    .video_temporal_hash — frame i's bit set iff the frame is brighter
+    than the clip mean, all-integer) and clips group by the sequence —
+    the TIME-axis aHash that completes near-dup coverage across all
+    three modalities (image aHash r5, audio band hash above).  The key's
+    length pins the frame count so different-length clips never collide.
+    Oracle regenerates every frame's luma sum from the documented Y4M
+    tiling and rebuilds the bit string with window functions — a frame
+    stride bug desyncs the sequence and flips the hash.  One Arrow
+    kernel pass emits slim (asset, frame) integer rows; the hash is a
+    per-asset agg; payload bytes never shuffle."""
+    from prod_data_pipeline_spark.operators.multimodal import (
+        synthetic_media_assets,
+        video_temporal_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "video")
+    return (
+        video_temporal_hash(assets)
+        .groupBy("temporal_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.min("asset_id").alias("min_asset_id"),
+            F.max("asset_id").alias("max_asset_id"),
+        )
+        .orderBy("temporal_hash")
+    )
 
 
 @query(

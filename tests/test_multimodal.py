@@ -354,3 +354,45 @@ def test_video_motion_energy_pairs(spark):
         (1, i): int(np.abs(ys[i] - ys[i - 1]).sum()) for i in range(1, info.n_frames)
     }
     assert got == want and want, got
+
+
+def test_audio_band_hash_groups_duplicates(spark):
+    """Two byte-identical-content clips at different container sizes
+    (same PCM) share a band hash; a different tone lands elsewhere; the
+    bit rule is n_bands * p_i > sum(p)."""
+    from prod_data_pipeline_spark.functions.codecs import encode_wav
+    from prod_data_pipeline_spark.operators.multimodal import audio_band_hash
+
+    a = encode_wav(96, 8000, b"AZAZ")     # strong 1/2-period alternation
+    b = encode_wav(96, 16000, b"AZAZ")    # same samples, different rate header
+    c = encode_wav(96, 8000, b"AAAAAAZZ")  # different spectral shape
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "asset_id long, payload binary"
+    )
+    out = {r["asset_id"]: r["band_hash"] for r in audio_band_hash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 4 and set(out[1]) <= {"0", "1"}
+
+
+def test_video_temporal_hash_duplicates_and_length_pin(spark):
+    """Clips with identical frame content share the temporal hash; a
+    clip with the bright frame moved gets a different sequence; the key
+    length equals the frame count so different-length clips cannot
+    collide."""
+    from prod_data_pipeline_spark.functions.codecs import encode_y4m
+    from prod_data_pipeline_spark.operators.multimodal import video_temporal_hash
+
+    bright_then_dark = encode_y4m(4, 4, 3, bytes([200, 10, 10]))
+    same = encode_y4m(4, 4, 3, bytes([200, 10, 10]))
+    shifted = encode_y4m(4, 4, 3, bytes([10, 10, 200]))
+    short = encode_y4m(4, 4, 2, bytes([200, 10, 10]))
+    df = spark.createDataFrame(
+        [(1, bright_then_dark), (2, same), (3, shifted), (4, short)],
+        "asset_id long, payload binary",
+    )
+    out = {r["asset_id"]: r for r in video_temporal_hash(df).collect()}
+    assert out[1]["temporal_hash"] == out[2]["temporal_hash"]
+    assert out[1]["temporal_hash"] != out[3]["temporal_hash"]
+    assert len(out[1]["temporal_hash"]) == 3 and out[4]["n_frames"] == 2
+    assert len(out[4]["temporal_hash"]) == 2
