@@ -31,14 +31,23 @@ def materialize(df) -> None:
 
 # Synthetic inflation: fact tables get `factor` key-shifted copies (the key
 # shift is a large constant so copies never collide and fact-fact joins stay
-# consistent); dimension + text/embedding tables are unchanged — the TPC-H
-# scaling shape, where facts grow linearly and dims stay put.
-INFLATE_KEYS = {"events": "event_id", "orders": "o_orderkey", "lineitem": "l_orderkey"}
+# consistent); dimension + embedding tables are unchanged — the TPC-H
+# scaling shape, where facts grow linearly and dims stay put.  `documents`
+# ALSO inflates (id-shifted, text identical): that is the nightly-crawl
+# duplication shape, and it gives the LSH banding path a standing
+# super-sf0.1 timing where every band bucket holds factor× members.
+INFLATE_KEYS = {
+    "events": "event_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+}
 KEY_SHIFT = 1 << 40
 
-# Relational headliners whose cost scales with the inflated facts.  The
-# text/ANN headliners read documents/embeddings, which inflation leaves
-# untouched — re-timing them at the same data adds nothing.
+# Relational headliners whose cost scales with the inflated facts, plus one
+# dedup headliner over the replicated corpus.  The ANN headliners read
+# embeddings, which inflation leaves untouched — re-timing them at the same
+# data adds nothing.
 INFLATED_QUERIES = [
     "events_per_day",
     "events_type_value_stats",
@@ -51,6 +60,12 @@ INFLATED_QUERIES = [
     # under AQE changes, since a global-sort NTILE would still pass value
     # checks at small scale.
     "orders_price_deciles",
+    # LSH banding over factor×-replicated docs: candidate volume is
+    # dup-pair-bound (identical replicas form factor-cliques, ~factor²/2
+    # verified pairs per original doc), the worst-case-realistic crawl
+    # shape — a banding or verify-join regression that only bites under
+    # bucket crowding shows up here, not at sf0.1.
+    "docs_near_dup_pairs",
 ]
 
 

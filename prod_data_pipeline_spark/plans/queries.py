@@ -11950,12 +11950,18 @@ def docs_leakage_safe_split(spark, sf_dir):
 #      docs_packed_bins — their first hash-checked driver rows land here;
 #   3. all 8 queries whose latest driver row dates to r02 (the oldest
 #      evidence in the repo);
-#   4. 8 staleness/sentinel fills from the r03 cohort — including the
+#   4. 5 staleness/sentinel fills from the r03 cohort — including the
 #      bench headlines events_per_day, q1_pricing_summary and
 #      docs_near_dup_pairs as permanently pinned sentinels (advisor
 #      round-5 note: keep high-traffic previously-green queries inside
 #      the window each round so operator regressions surface externally,
-#      not just locally).
+#      not just locally);
+#   5. the 3 operators round 6 itself added (BPE trainer, audio band
+#      hash, video temporal hash) so no registered query ends the round
+#      without a driver row.
+# corpus_dup_clusters, docs_chunk_spans and events_value_quantiles ceded
+# their fill slots to the round-6 trio; they rotate in round 7 with the
+# rest of the r03 cohort.
 # Every deferred query is still replayed against its oracle at sf0.001 by
 # the local test suite each round; the structural bound is
 # ceil(n_queries/50) rounds between driver rows per query, and round 6
@@ -12016,15 +12022,16 @@ DRIVER_ORDER: list[str] = [
     "events_curated_projection",
     "nation_keys_intersect",
     "nation_keys_except_all",
-    # --- 4. r03 staleness fills + pinned bench sentinels (8) ---
+    # --- 5. new round-6 operators, never driver-checked (3) ---
+    "docs_bpe_train_16",
+    "media_audio_band_hash_groups",
+    "media_video_framehash_groups",
+    # --- 4. r03 staleness fills + pinned bench sentinels (5) ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
     "regional_nation_revenue",
     "user_sessions",
-    "corpus_dup_clusters",
-    "docs_chunk_spans",
-    "events_value_quantiles",
 ]
 
 

@@ -77,7 +77,14 @@ def test_driver_order_policy():
         "media_feature_topk",
         "docs_packed_bins",
     }
-    must_see = never_checked | newly_oracled | set(DRIVER_SENTINELS)
+    new_in_round_6 = {
+        "docs_bpe_train_16",
+        "media_audio_band_hash_groups",
+        "media_video_framehash_groups",
+    }
+    must_see = (
+        never_checked | newly_oracled | new_in_round_6 | set(DRIVER_SENTINELS)
+    )
     assert must_see <= window
 
 
