@@ -214,3 +214,45 @@ def test_adamic_adar_matches_brute_force(spark, pairs):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
+
+
+def _brute_containment_pairs(texts, t_pct=80, min_tokens=2, ratio=2):
+    sets = {i: set(t.lower().split()) for i, t in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if (
+                a != b
+                and len(sets[a]) >= min_tokens
+                and len(sets[b]) >= ratio * len(sets[a])
+                and 100 * len(sets[a] & sets[b]) >= t_pct * len(sets[a])
+            ):
+                out.add((a, b))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(WORD, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_containment_pairs_equals_bruteforce_property(spark, texts):
+    """EXACT operator: containment_pairs must equal brute force on any
+    corpus — with hot_df forced to 2 so the tiny shared vocabulary makes
+    every token hot and the chunk-split path is always exercised (the
+    split redistributes work, never filters candidates)."""
+    from prod_data_pipeline_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_small"], r["id_container"])
+        for r in containment_pairs(
+            df, threshold_pct=80, min_tokens=2, min_container_ratio=2, hot_df=2
+        ).collect()
+    }
+    assert got == _brute_containment_pairs(texts, 80, 2, 2)
