@@ -57,6 +57,9 @@ class Snapshot:
     # equality pruning on high-cardinality keys (commit_snapshot
     # bloom_cols=...); md5-derived positions, 1024 bits x 3 hashes.
     blooms: dict = None  # type: ignore[assignment]
+    # commit metadata, atomic with the version (e.g. the streaming sink's
+    # last_batch_id transaction marker, a rollback's source version).
+    meta: dict = None  # type: ignore[assignment]
 
 
 def _manifest_dir(table_path: str) -> str:
@@ -85,6 +88,7 @@ def read_manifest(table_path: str, version: int) -> Snapshot:
         mode=m["mode"],
         stats=m.get("stats", {}),
         blooms=m.get("blooms", {}),
+        meta=m.get("meta", {}),
     )
 
 
@@ -212,6 +216,7 @@ def commit_snapshot(
     mode: str = "append",
     stats_cols: tuple[str, ...] = (),
     bloom_cols: tuple[str, ...] = (),
+    meta: dict | None = None,
 ) -> Snapshot:
     """Commit a new table version.
 
@@ -267,6 +272,7 @@ def commit_snapshot(
         "mode": mode,
         "stats": stats,
         "blooms": blooms,
+        "meta": meta or {},
     }
     mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
     with open(mpath + ".tmp", "w") as f:
@@ -279,7 +285,7 @@ def commit_snapshot(
     os.rename(ptr + ".tmp", ptr)  # the commit point: atomic on POSIX
     return Snapshot(
         version=version, files=files, n_rows=n_rows, mode=mode, stats=stats,
-        blooms=blooms,
+        blooms=blooms, meta=meta or {},
     )
 
 
@@ -485,6 +491,145 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
                 os.remove(f)
                 deleted.append(f)
     return deleted
+
+
+def rewrite_small_files(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_group: int = 2,
+) -> Snapshot:
+    """Bin-pack table maintenance (Iceberg `rewrite_data_files` shape): read
+    every data file smaller than ``target_file_bytes``, rewrite them
+    coalesced into ceil(total_small_bytes / target) files, and commit a
+    new version whose manifest lists the new files plus every large file
+    CARRIED OVER untouched (identical paths and bytes).  Rows are
+    preserved exactly; only physical layout changes — the streaming-ingest
+    antidote, since per-batch commits accrete one small file per trigger
+    and scan cost grows with file count, not data size.
+
+    Stats/blooms for the rewritten files are re-collected over the same
+    columns the snapshot already tracked; carried files keep theirs.
+    Prior versions still reference the small files until ``vacuum()``
+    expires them (time travel intact).  No-ops (returns the current
+    snapshot) when fewer than ``min_group`` small files exist — one small
+    file cannot be packed any better.
+
+    At warehouse scale this is the nightly maintenance job: the rewrite
+    set is chosen driver-side from manifest-listed sizes (no file is
+    opened to decide), and the rewrite cost is proportional to the SMALL
+    bytes only."""
+    v = current_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    snap = read_manifest(table_path, v)
+    small = [f for f in snap.files if os.path.getsize(f) < target_file_bytes]
+    if len(small) < min_group:
+        return snap
+    carried = [f for f in snap.files if f not in set(small)]
+
+    stats_cols = tuple(
+        sorted({c for per_file in (snap.stats or {}).values() for c in per_file})
+    )
+    bloom_cols = tuple(
+        sorted({c for per_file in (snap.blooms or {}).values() for c in per_file})
+    )
+
+    total = sum(os.path.getsize(f) for f in small)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil div
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(table_path, "data", commit_id)
+    spark.read.parquet(*small).coalesce(int(n_out)).write.mode("error").parquet(data_dir)
+    written = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    n_new, new_stats, new_blooms = _collect_file_stats(
+        spark, written, stats_cols, bloom_cols
+    )
+
+    files = carried + written
+    stats = {
+        **{f: s for f, s in (snap.stats or {}).items() if f in set(carried)},
+        **new_stats,
+    }
+    blooms = {
+        **{f: b for f, b in (snap.blooms or {}).items() if f in set(carried)},
+        **new_blooms,
+    }
+    version = v + 1
+    manifest = {
+        "version": version,
+        "files": files,
+        "n_rows": snap.n_rows,  # row-preserving by construction
+        "mode": "compact",
+        "stats": stats,
+        "blooms": blooms,
+        "meta": {"compacted_files": len(small), "new_files": len(written)},
+    }
+    mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(mpath + ".tmp", mpath)
+    ptr = _pointer_path(table_path)
+    with open(ptr + ".tmp", "w") as f:
+        f.write(str(version))
+    os.rename(ptr + ".tmp", ptr)  # atomic commit point
+    return Snapshot(
+        version=version, files=files, n_rows=snap.n_rows, mode="compact",
+        stats=stats, blooms=blooms, meta=manifest["meta"],
+    )
+
+
+def rollback(table_path: str, to_version: int) -> Snapshot:
+    """Restore an earlier committed version as a NEW version (Iceberg-style
+    rollback): the new manifest lists exactly the target version's files —
+    no data is copied or deleted, history stays append-only, and the bad
+    intermediate versions remain inspectable (and vacuum-able) rather than
+    erased.  Readers see the restored state the instant the pointer swaps;
+    a crash before the swap leaves the table unchanged.
+
+    Requires the target version's manifest to still exist; its FILES must
+    not have been vacuumed (vacuum() breaks time travel to expired
+    versions — the documented retention trade-off).  Stats and blooms
+    travel with the file list, so data skipping keeps working on the
+    restored version."""
+    v = current_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    if not 1 <= to_version <= v:
+        raise ValueError(f"cannot roll back to v{to_version}: table is at v{v}")
+    target = read_manifest(table_path, to_version)
+    missing = [f for f in target.files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"v{to_version} references {len(missing)} vacuumed file(s); "
+            f"rollback impossible (first: {missing[0]})"
+        )
+    version = v + 1
+    manifest = {
+        "version": version,
+        "files": target.files,
+        "n_rows": target.n_rows,
+        "mode": "rollback",
+        "stats": target.stats or {},
+        "blooms": target.blooms or {},
+        "meta": {"rolled_back_to": to_version},
+    }
+    mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(mpath + ".tmp", mpath)
+    ptr = _pointer_path(table_path)
+    with open(ptr + ".tmp", "w") as f:
+        f.write(str(version))
+    os.rename(ptr + ".tmp", ptr)  # atomic commit point
+    return Snapshot(
+        version=version, files=target.files, n_rows=target.n_rows,
+        mode="rollback", stats=target.stats, blooms=target.blooms,
+        meta=manifest["meta"],
+    )
 
 
 def snapshot_changelog(

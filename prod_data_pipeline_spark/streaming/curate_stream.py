@@ -357,6 +357,74 @@ def streaming_upsert_sink(
     )
 
 
+def streaming_manifest_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+):
+    """EXACTLY-ONCE streaming ingest into a manifest-committed snapshot
+    table: each micro-batch appends via sources.manifest.commit_snapshot,
+    and the batch id is recorded IN the manifest — atomic with the
+    version pointer — as the transaction marker (`meta.last_batch_id`,
+    the Delta txn-version idiom).  When structured streaming replays a
+    batch after a crash (its checkpoint commits the offset range only
+    AFTER foreachBatch returns), the sink sees batch_id <=
+    last_batch_id and skips: no double-append, no marker-file crash
+    window, because the marker and the data commit are one atomic
+    pointer swap.
+
+    This upgrades streaming_upsert_sink's two-rename swap to the
+    manifest's single-rename commit AND gives streaming output time
+    travel, zone/bloom data skipping, changelogs, and vacuum — the
+    streaming half of the table-format story.  Per-trigger small files
+    are the known cost; rewrite_small_files is the matching nightly
+    compaction."""
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        manifest_commit_batch(batch, batch_id, table_path, stats_cols, bloom_cols)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def manifest_commit_batch(
+    batch: DataFrame,
+    batch_id: int,
+    table_path: str,
+    stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+) -> bool:
+    """The sink's per-batch transaction (exposed so crash-replay is
+    directly testable): skip if this batch id is already recorded in the
+    current manifest, else append-commit with the id as atomic metadata.
+    Returns True iff a commit happened."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        current_version,
+        read_manifest,
+    )
+
+    v = current_version(table_path)
+    if v is not None:
+        last = (read_manifest(table_path, v).meta or {}).get("last_batch_id", -1)
+        if batch_id <= last:
+            return False  # replayed batch: already committed atomically
+    commit_snapshot(
+        batch,
+        table_path,
+        mode="append",
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        meta={"last_batch_id": batch_id},
+    )
+    return True
+
+
 def streaming_incremental_dedup(
     docs: DataFrame,
     snapshot_keys: DataFrame,

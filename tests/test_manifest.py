@@ -271,3 +271,126 @@ def test_delete_where_unsafe_render_type_skips_bloom_pruning(spark, tmp_path):
     cur = read_snapshot(spark, t)
     assert cur.filter(F.col("v") == 1e20).count() == 0, "float delete missed rows"
     assert cur.count() == 400 - 40 and v2.n_rows == 400 - 40
+
+
+def test_rewrite_small_files_binpacks_and_preserves_rows(spark, tmp_path):
+    """Compaction rewrites only the small files (coalesced), carries large
+    files by identical path, preserves the exact row multiset, keeps
+    time travel to the pre-compaction version, and vacuum then removes
+    the obsolete small files."""
+    from prod_data_pipeline_spark.sources.manifest import rewrite_small_files
+
+    t = str(tmp_path / "tbl")
+    # three appends, each fragmented into 4 files -> 12 small files
+    for lo in (0, 400, 800):
+        df = (
+            spark.range(lo, lo + 400)
+            .withColumn("v", F.col("id") * 3)
+            .repartition(4)
+        )
+        commit_snapshot(df, t, mode="append", stats_cols=("id",))
+    v3 = snapshots(t)[-1]
+    assert len(v3.files) == 12
+
+    s = rewrite_small_files(spark, t, target_file_bytes=1 << 30)
+    assert s.version == 4 and s.mode == "compact"
+    assert len(s.files) == 1  # everything fits one target bin
+    assert s.meta == {"compacted_files": 12, "new_files": 1}
+    cur = read_snapshot(spark, t)
+    assert cur.count() == 1200 and s.n_rows == 1200
+    assert {r["id"] for r in cur.select("id").collect()} == set(range(1200))
+    # stats re-collected for the new file (zone pruning still works)
+    assert set(s.stats) == set(s.files)
+    # time travel intact, then vacuum drops the 12 obsolete files
+    assert read_snapshot(spark, t, version=3).count() == 1200
+    removed = vacuum(t, keep_last=1)
+    assert set(removed) == set(v3.files)
+    assert read_snapshot(spark, t).count() == 1200
+
+    # idempotent-ish: a second pass with one (large-enough-group) file no-ops
+    s2 = rewrite_small_files(spark, t, target_file_bytes=1 << 30)
+    assert s2.version == s.version
+
+
+def test_rollback_restores_version_without_copying(spark, tmp_path):
+    """Rollback commits the target version's file list as a NEW version:
+    content equals the target exactly, no files are copied, history is
+    append-only, and rolling back past vacuumed files raises."""
+    from prod_data_pipeline_spark.sources.manifest import read_manifest, rollback
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(0, 50).withColumn("v", F.col("id")), t)
+    commit_snapshot(
+        spark.range(0, 9).withColumn("v", F.lit(-1).cast("long")), t, mode="overwrite"
+    )
+    assert read_snapshot(spark, t).count() == 9
+
+    s3 = rollback(t, 1)
+    assert (s3.version, s3.mode, s3.meta) == (3, "rollback", {"rolled_back_to": 1})
+    assert s3.files == read_manifest(t, 1).files  # same paths, nothing copied
+    cur = read_snapshot(spark, t)
+    assert cur.count() == 50
+    assert cur.filter(F.col("v") < 0).count() == 0
+    # the bad overwrite remains inspectable history
+    assert read_snapshot(spark, t, version=2).count() == 9
+
+    with pytest.raises(ValueError):
+        rollback(t, 99)
+    # vacuum keeps only the current version; v2's files are gone -> rollback
+    # to v2 must refuse loudly instead of committing a broken manifest
+    vacuum(t, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        rollback(t, 2)
+
+
+def test_streaming_manifest_sink_exactly_once(spark, tmp_path):
+    """The streaming sink appends each micro-batch as a manifest commit
+    with the batch id recorded atomically; a replayed batch id is a
+    no-op (the crash-replay path), and a real availableNow run lands the
+    full input exactly once."""
+    from prod_data_pipeline_spark.sources.manifest import read_manifest
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        streaming_manifest_sink,
+    )
+
+    src = str(tmp_path / "src")
+    batch_df = spark.range(0, 120).withColumn("v", F.col("id") * 7)
+    batch_df.coalesce(1).write.format("json").save(src)
+    t = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema("id long, v long").format("json").load(src)
+    )
+    q = streaming_manifest_sink(stream, t, ckpt, stats_cols=("id",))
+    q.awaitTermination(120)
+    assert read_snapshot(spark, t).count() == 120
+    v = current_version(t)
+    assert read_manifest(t, v).meta["last_batch_id"] == 0
+
+    # same checkpoint, no new input: no batch fires, nothing changes
+    q2 = streaming_manifest_sink(
+        spark.readStream.schema("id long, v long").format("json").load(src),
+        t,
+        ckpt,
+        stats_cols=("id",),
+    )
+    q2.awaitTermination(120)
+    assert read_snapshot(spark, t).count() == 120
+    assert current_version(t) == v  # no spurious commit
+
+    # crash replay: structured streaming re-delivers batch 0 when the
+    # crash hit AFTER the manifest commit but BEFORE the checkpoint's
+    # offset commit — the per-batch transaction must be a no-op
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        manifest_commit_batch,
+    )
+
+    static = spark.read.schema("id long, v long").format("json").load(src)
+    assert manifest_commit_batch(static, 0, t, stats_cols=("id",)) is False
+    assert read_snapshot(spark, t).count() == 120
+    assert current_version(t) == v
+    # the NEXT batch id commits normally
+    assert manifest_commit_batch(static.limit(5), 1, t, stats_cols=("id",)) is True
+    assert read_snapshot(spark, t).count() == 125
+    assert read_manifest(t, current_version(t)).meta["last_batch_id"] == 1
