@@ -70,6 +70,29 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument(
         "--cpus", type=int, default=None, help="local[N] cores (default: all)"
     )
+
+    t = sub.add_parser(
+        "table", help="manifest-table maintenance (history/compact/rollback/vacuum)"
+    )
+    t.add_argument(
+        "action", choices=["history", "compact", "rollback", "vacuum"],
+        help="maintenance operation",
+    )
+    t.add_argument("table_path", help="manifest table root directory")
+    t.add_argument(
+        "--to-version", type=int, default=None, help="rollback target version"
+    )
+    t.add_argument(
+        "--target-file-mb", type=int, default=128,
+        help="compact: bin-pack files smaller than this (default 128 MB)",
+    )
+    t.add_argument(
+        "--keep-last", type=int, default=1,
+        help="vacuum: versions to retain (default 1)",
+    )
+    t.add_argument(
+        "--cpus", type=int, default=None, help="local[N] cores (default: all)"
+    )
     return p
 
 
@@ -109,6 +132,52 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 df.show(args.limit, truncate=False)
             return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "table":
+        from prod_data_pipeline_spark.sources.manifest import (
+            rewrite_small_files,
+            rollback,
+            snapshots,
+            vacuum,
+        )
+
+        if args.action == "history":  # no Spark session needed
+            for s in snapshots(args.table_path):
+                print(json.dumps({
+                    "version": s.version, "mode": s.mode, "n_rows": s.n_rows,
+                    "n_files": len(s.files), "meta": s.meta or {},
+                }))
+            return 0
+        if args.action == "vacuum":
+            removed = vacuum(args.table_path, keep_last=args.keep_last)
+            print(json.dumps({"removed_files": len(removed)}))
+            return 0
+        if args.action == "rollback":
+            if args.to_version is None:
+                print("error: rollback requires --to-version", file=sys.stderr)
+                return 2
+            try:
+                s = rollback(args.table_path, args.to_version)
+            except (ValueError, FileNotFoundError) as ex:
+                print(f"error: {ex}", file=sys.stderr)
+                return 1
+            print(json.dumps({"version": s.version, "meta": s.meta}))
+            return 0
+        spark = get_spark(app_name="pdp-table-compact", cpus=args.cpus)
+        try:
+            s = rewrite_small_files(
+                spark, args.table_path,
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+            )
+            print(json.dumps({
+                "version": s.version, "n_files": len(s.files), "meta": s.meta or {},
+            }))
+            return 0
+        except FileNotFoundError as ex:
+            print(f"error: {ex}", file=sys.stderr)
+            return 1
         finally:
             spark.stop()
 

@@ -123,3 +123,43 @@ def test_cli_query_runs_and_writes(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert list(out.glob("*.parquet")) or list(out.glob("part-*"))
+
+
+def test_cli_table_maintenance_roundtrip(tmp_path, spark):
+    """history -> compact -> rollback -> vacuum from the shell: JSON line
+    per action, correct exit codes, bad rollback target exits 1."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import commit_snapshot
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        commit_snapshot(
+            spark.range(lo, lo + 100).withColumn("v", F.col("id")).repartition(3),
+            t,
+        )
+
+    proc = _run(["table", "history", t])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    hist = [json.loads(line) for line in proc.stdout.splitlines()]
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[-1]["n_rows"] == 200 and hist[-1]["n_files"] == 6
+
+    proc = _run(["table", "compact", t, "--cpus", "4"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.splitlines()[-1])
+    assert out["version"] == 3 and out["n_files"] == 1
+    assert out["meta"]["compacted_files"] == 6
+
+    proc = _run(["table", "rollback", t, "--to-version", "1"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.splitlines()[-1])["meta"] == {"rolled_back_to": 1}
+
+    proc = _run(["table", "rollback", t, "--to-version", "99"])
+    assert proc.returncode == 1
+    proc = _run(["table", "rollback", t])
+    assert proc.returncode == 2
+
+    proc = _run(["table", "vacuum", t, "--keep-last", "1"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert json.loads(proc.stdout.splitlines()[-1])["removed_files"] > 0
