@@ -62,8 +62,58 @@ class Snapshot:
     meta: dict = None  # type: ignore[assignment]
 
 
+class ConcurrentCommit(Exception):
+    """Another writer advanced the table between this operation's snapshot
+    read and its publish; the operation's plan (prune set, rewrite set,
+    rollback base) is stale.  Re-run the operation against the new head —
+    the Iceberg optimistic-concurrency contract."""
+
+
 def _manifest_dir(table_path: str) -> str:
     return os.path.join(table_path, "manifests")
+
+
+def _publish(table_path: str, build) -> "Snapshot":
+    """Serialized manifest publish — the table's single coordination
+    point.  Writers prepare data files and stats OUTSIDE this call
+    (arbitrarily slow, fully parallel); under an exclusive lock the head
+    is re-read, ``build(prev_v, version)`` produces the manifest dict for
+    head+1 (raising ConcurrentCommit if its plan is stale), the manifest
+    is written, and the pointer swaps.  The critical section is a couple
+    of local file writes — at warehouse scale this lock is the catalog's
+    compare-and-swap, and the behavior is identical: concurrent appends
+    serialize and compose; conflicting rewrites abort and retry.
+
+    The lock auto-releases on process death (flock), and a crash inside
+    the section leaves at worst an unreferenced vN.json that the next
+    committer overwrites via tmp+rename before swapping the pointer —
+    readers can never observe a partial commit."""
+    import fcntl
+
+    mdir = _manifest_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "_commit.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        prev_v = current_version(table_path)
+        version = (prev_v or 0) + 1
+        manifest = build(prev_v, version)
+        mpath = os.path.join(mdir, f"v{version}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.rename(mpath + ".tmp", mpath)
+        ptr = _pointer_path(table_path)
+        with open(ptr + ".tmp", "w") as f:
+            f.write(str(version))
+        os.rename(ptr + ".tmp", ptr)  # the commit point: atomic on POSIX
+    return Snapshot(
+        version=version,
+        files=manifest["files"],
+        n_rows=manifest["n_rows"],
+        mode=manifest["mode"],
+        stats=manifest.get("stats", {}),
+        blooms=manifest.get("blooms", {}),
+        meta=manifest.get("meta", {}),
+    )
 
 
 def _pointer_path(table_path: str) -> str:
@@ -226,6 +276,13 @@ def commit_snapshot(
     A crash before the swap leaves orphan files but NO visible change —
     readers can never observe a partial commit.
 
+    MULTI-WRITER SAFE: the publish runs under the table's commit lock
+    (`_publish`) with the merged file list rebuilt against whatever head
+    is current at publish time, so concurrent appends serialize and both
+    land — no lost updates.  Rewriting operations (delete_where,
+    rewrite_small_files, rollback) instead raise ConcurrentCommit when
+    the head moved under them, the optimistic-concurrency contract.
+
     `stats_cols` opts columns into per-file min/max **zone maps** stored in
     the manifest: readers prune whole files whose range cannot match a
     predicate (read_snapshot `prune=`) without opening them — at object-
@@ -253,40 +310,29 @@ def commit_snapshot(
         else (0, {}, {})
     )
 
-    prev_v = current_version(table_path)
-    if mode == "append" and prev_v is not None:
-        prev = read_manifest(table_path, prev_v)
-        files = prev.files + written
-        n_rows = prev.n_rows + n_new
-        stats = {**(prev.stats or {}), **new_stats}
-        blooms = {**(prev.blooms or {}), **new_blooms}
-    else:
-        files, n_rows, stats, blooms = written, n_new, new_stats, new_blooms
-    version = (prev_v or 0) + 1
+    # Publish under the commit lock: appends COMPOSE with any concurrent
+    # writer (the merged file list is rebuilt against whatever head is
+    # current at publish time), so two parallel appenders both land.
+    def build(prev_v: int | None, version: int) -> dict:
+        if mode == "append" and prev_v is not None:
+            prev = read_manifest(table_path, prev_v)
+            files = prev.files + written
+            n_rows = prev.n_rows + n_new
+            stats = {**(prev.stats or {}), **new_stats}
+            blooms = {**(prev.blooms or {}), **new_blooms}
+        else:
+            files, n_rows, stats, blooms = written, n_new, new_stats, new_blooms
+        return {
+            "version": version,
+            "files": files,
+            "n_rows": n_rows,
+            "mode": mode,
+            "stats": stats,
+            "blooms": blooms,
+            "meta": meta or {},
+        }
 
-    os.makedirs(_manifest_dir(table_path), exist_ok=True)
-    manifest = {
-        "version": version,
-        "files": files,
-        "n_rows": n_rows,
-        "mode": mode,
-        "stats": stats,
-        "blooms": blooms,
-        "meta": meta or {},
-    }
-    mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(manifest, f)
-    os.rename(mpath + ".tmp", mpath)
-
-    ptr = _pointer_path(table_path)
-    with open(ptr + ".tmp", "w") as f:
-        f.write(str(version))
-    os.rename(ptr + ".tmp", ptr)  # the commit point: atomic on POSIX
-    return Snapshot(
-        version=version, files=files, n_rows=n_rows, mode=mode, stats=stats,
-        blooms=blooms, meta=meta or {},
-    )
+    return _publish(table_path, build)
 
 
 def prune_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
@@ -448,27 +494,25 @@ def delete_where(
         **{f: b for f, b in (snap.blooms or {}).items() if f in set(carried)},
         **new_blooms,
     }
-    version = v + 1
-    manifest = {
-        "version": version,
-        "files": files,
-        "n_rows": n_rows,
-        "mode": "delete",
-        "stats": stats,
-        "blooms": blooms,
-    }
-    mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(manifest, f)
-    os.rename(mpath + ".tmp", mpath)
-    ptr = _pointer_path(table_path)
-    with open(ptr + ".tmp", "w") as f:
-        f.write(str(version))
-    os.rename(ptr + ".tmp", ptr)  # atomic commit point, as in commit_snapshot
-    return Snapshot(
-        version=version, files=files, n_rows=n_rows, mode="delete",
-        stats=stats, blooms=blooms,
-    )
+
+    def build(prev_v: int | None, version: int) -> dict:
+        if prev_v != v:
+            # the prune/rewrite plan was computed against v; a concurrent
+            # commit may have added files containing the key
+            raise ConcurrentCommit(
+                f"table advanced v{v} -> v{prev_v} during delete; re-run"
+            )
+        return {
+            "version": version,
+            "files": files,
+            "n_rows": n_rows,
+            "mode": "delete",
+            "stats": stats,
+            "blooms": blooms,
+            "meta": {},
+        }
+
+    return _publish(table_path, build)
 
 
 def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
@@ -558,28 +602,25 @@ def rewrite_small_files(
         **{f: b for f, b in (snap.blooms or {}).items() if f in set(carried)},
         **new_blooms,
     }
-    version = v + 1
-    manifest = {
-        "version": version,
-        "files": files,
-        "n_rows": snap.n_rows,  # row-preserving by construction
-        "mode": "compact",
-        "stats": stats,
-        "blooms": blooms,
-        "meta": {"compacted_files": len(small), "new_files": len(written)},
-    }
-    mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(manifest, f)
-    os.rename(mpath + ".tmp", mpath)
-    ptr = _pointer_path(table_path)
-    with open(ptr + ".tmp", "w") as f:
-        f.write(str(version))
-    os.rename(ptr + ".tmp", ptr)  # atomic commit point
-    return Snapshot(
-        version=version, files=files, n_rows=snap.n_rows, mode="compact",
-        stats=stats, blooms=blooms, meta=manifest["meta"],
-    )
+
+    def build(prev_v: int | None, version: int) -> dict:
+        if prev_v != v:
+            # the rewrite set was chosen against v; composing blindly with
+            # a concurrent overwrite/delete would resurrect its rows
+            raise ConcurrentCommit(
+                f"table advanced v{v} -> v{prev_v} during compaction; re-run"
+            )
+        return {
+            "version": version,
+            "files": files,
+            "n_rows": snap.n_rows,  # row-preserving by construction
+            "mode": "compact",
+            "stats": stats,
+            "blooms": blooms,
+            "meta": {"compacted_files": len(small), "new_files": len(written)},
+        }
+
+    return _publish(table_path, build)
 
 
 def rollback(table_path: str, to_version: int) -> Snapshot:
@@ -607,29 +648,22 @@ def rollback(table_path: str, to_version: int) -> Snapshot:
             f"v{to_version} references {len(missing)} vacuumed file(s); "
             f"rollback impossible (first: {missing[0]})"
         )
-    version = v + 1
-    manifest = {
-        "version": version,
-        "files": target.files,
-        "n_rows": target.n_rows,
-        "mode": "rollback",
-        "stats": target.stats or {},
-        "blooms": target.blooms or {},
-        "meta": {"rolled_back_to": to_version},
-    }
-    mpath = os.path.join(_manifest_dir(table_path), f"v{version}.json")
-    with open(mpath + ".tmp", "w") as f:
-        json.dump(manifest, f)
-    os.rename(mpath + ".tmp", mpath)
-    ptr = _pointer_path(table_path)
-    with open(ptr + ".tmp", "w") as f:
-        f.write(str(version))
-    os.rename(ptr + ".tmp", ptr)  # atomic commit point
-    return Snapshot(
-        version=version, files=target.files, n_rows=target.n_rows,
-        mode="rollback", stats=target.stats, blooms=target.blooms,
-        meta=manifest["meta"],
-    )
+    def build(prev_v: int | None, version: int) -> dict:
+        if prev_v != v:
+            raise ConcurrentCommit(
+                f"table advanced v{v} -> v{prev_v} during rollback; re-run"
+            )
+        return {
+            "version": version,
+            "files": target.files,
+            "n_rows": target.n_rows,
+            "mode": "rollback",
+            "stats": target.stats or {},
+            "blooms": target.blooms or {},
+            "meta": {"rolled_back_to": to_version},
+        }
+
+    return _publish(table_path, build)
 
 
 def snapshot_changelog(
