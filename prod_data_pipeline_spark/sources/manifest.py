@@ -390,6 +390,7 @@ def read_snapshot(
     table_path: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a table version (default: current).  Time travel = pass an
     older version; the files it lists are immutable, so the read is
@@ -399,25 +400,34 @@ def read_snapshot(
     recorded [min, max] range can overlap [lo, hi] are opened, and the
     predicate is re-applied to the surviving rows, so the result equals
     `read_snapshot(...).filter(lo <= col <= hi)` exactly — skipping is a
-    physical optimization, never a semantic one."""
+    physical optimization, never a semantic one.
+
+    `merge_schema=True` enables ADDITIVE schema evolution across commits
+    (the read_curated contract, on manifest tables): an append whose
+    frame carries a new column coexists with older files lacking it —
+    the union schema comes back with NULLs for pre-evolution rows.
+    Off by default because schema merging footprint-scans every file's
+    footer; at warehouse scale the table format records the schema in
+    the manifest instead (one more field, same commit path)."""
     from pyspark.sql import functions as F
 
     v = version if version is not None else current_version(table_path)
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     snap = read_manifest(table_path, v)
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if prune is None:
-        return spark.read.parquet(*snap.files)
+        return reader.parquet(*snap.files)
     col, lo, hi = prune
     kept = prune_files(snap, col, lo, hi)
     if not kept:
         # zone maps prove zero matches: an empty frame with the right schema
         return (
-            spark.read.parquet(*snap.files)
+            reader.parquet(*snap.files)
             .filter(F.lit(False))
             .filter(F.col(col).between(lo, hi))
         )
-    return spark.read.parquet(*kept).filter(F.col(col).between(lo, hi))
+    return reader.parquet(*kept).filter(F.col(col).between(lo, hi))
 
 
 def delete_where(

@@ -454,3 +454,26 @@ def test_rewriting_ops_abort_on_concurrent_commit(spark, tmp_path, monkeypatch):
     # is the head, and every u7 row (old and new) is still present
     cur = read_snapshot(spark, t)
     assert cur.filter(F.col("k") == "u7").count() == 20 + 10
+
+
+def test_additive_schema_evolution_on_manifest_table(spark, tmp_path):
+    """An append that carries a NEW column coexists with pre-evolution
+    files: merge_schema=True returns the union schema with NULLs for old
+    rows; the default read of a homogeneous version is unaffected."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(0, 30).withColumn("v", F.col("id")), t)
+    commit_snapshot(
+        spark.range(30, 40)
+        .withColumn("v", F.col("id"))
+        .withColumn("source", F.lit("crawl2")),
+        t,
+        mode="append",
+    )
+    cur = read_snapshot(spark, t, merge_schema=True)
+    assert set(cur.columns) == {"id", "v", "source"}
+    assert cur.count() == 40
+    assert cur.filter(F.col("source").isNull()).count() == 30
+    assert cur.filter(F.col("source") == "crawl2").count() == 10
+    # time travel to the pre-evolution version: old schema, no phantom col
+    old = read_snapshot(spark, t, version=1, merge_schema=True)
+    assert set(old.columns) == {"id", "v"}
