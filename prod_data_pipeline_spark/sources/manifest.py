@@ -528,23 +528,36 @@ def delete_where(
 def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced ONLY by expired versions (all but the
     last `keep_last`).  Returns the deleted paths.  Time travel to expired
-    versions stops working — the standard retention trade-off."""
-    v = current_version(table_path)
-    if v is None:
+    versions stops working — the standard retention trade-off.
+
+    Runs under the table's commit lock: the live-file set is computed
+    against a head no publish can move mid-scan, so vacuum can never race
+    a rollback into deleting files the new head references (rollback's
+    own existence check also runs under the lock — the two serialize in
+    either order, and the loser behaves correctly)."""
+    import fcntl
+
+    mdir = _manifest_dir(table_path)
+    if not os.path.isdir(mdir):
         return []
-    keep_versions = set(range(max(1, v - keep_last + 1), v + 1))
-    live: set[str] = set()
-    for kv in keep_versions:
-        live.update(read_manifest(table_path, kv).files)
-    deleted = []
-    for snap in snapshots(table_path):
-        if snap.version in keep_versions:
-            continue
-        for f in snap.files:
-            if f not in live and os.path.exists(f):
-                os.remove(f)
-                deleted.append(f)
-    return deleted
+    with open(os.path.join(mdir, "_commit.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        v = current_version(table_path)
+        if v is None:
+            return []
+        keep_versions = set(range(max(1, v - keep_last + 1), v + 1))
+        live: set[str] = set()
+        for kv in keep_versions:
+            live.update(read_manifest(table_path, kv).files)
+        deleted = []
+        for snap in snapshots(table_path):
+            if snap.version in keep_versions:
+                continue
+            for f in snap.files:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+                    deleted.append(f)
+        return deleted
 
 
 def rewrite_small_files(
@@ -652,16 +665,20 @@ def rollback(table_path: str, to_version: int) -> Snapshot:
     if not 1 <= to_version <= v:
         raise ValueError(f"cannot roll back to v{to_version}: table is at v{v}")
     target = read_manifest(table_path, to_version)
-    missing = [f for f in target.files if not os.path.exists(f)]
-    if missing:
-        raise FileNotFoundError(
-            f"v{to_version} references {len(missing)} vacuumed file(s); "
-            f"rollback impossible (first: {missing[0]})"
-        )
+
     def build(prev_v: int | None, version: int) -> dict:
         if prev_v != v:
             raise ConcurrentCommit(
                 f"table advanced v{v} -> v{prev_v} during rollback; re-run"
+            )
+        # the existence check runs HERE, under the commit lock, so a
+        # concurrent vacuum (which also holds the lock) cannot delete the
+        # target's files between this check and the pointer swap
+        missing = [f for f in target.files if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"v{to_version} references {len(missing)} vacuumed file(s); "
+                f"rollback impossible (first: {missing[0]})"
             )
         return {
             "version": version,
