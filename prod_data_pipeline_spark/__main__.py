@@ -75,7 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
         "table", help="manifest-table maintenance (history/compact/rollback/vacuum)"
     )
     t.add_argument(
-        "action", choices=["history", "compact", "rollback", "vacuum"],
+        "action",
+        choices=["history", "compact", "rollback", "vacuum", "clean-orphans"],
         help="maintenance operation",
     )
     t.add_argument("table_path", help="manifest table root directory")
@@ -89,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--keep-last", type=int, default=1,
         help="vacuum: versions to retain (default 1)",
+    )
+    t.add_argument(
+        "--older-than-s", type=float, default=3600.0,
+        help="clean-orphans: grace window for in-flight commits (default 1h)",
     )
     t.add_argument(
         "--cpus", type=int, default=None, help="local[N] cores (default: all)"
@@ -137,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "table":
         from prod_data_pipeline_spark.sources.manifest import (
+            clean_orphans,
             rewrite_small_files,
             rollback,
             snapshots,
@@ -152,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.action == "vacuum":
             removed = vacuum(args.table_path, keep_last=args.keep_last)
+            print(json.dumps({"removed_files": len(removed)}))
+            return 0
+        if args.action == "clean-orphans":
+            removed = clean_orphans(args.table_path, older_than_s=args.older_than_s)
             print(json.dumps({"removed_files": len(removed)}))
             return 0
         if args.action == "rollback":

@@ -560,6 +560,49 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
         return deleted
 
 
+def clean_orphans(table_path: str, older_than_s: float = 3600.0) -> list[str]:
+    """Delete data files referenced by NO manifest version (Iceberg's
+    remove_orphan_files): crash leftovers from a failed publish and the
+    prepared-but-aborted files of a ConcurrentCommit rewrite.  Only files
+    older than ``older_than_s`` are touched — an in-flight commit writes
+    its data files BEFORE publishing its manifest, so fresh unreferenced
+    files are presumed in-flight, the same grace-window contract as
+    Iceberg's olderThan.  Runs under the commit lock so the referenced
+    set cannot move mid-scan.  Returns the deleted paths; empty data
+    dirs are pruned too."""
+    import fcntl
+    import time
+
+    mdir = _manifest_dir(table_path)
+    data_root = os.path.join(table_path, "data")
+    if not os.path.isdir(mdir) or not os.path.isdir(data_root):
+        return []
+    with open(os.path.join(mdir, "_commit.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        referenced: set[str] = set()
+        for snap in snapshots(table_path):
+            referenced.update(snap.files)
+        cutoff = time.time() - older_than_s
+        deleted = []
+        for commit_dir in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, commit_dir)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                f = os.path.join(d, name)
+                if f in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(f) <= cutoff:
+                        os.remove(f)
+                        deleted.append(f)
+                except FileNotFoundError:
+                    continue
+            if not os.listdir(d):
+                os.rmdir(d)
+        return deleted
+
+
 def rewrite_small_files(
     spark: SparkSession,
     table_path: str,

@@ -477,3 +477,55 @@ def test_additive_schema_evolution_on_manifest_table(spark, tmp_path):
     # time travel to the pre-evolution version: old schema, no phantom col
     old = read_snapshot(spark, t, version=1, merge_schema=True)
     assert set(old.columns) == {"id", "v"}
+
+
+def test_clean_orphans_removes_aborted_rewrite_files(spark, tmp_path, monkeypatch):
+    """The data files an aborted (ConcurrentCommit) delete prepared are
+    referenced by no manifest; clean_orphans removes them after the
+    grace window while leaving every referenced file — including the
+    concurrent append's — untouched.  A fresh unreferenced file inside
+    the grace window is presumed in-flight and survives."""
+    import prod_data_pipeline_spark.sources.manifest as M
+
+    t = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 200)
+        .withColumn("k", F.concat(F.lit("u"), F.col("id") % 10))
+        .repartition(4, "k")
+    )
+    commit_snapshot(df, t, bloom_cols=("k",))
+
+    real = M._collect_file_stats
+    state = {"injected": False}
+
+    def sneaky(spark_, written, stats_cols, bloom_cols):
+        out = real(spark_, written, stats_cols, bloom_cols)
+        if not state["injected"]:
+            state["injected"] = True
+            M.commit_snapshot(spark_.range(0, 5).withColumn("k", F.lit("zz")), t)
+        return out
+
+    monkeypatch.setattr(M, "_collect_file_stats", sneaky)
+    with pytest.raises(M.ConcurrentCommit):
+        M.delete_where(spark, t, "k", "u7")
+    monkeypatch.setattr(M, "_collect_file_stats", real)
+
+    referenced = set()
+    for s in M.snapshots(t):
+        referenced.update(s.files)
+    all_files = {
+        os.path.join(r, n)
+        for r, _, names in os.walk(os.path.join(t, "data"))
+        for n in names
+    }
+    orphans = all_files - referenced
+    assert orphans, "aborted delete should have left orphan files"
+
+    # inside the grace window nothing is deleted (presumed in-flight)
+    assert M.clean_orphans(t, older_than_s=3600) == []
+    removed = M.clean_orphans(t, older_than_s=0)
+    assert set(removed) == orphans
+    # table unharmed: both commits fully readable
+    cur = read_snapshot(spark, t)
+    assert cur.count() == 205
+    assert cur.filter(F.col("k") == "u7").count() == 20
