@@ -148,6 +148,18 @@ def snapshots(table_path: str) -> list[Snapshot]:
     return [read_manifest(table_path, i) for i in range(1, (v or 0) + 1)]
 
 
+def _stats_repr(value):
+    """The zone-map representation of a Python value — mirrors the
+    `_plain` serialization inside _collect_file_stats so equality and
+    order comparisons against stored bounds are coherent (temporal /
+    decimal values go through str(); ISO strings sort like the values)."""
+    return (
+        value
+        if isinstance(value, (int, float, str, bool, type(None)))
+        else str(value)
+    )
+
+
 def _collect_file_stats(
     spark: SparkSession,
     written: list[str],
@@ -558,6 +570,117 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
                     os.remove(f)
                     deleted.append(f)
         return deleted
+
+
+def commit_replace_where(
+    df: DataFrame,
+    table_path: str,
+    col: str,
+    value,
+    stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
+    meta: dict | None = None,
+) -> Snapshot:
+    """Partition-scoped idempotent overwrite (Delta's ``replaceWhere`` /
+    the reference pipeline's purge-then-rewrite, on manifest tables):
+    commit ``df`` as the NEW content of the logical partition
+    ``col == value``, atomically dropping every existing file that lies
+    entirely inside it and keeping everything else.  Re-running the same
+    ingest for the same value converges to the same table — the
+    idempotent daily-rerun semantic (C1) the reference implements with
+    `purge_s3_path`, here as one pointer swap with time travel intact.
+
+    Soundness rule: a prior file is DROPPED only when its zone map proves
+    min == max == value for ``col``; it is KEPT only when its zone proves
+    the value cannot occur in it.  A file whose stats are missing or
+    whose range straddles the value is AMBIGUOUS — it may mix partitions
+    — and the commit refuses (ValueError) rather than guess: this
+    operator requires the partition column to be stats-tracked and the
+    writer to be partition-clustered (one value per file), which is what
+    `df.repartition(col)` / per-partition ingests produce naturally.
+
+    The incoming frame is validated to contain ONLY the target value
+    (count of violations == 0 — one cheap agg) so a misrouted ingest
+    cannot corrupt a neighboring partition.  Publishes under the commit
+    lock with a staleness guard (ConcurrentCommit) since the drop set
+    was planned against the head."""
+    from pyspark.sql import functions as F
+
+    bad = df.filter(~F.col(col).eqNullSafe(F.lit(value))).count()
+    if bad:
+        raise ValueError(
+            f"replace_where({col}={value!r}): frame contains {bad} row(s) "
+            "outside the target partition"
+        )
+
+    v = current_version(table_path)
+    prev = read_manifest(table_path, v) if v is not None else None
+    kept, ambiguous = [], []
+    if prev is not None:
+        for f in prev.files:
+            rng = (prev.stats or {}).get(f, {}).get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                ambiguous.append(f)
+            elif rng[0] == rng[1] == _stats_repr(value):
+                continue  # entirely the target partition: dropped
+            elif rng[0] <= _stats_repr(value) <= rng[1]:
+                ambiguous.append(f)  # straddles the value: may mix partitions
+            else:
+                kept.append(f)
+        if ambiguous:
+            raise ValueError(
+                f"replace_where({col}={value!r}): {len(ambiguous)} file(s) have "
+                f"missing or straddling stats for {col!r} (first: {ambiguous[0]}); "
+                "commit with stats_cols including the partition column and "
+                "partition-clustered files"
+            )
+
+    all_stats = tuple(sorted(set(stats_cols) | {col}))
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(table_path, "data", commit_id)
+    df.write.mode("error").parquet(data_dir)
+    spark = df.sparkSession
+    written = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    n_new, new_stats, new_blooms = (
+        _collect_file_stats(spark, written, all_stats, tuple(bloom_cols))
+        if written
+        else (0, {}, {})
+    )
+    kept_set = set(kept)
+    n_kept = 0
+    if prev is not None and kept:
+        # count once via recorded manifest arithmetic is impossible (rows
+        # per file aren't stored); one cheap count over the kept files only
+        n_kept = spark.read.parquet(*kept).count()
+
+    def build(prev_v: int | None, version: int) -> dict:
+        if prev_v != v:
+            raise ConcurrentCommit(
+                f"table advanced v{v} -> v{prev_v} during replace_where; re-run"
+            )
+        return {
+            "version": version,
+            "files": kept + written,
+            "n_rows": n_kept + n_new,
+            "mode": "replace_where",
+            "stats": {
+                **{f: s for f, s in ((prev.stats or {}) if prev else {}).items()
+                   if f in kept_set},
+                **new_stats,
+            },
+            "blooms": {
+                **{f: b for f, b in ((prev.blooms or {}) if prev else {}).items()
+                   if f in kept_set},
+                **new_blooms,
+            },
+            "meta": {**(meta or {}), "replace_where": [col, _stats_repr(value)]},
+        }
+
+    return _publish(table_path, build)
 
 
 def clean_orphans(table_path: str, older_than_s: float = 3600.0) -> list[str]:

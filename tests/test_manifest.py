@@ -529,3 +529,69 @@ def test_clean_orphans_removes_aborted_rewrite_files(spark, tmp_path, monkeypatc
     cur = read_snapshot(spark, t)
     assert cur.count() == 205
     assert cur.filter(F.col("k") == "u7").count() == 20
+
+
+def test_commit_replace_where_idempotent_partition_rerun(spark, tmp_path):
+    """The reference's purge-then-rewrite daily rerun (C1), on manifest
+    tables: replacing one date's content drops exactly that partition's
+    files, keeps the others byte-identical, reruns converge, misrouted
+    frames are rejected, and ambiguous (statless/straddling) layouts
+    refuse to guess."""
+    from prod_data_pipeline_spark.sources.manifest import commit_replace_where
+
+    t = str(tmp_path / "tbl")
+
+    def day_frame(day, lo, n):
+        return (
+            spark.range(lo, lo + n)
+            .withColumn("day", F.lit(day))
+            .withColumn("v", F.col("id"))
+            .coalesce(1)
+        )
+
+    # the natural per-partition ingest: one commit per day, clustered files
+    for i, day in enumerate(["2025-01-01", "2025-01-02", "2025-01-03"]):
+        s1 = commit_snapshot(day_frame(day, 100 * i, 100), t, stats_cols=("day",))
+
+    # replace day 2 with a 10-row reingest
+    re2 = (
+        spark.range(1000, 1010)
+        .withColumn("day", F.lit("2025-01-02"))
+        .withColumn("v", F.col("id"))
+    )
+    s2 = commit_replace_where(re2, t, "day", "2025-01-02")
+    assert s2.mode == "replace_where" and s2.meta["replace_where"] == ["day", "2025-01-02"]
+    cur = read_snapshot(spark, t)
+    assert cur.filter(F.col("day") == "2025-01-02").count() == 10
+    assert cur.filter(F.col("day") != "2025-01-02").count() == 200
+    # untouched partitions' files carried over by identical path
+    d1_files = set(s1.files) & set(s2.files)
+    assert d1_files and all("2025-01-02" not in "" for f in d1_files)
+
+    # IDEMPOTENT rerun: same ingest again -> same table content
+    s3 = commit_replace_where(re2, t, "day", "2025-01-02")
+    cur3 = read_snapshot(spark, t)
+    assert cur3.count() == 210 and s3.n_rows == 210
+    assert cur3.filter(F.col("day") == "2025-01-02").count() == 10
+    # time travel still shows the original 100-row day 2 (v3 = all 3 days)
+    assert (
+        read_snapshot(spark, t, version=3)
+        .filter(F.col("day") == "2025-01-02")
+        .count()
+        == 100
+    )
+
+    # misrouted frame (wrong day rows) is rejected before any write
+    with pytest.raises(ValueError, match="outside the target partition"):
+        commit_replace_where(
+            spark.range(0, 5).withColumn("day", F.lit("2025-01-03")).withColumn("v", F.col("id")),
+            t,
+            "day",
+            "2025-01-02",
+        )
+
+    # a table whose files lack day stats refuses to guess
+    t2 = str(tmp_path / "tbl2")
+    commit_snapshot(day_frame("2025-01-02", 0, 50), t2)  # no stats_cols
+    with pytest.raises(ValueError, match="missing or straddling stats"):
+        commit_replace_where(re2, t2, "day", "2025-01-02")
