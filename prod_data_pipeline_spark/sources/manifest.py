@@ -582,7 +582,9 @@ def commit_replace_where(
     meta: dict | None = None,
 ) -> Snapshot:
     """Partition-scoped idempotent overwrite (Delta's ``replaceWhere`` /
-    the reference pipeline's purge-then-rewrite, on manifest tables):
+    the reference pipeline's purge-then-rewrite —
+    /root/reference/glue/jobs/raw_to_curated_events_v3_dq.py:153-156
+    `purge_s3_path` + append — on manifest tables):
     commit ``df`` as the NEW content of the logical partition
     ``col == value``, atomically dropping every existing file that lies
     entirely inside it and keeping everything else.  Re-running the same
