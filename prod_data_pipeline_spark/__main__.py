@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="clean-orphans: grace window for in-flight commits (default 1h)",
     )
     t.add_argument(
+        "--partition-col", default=None,
+        help="compact: keep one output file per value of this column "
+        "(preserves replace_where provability)",
+    )
+    t.add_argument(
         "--cpus", type=int, default=None, help="local[N] cores (default: all)"
     )
     return p
@@ -180,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
             s = rewrite_small_files(
                 spark, args.table_path,
                 target_file_bytes=args.target_file_mb * 1024 * 1024,
+                partition_col=args.partition_col,
             )
             print(json.dumps({
                 "version": s.version, "n_files": len(s.files), "meta": s.meta or {},

@@ -733,6 +733,7 @@ def rewrite_small_files(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_group: int = 2,
+    partition_col: str | None = None,
 ) -> Snapshot:
     """Bin-pack table maintenance (Iceberg `rewrite_data_files` shape): read
     every data file smaller than ``target_file_bytes``, rewrite them
@@ -753,7 +754,17 @@ def rewrite_small_files(
     At warehouse scale this is the nightly maintenance job: the rewrite
     set is chosen driver-side from manifest-listed sizes (no file is
     opened to decide), and the rewrite cost is proportional to the SMALL
-    bytes only."""
+    bytes only.
+
+    ``partition_col`` preserves REPLACEABILITY: plain coalescing would
+    mix logical partitions in one output file, and commit_replace_where
+    would then (correctly) refuse the table as ambiguous.  With the
+    column set, the rewrite writes `partitionBy(partition_col)` — every
+    output file provably holds one value, the partition value is read
+    back from the Hive-style path, and stats re-collection keeps
+    min == max per file, so compaction and partition replacement compose
+    for the life of the table (the streaming-ingest → nightly-compact →
+    daily-replace loop)."""
     v = current_version(table_path)
     if v is None:
         raise FileNotFoundError(f"no committed version at {table_path}")
@@ -774,7 +785,27 @@ def rewrite_small_files(
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_id)
-    spark.read.parquet(*small).coalesce(int(n_out)).write.mode("error").parquet(data_dir)
+    if partition_col is None:
+        spark.read.parquet(*small).coalesce(int(n_out)).write.mode("error").parquet(
+            data_dir
+        )
+    else:
+        # one output file per partition VALUE (kept as a data column, so
+        # stats re-collection proves min == max and replace_where keeps
+        # working); the value count is maintenance-small by definition
+        from pyspark.sql import functions as F
+
+        src = spark.read.parquet(*small).persist()
+        values = sorted(
+            (r[0] for r in src.select(partition_col).distinct().collect()),
+            key=lambda x: (x is None, str(x)),
+        )
+        os.makedirs(data_dir, exist_ok=True)
+        for val in values:
+            src.filter(F.col(partition_col).eqNullSafe(F.lit(val))).coalesce(
+                1
+            ).write.mode("append").parquet(data_dir)
+        src.unpersist()
     written = [
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)

@@ -595,3 +595,92 @@ def test_commit_replace_where_idempotent_partition_rerun(spark, tmp_path):
     commit_snapshot(day_frame("2025-01-02", 0, 50), t2)  # no stats_cols
     with pytest.raises(ValueError, match="missing or straddling stats"):
         commit_replace_where(re2, t2, "day", "2025-01-02")
+
+
+def test_table_lifecycle_ingest_compact_replace_rollback(spark, tmp_path):
+    """The composed maintenance loop a real deployment runs: streaming
+    ingest (many small files) -> partition-preserving compaction ->
+    daily partition replace (must still be provable AFTER compaction)
+    -> rollback of a bad replace -> vacuum.  Plain coalescing would mix
+    days in one file and make replace_where refuse; partition_col
+    compaction is what keeps the loop closed."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_replace_where,
+        read_manifest,
+        rewrite_small_files,
+        rollback,
+    )
+
+    t = str(tmp_path / "tbl")
+    # per-batch ingests: 2 days x 3 batches, each batch fragmented
+    for b in range(3):
+        for day in ("2025-02-01", "2025-02-02"):
+            commit_snapshot(
+                spark.range(100 * b, 100 * b + 100)
+                .withColumn("day", F.lit(day))
+                .withColumn("v", F.col("id"))
+                .repartition(2),
+                t,
+                stats_cols=("day",),
+            )
+    assert len(read_manifest(t, current_version(t)).files) == 12
+
+    s = rewrite_small_files(spark, t, target_file_bytes=1 << 30, partition_col="day")
+    assert s.mode == "compact" and len(s.files) == 2  # one file per day
+    for f in s.files:
+        mn, mx = s.stats[f]["day"]
+        assert mn == mx  # provably single-partition: replaceability kept
+    assert read_snapshot(spark, t).count() == 600
+
+    # the daily replace STILL WORKS on the compacted table
+    re1 = (
+        spark.range(0, 7)
+        .withColumn("day", F.lit("2025-02-01"))
+        .withColumn("v", F.lit(-1).cast("long"))
+    )
+    s2 = commit_replace_where(re1, t, "day", "2025-02-01")
+    cur = read_snapshot(spark, t)
+    assert cur.filter(F.col("day") == "2025-02-01").count() == 7
+    assert cur.filter(F.col("day") == "2025-02-02").count() == 300
+
+    # the replace was bad: roll back to the compacted version
+    s3 = rollback(t, s.version)
+    cur = read_snapshot(spark, t)
+    assert cur.count() == 600
+    assert cur.filter(F.col("v") < 0).count() == 0
+
+    # retention: drop everything but the restored head; table still whole
+    vacuum(t, keep_last=1)
+    assert read_snapshot(spark, t).count() == 600
+    assert s2.version < s3.version  # history stayed append-only throughout
+
+
+def test_concurrent_append_stress_four_writers(spark, tmp_path):
+    """Heavier race: four writers, two appends each, all eight commits
+    must land with distinct versions and the full row content."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(0, 1).withColumn("v", F.col("id")), t)
+
+    def worker(w):
+        out = []
+        for j in range(2):
+            lo = 10_000 * (2 * w + j + 1)
+            out.append(
+                commit_snapshot(
+                    spark.range(lo, lo + 50).withColumn("v", F.col("id")), t
+                ).version
+            )
+        return out
+
+    with ThreadPoolExecutor(4) as ex:
+        versions = [v for vs in ex.map(worker, range(4)) for v in vs]
+    assert sorted(versions) == list(range(2, 10))
+    cur = read_snapshot(spark, t)
+    assert cur.count() == 1 + 8 * 50
+    ids = {r["id"] for r in cur.select("id").collect()}
+    for w in range(4):
+        for j in range(2):
+            lo = 10_000 * (2 * w + j + 1)
+            assert set(range(lo, lo + 50)) <= ids
