@@ -11933,40 +11933,29 @@ def docs_leakage_safe_split(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
-# visibility policy, not just cosmetics.  The round-6 window (per the
-# round-5 verdict's #1 directive) front-loads:
-#   1. the 30 queries that have NEVER had a driver CORRECTNESS row (all
-#      registered after round 5's window froze; every one is
-#      DuckDB-parity-green in the local suite): the TPC-H completers
-#      Q2/Q5/Q11/Q20, SemDeDup, incremental dedup, PCA top-1, fuzzy ER
-#      join, k-anonymity, key-skew report, Gini, RFM, bigram-LM, the BPE
-#      merge pair, shard/taint/zipf/filter-funnel/matryoshka/MAD/
-#      fingerprint/cross-source/distribution-shift/RAG-chunk/token-cap/
-#      quality-weighted-sample audits, media waveform/frame stats, and
-#      day-of-week anomalies;
-#   2. the 4 queries that gained real oracles in round 5 but whose latest
-#      driver rows predate the oracle (recorded rows-only):
-#      emb_srp_near_dup_pairs, emb_topk_ivf, media_feature_topk,
-#      docs_packed_bins — their first hash-checked driver rows land here;
-#   3. all 8 queries whose latest driver row dates to r02 (the oldest
-#      evidence in the repo);
-#   4. 5 staleness/sentinel fills from the r03 cohort — including the
-#      bench headlines events_per_day, q1_pricing_summary and
-#      docs_near_dup_pairs as permanently pinned sentinels (advisor
-#      round-5 note: keep high-traffic previously-green queries inside
-#      the window each round so operator regressions surface externally,
-#      not just locally);
-#   5. the 3 operators round 6 itself added (BPE trainer, audio band
-#      hash, video temporal hash) so no registered query ends the round
-#      without a driver row.
-# corpus_dup_clusters, docs_chunk_spans and events_value_quantiles ceded
-# their fill slots to the round-6 trio; they rotate in round 7 with the
-# rest of the r03 cohort.
+# visibility policy, not just cosmetics.  The round-7 window is the output
+# of `python -m tools.rotation --propose` applied verbatim (round-6
+# verdict directive #1): oldest driver evidence first.
+#   1. the 3 pinned bench sentinels (events_per_day, q1_pricing_summary,
+#      docs_near_dup_pairs — advisor round-5 ask: high-traffic queries
+#      stay in-window every round so regressions surface externally);
+#   2. the full r03-stale cohort — all 41 queries whose latest driver
+#      CORRECTNESS row dates to round 3 (TPC-H q10/q14/q15/q21/q22,
+#      events_value_quantiles, events_funnel_daily, media_decode_profile,
+#      the SCD/CDC family, ...). After round 7 runs, no registered
+#      query's evidence is older than r4.  This cohort includes the three
+#      historically rows-only queries (events_approx_distinct_users,
+#      events_hll_mergeable_users, emb_ivf_recall), which round 7
+#      re-projects with exact companions + within-bound booleans so they
+#      return hash-checked for the first time (verdict directive #2);
+#   3. 6 oldest-r4 staleness fills (brand_volume, corpus_curation_stats,
+#      customer_order_distribution, customers_with/without_orders,
+#      dedup_docs_exact).
 # Every deferred query is still replayed against its oracle at sf0.001 by
 # the local test suite each round; the structural bound is
-# ceil(n_queries/50) rounds between driver rows per query, and round 6
-# deliberately pauses operator growth (verdict directive #2) so the window
-# catches up instead of falling further behind.
+# ceil(n_queries/50) rounds between driver rows per query, and round 7
+# keeps net-new queries ≤15 (verdict directive #6) so max staleness stays
+# ≤3 rounds.  `tools/rotation.py --propose` regenerates next round's list.
 # ---------------------------------------------------------------------------
 
 #: Bench-headline sentinels pinned in every round's window (advisor ask).
@@ -11977,62 +11966,61 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- 1. never driver-checked (30) ---
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q11_important_part_value",
-    "q20_promotable_suppliers",
-    "emb_semdedup_stats",
-    "docs_incremental_dedup",
-    "emb_top_principal_component",
-    "parts_fuzzy_name_matches",
-    "events_kanonymity_audit",
-    "join_key_skew_report",
-    "customer_revenue_gini",
-    "customer_rfm_segments",
-    "docs_bigram_logprob",
-    "docs_bpe_merge_candidates",
-    "docs_bpe_second_merge",
-    "docs_shard_assignment",
-    "docs_taint_blast_radius",
-    "docs_zipf_fit",
-    "docs_filter_funnel",
-    "emb_matryoshka_energy",
-    "events_value_mad_outliers",
-    "tables_fingerprint_audit",
-    "docs_cross_source_dup_matrix",
-    "docs_distribution_shift",
-    "docs_rag_chunk_stats",
-    "docs_source_token_cap",
-    "docs_quality_weighted_sample",
-    "media_audio_waveform_stats",
-    "media_video_frame_stats",
-    "events_daily_anomalies",
-    # --- 2. oracled in r5, latest driver row still rows-only (4) ---
-    "emb_srp_near_dup_pairs",
-    "emb_topk_ivf",
-    "media_feature_topk",
-    "docs_packed_bins",
-    # --- 3. oldest driver evidence: full r02 cohort (8) ---
-    "events_per_day_sql",
-    "events_null_profile",
-    "events_column_profile",
-    "events_hourly_activity",
-    "props_key_stats",
-    "events_curated_projection",
-    "nation_keys_intersect",
-    "nation_keys_except_all",
-    # --- 5. new round-6 operators, never driver-checked (3) ---
-    "docs_bpe_train_16",
-    "media_audio_band_hash_groups",
-    "media_video_framehash_groups",
-    # --- 4. r03 staleness fills + pinned bench sentinels (5) ---
+    # --- pinned bench sentinels (always in-window) ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "regional_nation_revenue",
-    "user_sessions",
+    # --- r03-stale cohort: 41 queries whose latest driver row dates to r3 ---
+    "corpus_dup_clusters",
+    "docs_bpe_token_stats",
+    "docs_chunk_spans",
+    "docs_contamination",
+    "docs_pii_scrub_stats",
+    "docs_repetition_stats",
+    "docs_tfidf_top_terms",
+    "docs_token_budget",
+    "emb_cosine_near_dup_pairs",
+    "emb_ivf_recall",
+    "emb_label_centroids",
+    "events_approx_distinct_users",
+    "events_asof_last_view",
+    "events_clicks_before_purchase",
+    "events_daily_distinct_users",
+    "events_funnel_daily",
+    "events_hll_mergeable_users",
+    "events_latest_per_user",
+    "events_rolling_7day",
+    "events_salted_type_counts",
+    "events_type_transitions",
+    "events_user_type_scd2",
+    "events_value_histogram",
+    "events_value_p99_outliers",
+    "events_value_quantiles",
+    "large_volume_orders",
+    "lineitem_priority_by_status",
+    "lineitem_qty_price_corr",
+    "media_decode_profile",
+    "orders_price_deciles",
+    "orders_priority_extremes",
+    "orders_table_diff",
+    "parts_supplier_counts",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_idle_balances",
+    "user_activity_streaks",
+    "user_event_type_paths",
+    "user_retention_cohorts",
+    # --- oldest-r4 staleness fills (6) ---
+    "brand_volume",
+    "corpus_curation_stats",
+    "customer_order_distribution",
+    "customers_with_orders_by_segment",
+    "customers_without_orders",
+    "dedup_docs_exact",
 ]
+
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

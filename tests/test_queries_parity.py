@@ -32,60 +32,34 @@ def test_driver_order_policy():
     oq = list(ordered_queries())
     assert oq[: len(DRIVER_ORDER)] == DRIVER_ORDER
     assert set(oq) == set(QUERIES)
-    # Round-6 policy (verdict r5 directive #1): the 50-entry window must
-    # contain (a) every query that has never had a driver CORRECTNESS row,
-    # (b) the 4 queries whose r5 oracles have never been driver-exercised,
-    # and (c) the pinned bench-headline sentinels (advisor r5 ask).
+    # Rotation policy (verdict r6 directive #1), derived from the recorded
+    # CORRECTNESS_r*.json staleness data instead of a hard-coded roster so
+    # the contract survives round turnover:
+    #   (a) every query with NO driver CORRECTNESS row ever is in-window;
+    #   (b) the pinned bench sentinels are in-window;
+    #   (c) every query ≥3 rounds stale (latest row ≤ max_round - 3) is
+    #       in-window — the freshness budget of 190 queries / 50-slot
+    #       window is 3.8 rounds, so a 4-round-old row means the rotation
+    #       was skipped.
     from prod_data_pipeline_spark.plans.queries import DRIVER_SENTINELS
+    from tools.rotation import latest_driver_round
 
     window = set(oq[:50])
-    never_checked = {
-        "q2_min_cost_supplier",
-        "q5_local_supplier_volume",
-        "q11_important_part_value",
-        "q20_promotable_suppliers",
-        "emb_semdedup_stats",
-        "docs_incremental_dedup",
-        "emb_top_principal_component",
-        "parts_fuzzy_name_matches",
-        "events_kanonymity_audit",
-        "join_key_skew_report",
-        "customer_revenue_gini",
-        "customer_rfm_segments",
-        "docs_bigram_logprob",
-        "docs_bpe_merge_candidates",
-        "docs_bpe_second_merge",
-        "docs_shard_assignment",
-        "docs_taint_blast_radius",
-        "docs_zipf_fit",
-        "docs_filter_funnel",
-        "emb_matryoshka_energy",
-        "events_value_mad_outliers",
-        "tables_fingerprint_audit",
-        "docs_cross_source_dup_matrix",
-        "docs_distribution_shift",
-        "docs_rag_chunk_stats",
-        "docs_source_token_cap",
-        "docs_quality_weighted_sample",
-        "media_audio_waveform_stats",
-        "media_video_frame_stats",
-        "events_daily_anomalies",
-    }
-    newly_oracled = {
-        "emb_srp_near_dup_pairs",
-        "emb_topk_ivf",
-        "media_feature_topk",
-        "docs_packed_bins",
-    }
-    new_in_round_6 = {
-        "docs_bpe_train_16",
-        "media_audio_band_hash_groups",
-        "media_video_framehash_groups",
-    }
-    must_see = (
-        never_checked | newly_oracled | new_in_round_6 | set(DRIVER_SENTINELS)
+    assert len(DRIVER_ORDER) == 50
+    assert set(DRIVER_SENTINELS) <= window, "bench sentinels rotated out"
+    latest = latest_driver_round()
+    never_checked = {q for q in QUERIES if q not in latest}
+    assert never_checked <= window, (
+        f"never-driver-checked queries outside the window: "
+        f"{sorted(never_checked - window)}"
     )
-    assert must_see <= window
+    max_round = max(latest.values())
+    stale = {
+        q for q, r in latest.items() if q in QUERIES and r <= max_round - 3
+    }
+    assert stale <= window, (
+        f"≥3-round-stale queries outside the window: {sorted(stale - window)}"
+    )
 
 
 def test_entry_smoke(spark):
