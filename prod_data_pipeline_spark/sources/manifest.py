@@ -57,6 +57,13 @@ class Snapshot:
     # equality pruning on high-cardinality keys (commit_snapshot
     # bloom_cols=...); md5-derived positions, 1024 bits x 3 hashes.
     blooms: dict = None  # type: ignore[assignment]
+    # per-file NULL counts: {file: {col: n_null}} for the stats columns —
+    # kept SEPARATE from the [min, max] zone maps (the Iceberg
+    # null_value_counts design) because min/max ignore NULLs: a file whose
+    # range is exactly [v, v] may still hold NULL rows, and replace_where
+    # must not delete those with the partition.  Files committed before
+    # null tracking have no entry (treated as unknown — conservative).
+    nulls: dict = None  # type: ignore[assignment]
     # commit metadata, atomic with the version (e.g. the streaming sink's
     # last_batch_id transaction marker, a rollback's source version).
     meta: dict = None  # type: ignore[assignment]
@@ -87,7 +94,27 @@ def _publish(table_path: str, build) -> "Snapshot":
     The lock auto-releases on process death (flock), and a crash inside
     the section leaves at worst an unreferenced vN.json that the next
     committer overwrites via tmp+rename before swapping the pointer —
-    readers can never observe a partial commit."""
+    readers can never observe a partial commit.
+
+    Two invariants are enforced HERE, for every commit path, so no
+    individual operation can forget them:
+
+    - **Transaction markers carry forward** (the Delta txn appId->version
+      idiom): the streaming sink's ``last_batch_id`` (and the generalized
+      ``txn`` map) from the previous head's meta are merged into every
+      new manifest's meta, taking the per-key MAX.  Without this, any
+      non-streaming commit landing between a batch commit and the stream
+      checkpoint write (a nightly compaction, a replace_where, a
+      rollback) would reset the marker, and a crash-replayed batch would
+      silently re-append its rows.
+
+    - **Every listed file must exist at publish time**: a commit whose
+      Spark write phase outlived ``clean_orphans``'s grace window could
+      otherwise publish a manifest referencing already-deleted files —
+      torn reads forever after.  Raising here turns that silent
+      corruption into a loud retryable failure (clean_orphans holds this
+      same lock, so the check and the swap cannot interleave with a
+      cleanup scan)."""
     import fcntl
 
     mdir = _manifest_dir(table_path)
@@ -97,6 +124,28 @@ def _publish(table_path: str, build) -> "Snapshot":
         prev_v = current_version(table_path)
         version = (prev_v or 0) + 1
         manifest = build(prev_v, version)
+        if prev_v is not None:
+            prev_meta = read_manifest(table_path, prev_v).meta or {}
+            meta = dict(manifest.get("meta") or {})
+            if "last_batch_id" in prev_meta or "last_batch_id" in meta:
+                meta["last_batch_id"] = max(
+                    prev_meta.get("last_batch_id", -1),
+                    meta.get("last_batch_id", -1),
+                )
+            if "txn" in prev_meta or "txn" in meta:
+                merged_txn = dict(prev_meta.get("txn") or {})
+                for app, ver in (meta.get("txn") or {}).items():
+                    merged_txn[app] = max(ver, merged_txn.get(app, -1))
+                meta["txn"] = merged_txn
+            manifest["meta"] = meta
+        missing = [f for f in manifest["files"] if not os.path.exists(f)]
+        if missing:
+            raise FileNotFoundError(
+                f"refusing to publish v{version}: {len(missing)} listed "
+                f"file(s) do not exist (first: {missing[0]}) — was "
+                "clean_orphans run with older_than_s shorter than this "
+                "commit's write phase?"
+            )
         mpath = os.path.join(mdir, f"v{version}.json")
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
@@ -112,6 +161,7 @@ def _publish(table_path: str, build) -> "Snapshot":
         mode=manifest["mode"],
         stats=manifest.get("stats", {}),
         blooms=manifest.get("blooms", {}),
+        nulls=manifest.get("nulls", {}),
         meta=manifest.get("meta", {}),
     )
 
@@ -138,6 +188,7 @@ def read_manifest(table_path: str, version: int) -> Snapshot:
         mode=m["mode"],
         stats=m.get("stats", {}),
         blooms=m.get("blooms", {}),
+        nulls=m.get("nulls", {}),
         meta=m.get("meta", {}),
     )
 
@@ -165,18 +216,24 @@ def _collect_file_stats(
     written: list[str],
     stats_cols: tuple[str, ...],
     bloom_cols: tuple[str, ...] = (),
-) -> tuple[int, dict, dict]:
+) -> tuple[int, dict, dict, dict]:
     """One scan of the just-written files: per-file row count plus min/max
-    zone maps for `stats_cols`.  Cost is a single combiner-friendly agg
-    over data the page cache still holds — the write-side toll every
-    zone-mapped table format pays (Iceberg/Delta collect the same stats
-    from parquet footers at commit time)."""
+    zone maps AND null counts for `stats_cols`.  Cost is a single
+    combiner-friendly agg over data the page cache still holds — the
+    write-side toll every zone-mapped table format pays (Iceberg/Delta
+    collect the same stats from parquet footers at commit time; null
+    counts are Iceberg's null_value_counts, required because min/max
+    ignore NULLs and replace_where must know whether a single-value file
+    also hides NULL rows)."""
     from pyspark.sql import functions as F
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nl_{c}")
+        )
     for c in bloom_cols:
         # per-file SET of bloom bit positions (bounded by _BLOOM_BITS entries
         # per hash row, whatever the file's cardinality) — the whole bloom
@@ -197,6 +254,7 @@ def _collect_file_stats(
 
     by_base = {}
     bloom_by_base = {}
+    null_by_base = {}
     n_new = 0
     for r in rows:
         n_new += r["__n"]
@@ -205,6 +263,7 @@ def _collect_file_stats(
             by_base[base] = {
                 c: [_plain(r[f"__mn_{c}"]), _plain(r[f"__mx_{c}"])] for c in stats_cols
             }
+            null_by_base[base] = {c: int(r[f"__nl_{c}"]) for c in stats_cols}
         if bloom_cols:
             bloom_by_base[base] = {
                 c: sorted(
@@ -212,13 +271,29 @@ def _collect_file_stats(
                 )
                 for c in bloom_cols
             }
+    # a ZERO-ROW part file never surfaces in the groupBy above (no rows to
+    # group); record it explicitly as [None, None] bounds + 0 nulls, which
+    # downstream consumers already treat soundly (prune keeps it a no-op,
+    # replace_where classifies it all-null ⇒ keepable/droppable, never
+    # 'missing stats forever')
+    if stats_cols:
+        for f in written:
+            base = os.path.basename(f)
+            if base not in by_base:
+                by_base[base] = {c: [None, None] for c in stats_cols}
+                null_by_base[base] = {c: 0 for c in stats_cols}
     stats = {f: by_base[os.path.basename(f)] for f in written if os.path.basename(f) in by_base}
     blooms = {
         f: bloom_by_base[os.path.basename(f)]
         for f in written
         if os.path.basename(f) in bloom_by_base
     }
-    return n_new, stats, blooms
+    nulls = {
+        f: null_by_base[os.path.basename(f)]
+        for f in written
+        if os.path.basename(f) in null_by_base
+    }
+    return n_new, stats, blooms, nulls
 
 
 _BLOOM_BITS = 1024
@@ -316,10 +391,10 @@ def commit_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    n_new, new_stats, new_blooms = (
+    n_new, new_stats, new_blooms, new_nulls = (
         _collect_file_stats(spark, written, tuple(stats_cols), tuple(bloom_cols))
         if written
-        else (0, {}, {})
+        else (0, {}, {}, {})
     )
 
     # Publish under the commit lock: appends COMPOSE with any concurrent
@@ -332,8 +407,10 @@ def commit_snapshot(
             n_rows = prev.n_rows + n_new
             stats = {**(prev.stats or {}), **new_stats}
             blooms = {**(prev.blooms or {}), **new_blooms}
+            nulls = {**(prev.nulls or {}), **new_nulls}
         else:
-            files, n_rows, stats, blooms = written, n_new, new_stats, new_blooms
+            files, n_rows = written, n_new
+            stats, blooms, nulls = new_stats, new_blooms, new_nulls
         return {
             "version": version,
             "files": files,
@@ -341,6 +418,7 @@ def commit_snapshot(
             "mode": mode,
             "stats": stats,
             "blooms": blooms,
+            "nulls": nulls,
             "meta": meta or {},
         }
 
@@ -487,7 +565,7 @@ def delete_where(
     )
 
     written: list[str] = []
-    n_new, new_stats, new_blooms = 0, {}, {}
+    n_new, new_stats, new_blooms, new_nulls = 0, {}, {}, {}
     n_rewritten_before = 0
     if rewrite:
         src = spark.read.parquet(*sorted(rewrite))
@@ -502,7 +580,7 @@ def delete_where(
             if f.endswith(".parquet")
         ]
         if written:
-            n_new, new_stats, new_blooms = _collect_file_stats(
+            n_new, new_stats, new_blooms, new_nulls = _collect_file_stats(
                 spark, written, stats_cols, bloom_cols
             )
 
@@ -515,6 +593,10 @@ def delete_where(
     blooms = {
         **{f: b for f, b in (snap.blooms or {}).items() if f in set(carried)},
         **new_blooms,
+    }
+    nulls = {
+        **{f: n for f, n in (snap.nulls or {}).items() if f in set(carried)},
+        **new_nulls,
     }
 
     def build(prev_v: int | None, version: int) -> dict:
@@ -531,6 +613,7 @@ def delete_where(
             "mode": "delete",
             "stats": stats,
             "blooms": blooms,
+            "nulls": nulls,
             "meta": {},
         }
 
@@ -593,13 +676,24 @@ def commit_replace_where(
     `purge_s3_path`, here as one pointer swap with time travel intact.
 
     Soundness rule: a prior file is DROPPED only when its zone map proves
-    min == max == value for ``col``; it is KEPT only when its zone proves
-    the value cannot occur in it.  A file whose stats are missing or
-    whose range straddles the value is AMBIGUOUS — it may mix partitions
-    — and the commit refuses (ValueError) rather than guess: this
-    operator requires the partition column to be stats-tracked and the
-    writer to be partition-clustered (one value per file), which is what
+    min == max == value for ``col`` AND its recorded null count proves it
+    holds no NULL rows — min/max ignore NULLs, so a [v, v] file may still
+    hide rows whose partition value is NULL, and those rows are OUTSIDE
+    the replaced partition (Delta's replaceWhere keeps them; Iceberg
+    tracks null_value_counts for exactly this).  It is KEPT when its zone
+    proves the value cannot occur in it — including the all-NULL file
+    ([None, None] bounds, e.g. produced by partition-preserving
+    compaction of a NULL partition), which provably cannot contain any
+    non-null target.  A file whose stats are missing, whose range
+    straddles the value, or whose null count is unknown/positive where a
+    drop would occur is AMBIGUOUS — it may mix partitions — and the
+    commit refuses (ValueError) rather than guess: this operator requires
+    the partition column to be stats-tracked and the writer to be
+    partition-clustered (one value per file), which is what
     `df.repartition(col)` / per-partition ingests produce naturally.
+
+    ``value=None`` replaces the NULL partition itself: all-NULL files
+    drop, zero-null files keep, anything else refuses.
 
     The incoming frame is validated to contain ONLY the target value
     (count of violations == 0 — one cheap agg) so a misrouted ingest
@@ -621,10 +715,28 @@ def commit_replace_where(
     if prev is not None:
         for f in prev.files:
             rng = (prev.stats or {}).get(f, {}).get(col)
-            if rng is None or rng[0] is None or rng[1] is None:
-                ambiguous.append(f)
+            n_null = (prev.nulls or {}).get(f, {}).get(col)  # None = unknown
+            if rng is None:
+                ambiguous.append(f)  # no zone map at all
+            elif rng[0] is None and rng[1] is None:
+                # all values NULL (or zero rows): cannot hold a non-null
+                # target; IS the NULL partition when value is None
+                if value is None:
+                    continue  # entirely the target (NULL) partition: dropped
+                kept.append(f)
+            elif value is None:
+                # non-null bounds: in the NULL partition iff it hides nulls
+                if n_null == 0:
+                    kept.append(f)
+                else:
+                    ambiguous.append(f)  # has (or unknown) NULL rows: mixes
             elif rng[0] == rng[1] == _stats_repr(value):
-                continue  # entirely the target partition: dropped
+                # single-value file — droppable only if provably NULL-free:
+                # min/max ignore NULLs, so without a zero null count this
+                # file may hide NULL-partition rows the drop would delete
+                if n_null == 0:
+                    continue  # entirely the target partition: dropped
+                ambiguous.append(f)
             elif rng[0] <= _stats_repr(value) <= rng[1]:
                 ambiguous.append(f)  # straddles the value: may mix partitions
             else:
@@ -632,9 +744,9 @@ def commit_replace_where(
         if ambiguous:
             raise ValueError(
                 f"replace_where({col}={value!r}): {len(ambiguous)} file(s) have "
-                f"missing or straddling stats for {col!r} (first: {ambiguous[0]}); "
-                "commit with stats_cols including the partition column and "
-                "partition-clustered files"
+                f"missing/straddling stats or unresolved NULL counts for "
+                f"{col!r} (first: {ambiguous[0]}); commit with stats_cols "
+                "including the partition column and partition-clustered files"
             )
 
     all_stats = tuple(sorted(set(stats_cols) | {col}))
@@ -647,10 +759,10 @@ def commit_replace_where(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    n_new, new_stats, new_blooms = (
+    n_new, new_stats, new_blooms, new_nulls = (
         _collect_file_stats(spark, written, all_stats, tuple(bloom_cols))
         if written
-        else (0, {}, {})
+        else (0, {}, {}, {})
     )
     kept_set = set(kept)
     n_kept = 0
@@ -679,6 +791,11 @@ def commit_replace_where(
                    if f in kept_set},
                 **new_blooms,
             },
+            "nulls": {
+                **{f: n for f, n in ((prev.nulls or {}) if prev else {}).items()
+                   if f in kept_set},
+                **new_nulls,
+            },
             "meta": {**(meta or {}), "replace_where": [col, _stats_repr(value)]},
         }
 
@@ -692,9 +809,14 @@ def clean_orphans(table_path: str, older_than_s: float = 3600.0) -> list[str]:
     older than ``older_than_s`` are touched — an in-flight commit writes
     its data files BEFORE publishing its manifest, so fresh unreferenced
     files are presumed in-flight, the same grace-window contract as
-    Iceberg's olderThan.  Runs under the commit lock so the referenced
-    set cannot move mid-scan.  Returns the deleted paths; empty data
-    dirs are pruned too."""
+    Iceberg's olderThan.  ``older_than_s`` MUST exceed the longest write
+    phase any committer can have (a large replace_where/compaction can
+    run for hours); if the window is misjudged and a victim commit later
+    publishes, ``_publish``'s file-existence guard raises instead of
+    committing a manifest with dangling references — the failure is loud
+    and retryable, never a torn table.  Runs under the commit lock so
+    the referenced set cannot move mid-scan.  Returns the deleted paths;
+    empty data dirs are pruned too."""
     import fcntl
     import time
 
@@ -811,7 +933,7 @@ def rewrite_small_files(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    n_new, new_stats, new_blooms = _collect_file_stats(
+    n_new, new_stats, new_blooms, new_nulls = _collect_file_stats(
         spark, written, stats_cols, bloom_cols
     )
 
@@ -823,6 +945,10 @@ def rewrite_small_files(
     blooms = {
         **{f: b for f, b in (snap.blooms or {}).items() if f in set(carried)},
         **new_blooms,
+    }
+    nulls = {
+        **{f: n for f, n in (snap.nulls or {}).items() if f in set(carried)},
+        **new_nulls,
     }
 
     def build(prev_v: int | None, version: int) -> dict:
@@ -839,6 +965,7 @@ def rewrite_small_files(
             "mode": "compact",
             "stats": stats,
             "blooms": blooms,
+            "nulls": nulls,
             "meta": {"compacted_files": len(small), "new_files": len(written)},
         }
 
@@ -886,6 +1013,7 @@ def rollback(table_path: str, to_version: int) -> Snapshot:
             "mode": "rollback",
             "stats": target.stats or {},
             "blooms": target.blooms or {},
+            "nulls": target.nulls or {},
             "meta": {"rolled_back_to": to_version},
         }
 

@@ -402,7 +402,15 @@ def manifest_commit_batch(
     """The sink's per-batch transaction (exposed so crash-replay is
     directly testable): skip if this batch id is already recorded in the
     current manifest, else append-commit with the id as atomic metadata.
-    Returns True iff a commit happened."""
+    Returns True iff a commit happened.
+
+    Reading the HEAD manifest's meta is sufficient because
+    sources.manifest._publish carries ``last_batch_id`` forward (per-key
+    MAX) across EVERY commit — compaction, replace_where, delete,
+    rollback — the Delta txn appId->version idiom.  Without that carry,
+    a maintenance commit landing between a batch commit and the stream
+    checkpoint write would reset the marker and a crash-replayed batch
+    would double-append."""
     from prod_data_pipeline_spark.sources.manifest import (
         commit_snapshot,
         current_version,

@@ -593,7 +593,7 @@ def test_commit_replace_where_idempotent_partition_rerun(spark, tmp_path):
     # a table whose files lack day stats refuses to guess
     t2 = str(tmp_path / "tbl2")
     commit_snapshot(day_frame("2025-01-02", 0, 50), t2)  # no stats_cols
-    with pytest.raises(ValueError, match="missing or straddling stats"):
+    with pytest.raises(ValueError, match="missing/straddling stats"):
         commit_replace_where(re2, t2, "day", "2025-01-02")
 
 
@@ -684,3 +684,150 @@ def test_concurrent_append_stress_four_writers(spark, tmp_path):
         for j in range(2):
             lo = 10_000 * (2 * w + j + 1)
             assert set(range(lo, lo + 50)) <= ids
+
+
+def test_batch_marker_survives_maintenance_commits(spark, tmp_path):
+    """Exactly-once under composition (round-6 advisor, high): the
+    last_batch_id transaction marker must survive EVERY kind of commit
+    landing between a batch commit and the stream checkpoint write —
+    compaction, replace_where, delete, rollback.  _publish carries the
+    marker forward with per-key MAX, so a crash-replayed batch stays a
+    no-op no matter what maintenance ran in between."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_replace_where,
+        delete_where,
+        read_manifest,
+        rewrite_small_files,
+        rollback,
+    )
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        manifest_commit_batch,
+    )
+
+    t = str(tmp_path / "tbl")
+    day = lambda d, a, b: (  # noqa: E731
+        spark.range(a, b).withColumn("day", F.lit(d)).withColumn("v", F.col("id"))
+    )
+    # two streaming batches land
+    assert manifest_commit_batch(day("2025-03-01", 0, 60).repartition(3), 0, t,
+                                 stats_cols=("day",)) is True
+    assert manifest_commit_batch(day("2025-03-02", 60, 120).repartition(3), 1, t,
+                                 stats_cols=("day",)) is True
+
+    # nightly compaction (the advertised composition) lands BETWEEN the
+    # batch commit and the (crashed) checkpoint write
+    s = rewrite_small_files(spark, t, target_file_bytes=1 << 30,
+                            partition_col="day")
+    assert s.mode == "compact"
+    assert s.meta["last_batch_id"] == 1  # carried, not reset
+
+    # crash replay of batch 1 must STILL be a no-op
+    assert manifest_commit_batch(day("2025-03-02", 60, 120), 1, t,
+                                 stats_cols=("day",)) is False
+    assert read_snapshot(spark, t).count() == 120  # no double-append
+
+    # replace_where, delete_where and rollback all carry it too
+    s2 = commit_replace_where(day("2025-03-01", 0, 10), t, "day", "2025-03-01")
+    assert s2.meta["last_batch_id"] == 1
+    s3 = delete_where(spark, t, "v", 61)
+    assert read_manifest(t, s3.version).meta["last_batch_id"] == 1
+    s4 = rollback(t, s2.version)
+    assert read_manifest(t, s4.version).meta["last_batch_id"] == 1
+    assert manifest_commit_batch(day("2025-03-02", 60, 120), 1, t,
+                                 stats_cols=("day",)) is False
+    # the next real batch still commits and advances the marker
+    assert manifest_commit_batch(day("2025-03-03", 200, 205), 2, t,
+                                 stats_cols=("day",)) is True
+    assert read_manifest(t, current_version(t)).meta["last_batch_id"] == 2
+
+
+def test_replace_where_refuses_single_value_file_hiding_nulls(spark, tmp_path):
+    """NULL soundness (round-6 advisor, medium): min/max ignore NULLs, so
+    a file whose zone map reads [v, v] may still hold rows whose
+    partition value is NULL — those rows are OUTSIDE the replaced
+    partition and must never be dropped with it.  With null counts
+    tracked, the commit refuses instead of silently deleting them."""
+    from prod_data_pipeline_spark.sources.manifest import commit_replace_where
+
+    t = str(tmp_path / "tbl")
+    mixed = spark.createDataFrame(
+        [(i, "2025-04-01", i) for i in range(20)]
+        + [(100 + i, None, 100 + i) for i in range(5)],
+        "id long, day string, v long",
+    ).coalesce(1)  # ONE file: bounds [2025-04-01, 2025-04-01] + 5 NULL rows
+    commit_snapshot(mixed, t, stats_cols=("day",))
+
+    re = (
+        spark.range(0, 3)
+        .withColumn("day", F.lit("2025-04-01"))
+        .withColumn("v", F.col("id"))
+    )
+    with pytest.raises(ValueError, match="NULL counts"):
+        commit_replace_where(re, t, "day", "2025-04-01")
+    # nothing changed; the NULL rows are intact
+    assert read_snapshot(spark, t).filter(F.col("day").isNull()).count() == 5
+
+
+def test_replace_where_all_null_file_keeps_and_null_partition_replaces(
+    spark, tmp_path
+):
+    """All-NULL files (round-6 advisor, low): a file whose partition-col
+    stats are [None, None] provably cannot contain a non-null target, so
+    it is KEPT (not 'ambiguous forever'); and value=None replaces the
+    NULL partition itself, keeping zero-null files."""
+    from prod_data_pipeline_spark.sources.manifest import commit_replace_where
+
+    t = str(tmp_path / "tbl")
+    d1 = (
+        spark.range(0, 30)
+        .withColumn("day", F.lit("2025-04-01"))
+        .withColumn("v", F.col("id"))
+        .coalesce(1)
+    )
+    commit_snapshot(d1, t, stats_cols=("day",))
+    nulls = spark.createDataFrame(
+        [(1000 + i, None, 1000 + i) for i in range(8)],
+        "id long, day string, v long",
+    ).coalesce(1)
+    commit_snapshot(nulls, t, mode="append", stats_cols=("day",))
+
+    # replacing the real day KEEPS the all-null file untouched
+    re = (
+        spark.range(0, 5)
+        .withColumn("day", F.lit("2025-04-01"))
+        .withColumn("v", F.col("id"))
+    )
+    s = commit_replace_where(re, t, "day", "2025-04-01")
+    cur = read_snapshot(spark, t)
+    assert cur.filter(F.col("day") == "2025-04-01").count() == 5
+    assert cur.filter(F.col("day").isNull()).count() == 8
+
+    # replacing the NULL partition drops the all-null file, keeps the day
+    re_null = spark.createDataFrame(
+        [(2000, None, 2000)], "id long, day string, v long"
+    )
+    s2 = commit_replace_where(re_null, t, "day", None)
+    cur2 = read_snapshot(spark, t)
+    assert cur2.filter(F.col("day").isNull()).count() == 1
+    assert cur2.filter(F.col("day") == "2025-04-01").count() == 5
+    assert s2.version == s.version + 1
+
+
+def test_publish_refuses_manifest_listing_missing_files(spark, tmp_path):
+    """Publish-time existence guard (round-6 advisor, low): if an orphan
+    cleanup misjudged its grace window and deleted an in-flight commit's
+    prepared files, the subsequent publish must raise rather than commit
+    a manifest with dangling references."""
+    t = str(tmp_path / "tbl")
+    s1 = commit_snapshot(spark.range(0, 50).withColumn("v", F.col("id")), t)
+
+    # simulate the victim: a prepared file vanishes before publish —
+    # an append's merged file list includes the previous version's files,
+    # so deleting one of those triggers the same guard
+    os.remove(s1.files[0])
+    with pytest.raises(FileNotFoundError, match="refusing to publish"):
+        commit_snapshot(
+            spark.range(50, 60).withColumn("v", F.col("id")), t, mode="append"
+        )
+    # the table pointer never moved
+    assert current_version(t) == s1.version
