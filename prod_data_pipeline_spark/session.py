@@ -89,11 +89,13 @@ def ensure_parallelism(df, factor: int = 1):
         if len(files) >= target:
             return df
         return df.repartition(target)
-    # Non-file source (in-memory test data, mid-plan relations): fall back
-    # to the RDD partition count — rare, and never on the 100 TB scan path.
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Non-file source (in-memory test data, mid-plan relations): repartition
+    # unconditionally.  Inspecting the partition count would force a
+    # logical->RDD plan conversion per call (df.rdd materializes a plan) —
+    # dearer than the shuffle it might save on these rare, small,
+    # never-on-the-100TB-scan-path inputs; AQE coalescing shrinks any
+    # overshoot back down at runtime.
+    return df.repartition(target)
 
 
 def tune(spark: SparkSession) -> SparkSession:
