@@ -69,6 +69,167 @@ def token_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("toks", toks).withColumn("dtoks", dtoks)
 
 
+# --------------------------------------------------------------------------
+# Boilerplate / markup removal (jusText-style, Kohlschütter/Pomikálek family)
+# — the standard web-crawl curation gate that runs BEFORE dedup and LM
+# scoring: strip HTML, segment into blocks, classify each block by link
+# density / stopword density / length with ALL-INTEGER decisions, keep the
+# content blocks.  The reference has no text operators at all (SURVEY §2.6).
+# --------------------------------------------------------------------------
+
+#: Combined stopword list for the density rule (union of the per-language
+#: sets above — a fixed literal both engines embed).
+BOILER_STOPLIST: tuple[str, ...] = tuple(
+    sorted({w for ws in STOPWORDS.values() for w in ws})
+)
+#: Content paragraphs are cut every PARA_TOKENS tokens by the synthetic
+#: page builder; the classifier itself never sees this constant.
+PARA_TOKENS = 25
+#: A good block needs >= MIN_BLOCK_TOKENS tokens ...
+MIN_BLOCK_TOKENS = 10
+#: ... link density <= 0.2 (10*links <= 2*tokens) ...
+LINK_NUM, LINK_DEN = 10, 2
+#: ... and stopword density >= 4% (100*stops >= 4*tokens).
+STOP_NUM, STOP_DEN = 100, 4
+
+
+def synthetic_markup_pages(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Wrap each document in a deterministic HTML page: a nav bar of
+    ``doc_id % 3 + 2`` links, the document text cut into ``<p>`` blocks of
+    PARA_TOKENS tokens, and a fixed footer — the same fabricate-then-
+    really-parse recipe the multimodal stack uses
+    (operators.multimodal.synthetic_media_assets), so the extractor can be
+    exercised and hash-verified on a corpus that ships no markup.  Pure
+    codegen string construction; adds an ``html`` column."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_links = (F.col(id_col) % 3 + 2).cast("int")
+    nav = F.concat(
+        F.lit("<nav>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_links),
+                lambda i: F.concat(
+                    F.lit('<a href="/p'),
+                    i.cast("string"),
+                    F.lit('">link'),
+                    i.cast("string"),
+                    F.lit("</a>"),
+                ),
+            ),
+            " ",
+        ),
+        F.lit("</nav>"),
+    )
+    paras = F.when(n == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), ((n - 1) / PARA_TOKENS).cast("int")),
+                lambda i: F.concat(
+                    F.lit("<p>"),
+                    F.array_join(F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS), " "),
+                    F.lit("</p>"),
+                ),
+            ),
+            "",
+        )
+    )
+    footer = F.lit("<footer>copyright 2025 example corp all rights reserved</footer>")
+    return df.withColumn(
+        "html", F.concat(F.lit("<html><body>"), nav, paras, footer, F.lit("</body></html>"))
+    )
+
+
+def markup_blocks(df: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+    """REAL block-level boilerplate classification over an ``html`` column
+    (jusText's core loop, minus the context-smoothing pass, with every
+    decision an integer cross-multiplication so engines can replay it):
+
+    1. segment the page into blocks at ``<nav>/<p>/<footer>`` boundaries
+       (non-greedy tag-pair regex — genuine parsing, not position math);
+    2. per block, count link tokens (text inside ``<a>`` anchors), strip
+       all tags, tokenize, count stopword OCCURRENCES;
+    3. a block is content iff it has >= MIN_BLOCK_TOKENS tokens, link
+       density <= 0.2 and stopword density >= 4% — nav bars fail the link
+       rule, footers/short fragments the length rule, link-farm word soup
+       the stopword rule.
+
+    Returns one row per block: (id, block_pos, block_type, n_tokens,
+    n_link_tokens, n_stop_tokens, is_good, clean_text).  One scan, block
+    relation ~ pages x blocks-per-page; the groupBy in callers is the
+    only shuffle."""
+    pat = r"<(nav|p|footer)>(.*?)</\1>"
+    types = F.regexp_extract_all(F.col(html_col), F.lit(pat), 1)
+    bodies = F.regexp_extract_all(F.col(html_col), F.lit(pat), 2)
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(types.alias("t"), bodies.alias("b"))).alias(
+            "block_pos", "z"
+        ),
+    ).select(
+        id_col,
+        "block_pos",
+        F.col("z.t").alias("block_type"),
+        F.col("z.b").alias("body"),
+    )
+    link_text = F.array_join(
+        F.regexp_extract_all(F.col("body"), F.lit(r"<a[^>]*>([^<]*)</a>"), 1), " "
+    )
+    clean = F.trim(F.regexp_replace(F.col("body"), r"<[^>]*>", " "))
+    btoks = tokens(clean)
+    stoplist = F.array(*[F.lit(w) for w in BOILER_STOPLIST])
+    n_tok = F.size(btoks)
+    n_link = F.size(tokens(link_text))
+    n_stop = F.size(F.filter(btoks, lambda t: F.array_contains(stoplist, t)))
+    return e.select(
+        id_col,
+        "block_pos",
+        "block_type",
+        n_tok.alias("n_tokens"),
+        n_link.alias("n_link_tokens"),
+        n_stop.alias("n_stop_tokens"),
+        (
+            (n_tok >= F.lit(MIN_BLOCK_TOKENS))
+            & (F.lit(LINK_NUM) * n_link <= F.lit(LINK_DEN) * n_tok)
+            & (F.lit(STOP_NUM) * n_stop >= F.lit(STOP_DEN) * n_tok)
+        ).alias("is_good"),
+        clean.alias("clean_text"),
+    )
+
+
+def extract_main_content(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Markup-stripped MAIN text per page: the good blocks of
+    markup_blocks, concatenated in document order — the clean-text input
+    the dedup / LM-scoring / funnel gates expect.  Composes ahead of
+    docs_filter_funnel for crawl-shaped corpora.  One block-keyed
+    aggregation; ordering is carried explicitly (collect_list gives no
+    order under parallel merge)."""
+    blocks = markup_blocks(df, id_col, html_col).filter(F.col("is_good"))
+    keyed = F.struct(F.col("block_pos"), F.col("clean_text"))
+    agg = blocks.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(keyed)), lambda s: s["clean_text"]),
+            " ",
+        ).alias("main_text"),
+        F.count(F.lit(1)).alias("n_content_blocks"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("main_text", F.lit("")).alias("main_text"),
+            F.coalesce("n_content_blocks", F.lit(0)).cast("long").alias(
+                "n_content_blocks"
+            ),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

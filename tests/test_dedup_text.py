@@ -616,3 +616,67 @@ def test_recall_audits_sample_pct_knob(spark):
         # determinism: same subsample every run
         again = fn(spark, sf, sample_pct=60).collect()[0]
         assert again == samp, name
+
+
+def test_markup_blocks_classification_rules(spark):
+    """jusText-style rules on hand-built pages: nav fails the link rule,
+    footer the length rule, stopword-free soup the density rule, real
+    prose survives; extract_main_content keeps document order and
+    returns empty text (not null) for all-boilerplate pages."""
+    from prod_data_pipeline_spark.operators.text import (
+        extract_main_content,
+        markup_blocks,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs away to the forest of tall trees where a river flows"
+    )  # 25 tokens, 8 stopword hits
+    soup = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                "<html><body><nav>"
+                '<a href="/a">home</a> <a href="/b">about</a>'
+                f"</nav><p>{prose}</p><p>{soup}</p>"
+                "<footer>copyright 2025 example corp all rights reserved"
+                "</footer></body></html>",
+            ),
+            (2, "<html><body><nav><a>x</a></nav></body></html>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {(r["doc_id"], r["block_pos"]): r for r in markup_blocks(pages).collect()}
+    nav = rows[(1, 0)]
+    assert nav["block_type"] == "nav" and nav["n_link_tokens"] == 2
+    assert nav["is_good"] is False  # link density 1.0
+    good = rows[(1, 1)]
+    assert good["block_type"] == "p" and good["is_good"] is True
+    assert good["n_tokens"] == 25 and good["n_stop_tokens"] == 8
+    assert good["clean_text"] == prose
+    bad_soup = rows[(1, 2)]
+    assert bad_soup["is_good"] is False  # 12 tokens but 0 stopwords
+    footer = rows[(1, 3)]
+    assert footer["block_type"] == "footer" and footer["is_good"] is False
+
+    main = {r["doc_id"]: r for r in extract_main_content(pages).collect()}
+    assert main[1]["main_text"] == prose and main[1]["n_content_blocks"] == 1
+    assert main[2]["main_text"] == "" and main[2]["n_content_blocks"] == 0
+
+
+def test_synthetic_markup_pages_deterministic_geometry(spark):
+    """The page builder's geometry is pure doc_id/text arithmetic (the
+    contract the oracle replays): nav link count = doc_id%3+2, one <p>
+    per 25 tokens, fixed footer, and re-running builds the same bytes."""
+    from prod_data_pipeline_spark.operators.text import synthetic_markup_pages
+
+    df = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(60)))], "doc_id long, text string"
+    )
+    h1 = synthetic_markup_pages(df).first()["html"]
+    h2 = synthetic_markup_pages(df).first()["html"]
+    assert h1 == h2
+    assert h1.count("<a href=") == 7 % 3 + 2
+    assert h1.count("<p>") == 3  # 60 tokens -> 25+25+10
+    assert h1.endswith("</footer></body></html>")
