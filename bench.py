@@ -31,23 +31,30 @@ def materialize(df) -> None:
 
 # Synthetic inflation: fact tables get `factor` key-shifted copies (the key
 # shift is a large constant so copies never collide and fact-fact joins stay
-# consistent); dimension + embedding tables are unchanged — the TPC-H
-# scaling shape, where facts grow linearly and dims stay put.  `documents`
-# ALSO inflates (id-shifted, text identical): that is the nightly-crawl
-# duplication shape, and it gives the LSH banding path a standing
-# super-sf0.1 timing where every band bucket holds factor× members.
+# consistent); dimension tables are unchanged — the TPC-H scaling shape,
+# where facts grow linearly and dims stay put.  `documents` ALSO inflates
+# (id-shifted, text identical): that is the nightly-crawl duplication shape,
+# and it gives the LSH banding path a standing super-sf0.1 timing where
+# every band bucket holds factor× members.  `embeddings` inflates the same
+# way since round 7 (id-shifted, vectors identical): brute-force ANN gets a
+# corpus factor× the queries must scan (~linear), and SRP sign-LSH gets the
+# bucket-crowding shape where identical replicas collide in every band.
 INFLATE_KEYS = {
     "events": "event_id",
     "orders": "o_orderkey",
     "lineitem": "l_orderkey",
     "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 KEY_SHIFT = 1 << 40
+# Bump when the inflation recipe changes: the inflated dataset is
+# marker-cached on disk across runs, and a recipe change must not reuse a
+# stale cache (round 6's cache has embeddings UN-inflated).
+INFLATE_RECIPE_V = 2
 
 # Relational headliners whose cost scales with the inflated facts, plus one
-# dedup headliner over the replicated corpus.  The ANN headliners read
-# embeddings, which inflation leaves untouched — re-timing them at the same
-# data adds nothing.
+# dedup headliner over the replicated corpus and the two ANN headliners
+# over the replicated embedding corpus.
 INFLATED_QUERIES = [
     "events_per_day",
     "events_type_value_stats",
@@ -66,6 +73,12 @@ INFLATED_QUERIES = [
     # shape — a banding or verify-join regression that only bites under
     # bucket crowding shows up here, not at sf0.1.
     "docs_near_dup_pairs",
+    # ANN at sf1-equivalent corpus: brute-force should scale ~linearly in
+    # corpus size (queries fixed at 8, broadcast onto the scan); SRP
+    # banding is collision-bound — identical replicas share every band
+    # key, the embedding twin of the LSH dup-clique shape above.
+    "emb_topk_bruteforce",
+    "emb_srp_near_dup_pairs",
 ]
 
 
@@ -132,7 +145,7 @@ def main() -> None:
     if factor > 1:
         inflated_dir = os.path.join(
             os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp"),
-            f"spark_graft_bench_sf{sf}x{factor}",
+            f"spark_graft_bench_sf{sf}x{factor}_v{INFLATE_RECIPE_V}",
         )
         build_inflated(spark, sf_dir, factor, inflated_dir)
         inflated: dict[str, float] = {}
