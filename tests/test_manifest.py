@@ -831,3 +831,139 @@ def test_publish_refuses_manifest_listing_missing_files(spark, tmp_path):
         )
     # the table pointer never moved
     assert current_version(t) == s1.version
+
+
+def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
+    """Round-6 verdict directive #7: the FULL op matrix racing under
+    thread pressure — appends + compaction + replace_where + rollback,
+    4 writers — must serialize.  After the dust settles, every committed
+    version is replayed and checked against its predecessor with the
+    op's own transition invariant (append adds exactly its payload,
+    compact preserves the multiset, replace_where swaps exactly one
+    partition, rollback reproduces its target), every manifest's
+    recorded n_rows matches an actual read, and every listed file
+    exists.  Any lost update, ordering bug, or torn commit surfaces as
+    a multiset diff on some version transition."""
+    import time as _time
+    from collections import Counter
+    from concurrent.futures import ThreadPoolExecutor
+
+    from prod_data_pipeline_spark.sources.manifest import (
+        ConcurrentCommit,
+        commit_replace_where,
+        read_manifest,
+        rewrite_small_files,
+        rollback,
+    )
+
+    t = str(tmp_path / "tbl")
+
+    def day_frame(d, lo, n):
+        return (
+            spark.range(lo, lo + n)
+            .withColumn("day", F.lit(d))
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1)
+        )
+
+    seed = day_frame("2025-05-01", 0, 30)
+    commit_snapshot(seed, t, stats_cols=("day",))
+
+    append_payloads: dict[int, tuple[str, int, int]] = {}
+    replace_payloads: dict[int, tuple[str, int, int]] = {}
+
+    def appender(w):
+        d = f"2025-05-0{w + 2}"
+        for j in range(3):
+            lo = 100_000 * (10 * w + j + 1)
+            s = commit_snapshot(
+                day_frame(d, lo, 20), t, mode="append", stats_cols=("day",)
+            )
+            append_payloads[s.version] = (d, lo, 20)
+
+    def compactor():
+        for _ in range(4):
+            try:
+                rewrite_small_files(
+                    spark, t, target_file_bytes=1 << 30, partition_col="day"
+                )
+            except ConcurrentCommit:
+                pass
+            _time.sleep(0.05)
+
+    def replacer():
+        for j in range(3):
+            lo = 7_000_000 + 100 * j
+            for _ in range(12):  # bounded retry under contention
+                try:
+                    s = commit_replace_where(
+                        day_frame("2025-05-01", lo, 10), t, "day", "2025-05-01"
+                    )
+                    replace_payloads[s.version] = ("2025-05-01", lo, 10)
+                    break
+                except ConcurrentCommit:
+                    _time.sleep(0.02)
+
+    def rollbacker():
+        for _ in range(2):
+            for _ in range(12):
+                try:
+                    rollback(t, current_version(t))
+                    break
+                except ConcurrentCommit:
+                    _time.sleep(0.02)
+            _time.sleep(0.05)
+
+    with ThreadPoolExecutor(5) as ex:
+        futs = [
+            ex.submit(appender, 0),
+            ex.submit(appender, 1),
+            ex.submit(compactor),
+            ex.submit(replacer),
+            ex.submit(rollbacker),
+        ]
+        for f in futs:
+            f.result()  # surface worker exceptions
+
+    def multiset(version):
+        df = read_snapshot(spark, t, version=version)
+        return Counter(
+            (r["id"], r["day"], r["v"]) for r in df.select("id", "day", "v").collect()
+        )
+
+    def payload_multiset(d, lo, n):
+        return Counter((i, d, i * 2) for i in range(lo, lo + n))
+
+    head = current_version(t)
+    assert head >= 1 + 6 + 3 + 2  # appends, replaces and rollbacks all landed
+    assert multiset(1) == payload_multiset("2025-05-01", 0, 30)
+    for ver in range(1, head + 1):
+        m = read_manifest(t, ver)
+        for f in m.files:
+            assert os.path.exists(f), f"v{ver} lists a missing file"
+        cur = multiset(ver)
+        assert sum(cur.values()) == m.n_rows, f"v{ver} n_rows drifted"
+        if ver == 1:
+            continue
+        prev = multiset(ver - 1)
+        if m.mode == "append":
+            d, lo, n = append_payloads[ver]
+            assert cur == prev + payload_multiset(d, lo, n), f"v{ver} append"
+        elif m.mode == "compact":
+            assert cur == prev, f"v{ver} compaction changed rows"
+        elif m.mode == "replace_where":
+            d, lo, n = replace_payloads[ver]
+            in_d = Counter({k: c for k, c in cur.items() if k[1] == d})
+            out_d = Counter({k: c for k, c in cur.items() if k[1] != d})
+            prev_out = Counter({k: c for k, c in prev.items() if k[1] != d})
+            assert in_d == payload_multiset(d, lo, n), f"v{ver} replaced content"
+            assert out_d == prev_out, f"v{ver} touched other partitions"
+        elif m.mode == "rollback":
+            assert cur == multiset(m.meta["rolled_back_to"]), f"v{ver} rollback"
+        else:
+            raise AssertionError(f"unexpected mode {m.mode} at v{ver}")
+
+    # deterministic post-race rollback to an OLDER version reconciles too
+    target = head - 3
+    s = rollback(t, target)
+    assert multiset(s.version) == multiset(target)
