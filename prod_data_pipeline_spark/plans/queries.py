@@ -12106,6 +12106,140 @@ def docs_boilerplate_stats(spark, sf_dir):
     )
 
 
+@query(
+    "events_scd2_temporal_join",
+    oracle="""
+    WITH p0 AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN value < 50 THEN 'low'
+                  WHEN value < 150 THEN 'mid'
+                  ELSE 'high' END AS tier,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+               ORDER BY event_id DESC
+             ) AS rn
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), p AS (
+      SELECT user_id, ts, tier FROM p0 WHERE rn = 1
+    ), c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+    ), j AS (
+      SELECT c.event_id, c.user_id, p.tier
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    )
+    SELECT COALESCE(tier, 'none') AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    tags=("cdc", "scd2", "asof", "temporal-join"),
+)
+def events_scd2_temporal_join(spark, sf_dir):
+    """Fact-to-SCD2 temporal join — THE classic warehouse lookup: each
+    click joined to the spend-tier dimension version valid AT ITS OWN
+    TIMESTAMP (dim derived as change-compressed SCD2 history of the
+    user's purchase tier; clicks before any purchase land in 'none').
+    Composes three operators end-to-end: cdc.latest_snapshot dedupes
+    same-instant purchases (greatest event_id wins — determinism under
+    ties), cdc.scd2_history compresses the tier stream into validity
+    intervals, and joins.asof_join attaches the interval covering each
+    click via the union + last-ignorenulls window — one shuffle on
+    user_id, O(|facts|+|dim|) rows, never a per-key range explosion
+    (SCALE.md's as-of cost model).  The oracle computes the same
+    semantics independently with DuckDB's native ASOF JOIN on the raw
+    deduped purchase stream — interval containment against compressed
+    history must equal as-of against the uncompressed stream, so a
+    compression or join bug breaks the hash."""
+    from prod_data_pipeline_spark.operators.cdc import latest_snapshot, scd2_history
+    from prod_data_pipeline_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    tier = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", tier.alias("tier")
+    )
+    purch = latest_snapshot(purch, ["user_id", "ts"], order_col="event_id")
+    hist = scd2_history(purch, "user_id", "ts", "tier", tiebreak=["event_id"])
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks,
+        hist.select("user_id", F.col("effective_from").alias("ts"), "tier"),
+        by="user_id",
+        value_cols=("tier",),
+    )
+    return (
+        joined.groupBy(F.coalesce("asof_tier", F.lit("none")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("tier")
+    )
+
+
+@query(
+    "events_ldiversity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(value) AS BIGINT) AS vbin,
+             COUNT(*) AS c,
+             COUNT(DISTINCT event_type) AS l
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity_groups,
+           CAST(SUM(CASE WHEN l < 3 THEN c ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           ROUND(CAST(SUM(CASE WHEN l < 3 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS at_risk_share
+    FROM qi
+    """,
+    tags=("dq", "privacy", "l-diversity"),
+)
+def events_ldiversity_audit(spark, sf_dir):
+    """l-diversity audit — the companion gate to events_kanonymity_audit:
+    k-anonymity bounds GROUP SIZE, but a large group whose sensitive
+    attribute (event_type here) takes fewer than l distinct values still
+    leaks it by homogeneity (every member provably did the same thing).
+    Per quasi-identifier tuple (day, integer value bin) the audit counts
+    distinct sensitive values and reports the l<3 groups with their row
+    mass — the release gate refuses when at_risk_share is material.  One
+    exact per-group COUNT DISTINCT (two-phase distinct expand, partials
+    both phases) + a groups-sized reduction; all decisions integer."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    qi = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor("value").cast("long").alias("vbin"),
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("event_type").alias("l"),
+    )
+    risk_rows = F.sum(F.when(F.col("l") < 3, F.col("c")).otherwise(0))
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_diversity_groups"),
+        risk_rows.cast("long").alias("n_rows_at_risk"),
+        F.min("l").cast("long").alias("min_l"),
+        F.round(risk_rows.cast("double") / F.sum("c"), 6).alias("at_risk_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
@@ -12188,13 +12322,13 @@ DRIVER_ORDER: list[str] = [
     "user_activity_streaks",
     "user_event_type_paths",
     "user_retention_cohorts",
-    # --- oldest-r4 staleness fills (5) + round-7's new operator ---
+    # --- oldest-r4 staleness fills (3) + round-7's new operators (3) ---
     "brand_volume",
     "corpus_curation_stats",
     "customer_order_distribution",
-    "customers_with_orders_by_segment",
-    "customers_without_orders",
     "docs_boilerplate_stats",
+    "events_scd2_temporal_join",
+    "events_ldiversity_audit",
 ]
 
 

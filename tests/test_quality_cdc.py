@@ -261,3 +261,54 @@ def test_merge_upsert_idempotent_and_latest_wins(spark, rows):
     for k, v in a:
         if k in upd_keys:
             assert v.startswith("w")  # update batch always wins
+
+
+def test_scd2_temporal_join_tie_and_boundary_semantics(spark):
+    """Hand-built stream pins the temporal join's contract: a fact AT an
+    interval boundary gets the NEW version (equal timestamps match), a
+    fact before any dim row gets null, and same-instant dim changes
+    resolve to the greatest event_id before history compression."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.operators.cdc import (
+        latest_snapshot,
+        scd2_history,
+    )
+    from prod_data_pipeline_spark.operators.joins import asof_join
+
+    purch = spark.createDataFrame(
+        [
+            ("u1", "2025-01-01 00:00:00", 1, "low"),
+            # same instant, higher event_id: must win the dedup
+            ("u1", "2025-01-01 00:00:00", 2, "mid"),
+            ("u1", "2025-01-03 00:00:00", 3, "high"),
+            # change-compression case: high again, no new interval
+            ("u1", "2025-01-04 00:00:00", 4, "high"),
+        ],
+        "user_id string, ts string, event_id long, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    clicks = spark.createDataFrame(
+        [
+            (10, "u1", "2024-12-31 00:00:00"),  # before any purchase
+            (11, "u1", "2025-01-02 00:00:00"),  # inside first interval
+            (12, "u1", "2025-01-03 00:00:00"),  # AT the boundary -> new
+            (13, "u2", "2025-01-05 00:00:00"),  # user with no dim rows
+        ],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    deduped = latest_snapshot(purch, ["user_id", "ts"], order_col="event_id")
+    hist = scd2_history(deduped, "user_id", "ts", "tier", tiebreak=["event_id"])
+    hrows = sorted(
+        (r["tier"], r["is_current"]) for r in hist.collect()
+    )
+    assert hrows == [("high", True), ("mid", False)]  # compressed + deduped
+
+    joined = asof_join(
+        clicks,
+        hist.select("user_id", F.col("effective_from").alias("ts"), "tier"),
+        by="user_id",
+        value_cols=("tier",),
+    )
+    got = {r["event_id"]: r["asof_tier"] for r in joined.collect()}
+    assert got == {10: None, 11: "mid", 12: "high", 13: None}
