@@ -12107,6 +12107,124 @@ def docs_boilerplate_stats(spark, sf_dir):
 
 
 @query(
+    "docs_cluster_canonical_by_quality",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {{_TOKS_SQL}} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             {", ".join(
+                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
+                 for j in range(8)
+             )}
+      FROM s
+    ), bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_id, mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_key "
+          "FROM sig WHERE len(sh) > 0"
+          for b in range(4)
+      )}
+    ), pairs AS (
+      SELECT c.id_a, c.id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ) c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk AS (
+      SELECT src, dst AS reach FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ), comp AS (
+      SELECT src AS doc_id, least(src, MIN(reach)) AS cluster_id
+      FROM walk GROUP BY src
+    ), q AS (
+      SELECT doc_id,
+             ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                   + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)),
+                   4) AS quality
+      FROM t
+    ), ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (
+               PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id
+             ) AS rn
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_id,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS canonical_quality,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) <> cluster_id
+             AS differs_from_minid
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
+    tags=("dedup", "clustering", "curation", "quality"),
+)
+def docs_cluster_canonical_by_quality(spark, sf_dir):
+    """Quality-aware canonical selection per near-dup cluster: real
+    curation pipelines keep the BEST member of each duplicate cluster
+    (longest / highest-quality), not the smallest id — min-id keeps
+    whatever crawled first, which may be the truncated or boilerplate-
+    laden copy.  Per transitive LSH cluster (corpus_dup_clusters'
+    components) the argmax-quality member is selected with a packed
+    deterministic ordering key (quality desc, doc_id asc — struct-MAX,
+    no self-join), and differs_from_minid flags the clusters where the
+    quality rule and the naive min-id rule disagree — the measurable
+    value of the refinement.  Cost on top of clustering: one doc-keyed
+    join + one cluster-keyed agg, both graph-sized."""
+    from prod_data_pipeline_spark.operators.corpus import dup_clusters
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn="md5")
+    comp = dup_clusters(pairs)
+    toks = tokens(F.col("text"))
+    q = docs.select(
+        "doc_id", quality_score(toks, F.array_distinct(toks)).alias("quality")
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"),
+            (-F.col("doc_id")).alias("nid"),
+            F.col("doc_id").alias("id"),
+        )
+    )
+    return (
+        comp.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best.alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("_best.id").alias("canonical_id"),
+            F.col("_best.q").alias("canonical_quality"),
+            (F.col("_best.id") != F.col("cluster_id")).alias("differs_from_minid"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
     "events_scd2_temporal_join",
     oracle="""
     WITH p0 AS (
@@ -12322,13 +12440,13 @@ DRIVER_ORDER: list[str] = [
     "user_activity_streaks",
     "user_event_type_paths",
     "user_retention_cohorts",
-    # --- oldest-r4 staleness fills (3) + round-7's new operators (3) ---
+    # --- oldest-r4 staleness fills (2) + round-7's new operators (4) ---
     "brand_volume",
     "corpus_curation_stats",
-    "customer_order_distribution",
     "docs_boilerplate_stats",
     "events_scd2_temporal_join",
     "events_ldiversity_audit",
+    "docs_cluster_canonical_by_quality",
 ]
 
 
