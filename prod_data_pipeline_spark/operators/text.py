@@ -142,7 +142,12 @@ def synthetic_markup_pages(
     )
 
 
-def markup_blocks(df: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+def markup_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """REAL block-level boilerplate classification over an ``html`` column
     (jusText's core loop, minus the context-smoothing pass, with every
     decision an integer cross-multiplication so engines can replay it):
@@ -156,8 +161,10 @@ def markup_blocks(df: DataFrame, id_col: str = "doc_id", html_col: str = "html")
        rule, footers/short fragments the length rule, link-farm word soup
        the stopword rule.
 
-    Returns one row per block: (id, block_pos, block_type, n_tokens,
-    n_link_tokens, n_stop_tokens, is_good, clean_text).  One scan, block
+    Returns one row per block: (id, *carry_cols, block_pos, block_type,
+    n_tokens, n_link_tokens, n_stop_tokens, is_good, clean_text) —
+    ``carry_cols`` ride along so callers can aggregate straight to their
+    grouping key without re-joining the page table.  One scan, block
     relation ~ pages x blocks-per-page; the groupBy in callers is the
     only shuffle."""
     pat = r"<(nav|p|footer)>(.*?)</\1>"
@@ -165,11 +172,13 @@ def markup_blocks(df: DataFrame, id_col: str = "doc_id", html_col: str = "html")
     bodies = F.regexp_extract_all(F.col(html_col), F.lit(pat), 2)
     e = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(F.arrays_zip(types.alias("t"), bodies.alias("b"))).alias(
             "block_pos", "z"
         ),
     ).select(
         id_col,
+        *carry_cols,
         "block_pos",
         F.col("z.t").alias("block_type"),
         F.col("z.b").alias("body"),
@@ -185,6 +194,7 @@ def markup_blocks(df: DataFrame, id_col: str = "doc_id", html_col: str = "html")
     n_stop = F.size(F.filter(btoks, lambda t: F.array_contains(stoplist, t)))
     return e.select(
         id_col,
+        *carry_cols,
         "block_pos",
         "block_type",
         n_tok.alias("n_tokens"),

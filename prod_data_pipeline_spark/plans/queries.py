@@ -12081,25 +12081,32 @@ def docs_boilerplate_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pages = synthetic_markup_pages(docs)
-    blocks = markup_blocks(pages)
-    stats = blocks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.sum(F.when(F.col("is_good"), 1).otherwise(0)).alias("n_good"),
-        F.sum("n_tokens").alias("tot"),
-        F.sum(F.when(F.col("is_good"), F.col("n_tokens")).otherwise(0)).alias("kept"),
-    )
+    # `source` rides along on the block relation so the rollup goes
+    # straight to the grouping key: ONE source-keyed exchange (+ the
+    # output sort), no per-doc pre-aggregation and no re-join with the
+    # page table.  n_docs counts nav blocks (block 0 of every page)
+    # instead of paying a COUNT DISTINCT expand.
+    blocks = markup_blocks(pages, carry_cols=("source",))
     return (
-        docs.select("doc_id", "source")
-        .join(stats, "doc_id")
-        .groupBy("source")
+        blocks.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_blocks").cast("long").alias("n_blocks"),
-            F.sum("n_good").cast("long").alias("n_good_blocks"),
-            F.sum("tot").cast("long").alias("total_tokens"),
-            F.sum("kept").cast("long").alias("kept_tokens"),
+            F.sum(F.when(F.col("block_pos") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("is_good"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_good_blocks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("is_good"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
             F.round(
-                F.sum("kept").cast("double") / F.sum("tot"), 6
+                F.sum(F.when(F.col("is_good"), F.col("n_tokens")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("n_tokens"),
+                6,
             ).alias("kept_token_frac"),
         )
         .orderBy("source")
