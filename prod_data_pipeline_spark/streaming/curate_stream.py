@@ -560,3 +560,24 @@ def read_histogram(spark: SparkSession, sketch_path: str) -> DataFrame:
     return value_histogram_merge(
         spark.read.parquet(os.path.join(sketch_path, "batch=*"))
     )
+
+
+def streaming_content_blocks(pages: DataFrame, keep_boiler: bool = False) -> DataFrame:
+    """Streaming twin of the boilerplate gate (operators.text
+    .markup_blocks): classify every markup block of a crawled-page stream
+    and emit the content blocks — the gate every crawl pipeline runs AT
+    INGEST, before anything is stored or deduped, here as a continuous
+    query.
+
+    The classifier is pure projections + one explode (tag-pair split,
+    anchor counting, integer density rules), so the streaming plan is
+    STATELESS — no watermark, no state store, arbitrary input rate; the
+    downstream per-doc assembly (extract_main_content's groupBy) belongs
+    in the batch layer or a foreachBatch sink where the micro-batch
+    bounds it.  ``keep_boiler=True`` emits every block with its
+    ``is_good`` verdict instead of filtering — the auditing/metrics
+    shape."""
+    from prod_data_pipeline_spark.operators.text import markup_blocks
+
+    blocks = markup_blocks(pages)
+    return blocks if keep_boiler else blocks.filter(F.col("is_good"))

@@ -524,3 +524,49 @@ def test_streaming_histogram_sink_matches_batch_sketch(spark, raw, tmp_path):
                 break
         exact = vals[(q100 * len(vals) + 99) // 100 - 1]
         assert abs(est - exact) <= width + 1e-9, (q100, est, exact)
+
+
+def test_streaming_content_blocks_matches_batch(spark, tmp_path):
+    """The streaming boilerplate gate is stateless, so its output over a
+    bounded replay must equal the batch markup_blocks filter block-for-
+    block (ids, positions, types, token counts)."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.operators.text import (
+        markup_blocks,
+        synthetic_markup_pages,
+    )
+    from prod_data_pipeline_spark.streaming.curate_stream import (
+        streaming_content_blocks,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    pages = synthetic_markup_pages(docs).select("doc_id", "html")
+
+    stream_dir = str(tmp_path / "pagestream")
+    pages.write.json(stream_dir)
+    stream = spark.readStream.schema(pages.schema).json(stream_dir)
+
+    out = streaming_content_blocks(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cblocks_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["block_pos"], r["block_type"], r["n_tokens"],
+        r["n_link_tokens"], r["n_stop_tokens"],
+    )
+    got = sorted(key(r) for r in spark.sql("SELECT * FROM cblocks_t").collect())
+    exp = sorted(
+        key(r) for r in markup_blocks(pages).filter(F.col("is_good")).collect()
+    )
+    assert got == exp and len(got) > 0
