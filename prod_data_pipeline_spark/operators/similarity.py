@@ -69,6 +69,61 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_sim: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for metric/contrastive training: per anchor,
+    the top-k most-similar vectors with a DIFFERENT label — the negatives
+    that actually move a contrastive loss (random negatives are mostly
+    trivial at scale; the hard ones live near the decision boundary).
+
+    Same plan shape as brute_force_topk — broadcast anchors x one corpus
+    scan + per-anchor window — with the label-mismatch predicate riding
+    the broadcast join condition, so excluded positives never enter the
+    scored relation at all.  NULL labels pair with everything (an
+    unlabeled vector can serve as a negative for any anchor); ties break
+    by neighbor id.  Returns (query_id, neighbor_id, neighbor_label,
+    sim, rank)."""
+    corpus = _norm_emb(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        "_emb",
+    )
+    queries = _norm_emb(query_df, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_qlabel"),
+        F.col("_emb").alias("_qemb"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & ~F.col("_qlabel").eqNullSafe(F.col("neighbor_label")),
+        )
+        .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+        .filter(F.col("_sim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(F.col("_sim"), round_sim).alias("sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def l2_topk(
     df: DataFrame,
     query_df: DataFrame,

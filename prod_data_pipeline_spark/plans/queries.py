@@ -12114,6 +12114,139 @@ def docs_boilerplate_stats(spark, sf_dir):
 
 
 @query(
+    "emb_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+             list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
+                * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
+             AS sim
+      FROM q, v
+      WHERE q.query_id <> v.vec_id AND q.qlabel IS DISTINCT FROM v.label
+    )
+    SELECT query_id, neighbor_id, neighbor_label, ROUND(sim, 4) AS sim,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "training", "contrastive", "hard-negatives"),
+)
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators.similarity.hard_negative_topk):
+    per anchor (vec_id < 8), the 5 most-similar vectors with a DIFFERENT
+    label — the near-boundary negatives a contrastive/metric-learning
+    loss actually learns from (random negatives are mostly trivial at
+    corpus scale).  Same broadcast-anchors x one-corpus-scan plan as
+    emb_topk_bruteforce with the label-mismatch predicate riding the
+    join condition, so positives never enter the scored relation."""
+    from prod_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "events_type_audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events WHERE user_id IS NOT NULL
+    ), singles AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n FROM ut GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS exact_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(sa.n AS BIGINT) AS exact_a,
+           CAST(sb.n AS BIGINT) AS exact_b,
+           CAST(p.exact_both AS BIGINT) AS exact_both,
+           CAST(0.1 AS DOUBLE) AS abs_err_bound_frac,
+           TRUE AS within_bound
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    ORDER BY 1, 2
+    """,
+    tags=("approx", "sketch", "audience-overlap"),
+)
+def events_type_audience_overlap(spark, sf_dir):
+    """Sketch-algebra audience overlap: |A∩B| estimated per event-type
+    pair by HLL inclusion-exclusion (est_a + est_b − est_union, the union
+    being a true sketch merge — the only set operation HLL supports) and
+    hash-checked against the exact overlap with the oracled-approximation
+    recipe: exact counts + a within-bound boolean.  The bound is ABSOLUTE
+    in (|A|+|B|) — inclusion-exclusion differences small cardinalities,
+    so relative-to-overlap error is unbounded by construction; three
+    ~1.6%-rsd estimates difference to well under 10% of |A|+|B|.  At
+    100 TB this is the pre-computed-sketch join: per-segment sketches are
+    a few KB each, any pairwise overlap matrix is sketch merges — no
+    re-scan of raw data (the same property events_hll_mergeable_users
+    proves for time slices).  One distinct (user,type) relation feeds the
+    exact side; sketches aggregate per type (5 rows) and cross in a
+    broadcast self-join."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    crossed = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    ua = ut.select("user_id", F.col("event_type").alias("type_a"))
+    ub = ut.select("user_id", F.col("event_type").alias("type_b"))
+    exact_pairs = (
+        ua.join(ub, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return (
+        crossed.join(exact_pairs, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_both",
+            F.lit(0.1).cast("double").alias("abs_err_bound_frac"),
+            (
+                F.abs(est - F.col("exact_both"))
+                <= F.lit(0.1) * (F.col("exact_a") + F.col("exact_b"))
+            ).alias("within_bound"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
     "docs_cluster_canonical_by_quality",
     oracle=f"""
     WITH RECURSIVE t AS (
@@ -12447,13 +12580,14 @@ DRIVER_ORDER: list[str] = [
     "user_activity_streaks",
     "user_event_type_paths",
     "user_retention_cohorts",
-    # --- oldest-r4 staleness fills (2) + round-7's new operators (4) ---
-    "brand_volume",
-    "corpus_curation_stats",
+    # --- round-7's new operators (6): never-driver-checked, so the
+    # policy puts them ahead of the optional r4 staleness fills ---
     "docs_boilerplate_stats",
     "events_scd2_temporal_join",
     "events_ldiversity_audit",
     "docs_cluster_canonical_by_quality",
+    "emb_hard_negatives",
+    "events_type_audience_overlap",
 ]
 
 
