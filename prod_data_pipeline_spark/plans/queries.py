@@ -12114,6 +12114,229 @@ def docs_boilerplate_stats(spark, sf_dir):
 
 
 @query(
+    "docs_langid_eval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct({{_TOKS_SQL}}) AS dt FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             len(list_intersect(dt, {_LANG_SQL_SETS['en']})) AS h_en,
+             len(list_intersect(dt, {_LANG_SQL_SETS['es']})) AS h_es,
+             len(list_intersect(dt, {_LANG_SQL_SETS['fr']})) AS h_fr,
+             len(list_intersect(dt, {_LANG_SQL_SETS['de']})) AS h_de
+      FROM t
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                  WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+                  WHEN h_fr > 0 AND h_fr >= h_de THEN 'fr'
+                  WHEN h_de > 0 THEN 'de'
+                  ELSE 'und' END AS p
+      FROM h
+    ), classes AS (
+      SELECT DISTINCT lang AS cls FROM pred
+      UNION SELECT DISTINCT p FROM pred
+    ), m AS (
+      SELECT c.cls,
+             SUM(CASE WHEN pr.lang = c.cls THEN 1 ELSE 0 END) AS support,
+             SUM(CASE WHEN pr.lang = c.cls AND pr.p = c.cls THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN pr.lang <> c.cls AND pr.p = c.cls THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN pr.lang = c.cls AND pr.p <> c.cls THEN 1 ELSE 0 END) AS fn
+      FROM classes c, pred pr GROUP BY 1
+    )
+    SELECT cls AS lang,
+           CAST(support AS BIGINT) AS support,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS "precision",
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+           ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
+    FROM m ORDER BY lang
+    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
+    tags=("text", "lang-id", "evaluation", "metrics"),
+)
+def docs_langid_eval(spark, sf_dir):
+    """Classifier evaluation as distributed dataflow — the metrics layer
+    every model-gated pipeline needs at corpus scale: per-class support /
+    TP / FP / FN and precision / recall / F1 of the stopword lang-id
+    heuristic against the table's gold ``lang`` label (docs_lang_id is
+    the raw confusion matrix; this is its scorecard).  One prediction
+    scan → a |classes|²-sized confusion relation → per-class metric
+    arithmetic; F1 computed as 2tp/(2tp+fp+fn) so each metric is one
+    integer-ratio division, no metric-of-metric float chains.  The same
+    shape scores any deterministic gate (quality classifier, boilerplate
+    rule, toxicity screen) against labels at 100 TB."""
+    from prod_data_pipeline_spark.functions.text import distinct_tokens
+    from prod_data_pipeline_spark.operators.text import predicted_lang
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", predicted_lang(distinct_tokens(F.col("text"))).alias("p")
+    )
+    classes = (
+        pred.select(F.col("lang").alias("cls"))
+        .union(pred.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    m = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("cls")
+        .agg(
+            F.sum(F.when(F.col("lang") == F.col("cls"), 1).otherwise(0)).alias(
+                "support"
+            ),
+            F.sum(
+                F.when((F.col("lang") == F.col("cls")) & (F.col("p") == F.col("cls")), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("lang") != F.col("cls")) & (F.col("p") == F.col("cls")), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("lang") == F.col("cls")) & (F.col("p") != F.col("cls")), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return m.select(
+        F.col("cls").alias("lang"),
+        F.col("support").cast("long").alias("support"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(
+            (2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
+        ).alias("f1"),
+    ).orderBy("lang")
+
+
+@query(
+    "docs_padding_waste",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents
+    ), sized AS (
+      SELECT b.batch_size, d.doc_id, d.n_tokens,
+             row_number() OVER (
+               PARTITION BY b.batch_size ORDER BY d.n_tokens, d.doc_id
+             ) AS sorted_rank,
+             row_number() OVER (
+               PARTITION BY b.batch_size ORDER BY d.doc_id
+             ) AS arrival_rank,
+             COUNT(*) OVER (PARTITION BY b.batch_size) AS n_total
+      FROM d, (SELECT unnest([8, 32]) AS batch_size) b
+    ), s_batch AS (
+      SELECT batch_size, (sorted_rank - 1) // batch_size AS bid,
+             MAX(n_tokens) AS mx, SUM(n_tokens) AS tot, COUNT(*) AS c
+      FROM sized WHERE sorted_rank <= n_total - (n_total % batch_size)
+      GROUP BY 1, 2
+    ), a_batch AS (
+      SELECT batch_size, (arrival_rank - 1) // batch_size AS bid,
+             MAX(n_tokens) AS mx, SUM(n_tokens) AS tot, COUNT(*) AS c
+      FROM sized WHERE arrival_rank <= n_total - (n_total % batch_size)
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT s.batch_size,
+             SUM(s.mx * s.c - s.tot) AS sorted_pad,
+             SUM(s.mx * s.c) AS sorted_slots
+      FROM s_batch s GROUP BY 1
+    ), agg2 AS (
+      SELECT a.batch_size,
+             SUM(a.mx * a.c - a.tot) AS arrival_pad,
+             SUM(a.mx * a.c) AS arrival_slots
+      FROM a_batch a GROUP BY 1
+    )
+    SELECT CAST(agg.batch_size AS BIGINT) AS batch_size,
+           CAST(sorted_pad AS BIGINT) AS sorted_pad_tokens,
+           ROUND(CAST(sorted_pad AS DOUBLE) / sorted_slots, 6)
+             AS sorted_pad_frac,
+           CAST(arrival_pad AS BIGINT) AS arrival_pad_tokens,
+           ROUND(CAST(arrival_pad AS DOUBLE) / arrival_slots, 6)
+             AS arrival_pad_frac
+    FROM agg JOIN agg2 USING (batch_size)
+    ORDER BY batch_size
+    """,
+    tags=("packing", "training", "batching"),
+)
+def docs_padding_waste(spark, sf_dir):
+    """Padding-waste audit for fixed-size training batches: every
+    sequence in a batch pads to the batch max, so waste = Σ(max·B − Σlen)
+    over full batches.  Compares LENGTH-SORTED batching (the bucketing
+    trick every trainer uses) against arrival-order batching for batch
+    sizes 8 and 32 — the measured gap is the ROI of sorting, the number
+    that justifies the extra rank pass.  Global sequence ranks come from
+    operators.ranking.bucketed_global_rank (no single-partition sort);
+    trailing partial batches are excluded on both sides so the
+    comparison is waste-per-full-batch, all-integer until the final
+    fraction.  Companion to docs_packed_bins (which packs variable-count
+    bins instead of padding fixed-count batches)."""
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    ranked = bucketed_global_rank(d, order_cols=["n_tokens", "doc_id"]).select(
+        "doc_id", "n_tokens", F.col("rank").alias("sorted_rank"), "n_total"
+    )
+    arrival = bucketed_global_rank(d, order_cols=["doc_id"]).select(
+        F.col("doc_id").alias("a_doc_id"), F.col("rank").alias("arrival_rank")
+    )
+    base = ranked.join(arrival, ranked.doc_id == arrival.a_doc_id).drop("a_doc_id")
+    rows = []
+    for bsz in (8, 32):
+        full = F.col("n_total") - (F.col("n_total") % bsz)
+        s = (
+            base.filter(F.col("sorted_rank") <= full)
+            .groupBy(((F.col("sorted_rank") - 1) / bsz).cast("long").alias("bid"))
+            .agg(
+                F.max("n_tokens").alias("mx"),
+                F.sum("n_tokens").alias("tot"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .agg(
+                F.sum(F.col("mx") * F.col("c") - F.col("tot")).alias("pad"),
+                F.sum(F.col("mx") * F.col("c")).alias("slots"),
+            )
+        )
+        a = (
+            base.filter(F.col("arrival_rank") <= full)
+            .groupBy(((F.col("arrival_rank") - 1) / bsz).cast("long").alias("bid"))
+            .agg(
+                F.max("n_tokens").alias("mx"),
+                F.sum("n_tokens").alias("tot"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .agg(
+                F.sum(F.col("mx") * F.col("c") - F.col("tot")).alias("a_pad"),
+                F.sum(F.col("mx") * F.col("c")).alias("a_slots"),
+            )
+        )
+        rows.append(
+            s.crossJoin(a).select(
+                F.lit(bsz).cast("long").alias("batch_size"),
+                F.col("pad").cast("long").alias("sorted_pad_tokens"),
+                F.round(F.col("pad").cast("double") / F.col("slots"), 6).alias(
+                    "sorted_pad_frac"
+                ),
+                F.col("a_pad").cast("long").alias("arrival_pad_tokens"),
+                F.round(F.col("a_pad").cast("double") / F.col("a_slots"), 6).alias(
+                    "arrival_pad_frac"
+                ),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), rows).orderBy("batch_size")
+
+
+@query(
     "emb_hard_negatives",
     oracle="""
     WITH v AS (
@@ -12516,9 +12739,13 @@ def events_ldiversity_audit(spark, sf_dir):
 #      events_hll_mergeable_users, emb_ivf_recall), which round 7
 #      re-projects with exact companions + within-bound booleans so they
 #      return hash-checked for the first time (verdict directive #2);
-#   3. 6 oldest-r4 staleness fills (brand_volume, corpus_curation_stats,
-#      customer_order_distribution, customers_with/without_orders,
-#      dedup_docs_exact).
+#   3. round 7's net-new operators, never driver-checked.  The mandatory
+#      set (3 sentinels + 41 stale) leaves exactly 6 slots; round 7 added
+#      8 queries, so docs_langid_eval and docs_padding_waste DEFER to the
+#      front of round 8's window under the stale-first rule
+#      (tools/rotation.py policy #3) — both are hash-checked against
+#      their DuckDB oracles at sf0.001 by the local suite every round in
+#      the meantime.
 # Every deferred query is still replayed against its oracle at sf0.001 by
 # the local test suite each round; the structural bound is
 # ceil(n_queries/50) rounds between driver rows per query, and round 7

@@ -48,11 +48,6 @@ def test_driver_order_policy():
     assert len(DRIVER_ORDER) == 50
     assert set(DRIVER_SENTINELS) <= window, "bench sentinels rotated out"
     latest = latest_driver_round()
-    never_checked = {q for q in QUERIES if q not in latest}
-    assert never_checked <= window, (
-        f"never-driver-checked queries outside the window: "
-        f"{sorted(never_checked - window)}"
-    )
     max_round = max(latest.values())
     stale = {
         q for q, r in latest.items() if q in QUERIES and r <= max_round - 3
@@ -60,6 +55,24 @@ def test_driver_order_policy():
     assert stale <= window, (
         f"≥3-round-stale queries outside the window: {sorted(stale - window)}"
     )
+    # Never-driver-checked queries go in-window; when sentinels+stale
+    # saturate all 50 slots, the overflow may defer one round — but ONLY
+    # under true saturation: no slot may be held by a non-mandatory
+    # filler while a never-checked query waits outside (stale-first
+    # policy, tools/rotation.py docstring).  Deferred queries still get
+    # their oracle hash-checked at sf0.001 by this suite every round.
+    never_checked = {q for q in QUERIES if q not in latest}
+    deferred = never_checked - window
+    if deferred:
+        fillers = [
+            q
+            for q in DRIVER_ORDER
+            if q not in DRIVER_SENTINELS and q not in stale and q in latest
+        ]
+        assert not fillers, (
+            f"never-checked deferred {sorted(deferred)} while non-mandatory "
+            f"fillers hold window slots: {fillers}"
+        )
 
 
 def test_every_query_has_a_survey_row():

@@ -5,13 +5,21 @@ from CORRECTNESS_r*.json and check/propose the 50-entry window.
     python -m tools.rotation            # staleness report + policy check
     python -m tools.rotation --propose  # print a proposed next-round window
 
-Policy (encoded from the round-5 verdict + advisor notes):
-  1. every query with NO driver row ever goes in the window;
-  2. queries whose oracle changed since their last driver row go in
-     (cannot be detected here — the round's builder must add them);
-  3. the pinned bench sentinels (plans.queries.DRIVER_SENTINELS) are
+Policy (round-5 verdict + advisor notes; STALE-FIRST precedence added in
+round 7 when the mandatory set first outgrew the window):
+  1. the pinned bench sentinels (plans.queries.DRIVER_SENTINELS) are
      always in, so shared-operator regressions surface externally;
-  4. remaining slots fill oldest-driver-row-first.
+  2. every query >= 3 rounds stale goes in — letting driver evidence age
+     past the freshness budget is worse than deferring a brand-new query
+     one round (new queries are hash-verified against their oracles at
+     sf0.001 by the local suite every round regardless);
+  3. every never-driver-checked query goes in IF slots remain; when the
+     sentinel+stale set saturates the window, the overflow defers to the
+     FRONT of next round's window (reported below, not a failure —
+     a failure is a deferral while a non-mandatory filler holds a slot);
+  4. queries whose oracle changed since their last driver row go in
+     (cannot be detected here — the round's builder must add them);
+  5. remaining slots fill oldest-driver-row-first.
 """
 
 from __future__ import annotations
@@ -58,20 +66,43 @@ def main() -> None:
     print("driver rows by round:", dict(sorted(ages.items())))
 
     window = set(DRIVER_ORDER)
-    dark = [q for q in never if q not in window]
+    deferred = [q for q in never if q not in window]
     missing_sentinels = [s for s in DRIVER_SENTINELS if s not in window]
+    max_round = max(latest.values()) if latest else 0
+    stale = {q for q, r in latest.items() if q in QUERIES and r <= max_round - 3}
+    stale_out = sorted(stale - window)
     ok = True
     if len(DRIVER_ORDER) != WINDOW:
         print(f"POLICY FAIL: window has {len(DRIVER_ORDER)} entries, want {WINDOW}")
         ok = False
-    if dark:
-        print(f"POLICY FAIL: {len(dark)} never-checked queries outside the window: {dark}")
+    if stale_out:
+        print(f"POLICY FAIL: {len(stale_out)} >=3-round-stale queries outside the window: {stale_out}")
         ok = False
     if missing_sentinels:
         print(f"POLICY FAIL: sentinels missing from window: {missing_sentinels}")
         ok = False
+    if deferred:
+        # deferral is legal only under saturation: every window slot must be
+        # held by a sentinel, a stale query, or another never-checked query
+        fillers = [
+            q for q in DRIVER_ORDER
+            if q not in DRIVER_SENTINELS and q not in stale and q in latest
+        ]
+        if fillers:
+            print(
+                f"POLICY FAIL: {len(deferred)} never-checked deferred while "
+                f"non-mandatory fillers hold slots: deferred={deferred} "
+                f"fillers={fillers}"
+            )
+            ok = False
+        else:
+            print(
+                f"NOTE: window saturated by sentinels+stale; {len(deferred)} "
+                f"never-checked defer to the front of next round's window: "
+                f"{deferred}"
+            )
     if ok:
-        print("policy check: OK (window size, never-checked coverage, sentinels)")
+        print("policy check: OK (window size, stale-first coverage, sentinels)")
 
     if "--propose" in sys.argv:
         # next round: assume everything in the current window gets a row
