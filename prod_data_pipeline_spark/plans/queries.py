@@ -12290,50 +12290,60 @@ def docs_padding_waste(spark, sf_dir):
     arrival = bucketed_global_rank(d, order_cols=["doc_id"]).select(
         F.col("doc_id").alias("a_doc_id"), F.col("rank").alias("arrival_rank")
     )
-    base = ranked.join(arrival, ranked.doc_id == arrival.a_doc_id).drop("a_doc_id")
-    rows = []
-    for bsz in (8, 32):
-        full = F.col("n_total") - (F.col("n_total") % bsz)
-        s = (
-            base.filter(F.col("sorted_rank") <= full)
-            .groupBy(((F.col("sorted_rank") - 1) / bsz).cast("long").alias("bid"))
+    # rank once, read twice: without the checkpoint each (strategy x
+    # batch-size) consumer would replay BOTH bucketed-rank plans — 72
+    # exchanges measured; with it the scan/rank cost is paid once and the
+    # per-strategy rollups read the materialized relation (~10 exchanges,
+    # all over batch-count-sized data)
+    base = (
+        ranked.join(arrival, ranked.doc_id == arrival.a_doc_id)
+        .drop("a_doc_id")
+        .localCheckpoint(eager=False)
+    )
+    sizes = F.explode(F.array(F.lit(8), F.lit(32))).alias("batch_size")
+
+    def waste(rank_col: str, pad_name: str, frac_name: str):
+        full = F.col("n_total") - (F.col("n_total") % F.col("batch_size"))
+        return (
+            base.select("*", sizes)
+            .filter(F.col(rank_col) <= full)
+            .groupBy(
+                "batch_size",
+                ((F.col(rank_col) - 1) / F.col("batch_size"))
+                .cast("long")
+                .alias("bid"),
+            )
             .agg(
                 F.max("n_tokens").alias("mx"),
                 F.sum("n_tokens").alias("tot"),
                 F.count(F.lit(1)).alias("c"),
             )
+            .groupBy("batch_size")
             .agg(
-                F.sum(F.col("mx") * F.col("c") - F.col("tot")).alias("pad"),
-                F.sum(F.col("mx") * F.col("c")).alias("slots"),
+                F.sum(F.col("mx") * F.col("c") - F.col("tot"))
+                .cast("long")
+                .alias(pad_name),
+                F.round(
+                    F.sum(F.col("mx") * F.col("c") - F.col("tot")).cast("double")
+                    / F.sum(F.col("mx") * F.col("c")),
+                    6,
+                ).alias(frac_name),
             )
         )
-        a = (
-            base.filter(F.col("arrival_rank") <= full)
-            .groupBy(((F.col("arrival_rank") - 1) / bsz).cast("long").alias("bid"))
-            .agg(
-                F.max("n_tokens").alias("mx"),
-                F.sum("n_tokens").alias("tot"),
-                F.count(F.lit(1)).alias("c"),
-            )
-            .agg(
-                F.sum(F.col("mx") * F.col("c") - F.col("tot")).alias("a_pad"),
-                F.sum(F.col("mx") * F.col("c")).alias("a_slots"),
-            )
+
+    s = waste("sorted_rank", "sorted_pad_tokens", "sorted_pad_frac")
+    a = waste("arrival_rank", "arrival_pad_tokens", "arrival_pad_frac")
+    return (
+        s.join(a, "batch_size")
+        .select(
+            F.col("batch_size").cast("long").alias("batch_size"),
+            "sorted_pad_tokens",
+            "sorted_pad_frac",
+            "arrival_pad_tokens",
+            "arrival_pad_frac",
         )
-        rows.append(
-            s.crossJoin(a).select(
-                F.lit(bsz).cast("long").alias("batch_size"),
-                F.col("pad").cast("long").alias("sorted_pad_tokens"),
-                F.round(F.col("pad").cast("double") / F.col("slots"), 6).alias(
-                    "sorted_pad_frac"
-                ),
-                F.col("a_pad").cast("long").alias("arrival_pad_tokens"),
-                F.round(F.col("a_pad").cast("double") / F.col("a_slots"), 6).alias(
-                    "arrival_pad_frac"
-                ),
-            )
-        )
-    return reduce(lambda x, y: x.unionByName(y), rows).orderBy("batch_size")
+        .orderBy("batch_size")
+    )
 
 
 @query(

@@ -327,3 +327,32 @@ def test_new_round6_operator_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan, (
         "mahalanobis top-50 regressed to a full sort"
     )
+
+
+def test_new_round7_operator_plan_shapes(spark):
+    """Plan pins for the round-7 operators: the boilerplate rollup stays
+    one source-keyed exchange + the output sort (no per-doc re-join);
+    hard-negative mining keeps its broadcast (never a shuffled or
+    cartesian corpus join); the temporal join composes without any join
+    operator at all (union + window, the as-of shape); padding-waste
+    reads the checkpointed rank relation instead of replaying both
+    bucketed-rank plans per consumer."""
+    plan = _executed_plan(spark, "docs_boilerplate_stats")
+    assert plan.count("Exchange") <= 2, "boilerplate rollup grew extra shuffles"
+    assert "Join" not in plan, "boilerplate rollup re-joined the page table"
+
+    plan = _executed_plan(spark, "emb_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan, "hard negatives lost the broadcast"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = _executed_plan(spark, "events_scd2_temporal_join")
+    assert "CartesianProduct" not in plan
+    # as-of is union + last-ignorenulls window — a range/equi join here
+    # would mean the composition regressed to the per-key pair explosion
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+    plan = _executed_plan(spark, "docs_padding_waste")
+    assert plan.count("Exchange") <= 8, (
+        "padding-waste replays the rank plans per consumer again "
+        f"({plan.count('Exchange')} exchanges)"
+    )
