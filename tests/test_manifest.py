@@ -967,3 +967,22 @@ def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
     target = head - 3
     s = rollback(t, target)
     assert multiset(s.version) == multiset(target)
+
+
+def test_generalized_txn_map_carries_per_key_max(spark, tmp_path):
+    """The generalized txn marker map (meta['txn'], the Delta
+    appId->version idiom for MULTIPLE writers) merges per-key MAX across
+    commits: an old replayed marker can never regress a newer one, and
+    commits without any txn meta still carry the map forward."""
+    from prod_data_pipeline_spark.sources.manifest import read_manifest
+
+    t = str(tmp_path / "tbl")
+    df = lambda lo: spark.range(lo, lo + 5).withColumn("v", F.col("id"))  # noqa: E731
+    commit_snapshot(df(0), t, meta={"txn": {"appA": 5}})
+    s2 = commit_snapshot(df(10), t, mode="append")  # no txn meta at all
+    assert read_manifest(t, s2.version).meta["txn"] == {"appA": 5}
+    # stale appA marker (3 < 5) must NOT regress; appB merges in
+    s3 = commit_snapshot(df(20), t, mode="append", meta={"txn": {"appA": 3, "appB": 1}})
+    assert read_manifest(t, s3.version).meta["txn"] == {"appA": 5, "appB": 1}
+    s4 = commit_snapshot(df(30), t, mode="overwrite", meta={"txn": {"appB": 2}})
+    assert read_manifest(t, s4.version).meta["txn"] == {"appA": 5, "appB": 2}
