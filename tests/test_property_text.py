@@ -1,0 +1,76 @@
+"""Property-based checks (hypothesis) for the markup/boilerplate family:
+the synthetic page builder and the real extractor must agree on geometry
+for ANY corpus — every paragraph token survives tag-stripping exactly,
+nav/footer never classify as content, and a pure-python reference
+classifier reproduces every integer rule decision."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F  # noqa: F401
+
+from prod_data_pipeline_spark.operators.text import (
+    BOILER_STOPLIST,
+    LINK_DEN,
+    LINK_NUM,
+    MIN_BLOCK_TOKENS,
+    PARA_TOKENS,
+    STOP_DEN,
+    STOP_NUM,
+    markup_blocks,
+    synthetic_markup_pages,
+)
+
+# mixed vocab: content words + stopwords so the density rule genuinely
+# flips across examples
+WORD = st.sampled_from("alpha beta gamma the a de und kappa lam mu".split())
+DOC = st.lists(WORD, min_size=0, max_size=60).map(" ".join)
+CORPUS = st.lists(DOC, min_size=1, max_size=8)
+
+
+def _reference_blocks(doc_id: int, text: str):
+    """Pure-python replay of the page geometry + classification rules."""
+    toks = [w for w in text.lower().split() if w]
+    stop = set(BOILER_STOPLIST)
+    out = []
+    n_links = doc_id % 3 + 2
+    out.append(("nav", n_links, n_links, 0))  # (type, n_tok, n_link, n_stop)
+    for i in range(0, len(toks), PARA_TOKENS):
+        seg = toks[i : i + PARA_TOKENS]
+        out.append(("p", len(seg), 0, sum(1 for t in seg if t in stop)))
+    out.append(("footer", 7, 0, 0))
+    res = []
+    for typ, n_tok, n_link, n_stop in out:
+        good = (
+            n_tok >= MIN_BLOCK_TOKENS
+            and LINK_NUM * n_link <= LINK_DEN * n_tok
+            and STOP_NUM * n_stop >= STOP_DEN * n_tok
+        )
+        res.append((typ, n_tok, n_link, n_stop, good))
+    return res
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=CORPUS)
+def test_markup_extraction_matches_reference_geometry(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in markup_blocks(synthetic_markup_pages(df)).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (
+                r["block_type"],
+                r["n_tokens"],
+                r["n_link_tokens"],
+                r["n_stop_tokens"],
+                r["is_good"],
+            )
+        )
+    for i, t in rows:
+        assert got.get(i, []) == _reference_blocks(i, t), f"doc {i}: {t!r}"
+        # structural invariants regardless of content
+        blocks = got[i]
+        assert blocks[0][0] == "nav" and blocks[-1][0] == "footer"
+        assert not blocks[0][4] and not blocks[-1][4]  # chrome never content
+        n_toks = len([w for w in t.lower().split() if w])
+        assert sum(b[1] for b in blocks if b[0] == "p") == n_toks  # lossless
