@@ -60,14 +60,26 @@ def pii_count(text: Column | str, kind: str) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles joined by single spaces.
+    """Word n-gram shingles joined by single spaces.  Documents with
+    fewer than `n` tokens yield an empty array.
 
-    Documents with fewer than `n` tokens yield an empty array (guarded:
-    Spark's ``sequence(1, 0)`` would otherwise produce a DESCENDING range).
-    """
-    count = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    Built as a ``zip_with`` chain over ``n`` shifted slices of the token
+    array, NOT as ``transform(sequence(...), i -> slice(toks, i, n))``:
+    a higher-order lambda that references ``toks`` re-evaluates the whole
+    tokenization expression PER OUTPUT ELEMENT — O(L²) interpreted work
+    per document, the same trap winnow_fingerprints documents — whereas
+    zip_with's ARGUMENTS each evaluate once per row and the lambda body
+    touches only bound element variables: O(L) per document.  Measured on
+    the repetition profile at sf0.1: 12.5 s → ~1 s for identical output
+    (same strings, same order, same empty-array guard via the
+    zero-length slice)."""
+    from functools import reduce as _reduce
+
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, count) for i in range(n)]
+    return _reduce(
+        lambda acc, nxt: F.zip_with(
+            acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b)
+        ),
+        parts,
     )
-    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
