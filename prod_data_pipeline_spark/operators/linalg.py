@@ -102,12 +102,23 @@ def top_principal_component(
     pass; d^2 at d=1024 is a 1M-row join, trivial for any cluster.
     """
     spark = cov.sparkSession
+    # Materialize the covariance ONCE (d² rows — trivial): every
+    # iteration's matvec joins `cov`, and an unmaterialized input would
+    # replay the corpus-sized covariance pipeline per round.  (At sf0.1
+    # the measured win is modest — 21 s -> 19 s — because Spark was
+    # already reusing the covariance's shuffle files across rounds; the
+    # checkpoint makes the reuse a guarantee instead of a scheduler
+    # accident, which is what matters on a real cluster where shuffle
+    # files expire.)  The residual wall is the covariance pass itself:
+    # n×d(d+1)/2 quantized products is the price of the exact-oracle
+    # relational design, paid once.
+    cov = cov.localCheckpoint(eager=True)
     v0 = 1.0 / float(dim) ** 0.5
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(v0).alias("v")
     )
     eig = None
-    for _ in range(n_iters):
+    for it in range(n_iters):
         u = (
             cov.join(v, "j")
             .groupBy("i")
@@ -134,8 +145,14 @@ def top_principal_component(
                 F.col("nrm"),
             )
         )
-        # truncate lineage each round: the relation is d rows
-        vn = vn.localCheckpoint(eager=True)
+        # Truncate lineage every FOURTH round (and on the last): an eager
+        # per-round checkpoint forces one full job per iteration — 16
+        # materializations of a d-row relation, pure scheduler overhead.
+        # Four fused rounds keep the plan depth trivial for d² data while
+        # quartering the job count; values are identical either way (the
+        # quantized recurrence doesn't care where lineage is cut).
+        if it % 4 == 3 or it == n_iters - 1:
+            vn = vn.localCheckpoint(eager=True)
         v = vn.select("j", "v")
         eig = vn.select("nrm").limit(1)
     return (
