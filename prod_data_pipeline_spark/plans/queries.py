@@ -6205,8 +6205,14 @@ def events_value_mad_outliers(spark, sf_dir):
         exact_quantiles(ev, "value", {"med": 0.5}, by=["event_type"])
         .select("event_type", F.col("quantile").alias("med"))
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("value") - F.col("med"))
+    # the second quantile pass and the final rollup each reference `dev`
+    # several times (exact_quantiles reads its input for bounds, bucket
+    # ranks and offsets) — checkpointing cuts the replayed median chain
+    # (4.9 s -> 3.5 s at sf0.1); identical values
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+        .localCheckpoint(eager=False)
     )
     mad = (
         exact_quantiles(
@@ -7273,14 +7279,19 @@ def customer_rfm_segments(spark, sf_dir):
         "m",
         F.datediff(F.col("anchor"), F.col("last_order")).alias("r_days"),
     )
-    cur = scored
+    # Each bucketed_global_rank references its input several times
+    # (percentile bounds, bucket assignment, offset join); chained three
+    # deep the unmaterialized plan replays the whole prior chain per
+    # reference.  Checkpoint the customer-sized relation between stages
+    # — identical values, 4.5 s -> ~2 s at sf0.1.
+    cur = scored.localCheckpoint(eager=False)
     for metric, alias in (("r_days", "r_q"), ("f", "f_q"), ("m_d", "m_q")):
         if metric == "m_d":
             cur = cur.withColumn("m_d", F.col("m").cast("double"))
         ranked = bucketed_global_rank(cur, [metric, "o_custkey"])
         cur = ranked.withColumn(
             alias, ntile_from_rank(F.col("rank"), F.col("n_total"), 4)
-        ).drop("rank", "n_total")
+        ).drop("rank", "n_total").localCheckpoint(eager=False)
     return (
         cur.groupBy("r_q", "f_q", "m_q")
         .agg(
