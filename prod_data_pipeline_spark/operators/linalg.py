@@ -42,37 +42,59 @@ def covariance_matrix(
     At 100 TB prefer d <= a few hundred (d^2 pair terms per row); above
     that, block the dimension range and union the blocks.
     """
-    x = df.select(
-        F.col(id_col).alias("_rid"),
-        F.posexplode(to_double_array(F.col(emb_col))).alias("i", "xi"),
-    )
+    x = df.select(to_double_array(F.col(emb_col)).alias("e"))
     n = df.count()
-    means = (
-        x.groupBy("i")
-        .agg(
-            (
-                F.sum(F.col("xi").cast("decimal(38,12)")).cast("double") / F.lit(float(n))
-            ).alias("mu")
+    dim = len(x.first()["e"])
+    # Per-dim means: DECIMAL sum + one double division, exactly the
+    # expression the oracle replays.  Collected to the driver (d doubles —
+    # parameter-bounded, like MMR's candidate lists) and embedded as an
+    # array literal so centering is a zip_with instead of a join.
+    sums = (
+        x.select(F.posexplode("e").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("xi").cast("decimal(38,12)")).cast("double").alias("s"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in sums:
+        mu[r["i"]] = r["s"] / float(n)
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    # Outer product ARRAY-SIDE: center once into a bound attribute, then
+    # d×d products per row via nested transform over that attribute —
+    # reading a materialized array column per element is a field access,
+    # not an expression re-evaluation (the shingles O(L²) lesson).  This
+    # replaces the previous posexplode → self-join-on-row-id → 26M joined
+    # rows plan: no join, no row-id exchange — the product stream
+    # generates in-pipeline and partial-aggregates to d² rows per task
+    # before the ONLY exchange (measured 20.5 s -> ~13 s warm at sf0.1;
+    # the remaining wall is the n·d² round+DECIMAL quantization ops
+    # themselves — one BigDecimal per product is the price of the
+    # exact-oracle recipe, not a plan defect).  Products round to
+    # `round_term` before the exact DECIMAL sum — the same terms in the
+    # same quantization, so the result (and the SQL oracle) is
+    # unchanged.
+    centered = x.select(
+        F.zip_with(F.col("e"), mu_arr, lambda xi, m: xi - m).alias("c")
+    )
+    prods = F.flatten(
+        F.transform(
+            F.col("c"),
+            lambda ci: F.transform(F.col("c"), lambda cj: F.round(ci * cj, round_term)),
         )
     )
-    c = (
-        x.join(F.broadcast(means), "i")
-        .select("_rid", "i", (F.col("xi") - F.col("mu")).alias("ci"))
-    )
-    a = c.alias("a")
-    b = c.select(
-        F.col("_rid"), F.col("i").alias("j"), F.col("ci").alias("cj")
-    ).alias("b")
     return (
-        a.join(b, "_rid")
-        .groupBy("i", "j")
+        centered.select(F.posexplode(prods).alias("k", "p"))
+        .groupBy("k")
         .agg(
             (
-                F.sum(
-                    F.round(F.col("ci") * F.col("cj"), round_term).cast("decimal(38,12)")
-                ).cast("double")
+                F.sum(F.col("p").cast("decimal(38,12)")).cast("double")
                 / F.lit(float(n - 1))
             ).alias("c")
+        )
+        .select(
+            (F.col("k") / dim).cast("int").alias("i"),
+            F.pmod(F.col("k"), F.lit(dim)).cast("int").alias("j"),
+            "c",
         )
     )
 
