@@ -12840,12 +12840,22 @@ DRIVER_ORDER: list[str] = [
 
 
 
+#: Round-7 additions deferred past the saturated window (stale-first
+#: policy): pinned to positions 51-52 so they lead any over-50 check and
+#: head round 8's window by construction.
+DRIVER_DEFERRED: tuple[str, ...] = ("docs_langid_eval", "docs_padding_waste")
+
+
 def ordered_queries() -> dict[str, QuerySpec]:
     """QUERIES re-keyed so DRIVER_ORDER entries come first (driver window),
-    with every remaining query following in registration order."""
+    then the deferred never-checked queries, then every remaining query
+    in registration order."""
     out: dict[str, QuerySpec] = {}
     for name in DRIVER_ORDER:
         out[name] = QUERIES[name]
+    for name in DRIVER_DEFERRED:
+        if name not in out:
+            out[name] = QUERIES[name]
     for name, spec in QUERIES.items():
         if name not in out:
             out[name] = spec
