@@ -12782,68 +12782,75 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- pinned bench sentinels (always in-window) ---
+    # --- round-8 window (tools/rotation.py --propose, capacity-derived
+    # 5-round freshness budget): the 2 never-driver-checked round-7
+    # deferrals lead, then the pinned bench sentinels, then 45 of the 49
+    # oldest (r4) rows oldest-first; the 4 r4 overflow queries defer to
+    # round 9 inside the 5-round budget. ---
+    "docs_langid_eval",
+    "docs_padding_waste",
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    # --- r03-stale cohort: 41 queries whose latest driver row dates to r3 ---
-    "corpus_dup_clusters",
-    "docs_bpe_token_stats",
-    "docs_chunk_spans",
-    "docs_contamination",
-    "docs_pii_scrub_stats",
-    "docs_repetition_stats",
-    "docs_tfidf_top_terms",
-    "docs_token_budget",
-    "emb_cosine_near_dup_pairs",
-    "emb_ivf_recall",
-    "emb_label_centroids",
-    "events_approx_distinct_users",
-    "events_asof_last_view",
-    "events_clicks_before_purchase",
-    "events_daily_distinct_users",
-    "events_funnel_daily",
-    "events_hll_mergeable_users",
-    "events_latest_per_user",
-    "events_rolling_7day",
-    "events_salted_type_counts",
-    "events_type_transitions",
-    "events_user_type_scd2",
-    "events_value_histogram",
-    "events_value_p99_outliers",
-    "events_value_quantiles",
-    "large_volume_orders",
-    "lineitem_priority_by_status",
-    "lineitem_qty_price_corr",
-    "media_decode_profile",
-    "orders_price_deciles",
-    "orders_priority_extremes",
-    "orders_table_diff",
-    "parts_supplier_counts",
-    "q10_returned_revenue",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q22_idle_balances",
-    "user_activity_streaks",
-    "user_event_type_paths",
-    "user_retention_cohorts",
-    # --- round-7's new operators (6): never-driver-checked, so the
-    # policy puts them ahead of the optional r4 staleness fills ---
-    "docs_boilerplate_stats",
-    "events_scd2_temporal_join",
-    "events_ldiversity_audit",
-    "docs_cluster_canonical_by_quality",
-    "emb_hard_negatives",
-    "events_type_audience_overlap",
+    "brand_volume",
+    "corpus_curation_stats",
+    "customer_order_distribution",
+    "customers_with_orders_by_segment",
+    "customers_without_orders",
+    "dedup_docs_exact",
+    "disjunctive_brand_revenue",
+    "docs_dup_pagerank",
+    "docs_dup_triangles",
+    "docs_jaccard_prefix_pairs",
+    "docs_lang_id",
+    "docs_minhash_signatures",
+    "docs_mixing_weights",
+    "docs_ngram_jaccard_pairs",
+    "docs_quality_scores",
+    "docs_simhash_pairs",
+    "docs_stratified_sample",
+    "docs_token_stats",
+    "docs_train_val_test_split",
+    "docs_unigram_logprob",
+    "docs_vocab_coverage",
+    "docs_winnow_fingerprints",
+    "dup_event_ids",
+    "emb_quantization_error",
+    "emb_topk_bruteforce",
+    "events_cube_day_type",
+    "events_daily_type_pivot",
+    "events_debounce_stats",
+    "events_dq_profile",
+    "events_grouping_sets",
+    "events_per_day_dense",
+    "events_type_value_mi",
+    "events_type_value_stats",
+    "nation_keys_except",
+    "order_rollup_stats",
+    "orders_merge_upsert",
+    "props_typed_struct_stats",
+    "q4_late_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "repeat_users_topk",
+    "slow_orders_by_priority",
+    "small_quantity_parts_revenue",
 ]
 
 
 
-#: Round-7 additions deferred past the saturated window (stale-first
-#: policy): pinned to positions 51-52 so they lead any over-50 check and
-#: head round 8's window by construction.
-DRIVER_DEFERRED: tuple[str, ...] = ("docs_langid_eval", "docs_padding_waste")
+#: Queries deferred past the window to the FRONT of next round's
+#: rotation: round 8 window capacity held 45 of the 49 r4-aged rows, so
+#: these 4 (all r4, still inside the 5-round freshness budget) are
+#: pinned to positions 51-54 and lead round 9's oldest-first fill.
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "top_order_per_customer",
+    "top_orders_by_revenue",
+    "trading_nations",
+    "user_running_value",
+)
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

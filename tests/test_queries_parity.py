@@ -37,20 +37,23 @@ def test_driver_order_policy():
     # the contract survives round turnover:
     #   (a) every query with NO driver CORRECTNESS row ever is in-window;
     #   (b) the pinned bench sentinels are in-window;
-    #   (c) every query ≥3 rounds stale (latest row ≤ max_round - 3) is
-    #       in-window — the freshness budget of 190 queries / 50-slot
-    #       window is 3.8 rounds, so a 4-round-old row means the rotation
-    #       was skipped.
+    #   (c) every query stale past the CAPACITY-DERIVED freshness budget
+    #       (ceil(n_queries / non-sentinel slots) rounds — the fastest
+    #       full rotation the 50-slot window physically permits; round-7
+    #       advisor proved the old hard-coded 3-round budget infeasible
+    #       once the registry outgrew 3×47 queries) is in-window — a row
+    #       older than one full rotation means the rotation was skipped.
     from prod_data_pipeline_spark.plans.queries import DRIVER_SENTINELS
-    from tools.rotation import latest_driver_round
+    from tools.rotation import latest_driver_round, staleness_budget
 
     window = set(oq[:50])
     assert len(DRIVER_ORDER) == 50
     assert set(DRIVER_SENTINELS) <= window, "bench sentinels rotated out"
     latest = latest_driver_round()
     max_round = max(latest.values())
+    budget = staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
     stale = {
-        q for q, r in latest.items() if q in QUERIES and r <= max_round - 3
+        q for q, r in latest.items() if q in QUERIES and r <= max_round - budget
     }
     assert stale <= window, (
         f"≥3-round-stale queries outside the window: {sorted(stale - window)}"

@@ -6,13 +6,20 @@ from CORRECTNESS_r*.json and check/propose the 50-entry window.
     python -m tools.rotation --propose  # print a proposed next-round window
 
 Policy (round-5 verdict + advisor notes; STALE-FIRST precedence added in
-round 7 when the mandatory set first outgrew the window):
+round 7 when the mandatory set first outgrew the window; the staleness
+budget became CAPACITY-DERIVED in round 8 after the round-7 advisor
+proved a hard-coded 3-round budget infeasible at steady state — with
+198 queries and 47 non-sentinel slots a full rotation takes 5 rounds,
+so a 3-round budget mathematically over-saturates the window):
   1. the pinned bench sentinels (plans.queries.DRIVER_SENTINELS) are
      always in, so shared-operator regressions surface externally;
-  2. every query >= 3 rounds stale goes in — letting driver evidence age
-     past the freshness budget is worse than deferring a brand-new query
-     one round (new queries are hash-verified against their oracles at
-     sf0.001 by the local suite every round regardless);
+  2. every query stale past the freshness budget goes in, where the
+     budget is ceil(n_queries / (WINDOW - n_sentinels)) rounds — the
+     fastest full rotation the window capacity permits — because
+     letting driver evidence age past what rotation can physically
+     refresh is worse than deferring a brand-new query one round (new
+     queries are hash-verified against their oracles at sf0.001 by the
+     local suite every round regardless);
   3. every never-driver-checked query goes in IF slots remain; when the
      sentinel+stale set saturates the window, the overflow defers to the
      FRONT of next round's window (reported below, not a failure —
@@ -26,6 +33,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import sys
 
@@ -33,6 +41,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
+
+
+def staleness_budget(n_queries: int, n_sentinels: int) -> int:
+    """Freshness budget in rounds: the fastest full rotation the window
+    capacity permits, ceil(n / (WINDOW - sentinels)).  A row older than
+    this means the rotation was skipped; anything younger may simply be
+    waiting its turn in an oldest-first cycle."""
+    return max(1, math.ceil(n_queries / max(1, WINDOW - n_sentinels)))
 
 
 def latest_driver_round() -> dict[str, int]:
@@ -69,14 +85,17 @@ def main() -> None:
     deferred = [q for q in never if q not in window]
     missing_sentinels = [s for s in DRIVER_SENTINELS if s not in window]
     max_round = max(latest.values()) if latest else 0
-    stale = {q for q, r in latest.items() if q in QUERIES and r <= max_round - 3}
+    budget = staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    print(f"freshness budget   : {budget} rounds "
+          f"(ceil({len(QUERIES)}/{WINDOW - len(DRIVER_SENTINELS)}))")
+    stale = {q for q, r in latest.items() if q in QUERIES and r <= max_round - budget}
     stale_out = sorted(stale - window)
     ok = True
     if len(DRIVER_ORDER) != WINDOW:
         print(f"POLICY FAIL: window has {len(DRIVER_ORDER)} entries, want {WINDOW}")
         ok = False
     if stale_out:
-        print(f"POLICY FAIL: {len(stale_out)} >=3-round-stale queries outside the window: {stale_out}")
+        print(f"POLICY FAIL: {len(stale_out)} >={budget}-round-stale queries outside the window: {stale_out}")
         ok = False
     if missing_sentinels:
         print(f"POLICY FAIL: sentinels missing from window: {missing_sentinels}")
