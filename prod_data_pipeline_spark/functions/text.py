@@ -72,14 +72,20 @@ def shingles(toks: Column, n: int = 3) -> Column:
     touches only bound element variables: O(L) per document.  Measured on
     the repetition profile at sf0.1: 12.5 s → ~1 s for identical output
     (same strings, same order, same empty-array guard via the
-    zero-length slice)."""
+    zero-length slice).
+
+    Null contract (round-7 advisor): a NULL token array yields a typed
+    EMPTY array, matching the original when-guarded formulation — the
+    zip_with chain alone would propagate NULL (``F.size(NULL)`` is NULL)
+    and silently change the contract for external callers."""
     from functools import reduce as _reduce
 
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     parts = [F.slice(toks, i + 1, count) for i in range(n)]
-    return _reduce(
+    chain = _reduce(
         lambda acc, nxt: F.zip_with(
             acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b)
         ),
         parts,
     )
+    return F.coalesce(chain, F.array().cast("array<string>"))

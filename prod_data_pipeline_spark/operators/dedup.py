@@ -482,7 +482,20 @@ def jaccard_prefix_pairs(
     toks = df.select(F.col(id_col), F.array_distinct(elems).alias("toks")).filter(
         F.size("toks") > 0
     )
-    toks = ensure_parallelism(toks).persist(StorageLevel.MEMORY_AND_DISK)
+    # Cache ownership (round-7 advisor): with materialize=True the
+    # function persists and later unpersists; with materialize=False the
+    # caller gets a lazy plan but NO handle to these internal relations,
+    # so a persist would accrete session-lifetime storage.  A lazy
+    # localCheckpoint gives the same shared-read/AQE-stats benefit while
+    # tying the storage to the returned plan's RDD — dropped when the
+    # caller drops the DataFrame (ContextCleaner), not when the session
+    # ends.
+    toks = ensure_parallelism(toks)
+    toks = (
+        toks.persist(StorageLevel.MEMORY_AND_DISK)
+        if materialize
+        else toks.localCheckpoint(eager=False)
+    )
 
     tok = toks.select(F.col(id_col), F.explode("toks").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -515,7 +528,11 @@ def jaccard_prefix_pairs(
     # dfreq+window pipeline replays per branch and the whole chain plans
     # blind (measured 47.5 s -> 11.2 s end-to-end at sf0.1 token space —
     # the single biggest win in this operator's history).
-    prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+    prefix = (
+        prefix.persist(StorageLevel.MEMORY_AND_DISK)
+        if materialize
+        else prefix.localCheckpoint(eager=False)
+    )
     chunk = F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int")
     rep = F.explode(F.sequence(F.lit(0), F.col("m") - 1))
 

@@ -43,8 +43,24 @@ def covariance_matrix(
     that, block the dimension range and union the blocks.
     """
     x = df.select(to_double_array(F.col(emb_col)).alias("e"))
-    n = df.count()
-    dim = len(x.first()["e"])
+    first = x.first()
+    if first is None or first["e"] is None:
+        raise ValueError("covariance_matrix: input frame is empty")
+    dim = len(first["e"])
+    # Uniform-width guard (round-7 advisor): a ragged/shorter embedding
+    # would zip_with-pad with NULL and corrupt the flattened k -> (i, j)
+    # index math, so raggedness is an error, not a silent filter.  The
+    # check rides the count pass — no extra scan.
+    stats = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.size("e") != dim, 1).otherwise(0)).alias("ragged"),
+    ).first()
+    n = stats["n"]
+    if stats["ragged"]:
+        raise ValueError(
+            f"covariance_matrix: {stats['ragged']} rows have embedding "
+            f"length != {dim}; uniform width is required"
+        )
     # Per-dim means: DECIMAL sum + one double division, exactly the
     # expression the oracle replays.  Collected to the driver (d doubles —
     # parameter-bounded, like MMR's candidate lists) and embedded as an

@@ -680,3 +680,41 @@ def test_synthetic_markup_pages_deterministic_geometry(spark):
     assert h1.count("<a href=") == 7 % 3 + 2
     assert h1.count("<p>") == 3  # 60 tokens -> 25+25+10
     assert h1.endswith("</footer></body></html>")
+
+
+def test_shingles_null_tokens_yield_empty_array(spark):
+    """Null-contract pin (round-7 advisor): a NULL token array yields a
+    typed EMPTY array — the zip_with rewrite alone would propagate NULL
+    and silently change the contract for external callers."""
+    from prod_data_pipeline_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"]), (2, None), (3, ["x"])],
+        "doc_id long, toks array<string>",
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingles(F.col("toks")).alias("sh")).collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []  # NULL in -> typed empty array out, never NULL
+    assert rows[3] == []  # fewer than n tokens
+
+
+def test_jaccard_prefix_pairs_lazy_path_matches_materialized(spark):
+    """materialize=False must return the identical verified pair set via
+    plan-owned localCheckpoints (round-7 advisor: the old persist on this
+    path leaked session-lifetime cache the caller could not release)."""
+    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = [
+        (i, "alpha beta gamma delta epsilon zeta " + ("eta theta" if i % 2 else "iota kappa"))
+        for i in range(1, 9)
+    ] + [(9, "totally different words here entirely unrelated content")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    eager = {
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in jaccard_prefix_pairs(df, threshold_pct=70, materialize=True).collect()
+    }
+    lazy = {
+        (r["id_a"], r["id_b"], r["inter"], r["union_sz"])
+        for r in jaccard_prefix_pairs(df, threshold_pct=70, materialize=False).collect()
+    }
+    assert eager == lazy and eager  # same pairs, and the planted dups exist

@@ -373,3 +373,23 @@ def test_l2_topk_ignores_malformed_embeddings(spark):
     got = [(r.neighbor_id, r.rank) for r in l2_topk(corpus, queries, k=3).collect()]
     assert 99 not in {n for n, _ in got}
     assert got[0] == (1, 1)  # exact match ranks first, not the NULL row
+
+
+def test_covariance_matrix_empty_and_ragged_raise(spark):
+    """Input guards (round-7 advisor): an empty frame raised a bare
+    TypeError from first(), and a ragged embedding silently corrupted
+    the flattened k -> (i, j) index math via zip_with NULL padding."""
+    import pytest as _pytest
+
+    from prod_data_pipeline_spark.operators.linalg import covariance_matrix
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        covariance_matrix(empty)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="length"):
+        covariance_matrix(ragged)
