@@ -12782,75 +12782,71 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-8 window (tools/rotation.py --propose, capacity-derived
-    # 5-round freshness budget): the 2 never-driver-checked round-7
-    # deferrals lead, then the pinned bench sentinels, then 45 of the 49
-    # oldest (r4) rows oldest-first; the 4 r4 overflow queries defer to
-    # round 9 inside the 5-round budget. ---
-    "docs_langid_eval",
-    "docs_padding_waste",
+    # --- round-9 window (tools/rotation.py --propose, capacity-derived
+    # 5-round freshness budget): the pinned bench sentinels lead, then the
+    # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
+    # 43 of the r5 cohort oldest-first.  Net-new round-9 queries replace
+    # trailing r5 fillers when registered (rotation policy #3: never-checked
+    # outranks a non-mandatory filler). ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "brand_volume",
-    "corpus_curation_stats",
-    "customer_order_distribution",
-    "customers_with_orders_by_segment",
-    "customers_without_orders",
-    "dedup_docs_exact",
-    "disjunctive_brand_revenue",
-    "docs_dup_pagerank",
-    "docs_dup_triangles",
-    "docs_jaccard_prefix_pairs",
-    "docs_lang_id",
-    "docs_minhash_signatures",
-    "docs_mixing_weights",
-    "docs_ngram_jaccard_pairs",
-    "docs_quality_scores",
-    "docs_simhash_pairs",
-    "docs_stratified_sample",
-    "docs_token_stats",
-    "docs_train_val_test_split",
-    "docs_unigram_logprob",
-    "docs_vocab_coverage",
-    "docs_winnow_fingerprints",
-    "dup_event_ids",
-    "emb_quantization_error",
-    "emb_topk_bruteforce",
-    "events_cube_day_type",
-    "events_daily_type_pivot",
-    "events_debounce_stats",
-    "events_dq_profile",
-    "events_grouping_sets",
-    "events_per_day_dense",
-    "events_type_value_mi",
-    "events_type_value_stats",
-    "nation_keys_except",
-    "order_rollup_stats",
-    "orders_merge_upsert",
-    "props_typed_struct_stats",
-    "q4_late_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "repeat_users_topk",
-    "slow_orders_by_priority",
-    "small_quantity_parts_revenue",
+    "top_order_per_customer",
+    "top_orders_by_revenue",
+    "trading_nations",
+    "user_running_value",
+    "basket_part_pair_lift",
+    "customers_cohort_ltv",
+    "customers_survival_curve",
+    "docs_bm25_topk",
+    "docs_bpe_encode_stats",
+    "docs_cdc_chunk_dedup",
+    "docs_collocations_pmi",
+    "docs_containment_pairs",
+    "docs_dup_threshold_sweep",
+    "docs_heaps_law_fit",
+    "docs_kcore_summary",
+    "docs_lang_source_chi2",
+    "docs_leakage_safe_split",
+    "docs_local_clustering",
+    "docs_lpa_communities",
+    "docs_lsh_recall_vs_exact",
+    "docs_novelty_by_source",
+    "docs_shard_rebalance_audit",
+    "docs_snm_recall_vs_exact",
+    "docs_sorted_neighborhood_pairs",
+    "docs_substring_dup_spans",
+    "docs_token_mass_quantiles",
+    "docs_trigram_logprob",
+    "docs_weighted_reservoir_topk",
+    "emb_centroid_drift",
+    "emb_label_separation",
+    "emb_mmr_rerank",
+    "emb_rrf_topk",
+    "emb_top2_principal_components",
+    "events_cms_heavy_hitters",
+    "events_conversion_latency",
+    "events_ewma_anomalies",
+    "events_scd2_asof_snapshot",
+    "events_type_markov_stationary",
+    "events_value_sketch_quantiles",
+    "fk_integrity_audit",
+    "lineitem_mahalanobis_outliers",
+    "media_audio_dominant_band",
+    "media_image_edge_density",
+    "media_image_phash_groups",
+    "media_video_motion_energy",
+    "media_video_scene_changes",
+    "orders_benford_audit",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 8 window capacity held 45 of the 49 r4-aged rows, so
-#: these 4 (all r4, still inside the 5-round freshness budget) are
-#: pinned to positions 51-54 and lead round 9's oldest-first fill.
-DRIVER_DEFERRED: tuple[str, ...] = (
-    "top_order_per_customer",
-    "top_orders_by_revenue",
-    "trading_nations",
-    "user_running_value",
-)
+#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows) left
+#: 43 free slots, all filled oldest-first from the r5 cohort; nothing is
+#: deferred this round.
+DRIVER_DEFERRED: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
