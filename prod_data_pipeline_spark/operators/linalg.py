@@ -44,22 +44,34 @@ def covariance_matrix(
     """
     x = df.select(to_double_array(F.col(emb_col)).alias("e"))
     first = x.first()
-    if first is None or first["e"] is None:
+    if first is None:
         raise ValueError("covariance_matrix: input frame is empty")
+    if first["e"] is None:
+        raise ValueError("covariance_matrix: first row has NULL embedding")
     dim = len(first["e"])
     # Uniform-width guard (round-7 advisor): a ragged/shorter embedding
     # would zip_with-pad with NULL and corrupt the flattened k -> (i, j)
     # index math, so raggedness is an error, not a silent filter.  The
-    # check rides the count pass — no extra scan.
+    # check rides the count pass — no extra scan.  NULL embeddings and
+    # NULL elements count as ragged too (round-8 advisor): for a NULL
+    # array `size(e) != dim` is NULL, so the old when/otherwise counted 0
+    # and the row passed the guard while still inflating n — exactly the
+    # silent skew the guard exists to prevent.
+    bad = (
+        F.col("e").isNull()
+        | (F.size("e") != dim)
+        | F.exists("e", lambda xi: xi.isNull())
+    )
     stats = x.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.size("e") != dim, 1).otherwise(0)).alias("ragged"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("ragged"),
     ).first()
     n = stats["n"]
     if stats["ragged"]:
         raise ValueError(
-            f"covariance_matrix: {stats['ragged']} rows have embedding "
-            f"length != {dim}; uniform width is required"
+            f"covariance_matrix: {stats['ragged']} rows have a NULL "
+            f"embedding, a NULL element, or length != {dim}; uniform "
+            f"non-null width is required"
         )
     # Per-dim means: DECIMAL sum + one double division, exactly the
     # expression the oracle replays.  Collected to the driver (d doubles —

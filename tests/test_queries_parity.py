@@ -56,7 +56,7 @@ def test_driver_order_policy():
         q for q, r in latest.items() if q in QUERIES and r <= max_round - budget
     }
     assert stale <= window, (
-        f"≥3-round-stale queries outside the window: {sorted(stale - window)}"
+        f"≥{budget}-round-stale queries outside the window: {sorted(stale - window)}"
     )
     # Never-driver-checked queries go in-window; when sentinels+stale
     # saturate all 50 slots, the overflow may defer one round — but ONLY

@@ -393,3 +393,33 @@ def test_covariance_matrix_empty_and_ragged_raise(spark):
     )
     with _pytest.raises(ValueError, match="length"):
         covariance_matrix(ragged)
+
+
+def test_covariance_matrix_null_embeddings_raise(spark):
+    """Round-8 advisor: a NULL embedding made `size(e) != dim` NULL, so
+    the when/otherwise ragged counter scored it 0 — the row passed the
+    guard, contributed nothing to the product sums, yet inflated n
+    (silent covariance skew).  NULL elements inside a correctly-sized
+    array slipped through the same way.  Both must raise."""
+    import pytest as _pytest
+
+    from prod_data_pipeline_spark.operators.linalg import covariance_matrix
+
+    null_emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        covariance_matrix(null_emb)
+
+    null_elem = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        covariance_matrix(null_elem)
+
+    first_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="first row has NULL embedding"):
+        covariance_matrix(first_null)
