@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.text import tokens
+from prod_data_pipeline_spark.session import truncate_lineage
 from prod_data_pipeline_spark.operators.dedup import drop_exact_dups, near_dup_pairs
 from prod_data_pipeline_spark.operators.text import quality_score
 
@@ -99,7 +100,7 @@ def dup_clusters(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("nbr_min")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage, eager=True)
     )
     for _ in range(max_iter):
         nbr = (
@@ -117,7 +118,7 @@ def dup_clusters(
                 F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage, eager=True)
         )
         changed = stepped.filter(F.col("label") != F.col("_old")).limit(1).count()
         labels = stepped.select("id", "label")
@@ -178,6 +179,6 @@ def curate_corpus(
     if materialize:
         # checkpoint the (per-surviving-doc, 4-column) result, then release
         # the exact-dedup cache — no session-lifetime storage per call
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(truncate_lineage, eager=True)
         d1.unpersist()
     return out

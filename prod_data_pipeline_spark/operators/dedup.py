@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.text import shingles, tokens
-from prod_data_pipeline_spark.session import ensure_parallelism
+from prod_data_pipeline_spark.session import ensure_parallelism, truncate_lineage
 
 
 def _maybe_sort(pairs: DataFrame, sort: bool) -> DataFrame:
@@ -169,7 +169,7 @@ def near_dup_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     if materialize:
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(truncate_lineage, eager=True)
         sig.unpersist()
     return _maybe_sort(out, sort)
 
@@ -315,7 +315,7 @@ def simhash_bucket_pairs(
         .select("id_a", "id_b", "hamming")
     )
     if materialize:
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(truncate_lineage, eager=True)
         sim.unpersist()
     return _maybe_sort(out, sort)
 
@@ -391,7 +391,7 @@ def substring_dup_spans(
         # two plan branches read `w` (hash agg + semi probe); materialize the
         # small duplicated-window relation, then release the cache so the
         # operator doesn't leak session-lifetime storage per call.
-        dupw = dupw.localCheckpoint(eager=True)
+        dupw = dupw.transform(truncate_lineage, eager=True)
         w.unpersist()
 
     from pyspark.sql import Window as W
@@ -486,15 +486,21 @@ def jaccard_prefix_pairs(
     # function persists and later unpersists; with materialize=False the
     # caller gets a lazy plan but NO handle to these internal relations,
     # so a persist would accrete session-lifetime storage.  A lazy
-    # localCheckpoint gives the same shared-read/AQE-stats benefit while
+    # lineage cut gives the same shared-read/AQE-stats benefit while
     # tying the storage to the returned plan's RDD — dropped when the
     # caller drops the DataFrame (ContextCleaner), not when the session
-    # ends.
+    # ends.  Trade-off (round-8 advisor): in its default localCheckpoint
+    # mode this is NOT fault-tolerant — blocks live only on executors,
+    # so an executor loss (dynamic allocation, spot nodes) makes them
+    # unrecoverable and fails the caller's job, where a persisted plan
+    # would recompute from lineage.  On a real cluster configure a
+    # reliable checkpoint dir (session.truncate_lineage docstring) to
+    # restore fault tolerance at the cost of per-call FS writes.
     toks = ensure_parallelism(toks)
     toks = (
         toks.persist(StorageLevel.MEMORY_AND_DISK)
         if materialize
-        else toks.localCheckpoint(eager=False)
+        else toks.transform(truncate_lineage, eager=False)
     )
 
     tok = toks.select(F.col(id_col), F.explode("toks").alias("token"))
@@ -531,7 +537,7 @@ def jaccard_prefix_pairs(
     prefix = (
         prefix.persist(StorageLevel.MEMORY_AND_DISK)
         if materialize
-        else prefix.localCheckpoint(eager=False)
+        else prefix.transform(truncate_lineage, eager=False)
     )
     chunk = F.pmod(F.xxhash64(F.col(id_col)), F.col("m")).cast("int")
     rep = F.explode(F.sequence(F.lit(0), F.col("m") - 1))
@@ -616,7 +622,7 @@ def jaccard_prefix_pairs(
         # don't leak session-lifetime storage.  materialize=False hands
         # the lazy plan back for inspection/composition — the CALLER then
         # owns the cache lifetime.
-        verified = verified.localCheckpoint(eager=True)
+        verified = verified.transform(truncate_lineage, eager=True)
         toks.unpersist()
         prefix.unpersist()
     return verified
@@ -788,7 +794,7 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(truncate_lineage, eager=True)
     toksets.unpersist()
     ranked.unpersist()
     return out
@@ -891,6 +897,6 @@ def sorted_neighborhood_pairs(
             "jaccard",
         )
     )
-    verified = verified.localCheckpoint(eager=True)
+    verified = verified.transform(truncate_lineage, eager=True)
     keyed.unpersist()
     return verified

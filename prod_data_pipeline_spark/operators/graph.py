@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from prod_data_pipeline_spark.session import truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -94,12 +96,12 @@ def pagerank(
             new_rank = new_rank + F.lit(damping) * F.col("m") / n_nodes
         ranks = joined.select("node", new_rank.alias("rank"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(truncate_lineage, eager=True)
 
     # materialize the final state BEFORE releasing the node/edge caches —
     # the tail iterations' lineage still reads both, and unpersisting a
     # lazy result would silently recompute the whole loop at first action
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(truncate_lineage, eager=True)
     nodes.unpersist()
     edged.unpersist()
     return ranks
@@ -168,7 +170,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("global_clustering"),
-    ).localCheckpoint(eager=True)  # one-row summary: cut lineage to the cache
+    ).transform(truncate_lineage, eager=True)  # one-row summary: cut lineage to the cache
     e.unpersist()
     return result
 
@@ -239,11 +241,11 @@ def pagerank_quantized(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(truncate_lineage, eager=True)
     # materialize the final state BEFORE releasing the edge cache — the tail
     # iterations' lineage still reads it, and unpersisting a lazy result
     # would silently recompute the whole edge plan at first action
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(truncate_lineage, eager=True)
     edges.unpersist()
     return ranks
 
@@ -321,8 +323,8 @@ def ppr_quantized(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
-            ranks = ranks.localCheckpoint(eager=True)
-    ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(truncate_lineage, eager=True)
+    ranks = ranks.transform(truncate_lineage, eager=True)
     edges.unpersist()
     return ranks
 
@@ -371,7 +373,7 @@ def min_hop_distance(
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage, eager=True)
         )
     edges.unpersist()
     return dist.select(F.col("node").alias(id_col), "hop")
@@ -466,7 +468,7 @@ def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
         e.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(e.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage, eager=True)
     )
     prev_edges = None
     for _ in range(max_rounds):
@@ -476,7 +478,7 @@ def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
             edges.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage, eager=True)
         )
         n_next = nxt.count()
         if prev_edges is not None and n_next == prev_edges:
@@ -540,8 +542,8 @@ def label_propagation(
             .select("node", F.coalesce("new_label", "label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_rounds:
-            labels = labels.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+            labels = labels.transform(truncate_lineage, eager=True)
+    labels = labels.transform(truncate_lineage, eager=True)
     edges.unpersist()
     return labels
 
@@ -616,6 +618,6 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
         F.col("common_neighbors").cast("long").alias("common_neighbors"),
         F.round(F.col("aa_dec").cast("double"), 6).alias("aa_score"),
     )
-    out = out.localCheckpoint(eager=True)
+    out = out.transform(truncate_lineage, eager=True)
     e.unpersist()
     return out

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from prod_data_pipeline_spark.functions.vector import to_double_array
+from prod_data_pipeline_spark.session import truncate_lineage
 
 
 def covariance_matrix(
@@ -162,7 +163,7 @@ def top_principal_component(
     # files expire.)  The residual wall is the covariance pass itself:
     # n×d(d+1)/2 quantized products is the price of the exact-oracle
     # relational design, paid once.
-    cov = cov.localCheckpoint(eager=True)
+    cov = cov.transform(truncate_lineage, eager=True)
     v0 = 1.0 / float(dim) ** 0.5
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(v0).alias("v")
@@ -202,7 +203,7 @@ def top_principal_component(
         # quartering the job count; values are identical either way (the
         # quantized recurrence doesn't care where lineage is cut).
         if it % 4 == 3 or it == n_iters - 1:
-            vn = vn.localCheckpoint(eager=True)
+            vn = vn.transform(truncate_lineage, eager=True)
         v = vn.select("j", "v")
         eig = vn.select("nrm").limit(1)
     return (
@@ -262,11 +263,11 @@ def top_principal_components(
     for m in range(1, n_components + 1):
         comp = top_principal_component(
             cur, dim, n_iters=n_iters, round_term=round_term, round_vec=round_vec
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage, eager=True)
         tagged = comp.select(
             F.lit(m).alias("component"), "pos", "loading", "eigenvalue"
         )
         out = tagged if out is None else out.unionByName(tagged)
         if m < n_components:
-            cur = deflate(cur, comp, round_term=round_term).localCheckpoint(eager=True)
+            cur = deflate(cur, comp, round_term=round_term).transform(truncate_lineage, eager=True)
     return out.orderBy("component", "pos")

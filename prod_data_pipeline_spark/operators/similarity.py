@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.vector import cosine_sim, dot, to_double_array
-from prod_data_pipeline_spark.session import ensure_parallelism
+from prod_data_pipeline_spark.session import ensure_parallelism, truncate_lineage
 
 
 def _norm_emb(df: DataFrame, emb_col: str) -> DataFrame:
@@ -537,7 +537,7 @@ def srp_near_dup_pairs(
     if materialize:
         # sig feeds four plan branches; materialize the (small) verified
         # pair set and release the cache — no per-call storage leak.
-        out = out.localCheckpoint(eager=True)
+        out = out.transform(truncate_lineage, eager=True)
         sig.unpersist()
     return out.orderBy("id_a", "id_b") if sort else out
 

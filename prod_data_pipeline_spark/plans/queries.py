@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prod_data_pipeline_spark.schemas import TESTDATA_EVENT_TYPES
-from prod_data_pipeline_spark.session import tune
+from prod_data_pipeline_spark.session import truncate_lineage, tune
 from prod_data_pipeline_spark.sources.readers import load_table
 
 
@@ -5187,7 +5187,7 @@ def docs_bpe_train_16(spark, sf_dir, n_merges: int = 16):
         docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # vocab-sized; corpus never re-read
+        .transform(truncate_lineage, eager=True)  # vocab-sized; corpus never re-read
     )
     merges: list[tuple[int, str, int, str]] = []
     cur = vocab
@@ -5215,7 +5215,7 @@ def docs_bpe_train_16(spark, sf_dir, n_merges: int = 16):
             "c",
         )
         if i % 4 == 0 and i < n_merges:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(truncate_lineage, eager=True)
     return spark.createDataFrame(
         merges, "merge_rank long, pair string, pair_count long, new_symbol string"
     )
@@ -5474,7 +5474,7 @@ def docs_lsh_recall_vs_exact(spark, sf_dir, sample_pct: int = 100):
         .join(sb, "id_b")
         .filter(F.lit(100) * inter >= F.lit(50) * union)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)  # materialize, then release the sig cache
+        .transform(truncate_lineage, eager=True)  # materialize, then release the sig cache
     )
     sig.unpersist()
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -5963,7 +5963,7 @@ def q11_important_part_value(spark, sf_dir):
             ).alias("v")
         )
     )
-    val = val.localCheckpoint(eager=False)
+    val = val.transform(truncate_lineage, eager=False)
     total = val.agg(F.sum("v").alias("total"))
     return (
         val.join(F.broadcast(total))
@@ -6212,7 +6212,7 @@ def events_value_mad_outliers(spark, sf_dir):
     dev = (
         ev.join(F.broadcast(med), "event_type")
         .withColumn("dev", F.abs(F.col("value") - F.col("med")))
-        .localCheckpoint(eager=False)
+        .transform(truncate_lineage, eager=False)
     )
     mad = (
         exact_quantiles(
@@ -6847,7 +6847,7 @@ def emb_top_principal_component(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cov = covariance_matrix(emb).localCheckpoint(eager=True)
+    cov = covariance_matrix(emb).transform(truncate_lineage, eager=True)
     return top_principal_component(cov, dim=64, n_iters=16)
 
 
@@ -7216,7 +7216,7 @@ def emb_top2_principal_components(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cov = covariance_matrix(emb).localCheckpoint(eager=True)
+    cov = covariance_matrix(emb).transform(truncate_lineage, eager=True)
     return top_principal_components(cov, dim=64, n_components=2, n_iters=8)
 
 
@@ -7284,14 +7284,14 @@ def customer_rfm_segments(spark, sf_dir):
     # deep the unmaterialized plan replays the whole prior chain per
     # reference.  Checkpoint the customer-sized relation between stages
     # — identical values, 4.5 s -> ~2 s at sf0.1.
-    cur = scored.localCheckpoint(eager=False)
+    cur = scored.transform(truncate_lineage, eager=False)
     for metric, alias in (("r_days", "r_q"), ("f", "f_q"), ("m_d", "m_q")):
         if metric == "m_d":
             cur = cur.withColumn("m_d", F.col("m").cast("double"))
         ranked = bucketed_global_rank(cur, [metric, "o_custkey"])
         cur = ranked.withColumn(
             alias, ntile_from_rank(F.col("rank"), F.col("n_total"), 4)
-        ).drop("rank", "n_total").localCheckpoint(eager=False)
+        ).drop("rank", "n_total").transform(truncate_lineage, eager=False)
     return (
         cur.groupBy("r_q", "f_q", "m_q")
         .agg(
@@ -9448,14 +9448,14 @@ def parts_related_by_ppr(spark, sf_dir):
         .select("id_a", "id_b")
         # graph-sized relation read by sym-union, seeds, and the anti join:
         # materialize once or every consumer re-runs the basket self-join
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage, eager=True)
     )
     nodes = (
         edges.select(F.col("id_a").alias("node"))
         .union(edges.select(F.col("id_b").alias("node")))
         .distinct()
     )
-    seeds = nodes.orderBy("node").limit(4).localCheckpoint(eager=True)
+    seeds = nodes.orderBy("node").limit(4).transform(truncate_lineage, eager=True)
     ranks = ppr_quantized(edges, seeds, n_iters=6)
     return (
         ranks.join(F.broadcast(seeds), "node", "left_anti")
@@ -11460,7 +11460,7 @@ def events_type_markov_stationary(spark, sf_dir):
         .filter(F.col("next_type").isNotNull())
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # tiny (|types|^2); read 8+2 times
+        .transform(truncate_lineage, eager=True)  # tiny (|types|^2); read 8+2 times
     )
     rowsum = trans.groupBy("event_type").agg(F.sum("n").alias("rn"))
     total = trans.agg(F.sum("n").cast("double").alias("tot"))
@@ -11990,7 +11990,7 @@ def docs_leakage_safe_split(spark, sf_dir):
             .when(F.col("h") < 90, "val")
             .otherwise("test"),
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage, eager=True)
     )
     a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
     b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
@@ -12309,7 +12309,7 @@ def docs_padding_waste(spark, sf_dir):
     base = (
         ranked.join(arrival, ranked.doc_id == arrival.a_doc_id)
         .drop("a_doc_id")
-        .localCheckpoint(eager=False)
+        .transform(truncate_lineage, eager=False)
     )
     sizes = F.explode(F.array(F.lit(8), F.lit(32))).alias("batch_size")
 

@@ -106,4 +106,38 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf not settable at runtime in this build — non-fatal.
             pass
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
+
+
+def truncate_lineage(df, eager: bool = True):
+    """Cut a DataFrame's lineage — cluster-fault-tolerance aware.
+
+    Iterative operators (PageRank, LPA, k-core, power iteration, BPE) and
+    multiply-read intermediates use this to swap a growing/replayed plan
+    for a materialized one.  Two mechanisms, chosen per session:
+
+    - Reliable ``df.checkpoint()`` when the session has a checkpoint
+      directory configured (``SparkContext.setCheckpointDir``; ``tune()``
+      wires ``$SPARK_GRAFT_CHECKPOINT_DIR`` through): blocks land on
+      shared storage (HDFS/S3), so an executor loss costs nothing.  This
+      is the right mode on a real cluster and MANDATORY with dynamic
+      allocation or spot/preemptible nodes — Spark explicitly warns that
+      local checkpoints may never be recoverable there.
+    - ``df.localCheckpoint()`` otherwise: blocks live only on executors —
+      no distributed-FS round-trip, and storage ownership follows the
+      returned plan's RDD (ContextCleaner frees it when the caller drops
+      the DataFrame) — but any executor loss makes those partitions
+      unrecoverable and fails the job.  Fine on local[N] (the executors
+      ARE the driver process) and on static clusters that would rather
+      retry the job than pay checkpoint I/O per iteration.
+
+    Usage is drop-in at method position: ``df.transform(truncate_lineage,
+    eager=False)`` replaces ``df.localCheckpoint(eager=False)``.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

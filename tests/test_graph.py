@@ -259,3 +259,67 @@ def test_adamic_adar_canonicalizes_mixed_orientation_input(spark):
     for r in rows.values():
         assert r.common_neighbors == 2
         assert r.aa_score == pytest.approx(2.0 / math.log(2.0), abs=1e-6)
+
+
+def test_truncate_lineage_local_mode(spark, small_graph):
+    """Default mode: no checkpoint dir configured -> localCheckpoint.
+    PageRank (which cuts lineage via session.truncate_lineage every
+    checkpoint_every rounds) must still match numpy exactly."""
+    from prod_data_pipeline_spark.operators.graph import pagerank
+    from prod_data_pipeline_spark.session import truncate_lineage
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    edges = spark.createDataFrame(small_graph, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+    want = _numpy_pagerank(5, small_graph, n_iters=10)
+    for node, rank in got.items():
+        assert rank == pytest.approx(want[node], abs=1e-12)
+    # direct call: result passthrough, same rows
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert sorted(truncate_lineage(df, eager=True).collect()) == sorted(df.collect())
+
+
+def test_truncate_lineage_reliable_mode(tmp_path):
+    """Cluster-fault-tolerance knob: with $SPARK_GRAFT_CHECKPOINT_DIR set,
+    truncate_lineage swaps localCheckpoint for reliable .checkpoint() —
+    blocks land under the configured directory on shared storage, so an
+    executor loss is recoverable.  Runs in a subprocess because a
+    SparkContext checkpoint dir cannot be unset once configured (it would
+    leak into every other test in this JVM)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ckpt = tmp_path / "ckpt"
+    script = r"""
+import glob, json, os, sys
+sys.path.insert(0, os.environ["REPO"])
+from prod_data_pipeline_spark.session import get_spark
+from prod_data_pipeline_spark.operators.graph import pagerank
+spark = get_spark(cpus=4)
+ck = spark.sparkContext.getCheckpointDir()
+edges = spark.createDataFrame(
+    [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)], "src long, dst long"
+)
+ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iters=10).collect()}
+rdd_dirs = glob.glob(os.path.join(os.environ["SPARK_GRAFT_CHECKPOINT_DIR"], "*", "rdd-*"))
+print(json.dumps({"ckpt_dir": ck, "ranks": ranks, "n_rdd_dirs": len(rdd_dirs)}))
+"""
+    env = dict(
+        os.environ,
+        REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        SPARK_GRAFT_CHECKPOINT_DIR=str(ckpt),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ckpt_dir"] is not None and str(ckpt) in out["ckpt_dir"]
+    # reliable checkpoint actually wrote RDD blocks under the dir
+    assert out["n_rdd_dirs"] >= 1
+    want = _numpy_pagerank(5, [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)])
+    for node, rank in out["ranks"].items():
+        assert rank == pytest.approx(want[int(node)], abs=1e-12)
