@@ -134,3 +134,106 @@ def contamination_overlap(
         .otherwise(F.lit(0.0))
         .alias("contamination_frac"),
     )
+
+
+# Gopher/MassiveText duplicate-LINE/PARAGRAPH thresholds (Rae et al. 2021,
+# Table A1): a document is removed when the duplicate fraction exceeds 0.30
+# (line/paragraph counts) or 0.20 (characters in duplicates).  Expressed as
+# integer cross-multiplications so both engines replay the gate exactly:
+#   dup/total > 3/10   <=>  10*dup > 3*total
+#   dup_chars/chars > 1/5  <=>  5*dup_chars > chars
+DUP_COUNT_NUM, DUP_COUNT_DEN = 10, 3
+DUP_CHAR_NUM = 5
+
+
+def paragraph_repetition_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gopher duplicate-line / duplicate-paragraph statistics per document,
+    computed by GENUINELY parsing newline structure — ``\\n\\n`` splits
+    paragraphs, ``\\n`` splits lines — with no access to whatever token
+    math fabricated the text (see text.synthetic_paragraph_doc).
+
+    A unit occurrence is a *duplicate* when an identical unit appeared
+    earlier in the same document (occurrences beyond the first), the
+    MassiveText counting rule.  Outputs per-doc integer counts
+    (``n_lines, dup_lines, line_chars, dup_line_chars`` and the paragraph
+    twins), the four rounded fractions, and ``passes_repetition`` — the
+    all-integer Gopher gate (count fractions <= 0.30, char fractions
+    <= 0.20).  Empty documents pass with all-zero stats.
+
+    Plan shape: lines and paragraphs ride ONE explode as ('l'|'p', unit)
+    structs, then two doc-keyed hash aggregations — keys are document-
+    local so the shuffle is perfectly spread and map-side combined; no
+    window, no self-join.  At 100 TB this is one scan + one doc-keyed
+    reduction, the same shape as repetition_profile above.
+    """
+    paras = F.filter(F.split(F.col(text_col), r"\n\n"), lambda p: p != "")
+    lines = F.filter(F.split(F.col(text_col), r"\n"), lambda x: x != "")
+    units = F.concat(
+        F.transform(paras, lambda p: F.struct(F.lit("p").alias("u"), p.alias("s"))),
+        F.transform(lines, lambda x: F.struct(F.lit("l").alias("u"), x.alias("s"))),
+    )
+    carry = [F.col(c) for c in carry_cols]
+    ex = df.select(F.col(id_col), *carry, F.explode_outer(units).alias("t")).select(
+        id_col, *carry_cols, F.col("t.u").alias("u"), F.col("t.s").alias("s")
+    )
+    counts = (
+        ex.groupBy(id_col, *carry_cols, "u", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            id_col,
+            *carry_cols,
+            "u",
+            "c",
+            F.length("s").alias("l"),
+        )
+    )
+
+    def agg_unit(tag, expr):
+        return F.coalesce(
+            F.sum(F.when(F.col("u") == tag, expr)), F.lit(0)
+        ).cast("long")
+
+    prof = counts.groupBy(id_col, *carry_cols).agg(
+        agg_unit("l", F.col("c")).alias("n_lines"),
+        agg_unit("l", F.col("c") - 1).alias("dup_lines"),
+        agg_unit("l", F.col("c") * F.col("l")).alias("line_chars"),
+        agg_unit("l", (F.col("c") - 1) * F.col("l")).alias("dup_line_chars"),
+        agg_unit("p", F.col("c")).alias("n_paras"),
+        agg_unit("p", F.col("c") - 1).alias("dup_paras"),
+        agg_unit("p", F.col("c") * F.col("l")).alias("para_chars"),
+        agg_unit("p", (F.col("c") - 1) * F.col("l")).alias("dup_para_chars"),
+    )
+
+    def frac(num, den):
+        return F.when(F.col(den) > 0,
+                      F.round(F.col(num) / F.col(den).cast("double"), 6)
+                      ).otherwise(F.lit(0.0))
+
+    fails = (
+        (F.lit(DUP_COUNT_NUM) * F.col("dup_lines") > F.lit(DUP_COUNT_DEN) * F.col("n_lines"))
+        | (F.lit(DUP_COUNT_NUM) * F.col("dup_paras") > F.lit(DUP_COUNT_DEN) * F.col("n_paras"))
+        | (F.lit(DUP_CHAR_NUM) * F.col("dup_line_chars") > F.col("line_chars"))
+        | (F.lit(DUP_CHAR_NUM) * F.col("dup_para_chars") > F.col("para_chars"))
+    )
+    return prof.select(
+        id_col,
+        *carry_cols,
+        "n_lines",
+        "dup_lines",
+        "line_chars",
+        "dup_line_chars",
+        "n_paras",
+        "dup_paras",
+        "para_chars",
+        "dup_para_chars",
+        frac("dup_lines", "n_lines").alias("dup_line_frac"),
+        frac("dup_paras", "n_paras").alias("dup_para_frac"),
+        frac("dup_line_chars", "line_chars").alias("dup_line_char_frac"),
+        frac("dup_para_chars", "para_chars").alias("dup_para_char_frac"),
+        (~fails).alias("passes_repetition"),
+    )

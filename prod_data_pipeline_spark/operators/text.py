@@ -240,6 +240,68 @@ def extract_main_content(
     )
 
 
+#: Lines are cut every LINE_TOKENS tokens by the synthetic paragraph
+#: builder (5 divides PARA_TOKENS, so lines never straddle paragraphs);
+#: the repetition profiler itself never sees this constant.
+LINE_TOKENS = 5
+
+
+def synthetic_paragraph_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rebuild each document with REAL line/paragraph structure: tokens cut
+    into paragraphs of PARA_TOKENS tokens (lines of LINE_TOKENS within a
+    paragraph, ``\\n``-joined; paragraphs ``\\n\\n``-joined), plus
+    ``doc_id % 4`` extra copies of the FIRST paragraph appended at the end
+    — deterministic synthetic boilerplate, so duplicate-line/paragraph
+    gates have genuine repetition to fire on.  The corpus's ``text`` ships
+    zero newlines (SCALE.md scope note), so this is the same
+    fabricate-then-really-parse recipe as synthetic_markup_pages /
+    synthetic_media_assets: fabrication is pure codegen string
+    construction; the downstream profiler parses the string with no
+    access to the token math.  Adds a ``ptext`` column."""
+    d = df.select("*", tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+
+    def para_str(i):
+        # paragraph i (0-based): tokens [25i+1 .. 25i+25], rendered as
+        # \n-joined lines of 5 tokens; slice() clamps at the array end so
+        # only the LAST paragraph/line comes up short.
+        start = i * PARA_TOKENS
+        cnt = F.least(F.lit(PARA_TOKENS), n - start)
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), ((cnt - 1) / LINE_TOKENS).cast("int")),
+                lambda j: F.array_join(
+                    F.slice(toks, start + j * LINE_TOKENS + 1, LINE_TOKENS), " "
+                ),
+            ),
+            "\n",
+        )
+
+    d = d.select(
+        "*",
+        F.when(n == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(F.sequence(F.lit(0), ((n - 1) / PARA_TOKENS).cast("int")), para_str)
+        )
+        .alias("_paras"),
+    )
+    body = F.concat(
+        F.col("_paras"),
+        F.array_repeat(
+            F.element_at("_paras", 1), (F.col(id_col) % 4).cast("int")
+        ),
+    )
+    return d.withColumn(
+        "ptext",
+        F.when(F.size("_paras") == 0, F.lit("")).otherwise(
+            F.array_join(body, "\n\n")
+        ),
+    ).drop("_toks", "_paras")
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -12124,6 +12124,134 @@ def docs_boilerplate_stats(spark, sf_dir):
     )
 
 
+_PARA_REP_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, source, toks, len(toks) AS n,
+             CAST(doc_id % 4 AS BIGINT) AS n_rep,
+             CAST(ceil(len(toks) / 25.0) AS BIGINT) AS n_paras0
+      FROM d
+    ), paras AS (
+      -- paragraph occurrences: body paragraphs 0..n_paras0-1 once each,
+      -- plus n_rep boilerplate copies of paragraph 0
+      SELECT doc_id, source, toks[25*i+1 : 25*(i+1)] AS ptoks
+      FROM base, unnest(range(n_paras0)) AS u(i)
+      UNION ALL
+      SELECT doc_id, source, toks[1 : 25] AS ptoks
+      FROM base, unnest(range(n_rep)) AS r(j)
+      WHERE n > 0
+    ), lines AS (
+      SELECT doc_id, source, ptoks[5*j+1 : 5*(j+1)] AS ltoks
+      FROM paras, unnest(range(CAST(ceil(len(ptoks) / 5.0) AS BIGINT))) AS v(j)
+    ), pc AS (
+      SELECT doc_id, source, array_to_string(ptoks, ' ') AS k, COUNT(*) AS c
+      FROM paras GROUP BY 1, 2, 3
+    ), lc AS (
+      SELECT doc_id, source, array_to_string(ltoks, ' ') AS k, COUNT(*) AS c
+      FROM lines GROUP BY 1, 2, 3
+    ), pstats AS (
+      SELECT doc_id, source,
+             SUM(c) AS n_paras, SUM(c - 1) AS dup_paras,
+             SUM(c * length(k)) AS para_chars,
+             SUM((c - 1) * length(k)) AS dup_para_chars
+      FROM pc GROUP BY 1, 2
+    ), lstats AS (
+      SELECT doc_id, source,
+             SUM(c) AS n_lines, SUM(c - 1) AS dup_lines,
+             SUM(c * length(k)) AS line_chars,
+             SUM((c - 1) * length(k)) AS dup_line_chars
+      FROM lc GROUP BY 1, 2
+    ), docs_p AS (
+      SELECT b.doc_id, b.source,
+             COALESCE(p.n_paras, 0) AS n_paras,
+             COALESCE(p.dup_paras, 0) AS dup_paras,
+             COALESCE(p.para_chars, 0) AS para_chars,
+             COALESCE(p.dup_para_chars, 0) AS dup_para_chars,
+             COALESCE(l.n_lines, 0) AS n_lines,
+             COALESCE(l.dup_lines, 0) AS dup_lines,
+             COALESCE(l.line_chars, 0) AS line_chars,
+             COALESCE(l.dup_line_chars, 0) AS dup_line_chars
+      FROM base b
+      LEFT JOIN pstats p USING (doc_id, source)
+      LEFT JOIN lstats l USING (doc_id, source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_paras) AS BIGINT) AS n_paras,
+           CAST(SUM(dup_paras) AS BIGINT) AS dup_paras,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(dup_lines) AS BIGINT) AS dup_lines,
+           ROUND(CAST(SUM(dup_lines) AS DOUBLE) / SUM(n_lines), 6) AS dup_line_frac,
+           ROUND(CAST(SUM(dup_paras) AS DOUBLE) / SUM(n_paras), 6) AS dup_para_frac,
+           ROUND(CAST(SUM(dup_line_chars) AS DOUBLE) / SUM(line_chars), 6)
+               AS dup_line_char_frac,
+           ROUND(CAST(SUM(dup_para_chars) AS DOUBLE) / SUM(para_chars), 6)
+               AS dup_para_char_frac,
+           CAST(SUM(CASE WHEN 10*dup_lines > 3*n_lines OR 10*dup_paras > 3*n_paras
+                      OR 5*dup_line_chars > line_chars OR 5*dup_para_chars > para_chars
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+    FROM docs_p GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "docs_paragraph_repetition",
+    oracle=_PARA_REP_ORACLE,
+    tags=("text", "curation", "gopher", "repetition"),
+)
+def docs_paragraph_repetition(spark, sf_dir):
+    """Gopher/MassiveText duplicate-LINE/PARAGRAPH gates (Rae et al. 2021
+    Table A1) — the one documented scope cut of the text stack until round
+    9: ``documents.text`` ships zero newlines, so
+    operators.text.synthetic_paragraph_doc first FABRICATES deterministic
+    structure (25-token paragraphs of 5-token lines, ``doc_id % 4`` extra
+    copies of paragraph 0 as synthetic boilerplate), and
+    operators.quality.paragraph_repetition_profile then GENUINELY parses
+    the string — ``\\n\\n``/``\\n`` splits, duplicate counting by unit
+    equality — with no access to the token math.  The oracle recomputes
+    every expected count arithmetically from raw tokens and doc_id, so a
+    parser bug (wrong split, char count off by a separator, gate
+    off-by-one) breaks the hash.  Per source: corpus-level duplicate
+    fractions as ratios of integer sums (deterministic at any
+    parallelism) and the count of documents the all-integer Gopher gate
+    removes.  100 TB: one scan, one explode, two doc-keyed reductions,
+    one source-keyed rollup — no window, no join."""
+    from prod_data_pipeline_spark.operators.quality import (
+        paragraph_repetition_profile,
+    )
+    from prod_data_pipeline_spark.operators.text import synthetic_paragraph_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    fab = synthetic_paragraph_doc(docs)
+    prof = paragraph_repetition_profile(fab, text_col="ptext", carry_cols=("source",))
+    fails = ~F.col("passes_repetition")
+    return (
+        prof.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_paras").alias("n_paras"),
+            F.sum("dup_paras").alias("dup_paras"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("dup_lines").alias("dup_lines"),
+            F.round(F.sum("dup_lines") / F.sum("n_lines").cast("double"), 6).alias(
+                "dup_line_frac"
+            ),
+            F.round(F.sum("dup_paras") / F.sum("n_paras").cast("double"), 6).alias(
+                "dup_para_frac"
+            ),
+            F.round(
+                F.sum("dup_line_chars") / F.sum("line_chars").cast("double"), 6
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.sum("dup_para_chars") / F.sum("para_chars").cast("double"), 6
+            ).alias("dup_para_char_frac"),
+            F.sum(F.when(fails, 1).otherwise(0)).cast("long").alias("n_failed"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "docs_langid_eval",
     oracle=f"""
@@ -12837,7 +12965,8 @@ DRIVER_ORDER: list[str] = [
     "media_image_phash_groups",
     "media_video_motion_energy",
     "media_video_scene_changes",
-    "orders_benford_audit",
+    # round-9 net-new (never driver-checked, outranks trailing r5 fillers):
+    "docs_paragraph_repetition",
 ]
 
 

@@ -312,3 +312,63 @@ def test_scd2_temporal_join_tie_and_boundary_semantics(spark):
     )
     got = {r["event_id"]: r["asof_tier"] for r in joined.collect()}
     assert got == {10: None, 11: "mid", 12: "high", 13: None}
+
+
+def test_paragraph_repetition_profile_planted(spark):
+    """Gopher duplicate-line/paragraph counting on hand-built newline text:
+    occurrences beyond the first count as duplicates; char fractions weight
+    by unit length; the gate is the all-integer MassiveText rule."""
+    from prod_data_pipeline_spark.operators.quality import (
+        paragraph_repetition_profile,
+    )
+
+    # doc 1: paragraphs [P, Q, P]; P = two identical lines "aa\naa", Q = "bb"
+    #   paras: P x2 (dup 1), Q x1 -> n=3 dup=1; para_chars = 5+5+2=12, dup 5
+    #   lines: "aa" x4 (dup 3), "bb" x1 -> n=5 dup=3; chars 2*5=... aa=2 each
+    # doc 2: no duplicates at all
+    # doc 3: empty text
+    df = _docs(
+        spark,
+        [
+            (1, "aa\naa\n\nbb\n\naa\naa"),
+            (2, "one two\n\nthree"),
+            (3, ""),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_repetition_profile(df).collect()
+    }
+    r1 = out[1]
+    assert (r1["n_paras"], r1["dup_paras"]) == (3, 1)
+    assert (r1["n_lines"], r1["dup_lines"]) == (5, 3)
+    assert (r1["para_chars"], r1["dup_para_chars"]) == (12, 5)
+    assert (r1["line_chars"], r1["dup_line_chars"]) == (10, 6)
+    assert r1["dup_para_frac"] == 0.333333
+    assert r1["dup_line_frac"] == 0.6
+    assert not r1["passes_repetition"]  # 10*3 > 3*5
+    r2 = out[2]
+    assert (r2["n_paras"], r2["n_lines"], r2["dup_paras"], r2["dup_lines"]) == (
+        2, 2, 0, 0,
+    )
+    assert r2["passes_repetition"]
+    r3 = out[3]
+    assert (r3["n_paras"], r3["n_lines"]) == (0, 0)
+    assert r3["passes_repetition"]
+
+
+def test_synthetic_paragraph_doc_structure(spark):
+    """Fabrication contract: 25-token paragraphs of 5-token lines,
+    doc_id % 4 boilerplate copies of paragraph 0 appended."""
+    from prod_data_pipeline_spark.operators.text import synthetic_paragraph_doc
+
+    toks30 = " ".join(f"w{i}" for i in range(30))
+    df = _docs(spark, [(6, toks30), (4, "a b c"), (1, "")])
+    out = {r["doc_id"]: r["ptext"] for r in synthetic_paragraph_doc(df).collect()}
+    paras = out[6].split("\n\n")
+    assert len(paras) == 4  # 2 body + doc_id%4=2 copies of para 0
+    assert paras[0] == paras[2] == paras[3]
+    assert paras[0].count("\n") == 4  # 25 tokens -> 5 lines
+    assert paras[1] == "w25 w26 w27 w28 w29"
+    assert out[4] == "a b c"  # %4==0: no boilerplate
+    assert out[1] == ""
