@@ -585,6 +585,133 @@ def ivf_recall_at_k(
     )
 
 
+def ivf_nprobe_sweep(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+    replicas: int = 1,
+) -> DataFrame:
+    """Recall@k of the k-means IVF index at SEVERAL nprobe settings from
+    one index build and one scored candidate pass — the recall/cost curve
+    an ANN deployment is tuned against.
+
+    The trick that keeps the sweep at single-search cost: every candidate
+    keeps the probe RANK of its cell in the query's euclidean cell
+    ordering, and the nprobe=p result set is exactly the candidates with
+    rank <= p.  So the corpus is scanned once, candidates are scored
+    (cosine) once at max(nprobes), and each sweep point is a filter +
+    per-(query, nprobe) top-k — not len(nprobes) separate searches.  The
+    exact ground truth (brute_force_topk) is likewise computed once.
+
+    Returns one row per (nprobe, query_id): n_exact, n_hit, recall.
+    recall is non-decreasing in nprobe by construction (candidate sets
+    nest), and at nprobe = n_cells every cell is probed, so the result
+    IS brute force and recall is exactly 1.0 — both properties are
+    oracle-checkable facts even though the k-means cells themselves are
+    partitioning-sensitive.
+    """
+    max_np = max(nprobes)
+    assignments, cents = kmeans_cells(
+        df, k=n_cells, emb_col=emb_col, id_col=id_col, seed=seed
+    )
+    norm = _norm_emb(df, emb_col).select(F.col(id_col).alias("neighbor_id"), "_emb")
+    if replicas <= 1:
+        corpus = norm.join(
+            assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+    else:
+        # Cell replication — the standard IVF recall lever: each corpus
+        # vector is indexed under its `replicas` nearest cells (broadcast
+        # centroid codebook, argmin-by-rank; same euclidean metric as the
+        # quantizer), so a query's probe set catches neighbors that sit
+        # just across a cell boundary.  Costs replicas× index size and
+        # candidate volume, never an extra corpus shuffle — the posting
+        # fan-out generates in-pipeline off the broadcast codebook.
+        csq = F.aggregate(
+            F.zip_with(
+                F.col("_emb"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wc = Window.partitionBy("neighbor_id").orderBy(F.asc("_cd"), F.asc("cell"))
+        corpus = (
+            norm.crossJoin(F.broadcast(cents))
+            .withColumn("_cd", csq)
+            .withColumn("_cr", F.row_number().over(wc))
+            .filter(F.col("_cr") <= replicas)
+            .select("neighbor_id", "_emb", "cell")
+        )
+    q = _norm_emb(query_df, emb_col).select(
+        F.col(id_col).alias("query_id"), F.col("_emb").alias("_qemb")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("_qemb"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qc = q.crossJoin(F.broadcast(cents)).withColumn("_d", sqdist)
+    wq = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cell"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= max_np)
+        .select("query_id", "_qemb", "cell", "_pr")
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+        .filter(F.col("_sim").isNotNull())
+        .select("query_id", "neighbor_id", "_sim", "_pr")
+    )
+    if replicas > 1:
+        # a replicated vector can surface via several probed cells: keep
+        # the earliest probe rank so each (query, neighbor) counts once
+        cand = cand.groupBy("query_id", "neighbor_id").agg(
+            F.min("_pr").alias("_pr"), F.max("_sim").alias("_sim")
+        )
+    np_arr = F.array(*[F.lit(int(p)) for p in sorted(nprobes)])
+    fanned = cand.withColumn("nprobe", F.explode(np_arr)).filter(
+        F.col("_pr") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    approx = (
+        fanned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = brute_force_topk(df, query_df, k, id_col, emb_col).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = n_exact.withColumn("nprobe", F.explode(np_arr))
+    return (
+        base.join(hits, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_exact"), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("nprobe", "query_id")
+    )
+
+
 def ivf_topk_label(
     df: DataFrame,
     query_df: DataFrame,

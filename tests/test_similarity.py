@@ -423,3 +423,31 @@ def test_covariance_matrix_null_embeddings_raise(spark):
     )
     with _pytest.raises(ValueError, match="first row has NULL embedding"):
         covariance_matrix(first_null)
+
+
+def test_ivf_nprobe_sweep_properties(spark, emb):
+    """Sweep invariants that hold at ANY data scale: candidate sets nest,
+    so recall is non-decreasing in nprobe; probing every cell IS brute
+    force, so recall at nprobe=n_cells is exactly 1.0; replication can
+    only add candidates, so replicated recall >= unreplicated per point."""
+    from prod_data_pipeline_spark.operators.similarity import ivf_nprobe_sweep
+
+    qdf = emb.filter(F.col("vec_id") < 8)
+
+    def curve(replicas):
+        rows = ivf_nprobe_sweep(
+            emb, qdf, k=10, nprobes=(1, 2, 4, 8), n_cells=8, replicas=replicas
+        ).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["nprobe"], []).append(r["recall"])
+        return {np: sum(v) / len(v) for np, v in out.items()}
+
+    plain, repl = curve(1), curve(2)
+    for c in (plain, repl):
+        assert sorted(c) == [1, 2, 4, 8]
+        assert c[1] <= c[2] <= c[4] <= c[8], c
+        assert c[8] == 1.0, c
+    for np_ in (1, 2, 4):
+        assert repl[np_] >= plain[np_], (plain, repl)
+    assert repl[4] >= 0.8  # the production bar the oracled query pins
