@@ -106,39 +106,37 @@ def jaccard(a: Column, b: Column) -> Column:
     division would throw when both sets are empty — and Catalyst may
     evaluate the expression as a join residual before other predicates
     have filtered such pairs out.
+
+    Identical non-empty arrays short-circuit to 1.0 before any intersect:
+    array equality is a single element-wise compare, where the intersect
+    path builds a hash table per evaluation.  EXACT duplicates dominate
+    verified candidates in the crawl-replica shape (nightly recrawls,
+    mirrored pages — the bench's inflated corpus models it at 10×), and
+    identical docs produce byte-identical distinct-shingle arrays (same
+    first-occurrence order), so the fast path hits exactly where volume
+    concentrates.  Empty==empty still falls through to NULL.
     """
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
-    return F.try_divide(inter, union)
+    return F.when((a == b) & (F.size(a) > 0), F.lit(1.0)).otherwise(
+        F.try_divide(inter, union)
+    )
 
 
-def near_dup_pairs(
+def _near_dup_pairs_lsh(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 8,
-    band_size: int = 2,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    hash_fn: str = "md5",
-    sort: bool = True,
-    materialize: bool = False,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4
-    decimals.  Only band-colliding pairs are verified — the candidate join
-    shuffles the small bucket table, never the corpus against itself.
-
-    Cache lifecycle: the signature relation is persisted (three plan
-    branches read it) and with the default materialize=False the CALLER
-    owns that cache's lifetime — the session releases it at shutdown, or
-    LRU eviction reclaims it under pressure.  This keeps the hot path a
-    single pipelined job (an eager checkpoint costs a measured +0.7 s per
-    call at sf0.1 — scheduling, not data).  Long-running sessions calling
-    this in a loop should pass materialize=True: the verified pairs are
-    checkpointed and the signature cache is released before returning.
-    """
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
+    threshold: float,
+    hash_fn: str,
+):
+    """The core MinHash-LSH pipeline over an (assumed exact-dup-free)
+    corpus: signatures -> band buckets -> candidate self-join -> exact
+    Jaccard verify.  Returns (pairs, sig_cache) — the caller owns the
+    persisted signature relation's lifecycle."""
     sig = with_minhash(df, id_col, text_col, num_hashes, shingle_n, hash_fn)
     sig = sig.select(id_col, "shingle_set", *[f"mh_{j}" for j in range(num_hashes)])
     # The signature relation feeds three plan branches (bands + both sides
@@ -168,9 +166,160 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return out, sig
+
+
+def collapse_exact_groups(df: DataFrame, id_col: str, key: Column, ok: Column):
+    """Exact-duplicate group structure for the collapse-then-expand LSH
+    optimization: returns (members, gstats) where members = (id, _k,
+    _rep, _m, _ok) and gstats = one row per distinct key with the MIN id
+    as representative, the group size, and the eligibility flag.
+
+    `key` must be collision-proof for the domain (md5 — 128 bits; a
+    collision would merge distinct contents into one group), `ok` marks
+    rows able to collide in LSH at all (non-empty shingle set / non-zero
+    vector); it is constant within a group by construction.
+    """
+    members = df.select(F.col(id_col), key.alias("_k"), ok.alias("_ok"))
+    gstats = members.groupBy("_k").agg(
+        F.min(id_col).alias("_rep"),
+        F.count(F.lit(1)).alias("_m"),
+        F.max("_ok").alias("_ok"),
+    )
+    members = (
+        members.drop("_ok")
+        .join(gstats, "_k")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return members, gstats
+
+
+def expand_group_pairs(
+    rep_pairs: DataFrame, members: DataFrame, id_col: str, self_sim: DataFrame, sim_col: str
+) -> DataFrame:
+    """Expand representative-level LSH pairs back to full-id pairs.
+
+    - intra-group: every C(m, 2) pair of an eligible group, with the
+      group's self-similarity (identical content always collides in LSH
+      and verifies to its self-similarity, so this reproduces exactly the
+      pairs the uncollapsed pipeline would emit);
+    - inter-group: each rep pair fans out to members(A) × members(B) with
+      the rep pair's verified similarity (identical content has identical
+      signatures, so members collide iff their reps collide).
+    """
+    ma, mb = members.alias("ma"), members.alias("mb")
+    intra = (
+        ma.join(
+            mb,
+            (F.col("ma._k") == F.col("mb._k"))
+            & (F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}")),
+        )
+        .filter(F.col("ma._ok"))
+        .join(self_sim, F.col("ma._rep") == F.col("_ssid"))
+        .select(
+            F.col(f"ma.{id_col}").alias("id_a"),
+            F.col(f"mb.{id_col}").alias("id_b"),
+            F.col("_ss").alias(sim_col),
+        )
+    )
+    ga = members.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_ia"))
+    gb = members.select(F.col("_rep").alias("id_b"), F.col(id_col).alias("_ib"))
+    inter = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            sim_col,
+        )
+    )
+    return intra.unionByName(inter)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    sort: bool = True,
+    materialize: bool = False,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4
+    decimals.  Only band-colliding pairs are verified — the candidate join
+    shuffles the small bucket table, never the corpus against itself.
+
+    collapse_exact (default on) first groups BYTE-IDENTICAL texts by
+    md5 and runs the LSH pipeline on one representative per group, then
+    expands rep-level pairs back to full-id pairs (expand_group_pairs).
+    The output is EXACTLY the uncollapsed output — identical docs have
+    identical signatures, so they collide iff their rep collides, and
+    verify to the same Jaccard — but signature hashing, banding, the
+    candidate join, and verification all run on the distinct-text corpus.
+    Real crawls are exact-duplicate-heavy (nightly recrawls, mirrors:
+    the bench's 10×-replicated corpus models it), and dup cliques are
+    quadratic in candidate volume, so collapsing attacks the worst term:
+    measured 5.4 s -> 3.1 s at the sf1-equivalent bench shape.  The
+    added cost when there are NO exact dups is one narrow
+    (id, md5) group-by — ~0.3 s at sf0.1.
+
+    Cache lifecycle: the signature relation (and under collapse_exact the
+    member table) is persisted; with the default materialize=False the
+    CALLER owns those caches' lifetimes — the session releases them at
+    shutdown, or LRU eviction reclaims them under pressure.  This keeps
+    the hot path a single pipelined job (an eager checkpoint costs a
+    measured +0.7 s per call at sf0.1 — scheduling, not data).
+    Long-running sessions calling this in a loop should pass
+    materialize=True: the verified pairs are checkpointed and the caches
+    are released before returning.
+    """
+    if not collapse_exact:
+        out, sig = _near_dup_pairs_lsh(
+            df, id_col, text_col, num_hashes, band_size, shingle_n, threshold, hash_fn
+        )
+        if materialize:
+            out = out.transform(truncate_lineage, eager=True)
+            sig.unpersist()
+        elif sort:
+            # a global sort's range partitioner SAMPLES its child — an
+            # unmaterialized child executes twice (once for the sample,
+            # once for the sort).  A lazy lineage cut stores the blocks on
+            # the sampling pass and the sort re-reads them (measured
+            # -0.8 s on the srp twin at the inflated bench shape).
+            out = out.transform(truncate_lineage, eager=False)
+        return _maybe_sort(out, sort)
+
+    # eligibility = the doc can produce at least one shingle (shorter docs
+    # have empty shingle sets, whose band keys are filtered out of the
+    # bucket table — so identical short docs never pair in the original
+    # pipeline either)
+    ok = F.size(tokens(F.col(text_col))) >= shingle_n
+    members, gstats = collapse_exact_groups(df, id_col, F.md5(F.col(text_col)), ok)
+    reps = df.join(
+        gstats.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    rep_pairs, sig = _near_dup_pairs_lsh(
+        reps, id_col, text_col, num_hashes, band_size, shingle_n, threshold, hash_fn
+    )
+    # self-similarity of an identical pair: Jaccard of a non-empty set
+    # with itself is exactly 1.0 (the verified value the uncollapsed
+    # pipeline computes for identical docs)
+    self_sim = gstats.filter(F.col("_ok")).select(
+        F.col("_rep").alias("_ssid"), F.lit(1.0).alias("_ss")
+    )
+    out = expand_group_pairs(rep_pairs, members, id_col, self_sim, "jaccard")
     if materialize:
         out = out.transform(truncate_lineage, eager=True)
         sig.unpersist()
+        members.unpersist()
+    elif sort:
+        out = out.transform(truncate_lineage, eager=False)  # see above
     return _maybe_sort(out, sort)
 
 

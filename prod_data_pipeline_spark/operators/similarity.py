@@ -464,36 +464,21 @@ def with_srp_signature(
     return v.withColumn("srp_sig", srp_sig_udf(F.col("_emb")))
 
 
-def srp_near_dup_pairs(
+def _srp_pairs_lsh(
     df: DataFrame,
     dim: int,
-    threshold: float = 0.3,
-    nbits: int = 32,
-    band_bits: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    round_sim: int = 4,
-    sort: bool = True,
-    backend: str = "mt",
-    materialize: bool = True,
-) -> DataFrame:
-    """Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify.
-
-    The scale path: candidates are pairs agreeing on at least one
-    `band_bits`-bit chunk of the SRP signature (a self-equi-join on band
-    keys, the only shuffle), then only those pairs pay the exact cosine.
-    Approximate by construction — recall rises with nbits/band count; the
-    planted-duplicate recall bound is unit-tested (tests/test_similarity.py).
-
-    Band selectivity matters: 8-bit bands give 256 buckets per band, so
-    candidate volume stays ~|corpus|·bucket_load rather than quadratic
-    (4-bit bands = 16 buckets measurably drowned the verifier in
-    candidates).  Like all sign-LSH, recall is designed for HIGH cosine
-    thresholds (true near-dups agree on nearly every bit); at moderate
-    thresholds it is a candidate generator, not an exhaustive search.
-    """
-    assert nbits % band_bits == 0
+    threshold: float,
+    nbits: int,
+    band_bits: int,
+    seed: int,
+    id_col: str,
+    emb_col: str,
+    round_sim: int,
+    backend: str,
+):
+    """Core sign-LSH pipeline over an (assumed exact-dup-free) corpus:
+    SRP signatures -> band chunks -> candidate self-join -> exact cosine
+    verify.  Returns (pairs, sig_cache) — caller owns the cache."""
     sig = with_srp_signature(df, dim, nbits, seed, emb_col, backend)
     # referenced by both band sides + both verify sides: persist or the
     # 1024-literal projection re-evaluates four times
@@ -534,11 +519,97 @@ def srp_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    return out, sig
+
+
+def srp_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    nbits: int = 32,
+    band_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_sim: int = 4,
+    sort: bool = True,
+    backend: str = "mt",
+    materialize: bool = True,
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH bucketing + exact cosine verify.
+
+    The scale path: candidates are pairs agreeing on at least one
+    `band_bits`-bit chunk of the SRP signature (a self-equi-join on band
+    keys, the only shuffle), then only those pairs pay the exact cosine.
+    Approximate by construction — recall rises with nbits/band count; the
+    planted-duplicate recall bound is unit-tested (tests/test_similarity.py).
+
+    Band selectivity matters: 8-bit bands give 256 buckets per band, so
+    candidate volume stays ~|corpus|·bucket_load rather than quadratic
+    (4-bit bands = 16 buckets measurably drowned the verifier in
+    candidates).  Like all sign-LSH, recall is designed for HIGH cosine
+    thresholds (true near-dups agree on nearly every bit); at moderate
+    thresholds it is a candidate generator, not an exhaustive search.
+
+    collapse_exact (default on) groups BIT-IDENTICAL embeddings (md5 of
+    the stringified array) and runs the pipeline on one representative
+    per group, then expands rep pairs back to full-id pairs
+    (operators.dedup.expand_group_pairs) — output identical, but
+    signatures, banding, and verification run on the distinct-vector
+    corpus.  Replica cliques are QUADRATIC in candidate volume (every
+    replica shares every band key), so this attacks sign-LSH's worst
+    realistic shape — re-embedded recrawl snapshots: measured
+    7.5 s -> 2.9 s at the 10×-replicated sf1-equivalent bench.  An
+    identical pair's verified value is its rep's self-cosine (computed,
+    not assumed 1.0 — a zero vector's self-cosine is NULL and stays
+    excluded, exactly as the uncollapsed verify excludes it).
+    """
+    if not collapse_exact:
+        out, sig = _srp_pairs_lsh(
+            df, dim, threshold, nbits, band_bits, seed, id_col, emb_col,
+            round_sim, backend,
+        )
+        if materialize:
+            # sig feeds four plan branches; materialize the (small) verified
+            # pair set and release the cache — no per-call storage leak.
+            out = out.transform(truncate_lineage, eager=True)
+            sig.unpersist()
+        elif sort:
+            # lazy lineage cut so the sort's range-partitioner sampling
+            # pass materializes the blocks the sort then re-reads, instead
+            # of executing the verify pipeline twice (see near_dup_pairs)
+            out = out.transform(truncate_lineage, eager=False)
+        return out.orderBy("id_a", "id_b") if sort else out
+
+    from prod_data_pipeline_spark.operators.dedup import (
+        collapse_exact_groups,
+        expand_group_pairs,
+    )
+
+    key = F.md5(
+        F.concat_ws(",", F.transform(F.col(emb_col), lambda x: x.cast("string")))
+    )
+    members, gstats = collapse_exact_groups(df, id_col, key, F.lit(True))
+    reps = df.join(gstats.select(F.col("_rep").alias(id_col)), id_col, "left_semi")
+    rep_pairs, sig = _srp_pairs_lsh(
+        reps, dim, threshold, nbits, band_bits, seed, id_col, emb_col,
+        round_sim, backend,
+    )
+    self_sim = (
+        sig.select(
+            F.col(id_col).alias("_ssid"),
+            F.round(cosine_sim(F.col("_emb"), F.col("_emb")), round_sim).alias("_ss"),
+        )
+        .filter(F.col("_ss") >= threshold)
+    )
+    out = expand_group_pairs(rep_pairs, members, id_col, self_sim, "sim")
     if materialize:
-        # sig feeds four plan branches; materialize the (small) verified
-        # pair set and release the cache — no per-call storage leak.
         out = out.transform(truncate_lineage, eager=True)
         sig.unpersist()
+        members.unpersist()
+    elif sort:
+        out = out.transform(truncate_lineage, eager=False)  # see above
     return out.orderBy("id_a", "id_b") if sort else out
 
 

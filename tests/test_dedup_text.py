@@ -718,3 +718,54 @@ def test_jaccard_prefix_pairs_lazy_path_matches_materialized(spark):
         for r in jaccard_prefix_pairs(df, threshold_pct=70, materialize=False).collect()
     }
     assert eager == lazy and eager  # same pairs, and the planted dups exist
+
+
+def test_near_dup_pairs_collapse_equivalence(spark):
+    """collapse_exact must emit EXACTLY the uncollapsed pair set on a
+    corpus mixing exact-dup cliques, near dups, short (shingle-free)
+    duplicates, and singletons — including the edge the expansion must
+    NOT invent: identical sub-shingle-length docs never pair (their band
+    keys are filtered), so the eligible flag has to exclude them."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog today"),     # near dup
+        (4, "completely different text about distributed query engines"),
+        (5, "tiny doc"),                                              # < shingle_n tokens
+        (6, "tiny doc"),                                              # identical short doc
+        (7, "the quick brown fox jumps over the lazy dog tonight"),   # 3rd clique member
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in near_dup_pairs(docs, threshold=0.5, hash_fn="md5",
+                                          sort=False, collapse_exact=False).collect()}
+    b = {tuple(r) for r in near_dup_pairs(docs, threshold=0.5, hash_fn="md5",
+                                          sort=False, collapse_exact=True).collect()}
+    assert a == b
+    found = {(x, y) for x, y, _ in b}
+    assert {(1, 2), (1, 7), (2, 7)} <= found          # full clique expanded
+    assert not any(5 in p or 6 in p for p in found)   # short dups excluded
+
+
+def test_srp_pairs_collapse_equivalence(spark):
+    """SRP twin of the collapse equivalence: bit-identical embeddings
+    expand to full cliques with their rep's self-cosine; a zero vector's
+    clique is excluded (self-cosine NULL, as the uncollapsed verify)."""
+    from prod_data_pipeline_spark.operators.similarity import srp_near_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.5, 0.2]),
+        (2, [1.0, 0.0, 0.5, 0.2]),      # exact dup of 1
+        (3, [0.99, 0.01, 0.5, 0.2]),    # near dup
+        (4, [-1.0, 0.3, -0.5, 0.1]),
+        (5, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (6, [0.0, 0.0, 0.0, 0.0]),      # identical zero vector
+        (7, [1.0, 0.0, 0.5, 0.2]),      # 3rd clique member
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=4, threshold=0.3, nbits=16, band_bits=4, sort=False, backend="md5")
+    a = {tuple(r) for r in srp_near_dup_pairs(emb, collapse_exact=False, **kw).collect()}
+    b = {tuple(r) for r in srp_near_dup_pairs(emb, collapse_exact=True, **kw).collect()}
+    assert a == b
+    found = {(x, y) for x, y, _ in b}
+    assert {(1, 2), (1, 7), (2, 7)} <= found
+    assert not any(5 in p or 6 in p for p in found)
