@@ -105,14 +105,33 @@ def covariance_matrix(
     centered = x.select(
         F.zip_with(F.col("e"), mu_arr, lambda xi, m: xi - m).alias("c")
     )
+    # Symmetry halves the quantization work (round 9): only the upper
+    # triangle j >= i is generated — d(d+1)/2 products per row instead of
+    # d² — and the strict-lower entries are mirrored AFTER the aggregation
+    # (d² output rows either way, but the n·d² rounding + DECIMAL stream
+    # is the wall).  Bit-identical to the full pass: ci*cj and cj*ci are
+    # the same IEEE product, so the mirrored entry sums the exact same
+    # quantized terms the full pass would — the oracle is unchanged.
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
     prods = F.flatten(
         F.transform(
-            F.col("c"),
-            lambda ci: F.transform(F.col("c"), lambda cj: F.round(ci * cj, round_term)),
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    (i * dim + j).cast("int").alias("k"),
+                    F.round(
+                        F.element_at(F.col("c"), i + 1)
+                        * F.element_at(F.col("c"), j + 1),
+                        round_term,
+                    ).alias("p"),
+                ),
+            ),
         )
     )
-    return (
-        centered.select(F.posexplode(prods).alias("k", "p"))
+    upper = (
+        centered.select(F.explode(prods).alias("t"))
+        .select(F.col("t.k").alias("k"), F.col("t.p").alias("p"))
         .groupBy("k")
         .agg(
             (
@@ -126,6 +145,10 @@ def covariance_matrix(
             "c",
         )
     )
+    lower = upper.filter(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "c"
+    )
+    return upper.unionByName(lower)
 
 
 def top_principal_component(
