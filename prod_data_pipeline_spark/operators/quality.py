@@ -237,3 +237,85 @@ def paragraph_repetition_profile(
         frac("dup_para_chars", "para_chars").alias("dup_para_char_frac"),
         (~fails).alias("passes_repetition"),
     )
+
+
+def cross_doc_paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    keep_clean_text: bool = True,
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph deduplication: every paragraph
+    occurrence whose text already occurred EARLIER in the corpus (by
+    (doc_id, position) order) is removed; the first occurrence survives.
+    This is the shard-level dedup step crawl pipelines run between exact
+    document dedup and MinHash — boilerplate paragraphs (cookie banners,
+    nav footers, license blocks) repeat across millions of pages that are
+    not document-level duplicates.
+
+    Returns one row per document: n_paras, n_removed, chars_total,
+    chars_removed, and (with keep_clean_text) ``clean_text`` — the
+    surviving paragraphs re-joined in document order (empty string when
+    every paragraph was removed or the document had none); pure counting
+    consumers pass keep_clean_text=False to skip the collect_list.
+
+    Plan shape: ONE explode to (md5(paragraph), doc, pos) — the shuffle
+    key is the paragraph hash, so identical boilerplate lands on one
+    reducer but keys are fine-grained (hash of full paragraph text) and
+    skew is bounded by the most-repeated single paragraph; first-occurrence
+    is a row_number over that hash partition ordered by (doc, pos) — a
+    total order, so the kept set is deterministic at any parallelism.  The
+    re-join back to documents groups by doc — document-local.  At 100 TB
+    both shuffles move (16-byte hash, ids, positions) + paragraph text
+    once each; nothing is quadratic.
+    """
+    from pyspark.sql import Window
+
+    paras = F.filter(F.split(F.col(text_col), r"\n\n"), lambda p: p != "")
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], F.posexplode_outer(paras).alias("pos", "p")
+    )
+    w = Window.partitionBy(F.md5(F.col("p"))).orderBy(id_col, "pos")
+    marked = ex.withColumn(
+        "_keep", F.col("p").isNull() | (F.row_number().over(w) == 1)
+    )
+    aggs = []
+    if keep_clean_text:
+        aggs.append(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep") & F.col("p").isNotNull(),
+                                    F.struct("pos", "p"),
+                                )
+                            )
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    "\n\n",
+                ),
+                F.lit(""),
+            ).alias("clean_text")
+        )
+    return (
+        marked.groupBy(id_col, *carry_cols)
+        .agg(
+            F.count(F.col("p")).alias("n_paras"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.sum(F.length("p")), F.lit(0))
+            .cast("long")
+            .alias("chars_total"),
+            F.coalesce(
+                F.sum(F.when(~F.col("_keep"), F.length("p")).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("chars_removed"),
+            *aggs,
+        )
+    )

@@ -12327,6 +12327,111 @@ def docs_paragraph_repetition(spark, sf_dir):
     )
 
 
+_PARA_DEDUP_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, source, toks, len(toks) AS n,
+             CAST(doc_id % 4 AS BIGINT) AS n_rep,
+             CAST(ceil(len(toks) / 25.0) AS BIGINT) AS n_paras0
+      FROM d
+    ), paras AS (
+      SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+             toks[25*i+1 : 25*(i+1)] AS ptoks
+      FROM base, unnest(range(n_paras0)) AS u(i)
+      UNION ALL
+      SELECT doc_id, source, n_paras0 + j AS pos, toks[1 : 25] AS ptoks
+      FROM base, unnest(range(n_rep)) AS r(j)
+      WHERE n > 0
+    ), occ AS (
+      SELECT doc_id, source, pos,
+             length(array_to_string(ptoks, ' ')) AS l,
+             ROW_NUMBER() OVER (
+               PARTITION BY array_to_string(ptoks, ' ')
+               ORDER BY doc_id, pos
+             ) AS rn
+      FROM paras
+    ), perdoc AS (
+      SELECT doc_id, source,
+             COUNT(*) AS n_paras,
+             SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
+             SUM(l) AS chars_total,
+             SUM(CASE WHEN rn > 1 THEN l ELSE 0 END) AS chars_removed
+      FROM occ GROUP BY 1, 2
+    ), alldocs AS (
+      SELECT b.doc_id, b.source,
+             COALESCE(p.n_paras, 0) AS n_paras,
+             COALESCE(p.n_removed, 0) AS n_removed,
+             COALESCE(p.chars_total, 0) AS chars_total,
+             COALESCE(p.chars_removed, 0) AS chars_removed
+      FROM base b LEFT JOIN perdoc p USING (doc_id, source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_paras) AS BIGINT) AS n_paras,
+           CAST(SUM(n_removed) AS BIGINT) AS n_removed,
+           CAST(SUM(chars_total) AS BIGINT) AS chars_total,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+           ROUND(CAST(SUM(chars_removed) AS DOUBLE) / SUM(chars_total), 6)
+               AS chars_removed_frac,
+           CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_touched
+    FROM alldocs GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "docs_paragraph_dedup",
+    oracle=_PARA_DEDUP_ORACLE,
+    tags=("text", "curation", "dedup", "ccnet", "paragraph"),
+)
+def docs_paragraph_dedup(spark, sf_dir):
+    """CCNet-style CORPUS-WIDE paragraph dedup — the shard-level step
+    between exact document dedup and MinHash: boilerplate paragraphs
+    (banners, footers, license blocks) repeat across pages that are not
+    document-level duplicates, and every occurrence after the corpus-wide
+    first (by (doc_id, position) — a total order, deterministic at any
+    parallelism) is removed.  Structure comes from
+    synthetic_paragraph_doc (the corpus ships no newlines); the operator
+    (operators.quality.cross_doc_paragraph_dedup) genuinely parses and
+    hashes paragraph strings with no access to the token math, and the
+    oracle recomputes the global first-occurrence rule arithmetically
+    from raw tokens — the complement of docs_paragraph_repetition, which
+    gates WITHIN-document repetition.  Per source: occurrence/char
+    removal totals (integer sums), the removed-char fraction, and how
+    many documents were touched.  100 TB: one explode, one
+    paragraph-hash-keyed window (fine-grained keys — skew bounded by the
+    single most-repeated paragraph), one doc-keyed reduction, one
+    source rollup."""
+    from prod_data_pipeline_spark.operators.quality import (
+        cross_doc_paragraph_dedup,
+    )
+    from prod_data_pipeline_spark.operators.text import synthetic_paragraph_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    fab = synthetic_paragraph_doc(docs)
+    per = cross_doc_paragraph_dedup(
+        fab, text_col="ptext", carry_cols=("source",), keep_clean_text=False
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_paras").cast("long").alias("n_paras"),
+            F.sum("n_removed").cast("long").alias("n_removed"),
+            F.sum("chars_total").cast("long").alias("chars_total"),
+            F.sum("chars_removed").cast("long").alias("chars_removed"),
+            F.round(
+                F.sum("chars_removed") / F.sum("chars_total").cast("double"), 6
+            ).alias("chars_removed_frac"),
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_touched"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "docs_langid_eval",
     oracle=f"""
@@ -13038,10 +13143,10 @@ DRIVER_ORDER: list[str] = [
     "media_audio_dominant_band",
     "media_image_edge_density",
     "media_image_phash_groups",
-    "media_video_motion_energy",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
+    "docs_paragraph_dedup",
 ]
 
 

@@ -372,3 +372,31 @@ def test_synthetic_paragraph_doc_structure(spark):
     assert paras[1] == "w25 w26 w27 w28 w29"
     assert out[4] == "a b c"  # %4==0: no boilerplate
     assert out[1] == ""
+
+
+def test_cross_doc_paragraph_dedup_first_occurrence_rule(spark):
+    """Corpus-wide rule: every occurrence after the global first (by
+    (doc_id, pos)) is removed — including repeats INSIDE the first doc
+    and the first doc's own later duplicates."""
+    from prod_data_pipeline_spark.operators.quality import (
+        cross_doc_paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "boiler\n\nunique one"),
+            (2, "boiler\n\nunique two\n\nboiler"),
+            (3, ""),
+            (4, "unique three\n\nunique three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_doc_paragraph_dedup(df).collect()}
+    assert (out[1]["n_paras"], out[1]["n_removed"]) == (2, 0)
+    assert out[1]["clean_text"] == "boiler\n\nunique one"
+    assert (out[2]["n_paras"], out[2]["n_removed"]) == (3, 2)
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["chars_removed"] == 12  # two 'boiler' occurrences
+    assert (out[3]["n_paras"], out[3]["clean_text"]) == (0, "")
+    assert (out[4]["n_paras"], out[4]["n_removed"]) == (2, 1)  # self-dup
+    assert out[4]["clean_text"] == "unique three"
