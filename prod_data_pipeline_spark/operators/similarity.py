@@ -974,3 +974,186 @@ def semdedup(
         .distinct()
     )
     return df.join(pruned, id_col, "left_anti")
+
+
+def pq_codebook(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_c: int = 6,
+):
+    """Product-quantization codebook with a DETERMINISTIC trainer: the
+    per-label mean embedding (rounded to ``round_c`` at source — the
+    emb_centroid_drift recipe) doubles as one code per label in EVERY
+    subspace, so the codebook is a pure function of the data that any
+    engine reproduces — where k-means codebooks (the classic PQ trainer)
+    are partitioning-sensitive and would force the downstream queries to
+    rows-only checks.  Returns (sorted_labels, {label: [c_1..c_dim]}),
+    collected to the driver: a PQ codebook is control-plane-sized
+    (K × dim doubles) and ships to every executor as literals, exactly
+    like a real ANN index's coarse codebook."""
+    cent = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(to_double_array(F.col(emb_col))).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum(F.col("v")) / F.count(F.lit(1)), round_c).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("carr")
+        )
+        .collect()
+    )
+    rows = sorted(cent, key=lambda r: r["label"])
+    return [r["label"] for r in rows], {r["label"]: list(r["carr"]) for r in rows}
+
+
+def _pq_subdist(e: Column, carr: list[float], m: int, dsub: int, round_d: int) -> Column:
+    """Rounded squared-L2 between subvector m of a bound array column and
+    the same slice of a literal centroid: in-order fold (the _COS_SQL
+    determinism recipe), rounded to round_d so ties and sums replay."""
+    terms = [
+        (F.element_at(e, m * dsub + i + 1) - F.lit(carr[m * dsub + i])) for i in range(dsub)
+    ]
+    s = None
+    for t in terms:
+        sq = t * t
+        s = sq if s is None else s + sq
+    return F.round(s, round_d)
+
+
+def pq_encode(
+    df: DataFrame,
+    labels: list,
+    codebook: dict,
+    m: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_d: int = 12,
+) -> DataFrame:
+    """PQ-encode each vector: per subspace, the index (into the sorted
+    label list) of the nearest code by rounded squared-L2 with an
+    explicit (distance, index) tie-break.  Adds ``codes``
+    (array<int>, length m) and ``recon_err`` — the exact-DECIMAL sum of
+    the per-subspace minima, i.e. the squared distance to the vector's
+    reconstruction, the compression-quality metric PQ deployments
+    monitor.  Zero shuffles: the codebook is literals, encoding is a
+    projection over one corpus scan."""
+    dim = len(codebook[labels[0]])
+    assert dim % m == 0
+    dsub = dim // m
+    x = df.withColumn("_emb", to_double_array(F.col(emb_col)))
+    per_m = []
+    for mm in range(m):
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_subdist(F.col("_emb"), codebook[lab], mm, dsub, round_d).alias("d"),
+                        F.lit(idx).alias("i"),
+                    )
+                    for idx, lab in enumerate(labels)
+                ]
+            )
+        )[0]
+        per_m.append(ranked)
+    best = F.array(*per_m)
+    return x.select(
+        F.col(id_col),
+        F.transform(best, lambda s: s["i"]).alias("codes"),
+        F.aggregate(
+            F.transform(best, lambda s: s["d"]),
+            F.lit(0).cast("decimal(28,14)"),
+            # re-cast: decimal addition widens precision (28,14)+(28,14)
+            # -> (29,14), and aggregate() requires the accumulator type
+            lambda acc, d: (acc + d.cast("decimal(28,14)")).cast("decimal(28,14)"),
+        )
+        .cast("double")
+        .alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_d: int = 12,
+    round_out: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance-computation top-k over a PQ-encoded corpus —
+    the memory-bound ANN technique: the corpus is stored as m byte-ish
+    codes per vector, each query precomputes an (m × K) distance TABLE to
+    every code once, and scoring a corpus vector is m table lookups + an
+    exact-DECIMAL sum instead of a dim-length float scan.
+
+    Everything replays cross-engine: the codebook is the deterministic
+    label-mean trainer (pq_codebook), sub-distances round to ``round_d``
+    before any sum, code selection tie-breaks on (distance, code index),
+    and the ADC total is an exact DECIMAL fold of rounded terms — so the
+    full result (codes, distances, ranks) is hash-oracle-checkable,
+    unlike classic k-means-trained PQ.  Returns (query_id, neighbor_id,
+    adc_dist, rank); self-matches excluded; ties break by neighbor id.
+
+    Scale: one corpus scan to encode (zero shuffles — literal codebook),
+    one broadcast of queries+tables, one per-query top-k window.  The
+    ADC sum is m lookups per (query, corpus) pair — the table replaces
+    the O(dim) exact distance with O(m), the entire point of PQ."""
+    labels, codebook = pq_codebook(df, emb_col, label_col)
+    dim = len(codebook[labels[0]])
+    dsub = dim // m
+    corpus = pq_encode(df, labels, codebook, m, id_col, emb_col, round_d).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = query_df.withColumn("_emb", to_double_array(F.col(emb_col)))
+    table = F.array(
+        *[
+            F.array(
+                *[
+                    _pq_subdist(F.col("_emb"), codebook[lab], mm, dsub, round_d)
+                    for lab in labels
+                ]
+            )
+            for mm in range(m)
+        ]
+    )
+    queries = q.select(F.col(id_col).alias("query_id"), table.alias("_tab"))
+    mm_idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = (
+        F.aggregate(
+            mm_idx,
+            F.lit(0).cast("decimal(28,14)"),
+            lambda acc, i: (
+                acc
+                + F.element_at(
+                    F.element_at(F.col("_tab"), i + 1),
+                    F.element_at(F.col("codes"), i + 1) + 1,
+                ).cast("decimal(28,14)")
+            ).cast("decimal(28,14)"),
+        )
+        .cast("double")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_adc"), round_out).alias("adc_dist"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -2115,6 +2115,76 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
 
 
 @query(
+    "emb_pq_adc_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, ROUND(SUM(e[pos]) / COUNT(*), 6) AS c
+      FROM v, unnest(range(1, len(e) + 1)) AS t(pos)
+      GROUP BY 1, 2
+    ), carr AS (
+      SELECT label, list(c ORDER BY pos) AS carr,
+             ROW_NUMBER() OVER (ORDER BY label) - 1 AS idx
+      FROM cent GROUP BY label
+    ), dist AS (
+      SELECT v.vec_id, t.m, ca.idx,
+             ROUND(list_sum(list_transform(range(1, 9),
+                 i -> (v.e[8*t.m + i] - ca.carr[8*t.m + i])
+                    * (v.e[8*t.m + i] - ca.carr[8*t.m + i]))), 12) AS d
+      FROM v, unnest(range(8)) AS t(m), carr ca
+    ), codes AS (
+      SELECT vec_id, m, idx AS code FROM (
+        SELECT vec_id, m, idx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, idx) AS rn
+        FROM dist) WHERE rn = 1
+    ), qd AS (
+      SELECT vec_id AS qid, m, idx, CAST(d AS DECIMAL(28,14)) AS d
+      FROM dist WHERE vec_id < 8
+    ), adc AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(q.d) AS DOUBLE) AS dist
+      FROM codes c JOIN qd q ON q.m = c.m AND q.idx = c.code
+      WHERE q.qid <> c.vec_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    tags=("similarity", "ann", "pq", "quantization"),
+)
+def emb_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k — the memory-bound ANN technique:
+    the corpus is stored as 8 sub-codes per vector, each query
+    precomputes an (8 × K) distance table once, and scoring a corpus
+    vector is 8 table lookups + an exact-DECIMAL sum instead of a
+    64-float scan.  The codebook trainer is the DETERMINISTIC label-mean
+    (pq_codebook: per-label means rounded 6 at source, one code per
+    label per subspace), so — unlike classic k-means-trained PQ — the
+    codes, distance tables, ADC totals, and ranks all replay
+    bit-for-bit in DuckDB: sub-distances are in-order 8-term folds
+    rounded to 12 (the _COS_SQL recipe), code selection tie-breaks on
+    (distance, code index), and the ADC total is an exact DECIMAL sum of
+    rounded terms.  Full hash oracle on the complete top-5 result set.
+    100 TB: codebook is control-plane-sized literals (zero-shuffle
+    encode over one corpus scan), queries+tables broadcast, one
+    per-query top-k window — the scan touches 8 SMALL ints per corpus
+    vector, which is why PQ is how billion-vector indexes fit in RAM."""
+    from prod_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(emb, queries_df, k=5, m=8)
+
+
+@query(
     "user_retention_cohorts",
     oracle="""
     WITH firstday AS (
@@ -13142,11 +13212,11 @@ DRIVER_ORDER: list[str] = [
     "lineitem_mahalanobis_outliers",
     "media_audio_dominant_band",
     "media_image_edge_density",
-    "media_image_phash_groups",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
     "docs_paragraph_dedup",
+    "emb_pq_adc_topk",
 ]
 
 

@@ -451,3 +451,40 @@ def test_ivf_nprobe_sweep_properties(spark, emb):
     for np_ in (1, 2, 4):
         assert repl[np_] >= plain[np_], (plain, repl)
     assert repl[4] >= 0.8  # the production bar the oracled query pins
+
+
+def test_pq_encode_and_adc_properties(spark, emb):
+    """PQ invariants: codes index the sorted label list; recon_err is
+    nonnegative and equals the sum of chosen sub-distances; a vector AT a
+    codebook centroid reconstructs (near-)exactly; ADC top-k overlaps
+    exact brute force enough to be a useful candidate generator."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    labels, cb = pq_codebook(emb)
+    enc = pq_encode(emb, labels, cb).collect()
+    K = len(labels)
+    for r in enc:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < K for c in r["codes"])
+        assert r["recon_err"] >= 0.0
+    # a synthetic vector equal to label-0's centroid encodes to code 0
+    # in every subspace with ~zero reconstruction error
+    cvec = cb[labels[0]]
+    probe = spark.createDataFrame([(999999, cvec)], "vec_id long, embedding array<double>")
+    row = pq_encode(probe, labels, cb).collect()[0]
+    assert row["codes"] == [0] * 8
+    assert row["recon_err"] < 1e-9
+    # ADC ranking recalls a reasonable share of the exact cosine top-10
+    # (PQ is a candidate generator; label-mean codebooks on near-random
+    # unit vectors are the hardest case, so the floor is loose)
+    q = emb.filter(F.col("vec_id") < 8)
+    adc = pq_adc_topk(emb, q, k=10)
+    exact = brute_force_topk(emb, q, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in adc.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a) == len(e) == 80
