@@ -319,3 +319,83 @@ def cross_doc_paragraph_dedup(
             *aggs,
         )
     )
+
+
+#: Hashed-feature dimensionality of the linear quality classifier.
+FT_BUCKETS = 4096
+
+
+def fasttext_style_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    n_buckets: int = FT_BUCKETS,
+    seed: str = "ftq",
+    round_w: int = 12,
+    round_out: int = 6,
+) -> DataFrame:
+    """Model-based quality scoring with the fastText architecture — the
+    DCLM / FineWeb-Edu gate shape: hash word uni+bigrams into
+    ``n_buckets`` feature buckets, mean-pool the bucket weights, squash
+    through a sigmoid, threshold.  This is the third quality-filter
+    family next to the heuristic gates (quality_score) and the
+    perplexity gates (unigram/trigram logprob): production pipelines run
+    a TRAINED linear classifier here.
+
+    The weights are a STUB — md5-derived uniforms in [-1, 1) (the
+    _md5_planes recipe: 13 hex digits / 2^52, exact in double), because
+    no trained model ships with the repo — but every piece of plumbing
+    is real and engine-replayable: tokenization, bigram formation, the
+    md5 bucket hash, weight lookup, the rounded-term exact-DECIMAL mean,
+    and the sigmoid on an identical double.  Swapping in trained weights
+    is a one-line change (replace the weight expression with a literal
+    array / broadcast lookup).
+
+    Determinism: bucket = first 8 md5 hex digits of the feature mod
+    n_buckets; w(bucket) = 2*(md5("{seed}:w:{bucket}")[:13 hex]/2^52)-1
+    rounded to ``round_w``; mean = DECIMAL-exact sum of rounded weights
+    / feature count (one double division); score = 1/(1+exp(-mean)),
+    rounded to ``round_out``.  Scale: pure projection + one doc-keyed
+    explode/agg — featurization is map-side, no joins (the weight
+    function is an expression, the way a broadcast weight table would
+    be at 100 TB with a real model).
+    """
+    toks = tokens(F.col(text_col))
+    feats = F.concat(toks, shingles(toks, 2))  # shingles: empty when < 2 tokens
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], F.explode_outer(feats).alias("f")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long") % n_buckets
+    w = F.round(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:w:"), bucket.cast("string"))), 1, 13
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**52))
+        )
+        * 2.0
+        - 1.0,
+        round_w,
+    )
+    agg = ex.groupBy(id_col, *carry_cols).agg(
+        F.count(F.col("f")).alias("n_feats"),
+        F.coalesce(F.sum(w.cast("decimal(28,14)")), F.lit(0).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("_wsum"),
+    )
+    mean = F.when(
+        F.col("n_feats") > 0, F.col("_wsum") / F.col("n_feats").cast("double")
+    ).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    return agg.select(
+        id_col,
+        *carry_cols,
+        "n_feats",
+        F.round(score, round_out).alias("quality_prob"),
+        (F.round(score, round_out) >= 0.5).alias("keeps"),
+    )

@@ -12503,6 +12503,88 @@ def docs_paragraph_dedup(spark, sf_dir):
 
 
 @query(
+    "docs_model_quality_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             list_concat(
+               tk,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(1, len(tk)),
+                           i -> array_to_string(tk[i:i+1], ' '))
+                    ELSE [] END
+             ) AS fs
+      FROM t
+    ), ex AS (
+      SELECT doc_id, source, unnest(fs) AS f FROM feats
+    ), wtd AS (
+      SELECT doc_id, source,
+             ROUND(2.0 * (CAST(('0x' || substr(md5('ftq:w:' ||
+                 CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096
+                      AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0)
+                 - 1.0, 12) AS w
+      FROM ex
+    ), perdoc0 AS (
+      SELECT doc_id, source, COUNT(*) AS n_feats,
+             CAST(SUM(CAST(w AS DECIMAL(28,14))) AS DOUBLE) AS wsum
+      FROM wtd GROUP BY 1, 2
+    ), perdoc AS (
+      SELECT t.doc_id, t.source,
+             COALESCE(p.n_feats, 0) AS n_feats,
+             ROUND(1.0 / (1.0 + exp(-(CASE WHEN COALESCE(p.n_feats, 0) > 0
+                 THEN p.wsum / p.n_feats ELSE 0.0 END))), 6) AS prob
+      FROM t LEFT JOIN perdoc0 p USING (doc_id, source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(n_feats) AS BIGINT) AS n_feats,
+           ROUND(CAST(SUM(CAST(prob AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_prob
+    FROM perdoc GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text", "curation", "quality", "classifier", "fasttext"),
+)
+def docs_model_quality_gate(spark, sf_dir):
+    """Model-based quality filtering with the fastText architecture — the
+    DCLM / FineWeb-Edu gate: hash word uni+bigrams into 4096 feature
+    buckets, mean-pool bucket weights, sigmoid, threshold at 0.5.  The
+    weights are a documented STUB (md5-derived uniforms — no trained
+    model ships with the repo; swapping in trained weights is a one-line
+    change), but ALL the plumbing a production classifier gate needs is
+    real and oracle-replayed end-to-end: tokenization, bigram formation,
+    the md5 feature hash, weight lookup, the rounded-term exact-DECIMAL
+    mean, sigmoid, and the keep decision — a hash mismatch catches a
+    bucket off-by-one, a pooling bug, or a threshold slip.  Per source:
+    doc and keep counts, total features, mean probability (DECIMAL sum
+    of rounded per-doc probs / count).  100 TB: pure projection + one
+    doc-keyed explode/agg, featurization map-side, no joins — the
+    weight function is an expression, exactly as a broadcast weight
+    table would be with a real model."""
+    from prod_data_pipeline_spark.operators.quality import fasttext_style_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    per = fasttext_style_scores(docs, carry_cols=("source",))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keeps"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum("n_feats").cast("long").alias("n_feats"),
+            F.round(
+                F.sum(F.col("quality_prob").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_prob"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "docs_langid_eval",
     oracle=f"""
     WITH t AS (
@@ -13211,12 +13293,12 @@ DRIVER_ORDER: list[str] = [
     "fk_integrity_audit",
     "lineitem_mahalanobis_outliers",
     "media_audio_dominant_band",
-    "media_image_edge_density",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
     "docs_paragraph_dedup",
     "emb_pq_adc_topk",
+    "docs_model_quality_gate",
 ]
 
 

@@ -400,3 +400,28 @@ def test_cross_doc_paragraph_dedup_first_occurrence_rule(spark):
     assert (out[3]["n_paras"], out[3]["clean_text"]) == (0, "")
     assert (out[4]["n_paras"], out[4]["n_removed"]) == (2, 1)  # self-dup
     assert out[4]["clean_text"] == "unique three"
+
+
+def test_fasttext_style_scores_plumbing(spark):
+    """Classifier-gate plumbing: feature counts = unigrams + bigrams,
+    empty docs score sigmoid(0)=0.5 and pass the >= 0.5 gate, scores lie
+    in (0,1), and identical texts get identical scores."""
+    from prod_data_pipeline_spark.operators.quality import fasttext_style_scores
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),        # 3 uni + 2 bi = 5 feats
+            (2, "alpha beta gamma"),        # identical -> identical score
+            (3, "solo"),                    # 1 uni + 0 bi
+            (4, ""),                        # empty -> 0 feats, prob 0.5
+        ],
+    )
+    out = {r["doc_id"]: r for r in fasttext_style_scores(df).collect()}
+    assert out[1]["n_feats"] == 5
+    assert out[3]["n_feats"] == 1
+    assert out[4]["n_feats"] == 0 and out[4]["quality_prob"] == 0.5 and out[4]["keeps"]
+    assert out[1]["quality_prob"] == out[2]["quality_prob"]
+    for r in out.values():
+        assert 0.0 < r["quality_prob"] < 1.0
+        assert r["keeps"] == (r["quality_prob"] >= 0.5)
