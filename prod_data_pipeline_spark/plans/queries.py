@@ -2184,6 +2184,103 @@ def emb_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(emb, queries_df, k=5, m=8)
 
 
+def _z2_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({a_expr} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({b_expr} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "lineitem_zorder_clustering",
+    oracle=f"""
+    WITH g AS (
+      SELECT (l_orderkey % 1024) AS a, (l_partkey % 1024) AS b
+      FROM lineitem
+    ), keyed AS (
+      SELECT 'zorder' AS layout, ((((a >> 0) & 1) << 0) + (((b >> 0) & 1) << 1) + (((a >> 1) & 1) << 2) + (((b >> 1) & 1) << 3) + (((a >> 2) & 1) << 4) + (((b >> 2) & 1) << 5) + (((a >> 3) & 1) << 6) + (((b >> 3) & 1) << 7) + (((a >> 4) & 1) << 8) + (((b >> 4) & 1) << 9) + (((a >> 5) & 1) << 10) + (((b >> 5) & 1) << 11) + (((a >> 6) & 1) << 12) + (((b >> 6) & 1) << 13) + (((a >> 7) & 1) << 14) + (((b >> 7) & 1) << 15) + (((a >> 8) & 1) << 16) + (((b >> 8) & 1) << 17) + (((a >> 9) & 1) << 18) + (((b >> 9) & 1) << 19)) >> 14 AS bucket, a, b
+      FROM g
+      UNION ALL
+      SELECT 'linear' AS layout, a >> 4 AS bucket, a, b FROM g
+    ), per AS (
+      SELECT layout, bucket, COUNT(*) AS n,
+             MAX(a) - MIN(a) AS span_a, MAX(b) - MIN(b) AS span_b
+      FROM keyed GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(span_a) AS DOUBLE) / COUNT(*), 6) AS avg_span_a,
+           ROUND(CAST(SUM(span_b) AS DOUBLE) / COUNT(*), 6) AS avg_span_b
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+    tags=("layout", "zorder", "pruning", "scale"),
+)
+def lineitem_zorder_clustering(spark, sf_dir):
+    """Multi-dimensional clustering audit: Morton/Z-order layout
+    (operators.skew.zorder_key — the Delta OPTIMIZE ZORDER / Iceberg
+    sort-order recipe) vs a linear sort, measured as per-bucket key-span
+    tightness.  Both layouts cut the (l_orderkey, l_partkey) 10-bit
+    modulo grid into 64 buckets; per bucket the (max - min) span of EACH dimension
+    is what min/max file skipping sees — a linear layout is tight on its
+    leading column and full-range on the other, while Z-order bounds
+    BOTH, which is why a z-ordered table prunes on predicates over any
+    interleaved column.  All-integer interleave (shifts/masks/adds, one
+    expression — codegen-friendly) and integer span sums; the oracle
+    replays the interleave bit-for-bit.  100 TB: zorder_layout pays one
+    range shuffle at write time, then every stats-based scan
+    (sources/manifest.py pruning, parquet footers) skips in all
+    dimensions — the read-side win this query quantifies."""
+    from prod_data_pipeline_spark.operators.skew import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    # 10-bit modulo grid: keys at every SF wrap the full grid, so the
+    # locality contrast between layouts is real (a min/max grid via
+    # scaling would need data-dependent constants both engines must
+    # replay; modulo is the deterministic stand-in for the quantile-rank
+    # gridding a production z-order write performs)
+    g = li.select(
+        (F.col("l_orderkey") % 1024).alias("a"),
+        (F.col("l_partkey") % 1024).alias("b"),
+    )
+    zb = g.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(zorder_key(["a", "b"], 10), 14).alias("bucket"),
+        "a",
+        "b",
+    )
+    lb = g.select(
+        F.lit("linear").alias("layout"),
+        F.shiftright(F.col("a"), 4).alias("bucket"),
+        "a",
+        "b",
+    )
+    per = (
+        zb.unionByName(lb)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("a") - F.min("a")).alias("span_a"),
+            (F.max("b") - F.min("b")).alias("span_b"),
+        )
+    )
+    return (
+        per.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.round(F.sum("span_a") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "avg_span_a"
+            ),
+            F.round(F.sum("span_b") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "avg_span_b"
+            ),
+        )
+        .orderBy("layout")
+    )
+
+
 @query(
     "user_retention_cohorts",
     oracle="""
@@ -13292,13 +13389,13 @@ DRIVER_ORDER: list[str] = [
     "events_value_sketch_quantiles",
     "fk_integrity_audit",
     "lineitem_mahalanobis_outliers",
-    "media_audio_dominant_band",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
     "docs_paragraph_dedup",
     "emb_pq_adc_topk",
     "docs_model_quality_gate",
+    "lineitem_zorder_clustering",
 ]
 
 

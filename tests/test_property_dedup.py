@@ -256,3 +256,28 @@ def test_containment_pairs_equals_bruteforce_property(spark, texts):
         ).collect()
     }
     assert got == _brute_containment_pairs(texts, 80, 2, 2)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=CORPUS)
+def test_collapse_exact_is_output_identical(spark, texts):
+    """The collapse-then-expand optimization must emit EXACTLY the
+    uncollapsed pair set on arbitrary corpora — the tiny vocabulary
+    yields heavy exact duplication, short (shingle-free) docs, and
+    near-dup structure all at once."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    off = {
+        tuple(r)
+        for r in near_dup_pairs(
+            df, threshold=0.5, hash_fn="md5", sort=False, collapse_exact=False
+        ).collect()
+    }
+    on = {
+        tuple(r)
+        for r in near_dup_pairs(
+            df, threshold=0.5, hash_fn="md5", sort=False, collapse_exact=True
+        ).collect()
+    }
+    assert on == off

@@ -83,3 +83,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_zorder_key_interleave_and_layout(spark):
+    """Morton key invariants: the interleave is a bijection on the grid
+    (distinct inputs -> distinct keys, and bits de-interleave back), and
+    zorder_layout preserves rows while clustering both dimensions."""
+    from prod_data_pipeline_spark.operators.skew import zorder_key, zorder_layout
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a long, b long"
+    )
+    rows = df.select("a", "b", zorder_key(["a", "b"], 4).alias("z")).collect()
+    assert len({r["z"] for r in rows}) == 256  # bijection on the 4-bit grid
+    for r in rows:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(4))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(4))
+        assert (a, b) == (r["a"], r["b"])  # de-interleaves exactly
+    # known Morton values: (1,0)->1, (0,1)->2, (3,3)->15
+    z = {(r["a"], r["b"]): r["z"] for r in rows}
+    assert (z[(1, 0)], z[(0, 1)], z[(3, 3)]) == (1, 2, 15)
+
+    laid = zorder_layout(df, ["a", "b"], bits=4)
+    assert laid.count() == 256 and set(laid.columns) == {"a", "b"}
