@@ -175,12 +175,55 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     return result
 
 
+def _rnd_half_up(x: float, scale: int) -> float:
+    """Spark's ROUND on a double: BigDecimal.valueOf (shortest decimal
+    expansion, same as Python repr) + setScale HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP))
+
+
+def _dec_half_up(x: float, scale: int):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), ROUND_HALF_UP)
+
+
+def _pagerank_quantized_driver(edge_rows, n_iters, damping, scale):
+    """Driver-side replay of the quantized PageRank recurrence — the SAME
+    engine-independent recipe the distributed loop and the SQL oracle
+    evaluate (contributions rounded HALF_UP to `scale` then summed as
+    exact decimals; damped update computed lit + damping*s in that IEEE
+    order and rounded back), so the output is bit-identical to the
+    cluster path.  `edge_rows` is the SYMMETRIZED distinct edge list."""
+    from decimal import Decimal
+
+    adj: dict = {}
+    for src, dst in edge_rows:
+        adj.setdefault(src, []).append(dst)
+    n = len(adj)
+    base = (1.0 - damping) / n
+    rank = {node: _rnd_half_up(1.0 / n, scale) for node in adj}
+    for _ in range(n_iters):
+        sums = {node: Decimal(0) for node in adj}
+        for s, ds in adj.items():
+            cd = _dec_half_up(_rnd_half_up(rank[s] / len(ds), scale), scale)
+            for d in ds:
+                sums[d] += cd
+        rank = {
+            node: _rnd_half_up(base + damping * float(sums[node]), scale)
+            for node in adj
+        }
+    return sorted(rank.items())
+
+
 def pagerank_quantized(
     pairs: DataFrame,
     n_iters: int = 6,
     damping: float = 0.85,
     scale: int = 12,
     checkpoint_every: int = 3,
+    driver_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Cross-engine-deterministic PageRank over an undirected pair graph
     (canonical (id_a, id_b) input; edges are symmetrized here).
@@ -212,11 +255,25 @@ def pagerank_quantized(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()  # symmetric graph: every node appears as src
-    if n == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         edges.unpersist()
         return pairs.sparkSession.createDataFrame([], "node long, rank double")
+    if n_edges <= driver_edge_threshold:
+        # Adaptive fast path (the dup_clusters pattern): near-dup graphs
+        # are tiny next to the corpus that produced them, and 6 rounds of
+        # (2 joins + agg + checkpoint) cost ~5 s of pure job scheduling on
+        # a 20-node graph.  The quantized recurrence is engine-independent
+        # BY DESIGN, so the driver replay is bit-identical to the cluster
+        # path (pinned by tests/test_graph.py) and the oracle hash is
+        # unchanged.  Above the threshold — real graphs at 100 TB — the
+        # distributed loop below runs as before.
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()
+        out = _pagerank_quantized_driver(rows, n_iters, damping, scale)
+        return pairs.sparkSession.createDataFrame(out, "node long, rank double")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # symmetric graph: every node appears as src
 
     dec = f"decimal({max(scale + 8, 18)},{scale})"
     ranks = deg.select(
@@ -250,6 +307,40 @@ def pagerank_quantized(
     return ranks
 
 
+def _ppr_quantized_driver(edge_rows, seed_list, n_iters, damping, scale):
+    """Driver-side replay of the quantized PPR recurrence — bit-identical
+    to the distributed loop (see _pagerank_quantized_driver); state stays
+    sparse exactly as the cluster path's (node, rank) relation does."""
+    from decimal import Decimal
+
+    adj: dict = {}
+    for src, dst in edge_rows:
+        adj.setdefault(src, []).append(dst)
+    seeds = set(seed_list)
+    ns = len(seeds)
+    tele = (1.0 - damping) / ns
+    rank = {node: _rnd_half_up(1.0 / ns, scale) for node in seeds}
+    for _ in range(n_iters):
+        sums: dict = {}
+        for s, r in rank.items():
+            ds = adj.get(s)
+            if not ds:
+                continue
+            cd = _dec_half_up(_rnd_half_up(r / len(ds), scale), scale)
+            for d in ds:
+                sums[d] = sums.get(d, Decimal(0)) + cd
+        nodes = set(sums) | seeds
+        rank = {
+            node: _rnd_half_up(
+                (tele if node in seeds else 0.0)
+                + damping * (float(sums[node]) if node in sums else 0.0),
+                scale,
+            )
+            for node in nodes
+        }
+    return sorted(rank.items())
+
+
 def ppr_quantized(
     pairs: DataFrame,
     seeds: DataFrame,
@@ -257,6 +348,7 @@ def ppr_quantized(
     damping: float = 0.85,
     scale: int = 12,
     checkpoint_every: int = 3,
+    driver_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Cross-engine-deterministic PERSONALIZED PageRank (random walk with
     restart) over an undirected pair graph: probability mass teleports
@@ -286,12 +378,20 @@ def ppr_quantized(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     seed_nodes = seeds.select(F.col("node").cast("long")).distinct()
     ns = seed_nodes.count()
     if ns == 0:
         edges.unpersist()
         return pairs.sparkSession.createDataFrame([], "node long, rank double")
+    n_edges = edges.count()
+    if n_edges <= driver_edge_threshold:
+        # adaptive fast path — see pagerank_quantized; bit-identical replay
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        seed_list = [r["node"] for r in seed_nodes.collect()]
+        edges.unpersist()
+        out = _ppr_quantized_driver(rows, seed_list, n_iters, damping, scale)
+        return pairs.sparkSession.createDataFrame(out, "node long, rank double")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     dec = f"decimal({max(scale + 8, 18)},{scale})"
     tele = (1.0 - damping) / ns  # two IEEE ops, replayed identically in SQL
@@ -395,7 +495,16 @@ def local_clustering(pairs: DataFrame) -> DataFrame:
     the same sum(deg²) wedge bound as triangle_stats plus one |triangles|
     explode — graph-sized, never corpus-sized."""
     e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
-    fwd = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).distinct()
+    # The input pair plan may be the whole LSH pipeline, and this census
+    # reads it from SIX plan positions (two degree unions, three join
+    # roles, three credit unions) — unmaterialized, the pair pipeline
+    # replays per reference (measured 6.6 s -> 2.5 s for
+    # docs_local_clustering at sf0.1).  Same cut triangle_stats carries.
+    fwd = (
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+        .transform(truncate_lineage, eager=True)
+    )
     deg = (
         fwd.select(F.col("a").alias("v"))
         .union(fwd.select(F.col("b").alias("v")))
@@ -437,7 +546,32 @@ def local_clustering(pairs: DataFrame) -> DataFrame:
     )
 
 
-def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
+def _kcore_driver(edge_rows, k, max_rounds):
+    """Driver replay of the relational peeling loop — all-integer state,
+    identical round structure including the early-exit-on-stable-count."""
+    edges = set(edge_rows)
+    prev = None
+    for _ in range(max_rounds):
+        deg: dict = {}
+        for s, _d in edges:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(s, d) for s, d in edges if s in keep and d in keep}
+        n_next = len(nxt)
+        if prev is not None and n_next == prev:
+            edges = nxt
+            break
+        prev, edges = n_next, nxt
+    out: dict = {}
+    for s, _d in edges:
+        out[s] = out.get(s, 0) + 1
+    return sorted((v, c) for v, c in out.items() if c >= k)
+
+
+def kcore(
+    pairs: DataFrame, k: int = 2, max_rounds: int = 8,
+    driver_edge_threshold: int = 200_000,
+) -> DataFrame:
     """k-core decomposition membership: the maximal subgraph where every
     node keeps degree >= k — the standard "dense duplicate neighborhood"
     extractor (a 3-core of the near-dup graph is a set of documents each
@@ -470,6 +604,15 @@ def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
         .distinct()
         .transform(truncate_lineage, eager=True)
     )
+    if edges.count() <= driver_edge_threshold:
+        # adaptive fast path (dup_clusters pattern): all-integer peeling
+        # replays exactly; tiny near-dup graphs skip max_rounds of
+        # checkpointed cluster jobs (tests pin two-path identity)
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        out = _kcore_driver(rows, k, max_rounds)
+        return pairs.sparkSession.createDataFrame(
+            out or [], "node long, core_deg long"
+        )
     prev_edges = None
     for _ in range(max_rounds):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -493,8 +636,31 @@ def kcore(pairs: DataFrame, k: int = 2, max_rounds: int = 8) -> DataFrame:
     )
 
 
+def _label_propagation_driver(edge_rows, n_rounds):
+    """Driver replay of synchronous min-tie-break LPA — all-integer
+    argmax, identical to the distributed rounds."""
+    nodes = {s for s, _ in edge_rows}
+    label = {v: v for v in nodes}
+    for _ in range(n_rounds):
+        cnt: dict = {}
+        for s, d in edge_rows:
+            lab = label[s]
+            c = cnt.setdefault(d, {})
+            c[lab] = c.get(lab, 0) + 1
+        label = {
+            v: (
+                min(cnt[v].items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                if v in cnt
+                else label[v]
+            )
+            for v in nodes
+        }
+    return sorted(label.items())
+
+
 def label_propagation(
-    pairs: DataFrame, n_rounds: int = 4, checkpoint_every: int = 2
+    pairs: DataFrame, n_rounds: int = 4, checkpoint_every: int = 2,
+    driver_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Synchronous label-propagation communities over an undirected pair
     relation, made ENGINE-DETERMINISTIC: every node starts as its own
@@ -521,6 +687,15 @@ def label_propagation(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if edges.count() <= driver_edge_threshold:
+        # adaptive fast path (dup_clusters pattern): the integer argmax
+        # replays exactly; tests pin two-path identity
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()
+        out = _label_propagation_driver(rows, n_rounds)
+        return pairs.sparkSession.createDataFrame(
+            out or [], "node long, label long"
+        )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
     from pyspark.sql import Window as W

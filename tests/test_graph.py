@@ -323,3 +323,47 @@ print(json.dumps({"ckpt_dir": ck, "ranks": ranks, "n_rdd_dirs": len(rdd_dirs)}))
     want = _numpy_pagerank(5, [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)])
     for node, rank in out["ranks"].items():
         assert rank == pytest.approx(want[int(node)], abs=1e-12)
+
+
+def test_quantized_graph_driver_path_bit_identical(spark):
+    """The adaptive driver fast path must replay the quantized recurrence
+    BIT-identically to the distributed loop (same rounding, same decimal
+    sums, same float-op order) — forced through both paths by the
+    threshold knob."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.operators.graph import (
+        pagerank_quantized,
+        ppr_quantized,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 2), (2, 4), (5, 6), (6, 7)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, pagerank_quantized(pairs, driver_edge_threshold=0).collect()))
+    b = sorted(
+        map(tuple, pagerank_quantized(pairs, driver_edge_threshold=10**9).collect())
+    )
+    assert a == b and len(a) == 8
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    c = sorted(
+        map(tuple, ppr_quantized(pairs, seeds, driver_edge_threshold=0).collect())
+    )
+    d = sorted(
+        map(tuple, ppr_quantized(pairs, seeds, driver_edge_threshold=10**9).collect())
+    )
+    assert c == d and len(c) > 0
+
+    from prod_data_pipeline_spark.operators.graph import (
+        kcore,
+        label_propagation,
+    )
+
+    for fn in (
+        lambda t: kcore(pairs, k=2, driver_edge_threshold=t),
+        lambda t: label_propagation(pairs, driver_edge_threshold=t),
+    ):
+        x = sorted(map(tuple, fn(0).collect()))
+        y = sorted(map(tuple, fn(10**9).collect()))
+        assert x == y and len(x) > 0
