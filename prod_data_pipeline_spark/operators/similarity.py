@@ -1032,18 +1032,14 @@ def pq_codebook(
     return [r["label"] for r in rows], {r["label"]: list(r["carr"]) for r in rows}
 
 
-def _pq_subdist(e: Column, carr: list[float], m: int, dsub: int, round_d: int) -> Column:
-    """Rounded squared-L2 between subvector m of a bound array column and
-    the same slice of a literal centroid: in-order fold (the _COS_SQL
-    determinism recipe), rounded to round_d so ties and sums replay."""
-    terms = [
-        (F.element_at(e, m * dsub + i + 1) - F.lit(carr[m * dsub + i])) for i in range(dsub)
-    ]
-    s = None
-    for t in terms:
-        sq = t * t
-        s = sq if s is None else s + sq
-    return F.round(s, round_d)
+#: Binary quantization scale for PQ distances: 2^40.  Power-of-two
+#: scaling and floor are EXACT IEEE ops, so quantized values are exact
+#: multiples of 2^-40 computed identically in Spark, numpy, and DuckDB —
+#: and sums of up to ~2^8 of them stay below 2^53 ulps, so plain double
+#: addition of quantized terms is EXACT in any order: no BigDecimal, no
+#: decimal columns, vectorizable.  (Contrast the ROUND+DECIMAL recipe,
+#: whose per-value BigDecimal cost dominates the covariance family.)
+PQ_QUANT = float(1 << 40)
 
 
 def pq_encode(
@@ -1053,48 +1049,60 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    round_d: int = 12,
 ) -> DataFrame:
     """PQ-encode each vector: per subspace, the index (into the sorted
-    label list) of the nearest code by rounded squared-L2 with an
+    label list) of the nearest code by quantized squared-L2 with an
     explicit (distance, index) tie-break.  Adds ``codes``
-    (array<int>, length m) and ``recon_err`` — the exact-DECIMAL sum of
-    the per-subspace minima, i.e. the squared distance to the vector's
-    reconstruction, the compression-quality metric PQ deployments
-    monitor.  Zero shuffles: the codebook is literals, encoding is a
-    projection over one corpus scan."""
+    (array<int>, length m) and ``recon_err`` — the exact sum of the
+    per-subspace minima (quantized terms sum exactly in double, see
+    PQ_QUANT), i.e. the squared distance to the vector's reconstruction,
+    the compression-quality metric PQ deployments monitor.
+
+    Computed as an Arrow-batched pandas UDF with ORDER-PRESERVING
+    accumulation (the SRP md5-backend recipe: the dim loop runs
+    sequentially, so every float op replays the expression/SQL fold
+    bit-for-bit; ascending strict-< argmin reproduces the (d, idx)
+    tie-break).  The unrolled expression form of the same math ran ~10 s
+    at sf0.1 — K*m deep fold trees defeat codegen — vs ~1 s vectorized.
+    Zero shuffles: the codebook ships in the closure (control-plane
+    size), encoding is a projection over one corpus scan."""
     dim = len(codebook[labels[0]])
     assert dim % m == 0
     dsub = dim // m
+    cmat = np.array([codebook[lab] for lab in labels], dtype="float64")  # (K, dim)
+    n_codes = len(labels)
+
+    @F.pandas_udf("struct<codes: array<int>, recon_err: double>")
+    def pq_encode_udf(emb: pd.Series) -> pd.DataFrame:
+        x = np.array(emb.tolist(), dtype="float64")  # (batch, dim)
+        if x.size == 0:
+            return pd.DataFrame({"codes": [], "recon_err": []})
+        b = len(x)
+        codes = np.zeros((b, m), dtype="int32")
+        recon = np.zeros(b, dtype="float64")
+        for mm in range(m):
+            best_d = None
+            best_i = None
+            for idx in range(n_codes):
+                acc = np.zeros(b, dtype="float64")
+                for i in range(dsub):
+                    t = x[:, mm * dsub + i] - cmat[idx, mm * dsub + i]
+                    acc = acc + t * t  # sequential: the in-order IEEE fold
+                d = np.floor(acc * PQ_QUANT) / PQ_QUANT
+                if best_d is None:
+                    best_d, best_i = d, np.zeros(b, dtype="int32")
+                else:
+                    better = d < best_d  # strict <: ties keep the lower idx
+                    best_d = np.where(better, d, best_d)
+                    best_i = np.where(better, idx, best_i).astype("int32")
+            codes[:, mm] = best_i
+            recon = recon + best_d  # exact: quantized terms (see PQ_QUANT)
+        return pd.DataFrame({"codes": list(codes), "recon_err": recon})
+
     x = df.withColumn("_emb", to_double_array(F.col(emb_col)))
-    per_m = []
-    for mm in range(m):
-        ranked = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _pq_subdist(F.col("_emb"), codebook[lab], mm, dsub, round_d).alias("d"),
-                        F.lit(idx).alias("i"),
-                    )
-                    for idx, lab in enumerate(labels)
-                ]
-            )
-        )[0]
-        per_m.append(ranked)
-    best = F.array(*per_m)
     return x.select(
-        F.col(id_col),
-        F.transform(best, lambda s: s["i"]).alias("codes"),
-        F.aggregate(
-            F.transform(best, lambda s: s["d"]),
-            F.lit(0).cast("decimal(28,14)"),
-            # re-cast: decimal addition widens precision (28,14)+(28,14)
-            # -> (29,14), and aggregate() requires the accumulator type
-            lambda acc, d: (acc + d.cast("decimal(28,14)")).cast("decimal(28,14)"),
-        )
-        .cast("double")
-        .alias("recon_err"),
-    )
+        F.col(id_col), pq_encode_udf(F.col("_emb")).alias("_e")
+    ).select(id_col, F.col("_e.codes").alias("codes"), F.col("_e.recon_err").alias("recon_err"))
 
 
 def pq_adc_topk(
@@ -1105,7 +1113,6 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     label_col: str = "label",
-    round_d: int = 12,
     round_out: int = 6,
 ) -> DataFrame:
     """Asymmetric-distance-computation top-k over a PQ-encoded corpus —
@@ -1115,12 +1122,15 @@ def pq_adc_topk(
     exact-DECIMAL sum instead of a dim-length float scan.
 
     Everything replays cross-engine: the codebook is the deterministic
-    label-mean trainer (pq_codebook), sub-distances round to ``round_d``
-    before any sum, code selection tie-breaks on (distance, code index),
-    and the ADC total is an exact DECIMAL fold of rounded terms — so the
-    full result (codes, distances, ranks) is hash-oracle-checkable,
-    unlike classic k-means-trained PQ.  Returns (query_id, neighbor_id,
-    adc_dist, rank); self-matches excluded; ties break by neighbor id.
+    label-mean trainer (pq_codebook), sub-distances binary-quantize to
+    exact multiples of 2^-40 (PQ_QUANT — floor of a power-of-two
+    scaling, exact IEEE in every engine, no BigDecimal), code selection
+    tie-breaks on (distance, code index), and the ADC total is a plain
+    double sum of quantized terms — EXACT in any order because the
+    summed ulps stay far below 2^53 — so the full result (codes,
+    distances, ranks) is hash-oracle-checkable, unlike classic
+    k-means-trained PQ.  Returns (query_id, neighbor_id, adc_dist,
+    rank); self-matches excluded; ties break by neighbor id.
 
     Scale: one corpus scan to encode (zero shuffles — literal codebook),
     one broadcast of queries+tables, one per-query top-k window.  The
@@ -1129,36 +1139,46 @@ def pq_adc_topk(
     labels, codebook = pq_codebook(df, emb_col, label_col)
     dim = len(codebook[labels[0]])
     dsub = dim // m
-    corpus = pq_encode(df, labels, codebook, m, id_col, emb_col, round_d).select(
+    corpus = pq_encode(df, labels, codebook, m, id_col, emb_col).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
+    # query distance tables via the same order-preserving batch fold as
+    # pq_encode — an unrolled m*K*dsub expression tree here cost seconds
+    # of per-call driver-side plan construction alone
+    cmat = np.array([codebook[lab] for lab in labels], dtype="float64")
+    n_codes = len(labels)
+
+    @F.pandas_udf("array<array<double>>")
+    def pq_table_udf(emb: pd.Series) -> pd.Series:
+        x = np.array(emb.tolist(), dtype="float64")
+        if x.size == 0:
+            return pd.Series([], dtype="object")
+        b = len(x)
+        tab = np.zeros((b, m, n_codes), dtype="float64")
+        for mm in range(m):
+            for idx in range(n_codes):
+                acc = np.zeros(b, dtype="float64")
+                for i in range(dsub):
+                    t = x[:, mm * dsub + i] - cmat[idx, mm * dsub + i]
+                    acc = acc + t * t  # sequential: the in-order IEEE fold
+                tab[:, mm, idx] = np.floor(acc * PQ_QUANT) / PQ_QUANT
+        return pd.Series([row.tolist() for row in tab])
+
     q = query_df.withColumn("_emb", to_double_array(F.col(emb_col)))
-    table = F.array(
-        *[
-            F.array(
-                *[
-                    _pq_subdist(F.col("_emb"), codebook[lab], mm, dsub, round_d)
-                    for lab in labels
-                ]
-            )
-            for mm in range(m)
-        ]
+    queries = q.select(
+        F.col(id_col).alias("query_id"), pq_table_udf(F.col("_emb")).alias("_tab")
     )
-    queries = q.select(F.col(id_col).alias("query_id"), table.alias("_tab"))
     mm_idx = F.sequence(F.lit(0), F.lit(m - 1))
-    adc = (
-        F.aggregate(
-            mm_idx,
-            F.lit(0).cast("decimal(28,14)"),
-            lambda acc, i: (
-                acc
-                + F.element_at(
-                    F.element_at(F.col("_tab"), i + 1),
-                    F.element_at(F.col("codes"), i + 1) + 1,
-                ).cast("decimal(28,14)")
-            ).cast("decimal(28,14)"),
-        )
-        .cast("double")
+    # plain double fold: quantized terms sum EXACTLY (see PQ_QUANT), so
+    # no decimal accumulator is needed and the sum is order-free
+    adc = F.aggregate(
+        mm_idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(F.col("_tab"), i + 1),
+            F.element_at(F.col("codes"), i + 1) + 1,
+        ),
     )
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))

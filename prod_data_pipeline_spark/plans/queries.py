@@ -2131,9 +2131,10 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
       FROM cent GROUP BY label
     ), dist AS (
       SELECT v.vec_id, t.m, ca.idx,
-             ROUND(list_sum(list_transform(range(1, 9),
+             floor(list_sum(list_transform(range(1, 9),
                  i -> (v.e[8*t.m + i] - ca.carr[8*t.m + i])
-                    * (v.e[8*t.m + i] - ca.carr[8*t.m + i]))), 12) AS d
+                    * (v.e[8*t.m + i] - ca.carr[8*t.m + i])))
+                   * 1099511627776.0) / 1099511627776.0 AS d
       FROM v, unnest(range(8)) AS t(m), carr ca
     ), codes AS (
       SELECT vec_id, m, idx AS code FROM (
@@ -2141,11 +2142,11 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, idx) AS rn
         FROM dist) WHERE rn = 1
     ), qd AS (
-      SELECT vec_id AS qid, m, idx, CAST(d AS DECIMAL(28,14)) AS d
-      FROM dist WHERE vec_id < 8
+      SELECT vec_id AS qid, m, idx, d FROM dist WHERE vec_id < 8
     ), adc AS (
-      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
-             CAST(SUM(q.d) AS DOUBLE) AS dist
+      -- plain double SUM is EXACT here: quantized terms are multiples of
+      -- 2^-40 whose total stays far below 2^53 ulps, so order is free
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id, SUM(q.d) AS dist
       FROM codes c JOIN qd q ON q.m = c.m AND q.idx = c.code
       WHERE q.qid <> c.vec_id
       GROUP BY 1, 2
@@ -2170,9 +2171,10 @@ def emb_pq_adc_topk(spark, sf_dir):
     label per subspace), so — unlike classic k-means-trained PQ — the
     codes, distance tables, ADC totals, and ranks all replay
     bit-for-bit in DuckDB: sub-distances are in-order 8-term folds
-    rounded to 12 (the _COS_SQL recipe), code selection tie-breaks on
-    (distance, code index), and the ADC total is an exact DECIMAL sum of
-    rounded terms.  Full hash oracle on the complete top-5 result set.
+    binary-quantized to exact multiples of 2^-40 (floor of a power-of-two
+    scaling — exact IEEE, no BigDecimal), code selection tie-breaks on
+    (distance, code index), and the ADC total is a plain double sum of
+    quantized terms, exact in any order.  Full hash oracle on the complete top-5 result set.
     100 TB: codebook is control-plane-sized literals (zero-shuffle
     encode over one corpus scan), queries+tables broadcast, one
     per-query top-k window — the scan touches 8 SMALL ints per corpus
