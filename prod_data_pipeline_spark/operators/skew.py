@@ -87,46 +87,3 @@ def write_bucketed(
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
 
-
-def zorder_key(cols: Sequence, bits: int = 16):
-    """Morton (Z-order) key: interleave the low ``bits`` bits of each
-    column so rows close in EVERY dimension get close keys — the
-    multi-dimensional clustering layout (Delta OPTIMIZE ZORDER BY,
-    Iceberg sort orders) that makes min/max file skipping effective for
-    predicates on ANY of the interleaved columns, where a linear sort
-    only skips on its leading column.
-
-    Pure integer expression (shifts, masks, adds) — engine-replayable
-    and codegen-friendly; with ``n`` columns the result uses n*bits bits
-    (keep <= 63).  Columns must be non-negative integers in [0, 2^bits)
-    — scale/rank them first (the standard recipe is a per-column
-    quantile rank to a 2^bits grid).
-    """
-    ncols = len(cols)
-    assert ncols * bits <= 63
-    z = None
-    for c_idx, c in enumerate(cols):
-        col = F.col(c) if isinstance(c, str) else c
-        for b in range(bits):
-            piece = F.shiftleft(
-                F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1)),
-                b * ncols + c_idx,
-            )
-            z = piece if z is None else z + piece
-    return z
-
-
-def zorder_layout(df: DataFrame, cols: Sequence[str], bits: int = 16) -> DataFrame:
-    """Return ``df`` range-repartitioned and sorted by the Z-order key of
-    ``cols`` — write the result and every file's min/max stats become
-    tight in ALL the interleaved dimensions, so a manifest- or
-    footer-stats scan prunes on any of them.  Pay the one range shuffle
-    at write time, skip at every read — the multi-dim sibling of
-    write_bucketed's equi-join co-location."""
-    z = zorder_key(list(cols), bits).alias("_z")
-    return (
-        df.withColumn("_z", z)
-        .repartitionByRange("_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-    )

@@ -2221,8 +2221,9 @@ def _z2_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
 )
 def lineitem_zorder_clustering(spark, sf_dir):
     """Multi-dimensional clustering audit: Morton/Z-order layout
-    (operators.skew.zorder_key — the Delta OPTIMIZE ZORDER / Iceberg
-    sort-order recipe) vs a linear sort, measured as per-bucket key-span
+    (sources.writers.zorder_value — the key write_zordered lays files
+    out by; Delta OPTIMIZE ZORDER / Iceberg sort-order recipe) vs a
+    linear sort, measured as per-bucket key-span
     tightness.  Both layouts cut the (l_orderkey, l_partkey) 10-bit
     modulo grid into 64 buckets; per bucket the (max - min) span of EACH dimension
     is what min/max file skipping sees — a linear layout is tight on its
@@ -2230,11 +2231,11 @@ def lineitem_zorder_clustering(spark, sf_dir):
     BOTH, which is why a z-ordered table prunes on predicates over any
     interleaved column.  All-integer interleave (shifts/masks/adds, one
     expression — codegen-friendly) and integer span sums; the oracle
-    replays the interleave bit-for-bit.  100 TB: zorder_layout pays one
+    replays the interleave bit-for-bit.  100 TB: write_zordered pays one
     range shuffle at write time, then every stats-based scan
     (sources/manifest.py pruning, parquet footers) skips in all
     dimensions — the read-side win this query quantifies."""
-    from prod_data_pipeline_spark.operators.skew import zorder_key
+    from prod_data_pipeline_spark.sources.writers import zorder_value
 
     li = _t(spark, sf_dir, "lineitem")
     # 10-bit modulo grid: keys at every SF wrap the full grid, so the
@@ -2248,7 +2249,7 @@ def lineitem_zorder_clustering(spark, sf_dir):
     )
     zb = g.select(
         F.lit("zorder").alias("layout"),
-        F.shiftright(zorder_key(["a", "b"], 10), 14).alias("bucket"),
+        F.shiftright(zorder_value([F.col("a"), F.col("b")], 10), 14).alias("bucket"),
         "a",
         "b",
     )

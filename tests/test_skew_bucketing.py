@@ -85,16 +85,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
-def test_zorder_key_interleave_and_layout(spark):
+def test_zorder_value_interleave_bijection(spark):
     """Morton key invariants: the interleave is a bijection on the grid
-    (distinct inputs -> distinct keys, and bits de-interleave back), and
-    zorder_layout preserves rows while clustering both dimensions."""
-    from prod_data_pipeline_spark.operators.skew import zorder_key, zorder_layout
+    (distinct inputs -> distinct keys, and bits de-interleave back).
+    write_zordered's file-span behavior is covered in test_sources."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.writers import zorder_value
 
     df = spark.createDataFrame(
         [(a, b) for a in range(16) for b in range(16)], "a long, b long"
     )
-    rows = df.select("a", "b", zorder_key(["a", "b"], 4).alias("z")).collect()
+    rows = df.select(
+        "a", "b", zorder_value([F.col("a"), F.col("b")], 4).alias("z")
+    ).collect()
     assert len({r["z"] for r in rows}) == 256  # bijection on the 4-bit grid
     for r in rows:
         a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(4))
@@ -103,6 +107,3 @@ def test_zorder_key_interleave_and_layout(spark):
     # known Morton values: (1,0)->1, (0,1)->2, (3,3)->15
     z = {(r["a"], r["b"]): r["z"] for r in rows}
     assert (z[(1, 0)], z[(0, 1)], z[(3, 3)]) == (1, 2, 15)
-
-    laid = zorder_layout(df, ["a", "b"], bits=4)
-    assert laid.count() == 256 and set(laid.columns) == {"a", "b"}
