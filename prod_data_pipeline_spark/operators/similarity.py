@@ -11,7 +11,10 @@ Scale design (100 TB):
   the scan shrinks by ~n_cells/nprobe.  Centroid assignment is a broadcast
   join (centroid table is tiny); cell search re-uses the brute-force kernel
   inside each cell;
-- all vector math is JVM-side (functions/vector.py) — no Python UDFs.
+- vector math is JVM-side (functions/vector.py) by default; the three
+  documented exceptions are Arrow-batched pandas UDFs where per-row
+  expression folds defeat codegen (SRP signatures, PQ encode/tables) —
+  each preserves the in-order IEEE fold so results stay engine-exact.
 """
 
 from __future__ import annotations
