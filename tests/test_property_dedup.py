@@ -281,3 +281,33 @@ def test_collapse_exact_is_output_identical(spark, texts):
         ).collect()
     }
     assert on == off
+
+
+# Embedding corpora with forced exact duplication: few distinct values per
+# coordinate -> identical vectors and near-dup structure arise naturally.
+COORD = st.sampled_from([0.0, 0.5, 1.0, -0.5])
+VEC = st.lists(COORD, min_size=4, max_size=4)
+EMB_CORPUS = st.lists(VEC, min_size=1, max_size=10)
+
+
+@settings(max_examples=6, deadline=None)
+@given(vecs=EMB_CORPUS)
+def test_srp_collapse_exact_is_output_identical(spark, vecs):
+    """SRP twin of the collapse-equivalence property: byte-identical
+    embeddings (including all-zero vectors) must expand to exactly the
+    uncollapsed pair set."""
+    from prod_data_pipeline_spark.operators.similarity import srp_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    kw = dict(dim=4, threshold=0.3, nbits=16, band_bits=4, sort=False, backend="md5")
+    off = {
+        tuple(r)
+        for r in srp_near_dup_pairs(df, collapse_exact=False, **kw).collect()
+    }
+    on = {
+        tuple(r)
+        for r in srp_near_dup_pairs(df, collapse_exact=True, **kw).collect()
+    }
+    assert on == off
