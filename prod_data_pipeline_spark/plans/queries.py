@@ -13345,9 +13345,9 @@ DRIVER_ORDER: list[str] = [
     # --- round-9 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
-    # 43 of the r5 cohort oldest-first.  Net-new round-9 queries replace
-    # trailing r5 fillers when registered (rotation policy #3: never-checked
-    # outranks a non-mandatory filler). ---
+    # 37 of the r5 cohort oldest-first, then the 6 round-9 net-new queries
+    # (never-checked outranks a non-mandatory filler — rotation policy #3;
+    # the 6 displaced r5 fillers re-enter by age in round 10/11). ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
