@@ -12684,6 +12684,153 @@ def docs_model_quality_gate(spark, sf_dir):
     )
 
 
+# Gopher's required-stop-word rule instantiated for this corpus's language
+# model: the paper's 8 English words ("the, be, to, ...") appear at most
+# once per synthetic document (the rule would remove 100% — vacuous), so
+# the required list is the repo's cross-language function-word union
+# (operators.text.BOILER_STOPLIST, 25 words) — the localization step any
+# non-English pipeline performs on this rule.  Threshold (>= 2 distinct
+# hits) is the paper's.
+from prod_data_pipeline_spark.operators.text import BOILER_STOPLIST as _GOPHER_REQ_STOPS
+
+_GOPHER_GATE_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, source, toks, len(toks) AS n,
+             CAST(doc_id % 4 AS BIGINT) AS n_rep,
+             toks[1 : 25] AS t25
+      FROM d
+    ), feats AS (
+      SELECT doc_id, source,
+             -- fabricated-token counts: body + n_rep copies of para 0
+             n + n_rep * len(t25) AS n_words,
+             len(array_to_string(toks, '')) +
+               n_rep * len(array_to_string(t25, '')) AS word_chars,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) +
+               n_rep * len(list_filter(t25, t -> regexp_matches(t, '[a-z]')))
+               AS alpha_words,
+             len(list_filter(toks, t -> t LIKE '%#%')) +
+               n_rep * len(list_filter(t25, t -> t LIKE '%#%')) AS hash_words,
+             len(list_filter(toks, t -> t LIKE '%...%')) +
+               n_rep * len(list_filter(t25, t -> t LIKE '%...%')) AS ellip_words,
+             len(list_intersect(list_distinct(toks),
+                 [{", ".join(f"'{w}'" for w in _GOPHER_REQ_STOPS)}])) AS stop_hits
+      FROM base
+    ), gated AS (
+      SELECT source,
+             CASE WHEN n_words >= 20 AND n_words <= 100000
+                  THEN 0 ELSE 1 END AS f_wordcount,
+             CASE WHEN 3*n_words <= word_chars AND word_chars <= 10*n_words
+                  THEN 0 ELSE 1 END AS f_meanwordlen,
+             CASE WHEN 5*alpha_words >= 4*n_words THEN 0 ELSE 1 END AS f_alpha,
+             CASE WHEN 10*(hash_words + ellip_words) <= n_words
+                  THEN 0 ELSE 1 END AS f_symbolratio,
+             CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END AS f_stopwords,
+             -- the corpus alphabet has no bullet-start or ellipsis-end
+             -- tokens, so the two line rules pass with EXACT zero counts:
+             -- the Spark side still parses lines and string-matches their
+             -- edges, and a miscount there breaks the hash against these
+             -- literal zeros
+             0 AS f_bullets,
+             0 AS f_ellipsis
+      FROM feats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wordcount) AS BIGINT) AS f_wordcount,
+           CAST(SUM(f_meanwordlen) AS BIGINT) AS f_meanwordlen,
+           CAST(SUM(f_alpha) AS BIGINT) AS f_alpha,
+           CAST(SUM(f_symbolratio) AS BIGINT) AS f_symbolratio,
+           CAST(SUM(f_stopwords) AS BIGINT) AS f_stopwords,
+           CAST(SUM(f_bullets) AS BIGINT) AS f_bullets,
+           CAST(SUM(f_ellipsis) AS BIGINT) AS f_ellipsis,
+           CAST(SUM(CASE WHEN f_wordcount + f_meanwordlen + f_alpha
+                      + f_symbolratio + f_stopwords + f_bullets
+                      + f_ellipsis = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_all
+    FROM gated GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "docs_gopher_full_gate",
+    oracle=_GOPHER_GATE_ORACLE,
+    tags=("text", "curation", "gopher", "quality"),
+)
+def docs_gopher_full_gate(spark, sf_dir):
+    """The COMPLETE Gopher/MassiveText document-level rule set (Rae et
+    al. 2021 Table A1) as a per-rule ablation table — closing the rule
+    family that docs_paragraph_repetition (dup fractions) and
+    docs_quality_scores (composite score) each cover a slice of: word
+    count in [20, 100k], mean word length in [3, 10] chars,
+    symbol-to-word ratio (# / ellipsis) <= 0.1, >= 80% words containing
+    an alphabetic char, >= 2 distinct required stop words (list
+    corpus-localized — see _GOPHER_REQ_STOPS), and
+    the two LINE rules (bullet-start, ellipsis-end) over the fabricated
+    newline structure (synthetic_paragraph_doc) — the Spark side REALLY
+    splits lines and string-matches their edges; the corpus alphabet
+    contains no bullet/ellipsis tokens, so those two rules pass with
+    exact zero counts (computed, not skipped — a parser bug that
+    miscounted line edges would break the hash).  Every decision is an
+    integer cross-multiplication; per source the table reports each
+    rule's removal count and the documents passing ALL rules.  100 TB:
+    one scan, all features array-side (no explode), one source-keyed
+    rollup."""
+    from prod_data_pipeline_spark.functions.text import tokens as _tokens
+    from prod_data_pipeline_spark.operators.text import synthetic_paragraph_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    fab = synthetic_paragraph_doc(docs)
+    toks = _tokens(F.col("ptext"))
+    lines = F.filter(F.split(F.col("ptext"), r"\n"), lambda x: x != "")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_REQ_STOPS])
+    feats = fab.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        F.length(F.array_join(toks, "")).alias("word_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("alpha_words"),
+        F.size(F.filter(toks, lambda t: t.contains("#"))).alias("hash_words"),
+        F.size(F.filter(toks, lambda t: t.contains("..."))).alias("ellip_words"),
+        F.size(F.array_intersect(F.array_distinct(toks), stops)).alias("stop_hits"),
+        F.size(lines).alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda x: x.startswith("-") | x.startswith("*"))
+        ).alias("bullet_lines"),
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).alias("ellip_lines"),
+    )
+    f_wc = ~((F.col("n_words") >= 20) & (F.col("n_words") <= 100000))
+    f_mwl = ~(
+        (3 * F.col("n_words") <= F.col("word_chars"))
+        & (F.col("word_chars") <= 10 * F.col("n_words"))
+    )
+    f_alpha = ~(5 * F.col("alpha_words") >= 4 * F.col("n_words"))
+    f_sym = ~(10 * (F.col("hash_words") + F.col("ellip_words")) <= F.col("n_words"))
+    f_stop = ~(F.col("stop_hits") >= 2)
+    f_bul = ~(10 * F.col("bullet_lines") <= 9 * F.col("n_lines"))
+    f_ell = ~(10 * F.col("ellip_lines") <= 3 * F.col("n_lines"))
+
+    def cnt(c, name):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(name)
+
+    all_pass = ~(f_wc | f_mwl | f_alpha | f_sym | f_stop | f_bul | f_ell)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(f_wc, "f_wordcount"),
+            cnt(f_mwl, "f_meanwordlen"),
+            cnt(f_alpha, "f_alpha"),
+            cnt(f_sym, "f_symbolratio"),
+            cnt(f_stop, "f_stopwords"),
+            cnt(f_bul, "f_bullets"),
+            cnt(f_ell, "f_ellipsis"),
+            cnt(all_pass, "n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "docs_langid_eval",
     oracle=f"""
@@ -13345,9 +13492,9 @@ DRIVER_ORDER: list[str] = [
     # --- round-9 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
-    # 37 of the r5 cohort oldest-first, then the 6 round-9 net-new queries
+    # 36 of the r5 cohort oldest-first, then the 7 round-9 net-new queries
     # (never-checked outranks a non-mandatory filler — rotation policy #3;
-    # the 6 displaced r5 fillers re-enter by age in round 10/11). ---
+    # the 7 displaced r5 fillers re-enter by age in round 10/11). ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
@@ -13391,7 +13538,6 @@ DRIVER_ORDER: list[str] = [
     "events_type_markov_stationary",
     "events_value_sketch_quantiles",
     "fk_integrity_audit",
-    "lineitem_mahalanobis_outliers",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
@@ -13399,6 +13545,7 @@ DRIVER_ORDER: list[str] = [
     "emb_pq_adc_topk",
     "docs_model_quality_gate",
     "lineitem_zorder_clustering",
+    "docs_gopher_full_gate",
 ]
 
 
