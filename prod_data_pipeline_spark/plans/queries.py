@@ -7338,9 +7338,13 @@ def events_daily_anomalies(spark, sf_dir):
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    # the daily relation (|distinct days| rows) feeds THREE plan branches
+    # (weekday medians, the deviation relation, and the final projection)
+    # — unmaterialized, each branch replays the fact-sized count scan
+    # (measured 5.1 -> 3.4 s at sf0.1 warm)
     dw = daily.select(
         "day", "n", (F.dayofweek("day") - 1).cast("int").alias("dow")
-    )
+    ).transform(truncate_lineage, eager=True)
     med = exact_quantiles(
         dw.select("dow", F.col("n").cast("double").alias("nv")),
         "nv",
