@@ -429,11 +429,27 @@ def ppr_quantized(
     return ranks
 
 
+def _min_hop_driver(edge_rows, seed_list, max_hops):
+    """Driver replay of the bounded BFS — all-integer MIN state,
+    identical round structure."""
+    adj: dict = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+    dist = {n: 0 for n in seed_list}
+    for _ in range(max_hops):
+        for n, h in list(dist.items()):
+            for d in adj.get(n, ()):
+                if d not in dist or dist[d] > h + 1:
+                    dist[d] = h + 1
+    return sorted(dist.items())
+
+
 def min_hop_distance(
     pairs: DataFrame,
     seeds: DataFrame,
     max_hops: int = 4,
     id_col: str = "doc_id",
+    driver_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Bounded BFS over an undirected pair relation: the minimum hop count
     from any seed, up to `max_hops` — the taint / blast-radius primitive
@@ -461,6 +477,21 @@ def min_hop_distance(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if edges.count() <= driver_edge_threshold:
+        # adaptive fast path (dup_clusters pattern) — all-integer BFS
+        # replays exactly; tests pin two-path identity
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        seed_list = [
+            r["node"]
+            for r in seeds.select(
+                F.col(id_col).cast("long").alias("node")
+            ).distinct().collect()
+        ]
+        edges.unpersist()
+        out = _min_hop_driver(rows, seed_list, max_hops)
+        return pairs.sparkSession.createDataFrame(
+            out or [], f"{id_col} long, hop int"
+        ).select(F.col(id_col), F.col("hop").cast("int"))
     dist = seeds.select(F.col(id_col).cast("long").alias("node")).distinct().withColumn(
         "hop", F.lit(0)
     )

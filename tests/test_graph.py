@@ -360,9 +360,15 @@ def test_quantized_graph_driver_path_bit_identical(spark):
         label_propagation,
     )
 
+    from prod_data_pipeline_spark.operators.graph import min_hop_distance
+
+    bfs_seeds = spark.createDataFrame([(0,), (5,)], "doc_id long")
     for fn in (
         lambda t: kcore(pairs, k=2, driver_edge_threshold=t),
         lambda t: label_propagation(pairs, driver_edge_threshold=t),
+        lambda t: min_hop_distance(
+            pairs, bfs_seeds, max_hops=2, driver_edge_threshold=t
+        ),
     ):
         x = sorted(map(tuple, fn(0).collect()))
         y = sorted(map(tuple, fn(10**9).collect()))
