@@ -301,8 +301,16 @@ def near_dup_pairs(
     # pipeline either)
     ok = F.size(tokens(F.col(text_col))) >= shingle_n
     members, gstats = collapse_exact_groups(df, id_col, F.md5(F.col(text_col)), ok)
+    # reps and self_sim read the PERSISTED members blocks — each group's
+    # representative row is the one where id == _rep, so a narrow filter
+    # over the cache replaces what would otherwise be extra references to
+    # the gstats plan, each replaying the corpus-wide md5 group-by unless
+    # ReuseExchange happens to fire (the scheduler accident this module
+    # never relies on).
     reps = df.join(
-        gstats.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+        members.filter(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
     )
     rep_pairs, sig = _near_dup_pairs_lsh(
         reps, id_col, text_col, num_hashes, band_size, shingle_n, threshold, hash_fn
@@ -310,9 +318,9 @@ def near_dup_pairs(
     # self-similarity of an identical pair: Jaccard of a non-empty set
     # with itself is exactly 1.0 (the verified value the uncollapsed
     # pipeline computes for identical docs)
-    self_sim = gstats.filter(F.col("_ok")).select(
-        F.col("_rep").alias("_ssid"), F.lit(1.0).alias("_ss")
-    )
+    self_sim = members.filter(
+        (F.col(id_col) == F.col("_rep")) & F.col("_ok")
+    ).select(F.col("_rep").alias("_ssid"), F.lit(1.0).alias("_ss"))
     out = expand_group_pairs(rep_pairs, members, id_col, self_sim, "jaccard")
     if materialize:
         out = out.transform(truncate_lineage, eager=True)

@@ -35,6 +35,54 @@ def _norm_emb(df: DataFrame, emb_col: str) -> DataFrame:
     return ensure_parallelism(df).withColumn("_emb", to_double_array(F.col(emb_col)))
 
 
+def _emb_matrix(emb: "pd.Series", dim: int):
+    """(batch, dim) float64 matrix + validity mask for an Arrow batch of
+    embeddings, for the vectorized pandas-UDF kernels (SRP signatures, PQ
+    encode/tables).
+
+    A bare ``np.array(emb.tolist(), dtype="float64")`` CRASHES the task
+    when the batch contains a NULL embedding or a wrong-length array
+    (ragged input builds an object array and the reshape/column-slice
+    raises) — whereas the expression-fold forms these kernels replaced
+    degraded gracefully: NULL dots → bits 0, NULL distances excluded at
+    verify.  This helper restores that contract: invalid rows (NULL
+    array, wrong length, non-finite elements — a NULL element arrives
+    here as NaN via numpy's object→float cast) become all-zero rows with
+    mask False.  Zero rows give dot = 0.0 → sign bit 0, exactly the
+    degraded signature of the expression fold; callers that emit
+    per-row structures (PQ) should NULL-out unmasked rows instead.
+
+    The all-valid batch — the only shape that exists at scale — takes the
+    vectorized fast path with zero per-row Python work.
+    """
+    vals = emb.tolist()
+    n = len(vals)
+    if n:
+        try:
+            x = np.asarray(vals, dtype="float64")
+            if x.ndim == 2 and x.shape[1] == dim:
+                ok = np.isfinite(x).all(axis=1)
+                if ok.all():
+                    return x, ok
+                return np.where(ok[:, None], x, 0.0), ok
+        except (TypeError, ValueError):
+            pass
+    # slow path: at least one NULL/ragged row made the batch inhomogeneous
+    x = np.zeros((n, dim), dtype="float64")
+    ok = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None or len(v) != dim:
+            continue
+        try:
+            row = np.asarray(v, dtype="float64")
+        except (TypeError, ValueError):
+            continue
+        if np.isfinite(row).all():
+            x[i] = row
+            ok[i] = True
+    return x, ok
+
+
 def brute_force_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -456,7 +504,9 @@ def with_srp_signature(
 
         @F.pandas_udf("long")
         def srp_md5_sig_udf(emb: pd.Series) -> pd.Series:
-            x = np.array(emb.tolist(), dtype="float64")
+            # invalid rows arrive zeroed (sig 0 — the expression fold's
+            # degraded value); verify later excludes them via NULL cosine
+            x, _ = _emb_matrix(emb, dim)
             if x.size == 0:
                 return pd.Series(np.empty(0, dtype="int64"))
             sig = np.zeros(len(x), dtype="int64")
@@ -476,7 +526,8 @@ def with_srp_signature(
 
     @F.pandas_udf("long")
     def srp_sig_udf(emb: pd.Series) -> pd.Series:
-        x = np.array(emb.tolist(), dtype="float64")  # (batch, dim)
+        # invalid rows arrive zeroed → sig 0; verify excludes them later
+        x, _ = _emb_matrix(emb, dim)  # (batch, dim)
         if x.size == 0:
             return pd.Series(np.empty(0, dtype="int64"))
         bits = (x @ planes_t) > 0  # (batch, nbits)
@@ -609,11 +660,30 @@ def srp_near_dup_pairs(
         expand_group_pairs,
     )
 
+    # Null-safe, length-prefixed group key: concat_ws SKIPS NULL elements,
+    # so without the per-element coalesce [1.0, NULL, 2.0] and
+    # [NULL, 1.0, 2.0] would both render "1.0,2.0" and collapse distinct
+    # vectors into one exact-dup group; the size prefix keeps NULL and
+    # zero-length arrays (both rendering "") apart as well.
     key = F.md5(
-        F.concat_ws(",", F.transform(F.col(emb_col), lambda x: x.cast("string")))
+        F.concat_ws(
+            ",",
+            F.coalesce(F.size(F.col(emb_col)).cast("string"), F.lit("-1")),
+            F.transform(
+                F.col(emb_col),
+                lambda x: F.coalesce(x.cast("string"), F.lit("_")),
+            ),
+        )
     )
     members, gstats = collapse_exact_groups(df, id_col, key, F.lit(True))
-    reps = df.join(gstats.select(F.col("_rep").alias(id_col)), id_col, "left_semi")
+    # rep rows come off the PERSISTED members cache (id == _rep), not the
+    # gstats plan — an extra gstats reference would replay the corpus-wide
+    # key group-by per consumer (see near_dup_pairs).
+    reps = df.join(
+        members.filter(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
     rep_pairs, sig = _srp_pairs_lsh(
         reps, dim, threshold, nbits, band_bits, seed, id_col, emb_col,
         round_sim, backend,
@@ -1077,7 +1147,7 @@ def pq_encode(
 
     @F.pandas_udf("struct<codes: array<int>, recon_err: double>")
     def pq_encode_udf(emb: pd.Series) -> pd.DataFrame:
-        x = np.array(emb.tolist(), dtype="float64")  # (batch, dim)
+        x, okm = _emb_matrix(emb, dim)  # (batch, dim); invalid rows zeroed
         if x.size == 0:
             return pd.DataFrame({"codes": [], "recon_err": []})
         b = len(x)
@@ -1100,7 +1170,15 @@ def pq_encode(
                     best_i = np.where(better, idx, best_i).astype("int32")
             codes[:, mm] = best_i
             recon = recon + best_d  # exact: quantized terms (see PQ_QUANT)
-        return pd.DataFrame({"codes": list(codes), "recon_err": recon})
+        # invalid rows (NULL/ragged/non-finite embedding) encode as NULL,
+        # not as the zero vector's codes — downstream ADC then yields NULL
+        # distance and the ranking filter drops them (family convention)
+        return pd.DataFrame(
+            {
+                "codes": [codes[i].tolist() if okm[i] else None for i in range(b)],
+                "recon_err": [float(recon[i]) if okm[i] else None for i in range(b)],
+            }
+        )
 
     x = df.withColumn("_emb", to_double_array(F.col(emb_col)))
     return x.select(
@@ -1153,7 +1231,7 @@ def pq_adc_topk(
 
     @F.pandas_udf("array<array<double>>")
     def pq_table_udf(emb: pd.Series) -> pd.Series:
-        x = np.array(emb.tolist(), dtype="float64")
+        x, okm = _emb_matrix(emb, dim)  # invalid query rows → NULL table
         if x.size == 0:
             return pd.Series([], dtype="object")
         b = len(x)
@@ -1165,7 +1243,9 @@ def pq_adc_topk(
                     t = x[:, mm * dsub + i] - cmat[idx, mm * dsub + i]
                     acc = acc + t * t  # sequential: the in-order IEEE fold
                 tab[:, mm, idx] = np.floor(acc * PQ_QUANT) / PQ_QUANT
-        return pd.Series([row.tolist() for row in tab])
+        return pd.Series(
+            [tab[i].tolist() if okm[i] else None for i in range(b)]
+        )
 
     q = query_df.withColumn("_emb", to_double_array(F.col(emb_col)))
     queries = q.select(
@@ -1186,6 +1266,11 @@ def pq_adc_topk(
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("_adc", adc)
+        # a NULL-encoded corpus row (malformed embedding) yields NULL ADC
+        # distance, and ascending order sorts NULLs FIRST — without this
+        # filter one malformed vector would take rank 1 in every query's
+        # top-k (same guard as the brute-force/IVF family)
+        .filter(F.col("_adc").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
     return (

@@ -86,4 +86,3 @@ def write_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
-

@@ -2186,7 +2186,10 @@ def emb_pq_adc_topk(spark, sf_dir):
     return pq_adc_topk(emb, queries_df, k=5, m=8)
 
 
-def _z2_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
+def _z2_sql(a_expr: str, b_expr: str, bits: int = 10) -> str:
+    """SQL text of a 2-D Morton interleave — a's bits at even positions,
+    b's at odd — matching sources.writers.zorder_value's bit convention.
+    Single source of truth for the lineitem_zorder_clustering oracle."""
     terms = []
     for b in range(bits):
         terms.append(f"((({a_expr} >> {b}) & 1) << {2 * b})")
@@ -2201,7 +2204,7 @@ def _z2_sql(a_expr: str, b_expr: str, bits: int = 16) -> str:
       SELECT (l_orderkey % 1024) AS a, (l_partkey % 1024) AS b
       FROM lineitem
     ), keyed AS (
-      SELECT 'zorder' AS layout, ((((a >> 0) & 1) << 0) + (((b >> 0) & 1) << 1) + (((a >> 1) & 1) << 2) + (((b >> 1) & 1) << 3) + (((a >> 2) & 1) << 4) + (((b >> 2) & 1) << 5) + (((a >> 3) & 1) << 6) + (((b >> 3) & 1) << 7) + (((a >> 4) & 1) << 8) + (((b >> 4) & 1) << 9) + (((a >> 5) & 1) << 10) + (((b >> 5) & 1) << 11) + (((a >> 6) & 1) << 12) + (((b >> 6) & 1) << 13) + (((a >> 7) & 1) << 14) + (((b >> 7) & 1) << 15) + (((a >> 8) & 1) << 16) + (((b >> 8) & 1) << 17) + (((a >> 9) & 1) << 18) + (((b >> 9) & 1) << 19)) >> 14 AS bucket, a, b
+      SELECT 'zorder' AS layout, ({_z2_sql("a", "b", 10)}) >> 14 AS bucket, a, b
       FROM g
       UNION ALL
       SELECT 'linear' AS layout, a >> 4 AS bucket, a, b FROM g

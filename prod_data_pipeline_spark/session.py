@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import SparkSession
 
 # Confs that are runtime-settable (SQLConf) — applied both at build time and
@@ -65,6 +66,14 @@ def get_spark(
         # With AQE coalescing on, this is an upper bound, not a fixed cost:
         # small stages shrink back down at runtime.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
+        # Reliable checkpoints (truncate_lineage with a checkpoint dir) are
+        # plain rdd-* directories on shared storage; without this flag they
+        # outlive the DataFrames that created them and leak forever in a
+        # long-running session.  ContextCleaner-managed deletion mirrors how
+        # localCheckpoint blocks are already reclaimed.  Context-creation-time
+        # conf — external sessions must set it themselves (see
+        # truncate_lineage).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -125,7 +134,15 @@ def truncate_lineage(df, eager: bool = True):
       shared storage (HDFS/S3), so an executor loss costs nothing.  This
       is the right mode on a real cluster and MANDATORY with dynamic
       allocation or spot/preemptible nodes — Spark explicitly warns that
-      local checkpoints may never be recoverable there.
+      local checkpoints may never be recoverable there.  Eager calls
+      persist-then-checkpoint so the plan is computed ONCE (bare
+      ``Dataset.checkpoint`` recomputes every partition in the
+      checkpoint-write job — the documented RDD.checkpoint caveat), and
+      sessions built by :func:`get_spark` set
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so the
+      rdd-* directories are reclaimed when the plan is dropped; external
+      long-running sessions should set that conf at context creation or
+      sweep the checkpoint dir themselves.
     - ``df.localCheckpoint()`` otherwise: blocks live only on executors —
       no distributed-FS round-trip, and storage ownership follows the
       returned plan's RDD (ContextCleaner frees it when the caller drops
@@ -139,5 +156,18 @@ def truncate_lineage(df, eager: bool = True):
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
+        if eager:
+            # Reliable checkpoints recompute the plan in the checkpoint-
+            # write job unless the blocks are already cached (the
+            # documented RDD.checkpoint caveat).  Pin to memory-and-disk
+            # first so materialization + checkpoint together cost ONE
+            # pass, then release the cache — the checkpoint files on
+            # shared storage are the surviving copy.
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            out = df.checkpoint(eager=True)
+            df.unpersist()
+            return out
+        # Lazy mode: the caller controls when materialization happens;
+        # persisting here would pin blocks nobody may ever compute.
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)

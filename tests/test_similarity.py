@@ -488,3 +488,80 @@ def test_pq_encode_and_adc_properties(spark, emb):
     a = {(r["query_id"], r["neighbor_id"]) for r in adc.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a) == len(e) == 80
+
+
+def test_srp_kernels_tolerate_malformed_embeddings(spark):
+    """NULL, wrong-length, and NULL-element embeddings must degrade —
+    signature 0, excluded from pairs — not crash the Arrow batch kernel
+    (np.array over a batch containing a NULL row raises ValueError and
+    fails the whole task)."""
+    from prod_data_pipeline_spark.operators.similarity import with_srp_signature
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 1
+        (3, [-1.0, 0.5, 0.0, 0.0]),
+        (90, None),  # NULL embedding
+        (91, [1.0, 0.0]),  # wrong length
+        (92, [1.0, None, 0.0, 0.0]),  # NULL element
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for backend in ("mt", "md5"):
+        sig = with_srp_signature(df, dim=4, backend=backend)
+        got = {r["vec_id"]: r["srp_sig"] for r in sig.collect()}
+        assert got[90] == got[91] == got[92] == 0, backend
+        assert got[1] == got[2], backend  # identical vectors, identical sigs
+        pairs = srp_near_dup_pairs(df, dim=4, threshold=0.9, backend=backend)
+        got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got_pairs, backend
+        touched = {i for p in got_pairs for i in p}
+        assert not touched & {90, 91, 92}, backend
+
+
+def test_srp_collapse_key_is_null_safe(spark):
+    """concat_ws SKIPS NULL array elements, so without a per-element
+    sentinel [1.0, 2.0], [1.0, NULL, 2.0] and [NULL, 1.0, 2.0] all render
+    "1.0,2.0" and collapse into one exact-dup group — whose valid
+    representative would then fan out sim-1.0 pairs to the malformed
+    members, output the uncollapsed pipeline never produces."""
+    rows = [
+        (1, [1.0, 2.0]),  # valid, the min-id representative
+        (2, [1.0, None, 2.0]),
+        (3, [None, 1.0, 2.0]),
+        (4, None),
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = srp_near_dup_pairs(df, dim=2, threshold=0.5)
+    assert pairs.count() == 0
+
+
+def test_pq_kernels_tolerate_malformed_embeddings(spark, emb):
+    """PQ encode must emit NULL codes for malformed embeddings (not the
+    zero vector's codes), and ADC ranking must exclude them — ascending
+    NULLs-first order would otherwise rank a malformed row 1st."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    base = emb.filter(F.col("vec_id") < 40).select("vec_id", "embedding", "label")
+    dim = len(base.select("embedding").first()[0])
+    bad = spark.createDataFrame(
+        [
+            (9001, None, 0),
+            (9002, [1.0, 0.0], 0),  # wrong length
+            (9003, [1.0, None] + [0.0] * (dim - 2), 0),  # NULL element
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    corpus = base.unionByName(bad)
+    labels, cb = pq_codebook(base)
+    enc = {r["vec_id"]: r["codes"] for r in pq_encode(corpus, labels, cb).collect()}
+    assert enc[9001] is None and enc[9002] is None and enc[9003] is None
+    assert all(v is not None for k, v in enc.items() if k < 40)
+    top = pq_adc_topk(corpus, base.filter(F.col("vec_id") < 4), k=5)
+    rows = top.collect()
+    assert rows  # valid queries still rank
+    assert not {r["neighbor_id"] for r in rows} & {9001, 9002, 9003}
