@@ -1838,6 +1838,155 @@ def docs_mixing_weights(spark, sf_dir):
     return mixing_weights(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source")
 
 
+# Shared DuckDB CTE chain replaying operators.sampling.dsir_importance:
+# target = English documents, raw = everything else; hashed-bigram bucket
+# distributions with Laplace smoothing, per-bucket ln-ratio rounded to 7
+# digits (the cross-engine ln convention), exact DECIMAL per-doc sums.
+_DSIR_CTES = f"""
+    WITH rawd AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents WHERE lang <> 'en'
+    ), tgtd AS (
+      SELECT {_TOKS_SQL} AS toks FROM documents WHERE lang = 'en'
+    ), rg AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                      i -> array_to_string(toks[i:i+1], ' '))
+               ELSE [] END) AS gram
+      FROM rawd
+    ), db AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 1024
+                  AS INT) AS bucket,
+             COUNT(*) AS cnt
+      FROM rg GROUP BY 1, 2
+    ), tg AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                      i -> array_to_string(toks[i:i+1], ' '))
+               ELSE [] END) AS gram
+      FROM tgtd
+    ), tcb AS (
+      SELECT CAST(('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 1024
+                  AS INT) AS bucket,
+             COUNT(*) AS tc
+      FROM tg GROUP BY 1
+    ), rcb AS (
+      SELECT bucket, SUM(cnt) AS rc FROM db GROUP BY 1
+    ), buckets AS (
+      SELECT CAST(d.range AS INT) AS bucket,
+             COALESCE(tcb.tc, 0) AS tc, COALESCE(rcb.rc, 0) AS rc
+      FROM range(0, 1024) d
+      LEFT JOIN tcb ON tcb.bucket = d.range
+      LEFT JOIN rcb ON rcb.bucket = d.range
+    ), tot AS (
+      SELECT CAST(SUM(tc) AS DOUBLE) AS tt, CAST(SUM(rc) AS DOUBLE) AS rt
+      FROM buckets
+    ), ratio AS (
+      SELECT bucket,
+             ROUND(ln((tc + 1.0) / (tt + 1024.0))
+                   - ln((rc + 1.0) / (rt + 1024.0)), 7) AS log_ratio
+      FROM buckets, tot
+    ), w AS (
+      SELECT db.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             CAST(ROUND(SUM(CAST(ROUND(cnt * log_ratio, 7) AS DECIMAL(28,7))), 6)
+                  AS DOUBLE) AS log_w
+      FROM db JOIN ratio USING (bucket) GROUP BY 1
+    ), full_w AS (
+      SELECT r.doc_id, CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams,
+             COALESCE(w.log_w, 0.0) AS log_w
+      FROM (SELECT DISTINCT doc_id FROM rawd) r LEFT JOIN w USING (doc_id)
+    )
+"""
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, n_grams, log_w FROM full_w ORDER BY doc_id
+    """,
+    tags=("sampling", "selection", "dsir"),
+)
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators.sampling.dsir_importance; Xie et
+    al. 2023): every non-English document scored by how target-like (here:
+    English-corpus-like) its hashed-bigram feature distribution is.  The
+    raw corpus reduces once to a lineage-cut (doc, bucket, cnt) relation;
+    the 1024-row smoothed log-ratio relation broadcasts onto it — the only
+    corpus-keyed shuffle is the map-side-combined (doc, bucket) agg, so the
+    plan holds when raw is a 100 TB crawl and the target a small curated
+    set."""
+    from prod_data_pipeline_spark.operators.sampling import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang") != "en")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_importance(raw, target).orderBy("doc_id")
+
+
+@query(
+    "docs_dsir_selection",
+    oracle=_DSIR_CTES
+    + """
+    , ranked AS (
+      SELECT doc_id, log_w,
+             ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS nt
+      FROM full_w
+    ), sel AS (
+      SELECT doc_id, log_w,
+             CASE WHEN rnk <= CEIL(0.2 * nt) THEN 1 ELSE 0 END AS s
+      FROM ranked
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS n_selected,
+           ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS sel_share,
+           ROUND(CAST(SUM(CAST(log_w AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_log_w
+    FROM sel JOIN (SELECT DISTINCT doc_id, source FROM rawd) d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sampling", "selection", "dsir"),
+)
+def docs_dsir_selection(spark, sf_dir):
+    """DSIR top-20% selection audit: which sources the importance
+    resampler favors.  The exact global top-k flag comes from the
+    bucketed distributed rank (operators.ranking.bucketed_global_rank —
+    no single-partition sort; ties broken by doc_id), then one tiny
+    per-source rollup.  This is the composition-shift report a data-mixing
+    decision is made from."""
+    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
+    from prod_data_pipeline_spark.operators.sampling import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang") != "en")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_importance(raw, target).withColumn("_negw", -F.col("log_w"))
+    ranked = bucketed_global_rank(w, ["_negw", "doc_id"])
+    sel = ranked.withColumn(
+        "s",
+        (F.col("rank") <= F.ceil(F.lit(0.2) * F.col("n_total"))).cast("int"),
+    )
+    return (
+        sel.join(raw.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("s").cast("bigint").alias("n_selected"),
+            F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias(
+                "sel_share"
+            ),
+            F.round(
+                F.sum(F.col("log_w").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_log_w"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "docs_chunk_spans",
     oracle=f"""
@@ -13499,9 +13648,9 @@ DRIVER_ORDER: list[str] = [
     # --- round-9 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
-    # 36 of the r5 cohort oldest-first, then the 7 round-9 net-new queries
+    # 34 of the r5 cohort oldest-first, then the 9 round-9 net-new queries
     # (never-checked outranks a non-mandatory filler — rotation policy #3;
-    # the 7 displaced r5 fillers re-enter by age in round 10/11). ---
+    # the 9 displaced r5 fillers re-enter by age in round 10/11). ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
@@ -13543,9 +13692,9 @@ DRIVER_ORDER: list[str] = [
     "events_ewma_anomalies",
     "events_scd2_asof_snapshot",
     "events_type_markov_stationary",
-    "events_value_sketch_quantiles",
-    "fk_integrity_audit",
-    # round-9 net-new (never driver-checked, outranks trailing r5 fillers):
+    # round-9 net-new (never driver-checked, outranks trailing r5 fillers;
+    # the displaced equal-aged r5 fillers events_value_sketch_quantiles and
+    # fk_integrity_audit re-enter by age in round 10):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
     "docs_paragraph_dedup",
@@ -13553,14 +13702,16 @@ DRIVER_ORDER: list[str] = [
     "docs_model_quality_gate",
     "lineitem_zorder_clustering",
     "docs_gopher_full_gate",
+    "docs_dsir_weights",
+    "docs_dsir_selection",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows) left
-#: 43 free slots, all filled oldest-first from the r5 cohort; nothing is
-#: deferred this round.
+#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 9
+#: never-checked net-new) left 34 free slots, all filled oldest-first
+#: from the r5 cohort; nothing is deferred this round.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 
