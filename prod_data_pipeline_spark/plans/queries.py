@@ -7879,7 +7879,14 @@ def basket_part_pair_lift(spark, sf_dir):
     rounded to 6; the min-support gate (pair_n ≥ 2) and the (pair_n,
     part_a, part_b) tie-break keep the top-50 deterministic."""
     li = _t(spark, sf_dir, "lineitem")
-    ol = li.select("l_orderkey", "l_partkey").distinct()
+    # ol feeds FOUR consumers (n_orders, item→ia/ib, both self-join
+    # sides); without a lineage cut each replays the fact scan + distinct
+    # exchange unless ReuseExchange happens to fire (never relied on).
+    ol = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .transform(truncate_lineage, eager=False)
+    )
     n_orders = ol.select(F.countDistinct("l_orderkey").alias("n_orders"))
     item = ol.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a = ol.alias("a")
@@ -11585,6 +11592,9 @@ def docs_snm_recall_vs_exact(spark, sf_dir, sample_pct: int = 100):
     exact = jaccard_prefix_pairs(
         docs, threshold_pct=50, shingle_n=3, materialize=True
     ).select("id_a", "id_b")
+    # snm feeds two actions (its own count + the overlap semi-join);
+    # a lazy lineage cut stores the blocks on the first count so the
+    # neighborhood pipeline runs once, not twice.
     snm = (
         sorted_neighborhood_pairs(docs, threshold=0.5)
         .select(
@@ -11592,6 +11602,7 @@ def docs_snm_recall_vs_exact(spark, sf_dir, sample_pct: int = 100):
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
+        .transform(truncate_lineage, eager=False)
     )
     from decimal import ROUND_HALF_UP, Decimal
 
