@@ -1597,6 +1597,61 @@ def docs_quality_scores(spark, sf_dir):
 
 
 @query(
+    "docs_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len({_TOKS_SQL}) AS word_n,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                 AS bpe_n,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(word_n) AS BIGINT) AS n_words,
+           CAST(SUM(bpe_n) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(bpe_n) AS DOUBLE) / NULLIF(SUM(word_n), 0), 6)
+               AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / NULLIF(SUM(bpe_n), 0), 6)
+               AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "tokenizer", "diagnostics"),
+)
+def docs_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — the standard multilingual
+    tokenizer-eval diagnostic: pre-tokens per whitespace word (fertility;
+    higher = the tokenizer fragments that language more, inflating its
+    effective sequence lengths and training cost) and characters per
+    pre-token (compression rate), over the shared BPE-ish pre-tokenizer
+    (functions.text.BPE_PATTERN).  All metrics are single double
+    divisions of exact per-language integer sums — one fused scan-agg,
+    deterministic at any parallelism, |langs| output rows."""
+    from prod_data_pipeline_spark.functions.text import BPE_PATTERN, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    word_n = F.size(tokens(F.col("text")))
+    bpe_n = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
+    return (
+        docs.select("lang", word_n.alias("word_n"), bpe_n.alias("bpe_n"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("word_n").cast("bigint").alias("n_words"),
+            F.sum("bpe_n").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.try_divide(F.sum("bpe_n").cast("double"), F.sum("word_n")), 6
+            ).alias("fertility"),
+            F.round(
+                F.try_divide(F.sum("n_chars").cast("double"), F.sum("bpe_n")), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "docs_token_stats",
     oracle=f"""
     WITH e AS (
@@ -13659,9 +13714,9 @@ DRIVER_ORDER: list[str] = [
     # --- round-9 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
-    # 34 of the r5 cohort oldest-first, then the 9 round-9 net-new queries
+    # 33 of the r5 cohort oldest-first, then the 10 round-9 net-new queries
     # (never-checked outranks a non-mandatory filler — rotation policy #3;
-    # the 9 displaced r5 fillers re-enter by age in round 10/11). ---
+    # the 10 displaced r5 fillers re-enter by age in round 10/11). ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
@@ -13702,10 +13757,10 @@ DRIVER_ORDER: list[str] = [
     "events_conversion_latency",
     "events_ewma_anomalies",
     "events_scd2_asof_snapshot",
-    "events_type_markov_stationary",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers;
-    # the displaced equal-aged r5 fillers events_value_sketch_quantiles and
-    # fk_integrity_audit re-enter by age in round 10):
+    # the displaced equal-aged r5 fillers events_type_markov_stationary,
+    # events_value_sketch_quantiles and fk_integrity_audit re-enter by age
+    # in round 10):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
     "docs_paragraph_dedup",
@@ -13715,13 +13770,14 @@ DRIVER_ORDER: list[str] = [
     "docs_gopher_full_gate",
     "docs_dsir_weights",
     "docs_dsir_selection",
+    "docs_tokenizer_fertility",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 9
-#: never-checked net-new) left 34 free slots, all filled oldest-first
+#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 10
+#: never-checked net-new) left 33 free slots, all filled oldest-first
 #: from the r5 cohort; nothing is deferred this round.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
