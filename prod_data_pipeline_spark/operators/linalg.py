@@ -29,20 +29,37 @@ def covariance_matrix(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     round_term: int = 12,
+    quantizer: str = "int40",
 ) -> DataFrame:
     """Exact sample covariance as a (i, j, c) relation.
 
     posexplode -> per-dim exact means (DECIMAL sum, ONE double division)
-    -> centered values -> dimension-pair products -> DECIMAL-summed per
-    (i, j) -> /(n-1).  The only corpus-sized shuffle carries (i, j)
-    partials (map-side combined to d^2 rows per task); the self-join on
-    the row id is co-partitioned.  Products are rounded to `round_term`
-    digits before the exact sum — the quantization that makes the result
-    independent of partition order AND replayable by the SQL oracle.
+    -> centered values -> dimension-pair products -> quantized exact sums
+    per (i, j) -> /(n-1).  The only corpus-sized shuffle carries (i, j)
+    partials (map-side combined to d^2 rows per task).  Every product is
+    quantized BEFORE the sum, so the result is independent of partition
+    order AND replayable by the SQL oracle.  Two quantizers:
+
+    - ``"int40"`` (default): ``floor(p * 2^40)`` — scaling by a power of
+      two is an exact exponent shift and floor is unambiguous, so the
+      quantized term is the SAME 64-bit integer in every IEEE-754 engine
+      (no ROUND half-way ties, no shortest-repr divergence).  The
+      integers are summed as primitive longs via a hi/lo split
+      (lo = pmod(q, 2^20), hi = (q - lo)/2^20): both partial sums stay
+      far under 2^63 (bounds checked below), all codegen'd long adds —
+      ~6x cheaper than one BigDecimal per product, which the round-9
+      SCALE.md ablation measured as ~77% of this operator's wall.
+      Requires max |centered value| < ~2^11 and
+      cmax^2 * n * 2^20 < 2^62 (verified from a max-abs ride-along on
+      the count pass; violation raises with a pointer to "decimal").
+    - ``"decimal"``: the original ROUND(p, round_term) -> DECIMAL(38,12)
+      exact-sum recipe — unbounded range, ~6x the quantization cost.
 
     At 100 TB prefer d <= a few hundred (d^2 pair terms per row); above
     that, block the dimension range and union the blocks.
     """
+    if quantizer not in ("int40", "decimal"):
+        raise ValueError(f"unknown quantizer {quantizer!r}")
     x = df.select(to_double_array(F.col(emb_col)).alias("e"))
     first = x.first()
     if first is None:
@@ -66,6 +83,9 @@ def covariance_matrix(
     stats = x.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(bad, 1).otherwise(0)).alias("ragged"),
+        # max |element| rides the same pass (n*d cheap ops): it proves the
+        # int40 quantizer's overflow bounds below
+        F.max(F.array_max(F.transform("e", lambda xi: F.abs(xi)))).alias("amax"),
     ).first()
     n = stats["n"]
     if stats["ragged"]:
@@ -95,13 +115,11 @@ def covariance_matrix(
     # replaces the previous posexplode → self-join-on-row-id → 26M joined
     # rows plan: no join, no row-id exchange — the product stream
     # generates in-pipeline and partial-aggregates to d² rows per task
-    # before the ONLY exchange (measured 20.5 s -> ~13 s warm at sf0.1;
-    # the remaining wall is the n·d² round+DECIMAL quantization ops
-    # themselves — one BigDecimal per product is the price of the
-    # exact-oracle recipe, not a plan defect).  Products round to
-    # `round_term` before the exact DECIMAL sum — the same terms in the
-    # same quantization, so the result (and the SQL oracle) is
-    # unchanged.
+    # before the ONLY exchange (measured 20.5 s -> ~13 s warm at sf0.1
+    # under the decimal quantizer; the int40 quantizer then removes the
+    # remaining n·d² BigDecimal wall — see the docstring).  Every product
+    # quantizes before its exact sum, so the result (and the SQL oracle)
+    # is partition-order-independent under either recipe.
     centered = x.select(
         F.zip_with(F.col("e"), mu_arr, lambda xi, m: xi - m).alias("c")
     )
@@ -113,42 +131,145 @@ def covariance_matrix(
     # the same IEEE product, so the mirrored entry sums the exact same
     # quantized terms the full pass would — the oracle is unchanged.
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    prods = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(dim - 1)),
-                lambda j: F.struct(
-                    (i * dim + j).cast("int").alias("k"),
-                    F.round(
-                        F.element_at(F.col("c"), i + 1)
-                        * F.element_at(F.col("c"), j + 1),
-                        round_term,
-                    ).alias("p"),
+    if quantizer == "int40":
+        # Overflow proofs for the integer recipe (amax from the stats
+        # ride-along; |centered| <= amax + max|mu| <= 2*amax since every
+        # mean's magnitude is bounded by the max element):
+        #   per-term:  |q| = |floor(p*2^40)| needs cmax^2 * 2^40 < 2^62
+        #   hi-sum  :  n * cmax^2 * 2^20 < 2^62   (|hi| <= |q| / 2^20)
+        #   lo-sum  :  n * 2^20 < 2^62            (lo in [0, 2^20))
+        amax = float(stats["amax"] or 0.0)
+        cmax = 2.0 * amax
+        if (
+            cmax * cmax >= float(1 << 22)
+            or cmax * cmax * float(n) * float(1 << 20) >= float(1 << 62)
+            or n >= (1 << 42)
+        ):
+            raise ValueError(
+                f"covariance_matrix: int40 quantizer bounds exceeded "
+                f"(max|x|={amax}, n={n}); pass quantizer='decimal'"
+            )
+        scale = float(1 << 40)
+        m = 1 << 20
+        prods = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        (i * dim + j).cast("int").alias("k"),
+                        F.floor(
+                            F.element_at(F.col("c"), i + 1)
+                            * F.element_at(F.col("c"), j + 1)
+                            * F.lit(scale)
+                        ).alias("q"),
+                    ),
                 ),
-            ),
+            )
         )
-    )
-    upper = (
-        centered.select(F.explode(prods).alias("t"))
-        .select(F.col("t.k").alias("k"), F.col("t.p").alias("p"))
-        .groupBy("k")
-        .agg(
-            (
-                F.sum(F.col("p").cast("decimal(38,12)")).cast("double")
-                / F.lit(float(n - 1))
-            ).alias("c")
+        upper = (
+            centered.select(F.explode(prods).alias("t"))
+            .select(
+                F.col("t.k").alias("k"),
+                F.pmod(F.col("t.q"), F.lit(m)).alias("lo"),
+                # exact: q - lo is divisible by m and |q| < 2^53, so the
+                # double division is the true integer quotient
+                ((F.col("t.q") - F.pmod(F.col("t.q"), F.lit(m))) / F.lit(m))
+                .cast("long")
+                .alias("hi"),
+            )
+            .groupBy("k")
+            .agg(
+                # combine in DOUBLE: sum_hi*2^20 can exceed int64 while
+                # both partial sums are bounded (proofs above); each cast
+                # and the one add are deterministic IEEE ops the oracle
+                # replays with the same expression shape
+                (
+                    (
+                        F.sum("hi").cast("double") * F.lit(float(m))
+                        + F.sum("lo").cast("double")
+                    )
+                    / F.lit(scale)
+                    / F.lit(float(n - 1))
+                ).alias("c")
+            )
+            .select(
+                (F.col("k") / dim).cast("int").alias("i"),
+                F.pmod(F.col("k"), F.lit(dim)).cast("int").alias("j"),
+                "c",
+            )
         )
-        .select(
-            (F.col("k") / dim).cast("int").alias("i"),
-            F.pmod(F.col("k"), F.lit(dim)).cast("int").alias("j"),
-            "c",
+    else:
+        prods = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        (i * dim + j).cast("int").alias("k"),
+                        F.round(
+                            F.element_at(F.col("c"), i + 1)
+                            * F.element_at(F.col("c"), j + 1),
+                            round_term,
+                        ).alias("p"),
+                    ),
+                ),
+            )
         )
-    )
+        upper = (
+            centered.select(F.explode(prods).alias("t"))
+            .select(F.col("t.k").alias("k"), F.col("t.p").alias("p"))
+            .groupBy("k")
+            .agg(
+                (
+                    F.sum(F.col("p").cast("decimal(38,12)")).cast("double")
+                    / F.lit(float(n - 1))
+                ).alias("c")
+            )
+            .select(
+                (F.col("k") / dim).cast("int").alias("i"),
+                F.pmod(F.col("k"), F.lit(dim)).cast("int").alias("j"),
+                "c",
+            )
+        )
     lower = upper.filter(F.col("i") != F.col("j")).select(
         F.col("j").alias("i"), F.col("i").alias("j"), "c"
     )
     return upper.unionByName(lower)
+
+
+def _power_iteration_driver(cov_rows, dim, n_iters, round_term, round_vec):
+    """Driver-side replay of the quantized power-iteration recurrence —
+    the SAME engine-independent recipe the distributed loop and the
+    unrolled SQL oracle evaluate (terms rounded HALF_UP to `round_term`
+    then summed as exact decimals; norm via one IEEE sqrt; the vector
+    rounded to `round_vec`), so the output is bit-identical to the
+    cluster path (pinned by tests/test_similarity.py).  Same pattern as
+    graph._pagerank_quantized_driver."""
+    import math
+    from decimal import Decimal
+
+    from prod_data_pipeline_spark.operators.graph import _dec_half_up, _rnd_half_up
+
+    cm: dict = {}
+    for i, j, cv in cov_rows:
+        cm.setdefault(i, []).append((j, cv))
+    v0 = 1.0 / float(dim) ** 0.5
+    v = {j: v0 for j in range(dim)}
+    nrm = 0.0
+    for _ in range(n_iters):
+        u = {}
+        for i, row in cm.items():
+            s = Decimal(0)
+            for j, cv in row:
+                s += _dec_half_up(cv * v[j], round_term)
+            u[i] = float(s)
+        s2 = Decimal(0)
+        for ui in u.values():
+            s2 += _dec_half_up(ui * ui, round_term)
+        nrm = math.sqrt(float(s2))
+        v = {i: _rnd_half_up(ui / nrm, round_vec) for i, ui in u.items()}
+    return v, nrm
 
 
 def top_principal_component(
@@ -157,6 +278,7 @@ def top_principal_component(
     n_iters: int = 6,
     round_term: int = 12,
     round_vec: int = 9,
+    driver_dim_threshold: int = 256,
 ) -> DataFrame:
     """Top eigenvector of a (i, j, c) covariance relation by power
     iteration as relational matvec: u = C v is a join on j + an exact
@@ -187,6 +309,25 @@ def top_principal_component(
     # n×d(d+1)/2 quantized products is the price of the exact-oracle
     # relational design, paid once.
     cov = cov.transform(truncate_lineage, eager=True)
+    if dim <= driver_dim_threshold:
+        # Adaptive fast path (the pagerank_quantized pattern): the matvec
+        # relation is d² rows — parameter-bounded, like PageRank's tiny
+        # near-dup graphs — while each distributed round costs ~0.3-1 s of
+        # pure job scheduling (16 rounds dominated the measured wall once
+        # the int40 covariance landed).  The quantized recurrence is
+        # engine-independent BY DESIGN, so the driver replay is
+        # bit-identical to the cluster path and the oracle hash is
+        # unchanged.  Above the threshold (d² > 65k) the distributed loop
+        # below runs as before.
+        rows = [(r["i"], r["j"], r["c"]) for r in cov.collect()]
+        vec, nrm = _power_iteration_driver(rows, dim, n_iters, round_term, round_vec)
+        from prod_data_pipeline_spark.operators.graph import _rnd_half_up
+
+        lam = _rnd_half_up(nrm, 6)
+        return spark.createDataFrame(
+            [(int(p), vec[p], lam) for p in sorted(vec)],
+            "pos int, loading double, eigenvalue double",
+        )
     v0 = 1.0 / float(dim) ** 0.5
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(v0).alias("v")

@@ -7239,12 +7239,17 @@ def _pca_oracle_sql(n_iters: int = 16, dim: int = 64) -> str:
       FROM x GROUP BY i
     ), cx AS MATERIALIZED (
       SELECT rid, x.i, xi - mu AS ci FROM x JOIN mu USING (i)
-    ), cov AS MATERIALIZED (
+    ), qt AS MATERIALIZED (
       SELECT a.i, b.i AS j,
-             CAST(SUM(CAST(ROUND(a.ci * b.ci, 12) AS DECIMAL(38,12))) AS DOUBLE)
-                 / ((SELECT n FROM nn) - 1) AS c
+             CAST(floor(a.ci * b.ci * 1099511627776.0) AS BIGINT) AS q
       FROM cx a JOIN cx b USING (rid)
-      GROUP BY 1, 2
+    ), cov AS MATERIALIZED (
+      SELECT i, j,
+             (CAST(SUM((q - ((q % 1048576 + 1048576) % 1048576)) // 1048576)
+                   AS DOUBLE) * 1048576.0
+              + CAST(SUM((q % 1048576 + 1048576) % 1048576) AS DOUBLE))
+             / 1099511627776.0 / ((SELECT n FROM nn) - 1) AS c
+      FROM qt GROUP BY 1, 2
     ), v0 AS (
       SELECT CAST(i AS INT) AS j, {v0} AS v FROM range(0, {dim}) t(i)
     )"""
@@ -7621,12 +7626,17 @@ def _pca2_oracle_sql(n_iters: int = 8, dim: int = 64) -> str:
       FROM x GROUP BY i
     ), cx AS MATERIALIZED (
       SELECT rid, x.i, xi - mu AS ci FROM x JOIN mu USING (i)
-    ), cov AS MATERIALIZED (
+    ), qt AS MATERIALIZED (
       SELECT a.i, b.i AS j,
-             CAST(SUM(CAST(ROUND(a.ci * b.ci, 12) AS DECIMAL(38,12))) AS DOUBLE)
-                 / ((SELECT n FROM nn) - 1) AS c
+             CAST(floor(a.ci * b.ci * 1099511627776.0) AS BIGINT) AS q
       FROM cx a JOIN cx b USING (rid)
-      GROUP BY 1, 2
+    ), cov AS MATERIALIZED (
+      SELECT i, j,
+             (CAST(SUM((q - ((q % 1048576 + 1048576) % 1048576)) // 1048576)
+                   AS DOUBLE) * 1048576.0
+              + CAST(SUM((q % 1048576 + 1048576) % 1048576) AS DOUBLE))
+             / 1099511627776.0 / ((SELECT n FROM nn) - 1) AS c
+      FROM qt GROUP BY 1, 2
     )"""
     c1 = _pca_chain_sql("a_", "cov", n_iters, dim)
     defl = f""", defl AS MATERIALIZED (

@@ -565,3 +565,45 @@ def test_pq_kernels_tolerate_malformed_embeddings(spark, emb):
     rows = top.collect()
     assert rows  # valid queries still rank
     assert not {r["neighbor_id"] for r in rows} & {9001, 9002, 9003}
+
+
+def test_power_iteration_driver_path_matches_distributed(spark, emb):
+    """The adaptive driver fast path replays the quantized power-iteration
+    recurrence bit-identically to the distributed matvec loop (the
+    pagerank_quantized guarantee, extended to PCA): same rounded terms,
+    same exact-decimal sums, same IEEE sqrt/divisions — so the oracle
+    hash is path-independent."""
+    from prod_data_pipeline_spark.operators.linalg import (
+        covariance_matrix,
+        top_principal_component,
+    )
+
+    cov = covariance_matrix(emb).localCheckpoint(eager=True)
+    fast = top_principal_component(cov, dim=64, n_iters=5).collect()
+    slow = top_principal_component(
+        cov, dim=64, n_iters=5, driver_dim_threshold=0
+    ).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_covariance_int40_bounds_guard(spark):
+    """Embeddings whose magnitude breaks the int40 overflow proofs must
+    raise with a pointer to the decimal quantizer, and the decimal path
+    must still handle them."""
+    import numpy as np
+    import pytest
+
+    from prod_data_pipeline_spark.operators.linalg import covariance_matrix
+
+    big = spark.createDataFrame(
+        [(i, [float(5000 + i), float(-4000 - i)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="int40 quantizer bounds"):
+        covariance_matrix(big).collect()
+    rows = covariance_matrix(big, quantizer="decimal").collect()
+    got = {(r["i"], r["j"]): r["c"] for r in rows}
+    x = np.array([[5000.0 + i, -4000.0 - i] for i in range(4)])
+    ref = np.cov(x, rowvar=False)
+    for (i, j), c in got.items():
+        assert abs(c - ref[i][j]) < 1e-6
