@@ -1596,6 +1596,110 @@ def docs_quality_scores(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: Fixed alphabet for the character-entropy gate: per-char counts come
+#: from length(text) - length(replace(text, ch, '')) — identical
+#: semantics in Spark and DuckDB — so no char-explode shuffle exists at
+#: all and the entropy is a per-row expression with a FIXED fold order.
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_LOG2E_INV = "1.4426950408889634"  # 1/ln(2), shared literal in both engines
+
+
+def _char_entropy_sql() -> str:
+    cnt = lambda ch: f"(length(lc) - length(replace(lc, '{ch}', '')))"
+    n = " + ".join(cnt(ch) for ch in _ENTROPY_ALPHABET)
+    # Each term quantizes to 7 digits (the repo's ln convention), then
+    # recovers its exact INTEGER numerator k = term*1e7 (the recovery
+    # round is tie-free: the double is within 1e-9 of k).  The per-row
+    # sum is then plain integer addition and the result is S/1e7 — no
+    # float accumulation, no final-round tie, and no DECIMAL precision
+    # games (a chained DECIMAL sum silently promotes to DOUBLE in
+    # engines that cap precision at 38 — found the hard way).
+    terms = " + ".join(
+        f"(CASE WHEN {cnt(ch)} > 0 THEN CAST(ROUND("
+        f"ROUND(-(CAST({cnt(ch)} AS DOUBLE) / nc)"
+        f" * ln(CAST({cnt(ch)} AS DOUBLE) / nc) * {_LOG2E_INV}, 7)"
+        f" * 10000000.0, 0) AS BIGINT) ELSE 0 END)"
+        for ch in _ENTROPY_ALPHABET
+    )
+    ent = (
+        f"CASE WHEN nc > 0 THEN CAST(({terms}) AS DOUBLE) / 10000000.0"
+        f" ELSE 0.0 END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS lc FROM documents
+    ), c AS (
+      SELECT doc_id, lc, CAST(({n}) AS DOUBLE) AS nc FROM t
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_covered,
+           {ent} AS entropy_bits,
+           ({ent}) < 2.0 AS low_entropy
+    FROM c ORDER BY doc_id
+    """
+
+
+@query(
+    "docs_char_entropy",
+    oracle=_char_entropy_sql(),
+    tags=("text", "quality", "entropy"),
+)
+def docs_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the information-
+    theoretic gibberish/repetition gate (low entropy = repeated
+    characters or a degenerate alphabet; natural language sits around
+    4 bits over this alphabet).  Zero shuffles and zero float
+    aggregation: per-character counts come from
+    ``length(text) - length(replace(text, ch, ''))`` over a fixed
+    37-symbol alphabet, and the entropy is a single per-row expression
+    whose 37 terms (each rounded to 7 digits) add in one fixed
+    generation order — identical IEEE folds in Spark and DuckDB, so the
+    result hash-matches with no DECIMAL machinery at all.  At 100 TB
+    this is a pure projection that pushes to the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.lower(F.col("text")).alias("lc"))
+    # project each count ONCE as a bound column (lower(text) and the 37
+    # replace() calls evaluate once per row; the entropy terms below read
+    # column attributes, never re-evaluate string expressions)
+    counts = base.select(
+        "doc_id",
+        *[
+            (
+                F.length("lc")
+                - F.length(F.replace(F.col("lc"), F.lit(ch), F.lit("")))
+            ).alias(f"_c{i}")
+            for i, ch in enumerate(_ENTROPY_ALPHABET)
+        ],
+    )
+    nc = None
+    for i in range(len(_ENTROPY_ALPHABET)):
+        nc = F.col(f"_c{i}") if nc is None else nc + F.col(f"_c{i}")
+    counts = counts.withColumn("nc", nc.cast("double"))
+    log2e = float(_LOG2E_INV)
+    terms = None
+    for i in range(len(_ENTROPY_ALPHABET)):
+        p = F.col(f"_c{i}").cast("double") / F.col("nc")
+        # integer-numerator recovery + long sum: see the oracle
+        # generator's comment (no float accumulation, no DECIMAL
+        # precision promotion)
+        term = F.when(
+            F.col(f"_c{i}") > 0,
+            F.round(
+                F.round(-p * F.log(p) * F.lit(log2e), 7) * F.lit(1e7), 0
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        terms = term if terms is None else terms + term
+    ent = F.when(
+        F.col("nc") > 0, terms.cast("double") / F.lit(1e7)
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        "doc_id",
+        F.col("nc").cast("bigint").alias("n_covered"),
+        ent.alias("entropy_bits"),
+        (ent < 2.0).alias("low_entropy"),
+    ).orderBy("doc_id")
+
+
 @query(
     "docs_tokenizer_fertility",
     oracle=f"""
@@ -13724,9 +13828,9 @@ DRIVER_ORDER: list[str] = [
     # --- round-9 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
-    # 33 of the r5 cohort oldest-first, then the 10 round-9 net-new queries
+    # 32 of the r5 cohort oldest-first, then the 11 round-9 net-new queries
     # (never-checked outranks a non-mandatory filler — rotation policy #3;
-    # the 10 displaced r5 fillers re-enter by age in round 10/11). ---
+    # the 11 displaced r5 fillers re-enter by age in round 10/11). ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
@@ -13766,11 +13870,10 @@ DRIVER_ORDER: list[str] = [
     "events_cms_heavy_hitters",
     "events_conversion_latency",
     "events_ewma_anomalies",
-    "events_scd2_asof_snapshot",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers;
-    # the displaced equal-aged r5 fillers events_type_markov_stationary,
-    # events_value_sketch_quantiles and fk_integrity_audit re-enter by age
-    # in round 10):
+    # the displaced equal-aged r5 fillers events_scd2_asof_snapshot,
+    # events_type_markov_stationary, events_value_sketch_quantiles and
+    # fk_integrity_audit re-enter by age in round 10):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
     "docs_paragraph_dedup",
@@ -13781,13 +13884,14 @@ DRIVER_ORDER: list[str] = [
     "docs_dsir_weights",
     "docs_dsir_selection",
     "docs_tokenizer_fertility",
+    "docs_char_entropy",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 10
-#: never-checked net-new) left 33 free slots, all filled oldest-first
+#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 11
+#: never-checked net-new) left 32 free slots, all filled oldest-first
 #: from the r5 cohort; nothing is deferred this round.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
