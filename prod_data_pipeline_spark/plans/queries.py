@@ -2618,7 +2618,13 @@ def user_retention_cohorts(spark, sf_dir):
     per (cohort, day-offset).  Two narrow aggregates + one join on user_id
     — the classic product-analytics query, shuffle-bounded by |users|."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # act feeds TWO consumers (the first-seen agg + the join) — lazy cut
+    # so the events scan + distinct run once (multi-consumer audit)
+    act = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .transform(truncate_lineage, eager=False)
+    )
     first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         act.join(first, "user_id")
@@ -4328,11 +4334,14 @@ def q21_waiting_suppliers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier")
+    # late feeds TWO consumers (its own count agg + the final join) —
+    # without a cut each replays the fact-fact join (multi-consumer audit)
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .transform(truncate_lineage, eager=False)
     )
     n_supp = li.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_suppliers")
@@ -9926,10 +9935,13 @@ def parts_adamic_adar_links(spark, sf_dir):
     float math bit-for-bit."""
     from prod_data_pipeline_spark.operators.graph import adamic_adar
 
+    # both self-join sides read op — a lazy cut guarantees the scan +
+    # distinct run once instead of leaning on ReuseExchange firing
     op = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .transform(truncate_lineage, eager=False)
     )
     edges = (
         op.alias("a")
@@ -10011,10 +10023,13 @@ def parts_related_by_ppr(spark, sf_dir):
     of the persisted symmetrized edges."""
     from prod_data_pipeline_spark.operators.graph import ppr_quantized
 
+    # both self-join sides read op — a lazy cut guarantees the scan +
+    # distinct run once instead of leaning on ReuseExchange firing
     op = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .transform(truncate_lineage, eager=False)
     )
     edges = (
         op.alias("a")
@@ -13506,7 +13521,12 @@ def events_type_audience_overlap(spark, sf_dir):
         + F.hll_sketch_estimate("sk_b")
         - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
     )
-    ut = ev.select("user_id", "event_type").distinct()
+    # ut feeds both self-join sides — one scan + distinct, not two
+    ut = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .transform(truncate_lineage, eager=False)
+    )
     ua = ut.select("user_id", F.col("event_type").alias("type_a"))
     ub = ut.select("user_id", F.col("event_type").alias("type_b"))
     exact_pairs = (
