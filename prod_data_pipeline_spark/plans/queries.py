@@ -7335,7 +7335,7 @@ def docs_source_token_cap(spark, sf_dir):
 
 def _pca_oracle_sql(n_iters: int = 16, dim: int = 64) -> str:
     """DuckDB replay of the quantized power iteration: the covariance CTE
-    mirrors covariance_matrix (exact DECIMAL pair sums), then each
+    mirrors covariance_matrix (int40 integer-quantized pair sums), then each
     iteration is an unrolled matvec CTE pair with the identical
     round-then-DECIMAL quantization — same recipe as the PageRank oracle."""
     v0 = f"1.0 / sqrt({dim}.0)"
@@ -7402,7 +7402,8 @@ def emb_top_principal_component(spark, sf_dir):
     power iteration (operators/linalg.py) — the third iterative algorithm
     this engine makes exact-hash-oracle-able (after PageRank and the BPE
     merge recurrence).  The covariance is relational aggregation with
-    exact DECIMAL pair sums (order-independent at any parallelism); each
+    int40 integer-quantized pair sums (exact primitive-long partials,
+    order-independent at any parallelism — see covariance_matrix); each
     of the 16 matvec rounds quantizes terms to 12 digits and the
     normalized vector to 9, so DuckDB's unrolled-CTE replay reproduces
     every loading bit-for-bit.  Convergence note: the synthetic corpus is
