@@ -415,18 +415,53 @@ def top_principal_components(
     n_iters: int = 6,
     round_term: int = 12,
     round_vec: int = 9,
+    driver_dim_threshold: int = 256,
 ) -> DataFrame:
     """Top-k eigenpairs by power iteration + Hotelling deflation, all
     relational and all quantized: component m is power-iterated on the
     (m-1)-times-deflated covariance.  Returns (component, pos, loading,
     eigenvalue) with component 1-indexed.  Same determinism guarantee as
     the single-component path — deflation only adds one quantized rank-1
-    join per extracted component."""
+    join per extracted component.
+
+    For d <= driver_dim_threshold the WHOLE chain (every power iteration
+    AND the deflation between components) replays on the driver — the
+    d²-row relation is parameter-bounded, and the quantized deflation
+    ``c - round(lam * vi * vj, round_term)`` is the same three IEEE ops
+    plus the same HALF_UP round the distributed join computes, so the
+    output is bit-identical (pytest-pinned).  One collect replaces
+    2k eager checkpoints + k-1 deflation jobs of scheduling floor."""
+    if dim <= driver_dim_threshold:
+        from prod_data_pipeline_spark.operators.graph import _rnd_half_up
+
+        spark = cov.sparkSession
+        cov = cov.transform(truncate_lineage, eager=True)
+        cm = {(r["i"], r["j"]): r["c"] for r in cov.collect()}
+        rows = []
+        for m in range(1, n_components + 1):
+            vec, nrm = _power_iteration_driver(
+                [(i, j, c) for (i, j), c in cm.items()],
+                dim,
+                n_iters,
+                round_term,
+                round_vec,
+            )
+            lam = _rnd_half_up(nrm, 6)
+            rows.extend((m, int(p), vec[p], lam) for p in sorted(vec))
+            if m < n_components:
+                cm = {
+                    (i, j): c - _rnd_half_up(lam * vec[i] * vec[j], round_term)
+                    for (i, j), c in cm.items()
+                }
+        return spark.createDataFrame(
+            rows, "component int, pos int, loading double, eigenvalue double"
+        )
     out = None
     cur = cov
     for m in range(1, n_components + 1):
         comp = top_principal_component(
-            cur, dim, n_iters=n_iters, round_term=round_term, round_vec=round_vec
+            cur, dim, n_iters=n_iters, round_term=round_term, round_vec=round_vec,
+            driver_dim_threshold=0,
         ).transform(truncate_lineage, eager=True)
         tagged = comp.select(
             F.lit(m).alias("component"), "pos", "loading", "eigenvalue"

@@ -607,3 +607,22 @@ def test_covariance_int40_bounds_guard(spark):
     ref = np.cov(x, rowvar=False)
     for (i, j), c in got.items():
         assert abs(c - ref[i][j]) < 1e-6
+
+
+def test_top_components_driver_chain_matches_distributed(spark, emb):
+    """The driver fast path for the FULL top-k chain (power iterations +
+    quantized Hotelling deflation between components) is bit-identical to
+    the distributed join/agg path."""
+    from prod_data_pipeline_spark.operators.linalg import (
+        covariance_matrix,
+        top_principal_components,
+    )
+
+    cov = covariance_matrix(emb).localCheckpoint(eager=True)
+    fast = top_principal_components(cov, dim=64, n_components=2, n_iters=4).collect()
+    slow = top_principal_components(
+        cov, dim=64, n_components=2, n_iters=4, driver_dim_threshold=0
+    ).collect()
+    assert [tuple(r) for r in fast] == [
+        tuple(r) for r in sorted(slow, key=lambda r: (r[0], r[1]))
+    ]
