@@ -367,24 +367,41 @@ def fasttext_style_scores(
         F.col(id_col), *[F.col(c) for c in carry_cols], F.explode_outer(feats).alias("f")
     )
     bucket = F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long") % n_buckets
-    w = F.round(
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:w:"), bucket.cast("string"))), 1, 13
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(2**52))
-        )
-        * 2.0
-        - 1.0,
-        round_w,
+    # The weight function depends only on the bucket, so it materializes
+    # ONCE as an n_buckets-row broadcast relation instead of one md5+conv
+    # per feature OCCURRENCE — this is literally the broadcast weight
+    # table a trained model would ship at 100 TB, and it halves the
+    # per-feature expression work (same values: same formula, same
+    # buckets).  LEFT join: explode_outer's NULL-feature rows (empty
+    # docs) must survive to the count with _w NULL, as before.
+    spark = df.sparkSession
+    wtab = spark.range(n_buckets).select(
+        F.col("id").alias("_b"),
+        F.round(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:w:"), F.col("id").cast("string"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(2**52))
+            )
+            * 2.0
+            - 1.0,
+            round_w,
+        ).alias("_w"),
     )
+    ex = ex.withColumn("_b", bucket).join(F.broadcast(wtab), "_b", "left")
     agg = ex.groupBy(id_col, *carry_cols).agg(
         F.count(F.col("f")).alias("n_feats"),
-        F.coalesce(F.sum(w.cast("decimal(28,14)")), F.lit(0).cast("decimal(28,14)"))
+        F.coalesce(
+            F.sum(F.col("_w").cast("decimal(28,14)")),
+            F.lit(0).cast("decimal(28,14)"),
+        )
         .cast("double")
         .alias("_wsum"),
     )

@@ -74,3 +74,41 @@ def test_markup_extraction_matches_reference_geometry(spark, texts):
         assert not blocks[0][4] and not blocks[-1][4]  # chrome never content
         n_toks = len([w for w in t.lower().split() if w])
         assert sum(b[1] for b in blocks if b[0] == "p") == n_toks  # lossless
+
+
+def test_char_entropy_semantics(spark):
+    """Degenerate text scores 0 bits, a uniform alphabet sweep scores
+    log2(37), and natural-looking text sits in between — the gibberish
+    gate fires only on the degenerate rows."""
+    import math
+
+    from prod_data_pipeline_spark.plans.queries import (
+        _ENTROPY_ALPHABET,
+        QUERIES,
+    )
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaa"),  # one symbol: 0 bits
+        (2, _ENTROPY_ALPHABET * 3),  # uniform over all 37: log2(37)
+        (3, "the quick brown fox jumps over the lazy dog 123"),
+        (4, "???!!!***"),  # nothing in the alphabet: n_covered 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("entropy_probe")
+    # reuse the registered query's Spark expression path via a clone:
+    from pyspark.sql import functions as F
+
+    fn = QUERIES["docs_char_entropy"].fn
+    import prod_data_pipeline_spark.plans.queries as Q
+
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: df
+        got = {r["doc_id"]: r for r in fn(spark, "unused").collect()}
+    finally:
+        Q._t = orig
+    assert got[1]["entropy_bits"] == 0.0 and got[1]["low_entropy"]
+    assert abs(got[2]["entropy_bits"] - math.log2(37)) < 1e-5  # 37 terms x 5e-8 quantization
+    assert not got[2]["low_entropy"]
+    assert 3.0 < got[3]["entropy_bits"] < math.log2(37)
+    assert got[4]["n_covered"] == 0 and got[4]["entropy_bits"] == 0.0
