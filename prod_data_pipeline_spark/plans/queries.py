@@ -1402,10 +1402,13 @@ def corpus_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs).orderBy("doc_id")
 
 
-def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
-    """DuckDB replay of the md5-backend SimHash pipeline: per-token bit from
-    hex-nibble arithmetic, sign-of-sum per bit, 4-chunk pigeonhole bucketing,
-    exact Hamming verify.  Mirrors operators/dedup.py bit for bit."""
+def _simhash_core_sql(bits: int = 60, max_hamming: int = 3, p: str = "") -> str:
+    """CTE chain (no WITH, no final SELECT) replaying the md5-backend
+    SimHash pipeline: per-token bit from hex-nibble arithmetic,
+    sign-of-sum per bit, 4-chunk pigeonhole bucketing, exact Hamming
+    verify.  Mirrors operators/dedup.py bit for bit.  ``p`` prefixes
+    every CTE name so the chain composes into larger oracles; the final
+    CTE is ``{p}shpairs (id_a, id_b, hamming)``."""
     sums = ",\n             ".join(
         f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
         f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1416,29 +1419,34 @@ def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
     )
     chunk_bits = bits // 4
     mask = (1 << chunk_bits) - 1
-    return f"""
-    WITH t AS (
+    return f"""{p}t AS (
       SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
-    ), h AS (
-      SELECT doc_id, md5(tok) AS h FROM t
-    ), s AS (
+    ), {p}h AS (
+      SELECT doc_id, md5(tok) AS h FROM {p}t
+    ), {p}s AS (
       SELECT doc_id, {sums}
-      FROM h GROUP BY doc_id
-    ), sim AS (
-      SELECT doc_id, {simexpr} AS simhash FROM s
-    ), c AS (
+      FROM {p}h GROUP BY doc_id
+    ), {p}sim AS (
+      SELECT doc_id, {simexpr} AS simhash FROM {p}s
+    ), {p}c AS (
       SELECT doc_id, simhash, chunk_id,
              (simhash >> ({chunk_bits} * chunk_id)) & {mask} AS chunk
-      FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk_id)
-    ), cand AS (
+      FROM {p}sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk_id)
+    ), {p}cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
              l.simhash AS sa, r.simhash AS sb
-      FROM c l JOIN c r
+      FROM {p}c l JOIN {p}c r
         ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc_id < r.doc_id
-    )
-    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
-    ORDER BY id_a, id_b
+    ), {p}shpairs AS (
+      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM {p}cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    )"""
+
+
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    return f"""
+    WITH {_simhash_core_sql(bits, max_hamming)}
+    SELECT id_a, id_b, hamming FROM shpairs ORDER BY id_a, id_b
     """
 
 
@@ -1452,6 +1460,101 @@ def docs_simhash_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_bucket_pairs(docs, hash_fn="md5")
+
+
+@query(
+    "docs_simhash_recall_vs_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) > 0
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT doc_id, token, sz,
+             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
+      FROM tok JOIN dfreq USING (token)
+    ), prefix AS (
+      SELECT doc_id, token, sz FROM ranked
+      WHERE rn <= sz - ((90 * sz + 99) // 100) + 1
+    ), ecand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      WHERE 90 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
+    ), exact AS (
+      SELECT c.id_a, c.id_b FROM ecand c
+      JOIN t2 ta ON ta.doc_id = c.id_a
+      JOIN t2 tb ON tb.doc_id = c.id_b
+      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
+            >= 90 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
+    ), {_simhash_core_sql(60, 3, "sh_")}
+    , ov AS (
+      SELECT s.id_a, s.id_b FROM sh_shpairs s
+      JOIN exact e ON e.id_a = s.id_a AND e.id_b = s.id_b
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sh_shpairs) AS n_simhash,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ov) AS n_overlap,
+           ROUND(CAST((SELECT COUNT(*) FROM ov) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM exact), 1), 4) AS recall,
+           ROUND(CAST((SELECT COUNT(*) FROM ov) AS DOUBLE)
+                 / greatest((SELECT COUNT(*) FROM sh_shpairs), 1), 4) AS precision
+    """,
+    tags=("dedup", "simhash", "recall", "instrumentation"),
+)
+def docs_simhash_recall_vs_exact(spark, sf_dir):
+    """SimHash sketch calibration against EXACT token-Jaccard ground
+    truth — completes the blocker-audit family (LSH: docs_lsh_recall_vs_
+    exact, SNM: docs_snm_recall_vs_exact): unlike those two, the SimHash
+    pigeonhole banding is EXACT for its own Hamming threshold, so what
+    this audit measures is the SKETCH's approximation — how well
+    60-bit sign-of-sum Hamming <= 3 predicts token-set Jaccard >= 0.9 —
+    as recall AND precision over the exact prefix-join pair set.
+    Calibration note: Hamming <= 3 of 60 bits corresponds to cosine
+    ~0.99, a TIGHTER band than Jaccard 0.9, so precision is expected
+    near 1.0 and recall well below it — the audit quantifies exactly
+    that asymmetry, which is the number a pipeline needs to decide
+    whether SimHash alone may gate a corpus at a given threshold.  Both
+    memberships are all-integer rules, so both sides (and the two
+    ratios) replay exactly in the oracle.  Scale: the exact side is the
+    audit's cost (prefix join, zero false negatives); the SimHash side
+    is one 8-byte sketch per doc + pigeonhole buckets."""
+    from prod_data_pipeline_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        simhash_bucket_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # materialize=True in both operators: each relation feeds two
+    # consumers (its own count + the overlap join) off stored blocks
+    exact = jaccard_prefix_pairs(docs, threshold_pct=90).select("id_a", "id_b")
+    sh = simhash_bucket_pairs(
+        docs, hash_fn="md5", sort=False, materialize=True
+    ).select("id_a", "id_b")
+    ov = sh.join(exact, ["id_a", "id_b"], "left_semi")
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_s = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    n_o = ov.agg(F.count(F.lit(1)).alias("n_overlap"))
+    return (
+        n_e.crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(n_o))
+        .select(
+            "n_exact",
+            "n_simhash",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.greatest("n_exact", F.lit(1)), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_overlap").cast("double") / F.greatest("n_simhash", F.lit(1)),
+                4,
+            ).alias("precision"),
+        )
+    )
 
 
 def _winnow_sql(k: int = 3, window: int = 4) -> str:
@@ -13849,9 +13952,9 @@ DRIVER_ORDER: list[str] = [
     # --- round-9 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
-    # 32 of the r5 cohort oldest-first, then the 11 round-9 net-new queries
+    # 31 of the r5 cohort oldest-first, then the 12 round-9 net-new queries
     # (never-checked outranks a non-mandatory filler — rotation policy #3;
-    # the 11 displaced r5 fillers re-enter by age in round 10/11). ---
+    # the 12 displaced r5 fillers re-enter by age in round 10/11). ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
@@ -13890,11 +13993,11 @@ DRIVER_ORDER: list[str] = [
     "emb_top2_principal_components",
     "events_cms_heavy_hitters",
     "events_conversion_latency",
-    "events_ewma_anomalies",
     # round-9 net-new (never driver-checked, outranks trailing r5 fillers;
-    # the displaced equal-aged r5 fillers events_scd2_asof_snapshot,
-    # events_type_markov_stationary, events_value_sketch_quantiles and
-    # fk_integrity_audit re-enter by age in round 10):
+    # the displaced equal-aged r5 fillers events_ewma_anomalies,
+    # events_scd2_asof_snapshot, events_type_markov_stationary,
+    # events_value_sketch_quantiles and fk_integrity_audit re-enter by
+    # age in round 10):
     "docs_paragraph_repetition",
     "emb_ivf_nprobe_sweep",
     "docs_paragraph_dedup",
@@ -13906,13 +14009,14 @@ DRIVER_ORDER: list[str] = [
     "docs_dsir_selection",
     "docs_tokenizer_fertility",
     "docs_char_entropy",
+    "docs_simhash_recall_vs_exact",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 11
-#: never-checked net-new) left 32 free slots, all filled oldest-first
+#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 12
+#: never-checked net-new) left 31 free slots, all filled oldest-first
 #: from the r5 cohort; nothing is deferred this round.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
