@@ -107,7 +107,7 @@ def pagerank(
     return ranks
 
 
-def triangle_stats(pairs: DataFrame) -> DataFrame:
+def triangle_stats(pairs: DataFrame, driver_edge_threshold: int = 200_000) -> DataFrame:
     """Global triangle census of an undirected graph given as canonical
     (id_a < id_b) edge pairs: edge count, wedge count (open 2-paths),
     triangle count, and the global clustering coefficient
@@ -131,6 +131,41 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = e.count()
+    if n_edges <= driver_edge_threshold:
+        # Adaptive fast path (the pagerank_quantized pattern): near-dup
+        # graphs are tiny next to the corpus, and the census costs 3
+        # vertex-keyed joins of pure scheduling on them.  Every quantity
+        # is integer except the final coefficient, whose one double
+        # expression replays with the same IEEE ops + HALF_UP round —
+        # bit-identical to the distributed path.  Guard on the wedge
+        # count: the driver enumeration works wedge-by-wedge, so a
+        # dense collected graph (rare for dedup output) still takes the
+        # distributed join below.
+        rows = [(r[0], r[1]) for r in e.collect()]
+        deg_d: dict = {}
+        succ: dict = {}
+        eset = set()
+        for a, b in rows:
+            deg_d[a] = deg_d.get(a, 0) + 1
+            deg_d[b] = deg_d.get(b, 0) + 1
+            succ.setdefault(a, []).append(b)
+            eset.add((a, b))
+        n_wedges = sum(d * (d - 1) // 2 for d in deg_d.values())
+        if n_wedges <= 5_000_000:
+            n_tri = 0
+            for a, b in rows:
+                for c in succ.get(b, ()):
+                    if (a, c) in eset:
+                        n_tri += 1
+            gc = (
+                _rnd_half_up(3.0 * n_tri / n_wedges, 6) if n_wedges > 0 else 0.0
+            )
+            e.unpersist()
+            return pairs.sparkSession.createDataFrame(
+                [(n_edges, n_wedges, n_tri, gc)],
+                "n_edges long, n_wedges long, n_triangles long, "
+                "global_clustering double",
+            )
 
     deg = (
         e.select(F.col("id_a").alias("v"))

@@ -373,3 +373,21 @@ def test_quantized_graph_driver_path_bit_identical(spark):
         x = sorted(map(tuple, fn(0).collect()))
         y = sorted(map(tuple, fn(10**9).collect()))
         assert x == y and len(x) > 0
+
+
+def test_triangle_stats_driver_path_matches_distributed(spark):
+    """The triangle-census driver fast path is bit-identical to the
+    distributed wedge-join path — all quantities are integers except the
+    clustering coefficient, whose single double expression replays with
+    identical IEEE ops + HALF_UP round."""
+    from prod_data_pipeline_spark.operators.graph import triangle_stats
+
+    pairs = spark.createDataFrame(
+        # two triangles sharing an edge + a pendant + an isolated edge
+        [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3), (3, 4), (8, 9)],
+        "id_a long, id_b long",
+    )
+    fast = triangle_stats(pairs).collect()
+    slow = triangle_stats(pairs, driver_edge_threshold=-1).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert fast[0]["n_triangles"] == 2 and fast[0]["n_edges"] == 7
