@@ -13949,75 +13949,72 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-9 window (tools/rotation.py --propose, capacity-derived
+    # --- round-10 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
-    # 4 round-8 deferrals (r4-aged, oldest evidence in the registry), then
-    # 31 of the r5 cohort oldest-first, then the 12 round-9 net-new queries
-    # (never-checked outranks a non-mandatory filler — rotation policy #3;
-    # the 12 displaced r5 fillers re-enter by age in round 10/11). ---
+    # full r5-aged cohort of 19 (oldest evidence in the registry — verdict
+    # r9 directive #1), then r6-aged rows oldest-first to fill the 50
+    # slots.  Round-10 net-new queries (kept ≤10 per the directive) are
+    # appended at the END of this list, displacing trailing r6 fillers
+    # (never-checked outranks a non-mandatory filler — rotation policy
+    # #3); displaced fillers re-enter by age in round 11. ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "top_order_per_customer",
-    "top_orders_by_revenue",
-    "trading_nations",
-    "user_running_value",
-    "basket_part_pair_lift",
-    "customers_cohort_ltv",
-    "customers_survival_curve",
-    "docs_bm25_topk",
-    "docs_bpe_encode_stats",
-    "docs_cdc_chunk_dedup",
-    "docs_collocations_pmi",
-    "docs_containment_pairs",
-    "docs_dup_threshold_sweep",
-    "docs_heaps_law_fit",
-    "docs_kcore_summary",
-    "docs_lang_source_chi2",
-    "docs_leakage_safe_split",
-    "docs_local_clustering",
-    "docs_lpa_communities",
-    "docs_lsh_recall_vs_exact",
-    "docs_novelty_by_source",
-    "docs_shard_rebalance_audit",
-    "docs_snm_recall_vs_exact",
-    "docs_sorted_neighborhood_pairs",
-    "docs_substring_dup_spans",
-    "docs_token_mass_quantiles",
-    "docs_trigram_logprob",
-    "docs_weighted_reservoir_topk",
-    "emb_centroid_drift",
-    "emb_label_separation",
-    "emb_mmr_rerank",
-    "emb_rrf_topk",
-    "emb_top2_principal_components",
-    "events_cms_heavy_hitters",
-    "events_conversion_latency",
-    # round-9 net-new (never driver-checked, outranks trailing r5 fillers;
-    # the displaced equal-aged r5 fillers events_ewma_anomalies,
-    # events_scd2_asof_snapshot, events_type_markov_stationary,
-    # events_value_sketch_quantiles and fk_integrity_audit re-enter by
-    # age in round 10):
-    "docs_paragraph_repetition",
-    "emb_ivf_nprobe_sweep",
-    "docs_paragraph_dedup",
-    "emb_pq_adc_topk",
-    "docs_model_quality_gate",
-    "lineitem_zorder_clustering",
-    "docs_gopher_full_gate",
-    "docs_dsir_weights",
-    "docs_dsir_selection",
-    "docs_tokenizer_fertility",
-    "docs_char_entropy",
-    "docs_simhash_recall_vs_exact",
+    "events_ewma_anomalies",
+    "events_scd2_asof_snapshot",
+    "events_type_markov_stationary",
+    "events_value_sketch_quantiles",
+    "fk_integrity_audit",
+    "lineitem_mahalanobis_outliers",
+    "media_audio_dominant_band",
+    "media_image_edge_density",
+    "media_image_phash_groups",
+    "media_video_motion_energy",
+    "media_video_scene_changes",
+    "orders_benford_audit",
+    "orders_pareto_frontier",
+    "orders_revenue_trend_ols",
+    "parts_adamic_adar_links",
+    "parts_related_by_ppr",
+    "sessions_peak_concurrency",
+    "supplier_concentration_hhi",
+    "users_frequent_type_sequences",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "docs_bigram_logprob",
+    "docs_bpe_merge_candidates",
+    "docs_bpe_second_merge",
+    "docs_bpe_train_16",
+    "docs_cross_source_dup_matrix",
+    "docs_distribution_shift",
+    "docs_filter_funnel",
+    "docs_incremental_dedup",
+    "docs_packed_bins",
+    "docs_quality_weighted_sample",
+    "docs_rag_chunk_stats",
+    "docs_shard_assignment",
+    "docs_source_token_cap",
+    "docs_taint_blast_radius",
+    "docs_zipf_fit",
+    "emb_matryoshka_energy",
+    "emb_semdedup_stats",
+    "emb_srp_near_dup_pairs",
+    "emb_top_principal_component",
+    "emb_topk_ivf",
+    "events_column_profile",
+    "events_curated_projection",
+    "events_daily_anomalies",
+    "events_hourly_activity",
+    "events_kanonymity_audit",
+    "events_null_profile",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 9's mandatory set (3 sentinels + 4 r4-aged rows + 12
-#: never-checked net-new) left 31 free slots, all filled oldest-first
-#: from the r5 cohort; nothing is deferred this round.
+#: rotation: round 10's mandatory set (3 sentinels + 19 r5-aged rows)
+#: left 28 free slots, filled oldest-first from the r6 cohort; nothing
+#: is deferred this round.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 
