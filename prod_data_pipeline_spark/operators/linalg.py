@@ -74,11 +74,17 @@ def covariance_matrix(
     # NULL elements count as ragged too (round-8 advisor): for a NULL
     # array `size(e) != dim` is NULL, so the old when/otherwise counted 0
     # and the row passed the guard while still inflating n — exactly the
-    # silent skew the guard exists to prevent.
+    # silent skew the guard exists to prevent.  Non-finite elements are
+    # equally invalid (round-9 advisor): a NaN makes amax NaN, every
+    # Python bound comparison on NaN is False, and floor(NaN * 2^40)
+    # feeds corrupt terms into the covariance — the same silent-skew
+    # class, and consistent with similarity's _emb_matrix which treats
+    # non-finite rows as invalid.
+    inf = F.lit(float("inf"))
     bad = (
         F.col("e").isNull()
         | (F.size("e") != dim)
-        | F.exists("e", lambda xi: xi.isNull())
+        | F.exists("e", lambda xi: xi.isNull() | xi.isNaN() | (F.abs(xi) == inf))
     )
     stats = x.agg(
         F.count(F.lit(1)).alias("n"),
@@ -91,8 +97,8 @@ def covariance_matrix(
     if stats["ragged"]:
         raise ValueError(
             f"covariance_matrix: {stats['ragged']} rows have a NULL "
-            f"embedding, a NULL element, or length != {dim}; uniform "
-            f"non-null width is required"
+            f"embedding, a NULL/NaN/Inf element, or length != {dim}; "
+            f"uniform finite non-null width is required"
         )
     # Per-dim means: DECIMAL sum + one double division, exactly the
     # expression the oracle replays.  Collected to the driver (d doubles —
@@ -172,8 +178,10 @@ def covariance_matrix(
             .select(
                 F.col("t.k").alias("k"),
                 F.pmod(F.col("t.q"), F.lit(m)).alias("lo"),
-                # exact: q - lo is divisible by m and |q| < 2^53, so the
-                # double division is the true integer quotient
+                # exact: q - lo is a multiple of 2^20, so as a double it
+                # has <= 42 significant bits (|q| < 2^62 per-term bound)
+                # and the division by 2^20 is a pure exponent shift — the
+                # cast back to long is the true integer quotient
                 ((F.col("t.q") - F.pmod(F.col("t.q"), F.lit(m))) / F.lit(m))
                 .cast("long")
                 .alias("hi"),
@@ -181,9 +189,14 @@ def covariance_matrix(
             .groupBy("k")
             .agg(
                 # combine in DOUBLE: sum_hi*2^20 can exceed int64 while
-                # both partial sums are bounded (proofs above); each cast
-                # and the one add are deterministic IEEE ops the oracle
-                # replays with the same expression shape
+                # both partial long sums are bounded (proofs above).  The
+                # combine is DETERMINISTIC but not bit-exact vs the true
+                # quantized sum: under the admitted bounds sum(hi) may
+                # exceed 2^53, so its long->double cast can round (<=
+                # ~2^-53 relative).  Every engine performs the identical
+                # round-to-nearest-even cast and the identical op order,
+                # so the oracle replaying this expression shape matches
+                # bit-for-bit — which is the property the recipe needs.
                 (
                     (
                         F.sum("hi").cast("double") * F.lit(float(m))

@@ -134,10 +134,12 @@ def truncate_lineage(df, eager: bool = True):
       shared storage (HDFS/S3), so an executor loss costs nothing.  This
       is the right mode on a real cluster and MANDATORY with dynamic
       allocation or spot/preemptible nodes — Spark explicitly warns that
-      local checkpoints may never be recoverable there.  Eager calls
-      persist-then-checkpoint so the plan is computed ONCE (bare
+      local checkpoints may never be recoverable there.  Both eager and lazy
+      calls persist-then-checkpoint so the plan is computed ONCE (bare
       ``Dataset.checkpoint`` recomputes every partition in the
-      checkpoint-write job — the documented RDD.checkpoint caveat), and
+      checkpoint-write job — the documented RDD.checkpoint caveat; eager
+      unpersists once the checkpoint files exist, lazy leaves the cache
+      to ContextCleaner since there is no completion hook), and
       sessions built by :func:`get_spark` set
       ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so the
       rdd-* directories are reclaimed when the plan is dropped; external
@@ -167,7 +169,14 @@ def truncate_lineage(df, eager: bool = True):
             out = df.checkpoint(eager=True)
             df.unpersist()
             return out
-        # Lazy mode: the caller controls when materialization happens;
-        # persisting here would pin blocks nobody may ever compute.
-        return df.checkpoint(eager=False)
+        # Lazy mode: materialization happens at the caller's first action.
+        # Persist FIRST — a bare checkpoint(eager=False) recomputes the
+        # whole plan in the checkpoint-write job (the same RDD.checkpoint
+        # caveat the eager branch mitigates), which would make every
+        # pre-sort lazy lineage cut execute its pipeline twice on
+        # checkpoint-dir sessions — the opposite of what those call sites
+        # want (round-9 advisor).  The trade-off: the pinned blocks are
+        # only reclaimed when the caller drops the plan (ContextCleaner);
+        # there is no post-checkpoint hook in lazy mode to unpersist at.
+        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
     return df.localCheckpoint(eager=eager)

@@ -325,6 +325,56 @@ print(json.dumps({"ckpt_dir": ck, "ranks": ranks, "n_rdd_dirs": len(rdd_dirs)}))
         assert rank == pytest.approx(want[int(node)], abs=1e-12)
 
 
+def test_truncate_lineage_reliable_lazy_computes_once(tmp_path):
+    """Round-9 advisor: in reliable mode a bare checkpoint(eager=False)
+    recomputes the whole plan in the checkpoint-write job, so every
+    pre-sort lazy lineage cut executed its pipeline twice (3x with the
+    range-partitioner sampling pass) on checkpoint-dir sessions.  The fix
+    persists before the lazy checkpoint; an accumulator-ticking UDF
+    proves the upstream pipeline now runs exactly once across sampling +
+    sort + checkpoint write.  Subprocess for the same reason as the
+    eager reliable test (checkpoint dir cannot be unset)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ckpt = tmp_path / "ckpt"
+    script = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from prod_data_pipeline_spark.session import get_spark, truncate_lineage
+spark = get_spark(cpus=4)
+acc = spark.sparkContext.accumulator(0)
+def tick(x):
+    acc.add(1)
+    return x
+tick_udf = F.udf(tick, LongType())
+df = spark.range(0, 1000, 1, 4).select(tick_udf(F.col("id")).alias("v"))
+cut = truncate_lineage(df, eager=False)
+rows = cut.orderBy("v").collect()
+print(json.dumps({"n": len(rows), "ticks": acc.value,
+                  "ckpt": spark.sparkContext.getCheckpointDir() is not None}))
+"""
+    env = dict(
+        os.environ,
+        REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        SPARK_GRAFT_CHECKPOINT_DIR=str(ckpt),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ckpt"] and out["n"] == 1000
+    # pre-fix this read 2000-3000 (sampling + sort + checkpoint write
+    # each recomputed the UDF projection)
+    assert out["ticks"] == 1000, out["ticks"]
+
+
 def test_quantized_graph_driver_path_bit_identical(spark):
     """The adaptive driver fast path must replay the quantized recurrence
     BIT-identically to the distributed loop (same rounding, same decimal

@@ -395,6 +395,27 @@ def test_covariance_matrix_empty_and_ragged_raise(spark):
         covariance_matrix(ragged)
 
 
+def test_covariance_matrix_nonfinite_elements_raise(spark):
+    """Round-9 advisor: a NaN element made amax NaN, every Python bound
+    comparison on NaN evaluated False, and floor(NaN * 2^40) fed corrupt
+    quantized terms into the covariance — the int40 overflow guard was
+    silently bypassed.  NaN and +/-Inf elements must raise for BOTH
+    quantizers, consistent with similarity's _emb_matrix treating
+    non-finite rows as invalid."""
+    import pytest as _pytest
+
+    from prod_data_pipeline_spark.operators.linalg import covariance_matrix
+
+    for bad_val in (float("nan"), float("inf"), float("-inf")):
+        bad = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [bad_val, 3.0])],
+            "vec_id long, embedding array<double>",
+        )
+        for quantizer in ("int40", "decimal"):
+            with _pytest.raises(ValueError, match="NaN/Inf"):
+                covariance_matrix(bad, quantizer=quantizer)
+
+
 def test_covariance_matrix_null_embeddings_raise(spark):
     """Round-8 advisor: a NULL embedding made `size(e) != dim` NULL, so
     the when/otherwise ragged counter scored it 0 — the row passed the
