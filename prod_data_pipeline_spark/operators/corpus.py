@@ -27,6 +27,10 @@ from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.text import tokens
 from prod_data_pipeline_spark.session import truncate_lineage
+from prod_data_pipeline_spark.operators.gates import (
+    DRIVER_BYTE_BUDGET,
+    driver_collect_allowed,
+)
 from prod_data_pipeline_spark.operators.dedup import drop_exact_dups, near_dup_pairs
 from prod_data_pipeline_spark.operators.text import quality_score
 
@@ -36,6 +40,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 25,
     driver_edge_threshold: int = 2_000_000,
+    driver_byte_budget: int = DRIVER_BYTE_BUDGET,
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair graph.
 
@@ -61,8 +66,18 @@ def dup_clusters(
     """
     spark = pairs.sparkSession
     e = pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
-    head = e.limit(driver_edge_threshold + 1).collect()
-    if len(head) <= driver_edge_threshold:
+    # Byte-aware gate (round-9 verdict #8): the row gate only bounds
+    # driver memory because the collected schema is fixed-width (two
+    # longs, post-cast).  driver_collect_allowed makes that explicit —
+    # a variable-width schema or a blown rows x width budget skips the
+    # probe entirely and takes the distributed path.  Schema-only check:
+    # no extra Spark job, the single limit-probe collect is preserved.
+    head = (
+        e.limit(driver_edge_threshold + 1).collect()
+        if driver_collect_allowed(e, driver_edge_threshold + 1, driver_byte_budget)
+        else None
+    )
+    if head is not None and len(head) <= driver_edge_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.session import truncate_lineage
+from prod_data_pipeline_spark.operators.gates import driver_collect_allowed
 
 
 def pagerank(
@@ -131,7 +132,7 @@ def triangle_stats(pairs: DataFrame, driver_edge_threshold: int = 200_000) -> Da
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = e.count()
-    if n_edges <= driver_edge_threshold:
+    if n_edges <= driver_edge_threshold and driver_collect_allowed(e, n_edges):
         # Adaptive fast path (the pagerank_quantized pattern): near-dup
         # graphs are tiny next to the corpus, and the census costs 3
         # vertex-keyed joins of pure scheduling on them.  Every quantity
@@ -294,7 +295,7 @@ def pagerank_quantized(
     if n_edges == 0:
         edges.unpersist()
         return pairs.sparkSession.createDataFrame([], "node long, rank double")
-    if n_edges <= driver_edge_threshold:
+    if n_edges <= driver_edge_threshold and driver_collect_allowed(edges, n_edges):
         # Adaptive fast path (the dup_clusters pattern): near-dup graphs
         # are tiny next to the corpus that produced them, and 6 rounds of
         # (2 joins + agg + checkpoint) cost ~5 s of pure job scheduling on
@@ -419,7 +420,7 @@ def ppr_quantized(
         edges.unpersist()
         return pairs.sparkSession.createDataFrame([], "node long, rank double")
     n_edges = edges.count()
-    if n_edges <= driver_edge_threshold:
+    if n_edges <= driver_edge_threshold and driver_collect_allowed(edges, n_edges):
         # adaptive fast path — see pagerank_quantized; bit-identical replay
         rows = [(r["src"], r["dst"]) for r in edges.collect()]
         seed_list = [r["node"] for r in seed_nodes.collect()]
@@ -512,7 +513,8 @@ def min_hop_distance(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if edges.count() <= driver_edge_threshold:
+    n_edges = edges.count()
+    if n_edges <= driver_edge_threshold and driver_collect_allowed(edges, n_edges):
         # adaptive fast path (dup_clusters pattern) — all-integer BFS
         # replays exactly; tests pin two-path identity
         rows = [(r["src"], r["dst"]) for r in edges.collect()]
@@ -670,7 +672,8 @@ def kcore(
         .distinct()
         .transform(truncate_lineage, eager=True)
     )
-    if edges.count() <= driver_edge_threshold:
+    n_edges = edges.count()
+    if n_edges <= driver_edge_threshold and driver_collect_allowed(edges, n_edges):
         # adaptive fast path (dup_clusters pattern): all-integer peeling
         # replays exactly; tiny near-dup graphs skip max_rounds of
         # checkpointed cluster jobs (tests pin two-path identity)
@@ -753,7 +756,8 @@ def label_propagation(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if edges.count() <= driver_edge_threshold:
+    n_edges = edges.count()
+    if n_edges <= driver_edge_threshold and driver_collect_allowed(edges, n_edges):
         # adaptive fast path (dup_clusters pattern): the integer argmax
         # replays exactly; tests pin two-path identity
         rows = [(r["src"], r["dst"]) for r in edges.collect()]

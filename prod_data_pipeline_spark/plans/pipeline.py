@@ -189,6 +189,7 @@ def curate(
         write_json_report(
             report,
             os.path.join(metrics_base, f"ingestion_date={ingestion_date}", "dq_report.json"),
+            spark=spark,
         )
         if failures:
             if on_failure is not None:

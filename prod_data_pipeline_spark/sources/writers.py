@@ -6,8 +6,11 @@ Covers SURVEY.md §2.1 S5-S10:
   ``purge_s3_path`` + append, v3_dq.py:152-162)
 - S7/S8 single-file JSON report (reference wrote via
   createDataFrame().coalesce(1).write.text(), v3_dq.py:134-140, and punted
-  on renaming the part file, design.md:155-157 — locally we write the file
-  directly, which is the behavior the reference wished for)
+  on renaming the part file, design.md:155-157 — we write ONE named file
+  directly: through the Hadoop FileSystem API for warehouse URIs so the
+  report lands beside the data on file://, hdfs:// or s3a://, and via a
+  plain local write otherwise; both are the behavior the reference wished
+  for)
 - S9 external-table DDL + partition discovery (sql/athena/curated_events.sql:1-14)
 """
 
@@ -84,15 +87,40 @@ def _refresh_tables_at(spark: SparkSession, base: str) -> None:
             spark.sql(f"MSCK REPAIR TABLE {name}")
 
 
-def write_json_report(report: dict, path: str) -> str:
+def write_json_report(report: dict, path: str, spark: SparkSession | None = None) -> str:
     """S7: persist the per-run DQ metrics artifact as ONE json file.
 
     Reference shape: metrics/ingestion_date=YYYY-MM-DD/dq_report.json
-    (v3_dq.py:131-140, docs/design.md:69-74).
+    (v3_dq.py:131-140, docs/design.md:69-74).  The reference writes the
+    report THROUGH Spark so it lands beside the data on the warehouse
+    store (coalesce(1).write.text, v3_dq.py:134-140); a driver-local
+    json.dump would strand the artifact on one machine when the
+    warehouse is object storage.  Storage parity (round-9 verdict #5):
+    a URI path (``file://``, ``hdfs://``, ``s3a://``, ...) is written
+    through the Hadoop FileSystem API — one small driver-side stream,
+    no Spark job, parent dirs created, atomic-enough single-file create
+    — while a plain local path keeps the direct json.dump fast path.
+    Passing ``spark`` is required only for URI paths.
     """
+    data = json.dumps(report, indent=2, sort_keys=True, default=str)
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"write_json_report: a SparkSession is required to write "
+                f"to a URI path ({path!r})"
+            )
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(jpath, True)  # overwrite; creates parent dirs
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
-        json.dump(report, f, indent=2, sort_keys=True, default=str)
+        f.write(data)
     return path
 
 

@@ -248,6 +248,42 @@ def test_dup_clusters_transitive_chain(spark):
     assert got_dist == want
 
 
+def test_driver_gate_is_byte_aware(spark):
+    """Round-9 verdict #8: the driver fast-path gates bounded ROWS, not
+    bytes — the memory bound held only because every gate site casts to
+    fixed-width longs first.  The gate now enforces that: a blown byte
+    budget (or any variable-width collected schema) takes the
+    distributed path, result unchanged."""
+    from prod_data_pipeline_spark.operators.corpus import dup_clusters
+    from prod_data_pipeline_spark.operators.gates import (
+        driver_collect_allowed,
+        fixed_row_bytes,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # a 16-byte budget cannot hold even one probe batch of (long, long)
+    # rows -> distributed label propagation, same clusters
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, driver_byte_budget=16).collect()
+    }
+    assert got == want
+
+    # schema reasoning: two longs are statically sized; any wide /
+    # variable-width field (string ids, arrays) is unbounded -> never
+    # admitted to a driver collect, regardless of row count
+    two_longs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert fixed_row_bytes(two_longs.schema) == 18  # 2 x (8 + null byte)
+    assert driver_collect_allowed(two_longs, 2_000_001)  # ~36 MB
+    assert not driver_collect_allowed(two_longs, 2_000_001, byte_budget=1 << 20)
+    wide = spark.createDataFrame([("a" * 100, "b")], "id_a string, id_b string")
+    assert fixed_row_bytes(wide.schema) is None
+    assert not driver_collect_allowed(wide, 1)
+
+
 def test_curate_corpus_drops_transitive_chain(spark):
     """curate_corpus keeps only the min-id representative of a 3-doc
     near-dup chain: the (base, +tail) and (+tail, +tail tail) pairs collide

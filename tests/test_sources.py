@@ -59,6 +59,45 @@ def test_schema_enforced_no_inference(spark, tmp_path):
     assert rows["a"]["amount"] == 5.5
 
 
+def test_write_json_report_uri_storage_parity(spark, tmp_path):
+    """S7 storage parity (round-9 verdict #5): the reference lands the DQ
+    report next to the data on the warehouse store (v3_dq.py:134-140);
+    a URI path must go through the Hadoop FileSystem API so file:// /
+    hdfs:// / s3a:// all work, and the artifact must be readable back
+    through Spark.  A plain local path keeps the direct-write fast path;
+    a URI without a session raises."""
+    import json
+
+    import pytest
+
+    from prod_data_pipeline_spark.sources.writers import write_json_report
+
+    report = {"status": "PASS", "profile": {"n_rows": 42, "null_user_rate": 0.0}}
+
+    # URI path through the Hadoop FS (file:// exercises the same API
+    # surface hdfs:// / s3a:// would hit on a cluster)
+    uri = f"file://{tmp_path}/metrics/ingestion_date=2025-01-01/dq_report.json"
+    got = write_json_report(report, uri, spark=spark)
+    assert got == uri
+    # read it back THROUGH Spark, like a warehouse consumer would
+    body = "\n".join(r["value"] for r in spark.read.text(uri).collect())
+    assert json.loads(body) == report
+    # and the bytes really are on the local store at the expected spot
+    local = os.path.join(str(tmp_path), "metrics", "ingestion_date=2025-01-01", "dq_report.json")
+    with open(local) as f:
+        assert json.load(f) == report
+
+    # plain local path: fast path, no session needed
+    plain = os.path.join(str(tmp_path), "metrics2", "dq_report.json")
+    write_json_report(report, plain)
+    with open(plain) as f:
+        assert json.load(f) == report
+
+    # URI without a session is a hard error, not a silent local write
+    with pytest.raises(ValueError, match="SparkSession"):
+        write_json_report(report, "file:///tmp/nope.json")
+
+
 def test_write_range_ordered_global_file_order(spark, tmp_path):
     """Range-ordered layout: every file's [min, max] of the order column is
     disjoint and ordered across files — the property parquet footer stats
