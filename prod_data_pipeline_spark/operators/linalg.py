@@ -54,11 +54,19 @@ def covariance_matrix(
       the count pass; violation raises with a pointer to "decimal").
     - ``"decimal"``: the original ROUND(p, round_term) -> DECIMAL(38,12)
       exact-sum recipe — unbounded range, ~6x the quantization cost.
+    - ``"float"``: the PRODUCTION path (round-9 verdict #6) — plain
+      double products and double sums, no quantization at all.  Pure
+      whole-stage-codegen arithmetic, the cheapest possible relational
+      covariance; the result is partition-order-DEPENDENT in the last
+      ulps (IEEE addition is not associative), so it is NOT
+      oracle-hash-replayable — use it when you want the number, not the
+      cross-engine bit-parity proof.  Agreement with the exact recipes
+      is tolerance-pinned in tests/test_similarity.py.
 
     At 100 TB prefer d <= a few hundred (d^2 pair terms per row); above
     that, block the dimension range and union the blocks.
     """
-    if quantizer not in ("int40", "decimal"):
+    if quantizer not in ("int40", "decimal", "float"):
         raise ValueError(f"unknown quantizer {quantizer!r}")
     x = df.select(to_double_array(F.col(emb_col)).alias("e"))
     first = x.first()
@@ -101,13 +109,20 @@ def covariance_matrix(
             f"uniform finite non-null width is required"
         )
     # Per-dim means: DECIMAL sum + one double division, exactly the
-    # expression the oracle replays.  Collected to the driver (d doubles —
-    # parameter-bounded, like MMR's candidate lists) and embedded as an
-    # array literal so centering is a zip_with instead of a join.
+    # expression the oracle replays (plain double sums on the float
+    # production path — no oracle to replay there).  Collected to the
+    # driver (d doubles — parameter-bounded, like MMR's candidate lists)
+    # and embedded as an array literal so centering is a zip_with
+    # instead of a join.
+    mean_sum = (
+        F.sum("xi")
+        if quantizer == "float"
+        else F.sum(F.col("xi").cast("decimal(38,12)")).cast("double")
+    )
     sums = (
         x.select(F.posexplode("e").alias("i", "xi"))
         .groupBy("i")
-        .agg(F.sum(F.col("xi").cast("decimal(38,12)")).cast("double").alias("s"))
+        .agg(mean_sum.alias("s"))
         .collect()
     )
     mu = [0.0] * dim
@@ -212,6 +227,37 @@ def covariance_matrix(
                 "c",
             )
         )
+    elif quantizer == "float":
+        # Production path: raw double products, plain double partial sums
+        # — everything stays inside whole-stage codegen, no BigDecimal,
+        # no floor/pmod splits.  Same shuffle shape as the exact recipes
+        # (map-side combine to d(d+1)/2 partials per task, ONE exchange).
+        prods = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim - 1)),
+                    lambda j: F.struct(
+                        (i * dim + j).cast("int").alias("k"),
+                        (
+                            F.element_at(F.col("c"), i + 1)
+                            * F.element_at(F.col("c"), j + 1)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+        upper = (
+            centered.select(F.explode(prods).alias("t"))
+            .select(F.col("t.k").alias("k"), F.col("t.p").alias("p"))
+            .groupBy("k")
+            .agg((F.sum("p") / F.lit(float(n - 1))).alias("c"))
+            .select(
+                (F.col("k") / dim).cast("int").alias("i"),
+                F.pmod(F.col("k"), F.lit(dim)).cast("int").alias("j"),
+                "c",
+            )
+        )
     else:
         prods = F.flatten(
             F.transform(
@@ -285,6 +331,27 @@ def _power_iteration_driver(cov_rows, dim, n_iters, round_term, round_vec):
     return v, nrm
 
 
+def _power_iteration_driver_float(cov_rows, dim, n_iters):
+    """Driver-side float64 power iteration — the production twin of
+    :func:`_power_iteration_driver` with no quantization: plain IEEE
+    products, plain sums, one sqrt, one division per coordinate.  Used
+    by the ``quantize=False`` path; NOT oracle-replayable (and does not
+    need to be)."""
+    import math
+
+    cm: dict = {}
+    for i, j, cv in cov_rows:
+        cm.setdefault(i, []).append((j, cv))
+    v0 = 1.0 / float(dim) ** 0.5
+    v = {j: v0 for j in range(dim)}
+    nrm = 0.0
+    for _ in range(n_iters):
+        u = {i: sum(cv * v[j] for j, cv in row) for i, row in cm.items()}
+        nrm = math.sqrt(sum(ui * ui for ui in u.values()))
+        v = {i: ui / nrm for i, ui in u.items()}
+    return v, nrm
+
+
 def top_principal_component(
     cov: DataFrame,
     dim: int,
@@ -292,6 +359,7 @@ def top_principal_component(
     round_term: int = 12,
     round_vec: int = 9,
     driver_dim_threshold: int = 256,
+    quantize: bool = True,
 ) -> DataFrame:
     """Top eigenvector of a (i, j, c) covariance relation by power
     iteration as relational matvec: u = C v is a join on j + an exact
@@ -309,6 +377,12 @@ def top_principal_component(
     Scale: the matvec relation is d^2 rows — this is for the SMALL side
     (dimension space), computed once after the corpus-sized covariance
     pass; d^2 at d=1024 is a 1M-row join, trivial for any cluster.
+
+    ``quantize=False`` is the float64 PRODUCTION path (round-9 verdict
+    #6): no per-term rounding, no DECIMAL sums — plain double matvec on
+    both the driver and the distributed path.  Not oracle-replayable;
+    agreement with the quantized recipe is tolerance-pinned in tests.
+    Pair it with ``covariance_matrix(quantizer="float")``.
     """
     spark = cov.sparkSession
     # Materialize the covariance ONCE (d² rows — trivial): every
@@ -333,10 +407,14 @@ def top_principal_component(
         # unchanged.  Above the threshold (d² > 65k) the distributed loop
         # below runs as before.
         rows = [(r["i"], r["j"], r["c"]) for r in cov.collect()]
-        vec, nrm = _power_iteration_driver(rows, dim, n_iters, round_term, round_vec)
-        from prod_data_pipeline_spark.operators.graph import _rnd_half_up
+        if quantize:
+            vec, nrm = _power_iteration_driver(rows, dim, n_iters, round_term, round_vec)
+            from prod_data_pipeline_spark.operators.graph import _rnd_half_up
 
-        lam = _rnd_half_up(nrm, 6)
+            lam = _rnd_half_up(nrm, 6)
+        else:
+            vec, nrm = _power_iteration_driver_float(rows, dim, n_iters)
+            lam = nrm
         return spark.createDataFrame(
             [(int(p), vec[p], lam) for p in sorted(vec)],
             "pos int, loading double, eigenvalue double",
@@ -347,29 +425,28 @@ def top_principal_component(
     )
     eig = None
     for it in range(n_iters):
-        u = (
-            cov.join(v, "j")
-            .groupBy("i")
-            .agg(
+        if quantize:
+            matvec_sum = (
                 F.sum(
                     F.round(F.col("c") * F.col("v"), round_term).cast("decimal(38,12)")
-                )
-                .cast("double")
-                .alias("u")
+                ).cast("double")
             )
-        )
-        norm = u.agg(
-            F.sqrt(
-                F.sum(F.round(F.col("u") * F.col("u"), round_term).cast("decimal(38,12)")).cast(
-                    "double"
-                )
-            ).alias("nrm")
-        )
+            norm_sum = F.sum(
+                F.round(F.col("u") * F.col("u"), round_term).cast("decimal(38,12)")
+            ).cast("double")
+            v_next = F.round(F.col("u") / F.col("nrm"), round_vec)
+        else:
+            # float production path: pure codegen double arithmetic
+            matvec_sum = F.sum(F.col("c") * F.col("v"))
+            norm_sum = F.sum(F.col("u") * F.col("u"))
+            v_next = F.col("u") / F.col("nrm")
+        u = cov.join(v, "j").groupBy("i").agg(matvec_sum.alias("u"))
+        norm = u.agg(F.sqrt(norm_sum).alias("nrm"))
         vn = (
             u.join(F.broadcast(norm))
             .select(
                 F.col("i").alias("j"),
-                F.round(F.col("u") / F.col("nrm"), round_vec).alias("v"),
+                v_next.alias("v"),
                 F.col("nrm"),
             )
         )
@@ -388,13 +465,20 @@ def top_principal_component(
         .select(
             F.col("j").alias("pos"),
             F.col("v").alias("loading"),
-            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+            (F.round(F.col("nrm"), 6) if quantize else F.col("nrm")).alias(
+                "eigenvalue"
+            ),
         )
         .orderBy("pos")
     )
 
 
-def deflate(cov: DataFrame, component: DataFrame, round_term: int = 12) -> DataFrame:
+def deflate(
+    cov: DataFrame,
+    component: DataFrame,
+    round_term: int = 12,
+    quantize: bool = True,
+) -> DataFrame:
     """Hotelling deflation as a relation: C' = C - λ·v·vᵀ, with the rank-1
     term quantized to `round_term` digits so the deflated matrix — and
     every subsequent iteration on it — stays engine-reproducible.
@@ -407,17 +491,13 @@ def deflate(cov: DataFrame, component: DataFrame, round_term: int = 12) -> DataF
         F.col("eigenvalue").alias("lam"),
     )
     vj = component.select(F.col("pos").alias("j"), F.col("loading").alias("vj"))
+    rank1 = F.col("lam") * F.col("vi") * F.col("vj")
+    if quantize:
+        rank1 = F.round(rank1, round_term)
     return (
         cov.join(F.broadcast(vi), "i")
         .join(F.broadcast(vj), "j")
-        .select(
-            "i",
-            "j",
-            (
-                F.col("c")
-                - F.round(F.col("lam") * F.col("vi") * F.col("vj"), round_term)
-            ).alias("c"),
-        )
+        .select("i", "j", (F.col("c") - rank1).alias("c"))
     )
 
 
@@ -429,13 +509,16 @@ def top_principal_components(
     round_term: int = 12,
     round_vec: int = 9,
     driver_dim_threshold: int = 256,
+    quantize: bool = True,
 ) -> DataFrame:
     """Top-k eigenpairs by power iteration + Hotelling deflation, all
     relational and all quantized: component m is power-iterated on the
     (m-1)-times-deflated covariance.  Returns (component, pos, loading,
     eigenvalue) with component 1-indexed.  Same determinism guarantee as
     the single-component path — deflation only adds one quantized rank-1
-    join per extracted component.
+    join per extracted component.  ``quantize=False`` runs the whole
+    chain (iterations AND deflations) in plain float64 — see
+    :func:`top_principal_component`.
 
     For d <= driver_dim_threshold the WHOLE chain (every power iteration
     AND the deflation between components) replays on the driver — the
@@ -452,20 +535,27 @@ def top_principal_components(
         cm = {(r["i"], r["j"]): r["c"] for r in cov.collect()}
         rows = []
         for m in range(1, n_components + 1):
-            vec, nrm = _power_iteration_driver(
-                [(i, j, c) for (i, j), c in cm.items()],
-                dim,
-                n_iters,
-                round_term,
-                round_vec,
-            )
-            lam = _rnd_half_up(nrm, 6)
+            triples = [(i, j, c) for (i, j), c in cm.items()]
+            if quantize:
+                vec, nrm = _power_iteration_driver(
+                    triples, dim, n_iters, round_term, round_vec
+                )
+                lam = _rnd_half_up(nrm, 6)
+            else:
+                vec, nrm = _power_iteration_driver_float(triples, dim, n_iters)
+                lam = nrm
             rows.extend((m, int(p), vec[p], lam) for p in sorted(vec))
             if m < n_components:
-                cm = {
-                    (i, j): c - _rnd_half_up(lam * vec[i] * vec[j], round_term)
-                    for (i, j), c in cm.items()
-                }
+                if quantize:
+                    cm = {
+                        (i, j): c - _rnd_half_up(lam * vec[i] * vec[j], round_term)
+                        for (i, j), c in cm.items()
+                    }
+                else:
+                    cm = {
+                        (i, j): c - lam * vec[i] * vec[j]
+                        for (i, j), c in cm.items()
+                    }
         return spark.createDataFrame(
             rows, "component int, pos int, loading double, eigenvalue double"
         )
@@ -474,12 +564,14 @@ def top_principal_components(
     for m in range(1, n_components + 1):
         comp = top_principal_component(
             cur, dim, n_iters=n_iters, round_term=round_term, round_vec=round_vec,
-            driver_dim_threshold=0,
+            driver_dim_threshold=0, quantize=quantize,
         ).transform(truncate_lineage, eager=True)
         tagged = comp.select(
             F.lit(m).alias("component"), "pos", "loading", "eigenvalue"
         )
         out = tagged if out is None else out.unionByName(tagged)
         if m < n_components:
-            cur = deflate(cur, comp, round_term=round_term).transform(truncate_lineage, eager=True)
+            cur = deflate(
+                cur, comp, round_term=round_term, quantize=quantize
+            ).transform(truncate_lineage, eager=True)
     return out.orderBy("component", "pos")

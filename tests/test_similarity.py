@@ -395,6 +395,67 @@ def test_covariance_matrix_empty_and_ragged_raise(spark):
         covariance_matrix(ragged)
 
 
+def test_float_production_path_agrees_with_exact(spark):
+    """Round-9 verdict #6: the exact-DECIMAL/int40 recipes buy the
+    cross-engine oracle proof at a quantization cost; the float64
+    production path (covariance quantizer='float', PCA quantize=False)
+    must agree to tolerance while staying pure codegen double math.
+    Pins covariance entrywise agreement, full PCA-chain agreement
+    (driver AND distributed float paths), and that the float covariance
+    plan carries no Decimal cast."""
+    import numpy as np
+
+    from prod_data_pipeline_spark.operators.linalg import (
+        covariance_matrix,
+        top_principal_components,
+    )
+
+    rng = np.random.RandomState(11)
+    d, n = 12, 300
+    direction = rng.standard_normal(d)
+    direction /= np.linalg.norm(direction)
+    X = rng.standard_normal((n, d)) * 0.2 + np.outer(rng.standard_normal(n), direction)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+
+    exact = covariance_matrix(df, quantizer="int40")
+    prod = covariance_matrix(df, quantizer="float")
+    em = {(r["i"], r["j"]): r["c"] for r in exact.collect()}
+    fm = {(r["i"], r["j"]): r["c"] for r in prod.collect()}
+    assert set(em) == set(fm)
+    for k in em:
+        assert abs(em[k] - fm[k]) < 1e-9, (k, em[k], fm[k])
+    # numpy ground truth agrees with the float path at float precision
+    C = np.cov(X, rowvar=False)
+    for (i, j), c in fm.items():
+        assert abs(c - C[i, j]) < 1e-9
+
+    # no DECIMAL anywhere in the float covariance plan (the point of the
+    # production path is staying inside primitive codegen arithmetic)
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "decimal" not in plan.lower()
+
+    exact_cov = exact.localCheckpoint(eager=True)
+    float_cov = prod.localCheckpoint(eager=True)
+    q = top_principal_components(exact_cov, dim=d, n_components=2, n_iters=8)
+    f_driver = top_principal_components(
+        float_cov, dim=d, n_components=2, n_iters=8, quantize=False
+    )
+    f_dist = top_principal_components(
+        float_cov, dim=d, n_components=2, n_iters=8, quantize=False,
+        driver_dim_threshold=0,
+    )
+    qd = q.toPandas().sort_values(["component", "pos"]).reset_index(drop=True)
+    for fl in (f_driver, f_dist):
+        fd = fl.toPandas().sort_values(["component", "pos"]).reset_index(drop=True)
+        # loadings agree up to the quantized recipe's own rounding
+        # (round_vec=9 per iteration -> ~1e-6 accumulated)
+        assert np.allclose(qd["loading"], fd["loading"], atol=1e-5)
+        assert np.allclose(qd["eigenvalue"], fd["eigenvalue"], atol=1e-4)
+
+
 def test_covariance_matrix_nonfinite_elements_raise(spark):
     """Round-9 advisor: a NaN element made amax NaN, every Python bound
     comparison on NaN evaluated False, and floor(NaN * 2^40) fed corrupt
