@@ -19,13996 +19,30 @@ parquet tables.  Conventions that make the value-hash comparison exact:
 Reference parity notes cite /root/reference file:line in each docstring.
 """
 
+
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass, field
-from functools import reduce
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from prod_data_pipeline_spark.schemas import TESTDATA_EVENT_TYPES
-from prod_data_pipeline_spark.session import truncate_lineage, tune
-from prod_data_pipeline_spark.sources.readers import load_table
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None  # None => driver records rows-only check
-    headline: bool = False  # included in bench.py
-    tags: tuple = field(default_factory=tuple)
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def query(name: str, oracle: str | None = None, headline: bool = False, tags: tuple = ()):
-    def deco(fn):
-        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline, tags=tags)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    tune(spark)
-    return load_table(spark, sf_dir, name)
-
-
-def dsum(c, scale: int = 2) -> F.Column:
-    """Exact decimal sum cast back to double (deterministic across engines)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
-
-
-_VALID_TYPES_SQL = ", ".join(f"'{t}'" for t in TESTDATA_EVENT_TYPES)
-
-
-# ---------------------------------------------------------------------------
-# Reference-parity queries over `events`
-# (golden queries: /root/reference/sql/athena/curated_events.sql:17-36;
-#  DQ profile: glue/jobs/raw_to_curated_events_v3_dq.py:70-106)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_per_day",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
-    FROM events GROUP BY 1 ORDER BY 1
-    """,
-    headline=True,
-    tags=("A2", "O1"),
-)
-def events_per_day(spark, sf_dir):
-    """Golden query #1: rows per ingestion day (curated_events.sql:17-20)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("day")
-    )
-
-
-@query(
-    "events_per_day_sql",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
-    FROM events GROUP BY 1 ORDER BY 1
-    """,
-    tags=("A2", "O1", "sql-api"),
-)
-def events_per_day_sql(spark, sf_dir):
-    """Golden query #1 through the SQL entry point (parse -> analyze ->
-    Catalyst -> same physical plan as the DataFrame form): the engine's
-    spark.sql surface, mirroring the reference's Athena path
-    (curated_events.sql:17-20)."""
-    ev = _t(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events_v")
-    return spark.sql(
-        "SELECT to_date(ts) AS day, COUNT(*) AS n_events FROM events_v GROUP BY 1 ORDER BY 1"
-    )
-
-
-@query(
-    "events_null_profile",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
-           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
-           CAST(SUM(CASE WHEN value   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
-           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type
-    FROM events
-    """,
-    tags=("A4", "P8"),
-)
-def events_null_profile(spark, sf_dir):
-    """Golden query #2: conditional null profile (curated_events.sql:23-27)."""
-    ev = _t(spark, sf_dir, "events")
-
-    def nulls(c):
-        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long")
-
-    return ev.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        nulls("user_id").alias("null_user_id"),
-        nulls("value").alias("null_value"),
-        nulls("event_type").alias("null_event_type"),
-    )
-
-
-_PROFILE_COLS = ["event_id", "event_type", "props", "ts", "user_id", "value"]
-
-
-@query(
-    "events_column_profile",
-    oracle=" UNION ALL ".join(
-        f"""SELECT '{c}' AS column_name,
-               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
-        FROM events"""
-        for c in _PROFILE_COLS
-    )
-    + " ORDER BY column_name",
-    tags=("profiling", "A1", "A4"),
-)
-def events_column_profile(spark, sf_dir):
-    """Whole-table column profile (null count + exact distinct per column)
-    in ONE aggregation pass + an unpivot — the generic data-profiling
-    sibling of the events DQ gate.  Distinct counts share one Expand pass;
-    at very large scale swap count_distinct for approx_count_distinct and
-    the plan loses the Expand entirely."""
-    ev = _t(spark, sf_dir, "events")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}")
-        )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
-    row = ev.agg(*aggs)
-    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS)
-    return (
-        row.selectExpr(
-            f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_null, n_distinct)"
-        )
-        .orderBy("column_name")
-    )
-
-
-@query(
-    "events_dq_profile",
-    oracle=f"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
-           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
-           CAST(SUM(CASE WHEN user_id  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
-           CAST(SUM(CASE WHEN event_type NOT IN ({_VALID_TYPES_SQL}) THEN 1 ELSE 0 END) AS BIGINT)
-               AS invalid_type_rows,
-           CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_event_rows,
-           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_event_ids
-    FROM events
-    """,
-    tags=("A1", "A3", "P4", "P5"),
-)
-def events_dq_profile(spark, sf_dir):
-    """Single-pass DQ profile: the reference ran SEVEN actions for these
-    numbers (v3_dq.py:70-83); one fused agg computes them all, including the
-    duplicate count as count(id) - count(distinct id) (== sum(count-1),
-    v3_dq.py:81-83)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).cast("long").alias("null_event_id"),
-        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).cast("long").alias("null_user_id"),
-        F.sum(F.when(~F.col("event_type").isin(TESTDATA_EVENT_TYPES), 1).otherwise(0))
-        .cast("long")
-        .alias("invalid_type_rows"),
-        (F.count("event_id") - F.count_distinct(F.col("event_id"))).cast("long").alias("dup_event_rows"),
-        F.count_distinct(F.col("event_id")).cast("long").alias("distinct_event_ids"),
-    )
-
-
-@query(
-    "events_type_value_stats",
-    oracle=f"""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(value), 0) AS avg_value,
-           MIN(value) AS min_value,
-           MAX(value) AS max_value
-    FROM events
-    WHERE event_type IN ({_VALID_TYPES_SQL})
-    GROUP BY event_type ORDER BY event_type
-    """,
-    headline=True,
-    tags=("P5", "A3"),
-)
-def events_type_value_stats(spark, sf_dir):
-    """Set-membership filter (v3_dq.py:78) + per-type value stats with
-    exact decimal summation."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("event_type").isin(TESTDATA_EVENT_TYPES))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
-            (dsum("value") / F.when(F.count("value") > 0, F.count("value"))).alias("avg_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "events_hourly_activity",
-    oracle="""
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1 ORDER BY 1
-    """,
-    tags=("A2",),
-)
-def events_hourly_activity(spark, sf_dir):
-    """Hourly rollup — the time-series shape of the reference's daily
-    partition counts at finer grain."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct(F.col("user_id")).alias("n_users"),
-        )
-        .orderBy("hour")
-    )
-
-
-@query(
-    "repeat_users_topk",
-    oracle="""
-    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events WHERE user_id IS NOT NULL
-    GROUP BY user_id HAVING COUNT(*) > 1
-    ORDER BY n_events DESC, user_id LIMIT 20
-    """,
-    tags=("A7", "O2", "P7"),
-)
-def repeat_users_topk(spark, sf_dir):
-    """HAVING + top-k with deterministic tie-break (curated_events.sql:31-36
-    shape, guaranteed-nonempty variant)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .filter(F.col("n_events") > 1)
-        .orderBy(F.desc("n_events"), F.asc("user_id"))
-        .limit(20)
-    )
-
-
-@query(
-    "dup_event_ids",
-    oracle="""
-    WITH ev AS (
-      SELECT event_id FROM events
-      UNION ALL
-      SELECT event_id FROM events WHERE event_id % 100 = 0
-    )
-    SELECT event_id, CAST(COUNT(*) AS BIGINT) AS occurrences
-    FROM ev GROUP BY event_id HAVING COUNT(*) > 1
-    ORDER BY occurrences DESC, event_id LIMIT 20
-    """,
-    tags=("A2", "A7", "O2"),
-)
-def dup_event_ids(spark, sf_dir):
-    """Golden query #3 verbatim shape: duplicate event_id inspection
-    (curated_events.sql:31-36).  The raw table has no duplicate ids, so the
-    input unions a deterministic slice (event_id % 100 == 0) back in — the
-    HAVING > 1 path is exercised on non-empty output instead of vacuously
-    hash-matching an empty set."""
-    ev = _t(spark, sf_dir, "events").select("event_id")
-    planted = ev.filter(F.col("event_id") % 100 == 0)
-    return (
-        ev.union(planted)
-        .groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("occurrences"))
-        .filter(F.col("occurrences") > 1)
-        .orderBy(F.desc("occurrences"), F.asc("event_id"))
-        .limit(20)
-    )
-
-
-@query(
-    "props_key_stats",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(k) AS BIGINT) AS n_with_k,
-           CAST(SUM(k) AS BIGINT) AS sum_k,
-           CAST(SUM(k) AS DOUBLE) / NULLIF(COUNT(k), 0) AS avg_k,
-           MIN(k) AS min_k, MAX(k) AS max_k
-    FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
-    GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("P8", "json"),
-)
-def props_key_stats(spark, sf_dir):
-    """Semi-structured column: JSON path extraction stays JVM-side via
-    get_json_object — no Python UDF."""
-    ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    ev = ev.withColumn("k", k)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("k").alias("n_with_k"),
-            F.sum("k").cast("long").alias("sum_k"),
-            (F.sum("k").cast("double") / F.when(F.count("k") > 0, F.count("k"))).alias("avg_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "props_typed_struct_stats",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(COUNT(k) AS BIGINT) AS n_with_k,
-           CAST(SUM(k) AS BIGINT) AS sum_k
-    FROM (SELECT ts, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("json", "struct"),
-)
-def props_typed_struct_stats(spark, sf_dir):
-    """Semi-structured column via from_json with an explicit schema (the
-    typed-struct sibling of props_key_stats' path extraction): parse once,
-    then ordinary columnar refs — still JVM-side, still one pass."""
-    ev = _t(spark, sf_dir, "events")
-    parsed = ev.withColumn("p", F.from_json(F.col("props"), "k INT"))
-    return (
-        parsed.groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.count("p.k").alias("n_with_k"),
-            F.sum("p.k").cast("long").alias("sum_k"),
-        )
-        .orderBy("day")
-    )
-
-
-@query(
-    "events_curated_projection",
-    oracle="""
-    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
-           CAST(ts AS DATE) AS ingestion_date
-    FROM events ORDER BY event_id
-    """,
-    tags=("P1", "P2", "P3"),
-)
-def events_curated_projection(spark, sf_dir):
-    """The curate transform's deterministic columns (v3_dq.py:54-65):
-    typed timestamp + derived partition date.  processing_ts
-    (current_timestamp) is excluded — nondeterministic (SURVEY §7 risk)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        "value",
-        F.to_date("ts").alias("ingestion_date"),
-    ).orderBy("event_id")
-
-
-# ---------------------------------------------------------------------------
-# Star-schema extension surface (SURVEY.md §2.6/§7 step 3): joins, set ops,
-# windows, rollup/cube — all absent in the reference, required by the north
-# star.  Tables: TPC-H-ish star schema in /root/testdata.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q1_pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-               AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
-               AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
-           CAST(COUNT(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-    headline=True,
-    tags=("A2", "A3", "A4"),
-)
-def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: wide partial-aggregatable scan-agg, the canonical
-    map-side-combine stress test."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-    )
-    cnt = F.count(F.lit(1))
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
-            dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
-            ).alias("sum_charge"),
-            (dsum("l_quantity") / cnt).alias("avg_qty"),
-            (dsum("l_extendedprice") / cnt).alias("avg_price"),
-            (dsum("l_discount", 4) / cnt).alias("avg_disc"),
-            cnt.cast("long").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-@query(
-    "top_orders_by_revenue",
-    oracle="""
-    SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, c.c_mktsegment,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-               AS revenue
-    FROM orders o
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY o.o_orderkey, o.o_orderdate, c.c_mktsegment
-    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
-    """,
-    headline=True,
-    tags=("join", "O2"),
-)
-def top_orders_by_revenue(spark, sf_dir):
-    """TPC-H Q3 shape, pre-aggregated: lineitem revenue collapses to one row
-    per orderkey BEFORE any join (partial agg on the fact table's own key —
-    ONE shuffle), then the per-order rows join the filtered orders x
-    broadcast customer dims.  The naive shape (join facts, then group) pays
-    two shuffles of the full fact table; at 100 TB that is the difference
-    between shuffling 600 GB of joined rows and 20 GB of per-order sums.
-    o_orderkey is unique in orders, so grouping before vs after the join is
-    value-identical."""
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
-    )
-    c = _t(spark, sf_dir, "customer")
-    li = _t(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_orderkey").agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
-    )
-    return (
-        rev.join(o, rev.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .select("o_orderkey", "o_orderdate", "c_mktsegment", "revenue")
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-        .limit(10)
-    )
-
-
-@query(
-    "regional_nation_revenue",
-    oracle="""
-    SELECT r.r_name, n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-               AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_items
-    FROM lineitem l
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    GROUP BY r.r_name, n.n_name
-    ORDER BY r.r_name, n.n_name
-    """,
-    headline=True,
-    tags=("join",),
-)
-def regional_nation_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way star join; every dimension broadcast, the two
-    fact tables shuffle once on l_orderkey."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, o.o_orderkey == li.l_orderkey)
-        .join(
-            F.broadcast(c),
-            (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-        .orderBy("r_name", "n_name")
-    )
-
-
-@query(
-    "brand_volume",
-    oracle="""
-    SELECT p.p_brand,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
-           CAST(SUM(p.p_size) AS DOUBLE) / COUNT(*) AS avg_size
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    GROUP BY p.p_brand ORDER BY p.p_brand
-    """,
-    tags=("join", "broadcast"),
-)
-def brand_volume(spark, sf_dir):
-    """Fact x broadcast-dim join + agg: the bread-and-butter shape at 100 TB
-    (never shuffle the fact table for a dim lookup)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("p_retailprice").alias("sum_retail"),
-            (F.sum("p_size").cast("double") / F.count(F.lit(1))).alias("avg_size"),
-        )
-        .orderBy("p_brand")
-    )
-
-
-@query(
-    "slow_orders_by_priority",
-    oracle="""
-    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    tags=("semi-join", "correlated"),
-)
-def slow_orders_by_priority(spark, sf_dir):
-    """TPC-H Q4 shape: correlated EXISTS decorrelated into a left-semi join
-    whose condition spans both tables (ship lag > 90 days) — one shuffle on
-    the order key, no subquery re-execution per row."""
-    o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    slow = o.join(
-        li,
-        (li.l_orderkey == o.o_orderkey)
-        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
-        "left_semi",
-    )
-    return (
-        slow.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@query(
-    "small_quantity_parts_revenue",
-    oracle="""
-    WITH pa AS (
-      SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
-      FROM lineitem GROUP BY l_partkey
-    )
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
-               AS avg_yearly
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
-    JOIN pa ON pa.l_partkey = l.l_partkey
-    WHERE l.l_quantity < 0.2 * pa.avg_qty
-    """,
-    tags=("correlated", "scalar-subquery"),
-)
-def small_quantity_parts_revenue(spark, sf_dir):
-    """TPC-H Q17 shape: correlated scalar AVG subquery decorrelated into a
-    per-part pre-aggregate + join (the per-part averages are one narrow
-    shuffle; exact decimal arithmetic keeps the 0.2*avg threshold
-    bit-identical across engines)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    pa = li.groupBy("l_partkey").agg(
-        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
-              F.col("l_partkey") == F.col("pa_partkey"))
-        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(dsum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
-    )
-
-
-@query(
-    "disjunctive_brand_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-               AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_items
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
-       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
-    """,
-    tags=("join", "disjunctive-pushdown"),
-)
-def disjunctive_brand_revenue(spark, sf_dir):
-    """TPC-H Q19 shape: OR-of-ANDs mixed predicate over a broadcast join.
-    Catalyst splits the disjunction: the part-only conjuncts
-    ((brand, size) OR (brand, size)) push below the join into the dim scan,
-    while the cross-table residual evaluates post-join — filter early on
-    both inputs even with ORs in the way."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    cond = (
-        (F.col("p_brand") == "Brand#4")
-        & F.col("p_size").between(1, 15)
-        & (F.col("l_quantity") >= 10)
-    ) | (
-        (F.col("p_brand") == "Brand#19")
-        & F.col("p_size").between(10, 30)
-        & (F.col("l_quantity") >= 20)
-    )
-    return j.filter(cond).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@query(
-    "customer_order_distribution",
-    oracle="""
-    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
-    FROM (
-      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
-      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_custkey
-    ) GROUP BY n_orders ORDER BY n_orders
-    """,
-    tags=("join", "A2"),
-)
-def customer_order_distribution(spark, sf_dir):
-    """TPC-H Q13 shape: left outer join preserving zero-order customers +
-    two-level aggregation."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, o.o_custkey == c.c_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-    return (
-        per_cust.groupBy("n_orders")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("n_orders")
-    )
-
-
-@query(
-    "customers_with_orders_by_segment",
-    oracle="""
-    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c_mktsegment ORDER BY c_mktsegment
-    """,
-    tags=("semi-join",),
-)
-def customers_with_orders_by_segment(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("c_mktsegment")
-    )
-
-
-@query(
-    "customers_without_orders",
-    oracle="""
-    WITH c AS (
-      SELECT c_custkey, c_name FROM customer
-      UNION ALL
-      SELECT c_custkey + 10000000, c_name FROM customer WHERE c_custkey % 15 = 0
-    )
-    SELECT c_custkey, c_name FROM c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    ORDER BY c_custkey
-    """,
-    tags=("anti-join",),
-)
-def customers_without_orders(spark, sf_dir):
-    """Orphan check via anti-join — the scalable form of referential DQ.
-    Every custkey in the test data has orders, so a deterministic shifted
-    slice (custkey + 10M) is unioned in as guaranteed orphans: the anti-join
-    is verified on non-empty output."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    orphans = c.filter(F.col("c_custkey") % 15 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("c_custkey"), "c_name"
-    )
-    o = _t(spark, sf_dir, "orders")
-    cc = c.union(orphans)
-    return (
-        cc.join(o, cc.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "trading_nations",
-    oracle="""
-    SELECT n_nationkey, n_name FROM nation
-    WHERE n_nationkey IN (
-      SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier
-    ) ORDER BY n_nationkey
-    """,
-    tags=("set-op", "union"),
-)
-def trading_nations(spark, sf_dir):
-    """UNION (distinct) + semi-join."""
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    keys = (
-        c.select(F.col("c_nationkey").alias("k"))
-        .union(s.select(F.col("s_nationkey").alias("k")))
-        .distinct()
-    )
-    return (
-        n.join(keys, n.n_nationkey == keys.k, "left_semi")
-        .select("n_nationkey", "n_name")
-        .orderBy("n_nationkey")
-    )
-
-
-@query(
-    "nation_keys_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
-    """,
-    tags=("set-op",),
-)
-def nation_keys_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
-        .orderBy("nationkey")
-    )
-
-
-@query(
-    "nation_keys_except",
-    oracle="""
-    SELECT nationkey FROM (
-      SELECT c_nationkey AS nationkey FROM customer
-      UNION ALL
-      SELECT c_nationkey + 100 FROM customer WHERE c_nationkey < 5
-    )
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
-    """,
-    tags=("set-op",),
-)
-def nation_keys_except(spark, sf_dir):
-    """Distinct-set EXCEPT.  Customers and suppliers cover the same 25
-    nationkeys in the test data, so a shifted slice (+100 for nationkey < 5)
-    is unioned into the left side — the subtract is verified on non-empty
-    output instead of an empty set."""
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    left = c.select(F.col("c_nationkey").alias("nationkey")).union(
-        c.filter(F.col("c_nationkey") < 5).select(
-            (F.col("c_nationkey") + 100).alias("nationkey")
-        )
-    )
-    return (
-        left.subtract(s.select(F.col("s_nationkey").alias("nationkey")))
-        .orderBy("nationkey")
-    )
-
-
-@query(
-    "nation_keys_except_all",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT ALL
-    SELECT s_nationkey FROM supplier
-    ORDER BY nationkey
-    """,
-    tags=("set-op",),
-)
-def nation_keys_except_all(spark, sf_dir):
-    """Multiset EXCEPT ALL (bag semantics — each supplier occurrence cancels
-    one customer occurrence), vs the distinct-set `nation_keys_except`."""
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .exceptAll(s.select(F.col("s_nationkey").alias("nationkey")))
-        .orderBy("nationkey")
-    )
-
-
-@query(
-    "events_grouping_sets",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events
-    GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type))
-    ORDER BY day NULLS FIRST, event_type NULLS FIRST
-    """,
-    tags=("grouping-sets", "sql-api"),
-)
-def events_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (neither rollup nor cube): per-day totals and
-    per-type totals in one pass, via the SQL surface."""
-    ev = _t(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events_gs_v")
-    return spark.sql(
-        """
-        SELECT to_date(ts) AS day, event_type, COUNT(*) AS n_events
-        FROM events_gs_v
-        GROUP BY GROUPING SETS ((to_date(ts)), (event_type))
-        ORDER BY day, event_type
-        """
-    )
-
-
-@query(
-    "events_value_quantiles",
-    oracle="""
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.9), 6) AS p90,
-           ROUND(quantile_cont(value, 0.99), 6) AS p99
-    FROM events WHERE value IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("quantile",),
-)
-def events_value_quantiles(spark, sf_dir):
-    """Exact interpolated quantiles per type, distributed.  `F.percentile`
-    buffers every group value in one aggregation state (~1/n_types of the
-    column per task at 100 TB); operators.ranking.exact_quantiles keeps
-    the same quantile_cont answer via bucketed exact ranking — parallel
-    at any scale.  Use `approx_percentile` instead when sketch error is
-    acceptable (one pass, mergeable)."""
-    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select("event_type", "value")
-    )
-    q = exact_quantiles(
-        ev, "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}, by=["event_type"]
-    )
-    return (
-        q.groupBy("event_type")
-        .pivot("qname", ["p50", "p90", "p99"])
-        .agg(F.round(F.first("quantile"), 6))
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "events_daily_type_pivot",
-    oracle=f"""
-    SELECT CAST(ts AS DATE) AS day,
-           {", ".join(
-               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
-               for t in sorted(TESTDATA_EVENT_TYPES)
-           )}
-    FROM events GROUP BY 1 ORDER BY 1
-    """,
-    tags=("pivot",),
-)
-def events_daily_type_pivot(spark, sf_dir):
-    """Pivot day x event_type — explicit value list so the plan is a single
-    pass (unlisted pivot values would need an extra distinct-scan job)."""
-    ev = _t(spark, sf_dir, "events")
-    vals = sorted(TESTDATA_EVENT_TYPES)
-    return (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", vals)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, vals)
-        .orderBy("day")
-    )
-
-
-@query(
-    "order_rollup_stats",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-    tags=("rollup",),
-)
-def order_rollup_stats(spark, sf_dir):
-    """GROUPING SETS surface: rollup with subtotal + grand-total rows."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("sum_price"),
-        )
-        .orderBy("o_orderstatus", "o_orderpriority")
-    )
-
-
-@query(
-    "events_cube_day_type",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events
-    GROUP BY CUBE (CAST(ts AS DATE), event_type)
-    ORDER BY day NULLS FIRST, event_type NULLS FIRST
-    """,
-    tags=("cube",),
-)
-def events_cube_day_type(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    return (
-        ev.cube("day", "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("day", "event_type")
-    )
-
-
-@query(
-    "top_order_per_customer",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice
-    FROM orders
-    QUALIFY ROW_NUMBER() OVER (
-      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-    ) = 1
-    ORDER BY o_custkey
-    """,
-    tags=("window",),
-)
-def top_order_per_customer(spark, sf_dir):
-    """row_number window — the keep-first-per-key primitive that also backs
-    exact dedup (SURVEY §2.6)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey")
-    )
-
-
-@query(
-    "user_running_value",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_value
-    FROM events ORDER BY event_id
-    """,
-    tags=("window",),
-)
-def user_running_value(spark, sf_dir):
-    """Running (prefix) sum per user — exact decimal accumulation so the
-    running values are order-independent-reproducible."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
-    ).orderBy("event_id")
-
-
-@query(
-    "user_sessions",
-    oracle="""
-    WITH g AS (
-      SELECT user_id,
-             LAG(CAST(ts AS TIMESTAMP)) OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS prev_ts,
-             CAST(ts AS TIMESTAMP) AS ts
-      FROM events
-    )
-    SELECT user_id,
-           CAST(SUM(CASE WHEN prev_ts IS NULL
-                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM g GROUP BY user_id ORDER BY user_id
-    """,
-    headline=True,
-    tags=("window", "sessionization"),
-)
-def user_sessions(spark, sf_dir):
-    """Sessionization (30-min inactivity gap) via lag + conditional sum.
-    Gap arithmetic in integer epoch-micros on both engines — second-level
-    truncation would disagree at the boundary."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    is_new = F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
-    return (
-        ev.withColumn("is_new", is_new)
-        .groupBy("user_id")
-        .agg(
-            F.sum("is_new").cast("long").alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("user_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dedup / text-analysis / similarity extension surface (north star;
-# SURVEY §7 step 3).  Oracle SQL mirrors the exact Spark expression —
-# including md5-based MinHash so signatures are bit-identical cross-engine.
-# ---------------------------------------------------------------------------
-
-_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
-
-
-def _minhash_sql(num_hashes: int = 8) -> str:
-    mh = ",\n           ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-        for j in range(num_hashes)
-    )
-    return f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    )
-    SELECT doc_id,
-           {mh}
-    FROM s ORDER BY doc_id
-    """
-
-
-@query(
-    "dedup_docs_exact",
-    oracle="""
-    SELECT md5(text) AS content_hash,
-           MIN(doc_id) AS keep_id,
-           CAST(COUNT(*) AS BIGINT) AS n_copies
-    FROM documents GROUP BY md5(text) ORDER BY content_hash
-    """,
-    tags=("dedup",),
-)
-def dedup_docs_exact(spark, sf_dir):
-    """Exact dedup groups: digest group-by, keep-lowest-id (operators.dedup)."""
-    from prod_data_pipeline_spark.operators.dedup import exact_dedup_groups
-
-    docs = _t(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs).orderBy("content_hash")
-
-
-@query(
-    "docs_minhash_signatures",
-    oracle=_minhash_sql(8),
-    tags=("dedup", "minhash"),
-)
-def docs_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (8 hashes, word-3-gram shingles, md5 backend) —
-    bit-identical to the SQL oracle; production swaps hash_fn='xxhash64'."""
-    from prod_data_pipeline_spark.operators.dedup import with_minhash
-
-    docs = _t(spark, sf_dir, "documents")
-    sig = with_minhash(docs, num_hashes=8, hash_fn="md5")
-    return sig.select("doc_id", *[f"mh_{j}" for j in range(8)]).orderBy("doc_id")
-
-
-@query(
-    "docs_near_dup_pairs",
-    headline=True,
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, """ + _TOKS_SQL + """ AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS (
-      SELECT doc_id, sh,
-             list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh_0,
-             list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh_1,
-             list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh_2,
-             list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh_3,
-             list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min') AS mh_4,
-             list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min') AS mh_5,
-             list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min') AS mh_6,
-             list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min') AS mh_7
-      FROM s
-    ), bands AS (
-      SELECT doc_id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM sig WHERE len(sh) > 0
-      UNION ALL
-      SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig WHERE len(sh) > 0
-      UNION ALL
-      SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig WHERE len(sh) > 0
-      UNION ALL
-      SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig WHERE len(sh) > 0
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
-    FROM cand c
-    JOIN sig sa ON sa.doc_id = c.id_a
-    JOIN sig sb ON sb.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-    ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "lsh"),
-)
-def docs_near_dup_pairs(spark, sf_dir):
-    """MinHash-LSH near-duplicate pairs (4 bands x 2 rows) with exact
-    Jaccard >= 0.5 verification on band collisions only."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, threshold=0.5, hash_fn="md5")
-
-
-@query(
-    "docs_ngram_jaccard_pairs",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, lang, source, """ + _TOKS_SQL + """ AS toks FROM documents
-    ), s AS (
-      SELECT doc_id, lang, source,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-    FROM s a JOIN s b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
-    ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "jaccard"),
-)
-def docs_ngram_jaccard_pairs(spark, sf_dir):
-    """Blocked exact n-gram Jaccard pairs (block on lang+source)."""
-    from prod_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.2)
-
-
-@query(
-    "corpus_curation_stats",
-    oracle=f"""
-    WITH RECURSIVE dedup AS (
-      SELECT doc_id, lang, text FROM (
-        SELECT doc_id, lang, text,
-               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        FROM documents
-      ) WHERE rn = 1
-    ), t AS (
-      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM dedup
-    ), s AS (
-      SELECT doc_id, lang, toks,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS (
-      SELECT doc_id, sh,
-             {", ".join(
-                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-                 for j in range(8)
-             )}
-      FROM s
-    ), bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
-          "FROM sig WHERE len(sh) > 0"
-          for b in range(4)
-      )}
-    ), pairs AS (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ), walk AS (
-      SELECT src, dst AS reach FROM edges
-      UNION
-      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
-    ), losers AS (
-      SELECT src AS id_b FROM walk GROUP BY src HAVING src > MIN(reach)
-    ), q AS (
-      SELECT lang, len(toks) AS n,
-             ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-                   + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4)
-                 AS quality
-      FROM s WHERE doc_id NOT IN (SELECT id_b FROM losers)
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n) AS BIGINT) AS total_tokens,
-           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_quality
-    FROM q WHERE quality >= 0.45
-    GROUP BY lang ORDER BY lang
-    """,
-    headline=True,
-    tags=("dedup", "text", "pipeline"),
-)
-def corpus_curation_stats(spark, sf_dir):
-    """Flagship training-data composition (operators.corpus.curate_corpus):
-    exact dedup -> transitive near-dup removal (connected components over
-    the LSH pair graph) -> quality gate, reported per language.  The oracle
-    replays the ENTIRE pipeline in SQL — recursive-CTE reachability stands
-    in for the iterative label propagation — so the value-hash checks dedup
-    keep-rules, LSH banding, Jaccard verification, transitive clustering,
-    and the quality filter end-to-end."""
-    from prod_data_pipeline_spark.operators.corpus import curate_corpus
-
-    docs = _t(spark, sf_dir, "documents")
-    kept = curate_corpus(docs, jaccard_threshold=0.5, min_quality=0.45, hash_fn="md5")
-    return (
-        kept.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.round(
-                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_quality"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "corpus_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS (
-      SELECT doc_id, sh,
-             {", ".join(
-                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-                 for j in range(8)
-             )}
-      FROM s
-    ), bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_id, mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_key "
-          "FROM sig WHERE len(sh) > 0"
-          for b in range(4)
-      )}
-    ), pairs AS (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ), walk AS (
-      SELECT src, dst AS reach FROM edges
-      UNION
-      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
-    )
-    SELECT src AS doc_id, least(src, MIN(reach)) AS cluster_id
-    FROM walk GROUP BY src ORDER BY doc_id
-    """,
-    tags=("dedup", "clustering"),
-)
-def corpus_dup_clusters(spark, sf_dir):
-    """Transitive near-duplicate clusters: connected components over the
-    MinHash-LSH verified pair graph (operators.corpus.dup_clusters,
-    iterative min-label propagation to fixpoint).  cluster_id is the
-    smallest doc_id in each component; the oracle computes the same
-    closure with a DuckDB recursive CTE."""
-    from prod_data_pipeline_spark.operators.corpus import dup_clusters
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn="md5")
-    return dup_clusters(pairs).orderBy("doc_id")
-
-
-def _simhash_core_sql(bits: int = 60, max_hamming: int = 3, p: str = "") -> str:
-    """CTE chain (no WITH, no final SELECT) replaying the md5-backend
-    SimHash pipeline: per-token bit from hex-nibble arithmetic,
-    sign-of-sum per bit, 4-chunk pigeonhole bucketing, exact Hamming
-    verify.  Mirrors operators/dedup.py bit for bit.  ``p`` prefixes
-    every CTE name so the chain composes into larger oracles; the final
-    CTE is ``{p}shpairs (id_a, id_b, hamming)``."""
-    sums = ",\n             ".join(
-        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
-        f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(bits)
-    )
-    simexpr = " + ".join(
-        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)" for b in range(bits)
-    )
-    chunk_bits = bits // 4
-    mask = (1 << chunk_bits) - 1
-    return f"""{p}t AS (
-      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
-    ), {p}h AS (
-      SELECT doc_id, md5(tok) AS h FROM {p}t
-    ), {p}s AS (
-      SELECT doc_id, {sums}
-      FROM {p}h GROUP BY doc_id
-    ), {p}sim AS (
-      SELECT doc_id, {simexpr} AS simhash FROM {p}s
-    ), {p}c AS (
-      SELECT doc_id, simhash, chunk_id,
-             (simhash >> ({chunk_bits} * chunk_id)) & {mask} AS chunk
-      FROM {p}sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk_id)
-    ), {p}cand AS (
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-             l.simhash AS sa, r.simhash AS sb
-      FROM {p}c l JOIN {p}c r
-        ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc_id < r.doc_id
-    ), {p}shpairs AS (
-      SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-      FROM {p}cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
-    )"""
-
-
-def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
-    return f"""
-    WITH {_simhash_core_sql(bits, max_hamming)}
-    SELECT id_a, id_b, hamming FROM shpairs ORDER BY id_a, id_b
-    """
-
-
-@query("docs_simhash_pairs", oracle=_simhash_sql(), tags=("dedup", "simhash"))
-def docs_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates (4-chunk pigeonhole, Hamming <= 3).
-    md5 backend (60-bit) so the DuckDB oracle replays the scheme exactly;
-    production swaps hash_fn='xxhash64' (64-bit, JVM-native).  Planted
-    near-dup unit tests cover the xxhash64 path (tests/test_dedup_text.py)."""
-    from prod_data_pipeline_spark.operators.dedup import simhash_bucket_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_bucket_pairs(docs, hash_fn="md5")
-
-
-@query(
-    "docs_simhash_recall_vs_exact",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
-    ), t2 AS (
-      SELECT doc_id, toks FROM t WHERE len(toks) > 0
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
-    ), dfreq AS (
-      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
-    ), ranked AS (
-      SELECT doc_id, token, sz,
-             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
-      FROM tok JOIN dfreq USING (token)
-    ), prefix AS (
-      SELECT doc_id, token, sz FROM ranked
-      WHERE rn <= sz - ((90 * sz + 99) // 100) + 1
-    ), ecand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM prefix a JOIN prefix b
-        ON a.token = b.token AND a.doc_id < b.doc_id
-      WHERE 90 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
-    ), exact AS (
-      SELECT c.id_a, c.id_b FROM ecand c
-      JOIN t2 ta ON ta.doc_id = c.id_a
-      JOIN t2 tb ON tb.doc_id = c.id_b
-      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
-            >= 90 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
-    ), {_simhash_core_sql(60, 3, "sh_")}
-    , ov AS (
-      SELECT s.id_a, s.id_b FROM sh_shpairs s
-      JOIN exact e ON e.id_a = s.id_a AND e.id_b = s.id_b
-    )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM sh_shpairs) AS n_simhash,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM ov) AS n_overlap,
-           ROUND(CAST((SELECT COUNT(*) FROM ov) AS DOUBLE)
-                 / greatest((SELECT COUNT(*) FROM exact), 1), 4) AS recall,
-           ROUND(CAST((SELECT COUNT(*) FROM ov) AS DOUBLE)
-                 / greatest((SELECT COUNT(*) FROM sh_shpairs), 1), 4) AS precision
-    """,
-    tags=("dedup", "simhash", "recall", "instrumentation"),
-)
-def docs_simhash_recall_vs_exact(spark, sf_dir):
-    """SimHash sketch calibration against EXACT token-Jaccard ground
-    truth — completes the blocker-audit family (LSH: docs_lsh_recall_vs_
-    exact, SNM: docs_snm_recall_vs_exact): unlike those two, the SimHash
-    pigeonhole banding is EXACT for its own Hamming threshold, so what
-    this audit measures is the SKETCH's approximation — how well
-    60-bit sign-of-sum Hamming <= 3 predicts token-set Jaccard >= 0.9 —
-    as recall AND precision over the exact prefix-join pair set.
-    Calibration note: Hamming <= 3 of 60 bits corresponds to cosine
-    ~0.99, a TIGHTER band than Jaccard 0.9, so precision is expected
-    near 1.0 and recall well below it — the audit quantifies exactly
-    that asymmetry, which is the number a pipeline needs to decide
-    whether SimHash alone may gate a corpus at a given threshold.  Both
-    memberships are all-integer rules, so both sides (and the two
-    ratios) replay exactly in the oracle.  Scale: the exact side is the
-    audit's cost (prefix join, zero false negatives); the SimHash side
-    is one 8-byte sketch per doc + pigeonhole buckets."""
-    from prod_data_pipeline_spark.operators.dedup import (
-        jaccard_prefix_pairs,
-        simhash_bucket_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    # materialize=True in both operators: each relation feeds two
-    # consumers (its own count + the overlap join) off stored blocks
-    exact = jaccard_prefix_pairs(docs, threshold_pct=90).select("id_a", "id_b")
-    sh = simhash_bucket_pairs(
-        docs, hash_fn="md5", sort=False, materialize=True
-    ).select("id_a", "id_b")
-    ov = sh.join(exact, ["id_a", "id_b"], "left_semi")
-    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_s = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
-    n_o = ov.agg(F.count(F.lit(1)).alias("n_overlap"))
-    return (
-        n_e.crossJoin(F.broadcast(n_s))
-        .crossJoin(F.broadcast(n_o))
-        .select(
-            "n_exact",
-            "n_simhash",
-            "n_overlap",
-            F.round(
-                F.col("n_overlap").cast("double") / F.greatest("n_exact", F.lit(1)), 4
-            ).alias("recall"),
-            F.round(
-                F.col("n_overlap").cast("double") / F.greatest("n_simhash", F.lit(1)),
-                4,
-            ).alias("precision"),
-        )
-    )
-
-
-def _winnow_sql(k: int = 3, window: int = 4) -> str:
-    """DuckDB replay of md5-backend winnowing: k-gram shingles (ordered,
-    with duplicates), md5 per shingle, lexicographic min of each w-window
-    (a short doc keeps the min of everything it has), distinct + explode."""
-    return f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= {k}
-                  THEN list_transform(range(1, len(toks) - {k - 2}),
-                         i -> md5(array_to_string(toks[i:i+{k - 1}], ' ')))
-                  ELSE [] END AS hs
-      FROM t
-    ), w AS (
-      SELECT doc_id,
-             CASE WHEN len(hs) = 0 THEN []::VARCHAR[]
-                  WHEN len(hs) < {window} THEN [list_aggregate(hs, 'min')]
-                  ELSE list_transform(range(1, len(hs) - {window - 2}),
-                         i -> list_aggregate(hs[i:i+{window - 1}], 'min'))
-                  END AS wmins
-      FROM s
-    )
-    SELECT doc_id, fingerprint FROM (
-      SELECT doc_id, unnest(list_sort(list_distinct(wmins))) AS fingerprint FROM w
-    ) ORDER BY doc_id, fingerprint
-    """
-
-
-@query("docs_winnow_fingerprints", oracle=_winnow_sql(), tags=("text", "fingerprint"))
-def docs_winnow_fingerprints(spark, sf_dir):
-    """Winnowing fingerprints, exploded to (doc_id, fingerprint) rows.
-    md5 backend (lexicographic window min) so the DuckDB oracle replays the
-    whole scheme; production swaps hash_fn='xxhash64' — containment unit
-    tests cover that path."""
-    from prod_data_pipeline_spark.operators.text import winnow_fingerprints
-
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        winnow_fingerprints(docs, hash_fn="md5")
-        .select("doc_id", F.explode("fingerprints").alias("fingerprint"))
-        .orderBy("doc_id", "fingerprint")
-    )
-
-
-_LANG_SQL_SETS = {
-    "en": "['the','a','and','of','to','is','in']",
-    "es": "['el','la','de','que','y','los','un']",
-    "fr": "['le','la','de','et','un','les','des']",
-    "de": "['der','die','und','das','ist','von','ein']",
-}
-
-
-@query(
-    "docs_lang_id",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, list_distinct({_TOKS_SQL}) AS dt FROM documents
-    ), h AS (
-      SELECT doc_id, lang,
-             len(list_intersect(dt, {_LANG_SQL_SETS['en']})) AS h_en,
-             len(list_intersect(dt, {_LANG_SQL_SETS['es']})) AS h_es,
-             len(list_intersect(dt, {_LANG_SQL_SETS['fr']})) AS h_fr,
-             len(list_intersect(dt, {_LANG_SQL_SETS['de']})) AS h_de
-      FROM t
-    )
-    SELECT lang,
-           CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
-                WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_de THEN 'es'
-                WHEN h_fr > 0 AND h_fr >= h_de THEN 'fr'
-                WHEN h_de > 0 THEN 'de'
-                ELSE 'und' END AS predicted_lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM h GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("text", "lang-id"),
-)
-def docs_lang_id(spark, sf_dir):
-    """Stopword-hit language-ID heuristic: labeled vs predicted confusion
-    counts (operators.text.predicted_lang)."""
-    from prod_data_pipeline_spark.functions.text import distinct_tokens
-    from prod_data_pipeline_spark.operators.text import predicted_lang
-
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("predicted_lang", predicted_lang(distinct_tokens(F.col("text"))))
-        .groupBy("lang", "predicted_lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang", "predicted_lang")
-    )
-
-
-_STOP_ALL_SQL = (
-    "['the','a','and','of','to','is','in','el','la','de','que','y','los','un',"
-    "'le','et','les','des','der','die','und','das','ist','von','ein']"
-)
-
-
-@query(
-    "docs_quality_scores",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks,
-             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_n,
-             len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS punct_n
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-           ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-                 + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4) AS quality,
-           ROUND(CAST(len(list_filter(toks, x -> list_contains({_STOP_ALL_SQL}, x)))
-                      AS DOUBLE) / NULLIF(len(toks), 0), 4) AS stopword_ratio,
-           ROUND(CAST(punct_n AS DOUBLE) / NULLIF(bpe_n, 0), 4) AS punct_ratio
-    FROM t ORDER BY doc_id
-    """,
-    tags=("text", "quality"),
-)
-def docs_quality_scores(spark, sf_dir):
-    """Per-document quality features: length-saturation + lexical-diversity
-    composite, stopword ratio (union stoplist), punctuation ratio over
-    BPE-ish pre-tokens — the filterable signals of a training-data quality
-    gate, all JVM-side expressions."""
-    from prod_data_pipeline_spark.functions.text import BPE_PATTERN
-    from prod_data_pipeline_spark.operators.text import STOPWORDS, quality_score, token_profile
-
-    stop_all = sorted({w for ws in STOPWORDS.values() for w in ws})
-    docs = token_profile(_t(spark, sf_dir, "documents"))
-    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(stop_all)))
-    bpe_n = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
-    punct_n = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[^a-z0-9\s]"), 0))
-    return docs.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.size("dtoks").cast("long").alias("n_distinct"),
-        quality_score(F.col("toks"), F.col("dtoks")).alias("quality"),
-        F.round(F.try_divide(n_stop.cast("double"), F.size("toks")), 4).alias("stopword_ratio"),
-        F.round(F.try_divide(punct_n.cast("double"), bpe_n), 4).alias("punct_ratio"),
-    ).orderBy("doc_id")
-
-
-#: Fixed alphabet for the character-entropy gate: per-char counts come
-#: from length(text) - length(replace(text, ch, '')) — identical
-#: semantics in Spark and DuckDB — so no char-explode shuffle exists at
-#: all and the entropy is a per-row expression with a FIXED fold order.
-_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
-_LOG2E_INV = "1.4426950408889634"  # 1/ln(2), shared literal in both engines
-
-
-def _char_entropy_sql() -> str:
-    cnt = lambda ch: f"(length(lc) - length(replace(lc, '{ch}', '')))"
-    n = " + ".join(cnt(ch) for ch in _ENTROPY_ALPHABET)
-    # Each term quantizes to 7 digits (the repo's ln convention), then
-    # recovers its exact INTEGER numerator k = term*1e7 (the recovery
-    # round is tie-free: the double is within 1e-9 of k).  The per-row
-    # sum is then plain integer addition and the result is S/1e7 — no
-    # float accumulation, no final-round tie, and no DECIMAL precision
-    # games (a chained DECIMAL sum silently promotes to DOUBLE in
-    # engines that cap precision at 38 — found the hard way).
-    terms = " + ".join(
-        f"(CASE WHEN {cnt(ch)} > 0 THEN CAST(ROUND("
-        f"ROUND(-(CAST({cnt(ch)} AS DOUBLE) / nc)"
-        f" * ln(CAST({cnt(ch)} AS DOUBLE) / nc) * {_LOG2E_INV}, 7)"
-        f" * 10000000.0, 0) AS BIGINT) ELSE 0 END)"
-        for ch in _ENTROPY_ALPHABET
-    )
-    ent = (
-        f"CASE WHEN nc > 0 THEN CAST(({terms}) AS DOUBLE) / 10000000.0"
-        f" ELSE 0.0 END"
-    )
-    return f"""
-    WITH t AS (
-      SELECT doc_id, lower(text) AS lc FROM documents
-    ), c AS (
-      SELECT doc_id, lc, CAST(({n}) AS DOUBLE) AS nc FROM t
-    )
-    SELECT doc_id,
-           CAST(nc AS BIGINT) AS n_covered,
-           {ent} AS entropy_bits,
-           ({ent}) < 2.0 AS low_entropy
-    FROM c ORDER BY doc_id
-    """
-
-
-@query(
-    "docs_char_entropy",
-    oracle=_char_entropy_sql(),
-    tags=("text", "quality", "entropy"),
-)
-def docs_char_entropy(spark, sf_dir):
-    """Character-level Shannon entropy per document — the information-
-    theoretic gibberish/repetition gate (low entropy = repeated
-    characters or a degenerate alphabet; natural language sits around
-    4 bits over this alphabet).  Zero shuffles and zero float
-    aggregation: per-character counts come from
-    ``length(text) - length(replace(text, ch, ''))`` over a fixed
-    37-symbol alphabet, and the entropy is a single per-row expression
-    whose 37 terms (each rounded to 7 digits) add in one fixed
-    generation order — identical IEEE folds in Spark and DuckDB, so the
-    result hash-matches with no DECIMAL machinery at all.  At 100 TB
-    this is a pure projection that pushes to the scan."""
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.lower(F.col("text")).alias("lc"))
-    # project each count ONCE as a bound column (lower(text) and the 37
-    # replace() calls evaluate once per row; the entropy terms below read
-    # column attributes, never re-evaluate string expressions)
-    counts = base.select(
-        "doc_id",
-        *[
-            (
-                F.length("lc")
-                - F.length(F.replace(F.col("lc"), F.lit(ch), F.lit("")))
-            ).alias(f"_c{i}")
-            for i, ch in enumerate(_ENTROPY_ALPHABET)
-        ],
-    )
-    nc = None
-    for i in range(len(_ENTROPY_ALPHABET)):
-        nc = F.col(f"_c{i}") if nc is None else nc + F.col(f"_c{i}")
-    counts = counts.withColumn("nc", nc.cast("double"))
-    log2e = float(_LOG2E_INV)
-    terms = None
-    for i in range(len(_ENTROPY_ALPHABET)):
-        p = F.col(f"_c{i}").cast("double") / F.col("nc")
-        # integer-numerator recovery + long sum: see the oracle
-        # generator's comment (no float accumulation, no DECIMAL
-        # precision promotion)
-        term = F.when(
-            F.col(f"_c{i}") > 0,
-            F.round(
-                F.round(-p * F.log(p) * F.lit(log2e), 7) * F.lit(1e7), 0
-            ).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        terms = term if terms is None else terms + term
-    ent = F.when(
-        F.col("nc") > 0, terms.cast("double") / F.lit(1e7)
-    ).otherwise(F.lit(0.0))
-    return counts.select(
-        "doc_id",
-        F.col("nc").cast("bigint").alias("n_covered"),
-        ent.alias("entropy_bits"),
-        (ent < 2.0).alias("low_entropy"),
-    ).orderBy("doc_id")
-
-
-@query(
-    "docs_tokenizer_fertility",
-    oracle=f"""
-    WITH t AS (
-      SELECT lang,
-             len({_TOKS_SQL}) AS word_n,
-             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
-                 AS bpe_n,
-             n_chars
-      FROM documents
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(word_n) AS BIGINT) AS n_words,
-           CAST(SUM(bpe_n) AS BIGINT) AS n_bpe_tokens,
-           ROUND(CAST(SUM(bpe_n) AS DOUBLE) / NULLIF(SUM(word_n), 0), 6)
-               AS fertility,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE) / NULLIF(SUM(bpe_n), 0), 6)
-               AS chars_per_token
-    FROM t GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "tokenizer", "diagnostics"),
-)
-def docs_tokenizer_fertility(spark, sf_dir):
-    """Tokenizer fertility per language — the standard multilingual
-    tokenizer-eval diagnostic: pre-tokens per whitespace word (fertility;
-    higher = the tokenizer fragments that language more, inflating its
-    effective sequence lengths and training cost) and characters per
-    pre-token (compression rate), over the shared BPE-ish pre-tokenizer
-    (functions.text.BPE_PATTERN).  All metrics are single double
-    divisions of exact per-language integer sums — one fused scan-agg,
-    deterministic at any parallelism, |langs| output rows."""
-    from prod_data_pipeline_spark.functions.text import BPE_PATTERN, tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    word_n = F.size(tokens(F.col("text")))
-    bpe_n = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0))
-    return (
-        docs.select("lang", word_n.alias("word_n"), bpe_n.alias("bpe_n"), "n_chars")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("word_n").cast("bigint").alias("n_words"),
-            F.sum("bpe_n").cast("bigint").alias("n_bpe_tokens"),
-            F.round(
-                F.try_divide(F.sum("bpe_n").cast("double"), F.sum("word_n")), 6
-            ).alias("fertility"),
-            F.round(
-                F.try_divide(F.sum("n_chars").cast("double"), F.sum("bpe_n")), 6
-            ).alias("chars_per_token"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "docs_token_stats",
-    oracle=f"""
-    WITH e AS (
-      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents
-    )
-    SELECT lang,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS total_tokens,
-           CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
-           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avg_tokens_per_doc
-    FROM e GROUP BY lang ORDER BY lang
-    """,
-    headline=True,
-    tags=("text", "tokens"),
-)
-def docs_token_stats(spark, sf_dir):
-    """Corpus token statistics per language, split into two cheap aggregates
-    instead of one multi-distinct aggregate: two COUNT(DISTINCT ...) over an
-    exploded corpus makes Spark Expand every exploded row 3x before the
-    shuffle.  Here (a) doc counts/token totals come from per-doc sizes with
-    NO explode at all, and (b) the vocabulary count explodes only the
-    per-doc DISTINCT tokens (a strict subset) into a single-distinct agg.
-    Same numbers, ~3x less shuffle input."""
-    from prod_data_pipeline_spark.functions.text import distinct_tokens, tokens as toks_fn
-
-    docs = _t(spark, sf_dir, "documents")
-    per_doc = docs.select("lang", F.size(toks_fn(F.col("text"))).alias("n"))
-    totals = per_doc.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n").alias("total_tokens"),
-    )
-    vocab = (
-        docs.select("lang", F.explode(distinct_tokens(F.col("text"))).alias("tok"))
-        .groupBy("lang")
-        .agg(F.count_distinct(F.col("tok")).alias("distinct_tokens"))
-    )
-    return (
-        totals.join(vocab, "lang")
-        .select(
-            "lang",
-            "n_docs",
-            F.col("total_tokens").cast("long").alias("total_tokens"),
-            "distinct_tokens",
-            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("avg_tokens_per_doc"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "emb_topk_bruteforce",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
-    scored AS (
-      SELECT q.query_id, v.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
-             / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
-                * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
-             AS sim
-      FROM q, v WHERE q.query_id <> v.vec_id
-    )
-    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)
-               AS rank
-    FROM scored
-    QUALIFY rank <= 5
-    ORDER BY query_id, rank
-    """,
-    headline=True,
-    tags=("similarity", "ann"),
-)
-def emb_topk_bruteforce(spark, sf_dir):
-    """Exact cosine top-5 neighbors for query vectors vec_id < 8 —
-    broadcast-queries x one corpus scan (operators.similarity)."""
-    from prod_data_pipeline_spark.operators.similarity import brute_force_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    out = brute_force_topk(emb, queries_df, k=5)
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-_SQDIST_SQL = (
-    "list_sum(list_transform(range(1, len({a})+1),"
-    " i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
-)
-
-
-@query(
-    "emb_topk_ivf",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), cm AS (
-      SELECT label AS cell, pos,
-             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
-      GROUP BY 1, 2
-    ), cent AS (
-      SELECT cell, list(m ORDER BY pos) AS c FROM cm GROUP BY cell
-    ), acell AS (
-      SELECT vec_id, cell FROM (
-        SELECT v.vec_id, cent.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent.c")}, cent.cell) AS rn
-        FROM v, cent
-      ) WHERE rn = 1
-    ), probes AS (
-      SELECT query_id, cell FROM (
-        SELECT v.vec_id AS query_id, cent.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent.c")}, cent.cell) AS rn
-        FROM v, cent WHERE v.vec_id < 8
-      ) WHERE rn <= 2
-    ), scored AS (
-      SELECT p.query_id, c.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i] * c.e[i]))
-             / (sqrt(list_sum(list_transform(range(1, len(q.e)+1), i -> q.e[i] * q.e[i])))
-                * sqrt(list_sum(list_transform(range(1, len(c.e)+1), i -> c.e[i] * c.e[i]))))
-             AS sim
-      FROM probes p
-      JOIN acell a ON a.cell = p.cell
-      JOIN v c ON c.vec_id = a.vec_id
-      JOIN v q ON q.vec_id = p.query_id
-      WHERE c.vec_id <> p.query_id
-    )
-    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)
-               AS rank
-    FROM scored
-    QUALIFY rank <= 5
-    ORDER BY query_id, rank
-    """,
-    tags=("similarity", "ann", "ivf"),
-)
-def emb_topk_ivf(spark, sf_dir):
-    """IVF approximate top-5 with the DETERMINISTIC label-centroid coarse
-    quantizer (operators.similarity.ivf_topk_label): exact decimal-mean
-    centroids, squared-euclidean argmin assignment with (distance, cell)
-    tie-break, nprobe=2 probing, cosine search inside probed cells.
-    Oracled since round 5 — DuckDB rebuilds the entire index (centroids,
-    assignments, probes) and replays the search bit-for-bit, turning the
-    ANN scale path itself into a hash-verified query.  The k-means
-    quantizer variant (ivf_topk) is partitioning-sensitive by
-    construction and remains instrumented via emb_ivf_recall instead."""
-    from prod_data_pipeline_spark.operators.similarity import ivf_topk_label
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk_label(emb, queries_df, k=5, nprobe=2).withColumn(
-        "rank", F.col("rank").cast("long")
-    )
-
-
-# md5 hash-bucket replay for the deterministic sampling operators: value of
-# the first 8 hex nibbles of md5(salt:key), uniform over [0, 2^32).
-def _md5_bucket_terms(h: str = "h") -> str:
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (8 - i)}"
-        for i in range(1, 9)
-    )
-
-
-_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
-_SAMPLE_DEFAULT = 0.1
-_B32 = 1 << 32
-
-
-@query(
-    "docs_stratified_sample",
-    oracle=f"""
-    WITH b AS (
-      SELECT source, n_chars,
-             md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
-      FROM documents
-    ), v AS (
-      SELECT source, n_chars, {_md5_bucket_terms()} AS bucket FROM b
-    ), kept AS (
-      SELECT * FROM v WHERE bucket <
-        CASE source
-          {" ".join(f"WHEN '{s}' THEN {int(r * _B32)}" for s, r in _SAMPLE_RATES.items())}
-          ELSE {int(_SAMPLE_DEFAULT * _B32)} END
-    )
-    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM kept GROUP BY source ORDER BY source
-    """,
-    tags=("sampling", "mixing"),
-)
-def docs_stratified_sample(spark, sf_dir):
-    """Deterministic stratified sampling (operators.sampling) — per-source
-    keep rates from md5 hash buckets, so retries/re-runs/engines all keep
-    the SAME rows (df.sample's rand() can't offer that).  Aggregated to
-    per-source counts; the oracle replays the bucket arithmetic exactly."""
-    from prod_data_pipeline_spark.operators.sampling import stratified_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    kept = stratified_sample(
-        docs, _SAMPLE_RATES, "source", "doc_id", default_rate=_SAMPLE_DEFAULT, salt="mix"
-    )
-    return (
-        kept.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_mixing_weights",
-    oracle="""
-    WITH c AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source
-    ), t AS (
-      SELECT source, n_rows,
-             CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
-                              WHEN 'src2' THEN 0.2 END AS DOUBLE) AS target_share
-      FROM c WHERE source IN ('src0', 'src1', 'src2')
-    ), m AS (SELECT MIN(n_rows / target_share) AS m FROM t)
-    SELECT source, n_rows, target_share,
-           ROUND((target_share * m) / n_rows, 6) AS keep_rate
-    FROM t, m ORDER BY source
-    """,
-    tags=("sampling", "mixing"),
-)
-def docs_mixing_weights(spark, sf_dir):
-    """Data-mixing rates: per-source keep rates that hit a target mixture
-    (0.5/0.3/0.2) with no upsampling — the most-over-represented source
-    caps at 1.0 (operators.sampling.mixing_weights)."""
-    from prod_data_pipeline_spark.operators.sampling import mixing_weights
-
-    docs = _t(spark, sf_dir, "documents")
-    return mixing_weights(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "source")
-
-
-# Shared DuckDB CTE chain replaying operators.sampling.dsir_importance:
-# target = English documents, raw = everything else; hashed-bigram bucket
-# distributions with Laplace smoothing, per-bucket ln-ratio rounded to 7
-# digits (the cross-engine ln convention), exact DECIMAL per-doc sums.
-_DSIR_CTES = f"""
-    WITH rawd AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents WHERE lang <> 'en'
-    ), tgtd AS (
-      SELECT {_TOKS_SQL} AS toks FROM documents WHERE lang = 'en'
-    ), rg AS (
-      SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-               THEN list_transform(range(1, len(toks)),
-                      i -> array_to_string(toks[i:i+1], ' '))
-               ELSE [] END) AS gram
-      FROM rawd
-    ), db AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 1024
-                  AS INT) AS bucket,
-             COUNT(*) AS cnt
-      FROM rg GROUP BY 1, 2
-    ), tg AS (
-      SELECT unnest(CASE WHEN len(toks) >= 2
-               THEN list_transform(range(1, len(toks)),
-                      i -> array_to_string(toks[i:i+1], ' '))
-               ELSE [] END) AS gram
-      FROM tgtd
-    ), tcb AS (
-      SELECT CAST(('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 1024
-                  AS INT) AS bucket,
-             COUNT(*) AS tc
-      FROM tg GROUP BY 1
-    ), rcb AS (
-      SELECT bucket, SUM(cnt) AS rc FROM db GROUP BY 1
-    ), buckets AS (
-      SELECT CAST(d.range AS INT) AS bucket,
-             COALESCE(tcb.tc, 0) AS tc, COALESCE(rcb.rc, 0) AS rc
-      FROM range(0, 1024) d
-      LEFT JOIN tcb ON tcb.bucket = d.range
-      LEFT JOIN rcb ON rcb.bucket = d.range
-    ), tot AS (
-      SELECT CAST(SUM(tc) AS DOUBLE) AS tt, CAST(SUM(rc) AS DOUBLE) AS rt
-      FROM buckets
-    ), ratio AS (
-      SELECT bucket,
-             ROUND(ln((tc + 1.0) / (tt + 1024.0))
-                   - ln((rc + 1.0) / (rt + 1024.0)), 7) AS log_ratio
-      FROM buckets, tot
-    ), w AS (
-      SELECT db.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
-             CAST(ROUND(SUM(CAST(ROUND(cnt * log_ratio, 7) AS DECIMAL(28,7))), 6)
-                  AS DOUBLE) AS log_w
-      FROM db JOIN ratio USING (bucket) GROUP BY 1
-    ), full_w AS (
-      SELECT r.doc_id, CAST(COALESCE(w.n_grams, 0) AS BIGINT) AS n_grams,
-             COALESCE(w.log_w, 0.0) AS log_w
-      FROM (SELECT DISTINCT doc_id FROM rawd) r LEFT JOIN w USING (doc_id)
-    )
-"""
-
-
-@query(
-    "docs_dsir_weights",
-    oracle=_DSIR_CTES
-    + """
-    SELECT doc_id, n_grams, log_w FROM full_w ORDER BY doc_id
-    """,
-    tags=("sampling", "selection", "dsir"),
-)
-def docs_dsir_weights(spark, sf_dir):
-    """DSIR importance weights (operators.sampling.dsir_importance; Xie et
-    al. 2023): every non-English document scored by how target-like (here:
-    English-corpus-like) its hashed-bigram feature distribution is.  The
-    raw corpus reduces once to a lineage-cut (doc, bucket, cnt) relation;
-    the 1024-row smoothed log-ratio relation broadcasts onto it — the only
-    corpus-keyed shuffle is the map-side-combined (doc, bucket) agg, so the
-    plan holds when raw is a 100 TB crawl and the target a small curated
-    set."""
-    from prod_data_pipeline_spark.operators.sampling import dsir_importance
-
-    docs = _t(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("lang") != "en")
-    target = docs.filter(F.col("lang") == "en")
-    return dsir_importance(raw, target).orderBy("doc_id")
-
-
-@query(
-    "docs_dsir_selection",
-    oracle=_DSIR_CTES
-    + """
-    , ranked AS (
-      SELECT doc_id, log_w,
-             ROW_NUMBER() OVER (ORDER BY log_w DESC, doc_id) AS rnk,
-             COUNT(*) OVER () AS nt
-      FROM full_w
-    ), sel AS (
-      SELECT doc_id, log_w,
-             CASE WHEN rnk <= CEIL(0.2 * nt) THEN 1 ELSE 0 END AS s
-      FROM ranked
-    )
-    SELECT d.source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(s) AS BIGINT) AS n_selected,
-           ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS sel_share,
-           ROUND(CAST(SUM(CAST(log_w AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_log_w
-    FROM sel JOIN (SELECT DISTINCT doc_id, source FROM rawd) d USING (doc_id)
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("sampling", "selection", "dsir"),
-)
-def docs_dsir_selection(spark, sf_dir):
-    """DSIR top-20% selection audit: which sources the importance
-    resampler favors.  The exact global top-k flag comes from the
-    bucketed distributed rank (operators.ranking.bucketed_global_rank —
-    no single-partition sort; ties broken by doc_id), then one tiny
-    per-source rollup.  This is the composition-shift report a data-mixing
-    decision is made from."""
-    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
-    from prod_data_pipeline_spark.operators.sampling import dsir_importance
-
-    docs = _t(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("lang") != "en")
-    target = docs.filter(F.col("lang") == "en")
-    w = dsir_importance(raw, target).withColumn("_negw", -F.col("log_w"))
-    ranked = bucketed_global_rank(w, ["_negw", "doc_id"])
-    sel = ranked.withColumn(
-        "s",
-        (F.col("rank") <= F.ceil(F.lit(0.2) * F.col("n_total"))).cast("int"),
-    )
-    return (
-        sel.join(raw.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("s").cast("bigint").alias("n_selected"),
-            F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6).alias(
-                "sel_share"
-            ),
-            F.round(
-                F.sum(F.col("log_w").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_log_w"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_chunk_spans",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, len({_TOKS_SQL}) AS toks FROM documents
-    ), b AS (
-      SELECT doc_id, toks, md5('pack:' || CAST(doc_id AS VARCHAR)) AS h FROM t
-    ), v AS (
-      SELECT doc_id, toks, ({_md5_bucket_terms()}) % 8 AS grp FROM b
-    ), w AS (
-      SELECT doc_id, toks, grp,
-             CAST(SUM(toks) OVER (PARTITION BY grp ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - toks AS start_off,
-             CAST(SUM(toks) OVER (PARTITION BY grp ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS end_off
-      FROM v
-    )
-    SELECT doc_id, toks,
-           grp * 1099511627776 + (start_off // 512) AS first_chunk,
-           grp * 1099511627776 + (end_off // 512) AS last_chunk,
-           start_off % 512 AS chunk_offset
-    FROM w WHERE toks > 0 ORDER BY doc_id
-    """,
-    tags=("packing", "training-data"),
-)
-def docs_chunk_spans(spark, sf_dir):
-    """GPT-style concat-then-chunk sequence layout (operators.packing):
-    documents laid end-to-end per deterministic layout group, sliced into
-    512-token chunks; each doc reports its chunk span.  Pure window
-    arithmetic — the oracle replays the running sums exactly."""
-    from prod_data_pipeline_spark.functions.text import tokens
-    from prod_data_pipeline_spark.operators.packing import chunk_spans
-
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", F.size(tokens(F.col("text")))
-    )
-    return chunk_spans(
-        docs, budget=512, n_groups=8, hash_fn="md5"
-    ).orderBy("doc_id")
-
-
-@query(
-    "docs_packed_bins",
-    oracle=f"""
-    WITH RECURSIVE src AS MATERIALIZED (
-      SELECT doc_id,
-             ('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT % 8 AS grp,
-             len({_TOKS_SQL}) AS toks
-      FROM documents
-    ), base AS MATERIALIZED (
-      -- MATERIALIZED: the recursive step joins base once per iteration;
-      -- without the hint DuckDB re-inlines (re-tokenizes) it every step
-      SELECT grp, doc_id, toks,
-             row_number() OVER (PARTITION BY grp ORDER BY toks DESC, doc_id) AS rn
-      FROM src WHERE toks > 0
-    ), step AS (
-      SELECT grp, rn, doc_id, toks, 0 AS bin, [toks] AS fills
-      FROM base WHERE rn = 1
-      UNION ALL
-      SELECT b.grp, b.rn, b.doc_id, b.toks,
-        CASE WHEN list_position(list_transform(s.fills, f -> f + b.toks <= 512), true) = 0
-             THEN len(s.fills)
-             ELSE list_position(list_transform(s.fills, f -> f + b.toks <= 512), true) - 1 END,
-        CASE WHEN list_position(list_transform(s.fills, f -> f + b.toks <= 512), true) = 0
-             THEN list_append(s.fills, b.toks)
-             ELSE list_transform(s.fills, (f, i) ->
-                    CASE WHEN i = list_position(list_transform(s.fills, f2 -> f2 + b.toks <= 512), true)
-                         THEN f + b.toks ELSE f END) END
-      FROM step s JOIN base b ON b.grp = s.grp AND b.rn = s.rn + 1
-    ), lastrn AS (
-      SELECT grp, max(rn) AS mx FROM step GROUP BY grp
-    ), ff AS (
-      SELECT s.grp, s.fills FROM step s JOIN lastrn l ON l.grp = s.grp AND l.mx = s.rn
-    )
-    SELECT s.grp * 1099511627776 + s.bin AS bin_id, s.doc_id,
-           CAST(s.toks AS BIGINT) AS n_tokens, CAST(f.fills[s.bin + 1] AS BIGINT) AS bin_fill
-    FROM step s JOIN ff f USING (grp)
-    ORDER BY s.doc_id
-    """,
-    tags=("packing", "training-data"),
-)
-def docs_packed_bins(spark, sf_dir):
-    """No-split first-fit-decreasing bin packing into 512-token bins
-    (operators.packing.pack_greedy, Arrow-batched per layout group).
-    Oracled since round 5: the greedy loop is sequential but fully
-    DETERMINISTIC (md5 layout groups, toks-desc + id tie-break scan
-    order), so DuckDB replays it exactly with a recursive CTE that
-    carries each group's bin-fill LIST as recursion state — one step per
-    document, first-fit index via list_position over the fills.
-    Sequentiality was never nondeterminism; fixing the order made even
-    the packing loop hash-verifiable.  Budget/lossless invariants remain
-    unit-tested (tests/test_packing_sampling.py)."""
-    from prod_data_pipeline_spark.functions.text import tokens
-    from prod_data_pipeline_spark.operators.packing import pack_greedy
-
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", F.size(tokens(F.col("text")))
-    )
-    return pack_greedy(docs, budget=512, n_groups=8, hash_fn="md5").orderBy("doc_id")
-
-
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-
-
-@query(
-    "docs_pii_scrub_stats",
-    oracle=f"""
-    WITH d AS (
-      SELECT source,
-             CASE WHEN doc_id % 25 = 0
-                  THEN text || ' contact agent007@example.com from 192.168.10.1'
-                  ELSE text END AS text
-      FROM documents
-    ), c AS (
-      SELECT source,
-             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
-             len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip
-      FROM d
-    )
-    SELECT source,
-           CAST(SUM(CASE WHEN n_email + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS docs_with_pii,
-           CAST(SUM(n_email) AS BIGINT) AS total_emails,
-           CAST(SUM(n_ip) AS BIGINT) AS total_ips
-    FROM c GROUP BY source ORDER BY source
-    """,
-    tags=("text", "cleaning", "pii"),
-)
-def docs_pii_scrub_stats(spark, sf_dir):
-    """PII detection stats per source (functions.text.pii_count) over a
-    corpus with deterministic planted PII (doc_id % 25 == 0 — the raw
-    table carries none, so the regexes are exercised on non-empty output).
-    The scrub itself (scrub_pii) is unit-tested for idempotent redaction."""
-    from prod_data_pipeline_spark.functions.text import pii_count
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "source",
-        F.when(
-            F.col("doc_id") % 25 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact agent007@example.com from 192.168.10.1"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    counted = docs.select(
-        "source",
-        pii_count(F.col("text"), "email").alias("n_email"),
-        pii_count(F.col("text"), "ip").alias("n_ip"),
-    )
-    return (
-        counted.groupBy("source")
-        .agg(
-            F.sum(F.when(F.col("n_email") + F.col("n_ip") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("docs_with_pii"),
-            F.sum("n_email").cast("long").alias("total_emails"),
-            F.sum("n_ip").cast("long").alias("total_ips"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "emb_ivf_recall",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           CAST(5 AS BIGINT) AS k,
-           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact_total,
-           CAST(0.65 AS DOUBLE) AS recall_floor,
-           TRUE AS avg_recall_ge_floor
-    FROM embeddings WHERE vec_id < 8
-    """,
-    tags=("similarity", "ann", "ivf", "quality"),
-)
-def emb_ivf_recall(spark, sf_dir):
-    """Recall@5 of IVF (nprobe=4 of 8 k-means cells) vs exact brute force
-    — approximation quality as a first-class, per-run metric.  The k-means
-    quantizer has no cross-engine mirror, so per-query recalls are not
-    hash-checkable; instead the query emits the DETERMINISTIC summary the
-    oracle CAN replay — query count, k, total exact-neighbor count (always
-    n_queries*k by construction) — plus a within-declared-bound boolean:
-    average recall must clear the 0.5 floor.  Measured avg recall on the
-    near-random synthetic unit vectors (the hardest case for a coarse
-    quantizer — top-5 cosine ~0.3): 0.90 at sf0.001, 0.83 at sf0.01,
-    0.75 at sf0.1, per-query min 0.6; the floor (0.5 -> 0.65 in round 9,
-    verdict directive #4) keeps 0.10 slack under the worst measured SF for
-    pyspark.ml k-means drift while failing the hash check if the index
-    ever degrades; the 0.8-at-nprobe=4 production bar lives in
-    emb_ivf_nprobe_sweep, whose 2x-replicated index clears it at every
-    SF.  Tighter per-query detail stays unit-tested
-    (tests/test_similarity.py::test_ivf_recall_at_k_floor)."""
-    from prod_data_pipeline_spark.operators.similarity import ivf_recall_at_k
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    per_query = ivf_recall_at_k(emb, queries_df, k=5, nprobe=4, n_cells=8)
-    return per_query.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.lit(5).cast("long").alias("k"),
-        F.sum("n_exact").cast("long").alias("n_exact_total"),
-        F.lit(0.65).cast("double").alias("recall_floor"),
-        (F.avg("recall") >= F.lit(0.65)).alias("avg_recall_ge_floor"),
-    )
-
-
-@query(
-    "emb_ivf_nprobe_sweep",
-    oracle="""
-    SELECT t.nprobe,
-           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 8) AS BIGINT)
-               AS n_queries,
-           CAST(10 AS BIGINT) AS k,
-           CAST(t.floor AS DOUBLE) AS recall_floor,
-           TRUE AS avg_recall_ge_floor,
-           TRUE AS recall_monotone
-    FROM (VALUES (1, 0.3), (2, 0.5), (4, 0.8), (8, 1.0)) AS t(nprobe, floor)
-    ORDER BY t.nprobe
-    """,
-    tags=("similarity", "ann", "ivf", "quality", "sweep"),
-)
-def emb_ivf_nprobe_sweep(spark, sf_dir):
-    """IVF recall/cost curve: recall@10 at nprobe ∈ {1,2,4,8} of 8 k-means
-    cells with 2× cell replication, from ONE index build + ONE scored
-    candidate pass (each candidate keeps its cell's probe rank, so every
-    sweep point is a filter + per-(query,nprobe) top-k, not a re-search —
-    operators.similarity.ivf_nprobe_sweep).  The k-means quantizer has no
-    cross-engine mirror, so raw recalls are not hash-checkable; the query
-    emits the facts the oracle CAN replay: per-nprobe floors measured
-    with wide margin on the near-random synthetic unit vectors (the
-    hardest case for a coarse quantizer) — avg recall 0.54-0.74 at
-    nprobe=1, 0.76-0.89 at 2, ≥0.95 at 4 (floor 0.8, the round-8
-    verdict's production bar), and EXACTLY 1.0 at nprobe=8 (probing every
-    cell IS brute force, same tie-break) — plus monotonicity: the
-    candidate sets nest by construction, so recall is non-decreasing in
-    nprobe at any data scale.  Cell replication (each corpus vector
-    indexed under its 2 nearest cells — broadcast codebook, in-pipeline
-    posting fan-out, no extra corpus shuffle) is what buys the 0.95 @
-    nprobe=4: unreplicated the same index measures 0.78 at sf0.1.
-    100 TB: index build = k-means fit (sample-able) + one assignment
-    scan; the sweep touches the corpus once for candidates and once for
-    ground truth."""
-    from prod_data_pipeline_spark.operators.similarity import ivf_nprobe_sweep
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    per = ivf_nprobe_sweep(
-        emb, queries_df, k=10, nprobes=(1, 2, 4, 8), n_cells=8, replicas=2
-    )
-    floors = F.when(F.col("nprobe") == 1, 0.3).when(F.col("nprobe") == 2, 0.5).when(
-        F.col("nprobe") == 4, 0.8
-    ).otherwise(1.0)
-    agg = per.groupBy("nprobe").agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.avg("recall").alias("_avg"),
-    )
-    w = Window.orderBy("nprobe")
-    return (
-        agg.withColumn("_prev", F.lag("_avg").over(w))
-        .select(
-            "nprobe",
-            F.col("n_queries").cast("long").alias("n_queries"),
-            F.lit(10).cast("long").alias("k"),
-            floors.cast("double").alias("recall_floor"),
-            (F.col("_avg") >= floors).alias("avg_recall_ge_floor"),
-            F.coalesce(F.col("_avg") >= F.col("_prev"), F.lit(True)).alias(
-                "recall_monotone"
-            ),
-        )
-        .orderBy("nprobe")
-    )
-
-
-@query(
-    "emb_pq_adc_topk",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), cent AS (
-      SELECT label, pos, ROUND(SUM(e[pos]) / COUNT(*), 6) AS c
-      FROM v, unnest(range(1, len(e) + 1)) AS t(pos)
-      GROUP BY 1, 2
-    ), carr AS (
-      SELECT label, list(c ORDER BY pos) AS carr,
-             ROW_NUMBER() OVER (ORDER BY label) - 1 AS idx
-      FROM cent GROUP BY label
-    ), dist AS (
-      SELECT v.vec_id, t.m, ca.idx,
-             floor(list_sum(list_transform(range(1, 9),
-                 i -> (v.e[8*t.m + i] - ca.carr[8*t.m + i])
-                    * (v.e[8*t.m + i] - ca.carr[8*t.m + i])))
-                   * 1099511627776.0) / 1099511627776.0 AS d
-      FROM v, unnest(range(8)) AS t(m), carr ca
-    ), codes AS (
-      SELECT vec_id, m, idx AS code FROM (
-        SELECT vec_id, m, idx,
-               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, idx) AS rn
-        FROM dist) WHERE rn = 1
-    ), qd AS (
-      SELECT vec_id AS qid, m, idx, d FROM dist WHERE vec_id < 8
-    ), adc AS (
-      -- plain double SUM is EXACT here: quantized terms are multiples of
-      -- 2^-40 whose total stays far below 2^53 ulps, so order is free
-      SELECT q.qid AS query_id, c.vec_id AS neighbor_id, SUM(q.d) AS dist
-      FROM codes c JOIN qd q ON q.m = c.m AND q.idx = c.code
-      WHERE q.qid <> c.vec_id
-      GROUP BY 1, 2
-    ), ranked AS (
-      SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_dist,
-             ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
-      FROM adc
-    )
-    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
-    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
-    """,
-    tags=("similarity", "ann", "pq", "quantization"),
-)
-def emb_pq_adc_topk(spark, sf_dir):
-    """Product-quantization ADC top-k — the memory-bound ANN technique:
-    the corpus is stored as 8 sub-codes per vector, each query
-    precomputes an (8 × K) distance table once, and scoring a corpus
-    vector is 8 table lookups + an exact-DECIMAL sum instead of a
-    64-float scan.  The codebook trainer is the DETERMINISTIC label-mean
-    (pq_codebook: per-label means rounded 6 at source, one code per
-    label per subspace), so — unlike classic k-means-trained PQ — the
-    codes, distance tables, ADC totals, and ranks all replay
-    bit-for-bit in DuckDB: sub-distances are in-order 8-term folds
-    binary-quantized to exact multiples of 2^-40 (floor of a power-of-two
-    scaling — exact IEEE, no BigDecimal), code selection tie-breaks on
-    (distance, code index), and the ADC total is a plain double sum of
-    quantized terms, exact in any order.  Full hash oracle on the complete top-5 result set.
-    100 TB: codebook is control-plane-sized literals (zero-shuffle
-    encode over one corpus scan), queries+tables broadcast, one
-    per-query top-k window — the scan touches 8 SMALL ints per corpus
-    vector, which is why PQ is how billion-vector indexes fit in RAM."""
-    from prod_data_pipeline_spark.operators.similarity import pq_adc_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    return pq_adc_topk(emb, queries_df, k=5, m=8)
-
-
-def _z2_sql(a_expr: str, b_expr: str, bits: int = 10) -> str:
-    """SQL text of a 2-D Morton interleave — a's bits at even positions,
-    b's at odd — matching sources.writers.zorder_value's bit convention.
-    Single source of truth for the lineitem_zorder_clustering oracle."""
-    terms = []
-    for b in range(bits):
-        terms.append(f"((({a_expr} >> {b}) & 1) << {2 * b})")
-        terms.append(f"((({b_expr} >> {b}) & 1) << {2 * b + 1})")
-    return " + ".join(terms)
-
-
-@query(
-    "lineitem_zorder_clustering",
-    oracle=f"""
-    WITH g AS (
-      SELECT (l_orderkey % 1024) AS a, (l_partkey % 1024) AS b
-      FROM lineitem
-    ), keyed AS (
-      SELECT 'zorder' AS layout, ({_z2_sql("a", "b", 10)}) >> 14 AS bucket, a, b
-      FROM g
-      UNION ALL
-      SELECT 'linear' AS layout, a >> 4 AS bucket, a, b FROM g
-    ), per AS (
-      SELECT layout, bucket, COUNT(*) AS n,
-             MAX(a) - MIN(a) AS span_a, MAX(b) - MIN(b) AS span_b
-      FROM keyed GROUP BY 1, 2
-    )
-    SELECT layout,
-           CAST(COUNT(*) AS BIGINT) AS n_buckets,
-           CAST(SUM(n) AS BIGINT) AS n_rows,
-           ROUND(CAST(SUM(span_a) AS DOUBLE) / COUNT(*), 6) AS avg_span_a,
-           ROUND(CAST(SUM(span_b) AS DOUBLE) / COUNT(*), 6) AS avg_span_b
-    FROM per GROUP BY 1 ORDER BY 1
-    """,
-    tags=("layout", "zorder", "pruning", "scale"),
-)
-def lineitem_zorder_clustering(spark, sf_dir):
-    """Multi-dimensional clustering audit: Morton/Z-order layout
-    (sources.writers.zorder_value — the key write_zordered lays files
-    out by; Delta OPTIMIZE ZORDER / Iceberg sort-order recipe) vs a
-    linear sort, measured as per-bucket key-span
-    tightness.  Both layouts cut the (l_orderkey, l_partkey) 10-bit
-    modulo grid into 64 buckets; per bucket the (max - min) span of EACH dimension
-    is what min/max file skipping sees — a linear layout is tight on its
-    leading column and full-range on the other, while Z-order bounds
-    BOTH, which is why a z-ordered table prunes on predicates over any
-    interleaved column.  All-integer interleave (shifts/masks/adds, one
-    expression — codegen-friendly) and integer span sums; the oracle
-    replays the interleave bit-for-bit.  100 TB: write_zordered pays one
-    range shuffle at write time, then every stats-based scan
-    (sources/manifest.py pruning, parquet footers) skips in all
-    dimensions — the read-side win this query quantifies."""
-    from prod_data_pipeline_spark.sources.writers import zorder_value
-
-    li = _t(spark, sf_dir, "lineitem")
-    # 10-bit modulo grid: keys at every SF wrap the full grid, so the
-    # locality contrast between layouts is real (a min/max grid via
-    # scaling would need data-dependent constants both engines must
-    # replay; modulo is the deterministic stand-in for the quantile-rank
-    # gridding a production z-order write performs)
-    g = li.select(
-        (F.col("l_orderkey") % 1024).alias("a"),
-        (F.col("l_partkey") % 1024).alias("b"),
-    )
-    zb = g.select(
-        F.lit("zorder").alias("layout"),
-        F.shiftright(zorder_value([F.col("a"), F.col("b")], 10), 14).alias("bucket"),
-        "a",
-        "b",
-    )
-    lb = g.select(
-        F.lit("linear").alias("layout"),
-        F.shiftright(F.col("a"), 4).alias("bucket"),
-        "a",
-        "b",
-    )
-    per = (
-        zb.unionByName(lb)
-        .groupBy("layout", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.max("a") - F.min("a")).alias("span_a"),
-            (F.max("b") - F.min("b")).alias("span_b"),
-        )
-    )
-    return (
-        per.groupBy("layout")
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum("n").cast("long").alias("n_rows"),
-            F.round(F.sum("span_a") / F.count(F.lit(1)).cast("double"), 6).alias(
-                "avg_span_a"
-            ),
-            F.round(F.sum("span_b") / F.count(F.lit(1)).cast("double"), 6).alias(
-                "avg_span_b"
-            ),
-        )
-        .orderBy("layout")
-    )
-
-
-@query(
-    "user_retention_cohorts",
-    oracle="""
-    WITH firstday AS (
-      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
-      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
-    ), act AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-      FROM events WHERE user_id IS NOT NULL
-    )
-    SELECT f.cohort_day,
-           datediff('day', f.cohort_day, a.day) AS day_offset,
-           CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM act a JOIN firstday f ON f.user_id = a.user_id
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("window", "retention"),
-)
-def user_retention_cohorts(spark, sf_dir):
-    """Cohort retention triangle: users bucketed by first-seen day, counted
-    per (cohort, day-offset).  Two narrow aggregates + one join on user_id
-    — the classic product-analytics query, shuffle-bounded by |users|."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    # act feeds TWO consumers (the first-seen agg + the join) — lazy cut
-    # so the events scan + distinct run once (multi-consumer audit)
-    act = (
-        ev.select("user_id", F.to_date("ts").alias("day"))
-        .distinct()
-        .transform(truncate_lineage, eager=False)
-    )
-    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    return (
-        act.join(first, "user_id")
-        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_day", "day_offset")
-    )
-
-
-@query(
-    "user_event_type_paths",
-    oracle="""
-    SELECT user_id,
-           string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS path,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events WHERE user_id IS NOT NULL
-    GROUP BY user_id ORDER BY user_id
-    """,
-    tags=("ordered-agg", "path"),
-)
-def user_event_type_paths(spark, sf_dir):
-    """Ordered aggregation: each user's full event-type journey as a
-    '>'-joined string.  collect_list gives no ordering guarantee under
-    parallel merge, so rows carry a (ts, event_id) sort key into
-    array_sort before joining — deterministic at any parallelism."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    keyed = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            F.concat_ws(
-                ">",
-                F.transform(
-                    F.array_sort(F.collect_list(keyed)), lambda s: s["event_type"]
-                ),
-            ).alias("path"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("user_id")
-    )
-
-
-@query(
-    "events_asof_last_view",
-    oracle="""
-    WITH p AS (
-      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
-      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
-    ), v AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
-      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
-    )
-    SELECT p.event_id, p.user_id, p.purchase_ts,
-           v.view_ts AS last_view_ts,
-           epoch_us(p.purchase_ts) - epoch_us(v.view_ts) AS gap_us
-    FROM p ASOF LEFT JOIN v
-      ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
-    ORDER BY p.event_id
-    """,
-    tags=("asof-join", "window"),
-)
-def events_asof_last_view(spark, sf_dir):
-    """As-of join (operators.joins.asof_join): each purchase matched to the
-    same user's latest view at-or-before it — union+window, never a range
-    join (DuckDB oracle uses its native ASOF JOIN for the same semantics)."""
-    from prod_data_pipeline_spark.operators.joins import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    p = ev.filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull()).select(
-        "event_id", "user_id", F.col("ts").alias("purchase_ts")
-    )
-    v = ev.filter((F.col("event_type") == "view") & F.col("user_id").isNotNull()).select(
-        "user_id", F.col("ts").alias("view_ts")
-    )
-    out = asof_join(p, v, by="user_id", left_ts="purchase_ts", right_ts="view_ts",
-                    matched_prefix="last_")
-    return out.select(
-        "event_id",
-        "user_id",
-        "purchase_ts",
-        F.col("last_view_ts"),
-        (F.unix_micros("purchase_ts") - F.unix_micros("last_view_ts")).alias("gap_us"),
-    ).orderBy("event_id")
-
-
-@query(
-    "events_clicks_before_purchase",
-    oracle="""
-    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-           CAST(COUNT(c.user_id) AS BIGINT) AS n_clicks_10m
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
-    LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-               WHERE event_type = 'click' AND user_id IS NOT NULL) c
-      ON c.user_id = p.user_id
-     AND c.ts >= CAST(p.ts AS TIMESTAMP) - INTERVAL 600 SECOND
-     AND c.ts <= CAST(p.ts AS TIMESTAMP)
-    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-    """,
-    tags=("range-join",),
-)
-def events_clicks_before_purchase(spark, sf_dir):
-    """Time-range (interval) join: clicks within the 10 minutes before each
-    purchase, per user — binned equi-join (operators.joins.time_range_join),
-    never a nested-loop range join."""
-    from prod_data_pipeline_spark.operators.joins import time_range_join
-
-    ev = _t(spark, sf_dir, "events")
-    p = ev.filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull()).select(
-        "event_id", "user_id", F.col("ts").alias("purchase_ts")
-    )
-    c = ev.filter((F.col("event_type") == "click") & F.col("user_id").isNotNull()).select(
-        "user_id", "ts"
-    )
-    pairs = time_range_join(
-        p, c, by="user_id", left_ts="purchase_ts", right_ts="ts", lower_s=-600.0, upper_s=0.0
-    )
-    keys = ["event_id", "user_id", "purchase_ts"]
-    counts = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    return (
-        p.select(*keys)
-        .distinct()
-        .join(counts, keys, "left")
-        .select(*keys, F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks_10m"))
-        .orderBy(*keys)
-    )
-
-
-@query(
-    "docs_bpe_token_stats",
-    oracle=f"""
-    WITH t AS (
-      SELECT lang,
-             len({_TOKS_SQL}) AS ws_n,
-             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_n
-      FROM documents
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(ws_n) AS BIGINT) AS ws_tokens,
-           CAST(SUM(bpe_n) AS BIGINT) AS bpe_tokens,
-           CAST(SUM(bpe_n) AS DOUBLE) / COUNT(*) AS avg_bpe_per_doc
-    FROM t GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "tokens", "bpe"),
-)
-def docs_bpe_token_stats(spark, sf_dir):
-    """Token counting both ways (whitespace + BPE-ish regex pre-tokens) —
-    the token-budget accounting pass of a training-data pipeline."""
-    from prod_data_pipeline_spark.functions.text import bpe_tokens, tokens as toks_fn
-
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        "lang",
-        F.size(toks_fn(F.col("text"))).alias("ws_n"),
-        F.size(bpe_tokens(F.col("text"))).alias("bpe_n"),
-    )
-    return (
-        t.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws_n").cast("long").alias("ws_tokens"),
-            F.sum("bpe_n").cast("long").alias("bpe_tokens"),
-            (F.sum("bpe_n").cast("double") / F.count(F.lit(1))).alias("avg_bpe_per_doc"),
-        )
-        .orderBy("lang")
-    )
-
-
-_COS_SQL = (
-    "list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * b.e[i]))"
-    " / (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i] * a.e[i])))"
-    " * sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i] * b.e[i]))))"
-)
-
-
-@query(
-    "emb_cosine_near_dup_pairs",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 4) AS sim
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND({_COS_SQL}, 4) >= 0.3
-    ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "similarity"),
-)
-def emb_cosine_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked on label: the exact
-    (oracle-checked) counterpart of the SRP-LSH scale path."""
-    from prod_data_pipeline_spark.operators.similarity import cosine_near_dup_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.3, block_cols=("label",))
-
-
-@query(
-    "emb_srp_near_dup_pairs",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), sig AS (
-      SELECT vec_id, b,
-             list_sum(list_transform(range(1, len(e)+1),
-               i -> e[i] * (2.0 * (('0x' || substr(md5('42:' || b || ':' || (i-1)), 1, 13))::BIGINT
-                                   / 4503599627370496.0) - 1.0))) AS d
-      FROM v, range(0, 32) t(b)
-    ), bands AS (
-      SELECT vec_id, CAST(b // 8 AS INT) AS band_id,
-             CAST(SUM(CASE WHEN d > 0 THEN 1 << CAST(b % 8 AS INT) ELSE 0 END) AS BIGINT)
-                 AS band_key
-      FROM sig GROUP BY vec_id, b // 8
-    ), cand AS (
-      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-      FROM bands l JOIN bands r
-        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.vec_id < r.vec_id
-    )
-    SELECT c.id_a, c.id_b, ROUND({_COS_SQL}, 4) AS sim
-    FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
-    WHERE ROUND({_COS_SQL}, 4) >= 0.3
-    ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "similarity", "lsh"),
-)
-def emb_srp_near_dup_pairs(spark, sf_dir):
-    """Sign-LSH (random-hyperplane) bucketed near-dup candidates + exact
-    cosine verify — the 100 TB path (no blocking attribute needed).
-
-    Runs the md5-hyperplane backend: each plane component is derived from
-    an md5 digest (13 hex digits / 2^52, exact in double) and every dot
-    product is an in-order fold, so DuckDB regenerates the planes, the
-    signatures, the candidate set, and the verified similarities
-    bit-for-bit — the determinism recipe that oracled pagerank_quantized,
-    applied to LSH.  The numpy-Gaussian matmul backend (backend="mt",
-    operator default) remains the production path; its planted-dup recall
-    is unit-tested (tests/test_similarity.py)."""
-    from prod_data_pipeline_spark.operators.similarity import srp_near_dup_pairs
-
-    emb = _t(spark, sf_dir, "embeddings")
-    # materialize=False: one-shot query — the lazy pre-sort lineage cut
-    # (blocks owned by the returned plan, freed by ContextCleaner) beats
-    # the eager checkpoint+unpersist by ~0.6 s at the inflated bench
-    return srp_near_dup_pairs(
-        emb, dim=64, threshold=0.3, backend="md5", materialize=False
-    )
-
-
-@query(
-    "media_decode_profile",
-    oracle="""
-    WITH f AS (
-      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        CASE CAST(doc_id % 3 AS INT)
-          WHEN 0 THEN 54 + ((3*(4 + doc_id % 13) + 3) // 4 * 4) * (4 + doc_id % 7)
-          WHEN 1 THEN 44 + 2*(80 + 8*(doc_id % 120))
-          ELSE length('YUV4MPEG2 W' || CAST(4 + 2*(doc_id % 7) AS VARCHAR)
-                      || ' H' || CAST(4 + 2*(doc_id % 5) AS VARCHAR)
-                      || ' F25:1 C420') + 1
-               + (1 + doc_id % 4)
-                 * (6 + (4 + 2*(doc_id % 7)) * (4 + 2*(doc_id % 5))
-                      + 2*(((4 + 2*(doc_id % 7)) // 2) * ((4 + 2*(doc_id % 5)) // 2)))
-        END AS n_bytes,
-        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 + doc_id % 13
-             WHEN 1 THEN 0 ELSE 4 + 2*(doc_id % 7) END AS w,
-        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 + doc_id % 7
-             WHEN 1 THEN 0 ELSE 4 + 2*(doc_id % 5) END AS h,
-        CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 + doc_id % 4 ELSE 1 END AS nf,
-        CASE CAST(doc_id % 3 AS INT)
-          WHEN 1 THEN (80 + 8*(doc_id % 120)) // 8
-          WHEN 2 THEN (1 + doc_id % 4) * 40 ELSE 0 END AS dur
-      FROM documents
-    )
-    SELECT media_type,
-           CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(SUM(w) AS BIGINT) AS total_width,
-           CAST(SUM(h) AS BIGINT) AS total_height,
-           CAST(SUM(nf) AS BIGINT) AS total_frames,
-           CAST(SUM(dur) AS BIGINT) AS total_duration_ms,
-           CAST(SUM(16) AS BIGINT) AS total_feature_vals
-    FROM f GROUP BY 1 ORDER BY media_type
-    """,
-    tags=("multimodal",),
-)
-def media_decode_profile(spark, sf_dir):
-    """Multimodal REAL-codec path end-to-end: synthetic_media_assets
-    fabricates genuine BMP / PCM16-WAV / YUV4MPEG2 payloads, real_decode
-    (operators.multimodal, functions.codecs) PARSES them — dimensions,
-    frame counts, durations, declared byte sizes all come from the bytes
-    — and the oracle recomputes every header fact from doc_id arithmetic
-    independently, so a parser bug (wrong offset, wrong padding, wrong
-    plane math) breaks the hash even though no media library exists on
-    either side."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        real_decode,
-        synthetic_media_assets,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    dec = real_decode(synthetic_media_assets(docs))
-    return (
-        dec.groupBy("media_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.sum("width").cast("long").alias("total_width"),
-            F.sum("height").cast("long").alias("total_height"),
-            F.sum("n_frames").cast("long").alias("total_frames"),
-            F.sum("duration_ms").alias("total_duration_ms"),
-            F.sum(F.size("features")).cast("long").alias("total_feature_vals"),
-        )
-        .orderBy("media_type")
-    )
-
-
-@query(
-    "media_feature_topk",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, text, length(text) AS n, CAST(doc_id % 3 AS INT) AS kind
-      FROM documents
-    ), geom AS (
-      SELECT doc_id, text, n,
-        CASE kind
-          WHEN 0 THEN ((3*(4 + doc_id % 13) + 3) // 4 * 4) * (4 + doc_id % 7)
-          WHEN 1 THEN 80 + 8*(doc_id % 120)
-          ELSE (4 + 2*(doc_id % 7)) * (4 + 2*(doc_id % 5))
-        END AS L
-      FROM d
-    ), w AS (
-      SELECT doc_id, L, unicode(substr(text, p + 1, 1)) // 16 AS nib,
-             (L - p + n - 1) // n AS wt
-      FROM (SELECT doc_id, text, n, L, unnest(range(0, n)) AS p FROM geom)
-    ), cnt AS (
-      SELECT doc_id, nib, SUM(wt) AS c FROM w GROUP BY doc_id, nib
-    ), grid AS (
-      SELECT gr.doc_id, gr.L, gr.i AS nib, COALESCE(c.c, 0) AS c
-      FROM (SELECT g.doc_id, g.L, r.i FROM geom g CROSS JOIN range(0,16) r(i)) gr
-      LEFT JOIN cnt c ON c.doc_id = gr.doc_id AND c.nib = gr.i
-    ), feat32 AS (
-      SELECT doc_id, list(CAST(CAST(c AS DOUBLE)/L AS REAL) ORDER BY nib) AS e32
-      FROM grid GROUP BY doc_id, L
-    ), v AS (
-      SELECT doc_id AS vec_id, list_transform(e32, x -> CAST(x AS DOUBLE)) AS e
-      FROM feat32
-    ), q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 4),
-    scored AS (
-      SELECT q.query_id, v.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
-             / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
-                * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
-             AS sim
-      FROM q, v WHERE q.query_id <> v.vec_id
-    )
-    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT)
-               AS rank
-    FROM scored
-    QUALIFY rank <= 3
-    ORDER BY query_id, rank
-    """,
-    tags=("multimodal", "similarity"),
-)
-def media_feature_topk(spark, sf_dir):
-    """Cross-modal composition: REAL-decoded media features (intensity
-    histograms over parsed BMP/WAV/Y4M sample planes) flow straight into
-    the generic ANN operator (decode -> fixed-width arrays -> cosine
-    top-3).  Oracled since round 5: every synthetic payload's sample
-    plane is the document's text bytes cyclically tiled to the
-    container's geometry (BMP pixel+pad area, WAV PCM fold-back, Y4M
-    first-frame luma), so the 16-bin nibble histogram equals a
-    weighted character count — position p of an n-byte text occurs
-    ceil((L-p)/n) times in the first L tiled bytes — which DuckDB
-    computes exactly, reproduces the float32 feature quantization
-    (CAST(count/L AS REAL), bit-identical to numpy->Arrow), and replays
-    the cosine top-3.  Validated feature-for-feature against the Python
-    codec on all 500 sf0.01 docs before wiring; the decoder itself stays
-    independently checked by media_decode_profile + codec unit tests.
-    ASSUMES pure-ASCII document text (chars == UTF-8 bytes; true of the
-    generated testdata, probed at round 5) — if a testdata regen ever
-    introduces non-ASCII, the oracle's unicode()-per-char byte model is
-    the first place to look for a hash mismatch."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        real_decode,
-        synthetic_media_assets,
-    )
-    from prod_data_pipeline_spark.operators.similarity import brute_force_topk
-
-    docs = _t(spark, sf_dir, "documents")
-    feats = (
-        real_decode(synthetic_media_assets(docs))
-        .filter(F.col("n_bytes") > 0)
-        .select(F.col("asset_id").alias("vec_id"), F.col("features").alias("embedding"))
-    )
-    out = brute_force_topk(feats, feats.filter(F.col("vec_id") < 4), k=3)
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-@query(
-    "events_approx_distinct_users",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(0.1 AS DOUBLE) AS rel_err_bound,
-           TRUE AS within_bound
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("approx",),
-)
-def events_approx_distinct_users(spark, sf_dir):
-    """HyperLogLog++ approximate distinct users per event_type.  The HLL
-    estimate itself is engine-specific (no DuckDB mirror), so the query
-    emits what the oracle CAN hash-check: the exact per-type count and a
-    within-declared-bound boolean — |approx - exact| / exact <= 0.1, a
-    5x-rsd envelope over the requested rsd=0.02 (3-sigma is 6%).  A
-    broken sketch (collapsed registers, wrong hashing) flips the boolean
-    and fails the driver's hash check; the tighter exact-vs-approx bound
-    stays unit-tested."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.count_distinct(F.col("user_id")).alias("exact_users"),
-        )
-        .select(
-            "event_type",
-            "exact_users",
-            F.lit(0.1).cast("double").alias("rel_err_bound"),
-            (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= F.lit(0.1) * F.col("exact_users")
-            ).alias("within_bound"),
-        )
-        .orderBy("event_type")
-    )
-
-# ---------------------------------------------------------------------------
-# Content-quality gates (operators.quality) — Gopher-style repetition rules
-# and GPT-3-style benchmark decontamination.  Extends the reference's row-
-# level DQ gating (raw_to_curated_events_v3_dq.py:70-106) to document
-# content, the gates a pretraining corpus needs.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "docs_repetition_stats",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id, len(toks) AS n_tokens,
-             len(list_distinct(toks)) AS n_distinct_tokens,
-             CASE WHEN len(toks) >= 2
-                  THEN list_transform(range(1, len(toks)),
-                         i -> array_to_string(toks[i:i+1], ' '))
-                  ELSE [] END AS grams
-      FROM t
-    ), e AS (
-      SELECT doc_id, unnest(grams) AS gram FROM s
-    ), c AS (
-      SELECT doc_id, gram, COUNT(*) AS c FROM e GROUP BY 1, 2
-    ), a AS (
-      SELECT doc_id, SUM(c) AS total_grams, MAX(c) AS max_gram_count,
-             COUNT(*) AS n_distinct_grams
-      FROM c GROUP BY 1
-    )
-    SELECT s.doc_id,
-           CAST(s.n_tokens AS BIGINT) AS n_tokens,
-           ROUND(CAST(s.n_distinct_tokens AS DOUBLE) / s.n_tokens, 6)
-               AS distinct_token_ratio,
-           CAST(COALESCE(a.total_grams, 0) AS BIGINT) AS total_grams,
-           COALESCE(ROUND(CAST(a.max_gram_count AS DOUBLE) / a.total_grams, 6), 0.0)
-               AS top_ngram_frac,
-           COALESCE(ROUND(1.0 - CAST(a.n_distinct_grams AS DOUBLE) / a.total_grams, 6), 0.0)
-               AS dup_ngram_frac
-    FROM s LEFT JOIN a USING (doc_id) ORDER BY doc_id
-    """,
-    tags=("text", "quality", "repetition"),
-)
-def docs_repetition_stats(spark, sf_dir):
-    """Per-document repetition profile (operators.quality.repetition_profile):
-    Gopher/MassiveText-style duplicate-bigram and top-bigram fractions plus
-    lexical diversity.  One explode + two doc-keyed hash aggs, all JVM-side;
-    map-side partial agg collapses each document's grams before the shuffle."""
-    from prod_data_pipeline_spark.operators.quality import repetition_profile
-
-    docs = _t(spark, sf_dir, "documents")
-    return repetition_profile(docs, n=2).orderBy("doc_id")
-
-
-@query(
-    "docs_contamination",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), bench AS (
-      SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 17 = 0
-    ), dg AS (
-      SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 17 <> 0
-    ), j AS (
-      SELECT dg.doc_id, dg.gram,
-             CASE WHEN b.gram IS NOT NULL THEN 1 END AS hit
-      FROM dg LEFT JOIN bench b USING (gram)
-    ), a AS (
-      SELECT doc_id, COUNT(gram) AS n_grams,
-             CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_contaminated
-      FROM j GROUP BY 1
-    )
-    SELECT d.doc_id,
-           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
-           CAST(COALESCE(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-           CASE WHEN COALESCE(a.n_grams, 0) > 0
-                THEN ROUND(CAST(a.n_contaminated AS DOUBLE) / a.n_grams, 6)
-                ELSE 0.0 END AS contamination_frac
-    FROM (SELECT doc_id FROM s WHERE doc_id % 17 <> 0) d
-    LEFT JOIN a USING (doc_id) ORDER BY doc_id
-    """,
-    tags=("text", "quality", "decontamination"),
-)
-def docs_contamination(spark, sf_dir):
-    """Benchmark decontamination (operators.quality.contamination_overlap):
-    every 17th document plays the held-out benchmark; the rest are scored by
-    the fraction of their distinct trigrams that appear anywhere in it.  The
-    benchmark gram set is broadcast — the corpus side is scanned once with a
-    map-side probe, so the plan holds at 100 TB where the benchmark stays
-    small."""
-    from prod_data_pipeline_spark.operators.quality import contamination_overlap
-
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 17 == 0)
-    scored = docs.filter(F.col("doc_id") % 17 != 0)
-    return contamination_overlap(scored, bench, n=3).orderBy("doc_id")
-
-
-@query(
-    "docs_tfidf_top_terms",
-    oracle="""
-    WITH e AS (
-      SELECT doc_id, lang, unnest(list_filter(
-               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
-      FROM documents
-    ), per AS (
-      SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
-      FROM e GROUP BY 1, 2
-    ), nd AS (
-      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1
-    ), scored AS (
-      SELECT per.lang, per.term,
-             CAST(per.tf AS BIGINT) AS tf,
-             CAST(per.df AS BIGINT) AS df,
-             ROUND(per.tf * (ln((CAST(nd.n_docs AS DOUBLE) + 1) / (per.df + 1)) + 1), 6)
-                 AS tfidf
-      FROM per JOIN nd USING (lang)
-    )
-    SELECT lang, term, tf, df, tfidf
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) <= 5
-    ORDER BY lang, tfidf DESC, term
-    """,
-    tags=("text", "tfidf", "window"),
-)
-def docs_tfidf_top_terms(spark, sf_dir):
-    """Corpus TF-IDF: top-5 terms per language by smoothed tf-idf.  The
-    (lang, term) aggregation is combiner-friendly; the per-lang doc counts
-    are a tiny broadcast relation; ranking orders by the ROUNDED score (then
-    term) so both engines rank identical doubles, never last-ulp ln noise."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    e = docs.select("doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("term"))
-    per = e.groupBy("lang", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.count_distinct("doc_id").alias("df")
-    )
-    nd = docs.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_docs"))
-    scored = per.join(F.broadcast(nd), "lang").select(
-        "lang",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf")
-            * (F.log((F.col("n_docs").cast("double") + 1) / (F.col("df") + 1)) + 1),
-            6,
-        ).alias("tfidf"),
-    )
-    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-        .orderBy("lang", F.desc("tfidf"), "term")
-    )
-
-
-# ---------------------------------------------------------------------------
-# CDC compaction / SCD history (operators.cdc) — incremental-warehouse
-# counterparts to the reference's full-partition rewrites (v3_dq.py:113-121).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_latest_per_user",
-    oracle="""
-    SELECT user_id,
-           CAST(ts AS TIMESTAMP) AS last_ts,
-           event_type AS last_type,
-           value AS last_value
-    FROM events
-    WHERE user_id IS NOT NULL
-    QUALIFY row_number() OVER (
-      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
-    ) = 1
-    ORDER BY user_id
-    """,
-    tags=("cdc", "window"),
-)
-def events_latest_per_user(spark, sf_dir):
-    """SCD1 / CDC log compaction (operators.cdc.latest_snapshot): each
-    user's most recent event, event_id as the deterministic tie-break.
-    One exchange on user_id, one sort, no joins."""
-    from prod_data_pipeline_spark.operators.cdc import latest_snapshot
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    snap = latest_snapshot(ev, ["user_id"], "ts", tiebreak=["event_id"])
-    return snap.select(
-        "user_id",
-        F.col("ts").alias("last_ts"),
-        F.col("event_type").alias("last_type"),
-        F.col("value").alias("last_value"),
-    ).orderBy("user_id")
-
-
-@query(
-    "events_user_type_scd2",
-    oracle="""
-    WITH c AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS prev,
-             row_number() OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS rn
-      FROM events WHERE user_id IS NOT NULL
-    ), ch AS (
-      SELECT user_id, ts, event_type, event_id FROM c
-      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
-    )
-    SELECT user_id, event_type,
-           ts AS effective_from,
-           lead(ts) OVER w AS effective_to,
-           lead(ts) OVER w IS NULL AS is_current
-    FROM ch
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, effective_from
-    """,
-    tags=("cdc", "scd2", "window"),
-)
-def events_user_type_scd2(spark, sf_dir):
-    """SCD2 effective-dated history (operators.cdc.scd2_history): each
-    user's event_type as a change-compressed validity interval —
-    consecutive equal values collapse; effective_to is NULL on the open
-    interval.  Both window passes share one (exchange, sort)."""
-    from prod_data_pipeline_spark.operators.cdc import scd2_history
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    return scd2_history(ev, "user_id", "ts", "event_type", tiebreak=["event_id"]).orderBy(
-        "user_id", "effective_from"
-    )
-
-
-@query(
-    "orders_merge_upsert",
-    oracle="""
-    WITH base AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
-      FROM orders
-    ), unioned AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, 1 AS version
-      FROM base
-      UNION ALL
-      SELECT o_orderkey, o_custkey, 'P', (price_cents * 110) // 100, 2
-      FROM base WHERE o_orderkey % 50 = 0
-    ), merged AS (
-      SELECT * FROM unioned
-      QUALIFY row_number() OVER (
-        PARTITION BY o_orderkey ORDER BY version DESC
-      ) = 1
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-           CAST(SUM(price_cents) AS DOUBLE) / 100.0 AS total_price
-    FROM merged
-    """,
-    tags=("cdc", "merge"),
-)
-def orders_merge_upsert(spark, sf_dir):
-    """MERGE-INTO semantics on bare parquet (operators.cdc.merge_upsert):
-    a deterministic change batch (every 50th order repriced +10%) upserted
-    into the orders snapshot via union + latest-per-key — one window
-    exchange, no table-format dependency.  Prices are carried as integer
-    cents (the repriced value is ``cents*110 div 100``) so both engines do
-    exact integer arithmetic: ``ROUND(double*1.1, 2)`` tie-breaks
-    differently in Spark (HALF_UP on the exact binary expansion) vs DuckDB
-    (half-away-from-zero on the double), which flipped 4/300 rows by one
-    cent — r03's one hash-red driver row."""
-    from prod_data_pipeline_spark.operators.cdc import merge_upsert
-
-    base = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
-    )
-    orders = base.withColumn("version", F.lit(1))
-    updates = base.filter(F.col("o_orderkey") % 50 == 0).select(
-        "o_orderkey",
-        "o_custkey",
-        F.lit("P").alias("o_orderstatus"),
-        F.expr("(price_cents * 110) div 100").alias("price_cents"),
-        F.lit(2).alias("version"),
-    )
-    merged = merge_upsert(orders, updates, ["o_orderkey"], "version")
-    return merged.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias("n_updated"),
-        (F.sum("price_cents").cast("double") / F.lit(100.0)).alias("total_price"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Distribution statistics: fixed-width histograms, quantile-threshold outlier
-# detection, and deterministic correlation from exact decimal sums.  These
-# extend the reference's DQ numerics (avg/min/max, v3_dq.py:89-106) to the
-# profiling surface a warehouse exposes.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_value_histogram",
-    oracle="""
-    SELECT CAST(FLOOR(value / 25.0) AS INT) AS bin,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(MIN(value), 6) AS bin_min,
-           ROUND(MAX(value), 6) AS bin_max
-    FROM events WHERE value IS NOT NULL
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("stats", "histogram"),
-)
-def events_value_histogram(spark, sf_dir):
-    """Fixed-width histogram of event values (25-unit bins): a single
-    combiner-friendly aggregation — the bin id is a pure projection, so at
-    100 TB this is one scan + a tiny shuffle of ~20 partial rows per task."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    return (
-        ev.groupBy(F.floor(F.col("value") / 25.0).cast("int").alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 6).alias("bin_min"),
-            F.round(F.max("value"), 6).alias("bin_max"),
-        )
-        .orderBy("bin")
-    )
-
-
-@query(
-    "events_value_p99_outliers",
-    oracle="""
-    WITH q AS (
-      SELECT event_type, ROUND(quantile_cont(value, 0.99), 6) AS p99
-      FROM events WHERE value IS NOT NULL GROUP BY event_type
-    )
-    SELECT e.event_id, e.event_type, e.value, q.p99
-    FROM events e JOIN q USING (event_type)
-    WHERE e.value > q.p99
-    ORDER BY e.event_id
-    """,
-    tags=("stats", "outliers"),
-)
-def events_value_p99_outliers(spark, sf_dir):
-    """Per-type outlier detection against an exact P99 threshold.  The
-    threshold comes from operators.ranking.exact_quantiles (bucketed exact
-    ranking — no per-group value buffering, unlike `F.percentile`), lands
-    as a tiny one-row-per-type relation, and is broadcast so the detail
-    side is scanned once with a map-side probe.  Thresholds are ROUNDed
-    before comparison so both engines compare against identical doubles."""
-    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    q = (
-        exact_quantiles(
-            ev.select("event_type", "value"), "value", {"p99": 0.99}, by=["event_type"]
-        )
-        .select("event_type", F.round("quantile", 6).alias("p99"))
-    )
-    return (
-        ev.join(F.broadcast(q), "event_type")
-        .filter(F.col("value") > F.col("p99"))
-        .select("event_id", "event_type", "value", "p99")
-        .orderBy("event_id")
-    )
-
-
-@query(
-    "lineitem_qty_price_corr",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-      FROM lineitem
-    )
-    SELECT CAST(n AS BIGINT) AS n_rows,
-           ROUND((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-               AS qty_price_corr,
-           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS qty_price_covar
-    FROM s
-    """,
-    tags=("stats", "correlation"),
-)
-def lineitem_qty_price_corr(spark, sf_dir):
-    """Pearson correlation + sample covariance of quantity vs extended
-    price, computed from EXACT decimal component sums (order-independent
-    addition) with the float arithmetic confined to one final projection of
-    identical structure on both engines.  A parallel double `corr()` is not
-    reproducible across partitionings; this is, at any cluster size — the
-    pattern for every distributed second-moment statistic in the engine."""
-    li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    s = li.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(qty).cast("double").alias("sx"),
-        F.sum(price).cast("double").alias("sy"),
-        F.sum(qty * qty).cast("double").alias("sxx"),
-        F.sum(price * price).cast("double").alias("syy"),
-        F.sum(qty * price).cast("double").alias("sxy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    return s.select(
-        n.cast("bigint").alias("n_rows"),
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("qty_price_corr"),
-        F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 6).alias("qty_price_covar"),
-    )
-
-
-@query(
-    "orders_table_diff",
-    oracle="""
-    WITH l AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-    ), r AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 50 = 0 THEN 'P' ELSE o_orderstatus END
-                 AS o_orderstatus,
-             CASE WHEN o_orderkey % 50 = 0
-                  THEN CAST(ROUND(o_totalprice * 1.1, 2) AS DOUBLE)
-                  ELSE o_totalprice END AS o_totalprice
-      FROM orders WHERE o_orderkey % 97 <> 0
-      UNION ALL
-      SELECT CAST(900000000000 AS BIGINT), 'O', CAST(1.0 AS DOUBLE)
-    )
-    SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
-           CASE WHEN r.o_orderkey IS NULL THEN 'left_only'
-                WHEN l.o_orderkey IS NULL THEN 'right_only'
-                WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
-                  OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
-                THEN 'changed' END AS diff_status
-    FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
-    WHERE CASE WHEN r.o_orderkey IS NULL THEN 'left_only'
-               WHEN l.o_orderkey IS NULL THEN 'right_only'
-               WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
-                 OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
-               THEN 'changed' END IS NOT NULL
-    ORDER BY o_orderkey
-    """,
-    tags=("cdc", "reconciliation"),
-)
-def orders_table_diff(spark, sf_dir):
-    """Key-level reconciliation (operators.cdc.table_diff) of the orders
-    snapshot against a deterministically perturbed copy: every 50th order
-    repriced (changed), every 97th dropped (left_only), one synthetic key
-    added (right_only).  One full-outer shuffle join; null-safe column
-    comparison."""
-    from prod_data_pipeline_spark.operators.cdc import table_diff
-
-    left = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    right = (
-        left.filter(F.col("o_orderkey") % 97 != 0)
-        .select(
-            "o_orderkey",
-            F.when(F.col("o_orderkey") % 50 == 0, F.lit("P"))
-            .otherwise(F.col("o_orderstatus"))
-            .alias("o_orderstatus"),
-            F.when(
-                F.col("o_orderkey") % 50 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
-            )
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_totalprice"),
-        )
-        .unionByName(
-            spark.createDataFrame(
-                [(900000000000, "O", 1.0)],
-                "o_orderkey long, o_orderstatus string, o_totalprice double",
-            )
-        )
-    )
-    return table_diff(
-        left, right, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
-    ).orderBy("o_orderkey")
-
-
-@query(
-    "docs_token_budget",
-    oracle="""
-    WITH per AS (
-      SELECT source,
-             CAST(SUM(len(regexp_extract_all(lower(text),
-                 '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_tokens
-      FROM documents GROUP BY source
-    ), tot AS (
-      SELECT SUM(n_tokens) AS total FROM per
-    )
-    SELECT per.source, per.n_tokens,
-           ROUND(CAST(per.n_tokens AS DOUBLE) / tot.total, 6) AS share,
-           ROUND(CAST(SUM(per.n_tokens) OVER (
-                   ORDER BY per.n_tokens DESC, per.source
-                 ) AS DOUBLE) / tot.total, 6) AS cum_share,
-           CAST(per.n_tokens AS DOUBLE) / tot.total > 0.075 AS over_budget
-    FROM per CROSS JOIN tot
-    ORDER BY per.n_tokens DESC, per.source
-    """,
-    tags=("text", "tokens", "budget"),
-)
-def docs_token_budget(spark, sf_dir):
-    """Token-budget accounting per source: BPE-token totals, corpus share,
-    cumulative share in descending order, and an over-budget flag against
-    a uniform-mix ceiling (7.5% for 20 sources) — the governance view a
-    data-mixing pipeline watches, feeding operators.sampling.mixing_weights.
-    Per-document token counts collapse map-side; the window runs over the
-    tiny per-source relation (one row per source), so cost is one scan +
-    one narrow agg at any corpus size."""
-    from prod_data_pipeline_spark.functions.text import bpe_tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.sum(F.size(bpe_tokens(F.col("text")))).cast("bigint").alias("n_tokens")
-    )
-    total = per.agg(F.sum("n_tokens").alias("total"))
-    w = Window.orderBy(F.desc("n_tokens"), F.asc("source")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "n_tokens",
-            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias("share"),
-            F.round(F.sum("n_tokens").over(w).cast("double") / F.col("total"), 6).alias(
-                "cum_share"
-            ),
-            (F.col("n_tokens").cast("double") / F.col("total") > 0.075).alias(
-                "over_budget"
-            ),
-        )
-        .orderBy(F.desc("n_tokens"), "source")
-    )
-
-
-@query(
-    "events_type_transitions",
-    oracle="""
-    WITH o AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS next_type
-      FROM events WHERE user_id IS NOT NULL
-    )
-    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
-    FROM o WHERE next_type IS NOT NULL
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("window", "transitions"),
-)
-def events_type_transitions(spark, sf_dir):
-    """Markov transition matrix of event types: per-user lead() pairs
-    counted into a |types|^2 relation.  One exchange on user_id for the
-    window; the count aggregation collapses map-side to at most 25 rows
-    per task."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("next_type", F.lead("event_type").over(w))
-        .filter(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type", "next_type")
-    )
-
-
-@query(
-    "events_funnel_daily",
-    oracle="""
-    WITH ud AS (
-      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
-             CAST(ts AS TIMESTAMP) AS ts
-      FROM events WHERE user_id IS NOT NULL
-    ), s1 AS (
-      SELECT user_id, day,
-             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-      FROM ud GROUP BY 1, 2
-    ), s2 AS (
-      SELECT ud.user_id, ud.day, s1.t_view,
-             MIN(CASE WHEN ud.event_type = 'click' AND ud.ts >= s1.t_view
-                      THEN ud.ts END) AS t_click
-      FROM ud JOIN s1 USING (user_id, day)
-      GROUP BY 1, 2, 3
-    ), s3 AS (
-      SELECT ud.user_id, ud.day, s2.t_view, s2.t_click,
-             MIN(CASE WHEN ud.event_type = 'purchase' AND ud.ts >= s2.t_click
-                      THEN ud.ts END) AS t_purchase
-      FROM ud JOIN s2 USING (user_id, day)
-      GROUP BY 1, 2, 3, 4
-    )
-    SELECT day,
-           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_view,
-           CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_click,
-           CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_purchase
-    FROM s3 GROUP BY day ORDER BY day
-    """,
-    tags=("window", "funnel"),
-)
-def events_funnel_daily(spark, sf_dir):
-    """Ordered three-step funnel per day (view -> click after the view ->
-    purchase after the click), counted over (user, day) grains.
-
-    The step timestamps are conditional mins layered as three window
-    projections over the SAME (user_id, day) partition — Catalyst
-    evaluates all three in one exchange + one sort; the daily rollup is a
-    trailing tiny aggregation.  At 100 TB this is one shuffle of (user,
-    day) keyed rows, no self-joins."""
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("user_id").isNotNull())
-        .select("user_id", F.to_date("ts").alias("day"), "event_type", "ts")
-    )
-    w = Window.partitionBy("user_id", "day")
-    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    staged = ev.withColumn("t_view", t_view)
-    t_click = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
-            F.col("ts"),
-        )
-    ).over(w)
-    staged = staged.withColumn("t_click", t_click)
-    t_purchase = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
-            F.col("ts"),
-        )
-    ).over(w)
-    staged = staged.withColumn("t_purchase", t_purchase)
-    per_user_day = staged.groupBy("user_id", "day").agg(
-        F.first("t_view").alias("t_view"),
-        F.first("t_click").alias("t_click"),
-        F.first("t_purchase").alias("t_purchase"),
-    )
-    return (
-        per_user_day.groupBy("day")
-        .agg(
-            F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
-            F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("n_click"),
-            F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias(
-                "n_purchase"
-            ),
-        )
-        .orderBy("day")
-    )
-
-
-@query(
-    "emb_label_centroids",
-    oracle="""
-    SELECT label, pos,
-           ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS centroid_val
-    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
-    GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("similarity", "centroids"),
-)
-def emb_label_centroids(spark, sf_dir):
-    """Per-label centroid vectors in long form (label, dimension, mean) —
-    the prototype/coarse-quantizer computation behind IVF and label-based
-    ANN blocking.  posexplode + one (label, pos) aggregation: dimension
-    keys spread the shuffle |labels|x|dims| ways and partial aggregation
-    collapses each task to at most that many rows, so a billion-vector
-    corpus exchanges kilobytes.  (Row-form reassembly would need a
-    collect_list ordered by pos — long form keeps the oracle exact and
-    the plan narrow.)"""
-    emb = _t(spark, sf_dir, "embeddings")
-    return (
-        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
-        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(
-            F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias(
-                "centroid_val"
-            )
-        )
-        .orderBy("label", "pos")
-    )
-
-
-@query(
-    "events_hll_mergeable_users",
-    oracle="""
-    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(0.1 AS DOUBLE) AS rel_err_bound,
-           TRUE AS merged_within_bound,
-           TRUE AS direct_within_bound
-    FROM events WHERE user_id IS NOT NULL
-    """,
-    tags=("approx", "sketch"),
-)
-def events_hll_mergeable_users(spark, sf_dir):
-    """Mergeable distinct-count sketches (Apache DataSketches HLL): per-day
-    user sketches unioned into a corpus-wide estimate alongside the
-    single-pass sketch and the exact count.
-
-    This is the incremental-rollup pattern for COUNT(DISTINCT) at 100 TB:
-    daily partitions keep a few-KB binary sketch each; any date-range
-    distinct count is a union of sketches — no re-scan of raw data.
-    Sketch estimates are engine-specific, so the hashed output carries the
-    exact count plus two within-declared-bound booleans (merged-of-daily
-    and single-pass, each within 10% relative error — DataSketches HLL at
-    the default lgK=12 has rsd~1.6%, so 0.1 is a >5-sigma envelope).  A
-    sketch/merge regression flips a boolean and fails the driver hash;
-    the tighter merged==direct and error-bound properties are unit-tested
-    (tests/test_quality_cdc.py)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    merged = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_users")
-    )
-    direct = ev.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias(
-            "direct_users"
-        ),
-        F.count_distinct("user_id").alias("exact_users"),
-    )
-    bound = F.lit(0.1)
-    return merged.crossJoin(direct).select(
-        "exact_users",
-        bound.cast("double").alias("rel_err_bound"),
-        (
-            F.abs(F.col("merged_users") - F.col("exact_users"))
-            <= bound * F.col("exact_users")
-        ).alias("merged_within_bound"),
-        (
-            F.abs(F.col("direct_users") - F.col("exact_users"))
-            <= bound * F.col("exact_users")
-        ).alias("direct_within_bound"),
-    )
-
-
-@query(
-    "large_volume_orders",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-    FROM orders o
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderkey IN (
-      SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
-    )
-    GROUP BY 1, 2, 3, 4
-    ORDER BY total_qty DESC, o.o_orderkey
-    """,
-    tags=("join", "subquery", "Q18"),
-)
-def large_volume_orders(spark, sf_dir):
-    """TPC-H Q18 shape: IN-subquery with a HAVING aggregate, decorrelated
-    to a semi-join.  The qualifying-order relation is a pre-aggregation of
-    lineitem on its OWN key (one shuffle of per-order sums), then a
-    left-semi join prunes orders before the customer join — the fact table
-    is never joined un-filtered.  Exact decimal quantity sums."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("q"))
-        .filter(F.col("q") > 300)
-        .select("l_orderkey")
-    )
-    o = orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
-    return (
-        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
-        .join(li, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
-        .agg(dsum(qty).alias("total_qty"))
-        .orderBy(F.desc("total_qty"), "o_orderkey")
-    )
-
-
-@query(
-    "parts_supplier_counts",
-    oracle="""
-    SELECT p.p_brand, p.p_size,
-           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'Brand#1'
-      AND l.l_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
-      )
-    GROUP BY 1, 2
-    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
-    """,
-    tags=("join", "anti-join", "Q16"),
-)
-def parts_supplier_counts(spark, sf_dir):
-    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) with a
-    NOT IN exclusion subquery.  The exclusion list (negative-balance
-    suppliers) has a non-nullable key, so NOT IN is exactly a left-anti
-    join — broadcast, since the exclusion side is tiny; part is broadcast
-    for the same reason.  The only shuffle is the distinct-count agg."""
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    supp = _t(spark, sf_dir, "supplier")
-    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (
-        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(part.filter(F.col("p_brand") != "Brand#1")),
-              li["l_partkey"] == part["p_partkey"])
-        .groupBy("p_brand", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
-    )
-
-
-@query(
-    "orders_price_deciles",
-    oracle="""
-    WITH d AS (
-      SELECT o_totalprice,
-             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-      FROM orders
-    )
-    SELECT decile,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(MIN(o_totalprice), 2) AS lo,
-           ROUND(MAX(o_totalprice), 2) AS hi,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-    FROM d GROUP BY decile ORDER BY decile
-    """,
-    tags=("window", "ntile"),
-)
-def orders_price_deciles(spark, sf_dir):
-    """Equal-population price deciles with per-bucket bounds and exact
-    decimal totals — EXACT NTILE semantics without NTILE's global-order
-    window.  A bare `Window.orderBy` moves every order into one task;
-    instead operators.ranking.bucketed_global_rank buckets rows by
-    approx_percentile boundaries (load balance only — correctness never
-    depends on the sketch), ranks within buckets in parallel, offsets by
-    bucket counts, and ntile_from_rank reproduces the NTILE(10) bucket
-    assignment in closed form.  o_orderkey tie-break keeps both engines'
-    assignment identical; plan pinned single-partition-free in
-    tests/test_plans.py."""
-    from prod_data_pipeline_spark.operators.ranking import (
-        bucketed_global_rank,
-        ntile_from_rank,
-    )
-
-    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    ranked = bucketed_global_rank(orders, ["o_totalprice", "o_orderkey"])
-    return (
-        ranked.select(
-            "o_totalprice",
-            ntile_from_rank(F.col("rank"), F.col("n_total"), 10).alias("decile"),
-        )
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.min("o_totalprice"), 2).alias("lo"),
-            F.round(F.max("o_totalprice"), 2).alias("hi"),
-            dsum("o_totalprice").alias("total"),
-        )
-        .orderBy("decile")
-    )
-
-
-@query(
-    "events_rolling_7day",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
-      FROM events GROUP BY 1
-    )
-    SELECT day, CAST(n_events AS BIGINT) AS n_events,
-           CAST(SUM(n_events) OVER (
-             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS rolling_7d,
-           ROUND(CAST(SUM(n_events) OVER (
-             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) / 7.0, 6) AS rolling_7d_avg
-    FROM daily ORDER BY day
-    """,
-    tags=("window", "range-frame", "rolling"),
-)
-def events_rolling_7day(spark, sf_dir):
-    """Trailing 7-day event volume: a RANGE-frame window over calendar
-    days (gap-correct — a missing day shrinks the window, unlike a
-    6-ROWS-PRECEDING frame).  The window runs over the pre-aggregated
-    daily relation (one row per day), so the global order is over
-    |days| rows regardless of corpus size."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    # RANGE frame over days: order by epoch-day number, range 6 preceding
-    w = (
-        Window.orderBy(F.unix_date(F.col("day")))
-        .rangeBetween(-6, Window.currentRow)
-    )
-    return daily.select(
-        "day",
-        "n_events",
-        F.sum("n_events").over(w).alias("rolling_7d"),
-        F.round(F.sum("n_events").over(w).cast("double") / 7.0, 6).alias(
-            "rolling_7d_avg"
-        ),
-    ).orderBy("day")
-
-
-# ---------------------------------------------------------------------------
-# Round-3 additions: remaining classic warehouse shapes (TPC-H Q10/Q12/Q14,
-# arg-max aggregates, exact distinct counts, gaps-and-islands) plus the
-# skew-salted two-phase aggregation as a first-class oracle-checked query.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q10_returned_revenue",
-    oracle="""
-    WITH rev AS (
-      SELECT l_orderkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
-      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
-    )
-    SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(SUM(rev.r) AS DOUBLE) AS revenue
-    FROM rev
-    JOIN orders o ON o.o_orderkey = rev.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c.c_custkey LIMIT 20
-    """,
-    tags=("join", "tpch", "q10"),
-)
-def q10_returned_revenue(spark, sf_dir):
-    """TPC-H Q10 shape: customers ranked by revenue they returned.
-    Returned-lineitem revenue pre-aggregates on the fact table's own key
-    (l_orderkey) before any join — ONE fact shuffle — then the per-order
-    sums join orders and the broadcast customer/nation dims; the final
-    group runs over per-order rows, not raw lineitems.  Exact decimal
-    sums; c_custkey breaks revenue ties.
-    Reference parity: extends sql/athena/curated_events.sql-style golden
-    aggregation to the multi-dim enrichment the reference runs in Athena."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = li.groupBy("l_orderkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-        ).alias("r")
-    )
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        rev.join(o, rev.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum("r").cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-@query(
-    "lineitem_priority_by_status",
-    oracle="""
-    SELECT l.l_linestatus,
-           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY l.l_linestatus ORDER BY l.l_linestatus
-    """,
-    tags=("join", "tpch", "q12"),
-)
-def lineitem_priority_by_status(spark, sf_dir):
-    """TPC-H Q12 shape (shipmode -> linestatus against this schema): a
-    fact-fact equi-join with conditional-count buckets.  The shipdate
-    filter pushes to the lineitem scan, both sides project to join key +
-    two columns before the shuffle, and the priority CASE runs post-join
-    map-side — the unavoidable cost is exactly one co-shuffle of two
-    slim fact projections."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        )
-        .select("l_orderkey", "l_linestatus")
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
-        )
-        .orderBy("l_linestatus")
-    )
-
-
-@query(
-    "q14_promo_revenue",
-    oracle="""
-    WITH j AS (
-      SELECT CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS rev,
-             p.p_type
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-        AND l.l_shipdate <  TIMESTAMP '1998-03-01 00:00:00'
-    )
-    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
-                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / CAST(SUM(rev) AS DOUBLE), 6) AS promo_revenue_pct,
-           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue
-    FROM j
-    """,
-    tags=("join", "tpch", "q14"),
-)
-def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14: promotion revenue share for a ship window.  The date
-    filter reaches the lineitem scan before the part join (predicate
-    pushdown shrinks the shuffled side ~24x), both percentage terms come
-    from exact decimal sums, and the single float division has identical
-    structure on both engines."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-03-01 00:00:00").cast("timestamp"))
-    )
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    j = li.join(p, li.l_partkey == p.p_partkey).select(
-        rev.alias("rev"), "p_type"
-    )
-    promo = F.sum(
-        F.when(F.col("p_type").startswith("PROMO"), F.col("rev")).otherwise(
-            F.lit(0).cast("decimal(18,4)")
-        )
-    ).cast("double")
-    total = F.sum("rev").cast("double")
-    return j.agg(
-        F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"),
-        F.round(total, 2).alias("total_revenue"),
-    )
-
-
-@query(
-    "orders_priority_extremes",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                               * 10000000000 + o_orderkey) AS priciest_order,
-           arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                               * 10000000000 + o_orderkey) AS cheapest_order,
-           ROUND(MAX(o_totalprice), 2) AS max_price,
-           ROUND(MIN(o_totalprice), 2) AS min_price
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    tags=("agg", "argmax"),
-)
-def orders_priority_extremes(spark, sf_dir):
-    """Arg-max aggregates: the order ids carrying each priority class's
-    extreme prices via MAX_BY/MIN_BY — one pass, no window, no self-join
-    (the classic 'row of the max' anti-pattern at scale).  The ordering
-    key packs (cents, orderkey) into one bigint so price ties resolve
-    deterministically on both engines."""
-    orders = _t(spark, sf_dir, "orders")
-    ordkey = (
-        F.round(F.col("o_totalprice") * 100, 0).cast("long") * F.lit(10_000_000_000)
-        + F.col("o_orderkey")
-    )
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.max_by("o_orderkey", ordkey).alias("priciest_order"),
-            F.min_by("o_orderkey", ordkey).alias("cheapest_order"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-@query(
-    "events_daily_distinct_users",
-    oracle="""
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY 1 ORDER BY 1
-    """,
-    tags=("agg", "distinct"),
-)
-def events_daily_distinct_users(spark, sf_dir):
-    """Exact per-day distinct users alongside raw counts — the
-    two-phase distinct aggregate (Spark expands to a (day, user_id)
-    partial dedup then re-aggregates; both phases keep map-side partial
-    aggregation).  The exact companion to events_approx_distinct_users:
-    use HLL when a ~2% error is acceptable, this when it is not."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("day")
-    )
-
-
-@query(
-    "events_salted_type_counts",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("agg", "skew", "salting"),
-)
-def events_salted_type_counts(spark, sf_dir):
-    """Skew-proof aggregation as a first-class query: event_type has ~5
-    values, so a direct groupBy shuffles every row to 5 reducers.  Salting
-    (operators.skew's strategy applied to aggregation) splits each key 16
-    ways — partial aggregate on (type, salt), final on type — so the heavy
-    keys fan across the cluster and the second shuffle carries 16 rows per
-    type.  Decimal partials keep the re-aggregated sum exact (doubles
-    re-summed across salts would not be reproducible); the oracle is the
-    plain one-phase GROUP BY it must equal."""
-    ev = _t(spark, sf_dir, "events")
-    partial = (
-        ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
-        .groupBy("event_type", "__salt")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("__val"),
-        )
-    )
-    return (
-        partial.groupBy("event_type")
-        .agg(
-            F.sum("__cnt").alias("n_events"),
-            F.sum("__val").cast("double").alias("total_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "user_activity_streaks",
-    oracle="""
-    WITH days AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-      FROM events WHERE user_id IS NOT NULL
-    ), anchored AS (
-      SELECT user_id, day,
-             day - CAST(row_number() OVER (
-               PARTITION BY user_id ORDER BY day) AS INT) AS anchor
-      FROM days
-    ), streaks AS (
-      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
-             MIN(day) AS streak_start, MAX(day) AS streak_end
-      FROM anchored GROUP BY user_id, anchor
-    ), best AS (
-      SELECT * FROM streaks
-      QUALIFY row_number() OVER (
-        PARTITION BY user_id ORDER BY streak_days DESC, streak_start) = 1
-    )
-    SELECT user_id, streak_days, streak_start, streak_end
-    FROM best ORDER BY streak_days DESC, user_id LIMIT 20
-    """,
-    tags=("window", "gaps-islands"),
-)
-def user_activity_streaks(spark, sf_dir):
-    """Gaps-and-islands: each user's longest run of consecutive active
-    days.  day minus its per-user row_number is constant within a
-    consecutive run (the classic islands anchor), so streaks fall out of
-    one window plus one groupBy — both partitioned by user_id, sharing a
-    single exchange.  The window relation is the DISTINCT (user, day)
-    set: bounded by users x days, orders of magnitude below raw events."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    anchored = days.withColumn(
-        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
-    )
-    streaks = anchored.groupBy("user_id", "anchor").agg(
-        F.count(F.lit(1)).alias("streak_days"),
-        F.min("day").alias("streak_start"),
-        F.max("day").alias("streak_end"),
-    )
-    wb = Window.partitionBy("user_id").orderBy(
-        F.desc("streak_days"), F.asc("streak_start")
-    )
-    return (
-        streaks.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "streak_days", "streak_start", "streak_end")
-        .orderBy(F.desc("streak_days"), F.asc("user_id"))
-        .limit(20)
-    )
-
-
-@query(
-    "q21_waiting_suppliers",
-    oracle="""
-    WITH late AS (
-      SELECT DISTINCT l.l_orderkey, l.l_suppkey
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-    )
-    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-    FROM late l1
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    WHERE EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM late l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey)
-    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
-    """,
-    tags=("correlated", "tpch", "q21"),
-)
-def q21_waiting_suppliers(spark, sf_dir):
-    """TPC-H Q21 shape (receiptdate -> shipdate-vs-orderdate against this
-    schema): suppliers who were the SOLE late supplier of a multi-supplier
-    order.  The two correlated subqueries (EXISTS another supplier /
-    NOT EXISTS another late supplier) decorrelate into per-order counts:
-    n_suppliers from lineitem, n_late from the late pair set — each one
-    narrow aggregation keyed on the order, then two broadcast-probe
-    filters.  No per-row subquery execution, no semi/anti join of the
-    fact table against itself."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    s = _t(spark, sf_dir, "supplier")
-    # late feeds TWO consumers (its own count agg + the final join) —
-    # without a cut each replays the fact-fact join (multi-consumer audit)
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .transform(truncate_lineage, eager=False)
-    )
-    n_supp = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_suppliers")
-    )
-    n_late = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_late"))
-    return (
-        late.join(n_supp, "l_orderkey")
-        .join(n_late, "l_orderkey")
-        .filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_name"))
-        .limit(20)
-    )
-
-
-@query(
-    "q22_idle_balances",
-    oracle="""
-    WITH pool AS (
-      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
-      WHERE c_nationkey IN (2, 7, 12, 17, 22)
-    ), avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
-      FROM pool WHERE c_acctbal > 0
-    )
-    SELECT c_nationkey AS cntrycode,
-           CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-    FROM pool c, avg_bal
-    WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("correlated", "tpch", "q22"),
-)
-def q22_idle_balances(spark, sf_dir):
-    """TPC-H Q22 shape (phone country code -> nation key against this
-    schema): wealthy-but-lapsed customers per country — above the pooled
-    positive-balance average (scalar subquery -> broadcast one-row
-    relation) with no orders since 2000 (NOT EXISTS -> left-anti join
-    against the date-pruned o_custkey projection).  The threshold is an
-    exact decimal sum / count, so the float compare is bit-identical on
-    both engines."""
-    pool = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_nationkey").isin(2, 7, 12, 17, 22))
-        .select("c_custkey", "c_nationkey", "c_acctbal")
-    )
-    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
-        (dsum("c_acctbal") / F.count(F.lit(1))).alias("a")
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(
-            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
-        )
-        .select("o_custkey")
-    )
-    return (
-        pool.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("a"))
-        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
-        .groupBy(F.col("c_nationkey").alias("cntrycode"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            dsum("c_acctbal").alias("totacctbal"),
-        )
-        .orderBy("cntrycode")
-    )
-
-
-@query(
-    "q15_top_supplier",
-    oracle="""
-    WITH rev AS (
-      SELECT l_suppkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tr
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-      GROUP BY l_suppkey
-    )
-    SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(r.tr AS DOUBLE), 2) AS total_revenue
-    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-    WHERE r.tr = (SELECT MAX(tr) FROM rev)
-    ORDER BY s.s_suppkey
-    """,
-    tags=("correlated", "tpch", "q15"),
-)
-def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15: the supplier(s) hitting the window's MAX revenue — the
-    max-of-aggregate join-back pattern.  Revenue stays DECIMAL through
-    the max comparison (exact equality; a double max would be a
-    last-ulp lottery), the one-row max relation broadcasts, and ALL ties
-    surface, matching the SQL subquery semantics."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
-    )
-    s = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-        ).alias("tr")
-    )
-    mx = rev.agg(F.max("tr").alias("mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("tr") == F.col("mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
-        .select(
-            "s_suppkey", "s_name", F.round(F.col("tr").cast("double"), 2).alias("total_revenue")
-        )
-        .orderBy("s_suppkey")
-    )
-
-
-@query(
-    "docs_dup_pagerank",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS (
-      SELECT doc_id, sh,
-             list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh_0,
-             list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh_1,
-             list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh_2,
-             list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh_3,
-             list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min') AS mh_4,
-             list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min') AS mh_5,
-             list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min') AS mh_6,
-             list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min') AS mh_7
-      FROM s
-    ), bands AS (
-      SELECT doc_id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM sig WHERE len(sh) > 0
-      UNION ALL
-      SELECT doc_id, 1 AS band_id, mh_2 || '|' || mh_3 AS band_key FROM sig WHERE len(sh) > 0
-      UNION ALL
-      SELECT doc_id, 2 AS band_id, mh_4 || '|' || mh_5 AS band_key FROM sig WHERE len(sh) > 0
-      UNION ALL
-      SELECT doc_id, 3 AS band_id, mh_6 || '|' || mh_7 AS band_key FROM sig WHERE len(sh) > 0
-    ), pairs AS (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-    ), sym AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ), deg AS (
-      SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
-    ), nn AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
-    ), r0 AS (
-      SELECT src AS node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM deg
-    ), c0 AS (
-      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
-      FROM sym e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
-      GROUP BY e.dst
-    ), r1 AS (
-      SELECT dst AS node,
-             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
-      FROM c0
-    ), c1 AS (
-      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
-      FROM sym e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
-      GROUP BY e.dst
-    ), r2 AS (
-      SELECT dst AS node,
-             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
-      FROM c1
-    ), c2 AS (
-      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
-      FROM sym e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
-      GROUP BY e.dst
-    ), r3 AS (
-      SELECT dst AS node,
-             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
-      FROM c2
-    ), c3 AS (
-      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
-      FROM sym e JOIN r3 r ON r.node = e.src JOIN deg d ON d.src = e.src
-      GROUP BY e.dst
-    ), r4 AS (
-      SELECT dst AS node,
-             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
-      FROM c3
-    ), c4 AS (
-      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
-      FROM sym e JOIN r4 r ON r.node = e.src JOIN deg d ON d.src = e.src
-      GROUP BY e.dst
-    ), r5 AS (
-      SELECT dst AS node,
-             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
-      FROM c4
-    ), c5 AS (
-      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
-      FROM sym e JOIN r5 r ON r.node = e.src JOIN deg d ON d.src = e.src
-      GROUP BY e.dst
-    ), r6 AS (
-      SELECT dst AS node,
-             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
-      FROM c5
-    )
-    SELECT node AS doc_id, ROUND(rank, 9) AS centrality
-    FROM r6
-    ORDER BY centrality DESC, doc_id LIMIT 50
-    """,
-    tags=("graph", "iterative", "dedup"),
-)
-def docs_dup_pagerank(spark, sf_dir):
-    """Iterative-algorithm surface, ORACLE-CHECKED: PageRank over the
-    symmetrized MinHash-LSH near-dup pair graph via
-    operators.graph.pagerank_quantized — per-iteration quantization
-    (round contributions to 12 digits, sum as exact DECIMAL, round the
-    damped update back) makes the float recurrence bit-identical across
-    engines, so the DuckDB oracle can replay all 6 power iterations as
-    unrolled CTEs and the driver's exact value-hash holds.  Rounds 1-3
-    shipped this rows-only; the quantization error (<= 6e-12) is three
-    orders below the 9-digit reporting precision, so ranking is
-    unchanged.  Numpy-verified in tests/test_graph.py."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.operators.graph import pagerank_quantized
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False).select("id_a", "id_b")
-    ranks = pagerank_quantized(pairs, n_iters=6, checkpoint_every=3)
-    return (
-        ranks.select(
-            F.col("node").alias("doc_id"), F.round("rank", 9).alias("centrality")
-        )
-        .orderBy(F.desc("centrality"), F.asc("doc_id"))
-        .limit(50)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 4: remaining TPC-H query shapes expressible on the available tables
-# (no partsupp table, so Q2/Q11/Q20 have no faithful form; Q4's
-# commit/receipt dates are substituted with a late-shipment predicate).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q6_forecast_revenue",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
-               AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-    tags=("filter", "tpch", "q6"),
-)
-def q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6: pure scan + conjunctive filter + global agg.  Every
-    predicate pushes into the parquet scan (shipdate/discount/quantity are
-    all plain columns), partial aggregation collapses each task to one row,
-    and the only exchange moves ~n_tasks rows — the cheapest possible shape
-    at 100 TB, and the canonical pushdown litmus test."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_discount") >= 0.05)
-        & (F.col("l_discount") <= 0.07)
-        & (F.col("l_quantity") < 24)
-    )
-    return li.agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
-    )
-
-
-@query(
-    "q4_late_order_priority",
-    oracle="""
-    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
-      AND EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-      )
-    GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    tags=("semi-join", "tpch", "q4"),
-)
-def q4_late_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: priority distribution of orders with at least one
-    late line (EXISTS decorrelated to a LEFT SEMI join; the testdata has no
-    commit/receipt dates, so 'late' is shipped >60 days after order date).
-    The date filter prunes orders before the join; the semi join carries
-    the non-equi lateness predicate alongside the key, so each order
-    shuffles once and duplicates never materialize."""
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    late = o.join(
-        li,
-        (o.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
-    )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@query(
-    "q7_volume_shipping",
-    oracle="""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-                AS DOUBLE) AS revenue
-    FROM lineitem l
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-    """,
-    tags=("join", "tpch", "q7"),
-)
-def q7_volume_shipping(spark, sf_dir):
-    """TPC-H Q7: bilateral trade volume between a nation pair by ship year.
-    All four dimensions broadcast; the nation-pair disjunction is applied
-    AFTER the two broadcast nation joins (it needs both sides), but
-    Catalyst still prunes fact rows at the map side because the broadcast
-    joins and the filter fuse into one codegen stage — the two fact tables
-    pay exactly one shuffle (l_orderkey) between them."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n1), F.col("sn_key") == s.s_nationkey)
-        .join(F.broadcast(n2), F.col("cn_key") == c.c_nationkey)
-        .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-        )
-        .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
-        )
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
-
-
-@query(
-    "q8_market_share",
-    oracle="""
-    WITH vol AS (
-      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS v,
-             n2.n_name AS supp_nation
-      FROM lineitem l
-      JOIN part p     ON p.p_partkey = l.l_partkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
-      JOIN region r   ON r.r_regionkey = n1.n_regionkey
-      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
-      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
-    )
-    SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE CAST(0 AS DECIMAL(18,4)) END)
-                      AS DOUBLE)
-                 / CAST(SUM(v) AS DOUBLE), 6) AS mkt_share
-    FROM vol GROUP BY o_year ORDER BY o_year
-    """,
-    tags=("join", "tpch", "q8"),
-)
-def q8_market_share(spark, sf_dir):
-    """TPC-H Q8: one nation's share of ECONOMY-part revenue sold into one
-    region, by order year.  The share is a conditional-sum / sum ratio over
-    ONE aggregation pass (no self-join); both sums stay exact DECIMAL until
-    the final double division.  Part/supplier/customer/nation/region all
-    broadcast — the fact tables shuffle once on l_orderkey."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    n1 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
-    n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    vol = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .join(F.broadcast(n1), F.col("cn_key") == c.c_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == F.col("cr_key"))
-        .join(F.broadcast(n2), F.col("sn_key") == s.s_nationkey)
-        .select(
-            F.year("o_orderdate").cast("long").alias("o_year"),
-            v.alias("v"),
-            "supp_nation",
-        )
-    )
-    zero = F.lit(0).cast("decimal(18,4)")
-    return (
-        vol.groupBy("o_year")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(zero))
-                .cast("double")
-                / F.sum("v").cast("double"),
-                6,
-            ).alias("mkt_share")
-        )
-        .orderBy("o_year")
-    )
-
-
-@query(
-    "q9_product_profit",
-    oracle="""
-    SELECT n.n_name AS nation,
-           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-                AS DOUBLE) AS revenue,
-           CAST(SUM(CAST(p.p_retailprice * l.l_quantity AS DECIMAL(18,4)))
-                AS DOUBLE) / 10.0 AS supply_cost
-    FROM lineitem l
-    JOIN part p     ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_name LIKE '%red%'
-    GROUP BY 1, 2 ORDER BY 1, 2 DESC
-    """,
-    tags=("join", "tpch", "q9"),
-)
-def q9_product_profit(spark, sf_dir):
-    """TPC-H Q9 shape: per-nation, per-year profit on parts matching a name
-    pattern.  The testdata has no partsupp table, so supply cost is modeled
-    as 10% of retail price x quantity; revenue and cost are separate exact
-    decimal sums (a fused revenue-minus-cost double sum would be
-    order-dependent), divided/subtracted only after aggregation.  LIKE
-    pushes into the broadcast part build side before the fact join."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    n = _t(spark, sf_dir, "nation")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("long").alias("o_year"),
-        )
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
-            (dsum(F.col("p_retailprice") * F.col("l_quantity"), 4) / F.lit(10.0)).alias(
-                "supply_cost"
-            ),
-        )
-        .orderBy(F.asc("nation"), F.desc("o_year"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 4: training-pipeline operators — deterministic dataset splits,
-# vocabulary coverage (OOV auditing), embedding quantization error.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "docs_train_val_test_split",
-    oracle="""
-    WITH assigned AS (
-      SELECT lang,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
-                  ELSE 'test' END AS split,
-             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
-                 AS n_tokens
-      FROM documents
-    )
-    SELECT split, lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-    FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("sampling", "split", "pipeline"),
-)
-def docs_train_val_test_split(spark, sf_dir):
-    """Deterministic train/val/test split (~80/10/10) by content-free key
-    hash: the first md5 hex byte of doc_id buckets each document into 256
-    bins compared lexicographically ('cb' = 204/256 = 79.7% train, 'e5' =
-    229/256 = 89.8% cumulative val).  Hash-based splits are retry-safe and
-    reshuffle-free — no rand(), no global sort, no state; every engine that
-    agrees on md5 agrees on the split.  One scan, one tiny shuffle of
-    (split, lang) partials."""
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    return (
-        docs.select(
-            F.when(bucket <= "cb", "train").when(bucket <= "e5", "val").otherwise("test").alias("split"),
-            "lang",
-            F.size(tokens(F.col("text"))).alias("n_tokens"),
-        )
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
-        .orderBy("split", "lang")
-    )
-
-
-@query(
-    "docs_vocab_coverage",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token FROM documents
-    ), vocab AS (
-      SELECT token FROM (
-        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
-      ) WHERE df >= 20
-    ), marked AS (
-      SELECT t.doc_id, t.lang,
-             CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
-      FROM tok t LEFT JOIN vocab v ON v.token = t.token
-    )
-    SELECT lang,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(oov) AS BIGINT) AS n_oov,
-           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
-    FROM marked GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "vocab", "pipeline"),
-)
-def docs_vocab_coverage(spark, sf_dir):
-    """Vocabulary coverage audit: build the corpus vocabulary (tokens with
-    document frequency >= 20), then measure the out-of-vocabulary token
-    rate per language — the check a tokenizer-training pipeline runs before
-    freezing a vocab.  Two aggregations over the exploded token relation:
-    the DF pass reduces to the (small, df-thresholded) vocab, which
-    broadcasts back onto the token stream for the OOV probe — at 100 TB the
-    vocab side stays bounded by the frequency cutoff (heavy-hitter sets
-    shrink as the threshold grows), so the probe join is map-side."""
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 20)
-        .select("token", F.lit(1).alias("in_vocab"))
-    )
-    marked = tok.join(F.broadcast(vocab), "token", "left")
-    return (
-        marked.groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
-            F.round(
-                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("oov_rate"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "emb_quantization_error",
-    oracle="""
-    WITH q AS (
-      SELECT label,
-             ROUND(CASE WHEN s = 0 THEN 0.0 ELSE
-               list_sum(list_transform(range(1, len(e) + 1),
-                 i -> pow(e[i] - (mn + round((e[i] - mn) / s) * s), 2)))
-               / len(e) END, 10) AS mse
-      FROM (
-        SELECT label,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-               CAST(list_min(embedding) AS DOUBLE) AS mn,
-               (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE))
-                 / 255.0 AS s
-        FROM embeddings
-      )
-    )
-    SELECT label,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(CAST(SUM(CAST(mse AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 10)
-               AS avg_mse
-    FROM q GROUP BY label ORDER BY label
-    """,
-    tags=("similarity", "quantization", "pipeline"),
-)
-def emb_quantization_error(spark, sf_dir):
-    """Embedding int8 quantization audit: per-vector min/max scalar
-    quantization (the scheme ANN stores ship embeddings with), reporting
-    per-label mean reconstruction MSE.  Entirely per-row higher-order
-    array math — zero shuffles before the final per-label partial agg —
-    so it scales embarrassingly.  Floats widen to double BEFORE any
-    arithmetic (float ops would diverge between engines); the per-row MSE
-    rounds to 10 digits and sums as exact DECIMAL so the cross-engine
-    hash is stable."""
-    emb = _t(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    mn = F.array_min(F.col("embedding")).cast("double")
-    s = (F.array_max(F.col("embedding")).cast("double") - mn) / F.lit(255.0)
-    per = emb.select(
-        "label",
-        e.alias("e"),
-        mn.alias("mn"),
-        s.alias("s"),
-    ).select(
-        "label",
-        F.round(
-            # constant vector => span 0 => scale 0: reconstruction is exact,
-            # so MSE is 0 by definition (the unguarded 0/0 would be NaN, which
-            # Spark casts to NULL DECIMAL while DuckDB errors — divergent).
-            F.when(F.col("s") == 0.0, F.lit(0.0)).otherwise(
-                F.aggregate(
-                    F.transform(
-                        F.col("e"),
-                        lambda x: F.pow(
-                            x
-                            - (
-                                F.col("mn")
-                                + F.round((x - F.col("mn")) / F.col("s")) * F.col("s")
-                            ),
-                            F.lit(2),
-                        ),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / F.size(F.col("e"))
-            ),
-            10,
-        ).alias("mse"),
-    )
-    return (
-        per.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(
-                F.sum(F.col("mse").cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)),
-                10,
-            ).alias("avg_mse"),
-        )
-        .orderBy("label")
-    )
-
-
-@query(
-    "events_per_day_dense",
-    oracle="""
-    WITH bounds AS (
-      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
-    ), spine AS (
-      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
-      FROM bounds
-    ), daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
-    )
-    SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
-    FROM spine s LEFT JOIN daily d USING (day)
-    ORDER BY s.day
-    """,
-    tags=("calendar", "gap-fill"),
-)
-def events_per_day_dense(spark, sf_dir):
-    """Calendar-spine gap fill: daily event counts with EVERY day between
-    min and max present, zero-filled — the dense series a dashboard or
-    forecasting job consumes (a sparse GROUP BY silently drops empty
-    days).  The spine is generated from a one-row min/max agg via
-    sequence+explode (rows = days, never data-sized) and the daily counts
-    broadcast-join onto it; at 100 TB the expensive side is still just the
-    one combiner-friendly daily agg."""
-    ev = _t(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("d0"),
-        F.max(F.col("ts").cast("date")).alias("d1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
-    )
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return (
-        spine.join(F.broadcast(daily), "day", "left")
-        .select("day", F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
-        .orderBy("day")
-    )
-
-
-@query(
-    "events_debounce_stats",
-    oracle="""
-    WITH seq AS (
-      SELECT event_type, ts,
-             lag(ts) OVER (PARTITION BY user_id, event_type
-                           ORDER BY ts, event_id) AS prev_ts
-      FROM events WHERE user_id IS NOT NULL
-    )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_raw,
-           CAST(SUM(CASE WHEN prev_ts IS NULL
-                          OR ts - prev_ts > INTERVAL 60 SECOND
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           ROUND(1.0 - CAST(SUM(CASE WHEN prev_ts IS NULL
-                          OR ts - prev_ts > INTERVAL 60 SECOND
-                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS drop_rate
-    FROM seq GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("dedup", "window", "debounce"),
-)
-def events_debounce_stats(spark, sf_dir):
-    """Debounce deduplication audit: collapse rapid-fire repeats (same
-    user + event type within 60 s of the previous occurrence) and report
-    kept/dropped per type — the duplicate-click cleaning an event
-    pipeline applies before sessionization.  One window pass keyed on
-    (user_id, event_type): a single exchange, and the lag comparison is
-    pure codegen.  event_id breaks ts ties so the kept set is
-    deterministic under any task order."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    kept = F.when(
-        prev.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 60_000_000),
-        1,
-    ).otherwise(0)
-    seq = ev.select("event_type", kept.alias("keep"))
-    return (
-        seq.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_raw"),
-            F.sum("keep").alias("n_kept"),
-            F.round(
-                F.lit(1.0) - F.sum("keep").cast("double") / F.count(F.lit(1)), 6
-            ).alias("drop_rate"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "docs_unigram_logprob",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
-    ), tok AS (
-      SELECT doc_id, lang, unnest(toks) AS token FROM t
-    ), counts AS (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    ), tot AS (
-      SELECT SUM(c) AS n FROM counts
-    ), lp AS (
-      SELECT token,
-             ROUND(-ln(CAST(c AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot)), 7)
-                 AS nll
-      FROM counts
-    ), per_doc AS (
-      SELECT doc_id, lang,
-             ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*), 6)
-                 AS ce
-      FROM tok JOIN lp USING (token) GROUP BY doc_id, lang
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_ce,
-           ROUND(MIN(ce), 6) AS min_ce,
-           ROUND(MAX(ce), 6) AS max_ce
-    FROM per_doc GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "lm", "pipeline"),
-)
-def docs_unigram_logprob(spark, sf_dir):
-    """Unigram language-model quality signal (the CCNet/KenLM-style
-    perplexity filter a pretraining pipeline ranks documents with,
-    reduced to its order-1 form): train the unigram LM on the corpus in
-    one token-count pass, then score every document by its mean negative
-    log-likelihood (cross-entropy) under that LM, reported per language.
-    Token NLLs round to 7 digits before the exact-decimal per-doc sum —
-    float summation order never touches the result, so the score is
-    deterministic at any parallelism.  The LM relation joins back onto
-    the token stream keyed on token (shuffle join: the vocabulary is
-    unbounded, unlike docs_vocab_coverage's df-thresholded set)."""
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = counts.agg(F.sum("c").cast("double").alias("n"))
-    lp = counts.crossJoin(F.broadcast(tot)).select(
-        "token",
-        F.round(-F.log(F.col("c").cast("double") / F.col("n")), 7).alias("nll"),
-    )
-    per_doc = (
-        tok.join(lp, "token")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.sum(F.col("nll").cast("decimal(18,7)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("ce")
-        )
-    )
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum(F.col("ce").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_ce"),
-            F.round(F.min("ce"), 6).alias("min_ce"),
-            F.round(F.max("ce"), 6).alias("max_ce"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "docs_dup_triangles",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS (
-      SELECT doc_id, sh,
-             {", ".join(
-                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-                 for j in range(8)
-             )}
-      FROM s
-    ), bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
-          "FROM sig WHERE len(sh) > 0"
-          for b in range(4)
-      )}
-    ), edges AS (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-    ), degs AS (
-      SELECT v, COUNT(*) AS deg FROM (
-        SELECT id_a AS v FROM edges UNION ALL SELECT id_b AS v FROM edges
-      ) GROUP BY v
-    ), wedge AS (
-      SELECT COALESCE(CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT), 0) AS w FROM degs
-    ), tri AS (
-      SELECT COUNT(*) AS t FROM edges e1
-      JOIN edges e2 ON e1.id_b = e2.id_a
-      WHERE EXISTS (
-        SELECT 1 FROM edges e3 WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b
-      )
-    )
-    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
-           (SELECT w FROM wedge) AS n_wedges,
-           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
-           ROUND(CASE WHEN (SELECT w FROM wedge) > 0
-                      THEN 3.0 * (SELECT t FROM tri) / (SELECT w FROM wedge)
-                      ELSE 0.0 END, 6) AS global_clustering
-    """,
-    tags=("graph", "dedup", "triangles"),
-)
-def docs_dup_triangles(spark, sf_dir):
-    """Triangle census of the MinHash-LSH verified near-dup graph
-    (operators.graph.triangle_stats): edge/wedge/triangle counts and the
-    global clustering coefficient.  High clustering confirms near-dup
-    components are tight cliques (true duplicate sets); low clustering
-    flags chain-shaped false-positive bridges that transitive removal
-    would over-delete.  Each triangle {{a<b<c}} is counted exactly once
-    via the canonical wedge join + closing-edge semi probe — vertex-keyed
-    equi-joins only, cost bounded by sum(deg^2) not |V|^2."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.operators.graph import triangle_stats
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
-    return triangle_stats(pairs)
-
-
-@query(
-    "docs_jaccard_prefix_pairs",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
-    ), t2 AS (
-      SELECT doc_id, toks FROM t WHERE len(toks) > 0
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
-    ), dfreq AS (
-      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
-    ), ranked AS (
-      SELECT doc_id, token, sz,
-             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
-      FROM tok JOIN dfreq USING (token)
-    ), prefix AS (
-      SELECT doc_id, token, sz FROM ranked
-      WHERE rn <= sz - ((92 * sz + 99) // 100) + 1
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM prefix a JOIN prefix b
-        ON a.token = b.token AND a.doc_id < b.doc_id
-      WHERE 92 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
-    ), verified AS (
-      SELECT c.id_a, c.id_b,
-             len(list_intersect(ta.toks, tb.toks)) AS inter,
-             len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))
-                 AS union_sz
-      FROM cand c
-      JOIN t2 ta ON ta.doc_id = c.id_a
-      JOIN t2 tb ON tb.doc_id = c.id_b
-    )
-    SELECT id_a, id_b,
-           CAST(inter AS BIGINT) AS inter,
-           CAST(union_sz AS BIGINT) AS union_sz,
-           ROUND(CAST(inter AS DOUBLE) / union_sz, 4) AS jaccard
-    FROM verified WHERE 100 * inter >= 92 * union_sz
-    ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "similarity", "exact-join"),
-)
-def docs_jaccard_prefix_pairs(spark, sf_dir):
-    """EXACT Jaccard>=0.92 token-set similarity join via prefix filtering
-    (operators.dedup.jaccard_prefix_pairs, the PPJoin/AllPairs family) —
-    the zero-false-negative complement to the MinHash-LSH path (LSH at
-    the same threshold is probabilistic in its banding).  Every bound is
-    integer arithmetic: prefix length L - ceil(0.92L) + 1 as
-    ``(92*sz+99) div 100``, length filter ``92*max <= 100*min``, and the
-    membership test ``100*inter >= 92*union`` — no float ever decides
-    which pairs exist, so Spark and DuckDB agree bit-for-bit."""
-    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return jaccard_prefix_pairs(docs, threshold_pct=92).orderBy("id_a", "id_b")
-
-
-@query(
-    "events_type_value_mi",
-    oracle="""
-    WITH base AS (
-      SELECT event_type AS x, CAST(FLOOR(value / 25.0) AS INT) AS y
-      FROM events WHERE value IS NOT NULL
-    ), nn AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base
-    ), cxy AS (
-      SELECT x, y, COUNT(*) AS c FROM base GROUP BY x, y
-    ), cx AS (
-      SELECT x, COUNT(*) AS c FROM base GROUP BY x
-    ), cy AS (
-      SELECT y, COUNT(*) AS c FROM base GROUP BY y
-    ), mi_terms AS (
-      SELECT ROUND(
-               (CAST(cxy.c AS DOUBLE) / (SELECT n FROM nn))
-               * ln(CAST(cxy.c AS DOUBLE) * (SELECT n FROM nn)
-                    / (CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE))), 9) AS term
-      FROM cxy JOIN cx USING (x) JOIN cy USING (y)
-    ), hx_terms AS (
-      SELECT ROUND(-(CAST(c AS DOUBLE) / (SELECT n FROM nn))
-                   * ln(CAST(c AS DOUBLE) / (SELECT n FROM nn)), 9) AS term
-      FROM cx
-    ), hy_terms AS (
-      SELECT ROUND(-(CAST(c AS DOUBLE) / (SELECT n FROM nn))
-                   * ln(CAST(c AS DOUBLE) / (SELECT n FROM nn)), 9) AS term
-      FROM cy
-    )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cxy) AS n_cells,
-           (SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
-            FROM mi_terms) AS mi_nats,
-           (SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
-            FROM hx_terms) AS h_type_nats,
-           (SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
-            FROM hy_terms) AS h_bucket_nats
-    """,
-    tags=("stats", "information", "profiling"),
-)
-def events_type_value_mi(spark, sf_dir):
-    """Mutual information between event type and value bucket, plus both
-    marginal entropies — the dependence screen a feature-selection or
-    drift-detection pass runs over a profiling cube.  One fact scan feeds
-    three tiny aggregations (cells = |types| x |buckets|, never
-    data-sized); each cell's p*ln term is a chain of single IEEE ops on
-    identical inputs, rounded to 9 digits and summed as exact DECIMAL —
-    the same determinism discipline as the unigram-LM and quantized-
-    PageRank oracles, so the value hash holds across engines."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    base = ev.select(
-        F.col("event_type").alias("x"),
-        F.floor(F.col("value") / 25.0).cast("int").alias("y"),
-    )
-    nn = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    cxy = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
-    cx = base.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
-    cy = base.groupBy("y").agg(F.count(F.lit(1)).alias("cy"))
-
-    def dec_sum(col):
-        return F.round(F.sum(col.cast("decimal(18,9)")).cast("double"), 6)
-
-    mi_terms = (
-        cxy.join(F.broadcast(cx), "x")
-        .join(F.broadcast(cy), "y")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            F.round(
-                (F.col("c").cast("double") / F.col("n"))
-                * F.log(
-                    F.col("c").cast("double")
-                    * F.col("n")
-                    / (F.col("cx").cast("double") * F.col("cy").cast("double"))
-                ),
-                9,
-            ).alias("term")
-        )
-    )
-    hx_terms = cx.crossJoin(F.broadcast(nn)).select(
-        F.round(
-            -(F.col("cx").cast("double") / F.col("n"))
-            * F.log(F.col("cx").cast("double") / F.col("n")),
-            9,
-        ).alias("term")
-    )
-    hy_terms = cy.crossJoin(F.broadcast(nn)).select(
-        F.round(
-            -(F.col("cy").cast("double") / F.col("n"))
-            * F.log(F.col("cy").cast("double") / F.col("n")),
-            9,
-        ).alias("term")
-    )
-    n_cells = cxy.agg(F.count(F.lit(1)).alias("n_cells"))
-    mi = mi_terms.agg(dec_sum(F.col("term")).alias("mi_nats"))
-    hx = hx_terms.agg(dec_sum(F.col("term")).alias("h_type_nats"))
-    hy = hy_terms.agg(dec_sum(F.col("term")).alias("h_bucket_nats"))
-    return (
-        n_cells.crossJoin(F.broadcast(mi))
-        .crossJoin(F.broadcast(hx))
-        .crossJoin(F.broadcast(hy))
-    )
-
-
-@query(
-    "docs_substring_dup_spans",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), t2 AS (
-      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 12
-    ), win AS (
-      SELECT doc_id, unnest(range(1, n - 12 + 2)) AS p, toks FROM t2
-    ), wh AS (
-      SELECT doc_id, p, md5(array_to_string(toks[p:p+11], chr(31))) AS h FROM win
-    ), duph AS (
-      SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2
-    ), dupw AS (
-      SELECT doc_id, p, p + 11 AS e FROM wh JOIN duph USING (h)
-    ), isl AS (
-      SELECT doc_id, p, e,
-             CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                  THEN 1 ELSE 0 END AS new_span
-      FROM dupw
-    ), isl2 AS (
-      SELECT doc_id, p, e,
-             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
-      FROM isl
-    ), spans AS (
-      SELECT doc_id, span_id, MIN(p) AS sp, MAX(e) AS ep, COUNT(*) AS nw
-      FROM isl2 GROUP BY doc_id, span_id
-    )
-    SELECT sp.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-           CAST(SUM(ep - sp.sp + 1) AS BIGINT) AS dup_tokens,
-           CAST(ANY_VALUE(d.n) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(ep - sp.sp + 1) AS DOUBLE) / ANY_VALUE(d.n), 4) AS dup_frac
-    FROM spans sp JOIN t2 d USING (doc_id)
-    GROUP BY sp.doc_id ORDER BY sp.doc_id
-    """,
-    tags=("dedup", "substring", "llm-pipeline"),
-)
-def docs_substring_dup_spans(spark, sf_dir):
-    """Span-level exact substring dedup audit (ExactSubstr family): per
-    document, the maximal 12-token-window spans whose content occurs at
-    least twice anywhere in the corpus, with the duplicated-token fraction
-    — the report an LLM-corpus pipeline uses to strip repeated
-    boilerplate/templates that whole-document dedup cannot see.  Built on
-    operators.dedup.substring_dup_spans (sliding window hashes -> repeat
-    groupBy -> per-doc interval union); the oracle replays the entire
-    pipeline in SQL with the md5 backend, so every span boundary is
-    hash-checked.  Shuffle ∝ token windows (corpus token count), never
-    doc pairs; all-integer span arithmetic — no float decides a span."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-    from prod_data_pipeline_spark.operators.dedup import substring_dup_spans
-
-    docs = _t(spark, sf_dir, "documents")
-    spans = substring_dup_spans(docs, window=12, hash_fn="md5")
-    sizes = docs.select(
-        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_spans"),
-            F.sum(F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("dup_tokens"),
-        )
-        .join(sizes, "doc_id")
-        .select(
-            "doc_id",
-            "n_dup_spans",
-            "dup_tokens",
-            "n_tokens",
-            F.round(F.col("dup_tokens").cast("double") / F.col("n_tokens"), 4).alias(
-                "dup_frac"
-            ),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@query(
-    "docs_bpe_merge_candidates",
-    oracle=f"""
-    WITH tok AS (
-      SELECT unnest({_TOKS_SQL}) AS token FROM documents
-    ), tf AS (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    ), pairs AS (
-      SELECT unnest(list_transform(range(1, length(token)), i -> substr(token, i, 2)))
-                 AS pair,
-             c
-      FROM tf WHERE length(token) >= 2
-    )
-    SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
-    FROM pairs GROUP BY pair
-    ORDER BY pair_count DESC, pair ASC LIMIT 20
-    """,
-    tags=("text", "tokenizer", "llm-pipeline"),
-)
-def docs_bpe_merge_candidates(spark, sf_dir):
-    """BPE tokenizer-training first step: corpus-weighted adjacent
-    character-pair frequencies — the statistic whose argmax IS the first
-    BPE merge (Sennrich et al.'s algorithm; subsequent merges iterate the
-    same count on updated symbol sequences).  Computed on the DISTINCT
-    word table weighted by word frequency, exactly like real BPE trainers:
-    the pair enumeration runs over |vocab| distinct words (tiny), while the
-    corpus-sized work is one combiner-friendly word-count agg — at 100 TB
-    the token stream collapses map-side and only (word, count) shuffles.
-    Top-20 with count-desc + pair-asc tie-break for determinism."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    tf = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pairs = tf.filter(F.length("token") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("token") - 1),
-                lambda i: F.substring(F.col("token"), i, F.lit(2)),
-            )
-        ).alias("pair"),
-        "c",
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("c").cast("long").alias("pair_count"))
-        .orderBy(F.desc("pair_count"), F.asc("pair"))
-        .limit(20)
-    )
-
-
-@query(
-    "docs_bpe_second_merge",
-    oracle=f"""
-    WITH tok AS (
-      SELECT unnest({_TOKS_SQL}) AS token FROM documents
-    ), tf AS (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    ), p1 AS (
-      SELECT unnest(list_transform(range(1, length(token)), i -> substr(token, i, 2)))
-                 AS pair, c
-      FROM tf WHERE length(token) >= 2
-    ), m1 AS (
-      SELECT pair FROM p1 GROUP BY pair
-      ORDER BY SUM(c) DESC, pair ASC LIMIT 1
-    ), t2 AS (
-      SELECT replace(token, (SELECT pair FROM m1), '1') AS token, c FROM tf
-    ), p2 AS (
-      SELECT unnest(list_transform(range(1, length(token)), i -> substr(token, i, 2)))
-                 AS pair, c
-      FROM t2 WHERE length(token) >= 2
-    )
-    SELECT (SELECT pair FROM m1) AS merge_1, pair, CAST(SUM(c) AS BIGINT) AS pair_count
-    FROM p2 GROUP BY pair
-    ORDER BY pair_count DESC, pair ASC LIMIT 10
-    """,
-    tags=("text", "tokenizer", "llm-pipeline", "iterative"),
-)
-def docs_bpe_second_merge(spark, sf_dir):
-    """BPE training iteration TWO: take the argmax pair of iteration one
-    (count-desc + pair-asc tie-break makes the winner engine-independent),
-    apply the merge to every word's symbol sequence (left-to-right
-    non-overlapping replace — identical semantics in the JVM and DuckDB;
-    the merged symbol becomes '1', a character outside the corpus's pure
-    a-z token alphabet), and recount adjacent symbol pairs.  Proof that
-    the BPE recurrence — not just its first statistic — is expressible as
-    a deterministic dataflow any engine replays exactly, the same
-    unrolled-iteration recipe that oracled PageRank.  Work per iteration
-    stays vocab-sized: the corpus is touched once (word counts); merges
-    rewrite the distinct-word table only."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    tf = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pair_expl = lambda src: src.filter(F.length("token") >= 2).select(  # noqa: E731
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("token") - 1),
-                lambda i: F.substring(F.col("token"), i, F.lit(2)),
-            )
-        ).alias("pair"),
-        "c",
-    )
-    m1 = (
-        pair_expl(tf)
-        .groupBy("pair")
-        .agg(F.sum("c").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("pair"))
-        .limit(1)
-        .select(F.col("pair").alias("merge_1"))
-    )
-    t2 = tf.crossJoin(F.broadcast(m1)).select(
-        F.replace(F.col("token"), F.col("merge_1"), F.lit("1")).alias("token"), "c"
-    )
-    return (
-        pair_expl(t2)
-        .groupBy("pair")
-        .agg(F.sum("c").cast("long").alias("pair_count"))
-        .crossJoin(F.broadcast(m1))
-        .select("merge_1", "pair", "pair_count")
-        .orderBy(F.desc("pair_count"), F.asc("pair"))
-        .limit(10)
-    )
-
-
-def _bpe_train_oracle(n_merges: int) -> str:
-    """Unrolled-CTE oracle for the N-merge BPE trainer: tf0 is the
-    corpus-weighted distinct-word relation; each level i extracts
-    adjacent symbol pairs from tf(i-1), takes the deterministic argmax
-    (count desc, pair asc), and rewrites the vocab with the merge's
-    single-char symbol — the same recipe that oracled PageRank/PCA,
-    generated mechanically instead of hand-written 16 times.
-
-    Every tf/m level is AS MATERIALIZED: tf{i} references tf{i-1} twice
-    (pair argmax + rewrite), so default CTE inlining would expand tf0
-    2^N times — 65536 scans of documents.parquet at N=16."""
-    parts = [
-        f"""
-    WITH tok AS (
-      SELECT unnest({_TOKS_SQL}) AS token FROM documents
-    ), tf0 AS MATERIALIZED (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    )"""
-    ]
-    for i in range(1, n_merges + 1):
-        sym = chr(ord("A") + i - 1)
-        parts.append(
-            f""", m{i} AS MATERIALIZED (
-      SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM (
-        SELECT unnest(list_transform(range(1, length(token)), j -> substr(token, j, 2)))
-                   AS pair, c
-        FROM tf{i - 1} WHERE length(token) >= 2
-      ) GROUP BY pair
-      ORDER BY cnt DESC, pair ASC LIMIT 1
-    ), tf{i} AS MATERIALIZED (
-      SELECT replace(token, (SELECT pair FROM m{i}), '{sym}') AS token, c
-      FROM tf{i - 1}
-    )"""
-        )
-    selects = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS merge_rank,"
-        f" (SELECT pair FROM m{i}) AS pair,"
-        f" (SELECT cnt FROM m{i}) AS pair_count,"
-        f" '{chr(ord('A') + i - 1)}' AS new_symbol"
-        for i in range(1, n_merges + 1)
-    )
-    parts.append(f" SELECT * FROM ({selects}) ORDER BY merge_rank")
-    return "".join(parts)
-
-
-@query(
-    "docs_bpe_train_16",
-    oracle=_bpe_train_oracle(16),
-    tags=("text", "tokenizer", "llm-pipeline", "iterative"),
-)
-def docs_bpe_train_16(spark, sf_dir, n_merges: int = 16):
-    """Generalized BPE TRAINER: the full Sennrich et al. loop for 16
-    merges, not a two-step demo — the output is the ordered merge table
-    (merge_rank, pair, pair_count, new_symbol) a tokenizer ships.  Each
-    iteration takes the deterministic argmax adjacent-symbol pair
-    (count desc, pair asc tie-break) over the corpus-weighted
-    DISTINCT-WORD relation and rewrites that vocab with a fresh
-    single-char symbol ('A'..'P', outside the corpus's pure a-z token
-    alphabet), exactly like docs_bpe_second_merge but iterated; since
-    every merged symbol is one char, the symbol sequence IS the string
-    and left-to-right non-overlapping replace() has identical semantics
-    in the JVM and DuckDB.
-
-    Scale shape — the part that matters at 100 TB: the CORPUS is
-    touched exactly once (the combiner-friendly word-count agg; only
-    (word, count) pairs shuffle).  All 16 iterations run on the
-    vocab-sized relation (|distinct words| rows), each a tiny pair agg
-    + a projection; the per-iteration argmax is a single-row collect —
-    the merge table is the driver-resident artifact by design, the
-    vocab never leaves the cluster.  Lineage is truncated every 4
-    merges so the plan depth stays bounded for any n_merges.  Oracle:
-    16-level unrolled CTEs generated by _bpe_train_oracle (the
-    PageRank/PCA unrolled-iteration recipe)."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .transform(truncate_lineage, eager=True)  # vocab-sized; corpus never re-read
-    )
-    merges: list[tuple[int, str, int, str]] = []
-    cur = vocab
-    for i in range(1, n_merges + 1):
-        top = (
-            cur.filter(F.length("token") >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("token") - 1),
-                        lambda j: F.substring(F.col("token"), j, F.lit(2)),
-                    )
-                ).alias("pair"),
-                "c",
-            )
-            .groupBy("pair")
-            .agg(F.sum("c").cast("long").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .first()
-        )
-        sym = chr(ord("A") + i - 1)
-        merges.append((i, top["pair"], int(top["cnt"]), sym))
-        cur = cur.select(
-            F.replace(F.col("token"), F.lit(top["pair"]), F.lit(sym)).alias("token"),
-            "c",
-        )
-        if i % 4 == 0 and i < n_merges:
-            cur = cur.transform(truncate_lineage, eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank long, pair string, pair_count long, new_symbol string"
-    )
-
-
-@query(
-    "docs_bigram_logprob",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS token FROM t
-    ), cu AS (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    ), nn AS (
-      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cu
-    ), bi AS (
-      SELECT doc_id, lang, toks[i] AS prev, toks[i+1] AS cur
-      FROM t, unnest(range(1, len(toks))) AS u(i)
-      WHERE len(toks) >= 2
-    ), cb AS (
-      SELECT prev, cur, COUNT(*) AS c FROM bi GROUP BY prev, cur
-    ), cc AS (
-      SELECT prev, SUM(c) AS c FROM cb GROUP BY prev
-    ), nll AS (
-      SELECT cb.prev, cb.cur,
-             ROUND(-ln(
-               0.8 * (CAST(cb.c AS DOUBLE) / CAST(cc.c AS DOUBLE))
-               + 0.2 * (CAST(cu.c AS DOUBLE) / (SELECT n FROM nn))), 7) AS nll
-      FROM cb JOIN cc USING (prev) JOIN cu ON cu.token = cb.cur
-    ), per_doc AS (
-      SELECT bi.doc_id, bi.lang,
-             ROUND(CAST(SUM(CAST(nll.nll AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*), 6)
-                 AS ce
-      FROM bi JOIN nll ON nll.prev = bi.prev AND nll.cur = bi.cur
-      GROUP BY bi.doc_id, bi.lang
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_ce,
-           ROUND(MIN(ce), 6) AS min_ce,
-           ROUND(MAX(ce), 6) AS max_ce
-    FROM per_doc GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "lm", "pipeline"),
-)
-def docs_bigram_logprob(spark, sf_dir):
-    """Order-2 language-model quality signal: Jelinek-Mercer interpolated
-    bigram LM (lambda=0.8 bigram MLE + 0.2 unigram MLE — the standard
-    smoothing that keeps unseen-in-context continuations finite) trained
-    on the corpus, scoring each document's mean NLL over positions 2..n,
-    per language.  The KenN-gram upgrade of docs_unigram_logprob: context
-    counts derive from the bigram-count relation itself (one extra tiny
-    agg), the per-BIGRAM-TYPE NLL is computed once and joined back onto
-    the bigram stream (vocabulary-sized relation, never corpus-sized
-    float math), and the round(7)-then-DECIMAL-sum recipe makes scores
-    independent of summation order.  All probability arithmetic is a
-    fixed chain of single IEEE ops on identical inputs, so DuckDB
-    replays it bit-for-bit.  Docs with fewer than 2 tokens have no
-    scored positions and are excluded by construction."""
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
-    tok = t.select(F.explode("toks").alias("token"))
-    cu = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
-    nn = cu.agg(F.sum("cu").cast("double").alias("n"))
-    bi = t.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("toks"), i).alias("prev"),
-                    F.element_at(F.col("toks"), i + 1).alias("cur"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "lang", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    cb = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
-    cc = cb.groupBy("prev").agg(F.sum("cb").alias("cc"))
-    nll = (
-        cb.join(cc, "prev")
-        .join(cu.withColumnRenamed("token", "cur"), "cur")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "prev",
-            "cur",
-            F.round(
-                -F.log(
-                    F.lit(0.8) * (F.col("cb").cast("double") / F.col("cc").cast("double"))
-                    + F.lit(0.2) * (F.col("cu").cast("double") / F.col("n"))
-                ),
-                7,
-            ).alias("nll"),
-        )
-    )
-    per_doc = (
-        bi.join(nll, ["prev", "cur"])
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.sum(F.col("nll").cast("decimal(18,7)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("ce")
-        )
-    )
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum(F.col("ce").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_ce"),
-            F.round(F.min("ce"), 6).alias("min_ce"),
-            F.round(F.max("ce"), 6).alias("max_ce"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "docs_lsh_recall_vs_exact",
-    oracle=f"""
-    WITH t0 AS (
-      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) >= 3
-                  THEN list_distinct(list_transform(range(1, len(tk)-1),
-                         i -> array_to_string(tk[i:i+2], ' ')))
-                  ELSE [] END AS toks
-      FROM t0
-    ), t2 AS (
-      SELECT doc_id, toks FROM sh WHERE len(toks) > 0
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
-    ), dfreq AS (
-      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
-    ), ranked AS (
-      SELECT doc_id, token, sz,
-             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
-      FROM tok JOIN dfreq USING (token)
-    ), prefix AS (
-      SELECT doc_id, token, sz FROM ranked
-      WHERE rn <= sz - ((50 * sz + 99) // 100) + 1
-    ), pcand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM prefix a JOIN prefix b
-        ON a.token = b.token AND a.doc_id < b.doc_id
-      WHERE 50 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
-    ), exact AS (
-      SELECT c.id_a, c.id_b FROM pcand c
-      JOIN t2 ta ON ta.doc_id = c.id_a
-      JOIN t2 tb ON tb.doc_id = c.id_b
-      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
-            >= 50 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
-    ), sig AS (
-      SELECT doc_id, toks,
-             {", ".join(
-                 f"list_aggregate(list_transform(toks, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-                 for j in range(8)
-             )}
-      FROM t2
-    ), bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key FROM sig"
-          for b in range(4)
-      )}
-    ), lcand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), lsh AS (
-      SELECT c.id_a, c.id_b FROM lcand c
-      JOIN t2 ta ON ta.doc_id = c.id_a
-      JOIN t2 tb ON tb.doc_id = c.id_b
-      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
-            >= 50 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
-    )
-    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
-           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
-           CAST((SELECT COUNT(*) FROM exact) - (SELECT COUNT(*) FROM lsh) AS BIGINT)
-               AS n_missed,
-           ROUND(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE)
-                 / greatest((SELECT COUNT(*) FROM exact), 1), 4) AS recall
-    """,
-    tags=("dedup", "similarity", "recall", "instrumentation"),
-)
-def docs_lsh_recall_vs_exact(spark, sf_dir, sample_pct: int = 100):
-    """LSH recall audit against EXACT ground truth, both sides
-    hash-oracle-checked: the prefix-filtered exact similarity join
-    (operators.dedup.jaccard_prefix_pairs in SHINGLE space — the space
-    LSH banding actually operates in) enumerates every pair with 3-gram
-    shingle Jaccard >= 0.5; the MinHash-LSH path (8 md5 hashes, 4 bands
-    of 2) finds the subset whose signatures collide in some band.  Both
-    memberships use the identical all-integer rule (100*inter >=
-    50*union) — no rounding boundary can make the sides disagree, so
-    recall is exact and n_missed = n_exact - n_lsh by construction.  The
-    text-side twin of emb_ivf_recall, but fully oracled: approximation
-    quality as a first-class, driver-verified measurement instead of a
-    unit-test assertion.
-
-    ``sample_pct`` keeps the audit runnable at 100x corpus scale: below
-    100, a deterministic md5-bucketed DOC sample (operators.sampling
-    .hash_sample, fixed salt) restricts BOTH the exact ground truth and
-    the LSH side to the same subcorpus, so the recall ratio is measured
-    on an unbiased pair subsample (band collision probability depends
-    only on the two docs' shingles, not on who else is in the corpus,
-    so per-pair LSH membership is identical in the subsample).  The
-    oracle and driver run the full-corpus default; the knob is the
-    production configuration for petabyte audits."""
-    from prod_data_pipeline_spark.operators.dedup import (
-        jaccard_prefix_pairs,
-        lsh_bands,
-        with_minhash,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    if sample_pct < 100:
-        from prod_data_pipeline_spark.operators.sampling import hash_sample
-
-        docs = hash_sample(docs, sample_pct / 100.0, "doc_id", salt="recall_audit")
-    exact = jaccard_prefix_pairs(docs, threshold_pct=50, shingle_n=3).select(
-        "id_a", "id_b"
-    )
-    sig = with_minhash(docs, num_hashes=8, shingle_n=3, hash_fn="md5").select(
-        "doc_id", "shingle_set", *[f"mh_{j}" for j in range(8)]
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    bands = lsh_bands(sig, "doc_id", 8, 2)
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("set_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("set_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size("set_a") + F.size("set_b") - inter
-    lsh = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(F.lit(100) * inter >= F.lit(50) * union)
-        .select("id_a", "id_b")
-        .transform(truncate_lineage, eager=True)  # materialize, then release the sig cache
-    )
-    sig.unpersist()
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    return (
-        n_exact.crossJoin(F.broadcast(n_lsh))
-        .select(
-            "n_exact",
-            "n_lsh",
-            (F.col("n_exact") - F.col("n_lsh")).alias("n_missed"),
-            F.round(
-                F.col("n_lsh").cast("double") / F.greatest("n_exact", F.lit(1)), 4
-            ).alias("recall"),
-        )
-    )
-
-
-@query(
-    "docs_cross_source_dup_matrix",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, list_distinct({_TOKS_SQL}) AS toks FROM documents
-    ), t2 AS (
-      SELECT doc_id, source, toks FROM t WHERE len(toks) > 0
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
-    ), dfreq AS (
-      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
-    ), ranked AS (
-      SELECT doc_id, token, sz,
-             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
-      FROM tok JOIN dfreq USING (token)
-    ), prefix AS (
-      SELECT doc_id, token, sz FROM ranked
-      WHERE rn <= sz - ((92 * sz + 99) // 100) + 1
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM prefix a JOIN prefix b
-        ON a.token = b.token AND a.doc_id < b.doc_id
-      WHERE 92 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
-    ), pairs AS (
-      SELECT ta.source AS sa, tb.source AS sb FROM cand c
-      JOIN t2 ta ON ta.doc_id = c.id_a
-      JOIN t2 tb ON tb.doc_id = c.id_b
-      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
-            >= 92 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
-    )
-    SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
-           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
-    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    tags=("dedup", "curation", "diagnostics"),
-)
-def docs_cross_source_dup_matrix(spark, sf_dir):
-    """Cross-source duplication matrix: exact Jaccard>=0.92 near-dup pair
-    counts between every (source, source) combination — the diagnostic a
-    curation pipeline uses to decide WHICH feeds mirror each other (and
-    so which to down-weight or dedup against which).  Built on the exact
-    prefix-filtered similarity join (zero false negatives: a source pair
-    reported clean IS clean); sources are canonically ordered
-    (least/greatest) so the matrix is upper-triangular and
-    order-independent.  Adds one broadcast-sized source lookup to the
-    proven prefix-join plan; the matrix itself is |sources|² rows."""
-    from prod_data_pipeline_spark.operators.dedup import jaccard_prefix_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_prefix_pairs(docs, threshold_pct=92).select("id_a", "id_b")
-    src = docs.select("doc_id", "source")
-    return (
-        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa"), "id_a")
-        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb"), "id_b")
-        .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
-        .orderBy("source_a", "source_b")
-    )
-
-
-@query(
-    "docs_zipf_fit",
-    oracle=f"""
-    WITH tok AS (
-      SELECT unnest({_TOKS_SQL}) AS token FROM documents
-    ), tf AS (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    ), ranked AS (
-      SELECT token, c,
-             row_number() OVER (ORDER BY c DESC, token) AS rnk
-      FROM tf
-    ), top AS (
-      SELECT ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS x,
-             ROUND(ln(CAST(c AS DOUBLE)), 9) AS y
-      FROM ranked WHERE rnk <= 1000
-    ), s AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
-      FROM top
-    )
-    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-               AS intercept
-    FROM s
-    """,
-    tags=("text", "diagnostics", "corpus-health"),
-)
-def docs_zipf_fit(spark, sf_dir):
-    """Zipf's-law fit over the corpus frequency table: least-squares slope
-    of ln(freq) vs ln(rank) for the top-1000 tokens (a healthy natural
-    corpus slopes near -1; template/boilerplate-heavy corpora flatten, a
-    broken tokenizer steepens — the one-number corpus-health check).
-    Ranks use a count-desc + token tie-break so the ranking is total and
-    engine-independent; the regression's four sums go through
-    round(9)-then-exact-DECIMAL so float order never touches the fit, and
-    the closed-form slope/intercept are a fixed chain of IEEE ops on
-    identical inputs.  One corpus-sized token count (combiner-friendly);
-    the global rank window never sees the full vocabulary — any global
-    top-1000 token is in its partition's top-1000, so an exact
-    per-partition prune bounds the single-partition sort at
-    1000 x tasks rows regardless of vocab size."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    tf = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    wp = Window.partitionBy(F.spark_partition_id()).orderBy(F.desc("c"), F.asc("token"))
-    cand = (
-        tf.withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= 1000)
-        .drop("prn")
-    )
-    w = Window.orderBy(F.desc("c"), F.asc("token"))
-    top = (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 1000)
-        .select(
-            F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
-            F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
-        )
-    )
-    s = top.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(18,9)")).cast("double").alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)")).cast("double").alias("sxx"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return s.select(
-        F.col("n").cast("long").alias("n_tokens_fit"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
-    )
-
-
-@query(
-    "docs_shard_assignment",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), assigned AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5('shard:' || doc_id), 1, 10))::BIGINT % 8 AS INT)
-                 AS shard,
-             len(toks) AS n_tokens
-      FROM t
-    )
-    SELECT shard,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
-           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
-    FROM assigned GROUP BY shard ORDER BY shard
-    """,
-    tags=("sampling", "shard", "llm-pipeline"),
-)
-def docs_shard_assignment(spark, sf_dir):
-    """Training-shard assignment audit: every document routes to one of 8
-    output shards by a content-free md5 key hash (first 10 hex digits mod
-    8) — the writer layout a pretraining pipeline uses so any shard
-    subset is an unbiased corpus sample, re-runs are idempotent
-    (no rand(), no global state), and shards can be written in parallel
-    with no coordination.  The audit reports per-shard doc/token totals
-    (law-of-large-numbers balance check — a skewed shard means a broken
-    hash) plus id ranges.  One scan, one 8-row agg; at 100 TB the same
-    expression IS the `partitionBy` key for the sharded writer."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 10
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        % 8
-    ).cast("int")
-    return (
-        docs.select(
-            "doc_id",
-            shard.alias("shard"),
-            F.size(_tokens(F.col("text"))).alias("n_tokens"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-        .orderBy("shard")
-    )
-
-
-@query(
-    "docs_quality_weighted_sample",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), scored AS (
-      SELECT doc_id, source,
-             CAST(ROUND(10000 * ROUND(
-               0.5 * least(len(toks) / 100.0, 1.0)
-               + 0.5 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)), 4))
-               AS BIGINT) AS score_e4,
-             ('0x' || substr(md5('qws:' || doc_id), 1, 10))::BIGINT AS h40
-      FROM t WHERE len(toks) > 0
-    ), marked AS (
-      SELECT source, score_e4,
-             CASE WHEN h40 * 10000 < score_e4 * 1099511627776 THEN 1 ELSE 0 END AS kept
-      FROM scored
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(kept) AS BIGINT) AS n_kept,
-           ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS kept_frac,
-           ROUND(CAST(SUM(CASE WHEN kept = 1 THEN score_e4 ELSE 0 END) AS DOUBLE)
-                 / (10000 * greatest(SUM(kept), 1)), 6) AS avg_quality_kept
-    FROM marked GROUP BY source ORDER BY source
-    """,
-    tags=("sampling", "quality", "llm-pipeline"),
-)
-def docs_quality_weighted_sample(spark, sf_dir):
-    """Quality-weighted deterministic sampling (importance-resampling
-    flavor, the DoReMi/CCNet-style knob): each document is kept with
-    probability equal to its [0,1] quality score, decided by a content-free
-    md5 hash — retry-safe, reshuffle-free, no rand().  The accept test is
-    ALL-INTEGER: h40 * 10000 < score_e4 * 2^40, where h40 is the first 10
-    md5 hex digits (< 2^40, exact in int64) and score_e4 the 4-decimal
-    score scaled to an integer — no float comparison ever decides
-    membership, so every engine agrees on the exact sample.  One scan, one
-    tiny per-source agg; the scoring reuses operators.text.quality_score
-    (oracle-green in docs_quality_scores)."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-    from prod_data_pipeline_spark.operators.text import quality_score
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    base = docs.select(
-        "doc_id", "source", toks.alias("toks"), F.array_distinct(toks).alias("dtoks")
-    ).filter(F.size("toks") > 0)
-    score_e4 = F.round(
-        F.lit(10000) * quality_score(F.col("toks"), F.col("dtoks")), 0
-    ).cast("long")
-    h40 = F.conv(F.substring(F.md5(F.concat(F.lit("qws:"), F.col("doc_id").cast("string"))), 1, 10), 16, 10).cast("long")
-    marked = base.select(
-        "source",
-        score_e4.alias("score_e4"),
-        F.when(h40 * F.lit(10000) < score_e4 * F.lit(1 << 40), 1).otherwise(0).alias("kept"),
-    )
-    return (
-        marked.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("kept").cast("long").alias("n_kept"),
-            F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 4).alias("kept_frac"),
-            F.round(
-                F.sum(F.when(F.col("kept") == 1, F.col("score_e4")).otherwise(0)).cast("double")
-                / (F.lit(10000) * F.greatest(F.sum("kept"), F.lit(1))),
-                6,
-            ).alias("avg_quality_kept"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 5: the four remaining TPC-H shapes — Q2/Q5/Q11/Q20 — completing all
-# 22.  The testdata has no partsupp table, so Q2/Q11/Q20 derive the
-# part-supplier relation from lineitem (l_partkey, l_suppkey), preserving
-# each query's defining operator shape (correlated MIN, scalar-subquery
-# HAVING, nested semi-join chain) rather than its exact catalog.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q2_min_cost_supplier",
-    oracle="""
-    WITH ps AS (
-      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_cost
-      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
-    ), eu AS (
-      SELECT ps.partkey, ps.suppkey, ps.unit_cost,
-             s.s_name, s.s_acctbal, n.n_name
-      FROM ps
-      JOIN supplier s ON s.s_suppkey = ps.suppkey
-      JOIN nation n   ON n.n_nationkey = s.s_nationkey
-      JOIN region r   ON r.r_regionkey = n.n_regionkey
-      WHERE r.r_name = 'EUROPE'
-    ), best AS (
-      SELECT partkey, MIN(unit_cost) AS min_cost FROM eu GROUP BY 1
-    )
-    SELECT CAST(e.s_acctbal AS DOUBLE) AS s_acctbal, e.s_name,
-           e.n_name AS nation, p.p_partkey, p.p_name
-    FROM eu e
-    JOIN best b ON b.partkey = e.partkey AND e.unit_cost = b.min_cost
-    JOIN part p ON p.p_partkey = e.partkey
-    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
-    ORDER BY s_acctbal DESC, nation, s_name, p_partkey LIMIT 100
-    """,
-    tags=("join", "tpch", "q2", "correlated-subquery"),
-)
-def q2_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 shape: for every size-15 STANDARD part, the EUROPE supplier
-    offering the minimum unit cost.  No partsupp table exists, so the
-    supply relation is derived as MIN(l_extendedprice/l_quantity) per
-    (l_partkey, l_suppkey) — the correlated-MIN subquery of the spec is
-    decorrelated into a per-part groupBy-min joined back on (partkey,
-    unit_cost).  Unit cost stays a raw IEEE double end-to-end (one
-    division, one MIN — both engines produce identical bits; no rounding
-    ever decides the match).  At 100 TB the ps aggregation shuffles
-    (partkey, suppkey) once; supplier/nation/region broadcast; the min
-    join is partkey-aligned with the eu relation — no extra exchange."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    ps = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    eu = (
-        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
-        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
-        .select("partkey", "suppkey", "unit_cost", "s_name", "s_acctbal", "n_name")
-    )
-    best = eu.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
-    p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-    )
-    return (
-        eu.join(
-            best,
-            (eu.partkey == best.partkey) & (eu.unit_cost == best.min_cost),
-        )
-        .drop(best.partkey)
-        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
-        .select(
-            F.col("s_acctbal").cast("double").alias("s_acctbal"),
-            "s_name",
-            F.col("n_name").alias("nation"),
-            "p_partkey",
-            "p_name",
-        )
-        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
-        .limit(100)
-    )
-
-
-@query(
-    "q5_local_supplier_volume",
-    oracle="""
-    SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-                AS DOUBLE) AS revenue
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY 1 ORDER BY revenue DESC, nation
-    """,
-    tags=("join", "tpch", "q5"),
-)
-def q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 (full fidelity — every column exists): revenue by nation
-    for orders where customer and supplier share the nation, region-
-    filtered.  The local-supplier condition (s_nationkey = c_nationkey)
-    rides the broadcast supplier join as an extra predicate, so the only
-    shuffle is the orders-lineitem orderkey exchange; the date filter
-    prunes orders before that shuffle and region/nation prune the
-    broadcast build sides.  Exact decimal revenue, double at the end."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(
-            F.broadcast(s),
-            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
-        )
-        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
-        .orderBy(F.desc("revenue"), "nation")
-    )
-
-
-@query(
-    "q11_important_part_value",
-    oracle="""
-    WITH val AS (
-      SELECT l.l_partkey AS p_partkey,
-             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS v
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n   ON n.n_nationkey = s.s_nationkey
-      WHERE n.n_name = 'NATION_3'
-      GROUP BY 1
-    )
-    SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
-    FROM val
-    WHERE v * 500 > (SELECT SUM(v) FROM val)
-    ORDER BY part_value DESC, p_partkey
-    """,
-    tags=("join", "tpch", "q11", "scalar-subquery"),
-)
-def q11_important_part_value(spark, sf_dir):
-    """TPC-H Q11 shape: parts whose traded value through NATION_3
-    suppliers exceeds 1/500 of that nation's total (partsupp's
-    availqty*supplycost is modeled as lineitem revenue per part).  The
-    defining operator — a scalar aggregate subquery in the HAVING — is
-    decorrelated as a one-row broadcast cross join against the per-part
-    values.  The threshold test is exact: per-part DECIMAL sums, the
-    global total a DECIMAL sum of those, and an integer-scaled comparison
-    (v*500 > total) — no float ever decides membership.  One fact shuffle
-    on l_partkey; the one-row total broadcasts.
-
-    The per-part relation is localCheckpoint'd (lazy) before it forks
-    into the total branch and the filter branch: without it Catalyst
-    re-derives both branches from the scan and the fact table is read
-    TWICE (AQE's ReuseExchange does not fire here — the grouping branches
-    canonicalize differently).  The checkpoint materializes only the
-    per-part aggregates (bounded by |parts|, not |lineitem|), which is
-    the cheap side of that trade at any scale; cf. SCALE.md "cache
-    lifecycle" policy."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    val = (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
-        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ).alias("v")
-        )
-    )
-    val = val.transform(truncate_lineage, eager=False)
-    total = val.agg(F.sum("v").alias("total"))
-    return (
-        val.join(F.broadcast(total))
-        .filter(F.col("v") * 500 > F.col("total"))
-        .select("p_partkey", F.col("v").cast("double").alias("part_value"))
-        .orderBy(F.desc("part_value"), "p_partkey")
-    )
-
-
-@query(
-    "q20_promotable_suppliers",
-    oracle="""
-    WITH shipped AS (
-      SELECT l.l_suppkey, l.l_partkey,
-             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
-      FROM lineitem l
-      JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE p.p_name LIKE 'red%'
-        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY 1, 2
-    )
-    SELECT s.s_name, n.n_name AS nation, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
-    FROM supplier s
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    JOIN region r ON r.r_regionkey = n.n_regionkey
-    WHERE r.r_name = 'EUROPE'
-      AND s.s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 40)
-    ORDER BY s_name
-    """,
-    tags=("semi-join", "tpch", "q20"),
-)
-def q20_promotable_suppliers(spark, sf_dir):
-    """TPC-H Q20 shape: EUROPE suppliers who shipped more than 40 units
-    of some 'red…' part in 1997 — the spec's nested semi-join chain
-    (supplier IN (… agg over part-name-filtered lineitem HAVING …)),
-    with the availqty threshold modeled as a fixed quantity bound since
-    partsupp does not exist.  The inner aggregate groups by (suppkey,
-    partkey) exactly as the spec correlates per part; quantities sum in
-    DECIMAL so the >55 gate is exact.  Part broadcast-prunes lineitem
-    before its one shuffle; the surviving supplier keys flow into a LEFT
-    SEMI join — duplicates never materialize."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
-    shipped = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
-        .filter(F.col("qty") > 40)
-        .select("l_suppkey")
-    )
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    return (
-        s.join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
-        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
-        .join(shipped, shipped.l_suppkey == s.s_suppkey, "left_semi")
-        .select("s_name", F.col("n_name").alias("nation"), F.col("s_acctbal").cast("double").alias("s_acctbal"))
-        .orderBy("s_name")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round 5: semantic dedup (SemDeDup) and incremental cross-snapshot dedup —
-# the two remaining standard LLM-corpus curation primitives.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "emb_semdedup_stats",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), pruned AS (
-      SELECT DISTINCT b.vec_id
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE ROUND({_COS_SQL}, 4) >= 0.3
-    )
-    SELECT v.label,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_pruned,
-           CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept,
-           ROUND(CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 4) AS pruned_frac
-    FROM v LEFT JOIN pruned p ON p.vec_id = v.vec_id
-    GROUP BY v.label ORDER BY v.label
-    """,
-    tags=("dedup", "similarity", "semdedup", "llm-pipeline"),
-)
-def emb_semdedup_stats(spark, sf_dir):
-    """SemDeDup audit (operators.similarity.semdedup): per semantic
-    cluster (label), how many embeddings the dominated-id cosine rule
-    prunes at threshold 0.3.  The kept relation is recomputed as a
-    left-anti join against the dominated ids; stats come from one tiny
-    per-label agg of (all, kept).  Pairs are label-blocked — never
-    corpus x corpus — and the cosine compare is the proven
-    round-to-4-then-threshold recipe, so the pruned SET (not just its
-    size) is engine-reproducible."""
-    from prod_data_pipeline_spark.operators.similarity import semdedup
-
-    emb = _t(spark, sf_dir, "embeddings")
-    kept = semdedup(emb, threshold=0.3, block_cols=("label",)).select(
-        "vec_id", F.lit(1).alias("_kept")
-    )
-    return (
-        emb.join(kept, "vec_id", "left")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(F.when(F.col("_kept").isNull(), 1).otherwise(0)).cast("long").alias("n_pruned"),
-            F.sum(F.when(F.col("_kept").isNotNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
-            F.round(
-                F.sum(F.when(F.col("_kept").isNull(), 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("pruned_frac"),
-        )
-        .orderBy("label")
-    )
-
-
-@query(
-    "docs_incremental_dedup",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS sn,
-             md5(array_to_string(list_slice({_TOKS_SQL}, 1, 12), ' ')) AS fp
-      FROM documents
-    ), snap AS (
-      SELECT DISTINCT fp FROM d WHERE sn < 10
-    ), batch AS (
-      SELECT doc_id, source, fp FROM d WHERE sn >= 10
-    ), firsts AS (
-      SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp
-    ), flagged AS (
-      SELECT b.source,
-             CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_snapshot,
-             CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END AS dup_batch
-      FROM batch b
-      LEFT JOIN snap s ON s.fp = b.fp
-      JOIN firsts f ON f.fp = b.fp
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(dup_snapshot) AS BIGINT) AS n_dup_snapshot,
-           CAST(SUM(dup_batch) AS BIGINT) AS n_dup_batch,
-           CAST(SUM(CASE WHEN dup_snapshot = 0 AND dup_batch = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_ingested
-    FROM flagged GROUP BY source ORDER BY source
-    """,
-    tags=("dedup", "incremental", "llm-pipeline"),
-)
-def docs_incremental_dedup(spark, sf_dir):
-    """Incremental ingestion dedup (operators.dedup.incremental_dedup):
-    sources src10..src19 arrive as the nightly batch and are deduped
-    against the already-ingested snapshot (src0..src9) WITHOUT re-reading
-    snapshot text — only its fingerprint relation joins.  The key is a
-    12-leading-token md5 fingerprint (boilerplate-prefix dedup — catches
-    template reuse that whole-text digests miss; the testdata has no
-    byte-exact dups at sf<=0.01, and this key keeps the check
-    non-trivial).  Kept-first rule inside the batch via per-key MIN(id),
-    no sort, no window over the corpus.  All joins are key-partitioned;
-    shuffle ∝ unique fingerprints."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-    from prod_data_pipeline_spark.operators.dedup import incremental_dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(F.col("text")), 1, 12)))
-    sn = F.substring(F.col("source"), 4, 10).cast("int")
-    d = docs.select("doc_id", "source", sn.alias("sn"), fp.alias("fp"))
-    snapshot = d.filter(F.col("sn") < 10)
-    batch = d.filter(F.col("sn") >= 10).select("doc_id", "source", "fp")
-    flagged = incremental_dedup(batch, snapshot, key_col="fp", id_col="doc_id")
-    return (
-        flagged.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dup_snapshot").cast("long").alias("n_dup_snapshot"),
-            F.sum("dup_batch").cast("long").alias("n_dup_batch"),
-            F.sum(
-                F.when((F.col("dup_snapshot") == 0) & (F.col("dup_batch") == 0), 1).otherwise(0)
-            ).cast("long").alias("n_ingested"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "events_value_mad_outliers",
-    oracle="""
-    WITH ev AS (
-      SELECT event_type, value FROM events WHERE value IS NOT NULL
-    ), med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1
-    ), dev AS (
-      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
-      FROM ev e JOIN med m USING (event_type)
-    ), mad AS (
-      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
-    )
-    SELECT d.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_values,
-           ROUND(ANY_VALUE(d.med), 6) AS med,
-           ROUND(ANY_VALUE(a.mad), 6) AS mad,
-           CAST(SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_outliers,
-           ROUND(CAST(SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS outlier_frac
-    FROM dev d JOIN mad a USING (event_type)
-    GROUP BY d.event_type ORDER BY d.event_type
-    """,
-    tags=("robust-stats", "quantile", "outliers"),
-)
-def events_value_mad_outliers(spark, sf_dir):
-    """Robust outlier detection per event type: median/MAD z-score (the
-    P99 outlier query's mean/stddev cousin that heavy tails cannot
-    poison).  Both medians come from operators.ranking.exact_quantiles —
-    bucketed exact ranking, parallel at any scale, never F.percentile's
-    whole-group buffering — so the med/MAD values equal quantile_cont
-    bit-for-bit and the 3·MAD gate is a deterministic double compare.
-    Inherently a two-pass algorithm (MAD needs the median first); each
-    pass is one bounded-shuffle quantile job plus a broadcast of the tiny
-    per-type threshold relation onto the fact stream."""
-    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select("event_type", "value")
-    )
-    med = (
-        exact_quantiles(ev, "value", {"med": 0.5}, by=["event_type"])
-        .select("event_type", F.col("quantile").alias("med"))
-    )
-    # the second quantile pass and the final rollup each reference `dev`
-    # several times (exact_quantiles reads its input for bounds, bucket
-    # ranks and offsets) — checkpointing cuts the replayed median chain
-    # (4.9 s -> 3.5 s at sf0.1); identical values
-    dev = (
-        ev.join(F.broadcast(med), "event_type")
-        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
-        .transform(truncate_lineage, eager=False)
-    )
-    mad = (
-        exact_quantiles(
-            dev.select("event_type", "dev"), "dev", {"mad": 0.5}, by=["event_type"]
-        )
-        .select("event_type", F.col("quantile").alias("mad"))
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_values"),
-            F.round(F.first("med"), 6).alias("med"),
-            F.round(F.first("mad"), 6).alias("mad"),
-            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_outliers"),
-            F.round(
-                F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("outlier_frac"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "emb_matryoshka_energy",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), nz AS (
-      SELECT vec_id, e FROM v
-      WHERE list_sum(list_transform(range(1, len(e)+1), i -> e[i] * e[i])) > 0
-    ), r AS (
-      SELECT vec_id, k,
-             ROUND(
-               list_sum(list_transform(range(1, k+1), i -> e[i] * e[i]))
-               / list_sum(list_transform(range(1, len(e)+1), i -> e[i] * e[i])),
-               6) AS energy
-      FROM nz, (VALUES (8), (16), (32), (64)) t(k)
-    )
-    SELECT k,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-               AS avg_energy,
-           MIN(energy) AS min_energy
-    FROM r GROUP BY k ORDER BY k
-    """,
-    tags=("embeddings", "matryoshka", "audit"),
-)
-def emb_matryoshka_energy(spark, sf_dir):
-    """Matryoshka-truncation audit (Kusupati et al. 2022, MRL): how much
-    of each embedding's squared-norm energy the first k dimensions carry
-    — cos(full, k-prefix) equals sqrt(energy_k), so this table IS the
-    expected retrieval-quality loss from serving truncated vectors.  Both
-    sums are in-order folds over the double-cast vector (the proven
-    _COS_SQL determinism recipe), the per-vector ratio is rounded to 6
-    before the corpus mean, and the mean itself is an exact DECIMAL sum —
-    order-independent at any parallelism.  One scan, 4 fold projections
-    per row, one |k|-row agg; no shuffle carries vectors."""
-    emb = _t(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    full = F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x)
-    # zero-norm guard: a zero vector would make every ratio 0/0 = NaN,
-    # which Spark and DuckDB cast differently (NULL-skip vs error) — the
-    # same divergence emb_quantization_error guards against.  Exclude
-    # zero vectors identically on both sides instead.
-    v = emb.select("vec_id", e.alias("e")).filter(full > 0)
-    ks = [8, 16, 32, 64]
-    r = v.select(
-        "vec_id",
-        full.alias("full_energy"),
-        *[
-            F.aggregate(F.slice(F.col("e"), 1, k), F.lit(0.0), lambda a, x: a + x * x).alias(
-                f"pre_{k}"
-            )
-            for k in ks
-        ],
-    )
-    stacked = r.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.round(F.col(f"pre_{k}") / F.col("full_energy"), 6).alias(
-                            "energy"
-                        ),
-                    )
-                    for k in ks
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.k").alias("k"), F.col("s.energy").alias("energy"))
-    return (
-        stacked.groupBy("k")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            (F.sum(F.col("energy").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_energy"),
-            F.min("energy").alias("min_energy"),
-        )
-        .orderBy("k")
-    )
-
-
-@query(
-    "parts_fuzzy_name_matches",
-    oracle="""
-    WITH n AS (
-      SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1
-    )
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
-           CAST(a.n_parts AS BIGINT) AS parts_a,
-           CAST(b.n_parts AS BIGINT) AS parts_b
-    FROM n a JOIN n b
-      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
-     AND a.p_name < b.p_name
-     AND abs(len(a.p_name) - len(b.p_name)) <= 3
-    WHERE levenshtein(a.p_name, b.p_name) <= 3
-    ORDER BY name_a, name_b
-    """,
-    tags=("fuzzy-join", "record-linkage", "dedup"),
-)
-def parts_fuzzy_name_matches(spark, sf_dir):
-    """Fuzzy entity resolution over the part-name catalog
-    (operators.joins.blocked_levenshtein_pairs): near-identical names
-    within edit distance 3, prefix-blocked with a lossless length band —
-    the record-linkage cousin of the text near-dup family (typo'd SKUs /
-    vendor name variants).  The join runs on the DISTINCT name relation,
-    never the fact table; Levenshtein is an integer both engines define
-    identically, so the match set is exact.  Per-name part counts ride
-    along so downstream merge decisions know the blast radius."""
-    from prod_data_pipeline_spark.operators.joins import blocked_levenshtein_pairs
-
-    parts = _t(spark, sf_dir, "part")
-    catalog = parts.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
-    return (
-        blocked_levenshtein_pairs(
-            catalog, "p_name", max_dist=3, block_prefix=1, extra_cols=("n_parts",)
-        )
-        .select(
-            "name_a",
-            "name_b",
-            "edit_dist",
-            F.col("n_parts_a").cast("long").alias("parts_a"),
-            F.col("n_parts_b").cast("long").alias("parts_b"),
-        )
-        .orderBy("name_a", "name_b")
-    )
-
-
-@query(
-    "docs_filter_funnel",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, md5(text) AS digest, {_TOKS_SQL} AS toks FROM documents
-    ), feat AS (
-      SELECT doc_id, digest,
-             len(toks) AS n,
-             len(list_distinct(toks)) AS nd,
-             CASE WHEN len(toks) >= 2
-                  THEN len(list_transform(range(1, len(toks)),
-                         i -> array_to_string(toks[i:i+1], ' ')))
-                  ELSE 0 END AS ng,
-             CASE WHEN len(toks) >= 2
-                  THEN len(list_distinct(list_transform(range(1, len(toks)),
-                         i -> array_to_string(toks[i:i+1], ' '))))
-                  ELSE 0 END AS ngd,
-             CASE WHEN len(toks) > 0
-                  THEN CAST(ROUND(10000 * ROUND(
-                         0.5 * least(len(toks) / 100.0, 1.0)
-                         + 0.5 * (len(list_distinct(toks))
-                                  / CAST(len(toks) AS DOUBLE)), 4)) AS BIGINT)
-                  ELSE 0 END AS score_e4
-      FROM t
-    ), flags AS (
-      SELECT doc_id,
-             CASE WHEN n >= 20 THEN 1 ELSE 0 END AS p1,
-             CASE WHEN n >= 20 AND 50 * (ng - ngd) <= 3 * ng THEN 1 ELSE 0 END AS p2,
-             CASE WHEN n >= 20 AND 50 * (ng - ngd) <= 3 * ng AND score_e4 >= 5000
-                  THEN 1 ELSE 0 END AS p3,
-             CASE WHEN n >= 20 AND 50 * (ng - ngd) <= 3 * ng AND score_e4 >= 5000
-                   AND doc_id = MIN(doc_id) OVER (PARTITION BY digest)
-                  THEN 1 ELSE 0 END AS p4
-      FROM feat
-    ), agg AS (
-      SELECT COUNT(*) AS s0, SUM(p1) AS s1, SUM(p2) AS s2,
-             SUM(p3) AS s3, SUM(p4) AS s4
-      FROM flags
-    )
-    SELECT stage, gate,
-           CAST(n_in AS BIGINT) AS n_in,
-           CAST(n_in - n_out AS BIGINT) AS n_failed,
-           CAST(n_out AS BIGINT) AS n_out,
-           ROUND(CAST(n_out AS DOUBLE) / s0, 6) AS cumulative_frac
-    FROM agg, (VALUES (1, 'length'), (2, 'repetition'),
-                      (3, 'quality'), (4, 'exact_dedup')) g(stage, gate),
-    LATERAL (SELECT CASE stage WHEN 1 THEN s0 WHEN 2 THEN s1
-                               WHEN 3 THEN s2 ELSE s3 END AS n_in,
-                    CASE stage WHEN 1 THEN s1 WHEN 2 THEN s2
-                               WHEN 3 THEN s3 ELSE s4 END AS n_out) v
-    ORDER BY stage
-    """,
-    tags=("quality", "curation", "funnel", "llm-pipeline"),
-)
-def docs_filter_funnel(spark, sf_dir):
-    """Curation attrition funnel: how many documents each quality gate
-    removes, in pipeline order (length ≥ 20 tokens → duplicate-bigram
-    fraction ≤ 0.06 → composite quality ≥ 0.5 → exact dedup kept-first) —
-    the data-ablation accounting every corpus report publishes.  Every
-    gate decision is ALL-INTEGER (50·(ng−ngd) ≤ 3·ng for the 0.06 repetition
-    bound; the 4-decimal quality score scaled to score_e4 ≥ 5000; MIN id
-    per digest), so engines cannot disagree on a single document.  One
-    scan computes all per-doc features array-side (no explode); the only
-    shuffles are the 16-byte digest window and a single-row global agg
-    exploded into 4 gate rows."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-    from pyspark.sql.window import Window as W
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(F.col("toks")) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("toks")) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feat = docs.select(
-        "doc_id", F.md5(F.col("text")).alias("digest"), toks.alias("toks")
-    ).select(
-        "doc_id",
-        "digest",
-        F.size("toks").alias("n"),
-        F.size(F.array_distinct("toks")).alias("nd"),
-        bigrams.alias("grams"),
-        F.when(
-            F.size("toks") > 0,
-            F.round(
-                F.lit(10000)
-                * F.round(
-                    F.lit(0.5) * F.least(F.size("toks") / F.lit(100.0), F.lit(1.0))
-                    + F.lit(0.5)
-                    * (
-                        F.size(F.array_distinct("toks")).cast("double")
-                        / F.size("toks").cast("double")
-                    ),
-                    4,
-                ),
-                0,
-            ).cast("long"),
-        )
-        .otherwise(0)
-        .alias("score_e4"),
-    ).select(
-        "doc_id",
-        "digest",
-        "n",
-        "score_e4",
-        F.size("grams").alias("ng"),
-        F.size(F.array_distinct("grams")).alias("ngd"),
-    )
-    w = W.partitionBy("digest")
-    flags = feat.select(
-        (F.col("n") >= 20).cast("int").alias("p1"),
-        ((F.col("n") >= 20) & (50 * (F.col("ng") - F.col("ngd")) <= 3 * F.col("ng")))
-        .cast("int")
-        .alias("p2"),
-        (
-            (F.col("n") >= 20)
-            & (50 * (F.col("ng") - F.col("ngd")) <= 3 * F.col("ng"))
-            & (F.col("score_e4") >= 5000)
-        )
-        .cast("int")
-        .alias("p3"),
-        (
-            (F.col("n") >= 20)
-            & (50 * (F.col("ng") - F.col("ngd")) <= 3 * F.col("ng"))
-            & (F.col("score_e4") >= 5000)
-            & (F.col("doc_id") == F.min("doc_id").over(w))
-        )
-        .cast("int")
-        .alias("p4"),
-    )
-    agg = flags.agg(
-        F.count(F.lit(1)).alias("s0"),
-        F.sum("p1").alias("s1"),
-        F.sum("p2").alias("s2"),
-        F.sum("p3").alias("s3"),
-        F.sum("p4").alias("s4"),
-    )
-    stages = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).alias("stage"),
-                F.lit(g).alias("gate"),
-                F.col(f"s{i}").cast("long").alias("n_in"),
-                (F.col(f"s{i}") - F.col(f"s{i+1}")).cast("long").alias("n_failed"),
-                F.col(f"s{i+1}").cast("long").alias("n_out"),
-                F.round(F.col(f"s{i+1}").cast("double") / F.col("s0"), 6).alias(
-                    "cumulative_frac"
-                ),
-            )
-            for i, g in enumerate(["length", "repetition", "quality", "exact_dedup"])
-        ]
-    )
-    return (
-        agg.select(F.explode(stages).alias("r"))
-        .select("r.stage", "r.gate", "r.n_in", "r.n_failed", "r.n_out", "r.cumulative_frac")
-        .orderBy("stage")
-    )
-
-
-@query(
-    "docs_distribution_shift",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS sn,
-             {_TOKS_SQL} AS toks
-      FROM documents
-    ), g AS (
-      SELECT source, sn,
-             unnest(CASE WHEN len(toks) >= 3
-                         THEN list_transform(range(1, len(toks) - 1),
-                                i -> array_to_string(toks[i:i+2], ' '))
-                         ELSE [] END) AS gram
-      FROM t
-    ), snap_vocab AS (
-      SELECT DISTINCT gram FROM g WHERE sn < 10
-    ), batch AS (
-      SELECT b.source, b.gram,
-             CASE WHEN v.gram IS NULL THEN 1 ELSE 0 END AS novel
-      FROM g b LEFT JOIN snap_vocab v ON v.gram = b.gram
-      WHERE b.sn >= 10
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_gram_types,
-           CAST(SUM(novel) AS BIGINT) AS n_novel_grams,
-           CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN gram END) AS BIGINT)
-               AS n_novel_types,
-           ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 6) AS novelty_rate
-    FROM batch GROUP BY source ORDER BY source
-    """,
-    tags=("text", "drift", "oov", "llm-pipeline"),
-)
-def docs_distribution_shift(spark, sf_dir):
-    """Cross-corpus distribution-shift audit: what fraction of the new
-    batch's token TRIGRAMS (src10..19) never occur in the already-
-    ingested snapshot (src0..9) — the drift tripwire run before mixing a
-    new crawl into training data (a spiking novelty rate means new
-    domain, template change, or scraper breakage; unigram OOV saturates
-    at 0 on any closed vocabulary, so the pattern level carries the
-    signal).  Membership is exact string equality — no floats anywhere
-    until the final rate.  Shape: one distinct over snapshot gram TYPES
-    (pattern-vocabulary-sized), left-joined onto the batch gram stream
-    (AQE handles the heavy-tail skew exactly as in the unigram-LM
-    scorer); per-source aggregation collapses map-side."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    sn = F.substring(F.col("source"), 4, 10).cast("int")
-    toks = _tokens(F.col("text"))
-    grams = F.when(
-        F.size("toks") >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
-                F.element_at(F.col("toks"), i + 3),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    t = (
-        docs.select("source", sn.alias("sn"), toks.alias("toks"))
-        .select("source", "sn", F.explode(grams).alias("gram"))
-    )
-    snap_vocab = (
-        t.filter(F.col("sn") < 10).select("gram").distinct().withColumn("_in", F.lit(1))
-    )
-    batch = (
-        t.filter(F.col("sn") >= 10)
-        .join(snap_vocab, "gram", "left")
-        .withColumn("novel", F.when(F.col("_in").isNull(), 1).otherwise(0))
-    )
-    return (
-        batch.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.countDistinct("gram").alias("n_gram_types"),
-            F.sum("novel").cast("long").alias("n_novel_grams"),
-            F.countDistinct(F.when(F.col("novel") == 1, F.col("gram"))).alias(
-                "n_novel_types"
-            ),
-            F.round(F.sum("novel").cast("double") / F.count(F.lit(1)), 6).alias(
-                "novelty_rate"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_rag_chunk_stats",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), d AS (
-      SELECT doc_id, source, len(toks) AS n FROM t WHERE len(toks) > 0
-    ), per AS (
-      SELECT doc_id, source, n,
-             len(range(0, n, 24)) AS n_chunks,
-             list_sum(list_transform(range(0, n, 24), s -> least(32, n - s)))
-                 AS chunk_tokens,
-             len(list_filter(range(0, n, 24), s -> n - s < 32)) AS n_short
-      FROM d
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
-           CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
-           CAST(SUM(n_short) AS BIGINT) AS n_short_chunks,
-           ROUND(CAST(SUM(chunk_tokens) AS DOUBLE) / SUM(n), 6)
-               AS expansion_ratio
-    FROM per GROUP BY source ORDER BY source
-    """,
-    tags=("chunking", "rag", "llm-pipeline"),
-)
-def docs_rag_chunk_stats(spark, sf_dir):
-    """Sliding-window RAG chunking audit (operators.packing.rag_chunks):
-    windows of 32 tokens every 24 (8-token overlap), per-source chunk
-    counts, token expansion from the overlap, and short-tail chunks.
-    Chunk geometry is closed-form integer arithmetic — any engine
-    recomputes the identical chunking from token counts alone.  The chunk
-    relation is document-local (sequence + explode, no shuffle — source
-    rides through as a kept column, so the corpus is scanned and
-    tokenized exactly once); only the per-source rollup exchanges a
-    handful of rows."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-    from prod_data_pipeline_spark.operators.packing import rag_chunks
-
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
-    chunks = rag_chunks(base, window=32, stride=24, keep_cols=("source",))
-    return (
-        chunks.groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("chunk_len").cast("long").alias("total_chunk_tokens"),
-            F.sum(F.when(F.col("chunk_len") < 32, 1).otherwise(0))
-            .cast("long")
-            .alias("n_short_chunks"),
-            F.round(
-                F.sum("chunk_len").cast("double")
-                / F.sum(F.when(F.col("chunk_idx") == 0, F.col("n_tokens")).otherwise(0)),
-                6,
-            ).alias("expansion_ratio"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_source_token_cap",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source,
-             len({_TOKS_SQL}) AS n_tokens,
-             md5('cap:' || doc_id) AS h
-      FROM documents
-    ), ranked AS (
-      SELECT source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS before_sum
-      FROM t
-    ), marked AS (
-      SELECT source, n_tokens,
-             CASE WHEN before_sum < 1200 THEN 1 ELSE 0 END AS kept
-      FROM ranked
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(kept) AS BIGINT) AS n_kept,
-           CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
-               AS tokens_kept,
-           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
-           ROUND(CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
-                 / 1200, 6) AS cap_utilization
-    FROM marked GROUP BY source ORDER BY source
-    """,
-    tags=("sampling", "budget", "llm-pipeline"),
-)
-def docs_source_token_cap(spark, sf_dir):
-    """Per-source token-budget cap enforcement (the per-domain
-    downsampling step of CommonCrawl-style curation: no single source may
-    contribute more than N tokens).  Documents are ranked by a
-    content-free md5 — a deterministic, retry-safe shuffle — and kept
-    while the budget is open (kept iff the running sum BEFORE the doc is
-    under the cap, so selection is a pure function of the corpus; a doc
-    may overshoot the cap once, by design, to keep the rule
-    prefix-stable: adding documents never changes earlier keep
-    decisions).  One window exchange per source partition, all-integer
-    decisions; the same shape enforces per-license or per-language caps
-    at 100 TB."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.size(_tokens(F.col("text"))).alias("n_tokens"),
-        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias("h"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = t.withColumn("before_sum", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    marked = ranked.withColumn(
-        "kept", F.when(F.col("before_sum") < 1200, 1).otherwise(0)
-    )
-    return (
-        marked.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("kept").cast("long").alias("n_kept"),
-            F.sum(F.when(F.col("kept") == 1, F.col("n_tokens")).otherwise(0))
-            .cast("long")
-            .alias("tokens_kept"),
-            F.sum("n_tokens").cast("long").alias("tokens_total"),
-            F.round(
-                F.sum(F.when(F.col("kept") == 1, F.col("n_tokens")).otherwise(0)).cast(
-                    "double"
-                )
-                / 1200,
-                6,
-            ).alias("cap_utilization"),
-        )
-        .orderBy("source")
-    )
-
-
-def _pca_oracle_sql(n_iters: int = 16, dim: int = 64) -> str:
-    """DuckDB replay of the quantized power iteration: the covariance CTE
-    mirrors covariance_matrix (int40 integer-quantized pair sums), then each
-    iteration is an unrolled matvec CTE pair with the identical
-    round-then-DECIMAL quantization — same recipe as the PageRank oracle."""
-    v0 = f"1.0 / sqrt({dim}.0)"
-    parts = [
-        f"""
-    WITH x AS MATERIALIZED (
-      SELECT vec_id AS rid, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS xi
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-    ), nn AS MATERIALIZED (
-      SELECT COUNT(*) AS n FROM embeddings
-    ), mu AS MATERIALIZED (
-      SELECT i, CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE)
-                / (SELECT n FROM nn) AS mu
-      FROM x GROUP BY i
-    ), cx AS MATERIALIZED (
-      SELECT rid, x.i, xi - mu AS ci FROM x JOIN mu USING (i)
-    ), qt AS MATERIALIZED (
-      SELECT a.i, b.i AS j,
-             CAST(floor(a.ci * b.ci * 1099511627776.0) AS BIGINT) AS q
-      FROM cx a JOIN cx b USING (rid)
-    ), cov AS MATERIALIZED (
-      SELECT i, j,
-             (CAST(SUM((q - ((q % 1048576 + 1048576) % 1048576)) // 1048576)
-                   AS DOUBLE) * 1048576.0
-              + CAST(SUM((q % 1048576 + 1048576) % 1048576) AS DOUBLE))
-             / 1099511627776.0 / ((SELECT n FROM nn) - 1) AS c
-      FROM qt GROUP BY 1, 2
-    ), v0 AS (
-      SELECT CAST(i AS INT) AS j, {v0} AS v FROM range(0, {dim}) t(i)
-    )"""
-    ]
-    prev = "v0"
-    for t in range(1, n_iters + 1):
-        parts.append(
-            f""", u{t} AS MATERIALIZED (
-      SELECT cov.i,
-             CAST(SUM(CAST(ROUND(cov.c * {prev}.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
-      FROM cov JOIN {prev} ON {prev}.j = cov.j GROUP BY cov.i
-    ), n{t} AS MATERIALIZED (
-      SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM u{t}
-    ), v{t} AS MATERIALIZED (
-      SELECT i AS j, ROUND(u / (SELECT nrm FROM n{t}), 9) AS v FROM u{t}
-    )"""
-        )
-        prev = f"v{t}"
-    parts.append(
-        f"""
-    SELECT CAST(j AS INT) AS pos, v AS loading,
-           ROUND((SELECT nrm FROM n{n_iters}), 6) AS eigenvalue
-    FROM v{n_iters} ORDER BY pos
-    """
-    )
-    return "".join(parts)
-
-
-@query(
-    "emb_top_principal_component",
-    oracle=_pca_oracle_sql(16, 64),
-    tags=("linalg", "pca", "embeddings", "iterative"),
-)
-def emb_top_principal_component(spark, sf_dir):
-    """Top principal component of the embedding corpus by DISTRIBUTED
-    power iteration (operators/linalg.py) — the third iterative algorithm
-    this engine makes exact-hash-oracle-able (after PageRank and the BPE
-    merge recurrence).  The covariance is relational aggregation with
-    int40 integer-quantized pair sums (exact primitive-long partials,
-    order-independent at any parallelism — see covariance_matrix); each
-    of the 16 matvec rounds quantizes terms to 12 digits and the
-    normalized vector to 9, so DuckDB's unrolled-CTE replay reproduces
-    every loading bit-for-bit.  Convergence note: the synthetic corpus is
-    nearly isotropic (top eigengap ratio ~1.07), so 16 rounds yield a
-    Rayleigh ESTIMATE, not the converged eigenpair — the unit test
-    verifies >0.99 cosine to numpy's eigenvector on anisotropic data,
-    where power iteration actually converges; the determinism guarantee
-    is unconditional."""
-    from prod_data_pipeline_spark.operators.linalg import (
-        covariance_matrix,
-        top_principal_component,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    cov = covariance_matrix(emb).transform(truncate_lineage, eager=True)
-    return top_principal_component(cov, dim=64, n_iters=16)
-
-
-def _taint_oracle_sql(max_hops: int = 4) -> str:
-    """Near-dup edges (same minhash-LSH pipeline as the PageRank/triangle
-    oracles) + unrolled integer-MIN BFS rounds from the seed set."""
-    mh = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-        for j in range(8)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
-        "FROM sig WHERE len(sh) > 0"
-        for b in range(4)
-    )
-    parts = [
-        f"""
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, {{_TOKS_SQL}} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS MATERIALIZED (
-      SELECT doc_id, sh, {mh} FROM s
-    ), bands AS ({bands}
-    ), edges AS MATERIALIZED (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-    ), sym AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM edges
-      UNION SELECT id_b AS src, id_a AS dst FROM edges
-    ), d0 AS MATERIALIZED (
-      SELECT doc_id AS node, 0 AS hop FROM documents WHERE doc_id % 97 = 0
-    )"""
-    ]
-    prev = "d0"
-    for h in range(1, max_hops + 1):
-        parts.append(
-            f""", d{h} AS MATERIALIZED (
-      SELECT node, MIN(hop) AS hop FROM (
-        SELECT node, hop FROM {prev}
-        UNION ALL
-        SELECT sym.dst AS node, {prev}.hop + 1 AS hop
-        FROM {prev} JOIN sym ON sym.src = {prev}.node
-      ) GROUP BY node
-    )"""
-        )
-        prev = f"d{h}"
-    parts.append(
-        f"""
-    SELECT hop,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           MIN(node) AS min_doc_id,
-           MAX(node) AS max_doc_id
-    FROM {prev} GROUP BY hop ORDER BY hop
-    """
-    )
-    return "".join(parts).replace("{_TOKS_SQL}", _TOKS_SQL)
-
-
-@query(
-    "docs_taint_blast_radius",
-    oracle=_taint_oracle_sql(4),
-    tags=("graph", "dedup", "taint", "llm-pipeline"),
-)
-def docs_taint_blast_radius(spark, sf_dir):
-    """Taint propagation over the near-dup graph
-    (operators.graph.min_hop_distance): documents on a synthetic
-    known-bad list (doc_id % 97 = 0 — standing in for a contamination or
-    policy flag) taint their near-duplicates at hop 1, those documents'
-    near-duplicates at hop 2, and so on to hop 4; the histogram is the
-    blast radius a curation team reviews before mixing the corpus.
-    ALL-INTEGER iterative state — min-hop BFS needs none of the
-    quantization machinery PageRank does, so the unrolled-CTE oracle
-    replay is trivially exact.  Per round: one frontier join against the
-    persisted symmetric edges + an integer MIN agg; state is one row per
-    reached node."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.operators.graph import min_hop_distance
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
-    seeds = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
-    dist = min_hop_distance(pairs, seeds, max_hops=4)
-    return (
-        dist.groupBy("hop")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-        .orderBy("hop")
-    )
-
-
-@query(
-    "media_audio_waveform_stats",
-    oracle="""
-    WITH a AS (
-      SELECT doc_id, text,
-             80 + 8 * (doc_id % 120) AS n,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 1
-    ), f AS (
-      SELECT doc_id, n,
-             list_transform(range(0, n),
-               k -> (ascii(substr(text, CAST(k % l AS INT) + 1, 1)) - 128) * 256)
-                 AS pcm
-      FROM a
-    )
-    SELECT doc_id AS asset_id,
-           CAST(n AS BIGINT) AS n_samples,
-           CAST(list_sum(list_transform(pcm, x -> abs(x))) AS BIGINT) AS abs_amp_sum,
-           CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) AS energy,
-           CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) AS peak_amp
-    FROM f ORDER BY asset_id
-    """,
-    tags=("multimodal", "audio", "waveform"),
-)
-def media_audio_waveform_stats(spark, sf_dir):
-    """Waveform-level audio verification: synthetic_media_assets builds
-    REAL PCM16 WAV payloads, operators.multimodal.audio_features decodes
-    them (chunk walk, fmt/data parsing, int16 reconstruction) and reports
-    integer loudness statistics — and the oracle regenerates the entire
-    DECODED WAVEFORM from doc_id arithmetic + the documented byte tiling
-    (sample k = (text_byte[k mod len] - 128) * 256; ASCII assumption as
-    in the media-feature oracle), so a single wrong sample anywhere in
-    the codec path flips the hash.  This is a strictly stronger check
-    than header-fact parity: it certifies the payload BYTES decode
-    correctly, not just the container metadata."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        audio_features,
-        synthetic_media_assets,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "audio")
-    return audio_features(assets).orderBy("asset_id")
-
-
-@query(
-    "media_video_frame_stats",
-    oracle="""
-    WITH v AS (
-      SELECT doc_id, text,
-             4 + 2 * (doc_id % 7) AS w,
-             4 + 2 * (doc_id % 5) AS h,
-             1 + doc_id % 4 AS nf,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 2
-    ), fr AS (
-      SELECT doc_id, w * h AS wh, l, unnest(range(0, nf)) AS i FROM v
-    ), fy AS (
-      SELECT f.doc_id, f.i, f.wh,
-             list_transform(range(0, f.wh),
-               k -> CASE WHEN f.l > f.i
-                         THEN ascii(substr(v.text,
-                                CAST(k % (f.l - f.i) AS INT) + CAST(f.i AS INT) + 1, 1))
-                         ELSE ascii(substr(v.text, CAST(k % f.l AS INT) + 1, 1))
-                    END) AS y
-      FROM fr f JOIN v ON v.doc_id = f.doc_id
-    )
-    SELECT doc_id AS asset_id,
-           CAST(i AS INT) AS frame_idx,
-           CAST(list_sum(y) AS BIGINT) AS y_sum,
-           CAST(list_max(y) AS INT) AS y_peak
-    FROM fy ORDER BY asset_id, frame_idx
-    """,
-    tags=("multimodal", "video", "frames"),
-)
-def media_video_frame_stats(spark, sf_dir):
-    """Frame-level video verification: synthetic_media_assets builds REAL
-    YUV4MPEG2 (C420) payloads, operators.multimodal.video_frame_features
-    walks every FRAME header and slices its Y plane, and the oracle
-    regenerates each frame's luma bytes from the documented tiling
-    (frame i tiles text[i:], falling back to the whole text when the
-    shift exhausts it; ASCII assumption as in the media-feature oracle).
-    A wrong frame stride, plane offset, or chroma-size term desyncs
-    every later frame and flips the hash — sample-level proof the video
-    path decodes correctly, completing the audio (waveform) and image
-    (byte-histogram) triad."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        synthetic_media_assets,
-        video_frame_features,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "video")
-    return video_frame_features(assets).orderBy("asset_id", "frame_idx")
-
-
-@query(
-    "events_daily_anomalies",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
-    ), dw AS (
-      SELECT day, n, CAST(dayofweek(day) AS INT) AS dow FROM daily
-    ), med AS (
-      SELECT dow, quantile_cont(n, 0.5) AS med FROM dw GROUP BY 1
-    ), dev AS (
-      SELECT d.day, d.n, d.dow, m.med, abs(d.n - m.med) AS dev
-      FROM dw d JOIN med m USING (dow)
-    ), mad AS (
-      SELECT dow, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
-    )
-    SELECT d.day, CAST(d.n AS BIGINT) AS n_events, d.dow,
-           ROUND(d.med, 6) AS dow_median,
-           ROUND(a.mad, 6) AS dow_mad,
-           CAST(CASE WHEN d.dev > 3 * a.mad AND d.dev > 0 THEN 1 ELSE 0 END AS INT)
-               AS is_anomaly
-    FROM dev d JOIN mad a USING (dow)
-    ORDER BY d.day
-    """,
-    tags=("anomaly", "time-series", "robust-stats"),
-)
-def events_daily_anomalies(spark, sf_dir):
-    """Day-level traffic anomaly detection against a day-of-week seasonal
-    baseline: each day's event count vs the robust median/MAD of its
-    weekday cohort (Mondays compare to Mondays — the monitoring pattern
-    that doesn't page on weekend dips).  Both medians run through
-    operators.ranking.exact_quantiles over the DAILY relation — bounded
-    by distinct days, never event-sized — so the whole seasonal model
-    costs two tiny quantile jobs after one fact-sized count.  Weekday
-    numbering is aligned cross-engine (Spark dayofweek()-1 = DuckDB
-    dayofweek(), Sunday=0); the 3·MAD flag is a deterministic double
-    compare with a dev>0 guard so an all-identical cohort (MAD 0) never
-    self-flags."""
-    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
-
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    # the daily relation (|distinct days| rows) feeds THREE plan branches
-    # (weekday medians, the deviation relation, and the final projection)
-    # — unmaterialized, each branch replays the fact-sized count scan
-    # (measured 5.1 -> 3.4 s at sf0.1 warm)
-    dw = daily.select(
-        "day", "n", (F.dayofweek("day") - 1).cast("int").alias("dow")
-    ).transform(truncate_lineage, eager=True)
-    med = exact_quantiles(
-        dw.select("dow", F.col("n").cast("double").alias("nv")),
-        "nv",
-        {"med": 0.5},
-        by=["dow"],
-    ).select("dow", F.col("quantile").alias("med"))
-    dev = dw.join(F.broadcast(med), "dow").withColumn(
-        "dev", F.abs(F.col("n") - F.col("med"))
-    )
-    mad = exact_quantiles(
-        dev.select("dow", "dev"), "dev", {"mad": 0.5}, by=["dow"]
-    ).select("dow", F.col("quantile").alias("mad"))
-    return (
-        dev.join(F.broadcast(mad), "dow")
-        .select(
-            "day",
-            F.col("n").cast("long").alias("n_events"),
-            "dow",
-            F.round("med", 6).alias("dow_median"),
-            F.round("mad", 6).alias("dow_mad"),
-            F.when((F.col("dev") > 3 * F.col("mad")) & (F.col("dev") > 0), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("is_anomaly"),
-        )
-        .orderBy("day")
-    )
-
-
-def _pca_chain_sql(prefix: str, src: str, n_iters: int, dim: int) -> str:
-    """One power-iteration chain as unrolled CTEs reading matrix `src`."""
-    out = [
-        f""", {prefix}v0 AS (
-      SELECT CAST(i AS INT) AS j, 1.0 / sqrt({dim}.0) AS v FROM range(0, {dim}) t(i)
-    )"""
-    ]
-    prev = f"{prefix}v0"
-    for t in range(1, n_iters + 1):
-        out.append(
-            f""", {prefix}u{t} AS MATERIALIZED (
-      SELECT {src}.i,
-             CAST(SUM(CAST(ROUND({src}.c * {prev}.v, 12) AS DECIMAL(38,12))) AS DOUBLE) AS u
-      FROM {src} JOIN {prev} ON {prev}.j = {src}.j GROUP BY {src}.i
-    ), {prefix}n{t} AS MATERIALIZED (
-      SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM {prefix}u{t}
-    ), {prefix}v{t} AS MATERIALIZED (
-      SELECT i AS j, ROUND(u / (SELECT nrm FROM {prefix}n{t}), 9) AS v FROM {prefix}u{t}
-    )"""
-        )
-        prev = f"{prefix}v{t}"
-    return "".join(out)
-
-
-def _pca2_oracle_sql(n_iters: int = 8, dim: int = 64) -> str:
-    """Two-component replay: chain 1 on cov, quantized Hotelling deflation,
-    chain 2 on the deflated matrix — mirrors operators.linalg exactly."""
-    cov_part = f"""
-    WITH x AS MATERIALIZED (
-      SELECT vec_id AS rid, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS xi
-      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-    ), nn AS MATERIALIZED (
-      SELECT COUNT(*) AS n FROM embeddings
-    ), mu AS MATERIALIZED (
-      SELECT i, CAST(SUM(CAST(xi AS DECIMAL(38,12))) AS DOUBLE)
-                / (SELECT n FROM nn) AS mu
-      FROM x GROUP BY i
-    ), cx AS MATERIALIZED (
-      SELECT rid, x.i, xi - mu AS ci FROM x JOIN mu USING (i)
-    ), qt AS MATERIALIZED (
-      SELECT a.i, b.i AS j,
-             CAST(floor(a.ci * b.ci * 1099511627776.0) AS BIGINT) AS q
-      FROM cx a JOIN cx b USING (rid)
-    ), cov AS MATERIALIZED (
-      SELECT i, j,
-             (CAST(SUM((q - ((q % 1048576 + 1048576) % 1048576)) // 1048576)
-                   AS DOUBLE) * 1048576.0
-              + CAST(SUM((q % 1048576 + 1048576) % 1048576) AS DOUBLE))
-             / 1099511627776.0 / ((SELECT n FROM nn) - 1) AS c
-      FROM qt GROUP BY 1, 2
-    )"""
-    c1 = _pca_chain_sql("a_", "cov", n_iters, dim)
-    defl = f""", defl AS MATERIALIZED (
-      SELECT cov.i, cov.j,
-             cov.c - ROUND((SELECT ROUND(nrm, 6) FROM a_n{n_iters})
-                           * va.v * vb.v, 12) AS c
-      FROM cov
-      JOIN a_v{n_iters} va ON va.j = cov.i
-      JOIN a_v{n_iters} vb ON vb.j = cov.j
-    )"""
-    c2 = _pca_chain_sql("b_", "defl", n_iters, dim)
-    final = f"""
-    SELECT 1 AS component, CAST(j AS INT) AS pos, v AS loading,
-           ROUND((SELECT nrm FROM a_n{n_iters}), 6) AS eigenvalue
-    FROM a_v{n_iters}
-    UNION ALL
-    SELECT 2 AS component, CAST(j AS INT) AS pos, v AS loading,
-           ROUND((SELECT nrm FROM b_n{n_iters}), 6) AS eigenvalue
-    FROM b_v{n_iters}
-    ORDER BY component, pos
-    """
-    return cov_part + c1 + defl + c2 + final
-
-
-@query(
-    "emb_top2_principal_components",
-    oracle=_pca2_oracle_sql(8, 64),
-    tags=("linalg", "pca", "embeddings", "iterative", "deflation"),
-)
-def emb_top2_principal_components(spark, sf_dir):
-    """Top-2 principal components via power iteration + quantized
-    Hotelling deflation (operators/linalg.py::top_principal_components):
-    component 2 is extracted from C − λ₁v₁v₁ᵀ with the rank-1 update
-    rounded to 12 digits, so the deflated recurrence — like the original
-    one — replays bit-for-bit in DuckDB's unrolled CTEs.  8 rounds per
-    component (the determinism guarantee is iteration-count-independent;
-    the anisotropic-data unit test shows convergence where a spectrum gap
-    exists).  One corpus-sized covariance pass total; everything after is
-    d²-row relational algebra."""
-    from prod_data_pipeline_spark.operators.linalg import (
-        covariance_matrix,
-        top_principal_components,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    cov = covariance_matrix(emb).transform(truncate_lineage, eager=True)
-    return top_principal_components(cov, dim=64, n_components=2, n_iters=8)
-
-
-@query(
-    "customer_rfm_segments",
-    oracle="""
-    WITH cust AS (
-      SELECT o_custkey,
-             CAST(MAX(o_orderdate) AS DATE) AS last_order,
-             COUNT(*) AS f,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
-      FROM orders GROUP BY 1
-    ), anch AS (
-      SELECT CAST(MAX(o_orderdate) AS DATE) AS anchor FROM orders
-    ), scored AS (
-      SELECT o_custkey, f, m,
-             date_diff('day', last_order, (SELECT anchor FROM anch)) AS r_days
-      FROM cust
-    ), q AS (
-      SELECT o_custkey, f, m, r_days,
-             ntile(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
-             ntile(4) OVER (ORDER BY f, o_custkey) AS f_q,
-             ntile(4) OVER (ORDER BY CAST(m AS DOUBLE), o_custkey) AS m_q
-      FROM scored
-    )
-    SELECT r_q, f_q, m_q,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(r_days AS BIGINT)) AS BIGINT) AS total_recency_days,
-           CAST(SUM(f) AS BIGINT) AS total_orders,
-           CAST(SUM(m) AS DOUBLE) AS total_monetary
-    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-    """,
-    tags=("rfm", "segmentation", "ntile", "analytics"),
-)
-def customer_rfm_segments(spark, sf_dir):
-    """RFM customer segmentation (recency / frequency / monetary
-    quartiles) — the canonical BI workload, built on the exact-NTILE
-    machinery: each dimension quartiles via
-    operators.ranking.bucketed_global_rank + ntile_from_rank over the
-    CUSTOMER relation (orders of magnitude below the fact table; the
-    fact table pays exactly one groupBy).  Quartile 1 = most recent /
-    least frequent / smallest spend — ascending NTILE with a custkey
-    tie-break, so both engines assign identical buckets; monetary stays
-    an exact DECIMAL until the final double."""
-    from prod_data_pipeline_spark.operators.ranking import (
-        bucketed_global_rank,
-        ntile_from_rank,
-    )
-
-    o = _t(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
-        F.count(F.lit(1)).alias("f"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
-    )
-    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
-    scored = cust.join(F.broadcast(anchor)).select(
-        "o_custkey",
-        "f",
-        "m",
-        F.datediff(F.col("anchor"), F.col("last_order")).alias("r_days"),
-    )
-    # Each bucketed_global_rank references its input several times
-    # (percentile bounds, bucket assignment, offset join); chained three
-    # deep the unmaterialized plan replays the whole prior chain per
-    # reference.  Checkpoint the customer-sized relation between stages
-    # — identical values, 4.5 s -> ~2 s at sf0.1.
-    cur = scored.transform(truncate_lineage, eager=False)
-    for metric, alias in (("r_days", "r_q"), ("f", "f_q"), ("m_d", "m_q")):
-        if metric == "m_d":
-            cur = cur.withColumn("m_d", F.col("m").cast("double"))
-        ranked = bucketed_global_rank(cur, [metric, "o_custkey"])
-        cur = ranked.withColumn(
-            alias, ntile_from_rank(F.col("rank"), F.col("n_total"), 4)
-        ).drop("rank", "n_total").transform(truncate_lineage, eager=False)
-    return (
-        cur.groupBy("r_q", "f_q", "m_q")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("r_days").cast("long")).cast("long").alias("total_recency_days"),
-            F.sum("f").cast("long").alias("total_orders"),
-            F.sum("m").cast("double").alias("total_monetary"),
-        )
-        .orderBy("r_q", "f_q", "m_q")
-    )
-
-
-@query(
-    "supplier_concentration_hhi",
-    oracle="""
-    WITH rev AS (
-      SELECT p.p_type, l.l_suppkey,
-             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS r
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      GROUP BY 1, 2
-    ), tot AS (
-      SELECT p_type, SUM(r) AS t, COUNT(*) AS n_suppliers FROM rev GROUP BY 1
-    ), shares AS (
-      SELECT rev.p_type,
-             ROUND(CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE), 9) AS s,
-             tot.n_suppliers
-      FROM rev JOIN tot USING (p_type)
-    )
-    SELECT p_type,
-           CAST(ANY_VALUE(n_suppliers) AS BIGINT) AS n_suppliers,
-           CAST(SUM(CAST(ROUND(10000 * s * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS hhi
-    FROM shares GROUP BY p_type ORDER BY p_type
-    """,
-    tags=("analytics", "concentration", "hhi"),
-)
-def supplier_concentration_hhi(spark, sf_dir):
-    """Supplier-concentration Herfindahl–Hirschman index per part type:
-    HHI = Σ (100·share)² over each type's suppliers — the standard
-    market-concentration screen (≥2500 = highly concentrated), here
-    auditing supply-chain single-source risk.  Revenue shares come from
-    exact DECIMAL sums; each squared share is rounded to 6 digits before
-    the exact DECIMAL re-sum, so the index is order-independent at any
-    parallelism.  One fact shuffle on (type, suppkey); the per-type
-    totals ride the same key space."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    rev = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .groupBy("p_type", "l_suppkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ).alias("r")
-        )
-    )
-    tot = rev.groupBy("p_type").agg(
-        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
-    )
-    shares = rev.join(tot, "p_type").select(
-        "p_type",
-        "n_suppliers",
-        F.round(F.col("r").cast("double") / F.col("t").cast("double"), 9).alias("s"),
-    )
-    return (
-        shares.groupBy("p_type")
-        .agg(
-            F.first("n_suppliers").cast("long").alias("n_suppliers"),
-            F.sum(
-                F.round(F.lit(10000) * F.col("s") * F.col("s"), 6).cast("decimal(18,6)")
-            )
-            .cast("double")
-            .alias("hhi"),
-        )
-        .orderBy("p_type")
-    )
-
-
-@query(
-    "orders_benford_audit",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
-                  AS INT) AS digit
-      FROM orders WHERE o_totalprice >= 1
-    ), c AS (
-      SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
-    ), t AS (
-      SELECT SUM(n) AS total FROM c
-    )
-    SELECT c.digit,
-           CAST(c.n AS BIGINT) AS n_orders,
-           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_freq,
-           ROUND(log10(1.0 + 1.0 / c.digit), 6) AS benford_freq,
-           ROUND(abs(CAST(c.n AS DOUBLE) / t.total - log10(1.0 + 1.0 / c.digit)), 6)
-               AS abs_deviation
-    FROM c, t ORDER BY c.digit
-    """,
-    tags=("analytics", "audit", "benford"),
-)
-def orders_benford_audit(spark, sf_dir):
-    """Benford's-law first-digit audit on order totals — the classic
-    forensic screen for fabricated or truncated monetary data: natural
-    multi-scale amounts put digit d first with probability log10(1+1/d),
-    and a flat or spiked distribution flags generator artifacts the same
-    way it flags fraud.  Digit extraction is integer string arithmetic
-    (floor → first char), frequencies are single double divisions of
-    exact counts, and the Benford reference is a per-digit constant — all
-    deterministic.  One scan, nine-row output."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
-    d = o.select(
-        F.substring(
-            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
-        )
-        .cast("int")
-        .alias("digit")
-    )
-    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    t = c.agg(F.sum("n").alias("total"))
-    return (
-        c.join(F.broadcast(t))
-        .select(
-            "digit",
-            F.col("n").cast("long").alias("n_orders"),
-            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_freq"),
-            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_freq"),
-            F.round(
-                F.abs(
-                    F.col("n").cast("double") / F.col("total")
-                    - F.log10(1.0 + 1.0 / F.col("digit"))
-                ),
-                6,
-            ).alias("abs_deviation"),
-        )
-        .orderBy("digit")
-    )
-
-
-@query(
-    "basket_part_pair_lift",
-    oracle="""
-    WITH ol AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), n AS (
-      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ol
-    ), item AS (
-      SELECT l_partkey, COUNT(*) AS cnt FROM ol GROUP BY 1
-    ), pair AS (
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_n
-      FROM ol a JOIN ol b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-    ), scored AS (
-      SELECT p.part_a, p.part_b, p.pair_n,
-             ia.cnt AS cnt_a, ib.cnt AS cnt_b,
-             ROUND(CAST(p.pair_n AS DOUBLE) / (SELECT n_orders FROM n), 6)
-                 AS support,
-             ROUND(CAST(p.pair_n AS DOUBLE) / ia.cnt, 6) AS confidence_ab,
-             ROUND(CAST(p.pair_n AS DOUBLE) * (SELECT n_orders FROM n)
-                   / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
-      FROM pair p
-      JOIN item ia ON ia.l_partkey = p.part_a
-      JOIN item ib ON ib.l_partkey = p.part_b
-      WHERE p.pair_n >= 2
-    )
-    SELECT part_a, part_b, CAST(pair_n AS BIGINT) AS pair_n,
-           CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
-           support, confidence_ab, lift
-    FROM scored
-    ORDER BY pair_n DESC, part_a, part_b LIMIT 50
-    """,
-    tags=("analytics", "market-basket", "association"),
-)
-def basket_part_pair_lift(spark, sf_dir):
-    """Market-basket association mining: the top co-purchased part pairs
-    with support / confidence / lift — the frequent-itemset primitive of
-    retail analytics (and of co-occurrence feature engineering
-    generally).  Pair generation self-joins the DISTINCT (order, part)
-    relation on the order key, so the work is Σ basket_size² — bounded by
-    the largest basket, never |parts|²; at 100 TB add a min-support
-    pre-filter on the item counts (downward closure) exactly as Apriori
-    does.  All ratios are single double divisions of exact counts,
-    rounded to 6; the min-support gate (pair_n ≥ 2) and the (pair_n,
-    part_a, part_b) tie-break keep the top-50 deterministic."""
-    li = _t(spark, sf_dir, "lineitem")
-    # ol feeds FOUR consumers (n_orders, item→ia/ib, both self-join
-    # sides); without a lineage cut each replays the fact scan + distinct
-    # exchange unless ReuseExchange happens to fire (never relied on).
-    ol = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .transform(truncate_lineage, eager=False)
-    )
-    n_orders = ol.select(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = ol.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    a = ol.alias("a")
-    b = ol.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count(F.lit(1)).alias("pair_n"))
-        .filter(F.col("pair_n") >= 2)
-    )
-    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
-    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
-    return (
-        pair.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
-        .join(F.broadcast(n_orders))
-        .select(
-            "part_a",
-            "part_b",
-            F.col("pair_n").cast("long").alias("pair_n"),
-            F.col("cnt_a").cast("long").alias("cnt_a"),
-            F.col("cnt_b").cast("long").alias("cnt_b"),
-            F.round(F.col("pair_n").cast("double") / F.col("n_orders"), 6).alias(
-                "support"
-            ),
-            F.round(F.col("pair_n").cast("double") / F.col("cnt_a"), 6).alias(
-                "confidence_ab"
-            ),
-            F.round(
-                F.col("pair_n").cast("double")
-                * F.col("n_orders")
-                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
-                6,
-            ).alias("lift"),
-        )
-        .orderBy(F.desc("pair_n"), "part_a", "part_b")
-        .limit(50)
-    )
-
-
-@query(
-    "docs_heaps_law_fit",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), g AS (
-      SELECT doc_id,
-             unnest(CASE WHEN len(toks) >= 2
-                         THEN list_transform(range(1, len(toks)),
-                                i -> array_to_string(toks[i:i+1], ' '))
-                         ELSE [] END) AS gram
-      FROM t
-    ), firsts AS (
-      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
-    ), percount AS (
-      SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
-    ), mx AS (
-      SELECT MAX(doc_id) AS m FROM documents
-    ), ks AS (
-      SELECT CAST(k AS INT) AS k, ((SELECT m FROM mx) * k) // 10 AS t
-      FROM range(1, 11) r(k)
-    ), pts AS (
-      SELECT ks.k,
-             (SELECT COUNT(*) FROM firsts WHERE first_doc <= ks.t) AS v,
-             (SELECT COALESCE(SUM(n_grams), 0) FROM percount
-              WHERE doc_id <= ks.t) AS n
-      FROM ks
-    ), xy AS (
-      SELECT ROUND(ln(CAST(n AS DOUBLE)), 9) AS x,
-             ROUND(ln(CAST(v AS DOUBLE)), 9) AS y
-      FROM pts WHERE n > 0 AND v > 0
-    ), s AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
-      FROM xy
-    )
-    SELECT CAST(s.n AS BIGINT) AS n_checkpoints,
-           ROUND((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx), 6)
-               AS heaps_beta,
-           ROUND((s.sy - ((s.n * s.sxy - s.sx * s.sy)
-                          / (s.n * s.sxx - s.sx * s.sx)) * s.sx) / s.n, 6)
-               AS intercept,
-           (SELECT CAST(v AS BIGINT) FROM pts WHERE k = 10) AS vocab_final,
-           (SELECT CAST(n AS BIGINT) FROM pts WHERE k = 10) AS grams_final
-    FROM s
-    """,
-    tags=("text", "diagnostics", "corpus-health", "heaps"),
-)
-def docs_heaps_law_fit(spark, sf_dir):
-    """Heaps'-law fit — the companion corpus-health number to the Zipf
-    slope: vocabulary growth V(n) ≈ K·n^β measured on bigram TYPES (the
-    unigram vocabulary of the synthetic corpus saturates instantly; the
-    pattern level actually grows) at 10 doc-id-prefix checkpoints.
-    β ≈ 0.5–0.8 is a healthy natural corpus; β → 0 means the crawl has
-    stopped discovering new language (or dedup failed), β → 1 flags
-    near-random token soup.  Checkpoint thresholds are integer doc-id
-    arithmetic, V_k counts first-appearance docs (one groupBy-min over
-    the gram stream), and the OLS fit reuses the Zipf-fit
-    round(9)-then-DECIMAL determinism recipe."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    grams_arr = F.when(
-        F.size("toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = (
-        docs.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.explode(grams_arr).alias("gram"))
-    )
-    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    percount = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    mx = docs.agg(F.max("doc_id").alias("m"))
-    ks = mx.select(
-        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "m"
-    ).select("k", F.expr("(m * k) div 10").alias("t"))
-    v = (
-        firsts.join(F.broadcast(ks))
-        .filter(F.col("first_doc") <= F.col("t"))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("v"))
-    )
-    n = (
-        percount.join(F.broadcast(ks))
-        .filter(F.col("doc_id") <= F.col("t"))
-        .groupBy("k")
-        .agg(F.sum("n_grams").alias("n"))
-    )
-    pts = ks.select("k").join(v, "k", "left").join(n, "k", "left").select(
-        "k",
-        F.coalesce("v", F.lit(0)).alias("v"),
-        F.coalesce("n", F.lit(0)).alias("n"),
-    )
-    xy = pts.filter((F.col("n") > 0) & (F.col("v") > 0)).select(
-        F.round(F.log(F.col("n").cast("double")), 9).alias("x"),
-        F.round(F.log(F.col("v").cast("double")), 9).alias("y"),
-    )
-    s = xy.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(18,9)")).cast("double").alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)")).cast("double").alias("sxx"),
-    )
-    fin = pts.filter(F.col("k") == 10).select(
-        F.col("v").cast("long").alias("vocab_final"),
-        F.col("n").cast("long").alias("grams_final"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return (
-        s.join(F.broadcast(fin))
-        .select(
-            F.col("n").cast("long").alias("n_checkpoints"),
-            F.round(slope, 6).alias("heaps_beta"),
-            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-                "intercept"
-            ),
-            "vocab_final",
-            "grams_final",
-        )
-    )
-
-
-def _local_cc_oracle_sql() -> str:
-    """Near-dup edges (same LSH pipeline as the triangle/taint oracles) +
-    per-node triangle credit and local clustering coefficient."""
-    mh = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-        for j in range(8)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
-        "FROM sig WHERE len(sh) > 0"
-        for b in range(4)
-    )
-    return f"""
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, {{_TOKS_SQL}} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS MATERIALIZED (
-      SELECT doc_id, sh, {mh} FROM s
-    ), bands AS ({bands}
-    ), edges AS MATERIALIZED (
-      SELECT c.id_a AS a, c.id_b AS b FROM (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM bands x JOIN bands y
-          ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-    ), deg AS MATERIALIZED (
-      SELECT v, COUNT(*) AS deg FROM (
-        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
-      ) GROUP BY v
-    ), tri AS MATERIALIZED (
-      SELECT e1.a, e1.b, e2.b AS c
-      FROM edges e1
-      JOIN edges e2 ON e2.a = e1.b
-      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
-    ), credit AS (
-      SELECT v, COUNT(*) AS t FROM (
-        SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
-        UNION ALL SELECT c AS v FROM tri
-      ) GROUP BY v
-    )
-    SELECT deg.v, CAST(deg.deg AS BIGINT) AS deg,
-           CAST(COALESCE(credit.t, 0) AS BIGINT) AS n_triangles,
-           CAST(CASE WHEN deg.deg >= 2 THEN 1 ELSE 0 END AS INT) AS defined,
-           CASE WHEN deg.deg >= 2
-                THEN ROUND(2.0 * COALESCE(credit.t, 0)
-                           / (deg.deg * (deg.deg - 1)), 6)
-                ELSE 0.0 END AS local_cc
-    FROM deg LEFT JOIN credit ON credit.v = deg.v
-    ORDER BY deg.v
-    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL)
-
-
-@query(
-    "docs_local_clustering",
-    oracle=_local_cc_oracle_sql(),
-    tags=("graph", "dedup", "clustering-coefficient"),
-)
-def docs_local_clustering(spark, sf_dir):
-    """Per-node local clustering coefficients over the near-dup graph
-    (operators.graph.local_clustering): cc(v) near 1 marks documents
-    sitting in tight duplicate cliques (safe to transitively remove), cc
-    near 0 marks bridge documents whose removal would over-delete — the
-    node-level companion to docs_dup_triangles' global coefficient.
-    Triangles list once via the canonical a<b<c wedge join; degrees and
-    credits are vertex-keyed aggs; cc is one double division of exact
-    integers rounded to 6.  Graph-sized throughout."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.operators.graph import local_clustering
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
-    return local_clustering(pairs).orderBy("v")
-
-
-# ---------------------------------------------------------------------------
-# Round 6: mergeable count-min sketches, k-core decomposition, exact-rational
-# EWMA baselines, referential-integrity audit, interval concurrency, embedding
-# class separation, and content-defined chunk dedup.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_cms_heavy_hitters",
-    oracle="""
-    WITH counts AS (
-      SELECT user_id, COUNT(*) AS true_count
-      FROM events WHERE user_id IS NOT NULL GROUP BY 1
-    ), cells AS (
-      SELECT j,
-             CAST(('0x' || substr(md5('cms' || j || ':' || user_id), 1, 12))::BIGINT
-                  % 512 AS INT) AS bucket,
-             SUM(true_count) AS cnt
-      FROM counts CROSS JOIN (SELECT unnest(range(4)) AS j)
-      GROUP BY 1, 2
-    ), top AS (
-      SELECT user_id, true_count FROM counts
-      ORDER BY true_count DESC, user_id LIMIT 20
-    ), est AS (
-      SELECT t.user_id, MIN(COALESCE(c.cnt, 0)) AS cms_count
-      FROM top t
-      CROSS JOIN (SELECT unnest(range(4)) AS j) r
-      LEFT JOIN cells c
-        ON c.j = r.j
-       AND c.bucket = CAST(('0x' || substr(md5('cms' || r.j || ':' || t.user_id), 1, 12))::BIGINT
-                           % 512 AS INT)
-      GROUP BY 1
-    )
-    SELECT t.user_id,
-           CAST(t.true_count AS BIGINT) AS true_count,
-           CAST(e.cms_count AS BIGINT) AS cms_count,
-           CAST(e.cms_count - t.true_count AS BIGINT) AS overcount
-    FROM top t JOIN est e USING (user_id)
-    ORDER BY true_count DESC, user_id
-    """,
-    tags=("sketch", "cms", "heavy-hitters"),
-)
-def events_cms_heavy_hitters(spark, sf_dir):
-    """Heavy-hitter frequency estimation via MERGEABLE count-min sketches
-    (operators/sketches.py): each day builds its own depth-4 x width-512
-    sketch (the incremental path — daily partitions sketch as they land,
-    history is never re-read), the daily sketches merge by cell-wise
-    addition, and the merged sketch answers point queries for the exact
-    top-20 users, whose CMS estimate is compared against truth.  The
-    overcount column is the sketch's collision error — always >= 0 by
-    construction (a negative value anywhere would prove the operator
-    wrong).  The md5 bucket derivation is replayed bit-for-bit by the
-    oracle, which builds the sketch globally — cell addition is
-    associative, so per-day-then-merge MUST equal one global build; the
-    hash check proves the mergeability property, not just the estimates.
-    Sketch state is bounded (days x 4 x 512 rows) regardless of corpus
-    size."""
-    from prod_data_pipeline_spark.operators.sketches import (
-        cms_build,
-        cms_estimate,
-        cms_merge,
-    )
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    daily = cms_build(
-        ev.select(F.to_date("ts").alias("day"), "user_id"),
-        "user_id",
-        depth=4,
-        width=512,
-        hash_fn="md5",
-        group_cols=("day",),
-    )
-    merged = cms_merge(daily)
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
-    top = counts.orderBy(F.desc("true_count"), "user_id").limit(20)
-    est = cms_estimate(merged, top.select("user_id"), "user_id", depth=4, width=512)
-    return (
-        top.join(est, "user_id")
-        .select(
-            "user_id",
-            F.col("true_count").cast("long"),
-            F.col("cms_count").cast("long"),
-            (F.col("cms_count") - F.col("true_count")).cast("long").alias("overcount"),
-        )
-        .orderBy(F.desc("true_count"), "user_id")
-    )
-
-
-def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
-    """Near-dup edges (same LSH pipeline as the triangle/taint oracles) +
-    `rounds` unrolled peeling iterations.  Peeling is monotone, so a
-    fixed unroll equals the Spark side's early-exited fixpoint whenever
-    the graph converges within the bound (and equals its partial state
-    otherwise — the two engines replay the identical recurrence)."""
-    mh = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-        for j in range(8)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
-        "FROM sig WHERE len(sh) > 0"
-        for b in range(4)
-    )
-    parts = [
-        f"""
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS MATERIALIZED (
-      SELECT doc_id, sh, {mh} FROM s
-    ), bands AS ({bands}
-    ), pairs AS MATERIALIZED (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM bands x JOIN bands y
-          ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-    ), e0 AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    )"""
-    ]
-    prev = "e0"
-    for r in range(1, rounds + 1):
-        parts.append(
-            f""", k{r} AS MATERIALIZED (
-      SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
-    ), e{r} AS MATERIALIZED (
-      SELECT e.src, e.dst FROM {prev} e
-      JOIN k{r} x ON x.src = e.src
-      JOIN k{r} y ON y.src = e.dst
-    )"""
-        )
-        prev = f"e{r}"
-    parts.append(
-        f"""
-    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
-    FROM {prev} GROUP BY src HAVING COUNT(*) >= {k} ORDER BY node
-    """
-    )
-    return "".join(parts)
-
-
-@query(
-    "docs_kcore_summary",
-    oracle=_kcore_oracle_sql(k=2, rounds=6),
-    tags=("graph", "dedup", "kcore"),
-)
-def docs_kcore_summary(spark, sf_dir):
-    """2-core of the near-dup graph (operators.graph.kcore): the maximal
-    subgraph where every document near-duplicates >= 2 others in the set
-    — bridge/pendant nodes peel away, leaving the dense template and
-    boilerplate neighborhoods a curation pass reviews first.  ALL-INTEGER
-    iterative peeling (degrees + semi-joins), so the DuckDB oracle
-    replays the recurrence exactly as 6 unrolled CTE rounds; monotonicity
-    makes Spark's early exit at the fixpoint equal the fixed unroll.
-    Per round: one vertex-keyed degree agg + two semi-joins over a
-    shrinking edge relation — graph-sized, never corpus-sized."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.operators.graph import kcore
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
-    return kcore(pairs, k=2, max_rounds=6).orderBy("node")
-
-
-_EWMA_LAGS = 14  # weights 2^(14-k) for lag k: exact integer arithmetic
-_EWMA_DENOM = (1 << _EWMA_LAGS) - 1  # 16383 = sum of the weights
-
-
-@query(
-    "events_ewma_anomalies",
-    oracle=f"""
-    WITH bounds AS (
-      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
-    ), spine AS (
-      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
-      FROM bounds
-    ), ty AS (
-      SELECT DISTINCT event_type FROM events
-    ), daily AS (
-      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
-      FROM events GROUP BY 1, 2
-    ), dense AS (
-      SELECT s.day, ty.event_type, COALESCE(d.n, 0) AS n
-      FROM spine s CROSS JOIN ty
-      LEFT JOIN daily d ON d.day = s.day AND d.event_type = ty.event_type
-    ), wnd AS (
-      SELECT day, event_type, n,
-             row_number() OVER w AS rn,
-             {" + ".join(f"lag(n, {kk}) OVER w * {1 << (_EWMA_LAGS - kk)}" for kk in range(1, _EWMA_LAGS + 1))} AS num
-      FROM dense
-      WINDOW w AS (PARTITION BY event_type ORDER BY day)
-    )
-    SELECT day, event_type,
-           CAST(n AS BIGINT) AS n_events,
-           ROUND(num / {_EWMA_DENOM}.0, 6) AS ewma,
-           CAST(CASE WHEN n * {_EWMA_DENOM} > 2 * num THEN 1 ELSE 0 END AS INT) AS spike
-    FROM wnd WHERE rn > {_EWMA_LAGS}
-    ORDER BY event_type, day
-    """,
-    tags=("timeseries", "anomaly", "ewma"),
-)
-def events_ewma_anomalies(spark, sf_dir):
-    """EWMA daily-volume baseline with EXACT RATIONAL arithmetic: the
-    smoothing weights are 2^(14-k) over the trailing 14 days (half-life
-    one day), so the weighted sum is a pure int64 expression and the
-    spike decision `count > 2 x EWMA` cross-multiplies integers — no
-    float ever decides a flag, so any engine replaying the recurrence
-    agrees bit-for-bit (the reported `ewma` column does one double
-    division of exact integers, rounded to 6).  Gap-filled on the
-    calendar spine first: a day with zero events must drag the baseline
-    down, which a sparse GROUP BY would silently skip.  Per-type windows
-    partition the shuffle; state is days x types rows — tiny at any
-    corpus scale."""
-    ev = _t(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("d0"),
-        F.max(F.col("ts").cast("date")).alias("d1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
-    )
-    ty = ev.select("event_type").distinct()
-    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    dense = (
-        spine.crossJoin(F.broadcast(ty))
-        .join(F.broadcast(daily), ["day", "event_type"], "left")
-        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
-    )
-    w = Window.partitionBy("event_type").orderBy("day")
-    num = reduce(
-        lambda a, b: a + b,
-        [
-            F.lag("n", kk).over(w) * F.lit(1 << (_EWMA_LAGS - kk))
-            for kk in range(1, _EWMA_LAGS + 1)
-        ],
-    )
-    return (
-        dense.select(
-            "day",
-            "event_type",
-            F.col("n").cast("long").alias("n_events"),
-            F.row_number().over(w).alias("rn"),
-            num.alias("num"),
-        )
-        .filter(F.col("rn") > _EWMA_LAGS)
-        .select(
-            "day",
-            "event_type",
-            "n_events",
-            F.round(F.col("num") / F.lit(float(_EWMA_DENOM)), 6).alias("ewma"),
-            F.when(
-                F.col("n_events") * _EWMA_DENOM > 2 * F.col("num"), 1
-            )
-            .otherwise(0)
-            .cast("int")
-            .alias("spike"),
-        )
-        .orderBy("event_type", "day")
-    )
-
-
-_FK_EDGES: list[tuple[str, str, str, str]] = [
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("nation", "n_regionkey", "region", "r_regionkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
-]
-
-
-def _fk_oracle_sql() -> str:
-    selects = []
-    for c, ck, p, pk in _FK_EDGES:
-        orphan_where = (
-            f"{ck} IS NOT NULL AND {ck} NOT IN "
-            f"(SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL)"
-        )
-        selects.append(
-            f"""SELECT '{c}.{ck}->{p}.{pk}' AS relationship,
-           CAST((SELECT COUNT(*) FROM {c}) AS BIGINT) AS n_child_rows,
-           CAST((SELECT COUNT(*) FROM {c} WHERE {ck} IS NULL) AS BIGINT) AS n_null_keys,
-           CAST((SELECT COUNT(DISTINCT {ck}) FROM {c}) AS BIGINT) AS n_distinct_keys,
-           CAST((SELECT COUNT(*) FROM {c} WHERE {orphan_where}) AS BIGINT) AS n_orphan_rows,
-           CAST((SELECT COUNT(DISTINCT {ck}) FROM {c} WHERE {orphan_where}) AS BIGINT) AS n_orphan_keys"""
-        )
-
-    return "\n    UNION ALL\n    ".join(selects) + "\n    ORDER BY relationship"
-
-
-@query(
-    "fk_integrity_audit",
-    oracle=_fk_oracle_sql(),
-    tags=("dq", "constraints", "referential-integrity"),
-)
-def fk_integrity_audit(spark, sf_dir):
-    """Referential-integrity audit over every foreign-key edge of the
-    schema: child cardinality, NULL keys, distinct keys, and orphan rows/
-    keys (child keys with no parent).  This is the cross-TABLE data-quality
-    gate the single-table DQ profile (events_dq_profile, reference
-    raw_to_curated_events_v3_dq.py:70-106) cannot express — a broken
-    upstream join key shows up here first.  Each edge costs one
-    combiner-friendly child agg plus one left-anti join keyed on the FK
-    (dimension parents broadcast; fact-fact edges shuffle-hash on the
-    key); the 7 one-row results union driver-side.  NULL keys are counted
-    separately, never as orphans — SQL FK semantics."""
-    rows = []
-    for c, ck, p, pk in _FK_EDGES:
-        child = _t(spark, sf_dir, c)
-        parent = _t(spark, sf_dir, p).select(F.col(pk).alias("__pk")).distinct()
-        nn = child.filter(F.col(ck).isNotNull())
-        orph = nn.join(parent, nn[ck] == parent["__pk"], "left_anti")
-        stats = child.agg(
-            F.count(F.lit(1)).alias("n_child_rows"),
-            F.sum(F.when(F.col(ck).isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_null_keys"),
-            F.countDistinct(ck).alias("n_distinct_keys"),
-        )
-        ostats = orph.agg(
-            F.count(F.lit(1)).alias("n_orphan_rows"),
-            F.countDistinct(ck).alias("n_orphan_keys"),
-        )
-        rows.append(
-            stats.crossJoin(F.broadcast(ostats)).select(
-                F.lit(f"{c}.{ck}->{p}.{pk}").alias("relationship"),
-                "n_child_rows",
-                "n_null_keys",
-                "n_distinct_keys",
-                "n_orphan_rows",
-                "n_orphan_keys",
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("relationship")
-
-
-@query(
-    "sessions_peak_concurrency",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-                  OR epoch_us(CAST(ts AS TIMESTAMP))
-                     - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events WHERE user_id IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-    ), s AS (
-      SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS sid
-      FROM g
-    ), sess AS (
-      SELECT user_id, sid, MIN(ts) AS start_ts, MAX(ts) AS end_ts
-      FROM s GROUP BY 1, 2
-    ), d AS (
-      SELECT start_ts AS ts, 1 AS delta FROM sess
-      UNION ALL
-      SELECT end_ts AS ts, -1 AS delta FROM sess
-    ), r AS (
-      SELECT CAST(ts AS DATE) AS day, delta,
-             SUM(delta) OVER (PARTITION BY CAST(ts AS DATE)
-                              ORDER BY ts, delta DESC
-                              ROWS UNBOUNDED PRECEDING) AS run
-      FROM d
-    ), loc AS (
-      SELECT day, MAX(run) AS mx, SUM(delta) AS net,
-             SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_starts
-      FROM r GROUP BY day
-    ), c AS (
-      SELECT day, n_starts, mx,
-             COALESCE(SUM(net) OVER (ORDER BY day
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS carry
-      FROM loc
-    )
-    SELECT day,
-           CAST(n_starts AS BIGINT) AS n_sessions_started,
-           CAST(carry + greatest(mx, 0) AS BIGINT) AS peak_concurrency
-    FROM c ORDER BY day
-    """,
-    tags=("window", "sessionization", "sweep-line"),
-)
-def sessions_peak_concurrency(spark, sf_dir):
-    """Peak concurrent sessions per day by distributed sweep-line: the
-    single-machine formulation (sort ALL +1/-1 boundary events globally,
-    running sum) is a global sort — forbidden at scale — so this splits
-    it into (a) a per-day windowed running sum over boundary deltas and
-    (b) a day-level carry-in = cumulative net of prior days, computed on
-    the tiny days-sized relation where a global window is free.  Peak =
-    carry + max(local running max, 0); sessions crossing midnight are
-    exactly the carry.  Tie policy: at the same timestamp, starts (+1)
-    process before ends (-1) — inclusive [start, end] intervals — pinned
-    by ORDER BY (ts, delta DESC) identically on both engines; reorderings
-    within equal (ts, delta) groups cannot change the running-max
-    multiset, so the result is deterministic at any parallelism.
-    Sessions come from the same 30-min-gap sessionization as
-    user_sessions (oracle-green r03)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
-    is_new = F.when(
-        F.lag("ts").over(wu).isNull() | (gap_us > 1800 * 1_000_000), 1
-    ).otherwise(0)
-    sess = (
-        ev.withColumn("is_new", is_new)
-        .withColumn(
-            "sid",
-            F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("user_id", "sid")
-        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
-    )
-    d = sess.select(F.col("start_ts").alias("ts"), F.lit(1).alias("delta")).unionByName(
-        sess.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta"))
-    )
-    wd = Window.partitionBy("day").orderBy("ts", F.desc("delta")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    r = d.withColumn("day", F.to_date("ts")).withColumn("run", F.sum("delta").over(wd))
-    loc = r.groupBy("day").agg(
-        F.max("run").alias("mx"),
-        F.sum("delta").alias("net"),
-        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_starts"),
-    )
-    # day-level relation: rows == distinct days, so the global window is
-    # a one-partition job over a tiny input — not a data-sized sort
-    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    return (
-        loc.withColumn("carry", F.coalesce(F.sum("net").over(wc), F.lit(0)))
-        .select(
-            "day",
-            F.col("n_starts").cast("long").alias("n_sessions_started"),
-            (F.col("carry") + F.greatest("mx", F.lit(0)))
-            .cast("long")
-            .alias("peak_concurrency"),
-        )
-        .orderBy("day")
-    )
-
-
-@query(
-    "emb_label_separation",
-    oracle="""
-    WITH cent AS (
-      SELECT label, pos,
-             ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS c
-      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
-      GROUP BY 1, 2
-    ), carr AS (
-      SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY label
-    ), rowcos AS (
-      SELECT e.label,
-             ROUND(
-               list_sum(list_transform(range(1, len(e.embedding) + 1),
-                        i -> CAST(e.embedding[i] AS DOUBLE) * a.carr[i]))
-               / greatest(
-                   sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(a.carr, x -> x * x))),
-                   1e-12),
-               6) AS cs
-      FROM embeddings e JOIN carr a USING (label)
-    ), own AS (
-      SELECT label, COUNT(*) AS n_vecs,
-             ROUND(CAST(SUM(CAST(cs AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*), 6)
-               AS mean_cos_own
-      FROM rowcos GROUP BY label
-    ), cc AS (
-      SELECT x.label AS la, y.label AS lb,
-             ROUND(
-               list_sum(list_transform(range(1, len(x.carr) + 1),
-                        i -> x.carr[i] * y.carr[i]))
-               / greatest(
-                   sqrt(list_sum(list_transform(x.carr, v -> v * v)))
-                   * sqrt(list_sum(list_transform(y.carr, v -> v * v))),
-                   1e-12),
-               6) AS cs
-      FROM carr x JOIN carr y ON x.label <> y.label
-    ), best AS (
-      SELECT la, lb, cs,
-             row_number() OVER (PARTITION BY la ORDER BY cs DESC, lb) AS rn
-      FROM cc
-    )
-    SELECT o.label, o.n_vecs, o.mean_cos_own,
-           b.lb AS nearest_other_label, b.cs AS cos_nearest_other,
-           ROUND(o.mean_cos_own - b.cs, 6) AS margin
-    FROM own o JOIN best b ON b.la = o.label AND b.rn = 1
-    ORDER BY o.label
-    """,
-    tags=("similarity", "embeddings", "class-separation"),
-)
-def emb_label_separation(spark, sf_dir):
-    """Embedding class-separation diagnostic: per label, the mean cosine
-    of member vectors to their OWN centroid versus the highest cosine
-    between that centroid and any OTHER label's centroid — the
-    Fisher-style margin that predicts whether label-blocked ANN
-    (cosine_near_dup_pairs' block_cols) and IVF cells will work on this
-    corpus.  Centroids reuse the long-form aggregation of
-    emb_label_centroids (oracle-green r03), round to 6 at source, and
-    broadcast-join back as arrays; per-row cosines round to 6 then sum as
-    exact DECIMAL, so partial-agg order cannot flip the hash.  The
-    centroid-pair stage is labels^2 rows — label-sized, never
-    corpus-sized; the per-row stage is one broadcast join + one pass."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cent_long = (
-        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
-        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("c"))
-    )
-    cent = cent_long.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("carr")
-    )
-
-    def _cos(a: F.Column, b: F.Column) -> F.Column:
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        na = F.sqrt(
-            F.aggregate(
-                F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        nb = F.sqrt(
-            F.aggregate(
-                F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-            )
-        )
-        return F.round(dot / F.greatest(na * nb, F.lit(1e-12)), 6)
-
-    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    rowcos = emb.join(F.broadcast(cent), "label").select(
-        "label", _cos(e_dbl, F.col("carr")).alias("cs")
-    )
-    own = rowcos.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(
-            F.sum(F.col("cs").cast("decimal(18,10)")).cast("double") / F.count(F.lit(1)),
-            6,
-        ).alias("mean_cos_own"),
-    )
-    a = cent.select(F.col("label").alias("la"), F.col("carr").alias("ca"))
-    b = cent.select(F.col("label").alias("lb"), F.col("carr").alias("cb"))
-    cc = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("la") != F.col("lb"))
-        .select("la", "lb", _cos(F.col("ca"), F.col("cb")).alias("cs"))
-    )
-    wb = Window.partitionBy("la").orderBy(F.desc("cs"), "lb")
-    best = cc.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
-    return (
-        own.join(best, own.label == best.la)
-        .select(
-            "label",
-            "n_vecs",
-            "mean_cos_own",
-            F.col("lb").alias("nearest_other_label"),
-            F.col("cs").alias("cos_nearest_other"),
-            F.round(F.col("mean_cos_own") - F.col("cs"), 6).alias("margin"),
-        )
-        .orderBy("label")
-    )
-
-
-@query(
-    "docs_cdc_chunk_dedup",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), tok AS (
-      SELECT doc_id, source, i AS pos, toks[i] AS tok,
-             CASE WHEN ('0x' || substr(md5('cdc:' || toks[i]), 1, 8))::BIGINT % 8 = 0
-                  THEN 1 ELSE 0 END AS boundary
-      FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
-      WHERE len(toks) > 0
-    ), marked AS (
-      SELECT doc_id, source, pos, tok,
-             COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
-      FROM tok
-    ), chunks AS (
-      SELECT doc_id, source, chunk_id,
-             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
-             COUNT(*) AS n_tokens
-      FROM marked GROUP BY 1, 2, 3
-    ), freq AS (
-      SELECT chunk_hash, COUNT(*) AS n_occ FROM chunks GROUP BY 1
-    )
-    SELECT c.source,
-           CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-           CAST(SUM(CASE WHEN f.n_occ > 1 THEN c.n_tokens ELSE 0 END) AS BIGINT)
-             AS n_dup_tokens,
-           ROUND(CAST(SUM(CASE WHEN f.n_occ > 1 THEN c.n_tokens ELSE 0 END) AS DOUBLE)
-                 / SUM(c.n_tokens), 6) AS dup_token_frac
-    FROM chunks c JOIN freq f USING (chunk_hash)
-    GROUP BY c.source ORDER BY c.source
-    """,
-    tags=("dedup", "cdc-chunking", "llm-pipeline"),
+from prod_data_pipeline_spark.plans.query_registry import (  # noqa: F401
+    QUERIES,
+    QuerySpec,
+    _t,
+    dsum,
+    query,
+)
+
+# Chunk imports REGISTER the queries as a side effect; the order below
+# is the original monolithic file order, so QUERIES preserves the
+# historical registration order exactly.
+from prod_data_pipeline_spark.plans.queries_events_star import *  # noqa: F401,F403
+from prod_data_pipeline_spark.plans.queries_text_dedup import *  # noqa: F401,F403
+from prod_data_pipeline_spark.plans.queries_tpch_graph import *  # noqa: F401,F403
+from prod_data_pipeline_spark.plans.queries_media_rank import *  # noqa: F401,F403
+from prod_data_pipeline_spark.plans.queries_curation_gates import *  # noqa: F401,F403
+# underscore names are not carried by star imports; re-export the ones
+# with external consumers (tests/test_property_text.py)
+from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
+    _ENTROPY_ALPHABET,
 )
-def docs_cdc_chunk_dedup(spark, sf_dir):
-    """Content-defined chunk dedup (the FastCDC/rsync family, token-level):
-    chunk boundaries fall where a token's content hash lands in a fixed
-    residue class (expected chunk length 8 tokens), so INSERTING text
-    shifts chunk ids but not chunk CONTENT — unlike the fixed sliding
-    windows of docs_substring_dup_spans, edits only perturb the one chunk
-    they touch.  Chunks hash globally; a chunk appearing in >1 place
-    (same doc or across docs/sources) is duplicated, and the per-source
-    duplicated-token fraction is the storage/training-redundancy the
-    corpus carries.  Boundary decisions are pure token-hash residues
-    (md5 backend — the oracle replays every boundary bit-for-bit);
-    chunking is one per-doc window pass, dedup one groupBy on chunk
-    hash — shuffle proportional to chunks, never doc pairs."""
-    docs = _t(spark, sf_dir, "documents")
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    toks = docs.select(
-        "doc_id", "source", F.posexplode(_tokens(F.col("text"))).alias("pos0", "tok")
-    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tok")
-    boundary = F.when(
-        F.conv(F.substring(F.md5(F.concat(F.lit("cdc:"), F.col("tok"))), 1, 8), 16, 10)
-        .cast("long")
-        % 8
-        == 0,
-        1,
-    ).otherwise(0)
-    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    marked = toks.withColumn("boundary", boundary).withColumn(
-        "chunk_id", F.coalesce(F.sum("boundary").over(wdoc), F.lit(0))
-    )
-    chunks = (
-        marked.groupBy("doc_id", "source", "chunk_id")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                )
-            ).alias("chunk_hash"),
-            F.count(F.lit(1)).alias("n_tokens"),
-        )
-    )
-    freq = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_occ"))
-    dup_tok = F.sum(F.when(F.col("n_occ") > 1, F.col("n_tokens")).otherwise(0))
-    return (
-        chunks.join(freq, "chunk_hash")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_chunks"),
-            dup_tok.cast("long").alias("n_dup_tokens"),
-            F.round(dup_tok.cast("double") / F.sum("n_tokens"), 6).alias(
-                "dup_token_frac"
-            ),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "media_image_phash_groups",
-    oracle="""
-    WITH img AS (
-      SELECT doc_id, text,
-             CAST(4 + doc_id % 13 AS BIGINT) AS w,
-             CAST(4 + doc_id % 7 AS BIGINT) AS h,
-             (3 * (4 + doc_id % 13) + 3) // 4 * 4 AS stride,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 0
-    ), g AS (
-      SELECT doc_id, w, h,
-             list_transform(range(0, 64), c ->
-               ( ascii(substr(text, CAST(((c // 8) * h // 8) * stride
-                                         + 3 * ((c % 8) * w // 8) AS BIGINT) % l + 1, 1))
-               + ascii(substr(text, CAST(((c // 8) * h // 8) * stride
-                                         + 3 * ((c % 8) * w // 8) + 1 AS BIGINT) % l + 1, 1))
-               + ascii(substr(text, CAST(((c // 8) * h // 8) * stride
-                                         + 3 * ((c % 8) * w // 8) + 2 AS BIGINT) % l + 1, 1))
-               ) // 3) AS grays
-      FROM img
-    ), ph AS (
-      SELECT doc_id,
-             array_to_string(
-               list_transform(grays,
-                 gr -> CASE WHEN 64 * gr > list_sum(grays) THEN '1' ELSE '0' END),
-               '') AS phash
-      FROM g
-    )
-    SELECT phash,
-           CAST(COUNT(*) AS BIGINT) AS n_images,
-           MIN(doc_id) AS min_asset_id,
-           MAX(doc_id) AS max_asset_id
-    FROM ph GROUP BY phash ORDER BY phash
-    """,
-    tags=("multimodal", "image", "perceptual-hash", "dedup"),
-)
-def media_image_phash_groups(spark, sf_dir):
-    """Perceptual image dedup: REAL BMP payloads decode to pixels, each
-    image gets an all-integer 64-bit average-hash
-    (operators.multimodal.image_phash), and images group by fingerprint —
-    the multimodal counterpart of exact text dedup (re-encoded or
-    resized-identical images share a perceptual bucket even when payload
-    bytes differ).  The oracle regenerates every SAMPLED PIXEL from
-    doc_id geometry + the documented byte tiling (ASCII text assumption
-    as in the media-feature/audio oracles), so a single wrong byte
-    anywhere in the decode -> downsample -> threshold path flips the
-    hash.  Fingerprinting is one Arrow-batched kernel pass; grouping is
-    one 64-char-key groupBy — payload bytes never shuffle."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        image_phash,
-        synthetic_media_assets,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "image")
-    ph = image_phash(assets)
-    return (
-        ph.groupBy("phash")
-        .agg(
-            F.count(F.lit(1)).alias("n_images"),
-            F.min("asset_id").alias("min_asset_id"),
-            F.max("asset_id").alias("max_asset_id"),
-        )
-        .orderBy("phash")
-    )
-
-
-def _threshold_sweep_oracle_sql(thresholds: tuple[float, ...]) -> str:
-    mh = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-        for j in range(8)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
-        "FROM sig WHERE len(sh) > 0"
-        for b in range(4)
-    )
-    theta_rows = " UNION ALL ".join(f"SELECT {t} AS theta" for t in thresholds)
-    return f"""
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS MATERIALIZED (
-      SELECT doc_id, sh, {mh} FROM s
-    ), bands AS ({bands}
-    ), scored AS MATERIALIZED (
-      SELECT id_a, id_b, jac FROM (
-        SELECT c.id_a, c.id_b,
-               ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jac
-        FROM (
-          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM bands x JOIN bands y
-            ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-        ) c
-        JOIN sig sa ON sa.doc_id = c.id_a
-        JOIN sig sb ON sb.doc_id = c.id_b
-      ) WHERE jac >= 0.5
-    ), ends AS MATERIALIZED (
-      SELECT id_a AS v, jac FROM scored UNION ALL SELECT id_b AS v, jac FROM scored
-    ), thetas AS ({theta_rows})
-    SELECT theta,
-           CAST((SELECT COUNT(*) FROM scored WHERE jac >= theta) AS BIGINT) AS n_pairs,
-           CAST((SELECT COUNT(DISTINCT v) FROM ends WHERE jac >= theta) AS BIGINT)
-             AS n_nodes,
-           ROUND(COALESCE(
-             (SELECT CAST(SUM(CAST(jac AS DECIMAL(18,8))) AS DOUBLE)
-                     / COUNT(*) FROM scored WHERE jac >= theta), 0.0), 6) AS avg_jaccard
-    FROM thetas ORDER BY theta
-    """
-
-
-@query(
-    "docs_dup_threshold_sweep",
-    oracle=_threshold_sweep_oracle_sql((0.5, 0.6, 0.7, 0.8)),
-    tags=("dedup", "diagnostics", "threshold-sweep"),
-)
-def docs_dup_threshold_sweep(spark, sf_dir):
-    """Dedup-aggressiveness knob sweep: the verified LSH near-dup pairs are
-    scored ONCE (the expensive corpus-sized pass), then each candidate
-    threshold theta reads the bounded pair relation — pairs retained,
-    documents touched, and mean retained similarity per theta.  This is
-    the curve a curation team inspects before committing to a dedup
-    threshold (too low over-deletes via chains, too high leaves
-    templates); sweeping by re-running the pipeline per theta would cost
-    |thetas| corpus scans instead of one.  Candidates come from banding
-    tuned for theta=0.5, so higher-theta rows measure the SAME verified
-    pair set filtered tighter — stated in the name: this sweeps the dedup
-    decision, not LSH recall (emb_ivf_recall / docs_lsh_recall_vs_exact
-    cover recall).  The pair relation localCheckpoints so four theta
-    aggregates don't re-run LSH."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False, materialize=True)
-    thetas = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8)], ["theta"])
-    ends = pairs.select(F.col("id_a").alias("v"), "jaccard").unionByName(
-        pairs.select(F.col("id_b").alias("v"), "jaccard")
-    )
-    # Broadcast the 4-row theta relation explicitly: the bounded pair side is
-    # a localCheckpointed RDD with no stats, so without the hint the non-equi
-    # join degenerates to CartesianProduct instead of BroadcastNestedLoop.
-    kept = pairs.crossJoin(F.broadcast(thetas)).filter(
-        F.col("jaccard") >= F.col("theta")
-    )
-    kept_ends = ends.crossJoin(F.broadcast(thetas)).filter(
-        F.col("jaccard") >= F.col("theta")
-    )
-    agg_pairs = kept.groupBy("theta").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(
-            F.sum(F.col("jaccard").cast("decimal(18,8)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_jaccard"),
-    )
-    agg_nodes = kept_ends.groupBy("theta").agg(
-        F.countDistinct("v").alias("n_nodes")
-    )
-    return (
-        thetas.join(agg_pairs, "theta", "left")
-        .join(agg_nodes, "theta", "left")
-        .select(
-            "theta",
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
-            F.coalesce("avg_jaccard", F.lit(0.0)).alias("avg_jaccard"),
-        )
-        .orderBy("theta")
-    )
-
-
-@query(
-    "docs_bpe_encode_stats",
-    oracle=f"""
-    WITH tok AS (
-      SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
-    ), tsrc AS (
-      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
-    ), tf AS (
-      SELECT token, SUM(c) AS c FROM tsrc GROUP BY token
-    ), p1 AS (
-      SELECT unnest(list_transform(range(1, length(token)), i -> substr(token, i, 2)))
-                 AS pair, c
-      FROM tf WHERE length(token) >= 2
-    ), m1 AS (
-      SELECT pair FROM p1 GROUP BY pair ORDER BY SUM(c) DESC, pair ASC LIMIT 1
-    ), v1 AS (
-      SELECT token, replace(token, (SELECT pair FROM m1), '1') AS t1, c FROM tf
-    ), p2 AS (
-      SELECT unnest(list_transform(range(1, length(t1)), i -> substr(t1, i, 2)))
-                 AS pair, c
-      FROM v1 WHERE length(t1) >= 2
-    ), m2 AS (
-      SELECT pair FROM p2 GROUP BY pair ORDER BY SUM(c) DESC, pair ASC LIMIT 1
-    ), vocab AS (
-      SELECT token, length(token) AS len_b,
-             length(replace(t1, (SELECT pair FROM m2), '2')) AS len_a
-      FROM v1
-    )
-    SELECT s.source,
-           CAST(SUM(s.c) AS BIGINT) AS n_tokens,
-           CAST(SUM(s.c * v.len_b) AS BIGINT) AS n_symbols_before,
-           CAST(SUM(s.c * v.len_a) AS BIGINT) AS n_symbols_after,
-           ROUND(CAST(SUM(s.c * v.len_a) AS DOUBLE) / SUM(s.c * v.len_b), 6)
-             AS compression
-    FROM tsrc s JOIN vocab v USING (token)
-    GROUP BY s.source ORDER BY s.source
-    """,
-    tags=("text", "tokenizer", "llm-pipeline"),
-)
-def docs_bpe_encode_stats(spark, sf_dir):
-    """BPE ENCODE applied end-to-end: the two merges learned by
-    docs_bpe_merge_candidates / docs_bpe_second_merge rewrite the
-    distinct-word vocabulary (vocab-sized work), and each source's corpus
-    re-encodes through that vocabulary by join — symbol counts before vs
-    after measure the tokenizer's compression per source, the statistic
-    that decides how many merges a corpus needs.  The corpus is touched
-    exactly once (per-source word counts); merge selection, application,
-    and re-encoding all run on the (word, count) relation — the structure
-    that keeps real BPE trainers tractable at 100 TB.  Deterministic
-    merge winners via count-desc + pair-asc tie-break, exactly as the
-    prior two queries (both oracle-green r05-window)."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    tsrc = (
-        docs.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tf = tsrc.groupBy("token").agg(F.sum("c").alias("c"))
-
-    def pair_counts(src, col):
-        return (
-            src.filter(F.length(col) >= 2)
-            .select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length(col) - 1),
-                        lambda i: F.substring(F.col(col), i, F.lit(2)),
-                    )
-                ).alias("pair"),
-                "c",
-            )
-            .groupBy("pair")
-            .agg(F.sum("c").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("pair"))
-            .limit(1)
-        )
-
-    m1 = pair_counts(tf, "token").select(F.col("pair").alias("m1"))
-    v1 = tf.crossJoin(F.broadcast(m1)).select(
-        "token", F.replace(F.col("token"), F.col("m1"), F.lit("1")).alias("t1"), "c"
-    )
-    m2 = pair_counts(v1, "t1").select(F.col("pair").alias("m2"))
-    vocab = v1.crossJoin(F.broadcast(m2)).select(
-        "token",
-        F.length("token").alias("len_b"),
-        F.length(F.replace(F.col("t1"), F.col("m2"), F.lit("2"))).alias("len_a"),
-    )
-    return (
-        tsrc.join(vocab, "token")
-        .groupBy("source")
-        .agg(
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.sum(F.col("c") * F.col("len_b")).cast("long").alias("n_symbols_before"),
-            F.sum(F.col("c") * F.col("len_a")).cast("long").alias("n_symbols_after"),
-            F.round(
-                F.sum(F.col("c") * F.col("len_a")).cast("double")
-                / F.sum(F.col("c") * F.col("len_b")),
-                6,
-            ).alias("compression"),
-        )
-        .orderBy("source")
-    )
-
-
-def _lpa_oracle_sql(n_rounds: int = 4) -> str:
-    """Near-dup edges (same LSH pipeline as the kcore/taint oracles) +
-    `n_rounds` unrolled synchronous label-propagation rounds with the
-    count-desc/label-asc argmax tie-break."""
-    mh = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-        for j in range(8)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, mh_{2*b} || '|' || mh_{2*b+1} AS band_key "
-        "FROM sig WHERE len(sh) > 0"
-        for b in range(4)
-    )
-    parts = [
-        f"""
-    WITH t AS MATERIALIZED (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS MATERIALIZED (
-      SELECT doc_id, sh, {mh} FROM s
-    ), bands AS ({bands}
-    ), pairs AS MATERIALIZED (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        FROM bands x JOIN bands y
-          ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-    ), e0 AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ), l0 AS MATERIALIZED (
-      SELECT DISTINCT src AS node, src AS label FROM e0
-    )"""
-    ]
-    for r in range(1, n_rounds + 1):
-        parts.append(
-            f""", n{r} AS (
-      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
-      FROM e0 e JOIN l{r-1} l ON l.node = e.src GROUP BY 1, 2
-    ), b{r} AS (
-      SELECT node, label AS new_label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY cnt DESC, label ASC) AS rn
-        FROM n{r}
-      ) WHERE rn = 1
-    ), l{r} AS MATERIALIZED (
-      SELECT l.node, COALESCE(b.new_label, l.label) AS label
-      FROM l{r-1} l LEFT JOIN b{r} b USING (node)
-    )"""
-        )
-    parts.append(
-        f"""
-    SELECT label AS community,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           MIN(node) AS min_member,
-           MAX(node) AS max_member
-    FROM l{n_rounds} GROUP BY label ORDER BY community
-    """
-    )
-    return "".join(parts)
-
-
-@query(
-    "docs_lpa_communities",
-    oracle=_lpa_oracle_sql(4),
-    tags=("graph", "dedup", "communities"),
-)
-def docs_lpa_communities(spark, sf_dir):
-    """Label-propagation communities over the near-dup graph
-    (operators.graph.label_propagation): dense duplicate communities
-    rather than mere reachability — a thin false-positive bridge between
-    two template families keeps them SEPARATE here, where connected
-    components (corpus_dup_clusters) would merge them; comparing the two
-    partitions is how a curation pass detects over-merging before
-    deleting.  Deterministic synchronous LPA (most-frequent neighbor
-    label, ties to the smallest label — all-integer argmax), 4 rounds,
-    replayed exactly by the oracle's unrolled CTEs.  Per round one
-    (node, label) shuffle against the persisted edges; community-level
-    output."""
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.operators.graph import label_propagation
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, hash_fn="md5", sort=False)
-    labels = label_propagation(pairs, n_rounds=4)
-    return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("node").alias("min_member"),
-            F.max("node").alias("max_member"),
-        )
-        .orderBy("community")
-    )
-
-
-@query(
-    "emb_centroid_drift",
-    oracle="""
-    WITH cent AS (
-      SELECT label, vec_id % 2 AS half, pos,
-             ROUND(SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*), 6) AS c
-      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)
-      GROUP BY 1, 2, 3
-    ), paired AS (
-      SELECT a.label, a.pos, a.c AS c0, b.c AS c1
-      FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
-      WHERE a.half = 0 AND b.half = 1
-    ), sums AS (
-      SELECT label,
-             CAST(SUM(CAST(ROUND(c0 * c1, 12) AS DECIMAL(28,14))) AS DOUBLE) AS dot,
-             CAST(SUM(CAST(ROUND(c0 * c0, 12) AS DECIMAL(28,14))) AS DOUBLE) AS n0,
-             CAST(SUM(CAST(ROUND(c1 * c1, 12) AS DECIMAL(28,14))) AS DOUBLE) AS n1
-      FROM paired GROUP BY label
-    ), counts AS (
-      SELECT label,
-             SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
-             SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
-      FROM embeddings GROUP BY label
-    )
-    SELECT s.label,
-           CAST(c.n_a AS BIGINT) AS n_a,
-           CAST(c.n_b AS BIGINT) AS n_b,
-           ROUND(s.dot / greatest(sqrt(s.n0) * sqrt(s.n1), 1e-12), 6) AS cos_drift
-    FROM sums s JOIN counts c USING (label) ORDER BY s.label
-    """,
-    tags=("similarity", "embeddings", "drift"),
-)
-def emb_centroid_drift(spark, sf_dir):
-    """Embedding drift check between two halves of the corpus (vec_id
-    parity stands in for old-snapshot vs new-crawl): per label, the
-    cosine between the halves' centroids — cos near 1 means the label's
-    geometry is stable and ANN indexes / classifiers transfer; a drop
-    flags distribution shift at the REPRESENTATION level, complementing
-    the token-level docs_distribution_shift.  Determinism: centroids
-    round to 6 at source (the emb_label_centroids recipe), every product
-    term rounds to 12 digits and sums as exact DECIMAL — label-keyed
-    aggregation of 64-term sums, corpus touched once."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cent = (
-        emb.select(
-            "label",
-            (F.col("vec_id") % 2).alias("half"),
-            F.posexplode("embedding").alias("pos0", "v"),
-        )
-        .groupBy("label", "half", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("c"))
-    )
-    a = cent.filter(F.col("half") == 0).select("label", "pos", F.col("c").alias("c0"))
-    b = cent.filter(F.col("half") == 1).select("label", "pos", F.col("c").alias("c1"))
-    dec = "decimal(28,14)"
-    sums = (
-        a.join(b, ["label", "pos"])
-        .groupBy("label")
-        .agg(
-            F.sum(F.round(F.col("c0") * F.col("c1"), 12).cast(dec))
-            .cast("double")
-            .alias("dot"),
-            F.sum(F.round(F.col("c0") * F.col("c0"), 12).cast(dec))
-            .cast("double")
-            .alias("n0"),
-            F.sum(F.round(F.col("c1") * F.col("c1"), 12).cast(dec))
-            .cast("double")
-            .alias("n1"),
-        )
-    )
-    counts = emb.groupBy("label").agg(
-        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_a"),
-        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_b"),
-    )
-    return (
-        sums.join(counts, "label")
-        .select(
-            "label",
-            "n_a",
-            "n_b",
-            F.round(
-                F.col("dot")
-                / F.greatest(F.sqrt("n0") * F.sqrt("n1"), F.lit(1e-12)),
-                6,
-            ).alias("cos_drift"),
-        )
-        .orderBy("label")
-    )
-
-
-@query(
-    "orders_pareto_frontier",
-    oracle="""
-    WITH dm AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, MAX(o_totalprice) AS dmax
-      FROM orders GROUP BY 1
-    ), c AS (
-      SELECT d, dmax,
-             MAX(dmax) OVER (ORDER BY d
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS carry
-      FROM dm
-    )
-    SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice
-    FROM orders o JOIN c ON c.d = CAST(o.o_orderdate AS DATE)
-    WHERE o.o_totalprice = c.dmax AND (c.carry IS NULL OR o.o_totalprice > c.carry)
-    ORDER BY o_orderdate, o.o_orderkey
-    """,
-    tags=("analytics", "skyline", "preference"),
-)
-def orders_pareto_frontier(spark, sf_dir):
-    """Pareto frontier (skyline) of orders under (earlier date, higher
-    price): an order survives iff no other order is at least as early AND
-    at least as expensive with one strict — the multi-criteria preference
-    query behind best-offer/efficiency-frontier reports.  The classic
-    algorithm sorts ALL rows and sweeps a running max — a global sort —
-    so this uses the same two-phase decomposition as
-    sessions_peak_concurrency: per-date max price (combiner-friendly,
-    date-keyed), an exclusive running max over the DAYS-sized relation
-    (where a global window is free), and one broadcast join back;
-    frontier membership is then two comparisons per row.  Dominance uses
-    the raw parquet doubles both engines read identically — no arithmetic
-    is performed on them, so comparison determinism is unconditional."""
-    orders = _t(spark, sf_dir, "orders").withColumn(
-        "d", F.col("o_orderdate").cast("date")
-    )
-    dm = orders.groupBy("d").agg(F.max("o_totalprice").alias("dmax"))
-    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
-    c = dm.withColumn("carry", F.max("dmax").over(wc))
-    return (
-        orders.join(F.broadcast(c), "d")
-        .filter(
-            (F.col("o_totalprice") == F.col("dmax"))
-            & (F.col("carry").isNull() | (F.col("o_totalprice") > F.col("carry")))
-        )
-        .select(
-            "o_orderkey",
-            F.col("d").alias("o_orderdate"),
-            "o_totalprice",
-        )
-        .orderBy("o_orderdate", "o_orderkey")
-    )
-
-
-@query(
-    "media_video_scene_changes",
-    oracle="""
-    WITH v AS (
-      SELECT doc_id, text,
-             4 + 2 * (doc_id % 7) AS w,
-             4 + 2 * (doc_id % 5) AS h,
-             1 + doc_id % 4 AS nf,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 2
-    ), fr AS (
-      SELECT doc_id, w * h AS wh, l, unnest(range(0, nf)) AS i FROM v
-    ), fy AS (
-      SELECT f.doc_id, f.i,
-             list_sum(list_transform(range(0, f.wh),
-               k -> CASE WHEN f.l > f.i
-                         THEN ascii(substr(v.text,
-                                CAST(k % (f.l - f.i) AS INT) + CAST(f.i AS INT) + 1, 1))
-                         ELSE ascii(substr(v.text, CAST(k % f.l AS INT) + 1, 1))
-                    END)) AS y_sum
-      FROM fr f JOIN v ON v.doc_id = f.doc_id
-    ), lagged AS (
-      SELECT doc_id, i, y_sum,
-             lag(y_sum) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-      FROM fy
-    )
-    SELECT doc_id AS asset_id,
-           CAST(COUNT(*) AS BIGINT) AS n_frames,
-           CAST(SUM(CASE WHEN prev IS NOT NULL
-                         AND abs(y_sum - prev) * 10 > prev * 3
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes,
-           CAST(MIN(y_sum) AS BIGINT) AS min_luma_sum,
-           CAST(MAX(y_sum) AS BIGINT) AS max_luma_sum
-    FROM lagged GROUP BY doc_id ORDER BY asset_id
-    """,
-    tags=("multimodal", "video", "scene-detection"),
-)
-def media_video_scene_changes(spark, sf_dir):
-    """Scene-change detection over REAL-decoded video: consecutive frames
-    whose Y-plane luma sum jumps by more than 30% mark a cut — the
-    shot-boundary primitive of video curation (frame-sampling budgets,
-    per-scene captioning).  The decision is an INTEGER cross-
-    multiplication (|cur−prev|·10 > prev·3) over the frame statistics
-    media_video_frame_stats already verifies sample-exactly, so the
-    oracle replays the full decode → lag → threshold chain.  One Arrow
-    kernel pass + a per-asset window (frames per asset are bounded);
-    payload bytes never shuffle."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        synthetic_media_assets,
-        video_frame_features,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "video")
-    frames = video_frame_features(assets)
-    wf = Window.partitionBy("asset_id").orderBy("frame_idx")
-    lagged = frames.withColumn("prev", F.lag("y_sum").over(wf))
-    return (
-        lagged.groupBy("asset_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_frames"),
-            F.sum(
-                F.when(
-                    F.col("prev").isNotNull()
-                    & (F.abs(F.col("y_sum") - F.col("prev")) * 10 > F.col("prev") * 3),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_scene_changes"),
-            F.min("y_sum").cast("long").alias("min_luma_sum"),
-            F.max("y_sum").cast("long").alias("max_luma_sum"),
-        )
-        .orderBy("asset_id")
-    )
-
-
-_FINGERPRINT_COLS: dict[str, tuple[str, ...]] = {
-    # integer/string/date columns only: doubles are excluded because their
-    # STRING rendering is engine-specific (Spark "1.0E7" vs DuckDB "10000000.0")
-    # even when the bits agree — hashing must see identical bytes.
-    "region": ("r_regionkey", "r_name"),
-    "nation": ("n_nationkey", "n_name", "n_regionkey"),
-    "customer": ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
-    "orders": (
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "CAST(o_orderdate AS DATE)",
-        "o_orderpriority",
-    ),
-    "lineitem": (
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        "l_linestatus",
-        "CAST(l_shipdate AS DATE)",
-    ),
-}
-
-
-def _fingerprint_oracle_sql() -> str:
-    selects = []
-    for t, cols in _FINGERPRINT_COLS.items():
-        concat = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        selects.append(
-            f"""SELECT '{t}' AS table_name,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(CAST(SUM(('0x' || substr(md5({concat}), 1, 12))::BIGINT)
-                AS DECIMAL(28,0)) AS VARCHAR) AS fingerprint
-    FROM {t}"""
-        )
-    return "\n    UNION ALL\n    ".join(selects) + "\n    ORDER BY table_name"
-
-
-@query(
-    "tables_fingerprint_audit",
-    oracle=_fingerprint_oracle_sql(),
-    tags=("dq", "migration", "fingerprint"),
-)
-def tables_fingerprint_audit(spark, sf_dir):
-    """Order-insensitive table fingerprints: per table, an exact DECIMAL
-    sum of a 48-bit md5 over each row's canonical serialization — two
-    engines (or two copies of a table before/after a migration) agree on
-    the fingerprint iff they hold the same multiset of rows, making this
-    the one-number cross-system equality proof a cutover checklist wants
-    (the whole-table generalization of snapshot_changelog's keyed diff).
-    Addition is commutative, so partitioning/parallelism cannot move the
-    value; doubles are excluded from the serialization because their
-    string rendering is engine-specific (see _FINGERPRINT_COLS).  One
-    combiner-friendly agg per table — each task contributes one partial
-    sum, bytes shuffled ∝ tables, not rows."""
-    rows = []
-    for t, cols in _FINGERPRINT_COLS.items():
-        df = _t(spark, sf_dir, t)
-        concat = F.concat_ws(
-            "|", *[F.expr(c).cast("string") for c in cols]
-        )
-        h48 = F.conv(F.substring(F.md5(concat), 1, 12), 16, 10).cast("long")
-        rows.append(
-            df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(h48.cast("decimal(28,0)")).cast("string").alias("fingerprint"),
-            ).select(
-                F.lit(t).alias("table_name"), "n_rows", "fingerprint"
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("table_name")
-
-
-_SKEW_KEYS: list[tuple[str, str]] = [
-    ("lineitem", "l_orderkey"),
-    ("lineitem", "l_partkey"),
-    ("lineitem", "l_suppkey"),
-    ("orders", "o_custkey"),
-    ("events", "user_id"),
-]
-
-
-def _skew_oracle_sql() -> str:
-    selects = []
-    for t, k in _SKEW_KEYS:
-        selects.append(
-            f"""SELECT '{t}.{k}' AS key_name,
-           CAST(SUM(c) AS BIGINT) AS n_rows,
-           CAST(COUNT(*) AS BIGINT) AS n_keys,
-           CAST(MAX(c) AS BIGINT) AS max_count,
-           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
-           ROUND(sqrt(CAST(COUNT(*) AS DOUBLE) * SUM(c * c) - CAST(SUM(c) AS DOUBLE) * SUM(c))
-                 / SUM(c), 6) AS cv
-    FROM (SELECT {k}, COUNT(*) AS c FROM {t} WHERE {k} IS NOT NULL GROUP BY {k})"""
-        )
-    return "\n    UNION ALL\n    ".join(selects) + "\n    ORDER BY key_name"
-
-
-@query(
-    "join_key_skew_report",
-    oracle=_skew_oracle_sql(),
-    tags=("dq", "skew", "capacity-planning"),
-)
-def join_key_skew_report(spark, sf_dir):
-    """Join-key skew profile for every shuffle key the workload joins or
-    aggregates on: rows, distinct keys, the hottest key's row count and
-    share, and the coefficient of variation of per-key counts — the
-    numbers that decide, BEFORE a 100 TB run, whether a key needs the
-    salting/AQE treatment in operators/skew.py (top1_share ~ 1/reducers
-    means one straggler task).  CV is computed from exact integer sums
-    (n·Σc² − (Σc)² under one sqrt), so engines agree bit-for-bit; each
-    key costs one combiner-friendly count agg + a keys-sized reduction."""
-    rows = []
-    for t, k in _SKEW_KEYS:
-        df = _t(spark, sf_dir, t).filter(F.col(k).isNotNull())
-        counts = df.groupBy(k).agg(F.count(F.lit(1)).alias("c"))
-        rows.append(
-            counts.agg(
-                F.sum("c").cast("long").alias("n_rows"),
-                F.count(F.lit(1)).alias("n_keys"),
-                F.max("c").cast("long").alias("max_count"),
-                F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top1_share"),
-                F.round(
-                    F.sqrt(
-                        F.count(F.lit(1)).cast("double") * F.sum(F.col("c") * F.col("c"))
-                        - F.sum("c").cast("double") * F.sum("c")
-                    )
-                    / F.sum("c"),
-                    6,
-                ).alias("cv"),
-            ).select(F.lit(f"{t}.{k}").alias("key_name"), "*")
-        )
-    return reduce(lambda a, b: a.unionByName(b), rows).orderBy("key_name")
-
-
-@query(
-    "events_kanonymity_audit",
-    oracle="""
-    WITH qi AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(floor(value) AS BIGINT) AS vbin, COUNT(*) AS c
-      FROM events WHERE value IS NOT NULL
-      GROUP BY 1, 2, 3
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(c) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
-           CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
-           CAST(MIN(c) AS BIGINT) AS min_group_size,
-           ROUND(CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
-             AS at_risk_share
-    FROM qi
-    """,
-    tags=("dq", "privacy", "k-anonymity"),
-)
-def events_kanonymity_audit(spark, sf_dir):
-    """k-anonymity audit over the quasi-identifier tuple (event_type, day,
-    integer value bin): groups smaller than k=5 re-identify their members
-    under linkage attacks, so the release gate wants their count, row
-    mass, and share — the privacy-governance twin of the DQ gate (both
-    are one-pass aggregation screens that run BEFORE data leaves the
-    pipeline).  One combiner-friendly groupBy on the QI tuple + a
-    groups-sized reduction; all decisions integer."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    qi = ev.groupBy(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.floor("value").cast("long").alias("vbin"),
-    ).agg(F.count(F.lit(1)).alias("c"))
-    small = F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0))
-    return qi.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum("c").cast("long").alias("n_rows"),
-        F.sum(F.when(F.col("c") < 5, 1).otherwise(0))
-        .cast("long")
-        .alias("n_small_groups"),
-        small.cast("long").alias("n_rows_at_risk"),
-        F.min("c").cast("long").alias("min_group_size"),
-        F.round(small.cast("double") / F.sum("c"), 6).alias("at_risk_share"),
-    )
-
-
-@query(
-    "customer_revenue_gini",
-    oracle="""
-    WITH rev AS (
-      SELECT o_custkey,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-      FROM orders GROUP BY 1
-    ), ranked AS (
-      SELECT cents,
-             row_number() OVER (ORDER BY cents, o_custkey) AS rnk
-      FROM rev
-    ), s AS (
-      SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS total,
-             CAST(SUM(CAST(rnk AS DECIMAL(19,0)) * cents) AS DOUBLE) AS wsum
-      FROM ranked
-    )
-    SELECT CAST(n AS BIGINT) AS n_customers,
-           ROUND(total / 100, 2) AS total_revenue,
-           ROUND(2.0 * wsum / (n * total) - (n + 1.0) / n, 6) AS gini
-    FROM s
-    """,
-    tags=("analytics", "inequality", "ranking"),
-)
-def customer_revenue_gini(spark, sf_dir):
-    """Gini coefficient of customer revenue concentration — the
-    inequality companion to supplier_concentration_hhi, and a ranking
-    showcase: the formula needs every customer's GLOBAL revenue rank,
-    which operators/ranking.py::bucketed_global_rank delivers without a
-    global sort (bucket bounds + per-bucket row_number + bucket offsets).
-    Revenue goes to exact integer cents before anything sums; Σ(rank·x)
-    accumulates as DECIMAL(38,0) (rank·cents exceeds int64 at warehouse
-    scale), so the single double division at the end is the only float
-    op.  Ties in revenue are rank-permutation-invariant in Σ(rank·x) —
-    the tie-break exists only to keep row_number a total order."""
-    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
-
-    orders = _t(spark, sf_dir, "orders")
-    rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
-    )
-    ranked = bucketed_global_rank(rev, order_cols=["cents", "o_custkey"])
-    s = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("total"),
-        F.sum(F.col("rank").cast("decimal(19,0)") * F.col("cents"))
-        .cast("double")
-        .alias("wsum"),
-    )
-    return s.select(
-        F.col("n").cast("long").alias("n_customers"),
-        F.round(F.col("total") / 100, 2).alias("total_revenue"),
-        F.round(
-            2.0 * F.col("wsum") / (F.col("n") * F.col("total"))
-            - (F.col("n") + 1.0) / F.col("n"),
-            6,
-        ).alias("gini"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-6 additions: link prediction over the dup graph, per-source content
-# novelty, sorted-neighborhood blocking, reciprocal-rank fusion, and PMI
-# collocations.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "parts_adamic_adar_links",
-    oracle="""
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), e AS MATERIALIZED (
-      SELECT a.p AS u, b.p AS v
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ), sym AS MATERIALIZED (
-      SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e
-    ), w AS (
-      SELECT z, ROUND(1.0 / ln(deg), 12) AS w FROM (
-        SELECT z, COUNT(*) AS deg FROM sym GROUP BY z
-      ) WHERE deg >= 2
-    ), wedge AS (
-      SELECT x.z, x.n AS u, y.n AS v
-      FROM sym x JOIN sym y ON y.z = x.z AND x.n < y.n
-    ), cand AS (
-      SELECT u, v, COUNT(*) AS cn,
-             SUM(CAST(w.w AS DECIMAL(20,12))) AS s
-      FROM wedge JOIN w ON w.z = wedge.z
-      GROUP BY u, v
-    )
-    SELECT u AS id_a, v AS id_b,
-           CAST(cn AS BIGINT) AS common_neighbors,
-           ROUND(CAST(s AS DOUBLE), 6) AS aa_score
-    FROM cand c
-    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)
-    ORDER BY aa_score DESC, id_a, id_b LIMIT 50
-    """,
-    tags=("graph", "recommendation", "link-prediction"),
-)
-def parts_adamic_adar_links(spark, sf_dir):
-    """Adamic-Adar link prediction over the part co-purchase graph
-    (operators.graph.adamic_adar): edges are part pairs sharing >= 2
-    distinct orders (the support gate that bounds graph density, same
-    relation basket_part_pair_lift mines); the query surfaces the top
-    50 NON-adjacent pairs whose shared neighborhoods predict an affinity
-    the support gate hasn't confirmed yet — the classic
-    related-products / next-basket recommendation signal.  Rare shared
-    neighbors weigh 1/ln(deg), so popular hub parts don't dominate.
-    (The near-dup DOCUMENT graph is deliberately not used here: its
-    components are isolated near-exact pairs on this corpus, so
-    link prediction over it is vacuous — documented dead end.)
-    Basket expansion costs ~ sum(basket^2) and the wedge join
-    ~ sum(deg^2), both graph-sized; per-neighbor weights round to 12
-    digits and sum as exact DECIMAL, so the DuckDB oracle replays the
-    float math bit-for-bit."""
-    from prod_data_pipeline_spark.operators.graph import adamic_adar
-
-    # both self-join sides read op — a lazy cut guarantees the scan +
-    # distinct run once instead of leaning on ReuseExchange firing
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .transform(truncate_lineage, eager=False)
-    )
-    edges = (
-        op.alias("a")
-        .join(op.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("id_a", "id_b")
-    )
-    return (
-        adamic_adar(edges)
-        .orderBy(F.desc("aa_score"), "id_a", "id_b")
-        .limit(50)
-    )
-
-
-def _ppr_oracle_sql(n_iters: int = 6, n_seeds: int = 4, top_n: int = 25) -> str:
-    """Co-purchase edges + personalized-PageRank recurrence unrolled as
-    CTEs (same quantization replay as the docs_dup_pagerank oracle)."""
-    its = []
-    prev = "r0"
-    for k in range(n_iters):
-        its.append(f"""
-    c{k} AS (
-      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
-      FROM sym e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
-      GROUP BY e.dst
-    ), r{k+1} AS (
-      SELECT COALESCE(c.dst, s.node) AS node,
-             ROUND(CASE WHEN s.node IS NOT NULL
-                        THEN (1.0 - 0.85) / (SELECT n FROM ns) ELSE 0.0 END
-                   + 0.85 * COALESCE(CAST(c.s AS DOUBLE), 0.0), 12) AS rank
-      FROM c{k} c FULL JOIN seeds s ON s.node = c.dst
-    )""")
-        prev = f"r{k+1}"
-    return f"""
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-    ), e AS MATERIALIZED (
-      SELECT a.p AS u, b.p AS v
-      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ), sym AS MATERIALIZED (
-      SELECT u AS src, v AS dst FROM e UNION ALL SELECT v AS src, u AS dst FROM e
-    ), deg AS MATERIALIZED (
-      SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
-    ), seeds AS MATERIALIZED (
-      SELECT src AS node FROM deg ORDER BY src LIMIT {n_seeds}
-    ), ns AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds
-    ), r0 AS (
-      SELECT node, ROUND(1.0 / (SELECT n FROM ns), 12) AS rank FROM seeds
-    ),{",".join(its)}
-    SELECT node AS part_id, ROUND(rank, 9) AS ppr
-    FROM {prev}
-    WHERE node NOT IN (SELECT node FROM seeds)
-    ORDER BY ppr DESC, part_id LIMIT {top_n}
-    """
-
-
-@query(
-    "parts_related_by_ppr",
-    oracle=_ppr_oracle_sql(6, 4, 25),
-    tags=("graph", "iterative", "recommendation"),
-)
-def parts_related_by_ppr(spark, sf_dir):
-    """Related-products by personalized PageRank
-    (operators.graph.ppr_quantized): a random walk with restart over the
-    part co-purchase graph (support >= 2 edges, as
-    parts_adamic_adar_links), teleporting to the four lowest-keyed parts
-    as the seed basket; the top 25 non-seed parts by stationary mass are
-    the multi-hop recommendation set — unlike Adamic-Adar it sees past
-    2-hop wedges and weighs paths by walk probability.  The fourth
-    iterative algorithm made exact-hash-oracle-checkable by the
-    round-then-DECIMAL quantization recipe (after PageRank, PCA power
-    iteration, Hotelling deflation): the DuckDB oracle replays all 6
-    damped iterations as unrolled CTEs.  State is sparse (only reached
-    nodes carry rows); per iteration one (node, rank) shuffle + a scan
-    of the persisted symmetrized edges."""
-    from prod_data_pipeline_spark.operators.graph import ppr_quantized
-
-    # both self-join sides read op — a lazy cut guarantees the scan +
-    # distinct run once instead of leaning on ReuseExchange firing
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .transform(truncate_lineage, eager=False)
-    )
-    edges = (
-        op.alias("a")
-        .join(op.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("id_a", "id_b")
-        # graph-sized relation read by sym-union, seeds, and the anti join:
-        # materialize once or every consumer re-runs the basket self-join
-        .transform(truncate_lineage, eager=True)
-    )
-    nodes = (
-        edges.select(F.col("id_a").alias("node"))
-        .union(edges.select(F.col("id_b").alias("node")))
-        .distinct()
-    )
-    seeds = nodes.orderBy("node").limit(4).transform(truncate_lineage, eager=True)
-    ranks = ppr_quantized(edges, seeds, n_iters=6)
-    return (
-        ranks.join(F.broadcast(seeds), "node", "left_anti")
-        .select(
-            F.col("node").alias("part_id"), F.round("rank", 9).alias("ppr")
-        )
-        .orderBy(F.desc("ppr"), "part_id")
-        .limit(25)
-    )
-
-
-@query(
-    "docs_novelty_by_source",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), g AS (
-      SELECT doc_id, source,
-             unnest(CASE WHEN len(toks) >= 3
-                    THEN list_distinct(list_transform(range(1, len(toks)-1),
-                           i -> array_to_string(toks[i:i+2], ' ')))
-                    ELSE [] END) AS gram
-      FROM t
-    ), fst AS (
-      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
-    ), per_doc AS (
-      SELECT g.doc_id, g.source,
-             COUNT(*) AS n_grams,
-             SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
-      FROM g JOIN fst f USING (gram)
-      GROUP BY 1, 2
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
-           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
-           ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams), 6) AS novelty_rate,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6)
-                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_doc_novelty
-    FROM per_doc GROUP BY source ORDER BY source
-    """,
-    tags=("text", "dedup", "curation"),
-)
-def docs_novelty_by_source(spark, sf_dir):
-    """Marginal-content attribution: a 3-gram shingle is 'novel' in the
-    corpus-order position where it first appears (minimum doc_id), and a
-    source's novelty rate is the fraction of its shingle occurrences
-    that are first sightings.  This is the dedup-ROI curve a curation
-    team reads before buying more of a source — a low-novelty source
-    re-ships content the corpus already has.  One gram-keyed exchange
-    (corpus-token-sized, the same shape as TF-IDF) computes first
-    sightings; everything after is per-doc and per-source aggregation.
-    Per-doc novelty ratios round to 6 then sum as DECIMAL so the
-    per-source mean is summation-order-free.  Docs with < 3 tokens have
-    no shingles and are excluded by construction (no gram rows)."""
-    from prod_data_pipeline_spark.functions.text import shingles, tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 3))).alias("gram"),
-    )
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        g.join(first, "gram")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
-        .withColumn(
-            "doc_novelty",
-            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6),
-        )
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_grams").cast("long").alias("n_grams"),
-            F.sum("n_novel").cast("long").alias("n_novel"),
-            F.round(
-                F.sum("n_novel").cast("double") / F.sum("n_grams"), 6
-            ).alias("novelty_rate"),
-            F.round(
-                F.sum(F.col("doc_novelty").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_doc_novelty"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_sorted_neighborhood_pairs",
-    oracle=f"""
-    WITH t0 AS (
-      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
-    ), t AS (
-      SELECT doc_id,
-             substr(regexp_replace(lower(substr(text, 1, 64)),
-                                   '[^a-z0-9]', '', 'g'), 1, 16) AS key,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t0
-    ), r AS MATERIALIZED (
-      SELECT doc_id, key, sh,
-             ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk
-      FROM t
-    )
-    SELECT id_a, id_b, rank_gap, jac AS jaccard FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
-             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-                   4) AS jac
-      FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
-      WHERE len(a.sh) > 0 AND len(b.sh) > 0
-    ) WHERE jac >= 0.3
-    ORDER BY id_a, id_b
-    """,
-    tags=("dedup", "blocking", "entity-resolution"),
-)
-def docs_sorted_neighborhood_pairs(spark, sf_dir):
-    """Sorted-neighborhood blocking dedup
-    (operators.dedup.sorted_neighborhood_pairs): candidates are the 5
-    successors of each document in normalized-prefix-key order, verified
-    by 3-gram Jaccard >= 0.3 — the classic entity-resolution blocking
-    strategy with data-size-LINEAR candidate count (exactly n*window),
-    the guarantee LSH banding can't make under key skew.  The global
-    order comes from the two-pass bucketed rank (no single-partition
-    sort); the DuckDB oracle replays it as a plain ROW_NUMBER, which the
-    bucket-monotone key encoding provably equals."""
-    from prod_data_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return sorted_neighborhood_pairs(docs).orderBy("id_a", "id_b")
-
-
-@query(
-    "emb_rrf_topk",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 4),
-    cosr AS (
-      SELECT query_id, neighbor_id, rnk AS rank_cos FROM (
-        SELECT q.query_id, v.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-                 list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
-                 / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
-                    * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
-                 DESC, v.vec_id) AS rnk
-        FROM q, v WHERE q.query_id <> v.vec_id
-      ) WHERE rnk <= 50
-    ), l2r AS (
-      SELECT query_id, neighbor_id, rnk AS rank_l2 FROM (
-        SELECT q.query_id, v.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-                 list_sum(list_transform(range(1, len(q.qe)+1),
-                          i -> (q.qe[i] - v.e[i]) * (q.qe[i] - v.e[i])))
-                 ASC, v.vec_id) AS rnk
-        FROM q, v WHERE q.query_id <> v.vec_id
-      ) WHERE rnk <= 50
-    ), fused AS (
-      SELECT COALESCE(c.query_id, l.query_id) AS query_id,
-             COALESCE(c.neighbor_id, l.neighbor_id) AS neighbor_id,
-             COALESCE(c.rank_cos, 0) AS rank_cos,
-             COALESCE(l.rank_l2, 0) AS rank_l2,
-             CAST(COALESCE(ROUND(1.0 / CAST(60 + c.rank_cos AS DOUBLE), 9), 0.0)
-                  AS DECIMAL(18,9))
-             + CAST(COALESCE(ROUND(1.0 / CAST(60 + l.rank_l2 AS DOUBLE), 9), 0.0)
-                  AS DECIMAL(18,9)) AS rrf_dec
-      FROM cosr c FULL JOIN l2r l
-        ON l.query_id = c.query_id AND l.neighbor_id = c.neighbor_id
-    )
-    SELECT query_id, neighbor_id,
-           CAST(rank_cos AS BIGINT) AS rank_cos,
-           CAST(rank_l2 AS BIGINT) AS rank_l2,
-           ROUND(CAST(rrf_dec AS DOUBLE), 9) AS rrf_score,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                ORDER BY rrf_dec DESC, neighbor_id) AS BIGINT) AS fused_rank
-    FROM fused QUALIFY fused_rank <= 10
-    ORDER BY query_id, fused_rank
-    """,
-    tags=("similarity", "ann", "rank-fusion"),
-)
-def emb_rrf_topk(spark, sf_dir):
-    """Reciprocal-rank fusion of two exact retrievers — cosine top-50
-    (operators.similarity.brute_force_topk) and squared-L2 top-50
-    (l2_topk), fused per the standard RRF formula sum(1/(60+rank)) with
-    rank 0 contributions for list misses.  On unnormalized embeddings
-    the two metrics genuinely disagree (L2 is norm-sensitive), so the
-    fused top-10 differs from either list: the hybrid-retrieval pattern
-    RAG stacks use to combine dense scores with a second signal.  Rank
-    lists are candidate-bounded (k=50 per query), the fusion join is
-    rank-list-sized, and each 1/(60+r) term rounds to 9 digits before
-    an exact DECIMAL sum — fused order is bit-stable across engines."""
-    from prod_data_pipeline_spark.operators.similarity import brute_force_topk, l2_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 4)
-    cos = brute_force_topk(emb, qs, k=50).select(
-        "query_id", "neighbor_id", F.col("rank").alias("rank_cos")
-    )
-    l2 = l2_topk(emb, qs, k=50).select(
-        "query_id", "neighbor_id", F.col("rank").alias("rank_l2")
-    )
-    fused = cos.join(l2, ["query_id", "neighbor_id"], "full").withColumn(
-        "rrf_dec",
-        F.coalesce(
-            F.round(F.lit(1.0) / (F.col("rank_cos") + F.lit(60)).cast("double"), 9),
-            F.lit(0.0),
-        ).cast("decimal(18,9)")
-        + F.coalesce(
-            F.round(F.lit(1.0) / (F.col("rank_l2") + F.lit(60)).cast("double"), 9),
-            F.lit(0.0),
-        ).cast("decimal(18,9)"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_dec"), F.asc("neighbor_id"))
-    return (
-        fused.withColumn("fused_rank", F.row_number().over(w))
-        .filter(F.col("fused_rank") <= 10)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.coalesce("rank_cos", F.lit(0)).cast("long").alias("rank_cos"),
-            F.coalesce("rank_l2", F.lit(0)).cast("long").alias("rank_l2"),
-            F.round(F.col("rrf_dec").cast("double"), 9).alias("rrf_score"),
-            F.col("fused_rank").cast("long").alias("fused_rank"),
-        )
-        .orderBy("query_id", "fused_rank")
-    )
-
-
-def _audio_band_pw_cte() -> str:
-    """Shared oracle prefix: PCM regeneration (as
-    media_audio_waveform_stats) + integer-scaled DFT-bin projections
-    with the SAME coefficient literals the Arrow kernel embeds
-    (functions.dsp) — no engine runs trig at query time.  Ends with the
-    `pw` CTE exposing (doc_id, n, p_band0..3)."""
-    from prod_data_pipeline_spark.functions.dsp import COEF_SCALE, goertzel_tables
-
-    proj_cols, pw_cols = [], []
-    for i, (p, cos_t, sin_t) in enumerate(goertzel_tables()):
-        c_lit = "[" + ", ".join(str(v) for v in cos_t) + "]"
-        s_lit = "[" + ", ".join(str(v) for v in sin_t) + "]"
-        for name, lit in ((f"sc{i}", c_lit), (f"ss{i}", s_lit)):
-            proj_cols.append(
-                f"CAST(list_sum(list_transform(range(0, n), k -> "
-                f"CAST(pcm[CAST(k AS INT) + 1] AS BIGINT)"
-                f" * ({lit})[CAST(k % {p} AS INT) + 1]))"
-                f" AS DOUBLE) / CAST({COEF_SCALE} AS DOUBLE) AS {name}"
-            )
-        pw_cols.append(f"ROUND(sc{i} * sc{i} + ss{i} * ss{i}, 2) AS p_band{i}")
-    sep = ",\n             "
-    proj_sql = sep.join(proj_cols)
-    pw_sql = sep.join(pw_cols)
-    return f"""
-    WITH a AS (
-      SELECT doc_id, text,
-             80 + 8 * (doc_id % 120) AS n,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 1
-    ), f AS (
-      SELECT doc_id, n,
-             list_transform(range(0, n),
-               k -> (ascii(substr(text, CAST(k % l AS INT) + 1, 1)) - 128) * 256)
-                 AS pcm
-      FROM a
-    ), proj AS (
-      SELECT doc_id, n,
-             {proj_sql}
-      FROM f
-    ), pw AS (
-      SELECT doc_id, n,
-             {pw_sql}
-      FROM proj
-    )"""
-
-
-def _audio_band_oracle_sql() -> str:
-    return (
-        _audio_band_pw_cte()
-        + """
-    SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
-           p_band0, p_band1, p_band2, p_band3,
-           CAST(CASE
-             WHEN p_band0 >= p_band1 AND p_band0 >= p_band2 AND p_band0 >= p_band3 THEN 0
-             WHEN p_band1 >= p_band2 AND p_band1 >= p_band3 THEN 1
-             WHEN p_band2 >= p_band3 THEN 2
-             ELSE 3 END AS INT) AS dominant_band
-    FROM pw ORDER BY asset_id
-    """
-    )
-
-
-def _audio_band_hash_oracle_sql() -> str:
-    total = " + ".join(f"p_band{i}" for i in range(4))
-    bits = " || ".join(
-        f"(CASE WHEN 4.0 * p_band{i} > {total} THEN '1' ELSE '0' END)"
-        for i in range(4)
-    )
-    return (
-        _audio_band_pw_cte()
-        + f""", hb AS (
-      SELECT doc_id, {bits} AS band_hash FROM pw
-    )
-    SELECT band_hash,
-           CAST(COUNT(*) AS BIGINT) AS n_assets,
-           MIN(doc_id) AS min_asset_id,
-           MAX(doc_id) AS max_asset_id
-    FROM hb GROUP BY band_hash ORDER BY band_hash
-    """
-    )
-
-
-@query(
-    "media_audio_dominant_band",
-    oracle=_audio_band_oracle_sql(),
-    tags=("multimodal", "audio", "dsp"),
-)
-def media_audio_dominant_band(spark, sf_dir):
-    """Spectral band analysis over REAL WAV decode
-    (operators.multimodal.audio_band_energies): per-asset DFT-bin
-    energies at normalized frequencies 1/4, 1/8, 1/16, 1/32 plus the
-    dominant band — the tonal-content screen of an audio curation pass,
-    done with ZERO runtime trigonometry: functions.dsp evaluates the
-    cos/sin tables once at import and embeds them as integer literals in
-    BOTH the Arrow kernel and this oracle, so each projection is an
-    exact int64 dot product and the only float math is four IEEE ops on
-    identical inputs.  The oracle regenerates the decoded waveform from
-    the documented byte tiling and replays the same integer projections
-    — a wrong sample anywhere flips the hash."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        audio_band_energies,
-        synthetic_media_assets,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "audio")
-    return audio_band_energies(assets).orderBy("asset_id")
-
-
-@query(
-    "media_audio_band_hash_groups",
-    oracle=_audio_band_hash_oracle_sql(),
-    tags=("multimodal", "audio", "perceptual-hash", "dedup"),
-)
-def media_audio_band_hash_groups(spark, sf_dir):
-    """Perceptual AUDIO dedup: each real-decoded WAV gets a band-energy
-    sign hash (operators.multimodal.audio_band_hash — bit i set iff band
-    i's DFT power exceeds the across-band mean, by cross-multiplication)
-    and clips group by the key — the audio member of the perceptual
-    dedup triad next to media_image_phash_groups (aHash) and
-    media_video_framehash_groups (temporal hash): re-encoded or
-    container-differing clips with the same spectral shape share a
-    bucket that exact payload hashing misses.  The oracle regenerates
-    the decoded PCM and replays the integer DFT projections, so a wrong
-    sample anywhere flips the hash.  One Arrow kernel pass + one
-    4-char-key groupBy; payload bytes never shuffle."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        audio_band_hash,
-        synthetic_media_assets,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "audio")
-    return (
-        audio_band_hash(assets)
-        .groupBy("band_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.min("asset_id").alias("min_asset_id"),
-            F.max("asset_id").alias("max_asset_id"),
-        )
-        .orderBy("band_hash")
-    )
-
-
-@query(
-    "media_video_framehash_groups",
-    oracle="""
-    WITH v AS (
-      SELECT doc_id, text,
-             4 + 2 * (doc_id % 7) AS w,
-             4 + 2 * (doc_id % 5) AS h,
-             1 + doc_id % 4 AS nf,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 2
-    ), fr AS (
-      SELECT doc_id, w * h AS wh, l, unnest(range(0, nf)) AS i FROM v
-    ), fs AS (
-      SELECT f.doc_id, f.i,
-             CAST(list_sum(list_transform(range(0, f.wh),
-               k -> CASE WHEN f.l > f.i
-                         THEN ascii(substr(v.text,
-                                CAST(k % (f.l - f.i) AS INT) + CAST(f.i AS INT) + 1, 1))
-                         ELSE ascii(substr(v.text, CAST(k % f.l AS INT) + 1, 1))
-                    END)) AS BIGINT) AS ys
-      FROM fr f JOIN v ON v.doc_id = f.doc_id
-    ), w2 AS (
-      SELECT doc_id, i, ys,
-             COUNT(*) OVER (PARTITION BY doc_id) AS nf,
-             SUM(ys) OVER (PARTITION BY doc_id) AS tot
-      FROM fs
-    ), h AS (
-      SELECT doc_id,
-             string_agg(CASE WHEN nf * ys > tot THEN '1' ELSE '0' END,
-                        '' ORDER BY i) AS temporal_hash
-      FROM w2 GROUP BY doc_id
-    )
-    SELECT temporal_hash,
-           CAST(COUNT(*) AS BIGINT) AS n_videos,
-           MIN(doc_id) AS min_asset_id,
-           MAX(doc_id) AS max_asset_id
-    FROM h GROUP BY temporal_hash ORDER BY temporal_hash
-    """,
-    tags=("multimodal", "video", "perceptual-hash", "dedup"),
-)
-def media_video_framehash_groups(spark, sf_dir):
-    """Perceptual VIDEO dedup: each real-decoded Y4M clip gets its
-    per-frame brightness sign sequence (operators.multimodal
-    .video_temporal_hash — frame i's bit set iff the frame is brighter
-    than the clip mean, all-integer) and clips group by the sequence —
-    the TIME-axis aHash that completes near-dup coverage across all
-    three modalities (image aHash r5, audio band hash above).  The key's
-    length pins the frame count so different-length clips never collide.
-    Oracle regenerates every frame's luma sum from the documented Y4M
-    tiling and rebuilds the bit string with window functions — a frame
-    stride bug desyncs the sequence and flips the hash.  One Arrow
-    kernel pass emits slim (asset, frame) integer rows; the hash is a
-    per-asset agg; payload bytes never shuffle."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        synthetic_media_assets,
-        video_temporal_hash,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "video")
-    return (
-        video_temporal_hash(assets)
-        .groupBy("temporal_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_videos"),
-            F.min("asset_id").alias("min_asset_id"),
-            F.max("asset_id").alias("max_asset_id"),
-        )
-        .orderBy("temporal_hash")
-    )
-
-
-@query(
-    "docs_collocations_pmi",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), tok AS (
-      SELECT unnest(toks) AS token FROM t
-    ), cu AS MATERIALIZED (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    ), nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cu
-    ), bi AS (
-      SELECT toks[i] AS prev, toks[i+1] AS cur
-      FROM t, unnest(range(1, len(toks))) AS u(i)
-      WHERE len(toks) >= 2
-    ), cb AS (
-      SELECT prev, cur, COUNT(*) AS c FROM bi GROUP BY prev, cur
-    ), nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cb)
-    SELECT prev, cur, CAST(cb.c AS BIGINT) AS n_pair,
-           ROUND(ln(
-             (CAST(cb.c AS DOUBLE) / (SELECT n FROM nb))
-             / ((CAST(cp.c AS DOUBLE) / (SELECT n FROM nu))
-                * (CAST(cc.c AS DOUBLE) / (SELECT n FROM nu)))), 6) AS pmi
-    FROM cb
-    JOIN cu cp ON cp.token = cb.prev
-    JOIN cu cc ON cc.token = cb.cur
-    WHERE cb.c >= 10
-    ORDER BY pmi DESC, prev, cur LIMIT 30
-    """,
-    tags=("text", "lm", "collocations"),
-)
-def docs_collocations_pmi(spark, sf_dir):
-    """Top-30 bigram collocations by pointwise mutual information with a
-    min-support gate (pair count >= 10): PMI = ln(p(ab) / (p(a)p(b)))
-    over corpus token streams — the phrase-mining signal tokenizer and
-    vocabulary builders use to decide which word pairs deserve a single
-    token.  All counts aggregate map-side before one vocabulary-keyed
-    exchange; the PMI float math is a fixed chain of single IEEE ops on
-    identical integer-derived doubles (same division order both
-    engines), rounded to 6 for the deterministic top-k cut, ties broken
-    lexicographically."""
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select(tokens(F.col("text")).alias("toks"))
-    tok = t.select(F.explode("toks").alias("token"))
-    cu = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    nu = cu.agg(F.sum("c").cast("double").alias("nu"))
-    bi = (
-        t.filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("toks"), i).alias("prev"),
-                        F.element_at(F.col("toks"), i + 1).alias("cur"),
-                    ),
-                )
-            ).alias("b")
-        )
-        .select(F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    )
-    cb = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_pair"))
-    nb = cb.agg(F.sum("n_pair").cast("double").alias("nb"))
-    return (
-        cb.filter(F.col("n_pair") >= 10)
-        .join(
-            cu.select(F.col("token").alias("prev"), F.col("c").alias("cp")), "prev"
-        )
-        .join(cu.select(F.col("token").alias("cur"), F.col("c").alias("cc")), "cur")
-        .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "prev",
-            "cur",
-            F.col("n_pair").cast("long").alias("n_pair"),
-            F.round(
-                F.log(
-                    (F.col("n_pair").cast("double") / F.col("nb"))
-                    / (
-                        (F.col("cp").cast("double") / F.col("nu"))
-                        * (F.col("cc").cast("double") / F.col("nu"))
-                    )
-                ),
-                6,
-            ).alias("pmi"),
-        )
-        .orderBy(F.desc("pmi"), "prev", "cur")
-        .limit(30)
-    )
-
-
-@query(
-    "docs_shard_rebalance_audit",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             md5('doc:' || doc_id) AS pt,
-             ('0x' || substr(md5('shard:' || doc_id), 1, 10))::BIGINT AS h
-      FROM documents
-    ), vn AS (
-      -- position salt deliberately excludes n_shards: growing the cluster
-      -- ADDS vnodes, it never moves existing ones (that IS the ring's point)
-      SELECT s.s AS shard, v.v AS vnode, n.n AS n_shards,
-             md5('vn:' || s.s || ':' || v.v) AS pos
-      FROM (SELECT unnest(range(0, 10)) AS s) s
-      CROSS JOIN (SELECT unnest(range(0, 16)) AS v) v
-      CROSS JOIN (SELECT unnest([8, 10]) AS n) n
-      WHERE s.s < n.n
-    ), ring AS (
-      SELECT d.doc_id, vn.n_shards,
-             MIN(CASE WHEN vn.pos >= d.pt THEN vn.pos END) AS nxt,
-             MIN(vn.pos) AS wrap
-      FROM d CROSS JOIN vn
-      GROUP BY 1, 2
-    ), rassign AS (
-      SELECT r.doc_id, r.n_shards, vn.shard
-      FROM ring r JOIN vn
-        ON vn.n_shards = r.n_shards AND vn.pos = COALESCE(r.nxt, r.wrap)
-    ), ringmv AS (
-      SELECT a.doc_id, (a.shard <> b.shard) AS moved
-      FROM rassign a JOIN rassign b
-        ON b.doc_id = a.doc_id AND a.n_shards = 8 AND b.n_shards = 10
-    ), modmv AS (
-      SELECT doc_id, ((h % 8) <> (h % 10)) AS moved FROM d
-    )
-    SELECT scheme, n_docs, n_moved,
-           ROUND(CAST(n_moved AS DOUBLE) / n_docs, 6) AS moved_frac
-    FROM (
-      SELECT 'mod_n' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
-      FROM modmv
-      UNION ALL
-      SELECT 'ring' AS scheme, CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT)
-      FROM ringmv
-    ) ORDER BY scheme
-    """,
-    tags=("sampling", "shard", "consistent-hashing"),
-)
-def docs_shard_rebalance_audit(spark, sf_dir):
-    """Shard-rebalance blast radius, mod-N vs consistent-hash ring: when
-    the training-shard count grows 8 -> 10, hash-mod-N routing moves
-    ~90% of documents (every doc whose hash lands differently mod 8 vs
-    mod 10 re-shuffles, re-packs, and re-uploads), while a consistent
-    ring with 16 virtual nodes per shard moves only the arcs the two new
-    shards claim (~2/10 in expectation).  This audit quantifies both on
-    the real corpus — the numbers a platform team needs before picking
-    the sharded-writer layout.  Everything is md5 string/integer
-    comparison (doc point vs vnode positions, ring successor = MIN pos
-    >= point with wraparound), so both engines replay it exactly; the
-    vnode relation (8+10 shards x 16 vnodes) broadcasts and assignment
-    is one agg over the doc x vnode candidates."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    d = docs.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))).alias("pt"),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 10
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    spark_sess = docs.sparkSession
-    vn_rows = [
-        (s, v, n)
-        for n in (8, 10)
-        for s in range(n)
-        for v in range(16)
-    ]
-    # position salt excludes n_shards: scaling out adds vnodes, never moves
-    # the existing ones — that property IS consistent hashing
-    vn = spark_sess.createDataFrame(vn_rows, "shard int, vnode int, n_shards int").select(
-        "shard",
-        "n_shards",
-        F.md5(
-            F.concat_ws(":", F.lit("vn"), F.col("shard"), F.col("vnode"))
-        ).alias("pos"),
-    )
-    ring = (
-        d.crossJoin(F.broadcast(vn))
-        .groupBy("doc_id", "n_shards")
-        .agg(
-            F.min(F.when(F.col("pos") >= F.col("pt"), F.col("pos"))).alias("nxt"),
-            F.min("pos").alias("wrap"),
-        )
-    )
-    rassign = ring.join(
-        F.broadcast(vn),
-        (vn.n_shards == ring.n_shards)
-        & (vn.pos == F.coalesce(ring.nxt, ring.wrap)),
-    ).select("doc_id", ring.n_shards.alias("n_shards"), "shard")
-    a8 = rassign.filter(F.col("n_shards") == 8).select(
-        "doc_id", F.col("shard").alias("s8")
-    )
-    a10 = rassign.filter(F.col("n_shards") == 10).select(
-        "doc_id", F.col("shard").alias("s10")
-    )
-    ringmv = a8.join(a10, "doc_id").select(
-        (F.col("s8") != F.col("s10")).alias("moved")
-    )
-    modmv = d.select(((F.col("h") % 8) != (F.col("h") % 10)).alias("moved"))
-
-    def _summ(df, scheme):
-        return df.agg(
-            F.lit(scheme).alias("scheme"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("moved"), 1).otherwise(0)).cast("long").alias("n_moved"),
-        )
-
-    return (
-        _summ(modmv, "mod_n")
-        .unionByName(_summ(ringmv, "ring"))
-        .select(
-            "scheme",
-            "n_docs",
-            "n_moved",
-            F.round(F.col("n_moved").cast("double") / F.col("n_docs"), 6).alias(
-                "moved_frac"
-            ),
-        )
-        .orderBy("scheme")
-    )
-
-
-@query(
-    "customers_survival_curve",
-    oracle="""
-    WITH pu AS (
-      SELECT o_custkey,
-             MIN(CAST(o_orderdate AS DATE)) AS first_day,
-             MAX(CAST(o_orderdate AS DATE)) AS last_day
-      FROM orders GROUP BY 1
-    ), mx AS (
-      SELECT MAX(last_day) AS max_day FROM pu
-    ), u AS (
-      SELECT o_custkey,
-             CASE WHEN date_diff('day', last_day, (SELECT max_day FROM mx)) > 365
-                  THEN 1 ELSE 0 END AS churned,
-             CASE WHEN date_diff('day', last_day, (SELECT max_day FROM mx)) > 365
-                  THEN date_diff('day', first_day, last_day)
-                  ELSE date_diff('day', first_day, (SELECT max_day FROM mx))
-             END AS duration
-      FROM pu
-    ), grp AS (
-      SELECT duration, SUM(churned) AS d, COUNT(*) AS m FROM u GROUP BY 1
-    ), tl AS (
-      SELECT duration, d, m,
-             (SELECT COUNT(*) FROM u)
-               - COALESCE(SUM(m) OVER (ORDER BY duration
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-      FROM grp
-    ), lnq AS (
-      SELECT duration, d, m, n_risk,
-             1.0 - CAST(d AS DOUBLE) / n_risk AS q,
-             CASE WHEN d < n_risk
-                  THEN ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 12)
-                  ELSE NULL END AS lq,
-             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
-               OVER (ORDER BY duration
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
-      FROM tl
-    ), surv AS (
-      SELECT duration, d, n_risk, dead,
-             SUM(CAST(COALESCE(lq, 0) AS DECIMAL(24,12)))
-               OVER (ORDER BY duration
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM lnq
-    )
-    SELECT CAST(duration AS BIGINT) AS duration_days,
-           CAST(n_risk AS BIGINT) AS n_risk,
-           CAST(d AS BIGINT) AS n_churned,
-           CASE WHEN dead = 1 THEN 0.0
-                ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
-    FROM surv WHERE d > 0 ORDER BY duration_days
-    """,
-    tags=("analytics", "survival", "retention"),
-)
-def customers_survival_curve(spark, sf_dir):
-    """Kaplan-Meier survival curve over customer ORDERING lifetimes: a
-    customer 'churns' when their last order is > 365 days before the
-    corpus horizon (otherwise right-censored at the horizon — the
-    censoring is what distinguishes KM from a naive lifetime histogram,
-    which would count still-active customers as dead).  The events table
-    is deliberately not the subject: its 30-day synthetic window keeps
-    every user active to the horizon, so user-level survival is vacuous
-    (documented dead end); order history spans years.  S(t) multiplies (1 - d_t/n_t)
-    over churn durations <= t; the product runs as exp of a cumulative
-    sum of per-step ln terms ROUNDED to 12 digits and summed as exact
-    DECIMAL (the PageRank quantization recipe applied to a window
-    product), with censored-only steps contributing ln(1) = 0 exactly
-    and an integer 'risk set exhausted' flag pinning S to 0 beyond any
-    step where every at-risk user churns.  All heavy work is one
-    per-user agg of the events table; the timeline relation is
-    DAYS-sized, so its global-order windows are broadcast-cheap
-    (partitionBy(lit(0)) — same rationale as the sweep-line carry)."""
-    o = _t(spark, sf_dir, "orders")
-    pu = o.groupBy("o_custkey").agg(
-        F.min(F.to_date("o_orderdate")).alias("first_day"),
-        F.max(F.to_date("o_orderdate")).alias("last_day"),
-    )
-    mx = pu.agg(F.max("last_day").alias("max_day"))
-    u = pu.crossJoin(F.broadcast(mx)).select(
-        F.when(F.datediff("max_day", "last_day") > 365, 1).otherwise(0).alias("churned"),
-        F.when(
-            F.datediff("max_day", "last_day") > 365,
-            F.datediff("last_day", "first_day"),
-        )
-        .otherwise(F.datediff("max_day", "first_day"))
-        .alias("duration"),
-    )
-    grp = u.groupBy("duration").agg(
-        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("m")
-    )
-    w_all = Window.partitionBy(F.lit(0))
-    w_cum = w_all.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
-    w_run = w_all.orderBy("duration").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    tl = grp.select(
-        "duration",
-        "d",
-        (
-            F.sum("m").over(w_all)
-            - F.coalesce(F.sum("m").over(w_cum), F.lit(0))
-        ).alias("n_risk"),
-    )
-    lnq = tl.select(
-        "duration",
-        "d",
-        "n_risk",
-        F.when(
-            F.col("d") < F.col("n_risk"),
-            F.round(F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")), 12),
-        ).alias("lq"),
-        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
-        .over(w_run)
-        .alias("dead"),
-    )
-    surv = lnq.withColumn(
-        "cum", F.sum(F.coalesce(F.col("lq"), F.lit(0.0)).cast("decimal(24,12)")).over(w_run)
-    )
-    return (
-        surv.filter(F.col("d") > 0)
-        .select(
-            F.col("duration").cast("long").alias("duration_days"),
-            F.col("n_risk").cast("long").alias("n_risk"),
-            F.col("d").cast("long").alias("n_churned"),
-            F.when(F.col("dead") == 1, F.lit(0.0))
-            .otherwise(F.round(F.exp(F.col("cum").cast("double")), 6))
-            .alias("survival"),
-        )
-        .orderBy("duration_days")
-    )
-
-
-@query(
-    "docs_trigram_logprob",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
-    ), tok AS (
-      SELECT unnest(toks) AS token FROM t
-    ), cu AS MATERIALIZED (
-      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
-    ), nn AS (
-      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cu
-    ), bi AS (
-      SELECT toks[i] AS prev, toks[i+1] AS cur
-      FROM t, unnest(range(1, len(toks))) AS u(i)
-      WHERE len(toks) >= 2
-    ), cb AS MATERIALIZED (
-      SELECT prev, cur, COUNT(*) AS c FROM bi GROUP BY 1, 2
-    ), cc AS (
-      SELECT prev, SUM(c) AS c FROM cb GROUP BY 1
-    ), tri AS (
-      SELECT doc_id, lang, toks[i] AS p2, toks[i+1] AS p1, toks[i+2] AS cur
-      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
-      WHERE len(toks) >= 3
-    ), c3 AS MATERIALIZED (
-      SELECT p2, p1, cur, COUNT(*) AS c FROM tri GROUP BY 1, 2, 3
-    ), cctx AS (
-      SELECT p2, p1, SUM(c) AS c FROM c3 GROUP BY 1, 2
-    ), nll AS MATERIALIZED (
-      SELECT c3.p2, c3.p1, c3.cur,
-             ROUND(-ln(
-               0.6 * (CAST(c3.c AS DOUBLE) / CAST(cctx.c AS DOUBLE))
-               + 0.3 * (CAST(cb.c AS DOUBLE) / CAST(cc.c AS DOUBLE))
-               + 0.1 * (CAST(cu.c AS DOUBLE) / (SELECT n FROM nn))), 7) AS nll
-      FROM c3
-      JOIN cctx ON cctx.p2 = c3.p2 AND cctx.p1 = c3.p1
-      JOIN cb ON cb.prev = c3.p1 AND cb.cur = c3.cur
-      JOIN cc ON cc.prev = c3.p1
-      JOIN cu ON cu.token = c3.cur
-    ), per_doc AS (
-      SELECT tri.doc_id, tri.lang,
-             ROUND(CAST(SUM(CAST(nll.nll AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*), 6)
-                 AS ce
-      FROM tri JOIN nll
-        ON nll.p2 = tri.p2 AND nll.p1 = tri.p1 AND nll.cur = tri.cur
-      GROUP BY 1, 2
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
-               AS avg_ce,
-           ROUND(MIN(ce), 6) AS min_ce,
-           ROUND(MAX(ce), 6) AS max_ce
-    FROM per_doc GROUP BY lang ORDER BY lang
-    """,
-    tags=("text", "lm", "pipeline"),
-)
-def docs_trigram_logprob(spark, sf_dir):
-    """Order-3 language-model quality signal completing the n-gram LM
-    family (docs_unigram_logprob, docs_bigram_logprob): Jelinek-Mercer
-    interpolation 0.6*p(cur|p2,p1) + 0.3*p(cur|p1) + 0.1*p(cur), mean
-    NLL per document over positions 3..n, per language.  Same
-    scale-safe shape as the bigram query: all probability components
-    live on VOCABULARY-sized count relations (trigram types, contexts
-    derived from them by one tiny re-agg), the per-trigram-TYPE NLL is
-    computed once and joined back onto the trigram stream, and the
-    round(7)-then-DECIMAL recipe makes every mean order-free.  The float
-    chain (three divisions, three multiplies, two adds, one ln) runs in
-    the same left-to-right order in both engines on identical
-    integer-derived doubles."""
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
-    tok = t.select(F.explode("toks").alias("token"))
-    cu = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
-    nn = cu.agg(F.sum("cu").cast("double").alias("n"))
-    bi = (
-        t.filter(F.size("toks") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("toks"), i).alias("prev"),
-                        F.element_at(F.col("toks"), i + 1).alias("cur"),
-                    ),
-                )
-            ).alias("b")
-        )
-        .select(F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    )
-    cb = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
-    cc = cb.groupBy("prev").agg(F.sum("cb").alias("cc"))
-    tri = (
-        t.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.struct(
-                        F.element_at(F.col("toks"), i).alias("p2"),
-                        F.element_at(F.col("toks"), i + 1).alias("p1"),
-                        F.element_at(F.col("toks"), i + 2).alias("cur"),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", "lang", "g.p2", "g.p1", "g.cur")
-    )
-    c3 = tri.groupBy("p2", "p1", "cur").agg(F.count(F.lit(1)).alias("c3"))
-    cctx = c3.groupBy("p2", "p1").agg(F.sum("c3").alias("cctx"))
-    nll = (
-        c3.join(cctx, ["p2", "p1"])
-        .join(cb.withColumnRenamed("prev", "p1"), ["p1", "cur"])
-        .join(cc.withColumnRenamed("prev", "p1"), "p1")
-        .join(cu.withColumnRenamed("token", "cur"), "cur")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "p2",
-            "p1",
-            "cur",
-            F.round(
-                -F.log(
-                    F.lit(0.6) * (F.col("c3").cast("double") / F.col("cctx").cast("double"))
-                    + F.lit(0.3) * (F.col("cb").cast("double") / F.col("cc").cast("double"))
-                    + F.lit(0.1) * (F.col("cu").cast("double") / F.col("n"))
-                ),
-                7,
-            ).alias("nll"),
-        )
-    )
-    per_doc = (
-        tri.join(nll, ["p2", "p1", "cur"])
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.sum(F.col("nll").cast("decimal(18,7)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("ce")
-        )
-    )
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum(F.col("ce").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_ce"),
-            F.round(F.min("ce"), 6).alias("min_ce"),
-            F.round(F.max("ce"), 6).alias("max_ce"),
-        )
-        .orderBy("lang")
-    )
-
-
-@query(
-    "media_image_edge_density",
-    oracle="""
-    WITH img AS (
-      SELECT doc_id, text,
-             CAST(4 + doc_id % 13 AS BIGINT) AS w,
-             CAST(4 + doc_id % 7 AS BIGINT) AS h,
-             (3 * (4 + doc_id % 13) + 3) // 4 * 4 AS stride,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 0
-    ), g AS (
-      SELECT doc_id, w, h,
-             list_transform(range(0, w * h), k ->
-               ( ascii(substr(text, CAST(((k // w) * stride + 3 * (k % w)) % l AS BIGINT) + 1, 1))
-               + ascii(substr(text, CAST(((k // w) * stride + 3 * (k % w) + 1) % l AS BIGINT) + 1, 1))
-               + ascii(substr(text, CAST(((k // w) * stride + 3 * (k % w) + 2) % l AS BIGINT) + 1, 1))
-               ) // 3) AS gr
-      FROM img
-    ), e AS (
-      SELECT doc_id, w, h, (h - 2) * (w - 2) AS n_interior,
-             list_sum(list_transform(range(0, (h - 2) * (w - 2)), j ->
-               abs(- gr[CAST((j // (w-2)) * w + (j % (w-2)) + 1 AS BIGINT)]
-                   + gr[CAST((j // (w-2)) * w + (j % (w-2)) + 3 AS BIGINT)]
-                   - 2 * gr[CAST((j // (w-2)) * w + (j % (w-2)) + 1 + w AS BIGINT)]
-                   + 2 * gr[CAST((j // (w-2)) * w + (j % (w-2)) + 3 + w AS BIGINT)]
-                   - gr[CAST((j // (w-2)) * w + (j % (w-2)) + 1 + 2*w AS BIGINT)]
-                   + gr[CAST((j // (w-2)) * w + (j % (w-2)) + 3 + 2*w AS BIGINT)])
-               + abs(- gr[CAST((j // (w-2)) * w + (j % (w-2)) + 1 AS BIGINT)]
-                   - 2 * gr[CAST((j // (w-2)) * w + (j % (w-2)) + 2 AS BIGINT)]
-                   - gr[CAST((j // (w-2)) * w + (j % (w-2)) + 3 AS BIGINT)]
-                   + gr[CAST((j // (w-2)) * w + (j % (w-2)) + 1 + 2*w AS BIGINT)]
-                   + 2 * gr[CAST((j // (w-2)) * w + (j % (w-2)) + 2 + 2*w AS BIGINT)]
-                   + gr[CAST((j // (w-2)) * w + (j % (w-2)) + 3 + 2*w AS BIGINT)])
-             )) AS edge_sum
-      FROM g
-    )
-    SELECT doc_id AS asset_id,
-           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-           CAST(n_interior AS BIGINT) AS n_interior,
-           CAST(edge_sum AS BIGINT) AS edge_sum,
-           ROUND(CAST(edge_sum AS DOUBLE) / n_interior, 4) AS mean_edge
-    FROM e ORDER BY asset_id
-    """,
-    tags=("multimodal", "image", "convolution"),
-)
-def media_image_edge_density(spark, sf_dir):
-    """Sobel edge density over REAL BMP decode
-    (operators.multimodal.image_edge_density): the first NEIGHBORHOOD
-    operator in the multimodal family — a 3x3 integer convolution whose
-    every interior pixel the oracle recomputes from the byte tiling
-    (point-lookup verification as in phash, extended to stencil reads:
-    an off-by-one in stride, row order, or channel offset shifts a
-    neighbor and flips the hash).  Near-zero density flags flat /
-    synthetic-fill images for curation.  One Arrow kernel pass; only
-    per-asset scalar rows shuffle."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        image_edge_density,
-        synthetic_media_assets,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "image")
-    return image_edge_density(assets).orderBy("asset_id")
-
-
-@query(
-    "media_video_motion_energy",
-    oracle="""
-    WITH v AS (
-      SELECT doc_id, text,
-             4 + 2 * (doc_id % 7) AS w,
-             4 + 2 * (doc_id % 5) AS h,
-             1 + doc_id % 4 AS nf,
-             length(text) AS l
-      FROM documents WHERE doc_id % 3 = 2
-    ), fr AS (
-      SELECT doc_id, w * h AS wh, l, unnest(range(0, nf)) AS i FROM v
-    ), fy AS (
-      SELECT f.doc_id, f.i, f.wh,
-             list_transform(range(0, f.wh),
-               k -> CASE WHEN f.l > f.i
-                         THEN ascii(substr(v.text,
-                                CAST(k % (f.l - f.i) AS INT) + CAST(f.i AS INT) + 1, 1))
-                         ELSE ascii(substr(v.text, CAST(k % f.l AS INT) + 1, 1))
-                    END) AS y
-      FROM fr f JOIN v ON v.doc_id = f.doc_id
-    )
-    SELECT a.doc_id AS asset_id,
-           CAST(a.i AS INT) AS frame_idx,
-           CAST(a.wh AS BIGINT) AS n_pixels,
-           CAST(list_sum(list_transform(range(0, a.wh),
-                k -> abs(a.y[CAST(k AS INT) + 1] - b.y[CAST(k AS INT) + 1])))
-             AS BIGINT) AS motion_sum
-    FROM fy a JOIN fy b ON b.doc_id = a.doc_id AND b.i = a.i - 1
-    ORDER BY asset_id, frame_idx
-    """,
-    tags=("multimodal", "video", "motion"),
-)
-def media_video_motion_energy(spark, sf_dir):
-    """Pixel-level temporal motion energy over REAL Y4M decode
-    (operators.multimodal.video_motion_energy): per consecutive frame
-    pair, sum of absolute per-pixel luma differences — the static-clip /
-    slideshow screen, at pixel granularity where the scene-change query
-    works on frame MEANS (a scene cut that preserves average brightness
-    is invisible to the mean but lights up here).  All integers; the
-    oracle regenerates both frames of every pair from the byte tiling
-    and replays the diff, so frame-stride bugs shift bytes and flip the
-    hash.  Single-frame assets produce no rows by construction."""
-    from prod_data_pipeline_spark.operators.multimodal import (
-        synthetic_media_assets,
-        video_motion_energy,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    assets = synthetic_media_assets(docs).filter(F.col("media_type") == "video")
-    return video_motion_energy(assets).orderBy("asset_id", "frame_idx")
-
-
-@query(
-    "events_scd2_asof_snapshot",
-    oracle="""
-    WITH c AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS prev,
-             row_number() OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS rn
-      FROM events WHERE user_id IS NOT NULL
-    ), ch AS (
-      SELECT user_id, ts, event_type, event_id FROM c
-      WHERE rn = 1 OR event_type IS DISTINCT FROM prev
-    ), hist AS (
-      SELECT user_id, event_type,
-             ts AS effective_from,
-             lead(ts) OVER w AS effective_to
-      FROM ch
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    )
-    SELECT user_id, event_type, effective_from
-    FROM hist
-    WHERE effective_from <= TIMESTAMP '2024-01-15 12:00:00'
-      AND (effective_to IS NULL OR effective_to > TIMESTAMP '2024-01-15 12:00:00')
-    ORDER BY user_id
-    """,
-    tags=("cdc", "scd2", "time-travel"),
-)
-def events_scd2_asof_snapshot(spark, sf_dir):
-    """Bitemporal AS-OF read over the SCD2 history: reconstruct every
-    user's event_type state exactly as it was at 2024-01-15 12:00 — the
-    validity-interval containment query (effective_from <= T <
-    effective_to, open intervals current) that makes an SCD2 dimension
-    useful: training-data snapshots 'as the labeler saw it', audit
-    reconstruction, late-join backfills against past state.  Row-level
-    output (one row per user active at T) so the hash certifies every
-    interval boundary, not just counts.  Same single
-    (exchange, sort) as the history build; the as-of filter is a
-    residual predicate, no extra shuffle."""
-    from prod_data_pipeline_spark.operators.cdc import scd2_history
-
-    asof = F.lit("2024-01-15 12:00:00").cast("timestamp")
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    hist = scd2_history(ev, "user_id", "ts", "event_type", tiebreak=["event_id"])
-    return (
-        hist.filter(
-            (F.col("effective_from") <= asof)
-            & (F.col("effective_to").isNull() | (F.col("effective_to") > asof))
-        )
-        .select("user_id", "event_type", "effective_from")
-        .orderBy("user_id")
-    )
-
-
-@query(
-    "orders_revenue_trend_ols",
-    oracle="""
-    WITH m AS (
-      SELECT o_orderpriority AS priority,
-             (year(CAST(o_orderdate AS DATE)) - 1995) * 12
-               + (month(CAST(o_orderdate AS DATE)) - 1) AS x,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
-      FROM orders GROUP BY 1, 2
-    ), s AS (
-      SELECT priority,
-             COUNT(*) AS n,
-             SUM(x) AS sx, SUM(x * x) AS sxx,
-             SUM(y) AS sy, SUM(x * y) AS sxy,
-             SUM(CAST(y AS HUGEINT) * y) AS syy
-      FROM m GROUP BY 1
-    ), f AS (
-      SELECT priority, n, sy,
-             n * sxy - sx * sy AS a,
-             n * sxx - sx * sx AS b,
-             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS c,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
-      FROM s
-    )
-    SELECT priority,
-           CAST(n AS BIGINT) AS n_months,
-           CAST(sy AS DOUBLE) / 100.0 AS total_revenue,
-           ROUND(slope / 100.0, 4) AS slope_per_month,
-           ROUND((CAST(sy AS DOUBLE) - slope * (SELECT CAST(SUM(x) AS DOUBLE)
-                    FROM m mm WHERE mm.priority = f.priority)) / n / 100.0, 4)
-               AS intercept,
-           ROUND(CAST(CAST(a AS HUGEINT) * a AS DOUBLE)
-                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) AS r2
-    FROM f ORDER BY priority
-    """,
-    tags=("analytics", "regression", "timeseries"),
-)
-def orders_revenue_trend_ols(spark, sf_dir):
-    """Per-priority monthly revenue trend by closed-form OLS: slope,
-    intercept, and r^2 of cents-exact monthly totals against the month
-    index — the is-this-segment-growing screen, done with the Zipf/Heaps
-    fit recipe generalized to money: every moment (Sx, Sxx, Sy, Sxy,
-    Syy) is an EXACT integer/decimal sum, so the regression reduces to a
-    fixed handful of IEEE ops on identical inputs (one division for the
-    slope, three casts + multiply + divide for r^2) — no float
-    accumulates across rows anywhere.  Syy and a^2 exceed int64 and ride
-    DECIMAL(38)/HUGEINT.  Two aggregations: orders -> months (the only
-    corpus-sized exchange), months -> 5 priority rows."""
-    o = _t(spark, sf_dir, "orders")
-    m = o.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        (
-            (F.year(F.to_date("o_orderdate")) - 1995) * 12
-            + (F.month(F.to_date("o_orderdate")) - 1)
-        ).alias("x"),
-    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
-    s = m.groupBy("priority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
-    )
-    f = s.select(
-        "priority",
-        "n",
-        "sy",
-        "sx",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("a"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("b"),
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("syy")
-            - F.col("sy").cast("decimal(19,0)") * F.col("sy")
-        ).alias("c"),
-    ).withColumn(
-        "slope", F.col("a").cast("double") / F.col("b").cast("double")
-    )
-    return f.select(
-        "priority",
-        F.col("n").cast("long").alias("n_months"),
-        (F.col("sy").cast("double") / F.lit(100.0)).alias("total_revenue"),
-        F.round(F.col("slope") / 100.0, 4).alias("slope_per_month"),
-        F.round(
-            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
-            / F.col("n")
-            / 100.0,
-            4,
-        ).alias("intercept"),
-        F.round(
-            (F.col("a").cast("decimal(19,0)") * F.col("a")).cast("double")
-            / (F.col("b").cast("double") * F.col("c").cast("double")),
-            6,
-        ).alias("r2"),
-    ).orderBy("priority")
-
-
-@query(
-    "docs_token_mass_quantiles",
-    oracle=f"""
-    WITH t AS (
-      SELECT len({_TOKS_SQL}) AS n FROM documents
-    ), g AS (
-      SELECT n, COUNT(*) AS docs, SUM(n) AS toks FROM t GROUP BY n
-    ), c AS (
-      SELECT n, docs, toks,
-             SUM(toks) OVER (ORDER BY n
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks,
-             SUM(docs) OVER (ORDER BY n
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
-             (SELECT SUM(toks) FROM g) AS total
-      FROM g
-    ), qs AS (
-      SELECT unnest([25, 50, 75, 90]) AS q100
-    ), hit AS (
-      SELECT qs.q100, MIN(c.n) AS len_at_q
-      FROM qs JOIN c ON 100 * c.cum_toks >= qs.q100 * c.total
-      GROUP BY 1
-    )
-    SELECT CAST(h.q100 AS DOUBLE) / 100.0 AS quantile,
-           CAST(h.len_at_q AS BIGINT) AS len_at_q,
-           CAST(c.cum_toks AS BIGINT) AS cum_tokens,
-           CAST(c.cum_docs AS BIGINT) AS cum_docs,
-           CAST(c.total AS BIGINT) AS total_tokens
-    FROM hit h JOIN c ON c.n = h.len_at_q
-    ORDER BY quantile
-    """,
-    tags=("text", "quantiles", "packing"),
-)
-def docs_token_mass_quantiles(spark, sf_dir):
-    """TOKEN-MASS-weighted length quantiles: the smallest document length
-    L such that docs of length <= L hold >= q of all corpus tokens, for
-    q in 25/50/75/90% — the packing-configuration curve (max_seq_len
-    choices are about token mass, not doc counts: 90% of DOCS under 100
-    tokens can still be 10% of the MASS).  The decision 100*cum >=
-    q100*total is pure integer cross-multiplication; the cumulative runs
-    on the DISTINCT-LENGTHS relation (bounded by max doc length), so
-    both windows are tiny — the corpus contributes one length-keyed
-    agg."""
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    g = (
-        docs.select(F.size(tokens(F.col("text"))).alias("n"))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n").alias("toks"))
-    )
-    w_all = Window.partitionBy(F.lit(0))
-    w_run = w_all.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = g.select(
-        "n",
-        "docs",
-        F.sum("toks").over(w_run).alias("cum_toks"),
-        F.sum("docs").over(w_run).alias("cum_docs"),
-        F.sum("toks").over(w_all).alias("total"),
-    )
-    qs = spark.createDataFrame([(25,), (50,), (75,), (90,)], "q100 int")
-    hit = (
-        c.crossJoin(F.broadcast(qs))
-        .filter(100 * F.col("cum_toks") >= F.col("q100") * F.col("total"))
-        .groupBy("q100")
-        .agg(F.min("n").alias("len_at_q"))
-    )
-    return (
-        hit.join(c.withColumnRenamed("n", "len_at_q"), "len_at_q")
-        .select(
-            (F.col("q100").cast("double") / 100.0).alias("quantile"),
-            F.col("len_at_q").cast("long").alias("len_at_q"),
-            F.col("cum_toks").cast("long").alias("cum_tokens"),
-            F.col("cum_docs").cast("long").alias("cum_docs"),
-            F.col("total").cast("long").alias("total_tokens"),
-        )
-        .orderBy("quantile")
-    )
-
-
-@query(
-    "lineitem_mahalanobis_outliers",
-    oracle="""
-    WITH r AS (
-      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qx,
-             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS py
-      FROM lineitem
-    ), s AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             SUM(qx) AS sx, SUM(py) AS sy,
-             SUM(qx * qx) AS sxx,
-             SUM(qx * py) AS sxy,
-             SUM(CAST(py AS HUGEINT) * py) AS syy
-      FROM r
-    ), mom AS (
-      SELECT n,
-             CAST(sx AS DOUBLE) / n AS mx,
-             CAST(sy AS DOUBLE) / n AS my,
-             CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vxx,
-             CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vxy,
-             CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vyy
-      FROM s
-    )
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-           ROUND(
-             ((CAST(qx AS DOUBLE) - mx) * (CAST(qx AS DOUBLE) - mx) * vyy
-              - 2.0 * (CAST(qx AS DOUBLE) - mx) * (CAST(py AS DOUBLE) - my) * vxy
-              + (CAST(py AS DOUBLE) - my) * (CAST(py AS DOUBLE) - my) * vxx)
-             / (vxx * vyy - vxy * vxy), 6) AS maha_d2
-    FROM r, mom
-    ORDER BY maha_d2 DESC, l_orderkey, l_linenumber LIMIT 50
-    """,
-    tags=("analytics", "outliers", "multivariate"),
-)
-def lineitem_mahalanobis_outliers(spark, sf_dir):
-    """Multivariate outliers by exact-moment Mahalanobis distance over
-    (quantity, price): the joint screen that flags rows whose
-    COMBINATION is anomalous even when each marginal is ordinary (tiny
-    quantity at a huge price) — the step beyond the per-column P99/MAD
-    screens.  Means and the 2x2 covariance come from exact cents-integer
-    sums in ONE aggregation (Syy rides DECIMAL(38)/HUGEINT), the matrix
-    inverse is closed-form, and each row's distance is a fixed chain of
-    IEEE ops on identical inputs — so the float math replays exactly and
-    the top-50 cut (TakeOrdered, no full sort) is deterministic with
-    key tiebreaks."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        "l_extendedprice",
-        F.round(F.col("l_quantity") * 100).cast("long").alias("qx"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("py"),
-    )
-    s = li.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("qx").alias("sx"),
-        F.sum("py").alias("sy"),
-        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
-        F.sum(F.col("qx") * F.col("py")).alias("sxy"),
-        F.sum(F.col("py").cast("decimal(19,0)") * F.col("py")).alias("syy"),
-    )
-    mom = s.select(
-        "n",
-        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
-        (F.col("sy").cast("double") / F.col("n")).alias("my"),
-        (
-            F.col("sxx").cast("double") / F.col("n")
-            - (F.col("sx").cast("double") / F.col("n"))
-            * (F.col("sx").cast("double") / F.col("n"))
-        ).alias("vxx"),
-        (
-            F.col("sxy").cast("double") / F.col("n")
-            - (F.col("sx").cast("double") / F.col("n"))
-            * (F.col("sy").cast("double") / F.col("n"))
-        ).alias("vxy"),
-        (
-            F.col("syy").cast("double") / F.col("n")
-            - (F.col("sy").cast("double") / F.col("n"))
-            * (F.col("sy").cast("double") / F.col("n"))
-        ).alias("vyy"),
-    )
-    dx = F.col("qx").cast("double") - F.col("mx")
-    dy = F.col("py").cast("double") - F.col("my")
-    return (
-        li.crossJoin(F.broadcast(mom))
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            F.round(
-                (
-                    dx * dx * F.col("vyy")
-                    - F.lit(2.0) * dx * dy * F.col("vxy")
-                    + dy * dy * F.col("vxx")
-                )
-                / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")),
-                6,
-            ).alias("maha_d2"),
-        )
-        .orderBy(F.desc("maha_d2"), "l_orderkey", "l_linenumber")
-        .limit(50)
-    )
-
-
-@query(
-    "events_value_sketch_quantiles",
-    oracle="""
-    WITH r AS (
-      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS vc
-      FROM events WHERE value IS NOT NULL
-    ), sk AS (
-      -- the mergeable sketch: per-DAY bucket counts (merge IS addition)
-      SELECT CAST(ts AS DATE) AS day,
-             LEAST(CAST(ROUND(value * 100) AS BIGINT) * 64 // 50000, 63) AS bucket,
-             COUNT(*) AS cnt
-      FROM events WHERE value IS NOT NULL
-      GROUP BY 1, 2
-    ), merged AS (
-      SELECT bucket, SUM(cnt) AS cnt FROM sk GROUP BY 1
-    ), cum AS (
-      SELECT bucket, cnt,
-             SUM(cnt) OVER (ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             (SELECT SUM(cnt) FROM merged) AS n
-      FROM merged
-    ), qs AS (SELECT unnest([25, 50, 75, 90]) AS q100
-    ), est AS (
-      SELECT q100, MIN(bucket) AS b
-      FROM qs JOIN cum ON 100 * cum.cum >= qs.q100 * cum.n
-      GROUP BY 1
-    ), rk AS (
-      SELECT vc, ROW_NUMBER() OVER (ORDER BY vc, event_id) AS rnk,
-             (SELECT COUNT(*) FROM r) AS n
-      FROM r
-    ), exact AS (
-      SELECT q.q100, rk.vc AS exact_vc
-      FROM qs q JOIN rk ON rk.rnk = (q.q100 * rk.n + 99) // 100
-    )
-    SELECT CAST(e.q100 AS DOUBLE) / 100.0 AS quantile,
-           ROUND(CAST((e.b + 1) * 50000 AS DOUBLE) / 64.0 / 100.0, 4) AS sketch_value,
-           CAST(x.exact_vc AS DOUBLE) / 100.0 AS exact_value,
-           ROUND(abs(CAST((e.b + 1) * 50000 AS DOUBLE) / 64.0 / 100.0
-                     - CAST(x.exact_vc AS DOUBLE) / 100.0), 4) AS abs_err,
-           CAST((SELECT COUNT(DISTINCT day) FROM sk) AS BIGINT) AS n_day_sketches
-    FROM est e JOIN exact x ON x.q100 = e.q100
-    ORDER BY quantile
-    """,
-    tags=("sketches", "quantiles", "mergeable"),
-)
-def events_value_sketch_quantiles(spark, sf_dir):
-    """Mergeable QUANTILE sketch, exact-replayable — completing the
-    sketch family (HLL distinct, count-min frequency, now quantiles):
-    per-day equal-width bucket counts on CENTS integers (merge IS
-    addition, exactly like the CMS sink), quantile estimate = upper edge
-    of the first bucket whose merged cumulative crosses q (integer
-    cross-multiplication decides), reported side by side with the EXACT
-    value at rank ceil(q*N) from the no-global-sort bucketed rank — so
-    the error bound (one bucket width, here 500000/64 cents) is
-    measured, not asserted.  Unlike t-digest/KLL this sketch is fully
-    deterministic, which is what lets the driver hash-check an
-    'approximate' structure.  All integer decisions; the only floats
-    are fixed bucket-edge arithmetic."""
-    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
-
-    from prod_data_pipeline_spark.operators.sketches import (
-        value_histogram_build,
-        value_histogram_merge,
-    )
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    r = ev.select(
-        "event_id", F.round(F.col("value") * 100).cast("long").alias("vc")
-    )
-    sk = value_histogram_build(
-        ev, "value", by=(F.to_date("ts").alias("day"),), n_buckets=64, vmax_cents=50_000
-    )
-    merged = value_histogram_merge(sk)
-    w_all = Window.partitionBy(F.lit(0))
-    w_run = w_all.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = merged.select(
-        "bucket",
-        F.sum("cnt").over(w_run).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-    qs = spark.createDataFrame([(25,), (50,), (75,), (90,)], "q100 int")
-    est = (
-        cum.crossJoin(F.broadcast(qs))
-        .filter(100 * F.col("cum") >= F.col("q100") * F.col("n"))
-        .groupBy("q100")
-        .agg(F.min("bucket").alias("b"))
-    )
-    ranked = bucketed_global_rank(r, order_cols=("vc", "event_id"))
-    exact = (
-        ranked.crossJoin(F.broadcast(qs))
-        .filter(F.col("rank") == F.expr("(q100 * n_total + 99) div 100"))
-        .select("q100", F.col("vc").alias("exact_vc"))
-    )
-    n_days = sk.select(F.countDistinct("day").alias("nd"))
-    edge = F.col("b") + 1
-    return (
-        est.join(exact, "q100")
-        .crossJoin(F.broadcast(n_days))
-        .select(
-            (F.col("q100").cast("double") / 100.0).alias("quantile"),
-            F.round(
-                (edge * 50000).cast("double") / 64.0 / 100.0, 4
-            ).alias("sketch_value"),
-            (F.col("exact_vc").cast("double") / 100.0).alias("exact_value"),
-            F.round(
-                F.abs(
-                    (edge * 50000).cast("double") / 64.0 / 100.0
-                    - F.col("exact_vc").cast("double") / 100.0
-                ),
-                4,
-            ).alias("abs_err"),
-            F.col("nd").cast("long").alias("n_day_sketches"),
-        )
-        .orderBy("quantile")
-    )
-
-
-def _mmr_oracle_sql(k_candidates: int = 20, k_select: int = 8) -> str:
-    """Top-k candidates + k_select unrolled greedy MMR selection CTEs."""
-    cos = (
-        "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
-        " / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {a}[i])))"
-        " * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i] * {b}[i]))))"
-    )
-    qcos = cos.format(a="q.qe", b="v.e")
-    pcos = cos.format(a="x.e", b="y.e")
-    steps = []
-    for k in range(2, k_select + 1):
-        steps.append(f"""
-    pick{k} AS MATERIALIZED (
-      SELECT c.neighbor_id, c.sim,
-             0.7 * c.sim - 0.3 * (SELECT MAX(p.s) FROM pairs p
-                                  JOIN sel{k-1} s ON s.neighbor_id = p.idb
-                                  WHERE p.ida = c.neighbor_id) AS raw_score
-      FROM cand c
-      WHERE c.neighbor_id NOT IN (SELECT neighbor_id FROM sel{k-1})
-      ORDER BY raw_score DESC, c.neighbor_id LIMIT 1
-    ), sel{k} AS MATERIALIZED (
-      SELECT neighbor_id, sim, r, score FROM sel{k-1}
-      UNION ALL
-      SELECT neighbor_id, sim, {k} AS r, ROUND(raw_score, 6) AS score FROM pick{k}
-    )""")
-    return f"""
-    WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
-    cand AS MATERIALIZED (
-      SELECT neighbor_id, sim FROM (
-        SELECT v.vec_id AS neighbor_id, ROUND({qcos}, 4) AS sim,
-               ROW_NUMBER() OVER (ORDER BY {qcos} DESC, v.vec_id) AS rnk
-        FROM v, q WHERE v.vec_id <> 0
-      ) WHERE rnk <= {k_candidates}
-    ), cv AS MATERIALIZED (
-      SELECT v.vec_id, v.e FROM v JOIN cand c ON c.neighbor_id = v.vec_id
-    ), pairs AS MATERIALIZED (
-      SELECT x.vec_id AS ida, y.vec_id AS idb, ROUND({pcos}, 4) AS s
-      FROM cv x JOIN cv y ON x.vec_id <> y.vec_id
-    ), sel1 AS MATERIALIZED (
-      SELECT neighbor_id, sim, 1 AS r, ROUND(0.7 * sim, 6) AS score
-      FROM cand ORDER BY sim DESC, neighbor_id LIMIT 1
-    ),{",".join(steps)}
-    SELECT CAST(r AS BIGINT) AS mmr_rank, neighbor_id, sim, score
-    FROM sel{k_select} ORDER BY mmr_rank
-    """
-
-
-@query(
-    "emb_mmr_rerank",
-    oracle=_mmr_oracle_sql(20, 8),
-    tags=("similarity", "rag", "diversity"),
-)
-def emb_mmr_rerank(spark, sf_dir):
-    """Maximal-marginal-relevance re-rank
-    (operators.similarity.mmr_rerank): the cosine top-20 for query
-    vector 0, greedily re-ranked to 8 diverse picks with
-    0.7*relevance - 0.3*max-similarity-to-already-selected — the RAG
-    context assembly step that stops the window filling with
-    near-copies.  The greedy recursion is inherently sequential over a
-    PARAMETER-bounded candidate list, so it runs driver-side; the
-    corpus-sized candidate scan stays distributed.  Every score is a
-    fixed float chain on round-4 cosines, so the DuckDB oracle replays
-    all 8 selection steps as unrolled argmax CTEs and the hash holds."""
-    from prod_data_pipeline_spark.operators.similarity import mmr_rerank
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0)
-    return mmr_rerank(emb, qv, k_candidates=20, k_select=8).orderBy("mmr_rank")
-
-
-@query(
-    "docs_snm_recall_vs_exact",
-    oracle=f"""
-    WITH t0 AS (
-      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) >= 3
-                  THEN list_distinct(list_transform(range(1, len(tk)-1),
-                         i -> array_to_string(tk[i:i+2], ' ')))
-                  ELSE [] END AS toks
-      FROM t0
-    ), t2 AS MATERIALIZED (
-      SELECT doc_id, toks FROM sh WHERE len(toks) > 0
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
-    ), dfreq AS (
-      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
-    ), ranked AS (
-      SELECT doc_id, token, sz,
-             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
-      FROM tok JOIN dfreq USING (token)
-    ), prefix AS (
-      SELECT doc_id, token, sz FROM ranked
-      WHERE rn <= sz - ((50 * sz + 99) // 100) + 1
-    ), pcand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM prefix a JOIN prefix b
-        ON a.token = b.token AND a.doc_id < b.doc_id
-      WHERE 50 * greatest(a.sz, b.sz) <= 100 * least(a.sz, b.sz)
-    ), exact AS MATERIALIZED (
-      SELECT c.id_a, c.id_b FROM pcand c
-      JOIN t2 ta ON ta.doc_id = c.id_a
-      JOIN t2 tb ON tb.doc_id = c.id_b
-      WHERE 100 * len(list_intersect(ta.toks, tb.toks))
-            >= 50 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))
-    ), key AS (
-      SELECT doc_id,
-             substr(regexp_replace(lower(substr(text, 1, 64)),
-                                   '[^a-z0-9]', '', 'g'), 1, 16) AS key
-      FROM documents
-    ), snmr AS MATERIALIZED (
-      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rnk FROM key
-    ), scand AS (
-      SELECT a.doc_id AS ra, b.doc_id AS rb
-      FROM snmr a JOIN snmr b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
-    ), snm AS MATERIALIZED (
-      SELECT DISTINCT least(c.ra, c.rb) AS id_a, greatest(c.ra, c.rb) AS id_b
-      FROM scand c
-      JOIN t2 ta ON ta.doc_id = c.ra
-      JOIN t2 tb ON tb.doc_id = c.rb
-      WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-            / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))),
-            4) >= 0.5
-    )
-    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
-           CAST((SELECT COUNT(*) FROM snm) AS BIGINT) AS n_snm,
-           CAST((SELECT COUNT(*) FROM snm s JOIN exact e
-                 ON e.id_a = s.id_a AND e.id_b = s.id_b) AS BIGINT) AS n_overlap,
-           ROUND(CAST((SELECT COUNT(*) FROM snm s JOIN exact e
-                 ON e.id_a = s.id_a AND e.id_b = s.id_b) AS DOUBLE)
-                 / greatest((SELECT COUNT(*) FROM exact), 1), 4) AS recall
-    """,
-    tags=("dedup", "blocking", "recall", "instrumentation"),
-)
-def docs_snm_recall_vs_exact(spark, sf_dir, sample_pct: int = 100):
-    """Sorted-neighborhood recall audit against the SAME exact ground
-    truth the LSH audit uses (docs_lsh_recall_vs_exact): every pair with
-    3-gram shingle Jaccard >= 0.5 from the prefix-filtered exact join,
-    vs the pairs the 5-successor prefix-key neighborhood finds at the
-    same threshold.  Together the two audits quantify the blockers'
-    COMPLEMENTARY recall profiles — SNM catches prefix-stable dups
-    regardless of band luck, LSH catches prefix-divergent rewrites —
-    which is the evidence for running both and unioning candidates in a
-    production dedup pass.  SNM pairs canonicalize to (min, max) id for
-    the overlap join; both memberships replay identically in SQL.
-
-    ``sample_pct`` (same knob and salt as the LSH audit) restricts both
-    sides to a deterministic md5-bucketed doc subsample so the exact
-    prefix-join ground truth — the expensive half — stays runnable at
-    100x.  Caveat specific to SNM: sampling DENSIFIES neighborhoods
-    (each survivor's 5 successors in the sampled sort order span a wider
-    window of the full corpus), so sampled recall is a slightly
-    OPTIMISTIC estimate; still the right audit knob because the bias
-    direction is known and one-sided.  Full corpus remains the oracle
-    and driver default."""
-    from prod_data_pipeline_spark.operators.dedup import (
-        jaccard_prefix_pairs,
-        sorted_neighborhood_pairs,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    if sample_pct < 100:
-        from prod_data_pipeline_spark.operators.sampling import hash_sample
-
-        docs = hash_sample(docs, sample_pct / 100.0, "doc_id", salt="recall_audit")
-    exact = jaccard_prefix_pairs(
-        docs, threshold_pct=50, shingle_n=3, materialize=True
-    ).select("id_a", "id_b")
-    # snm feeds two actions (its own count + the overlap semi-join);
-    # a lazy lineage cut stores the blocks on the first count so the
-    # neighborhood pipeline runs once, not twice.
-    snm = (
-        sorted_neighborhood_pairs(docs, threshold=0.5)
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-        .distinct()
-        .transform(truncate_lineage, eager=False)
-    )
-    from decimal import ROUND_HALF_UP, Decimal
-
-    n_exact = exact.count()
-    n_snm = snm.count()
-    n_overlap = snm.join(exact, ["id_a", "id_b"], "left_semi").count()
-    # half-up like SQL ROUND; python round() is banker's and diverges on
-    # exact ties (e.g. a ratio of 1/32 at 4 digits)
-    recall = float(
-        Decimal(repr(n_overlap / max(n_exact, 1))).quantize(
-            Decimal("0.0001"), ROUND_HALF_UP
-        )
-    )
-    return spark.createDataFrame(
-        [(n_exact, n_snm, n_overlap, recall)],
-        "n_exact long, n_snm long, n_overlap long, recall double",
-    )
-
-
-@query(
-    "docs_lang_source_chi2",
-    oracle="""
-    WITH o AS (
-      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
-    ), rt AS (
-      SELECT lang, SUM(obs) AS r FROM o GROUP BY 1
-    ), ct AS (
-      SELECT source, SUM(obs) AS c FROM o GROUP BY 1
-    ), n AS (
-      SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM o
-    ), cells AS (
-      SELECT rt.lang, ct.source,
-             COALESCE(o.obs, 0) AS obs,
-             CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / (SELECT n FROM n) AS exp
-      FROM rt CROSS JOIN ct
-      LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
-    ), terms AS (
-      SELECT lang, source,
-             ROUND((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp,
-                   10) AS t
-      FROM cells
-    )
-    SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_langs,
-           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_sources,
-           CAST(((SELECT COUNT(*) FROM rt) - 1)
-                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
-           ROUND(CAST(SUM(CAST(t AS DECIMAL(24,10))) AS DOUBLE), 6) AS chi2
-    FROM terms
-    """,
-    tags=("analytics", "statistics", "independence"),
-)
-def docs_lang_source_chi2(spark, sf_dir):
-    """Pearson chi-square independence test for language x source — the
-    corpus-mix drift tripwire: a significant statistic means sources do
-    NOT share a language distribution, so per-source sampling weights
-    change the language mix (and a jump between snapshots means a
-    source's crawler changed).  Observed counts are integers, expected =
-    row*col/n is a fixed float chain, per-cell terms round to 10 and sum
-    as exact DECIMAL (order-free, the usual recipe), and zero-count
-    cells are materialized by the row x column cross join so the
-    statistic covers the full contingency table.  One groupBy of the
-    corpus; everything else is |langs| x |sources| rows."""
-    docs = _t(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
-    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
-    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
-    n = o.agg(F.sum("obs").cast("double").alias("n"))
-    cells = (
-        rt.crossJoin(ct)
-        .join(o, ["lang", "source"], "left")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "lang",
-            "source",
-            F.coalesce("obs", F.lit(0)).alias("obs"),
-            (F.col("r").cast("double") * F.col("c").cast("double") / F.col("n")).alias(
-                "exp"
-            ),
-        )
-    )
-    terms = cells.select(
-        F.round(
-            (F.col("obs").cast("double") - F.col("exp"))
-            * (F.col("obs").cast("double") - F.col("exp"))
-            / F.col("exp"),
-            10,
-        ).alias("t")
-    )
-    n_langs = rt.count()
-    n_sources = ct.count()
-    return terms.agg(
-        F.lit(n_langs).cast("long").alias("n_langs"),
-        F.lit(n_sources).cast("long").alias("n_sources"),
-        F.lit((n_langs - 1) * (n_sources - 1)).cast("long").alias("dof"),
-        F.round(
-            F.sum(F.col("t").cast("decimal(24,10)")).cast("double"), 6
-        ).alias("chi2"),
-    )
-
-
-def _seq_patterns() -> list[str]:
-    initials = ["c", "e", "p", "s", "v"]  # click error purchase signup view
-    return [a + b + c for a in initials for b in initials for c in initials]
-
-
-@query(
-    "users_frequent_type_sequences",
-    oracle=f"""
-    WITH seqs AS MATERIALIZED (
-      SELECT user_id,
-             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
-      FROM events WHERE user_id IS NOT NULL
-      GROUP BY user_id
-    ), pats AS (
-      SELECT unnest([{", ".join(repr(p) for p in _seq_patterns())}]) AS pat
-    ), sup AS (
-      SELECT p.pat,
-             SUM(CASE WHEN regexp_matches(s.s,
-                   substr(p.pat, 1, 1) || '.*' || substr(p.pat, 2, 1)
-                   || '.*' || substr(p.pat, 3, 1))
-                 THEN 1 ELSE 0 END) AS support
-      FROM pats p CROSS JOIN seqs s
-      GROUP BY p.pat
-    )
-    SELECT pat AS pattern, CAST(support AS BIGINT) AS n_users,
-           ROUND(CAST(support AS DOUBLE)
-                 / (SELECT COUNT(*) FROM seqs), 4) AS support_frac
-    FROM sup
-    ORDER BY n_users DESC, pattern LIMIT 20
-    """,
-    tags=("sequence-mining", "events", "behavior"),
-)
-def users_frequent_type_sequences(spark, sf_dir):
-    """Frequent length-3 event-type SUBSEQUENCES (PrefixSpan-style
-    support counting): for each of the 125 ordered type triples, how
-    many users exhibit it somewhere in their time-ordered event stream —
-    not necessarily adjacent, which is what separates sequential-pattern
-    support from the adjacent-only transition matrix
-    (events_type_transitions).  Each user's stream compresses to a
-    type-initial string ONCE (one groupBy with an ordered aggregation);
-    subsequence containment is then a fixed regex a.*b.*c per pattern
-    against the broadcast 125-pattern relation — corpus work is one
-    pass, pattern work is |users| x 125 boolean matches, all integer
-    counting."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    seqs = ev.groupBy("user_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
-                    )
-                ),
-                lambda x: F.substring(x["event_type"], 1, 1),
-            ),
-        ).alias("s")
-    )
-    n_users = seqs.count()
-    pats = spark.createDataFrame([(p,) for p in _seq_patterns()], "pat string")
-    sup = (
-        seqs.crossJoin(F.broadcast(pats))
-        .select(
-            "pat",
-            F.when(
-                F.regexp_like(
-                    F.col("s"),
-                    F.concat(
-                        F.substring("pat", 1, 1),
-                        F.lit(".*"),
-                        F.substring("pat", 2, 1),
-                        F.lit(".*"),
-                        F.substring("pat", 3, 1),
-                    ),
-                ),
-                1,
-            )
-            .otherwise(0)
-            .alias("hit"),
-        )
-        .groupBy("pat")
-        .agg(F.sum("hit").alias("support"))
-    )
-    return (
-        sup.select(
-            F.col("pat").alias("pattern"),
-            F.col("support").cast("long").alias("n_users"),
-            F.round(F.col("support").cast("double") / n_users, 4).alias(
-                "support_frac"
-            ),
-        )
-        .orderBy(F.desc("n_users"), "pattern")
-        .limit(20)
-    )
-
-
-def _markov_oracle_sql(n_iters: int = 8) -> str:
-    """Transition counts + quantized power iteration unrolled as CTEs."""
-    its = []
-    prev = "x0"
-    for k in range(n_iters):
-        its.append(f"""
-    x{k+1} AS MATERIALIZED (
-      SELECT t.next_type AS event_type,
-             CAST(ROUND(SUM(CAST(ROUND(x.p * CAST(t.n AS DOUBLE)
-                                       / CAST(rs.n AS DOUBLE), 12)
-                                 AS DECIMAL(20,12))), 12) AS DOUBLE) AS p
-      FROM trans t
-      JOIN {prev} x ON x.event_type = t.event_type
-      JOIN rowsum rs ON rs.event_type = t.event_type
-      GROUP BY t.next_type
-    )""")
-        prev = f"x{k+1}"
-    return f"""
-    WITH o AS (
-      SELECT user_id, event_type,
-             lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             ) AS next_type
-      FROM events WHERE user_id IS NOT NULL
-    ), trans AS MATERIALIZED (
-      SELECT event_type, next_type, COUNT(*) AS n
-      FROM o WHERE next_type IS NOT NULL
-      GROUP BY 1, 2
-    ), rowsum AS MATERIALIZED (
-      SELECT event_type, SUM(n) AS n FROM trans GROUP BY 1
-    ), emp AS (
-      SELECT next_type AS event_type,
-             CAST(SUM(n) AS DOUBLE)
-               / (SELECT CAST(SUM(n) AS DOUBLE) FROM trans) AS f
-      FROM trans GROUP BY 1
-    ), x0 AS (
-      SELECT event_type,
-             ROUND(1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM rowsum), 12) AS p
-      FROM rowsum
-    ),{",".join(its)}
-    SELECT x.event_type,
-           ROUND(CAST(x.p AS DOUBLE), 9) AS stationary,
-           ROUND(e.f, 9) AS empirical_freq,
-           ROUND(abs(CAST(x.p AS DOUBLE) - e.f), 9) AS abs_gap
-    FROM {prev} x JOIN emp e ON e.event_type = x.event_type
-    ORDER BY x.event_type
-    """
-
-
-@query(
-    "events_type_markov_stationary",
-    oracle=_markov_oracle_sql(8),
-    tags=("graph", "iterative", "markov"),
-)
-def events_type_markov_stationary(spark, sf_dir):
-    """Stationary distribution of the event-type Markov chain — the
-    first WEIGHTED-graph iteration in the engine (PageRank/PPR/LPA are
-    unweighted): transition probabilities c_ab/c_a drive a quantized
-    power iteration from the uniform vector, 8 steps, with the
-    round-then-DECIMAL recipe making the recurrence replayable as
-    unrolled SQL CTEs.  Reported next to the EMPIRICAL long-run type
-    frequency — for an ergodic chain the two converge, so the gap
-    column is a built-in sanity check on both the chain estimate and
-    the iteration count (observed <= ~1e-3 on this corpus).  All state
-    is |types|-sized; the only corpus work is the one windowed
-    transition count."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    trans = (
-        ev.withColumn("next_type", F.lead("event_type").over(w))
-        .filter(F.col("next_type").isNotNull())
-        .groupBy("event_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .transform(truncate_lineage, eager=True)  # tiny (|types|^2); read 8+2 times
-    )
-    rowsum = trans.groupBy("event_type").agg(F.sum("n").alias("rn"))
-    total = trans.agg(F.sum("n").cast("double").alias("tot"))
-    emp = (
-        trans.groupBy(F.col("next_type").alias("event_type"))
-        .agg(F.sum("n").alias("cn"))
-        .crossJoin(F.broadcast(total))
-        .select("event_type", (F.col("cn").cast("double") / F.col("tot")).alias("f"))
-    )
-    n_states = rowsum.count()
-    x = rowsum.select(
-        "event_type", F.round(F.lit(1.0 / n_states), 12).alias("p")
-    )
-    for _ in range(8):
-        x = (
-            trans.join(x, "event_type")
-            .join(rowsum, "event_type")
-            .select(
-                F.col("next_type"),
-                F.round(
-                    F.col("p") * F.col("n").cast("double") / F.col("rn").cast("double"),
-                    12,
-                )
-                .cast("decimal(20,12)")
-                .alias("c"),
-            )
-            .groupBy(F.col("next_type").alias("event_type"))
-            .agg(F.round(F.sum("c"), 12).cast("double").alias("p"))
-        )
-    return (
-        x.join(emp, "event_type")
-        .select(
-            "event_type",
-            F.round("p", 9).alias("stationary"),
-            F.round("f", 9).alias("empirical_freq"),
-            F.round(F.abs(F.col("p") - F.col("f")), 9).alias("abs_gap"),
-        )
-        .orderBy("event_type")
-    )
-
-
-@query(
-    "docs_weighted_reservoir_topk",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id, n_chars,
-             ln(CAST(('0x' || substr(md5('res:' || doc_id), 1, 10))::BIGINT + 1
-                     AS DOUBLE) / CAST(1099511627776 AS DOUBLE))
-               / CAST(n_chars AS DOUBLE) AS k
-      FROM documents WHERE n_chars > 0
-    )
-    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-           ROUND(k, 9) AS selection_key,
-           CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank
-    FROM d QUALIFY rank <= 50 ORDER BY rank
-    """,
-    tags=("sampling", "weighted", "llm-pipeline"),
-)
-def docs_weighted_reservoir_topk(spark, sf_dir):
-    """Efraimidis-Spirakis weighted sampling WITHOUT replacement: a
-    FIXED-SIZE 50-doc sample with inclusion probability proportional to
-    document weight (n_chars here), via key = ln(u)/w with u a
-    content-free md5 uniform — the exact-budget companion to the
-    Bernoulli acceptance sampler (docs_quality_weighted_sample), which
-    cannot promise a sample size.  The A-ES key is mergeable top-k
-    state: per-partition top-50 heaps union associatively, so the plan
-    is one scan + TakeOrdered (no sort exchange), identical at any
-    parallelism, and a distributed reservoir refresh is just re-running
-    the same deterministic expression.  u = (h40+1)/2^40 is exact
-    integer arithmetic until one division; ln and the weight division
-    are single IEEE ops replayed identically by the oracle."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    h40 = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))), 1, 10
-        ),
-        16,
-        10,
-    ).cast("long")
-    k = F.log(
-        (h40 + F.lit(1)).cast("double") / F.lit(1099511627776.0)
-    ) / F.col("n_chars").cast("double")
-    d = docs.select("doc_id", F.col("n_chars").cast("long").alias("weight"), k.alias("k"))
-    # TakeOrdered keeps the top-k merge distributed (per-partition heaps);
-    # the rank window then runs over the 50-row result only
-    top = d.orderBy(F.desc("k"), F.asc("doc_id")).limit(50)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("k"), F.asc("doc_id"))
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select(
-            "doc_id",
-            "weight",
-            F.round("k", 9).alias("selection_key"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-        .orderBy("rank")
-    )
-
-
-@query(
-    "customers_cohort_ltv",
-    oracle="""
-    WITH f AS (
-      SELECT o_custkey, MIN(year(CAST(o_orderdate AS DATE))) AS cohort
-      FROM orders GROUP BY 1
-    ), r AS (
-      SELECT f.cohort,
-             year(CAST(o.o_orderdate AS DATE)) - f.cohort AS age,
-             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents,
-             COUNT(DISTINCT o.o_custkey) AS active_customers
-      FROM orders o JOIN f ON f.o_custkey = o.o_custkey
-      GROUP BY 1, 2
-    ), sz AS (
-      SELECT cohort, COUNT(*) AS n FROM f GROUP BY 1
-    )
-    SELECT r.cohort AS cohort, CAST(r.age AS BIGINT) AS age,
-           CAST(sz.n AS BIGINT) AS cohort_size,
-           CAST(r.active_customers AS BIGINT) AS active_customers,
-           CAST(r.rev_cents AS DOUBLE) / 100.0 AS revenue,
-           ROUND(CAST(SUM(r.rev_cents) OVER (
-                   PARTITION BY r.cohort ORDER BY r.age
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE) / 100.0 / sz.n, 2) AS cum_ltv_per_customer
-    FROM r JOIN sz ON sz.cohort = r.cohort
-    ORDER BY r.cohort, age
-    """,
-    tags=("analytics", "cohort", "ltv"),
-)
-def customers_cohort_ltv(spark, sf_dir):
-    """Cohort lifetime-value triangle: customers grouped by
-    first-order year, revenue accumulated by cohort age — the
-    cumulative-LTV-per-customer curve finance reads off the diagonal
-    (young cohorts have short rows; comparing columns at equal age is
-    the like-for-like growth check).  The revenue companion to the
-    event-level user_retention_cohorts.  Cents-exact sums throughout;
-    the cumulative window runs per cohort over the cohort x age
-    relation (years x years rows); two fact-sized aggregations total."""
-    o = _t(spark, sf_dir, "orders")
-    yr = F.year(F.to_date("o_orderdate"))
-    f = o.groupBy("o_custkey").agg(F.min(yr).alias("cohort"))
-    r = (
-        o.join(f, "o_custkey")
-        .groupBy("cohort", (yr - F.col("cohort")).alias("age"))
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents"),
-            F.countDistinct("o_custkey").alias("active_customers"),
-        )
-    )
-    sz = f.groupBy("cohort").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        r.join(sz, "cohort")
-        .select(
-            "cohort",
-            F.col("age").cast("long").alias("age"),
-            F.col("n").cast("long").alias("cohort_size"),
-            F.col("active_customers").cast("long").alias("active_customers"),
-            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
-            F.round(
-                F.sum("rev_cents").over(w).cast("double") / 100.0 / F.col("n"), 2
-            ).alias("cum_ltv_per_customer"),
-        )
-        .orderBy("cohort", "age")
-    )
-
-
-@query(
-    "events_conversion_latency",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS vt
-      FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
-      GROUP BY 1
-    ), p AS (
-      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS pt
-      FROM events e JOIN v ON v.user_id = e.user_id
-      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.vt
-      GROUP BY 1
-    ), lat AS (
-      SELECT p.user_id, epoch_us(p.pt) - epoch_us(v.vt) AS us
-      FROM p JOIN v USING (user_id)
-    )
-    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
-           CAST(COUNT(*) AS BIGINT) AS n_converted,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM v), 4) AS conversion_rate,
-           ROUND(quantile_cont(us, 0.5) / 1000000.0, 3) AS p50_seconds,
-           ROUND(quantile_cont(us, 0.9) / 1000000.0, 3) AS p90_seconds
-    FROM lat
-    """,
-    tags=("funnel", "latency", "quantiles"),
-)
-def events_conversion_latency(spark, sf_dir):
-    """View-to-purchase conversion latency: for each user, microseconds
-    from their FIRST view to their first purchase at-or-after it, with
-    the median and P90 computed by the exact distributed quantile
-    machinery (operators.ranking.exact_quantiles — quantile_cont
-    interpolation semantics, no global sort) — the time-to-convert
-    curve growth teams read next to the conversion rate.  Latencies are
-    exact integer microseconds until the final interpolation; two
-    per-user aggs and one key join are the only corpus-sized work."""
-    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vt"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
-    )
-    lat = p.join(v, "user_id").select(
-        (F.unix_micros("pt") - F.unix_micros("vt")).alias("us")
-    )
-    n_viewers = v.count()
-    n_conv = lat.count()
-    q = exact_quantiles(lat, "us", {"p50": 0.5, "p90": 0.9})
-    return q.agg(
-        F.lit(n_viewers).cast("long").alias("n_viewers"),
-        F.lit(n_conv).cast("long").alias("n_converted"),
-        F.round(F.lit(n_conv).cast("double") / F.lit(n_viewers), 4).alias(
-            "conversion_rate"
-        ),
-        F.round(
-            F.max(F.when(F.col("qname") == "p50", F.col("quantile"))) / 1000000.0, 3
-        ).alias("p50_seconds"),
-        F.round(
-            F.max(F.when(F.col("qname") == "p90", F.col("quantile"))) / 1000000.0, 3
-        ).alias("p90_seconds"),
-    )
-
-
-@query(
-    "docs_containment_pairs",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
-    ), t2 AS MATERIALIZED (
-      SELECT doc_id, toks FROM t WHERE len(toks) >= 10
-    ), tok AS (
-      SELECT doc_id, unnest(toks) AS token, len(toks) AS sz FROM t2
-    ), dfreq AS (
-      SELECT token, COUNT(*) AS df FROM tok GROUP BY token
-    ), ranked AS (
-      SELECT doc_id, token, sz,
-             row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
-      FROM tok JOIN dfreq USING (token)
-    ), prefix AS (
-      SELECT doc_id AS id_a, token, sz AS sz_a FROM ranked
-      WHERE rn <= sz - ((95 * sz + 99) // 100) + 1
-    ), cand AS (
-      SELECT DISTINCT p.id_a, b.doc_id AS id_b
-      FROM prefix p JOIN tok b ON b.token = p.token
-      WHERE p.id_a <> b.doc_id AND b.sz >= 2 * p.sz_a
-    ), v AS (
-      SELECT c.id_a, c.id_b,
-             len(list_intersect(ta.toks, tb.toks)) AS inter,
-             len(ta.toks) AS sz_a
-      FROM cand c
-      JOIN t2 ta ON ta.doc_id = c.id_a
-      JOIN t2 tb ON tb.doc_id = c.id_b
-    )
-    SELECT id_a AS id_small, id_b AS id_container,
-           CAST(inter AS BIGINT) AS inter,
-           ROUND(CAST(inter AS DOUBLE) / sz_a, 4) AS containment
-    FROM v WHERE 100 * inter >= 95 * sz_a
-    ORDER BY id_small, id_container
-    """,
-    tags=("dedup", "containment", "exact-join"),
-)
-def docs_containment_pairs(spark, sf_dir):
-    """EXACT asymmetric containment join at 95% with a 2x container
-    size bound (operators.dedup.containment_pairs): pairs where >= 95%
-    of the smaller document's distinct tokens occur in a >= 2x-larger
-    container — the
-    quote/excerpt relationship symmetric Jaccard structurally misses
-    (an excerpt inside a long page has Jaccard ~0 but containment ~1),
-    and the whole-doc companion to span-level substring dedup.  The
-    prefix filter is one-sided (pigeonhole on the contained doc's
-    rarest tokens), the size bound and membership are all-integer, so
-    both engines agree on the exact pair set."""
-    from prod_data_pipeline_spark.operators.dedup import containment_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    return containment_pairs(docs, threshold_pct=95).orderBy(
-        "id_small", "id_container"
-    )
-
-
-_BM25_TERMS = ("merge", "stream", "hash")
-
-
-@query(
-    "docs_bm25_topk",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), d AS MATERIALIZED (
-      SELECT doc_id, toks, len(toks) AS dl FROM t WHERE len(toks) > 0
-    ), stats AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM d
-    ), q AS (
-      SELECT unnest(['merge', 'stream', 'hash']) AS term
-    ), dfreq AS (
-      SELECT q.term,
-             CAST(COUNT(*) AS DOUBLE) AS df
-      FROM q JOIN d ON list_contains(d.toks, q.term)
-      GROUP BY q.term
-    ), idf AS (
-      SELECT term,
-             ROUND(ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0), 12)
-                 AS idf
-      FROM dfreq
-    ), tf AS (
-      SELECT d.doc_id, d.dl, q.term,
-             CAST(len(list_filter(d.toks, x -> x = q.term)) AS DOUBLE) AS tf
-      FROM d CROSS JOIN q
-      WHERE list_contains(d.toks, q.term)
-    ), contrib AS (
-      SELECT tf.doc_id,
-             ROUND(idf.idf * ((tf.tf * 2.2)
-                   / (tf.tf + 1.2 * (0.25 + 0.75
-                      * (CAST(tf.dl AS DOUBLE) / (SELECT avgdl FROM stats))))),
-                   9) AS c
-      FROM tf JOIN idf ON idf.term = tf.term
-    )
-    SELECT doc_id,
-           ROUND(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25
-    FROM contrib
-    GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-    tags=("text", "retrieval", "bm25"),
-)
-def docs_bm25_topk(spark, sf_dir):
-    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query —
-    the lexical scoring half of hybrid search, complementing the dense
-    side (emb_topk_bruteforce / emb_rrf_topk / emb_mmr_rerank): tf from
-    the posting relation, idf from one document-frequency agg, length
-    normalization against the corpus average.  The float chain per
-    (doc, term) is a fixed sequence of IEEE ops on integer-derived
-    doubles (0.25/0.75 are binary-exact literals), each contribution
-    rounds to 9 and sums as exact DECIMAL, so the DuckDB oracle replays
-    the ranking bit-for-bit.  Shuffles: one df agg + one per-doc score
-    agg — posting-list-sized, and only for the query's terms."""
-    docs = _t(spark, sf_dir, "documents")
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    d = docs.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") > 0)
-    d = d.withColumn("dl", F.size("toks"))
-    stats = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    hit = d.crossJoin(F.broadcast(qterms)).filter(
-        F.array_contains("toks", F.col("term"))
-    )
-    dfreq = hit.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.round(
-            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 12
-        ).alias("idf"),
-    )
-    tf = hit.select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.filter("toks", lambda x: x == F.col("term"))).cast("double").alias("tf"),
-    )
-    contrib = (
-        tf.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
-        .select(
-            "doc_id",
-            F.round(
-                F.col("idf")
-                * (
-                    (F.col("tf") * 2.2)
-                    / (
-                        F.col("tf")
-                        + 1.2
-                        * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
-                    )
-                ),
-                9,
-            ).alias("c"),
-        )
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.col("c").cast("decimal(18,9)")).cast("double"), 6
-            ).alias("bm25")
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
-    )
-
-
-@query(
-    "docs_leakage_safe_split",
-    oracle=f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS (
-      SELECT doc_id, sh,
-             {", ".join(
-                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-                 for j in range(8)
-             )}
-      FROM s
-    ), bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_id, mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_key "
-          "FROM sig WHERE len(sh) > 0"
-          for b in range(4)
-      )}
-    ), pairs AS (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ), walk AS (
-      SELECT src, dst AS reach FROM edges
-      UNION
-      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
-    ), comp AS (
-      SELECT src AS doc_id, least(src, MIN(reach)) AS cluster_id
-      FROM walk GROUP BY src
-    ), assigned AS MATERIALIZED (
-      SELECT t.doc_id, len(t.toks) AS n_tokens,
-             COALESCE(comp.cluster_id, t.doc_id) AS cluster_id,
-             CASE
-               WHEN ('0x' || substr(md5('lsplit:'
-                       || COALESCE(comp.cluster_id, t.doc_id)), 1, 10))::BIGINT
-                    % 100 < 80 THEN 'train'
-               WHEN ('0x' || substr(md5('lsplit:'
-                       || COALESCE(comp.cluster_id, t.doc_id)), 1, 10))::BIGINT
-                    % 100 < 90 THEN 'val'
-               ELSE 'test' END AS split
-      FROM t LEFT JOIN comp ON comp.doc_id = t.doc_id
-    ), leak AS (
-      SELECT COUNT(*) AS n FROM pairs p
-      JOIN assigned a ON a.doc_id = p.id_a
-      JOIN assigned b ON b.doc_id = p.id_b
-      WHERE a.split <> b.split
-    )
-    SELECT split,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-           CAST((SELECT n FROM leak) AS BIGINT) AS n_cross_split_dup_pairs
-    FROM assigned GROUP BY split ORDER BY split
-    """,
-    tags=("sampling", "dedup", "llm-pipeline", "leakage"),
-)
-def docs_leakage_safe_split(spark, sf_dir):
-    """LEAKAGE-SAFE train/val/test split: the 80/10/10 hash split is
-    assigned per near-dup CLUSTER (transitive LSH components; singletons
-    are their own cluster), not per document — so a near-duplicate of a
-    training doc can never land in val/test, the eval-contamination
-    failure mode a plain per-doc split (docs_train_val_test_split)
-    cannot rule out.  The output carries its own proof: the
-    n_cross_split_dup_pairs column counts verified near-dup pairs whose
-    endpoints straddle splits, and is 0 BY CONSTRUCTION — an engine or
-    clustering bug would surface as a nonzero count before any hash
-    mismatch.  Cluster ids come from the same min-label components the
-    curation pipeline uses; the split hash is content-free md5 on the
-    cluster representative (retry-safe, no rand())."""
-    from prod_data_pipeline_spark.operators.corpus import dup_clusters
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.functions.text import tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn="md5", sort=False, materialize=True)
-    comp = dup_clusters(pairs)
-    base = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
-    assigned = (
-        base.join(comp, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
-        .withColumn(
-            "h",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("lsplit:"), F.col("cluster_id").cast("string"))),
-                    1,
-                    10,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 100,
-        )
-        .withColumn(
-            "split",
-            F.when(F.col("h") < 80, "train")
-            .when(F.col("h") < 90, "val")
-            .otherwise("test"),
-        )
-        .transform(truncate_lineage, eager=True)
-    )
-    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
-    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
-    n_leak = (
-        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb")).count()
-    )
-    return (
-        assigned.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("cluster_id").alias("n_clusters"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-        )
-        .select(
-            "split",
-            "n_docs",
-            "n_clusters",
-            "n_tokens",
-            F.lit(n_leak).cast("long").alias("n_cross_split_dup_pairs"),
-        )
-        .orderBy("split")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Round-7 addition: boilerplate/markup removal — the one standard
-# LLM-curation gate the text stack was missing (round-6 verdict gap #3):
-# every web-crawl pipeline strips HTML/template boilerplate BEFORE dedup
-# and LM scoring.
-# ---------------------------------------------------------------------------
-
-
-def _boiler_oracle_sql() -> str:
-    from prod_data_pipeline_spark.operators.text import BOILER_STOPLIST
-
-    stoplist = "[" + ", ".join(f"'{w}'" for w in BOILER_STOPLIST) + "]"
-    return f"""
-    WITH d AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), base AS (
-      SELECT doc_id, source, toks, len(toks) AS n,
-             CAST(doc_id % 3 + 2 AS BIGINT) AS n_links,
-             CAST(ceil(len(toks) / 25.0) AS BIGINT) AS n_paras
-      FROM d
-    ), paras AS (
-      SELECT doc_id, i,
-             least(25, n - 25*i) AS cnt,
-             len(list_filter(toks[25*i+1 : 25*i + least(25, n - 25*i)],
-                 t -> list_contains({stoplist}, t))) AS n_stop
-      FROM base, unnest(range(n_paras)) AS u(i)
-    ), pstats AS (
-      SELECT doc_id,
-             SUM(CASE WHEN cnt >= 10 AND 100*n_stop >= 4*cnt
-                 THEN 1 ELSE 0 END) AS n_good,
-             SUM(CASE WHEN cnt >= 10 AND 100*n_stop >= 4*cnt
-                 THEN cnt ELSE 0 END) AS kept
-      FROM paras GROUP BY 1
-    )
-    SELECT b.source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(2 + b.n_paras) AS BIGINT) AS n_blocks,
-           CAST(SUM(COALESCE(p.n_good, 0)) AS BIGINT) AS n_good_blocks,
-           CAST(SUM(b.n + b.n_links + 7) AS BIGINT) AS total_tokens,
-           CAST(SUM(COALESCE(p.kept, 0)) AS BIGINT) AS kept_tokens,
-           ROUND(CAST(SUM(COALESCE(p.kept, 0)) AS DOUBLE)
-                 / SUM(b.n + b.n_links + 7), 6) AS kept_token_frac
-    FROM base b LEFT JOIN pstats p USING (doc_id)
-    GROUP BY 1 ORDER BY 1
-    """
-
-
-@query(
-    "docs_boilerplate_stats",
-    oracle=_boiler_oracle_sql(),
-    tags=("text", "curation", "boilerplate", "justext"),
-)
-def docs_boilerplate_stats(spark, sf_dir):
-    """Boilerplate/markup-removal gate (jusText-style): per source, the
-    block census and token yield of REAL HTML extraction.  The corpus
-    ships no markup, so synthetic_markup_pages wraps each document in a
-    deterministic page (nav of doc_id%3+2 links, <p> blocks of 25 tokens,
-    fixed footer) — the fabricate-then-really-parse recipe of the
-    multimodal stack — and operators.text.markup_blocks then genuinely
-    PARSES it: tag-pair segmentation, anchor-text link counting, tag
-    stripping, all-integer link-density / stopword-density / length
-    classification.  The oracle never sees the HTML: it recomputes every
-    expected block fact arithmetically from the raw text and doc_id, so a
-    parser bug (wrong tag split, anchor miscount, density off-by-one)
-    breaks the hash.  Nav bars fail the link rule, footers the length
-    rule, stopword-free word soup the density rule; the kept fraction is
-    the gate's yield curve.  100 TB: one scan, block relation ~ pages x
-    blocks-per-page, one source-keyed reduction — runs BEFORE dedup/LM
-    scoring exactly where a crawl pipeline puts it (extract_main_content
-    feeds the downstream gates)."""
-    from prod_data_pipeline_spark.operators.text import (
-        markup_blocks,
-        synthetic_markup_pages,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    pages = synthetic_markup_pages(docs)
-    # `source` rides along on the block relation so the rollup goes
-    # straight to the grouping key: ONE source-keyed exchange (+ the
-    # output sort), no per-doc pre-aggregation and no re-join with the
-    # page table.  n_docs counts nav blocks (block 0 of every page)
-    # instead of paying a COUNT DISTINCT expand.
-    blocks = markup_blocks(pages, carry_cols=("source",))
-    return (
-        blocks.groupBy("source")
-        .agg(
-            F.sum(F.when(F.col("block_pos") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_docs"),
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum(F.when(F.col("is_good"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_good_blocks"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.sum(F.when(F.col("is_good"), F.col("n_tokens")).otherwise(0))
-            .cast("long")
-            .alias("kept_tokens"),
-            F.round(
-                F.sum(F.when(F.col("is_good"), F.col("n_tokens")).otherwise(0)).cast(
-                    "double"
-                )
-                / F.sum("n_tokens"),
-                6,
-            ).alias("kept_token_frac"),
-        )
-        .orderBy("source")
-    )
-
-
-_PARA_REP_ORACLE = f"""
-    WITH d AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), base AS (
-      SELECT doc_id, source, toks, len(toks) AS n,
-             CAST(doc_id % 4 AS BIGINT) AS n_rep,
-             CAST(ceil(len(toks) / 25.0) AS BIGINT) AS n_paras0
-      FROM d
-    ), paras AS (
-      -- paragraph occurrences: body paragraphs 0..n_paras0-1 once each,
-      -- plus n_rep boilerplate copies of paragraph 0
-      SELECT doc_id, source, toks[25*i+1 : 25*(i+1)] AS ptoks
-      FROM base, unnest(range(n_paras0)) AS u(i)
-      UNION ALL
-      SELECT doc_id, source, toks[1 : 25] AS ptoks
-      FROM base, unnest(range(n_rep)) AS r(j)
-      WHERE n > 0
-    ), lines AS (
-      SELECT doc_id, source, ptoks[5*j+1 : 5*(j+1)] AS ltoks
-      FROM paras, unnest(range(CAST(ceil(len(ptoks) / 5.0) AS BIGINT))) AS v(j)
-    ), pc AS (
-      SELECT doc_id, source, array_to_string(ptoks, ' ') AS k, COUNT(*) AS c
-      FROM paras GROUP BY 1, 2, 3
-    ), lc AS (
-      SELECT doc_id, source, array_to_string(ltoks, ' ') AS k, COUNT(*) AS c
-      FROM lines GROUP BY 1, 2, 3
-    ), pstats AS (
-      SELECT doc_id, source,
-             SUM(c) AS n_paras, SUM(c - 1) AS dup_paras,
-             SUM(c * length(k)) AS para_chars,
-             SUM((c - 1) * length(k)) AS dup_para_chars
-      FROM pc GROUP BY 1, 2
-    ), lstats AS (
-      SELECT doc_id, source,
-             SUM(c) AS n_lines, SUM(c - 1) AS dup_lines,
-             SUM(c * length(k)) AS line_chars,
-             SUM((c - 1) * length(k)) AS dup_line_chars
-      FROM lc GROUP BY 1, 2
-    ), docs_p AS (
-      SELECT b.doc_id, b.source,
-             COALESCE(p.n_paras, 0) AS n_paras,
-             COALESCE(p.dup_paras, 0) AS dup_paras,
-             COALESCE(p.para_chars, 0) AS para_chars,
-             COALESCE(p.dup_para_chars, 0) AS dup_para_chars,
-             COALESCE(l.n_lines, 0) AS n_lines,
-             COALESCE(l.dup_lines, 0) AS dup_lines,
-             COALESCE(l.line_chars, 0) AS line_chars,
-             COALESCE(l.dup_line_chars, 0) AS dup_line_chars
-      FROM base b
-      LEFT JOIN pstats p USING (doc_id, source)
-      LEFT JOIN lstats l USING (doc_id, source)
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_paras) AS BIGINT) AS n_paras,
-           CAST(SUM(dup_paras) AS BIGINT) AS dup_paras,
-           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
-           CAST(SUM(dup_lines) AS BIGINT) AS dup_lines,
-           ROUND(CAST(SUM(dup_lines) AS DOUBLE) / SUM(n_lines), 6) AS dup_line_frac,
-           ROUND(CAST(SUM(dup_paras) AS DOUBLE) / SUM(n_paras), 6) AS dup_para_frac,
-           ROUND(CAST(SUM(dup_line_chars) AS DOUBLE) / SUM(line_chars), 6)
-               AS dup_line_char_frac,
-           ROUND(CAST(SUM(dup_para_chars) AS DOUBLE) / SUM(para_chars), 6)
-               AS dup_para_char_frac,
-           CAST(SUM(CASE WHEN 10*dup_lines > 3*n_lines OR 10*dup_paras > 3*n_paras
-                      OR 5*dup_line_chars > line_chars OR 5*dup_para_chars > para_chars
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
-    FROM docs_p GROUP BY 1 ORDER BY 1
-    """
-
-
-@query(
-    "docs_paragraph_repetition",
-    oracle=_PARA_REP_ORACLE,
-    tags=("text", "curation", "gopher", "repetition"),
-)
-def docs_paragraph_repetition(spark, sf_dir):
-    """Gopher/MassiveText duplicate-LINE/PARAGRAPH gates (Rae et al. 2021
-    Table A1) — the one documented scope cut of the text stack until round
-    9: ``documents.text`` ships zero newlines, so
-    operators.text.synthetic_paragraph_doc first FABRICATES deterministic
-    structure (25-token paragraphs of 5-token lines, ``doc_id % 4`` extra
-    copies of paragraph 0 as synthetic boilerplate), and
-    operators.quality.paragraph_repetition_profile then GENUINELY parses
-    the string — ``\\n\\n``/``\\n`` splits, duplicate counting by unit
-    equality — with no access to the token math.  The oracle recomputes
-    every expected count arithmetically from raw tokens and doc_id, so a
-    parser bug (wrong split, char count off by a separator, gate
-    off-by-one) breaks the hash.  Per source: corpus-level duplicate
-    fractions as ratios of integer sums (deterministic at any
-    parallelism) and the count of documents the all-integer Gopher gate
-    removes.  100 TB: one scan, one explode, two doc-keyed reductions,
-    one source-keyed rollup — no window, no join."""
-    from prod_data_pipeline_spark.operators.quality import (
-        paragraph_repetition_profile,
-    )
-    from prod_data_pipeline_spark.operators.text import synthetic_paragraph_doc
-
-    docs = _t(spark, sf_dir, "documents")
-    fab = synthetic_paragraph_doc(docs)
-    prof = paragraph_repetition_profile(fab, text_col="ptext", carry_cols=("source",))
-    fails = ~F.col("passes_repetition")
-    return (
-        prof.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_paras").alias("n_paras"),
-            F.sum("dup_paras").alias("dup_paras"),
-            F.sum("n_lines").alias("n_lines"),
-            F.sum("dup_lines").alias("dup_lines"),
-            F.round(F.sum("dup_lines") / F.sum("n_lines").cast("double"), 6).alias(
-                "dup_line_frac"
-            ),
-            F.round(F.sum("dup_paras") / F.sum("n_paras").cast("double"), 6).alias(
-                "dup_para_frac"
-            ),
-            F.round(
-                F.sum("dup_line_chars") / F.sum("line_chars").cast("double"), 6
-            ).alias("dup_line_char_frac"),
-            F.round(
-                F.sum("dup_para_chars") / F.sum("para_chars").cast("double"), 6
-            ).alias("dup_para_char_frac"),
-            F.sum(F.when(fails, 1).otherwise(0)).cast("long").alias("n_failed"),
-        )
-        .orderBy("source")
-    )
-
-
-_PARA_DEDUP_ORACLE = f"""
-    WITH d AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), base AS (
-      SELECT doc_id, source, toks, len(toks) AS n,
-             CAST(doc_id % 4 AS BIGINT) AS n_rep,
-             CAST(ceil(len(toks) / 25.0) AS BIGINT) AS n_paras0
-      FROM d
-    ), paras AS (
-      SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
-             toks[25*i+1 : 25*(i+1)] AS ptoks
-      FROM base, unnest(range(n_paras0)) AS u(i)
-      UNION ALL
-      SELECT doc_id, source, n_paras0 + j AS pos, toks[1 : 25] AS ptoks
-      FROM base, unnest(range(n_rep)) AS r(j)
-      WHERE n > 0
-    ), occ AS (
-      SELECT doc_id, source, pos,
-             length(array_to_string(ptoks, ' ')) AS l,
-             ROW_NUMBER() OVER (
-               PARTITION BY array_to_string(ptoks, ' ')
-               ORDER BY doc_id, pos
-             ) AS rn
-      FROM paras
-    ), perdoc AS (
-      SELECT doc_id, source,
-             COUNT(*) AS n_paras,
-             SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
-             SUM(l) AS chars_total,
-             SUM(CASE WHEN rn > 1 THEN l ELSE 0 END) AS chars_removed
-      FROM occ GROUP BY 1, 2
-    ), alldocs AS (
-      SELECT b.doc_id, b.source,
-             COALESCE(p.n_paras, 0) AS n_paras,
-             COALESCE(p.n_removed, 0) AS n_removed,
-             COALESCE(p.chars_total, 0) AS chars_total,
-             COALESCE(p.chars_removed, 0) AS chars_removed
-      FROM base b LEFT JOIN perdoc p USING (doc_id, source)
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_paras) AS BIGINT) AS n_paras,
-           CAST(SUM(n_removed) AS BIGINT) AS n_removed,
-           CAST(SUM(chars_total) AS BIGINT) AS chars_total,
-           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
-           ROUND(CAST(SUM(chars_removed) AS DOUBLE) / SUM(chars_total), 6)
-               AS chars_removed_frac,
-           CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_docs_touched
-    FROM alldocs GROUP BY 1 ORDER BY 1
-    """
-
-
-@query(
-    "docs_paragraph_dedup",
-    oracle=_PARA_DEDUP_ORACLE,
-    tags=("text", "curation", "dedup", "ccnet", "paragraph"),
-)
-def docs_paragraph_dedup(spark, sf_dir):
-    """CCNet-style CORPUS-WIDE paragraph dedup — the shard-level step
-    between exact document dedup and MinHash: boilerplate paragraphs
-    (banners, footers, license blocks) repeat across pages that are not
-    document-level duplicates, and every occurrence after the corpus-wide
-    first (by (doc_id, position) — a total order, deterministic at any
-    parallelism) is removed.  Structure comes from
-    synthetic_paragraph_doc (the corpus ships no newlines); the operator
-    (operators.quality.cross_doc_paragraph_dedup) genuinely parses and
-    hashes paragraph strings with no access to the token math, and the
-    oracle recomputes the global first-occurrence rule arithmetically
-    from raw tokens — the complement of docs_paragraph_repetition, which
-    gates WITHIN-document repetition.  Per source: occurrence/char
-    removal totals (integer sums), the removed-char fraction, and how
-    many documents were touched.  100 TB: one explode, one
-    paragraph-hash-keyed window (fine-grained keys — skew bounded by the
-    single most-repeated paragraph), one doc-keyed reduction, one
-    source rollup."""
-    from prod_data_pipeline_spark.operators.quality import (
-        cross_doc_paragraph_dedup,
-    )
-    from prod_data_pipeline_spark.operators.text import synthetic_paragraph_doc
-
-    docs = _t(spark, sf_dir, "documents")
-    fab = synthetic_paragraph_doc(docs)
-    per = cross_doc_paragraph_dedup(
-        fab, text_col="ptext", carry_cols=("source",), keep_clean_text=False
-    )
-    return (
-        per.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_paras").cast("long").alias("n_paras"),
-            F.sum("n_removed").cast("long").alias("n_removed"),
-            F.sum("chars_total").cast("long").alias("chars_total"),
-            F.sum("chars_removed").cast("long").alias("chars_removed"),
-            F.round(
-                F.sum("chars_removed") / F.sum("chars_total").cast("double"), 6
-            ).alias("chars_removed_frac"),
-            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_docs_touched"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_model_quality_gate",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS tk FROM documents
-    ), feats AS (
-      SELECT doc_id, source,
-             list_concat(
-               tk,
-               CASE WHEN len(tk) >= 2
-                    THEN list_transform(range(1, len(tk)),
-                           i -> array_to_string(tk[i:i+1], ' '))
-                    ELSE [] END
-             ) AS fs
-      FROM t
-    ), ex AS (
-      SELECT doc_id, source, unnest(fs) AS f FROM feats
-    ), wtd AS (
-      SELECT doc_id, source,
-             ROUND(2.0 * (CAST(('0x' || substr(md5('ftq:w:' ||
-                 CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096
-                      AS VARCHAR)), 1, 13)) AS BIGINT) / 4503599627370496.0)
-                 - 1.0, 12) AS w
-      FROM ex
-    ), perdoc0 AS (
-      SELECT doc_id, source, COUNT(*) AS n_feats,
-             CAST(SUM(CAST(w AS DECIMAL(28,14))) AS DOUBLE) AS wsum
-      FROM wtd GROUP BY 1, 2
-    ), perdoc AS (
-      SELECT t.doc_id, t.source,
-             COALESCE(p.n_feats, 0) AS n_feats,
-             ROUND(1.0 / (1.0 + exp(-(CASE WHEN COALESCE(p.n_feats, 0) > 0
-                 THEN p.wsum / p.n_feats ELSE 0.0 END))), 6) AS prob
-      FROM t LEFT JOIN perdoc0 p USING (doc_id, source)
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept,
-           CAST(SUM(n_feats) AS BIGINT) AS n_feats,
-           ROUND(CAST(SUM(CAST(prob AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_prob
-    FROM perdoc GROUP BY 1 ORDER BY 1
-    """,
-    tags=("text", "curation", "quality", "classifier", "fasttext"),
-)
-def docs_model_quality_gate(spark, sf_dir):
-    """Model-based quality filtering with the fastText architecture — the
-    DCLM / FineWeb-Edu gate: hash word uni+bigrams into 4096 feature
-    buckets, mean-pool bucket weights, sigmoid, threshold at 0.5.  The
-    weights are a documented STUB (md5-derived uniforms — no trained
-    model ships with the repo; swapping in trained weights is a one-line
-    change), but ALL the plumbing a production classifier gate needs is
-    real and oracle-replayed end-to-end: tokenization, bigram formation,
-    the md5 feature hash, weight lookup, the rounded-term exact-DECIMAL
-    mean, sigmoid, and the keep decision — a hash mismatch catches a
-    bucket off-by-one, a pooling bug, or a threshold slip.  Per source:
-    doc and keep counts, total features, mean probability (DECIMAL sum
-    of rounded per-doc probs / count).  100 TB: pure projection + one
-    doc-keyed explode/agg, featurization map-side, no joins — the
-    weight function is an expression, exactly as a broadcast weight
-    table would be with a real model."""
-    from prod_data_pipeline_spark.operators.quality import fasttext_style_scores
-
-    docs = _t(spark, sf_dir, "documents")
-    per = fasttext_style_scores(docs, carry_cols=("source",))
-    return (
-        per.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("keeps"), 1).otherwise(0)).cast("long").alias("n_kept"),
-            F.sum("n_feats").cast("long").alias("n_feats"),
-            F.round(
-                F.sum(F.col("quality_prob").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_prob"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_nb_quality_gate",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS tk FROM documents
-    ), lab AS (
-      SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
-             CASE WHEN ROUND(0.5 * LEAST(len(tk) / 100.0, 1.0)
-                  + 0.5 * (len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)), 4)
-                  >= 0.52 THEN 1 ELSE 0 END AS y,
-             CAST(doc_id % 5 AS INT) AS fold
-      FROM t
-    ), feats AS (
-      SELECT doc_id, y, fold,
-             ['len:' || CAST(LEAST(n // 5, 40) AS VARCHAR),
-              'div:' || CAST((nd * 40) // n AS VARCHAR),
-              'lxd:' || CAST(LEAST(n // 10, 20) AS VARCHAR) || '_'
-                     || CAST((nd * 20) // n AS VARCHAR)] AS fs
-      FROM lab
-    ), ex AS (
-      SELECT doc_id, y, fold,
-             CAST(('0x' || substr(md5('nbq:' || f), 1, 8))::BIGINT % 1024
-                  AS INT) AS bucket
-      FROM (SELECT doc_id, y, fold, unnest(fs) AS f FROM feats)
-      GROUP BY 1, 2, 3, 4
-    ), prior_counts AS (
-      SELECT CAST(SUM(y) AS DOUBLE) AS npos,
-             CAST(SUM(1 - y) AS DOUBLE) AS nneg,
-             COUNT(*) AS n_train
-      FROM lab WHERE fold < 4
-    ), trainb AS (
-      SELECT bucket, SUM(y) AS cpos, SUM(1 - y) AS cneg
-      FROM ex WHERE fold < 4 GROUP BY 1
-    ), llr AS (
-      SELECT CAST(d.range AS INT) AS bucket,
-             ROUND(ln((COALESCE(cpos, 0) + 1.0) / (npos + 2.0))
-                   - ln((COALESCE(cneg, 0) + 1.0) / (nneg + 2.0)), 7) AS w
-      FROM range(0, 1024) d
-      LEFT JOIN trainb ON trainb.bucket = d.range, prior_counts
-    ), prior AS (
-      SELECT ROUND(ln((npos + 1.0) / (nneg + 1.0)), 7) AS pr, n_train
-      FROM prior_counts
-    ), scored AS (
-      SELECT e.doc_id, MAX(e.y) AS y,
-             CAST(ROUND(SUM(CAST(llr.w AS DECIMAL(28,7))), 6) AS DOUBLE)
-               + (SELECT pr FROM prior) AS score
-      FROM ex e JOIN llr USING (bucket) WHERE e.fold = 4
-      GROUP BY e.doc_id
-    ), conf AS (
-      SELECT (SELECT n_train FROM prior) AS n_train,
-             COUNT(*) AS n_eval,
-             CAST(SUM(CASE WHEN score > 0 AND y = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS tp,
-             CAST(SUM(CASE WHEN score > 0 AND y = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS fp,
-             CAST(SUM(CASE WHEN score <= 0 AND y = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS fn,
-             CAST(SUM(CASE WHEN score <= 0 AND y = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS tn
-      FROM scored
-    ), metrics AS (
-      SELECT *,
-             CASE WHEN tp + fp > 0
-                  THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6)
-                  ELSE 0.0 END AS precision,
-             CASE WHEN tp + fn > 0
-                  THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6)
-                  ELSE 0.0 END AS recall
-      FROM conf
-    )
-    SELECT n_train, n_eval, tp, fp, fn, tn, precision, recall,
-           ROUND(CAST(tp + tn AS DOUBLE) / n_eval, 6) AS accuracy,
-           ROUND(CAST(tp + fn AS DOUBLE) / n_eval, 6) AS base_rate,
-           CAST(CASE WHEN precision >= 0.8 THEN 1 ELSE 0 END AS INT)
-               AS precision_ok,
-           CAST(CASE WHEN recall >= 0.75 THEN 1 ELSE 0 END AS INT)
-               AS recall_ok
-    FROM metrics
-    """,
-    tags=("text", "curation", "quality", "classifier", "naive-bayes", "eval"),
-)
-def docs_nb_quality_gate(spark, sf_dir):
-    """TRAINED model quality gate with held-out evaluation (round-9
-    verdict #4): closed-form Bernoulli Naive Bayes over hashed
-    structural features, fit in-engine on quality_score-labeled folds
-    0-3 and scored on held-out fold 4 — so the gate's class separation
-    is a MEASURED number with oracled precision/recall floor booleans
-    (precision_ok/recall_ok at 0.8/0.75; measured 0.93/0.93 at sf0.01,
-    0.95/0.90 at sf0.1), closing the docs_model_quality_gate stub's
-    "selects noise" gap.  See operators.quality.nb_quality_gate_eval
-    for the model, feature rationale (the synthetic corpus's uniform
-    ~30-word vocabulary makes unigram identity zero-signal BY
-    CONSTRUCTION — measured: adding hashed unigrams drops held-out
-    accuracy 0.94 -> 0.53), and the 100 TB shape (one corpus scan, a
-    1024-row broadcast model, one per-doc agg)."""
-    from prod_data_pipeline_spark.operators.quality import nb_quality_gate_eval
-
-    docs = _t(spark, sf_dir, "documents")
-    return nb_quality_gate_eval(docs)
-
-
-# Gopher's required-stop-word rule instantiated for this corpus's language
-# model: the paper's 8 English words ("the, be, to, ...") appear at most
-# once per synthetic document (the rule would remove 100% — vacuous), so
-# the required list is the repo's cross-language function-word union
-# (operators.text.BOILER_STOPLIST, 25 words) — the localization step any
-# non-English pipeline performs on this rule.  Threshold (>= 2 distinct
-# hits) is the paper's.
-from prod_data_pipeline_spark.operators.text import BOILER_STOPLIST as _GOPHER_REQ_STOPS
-
-_GOPHER_GATE_ORACLE = f"""
-    WITH d AS (
-      SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
-    ), base AS (
-      SELECT doc_id, source, toks, len(toks) AS n,
-             CAST(doc_id % 4 AS BIGINT) AS n_rep,
-             toks[1 : 25] AS t25
-      FROM d
-    ), feats AS (
-      SELECT doc_id, source,
-             -- fabricated-token counts: body + n_rep copies of para 0
-             n + n_rep * len(t25) AS n_words,
-             len(array_to_string(toks, '')) +
-               n_rep * len(array_to_string(t25, '')) AS word_chars,
-             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) +
-               n_rep * len(list_filter(t25, t -> regexp_matches(t, '[a-z]')))
-               AS alpha_words,
-             len(list_filter(toks, t -> t LIKE '%#%')) +
-               n_rep * len(list_filter(t25, t -> t LIKE '%#%')) AS hash_words,
-             len(list_filter(toks, t -> t LIKE '%...%')) +
-               n_rep * len(list_filter(t25, t -> t LIKE '%...%')) AS ellip_words,
-             len(list_intersect(list_distinct(toks),
-                 [{", ".join(f"'{w}'" for w in _GOPHER_REQ_STOPS)}])) AS stop_hits
-      FROM base
-    ), gated AS (
-      SELECT source,
-             CASE WHEN n_words >= 20 AND n_words <= 100000
-                  THEN 0 ELSE 1 END AS f_wordcount,
-             CASE WHEN 3*n_words <= word_chars AND word_chars <= 10*n_words
-                  THEN 0 ELSE 1 END AS f_meanwordlen,
-             CASE WHEN 5*alpha_words >= 4*n_words THEN 0 ELSE 1 END AS f_alpha,
-             CASE WHEN 10*(hash_words + ellip_words) <= n_words
-                  THEN 0 ELSE 1 END AS f_symbolratio,
-             CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END AS f_stopwords,
-             -- the corpus alphabet has no bullet-start or ellipsis-end
-             -- tokens, so the two line rules pass with EXACT zero counts:
-             -- the Spark side still parses lines and string-matches their
-             -- edges, and a miscount there breaks the hash against these
-             -- literal zeros
-             0 AS f_bullets,
-             0 AS f_ellipsis
-      FROM feats
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(f_wordcount) AS BIGINT) AS f_wordcount,
-           CAST(SUM(f_meanwordlen) AS BIGINT) AS f_meanwordlen,
-           CAST(SUM(f_alpha) AS BIGINT) AS f_alpha,
-           CAST(SUM(f_symbolratio) AS BIGINT) AS f_symbolratio,
-           CAST(SUM(f_stopwords) AS BIGINT) AS f_stopwords,
-           CAST(SUM(f_bullets) AS BIGINT) AS f_bullets,
-           CAST(SUM(f_ellipsis) AS BIGINT) AS f_ellipsis,
-           CAST(SUM(CASE WHEN f_wordcount + f_meanwordlen + f_alpha
-                      + f_symbolratio + f_stopwords + f_bullets
-                      + f_ellipsis = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_pass_all
-    FROM gated GROUP BY 1 ORDER BY 1
-    """
-
-
-@query(
-    "docs_gopher_full_gate",
-    oracle=_GOPHER_GATE_ORACLE,
-    tags=("text", "curation", "gopher", "quality"),
-)
-def docs_gopher_full_gate(spark, sf_dir):
-    """The COMPLETE Gopher/MassiveText document-level rule set (Rae et
-    al. 2021 Table A1) as a per-rule ablation table — closing the rule
-    family that docs_paragraph_repetition (dup fractions) and
-    docs_quality_scores (composite score) each cover a slice of: word
-    count in [20, 100k], mean word length in [3, 10] chars,
-    symbol-to-word ratio (# / ellipsis) <= 0.1, >= 80% words containing
-    an alphabetic char, >= 2 distinct required stop words (list
-    corpus-localized — see _GOPHER_REQ_STOPS), and
-    the two LINE rules (bullet-start, ellipsis-end) over the fabricated
-    newline structure (synthetic_paragraph_doc) — the Spark side REALLY
-    splits lines and string-matches their edges; the corpus alphabet
-    contains no bullet/ellipsis tokens, so those two rules pass with
-    exact zero counts (computed, not skipped — a parser bug that
-    miscounted line edges would break the hash).  Every decision is an
-    integer cross-multiplication; per source the table reports each
-    rule's removal count and the documents passing ALL rules.  100 TB:
-    one scan, all features array-side (no explode), one source-keyed
-    rollup."""
-    from prod_data_pipeline_spark.functions.text import tokens as _tokens
-    from prod_data_pipeline_spark.operators.text import synthetic_paragraph_doc
-
-    docs = _t(spark, sf_dir, "documents")
-    fab = synthetic_paragraph_doc(docs)
-    toks = _tokens(F.col("ptext"))
-    lines = F.filter(F.split(F.col("ptext"), r"\n"), lambda x: x != "")
-    stops = F.array(*[F.lit(w) for w in _GOPHER_REQ_STOPS])
-    feats = fab.select(
-        "source",
-        F.size(toks).alias("n_words"),
-        F.length(F.array_join(toks, "")).alias("word_chars"),
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("alpha_words"),
-        F.size(F.filter(toks, lambda t: t.contains("#"))).alias("hash_words"),
-        F.size(F.filter(toks, lambda t: t.contains("..."))).alias("ellip_words"),
-        F.size(F.array_intersect(F.array_distinct(toks), stops)).alias("stop_hits"),
-        F.size(lines).alias("n_lines"),
-        F.size(
-            F.filter(lines, lambda x: x.startswith("-") | x.startswith("*"))
-        ).alias("bullet_lines"),
-        F.size(F.filter(lines, lambda x: x.endswith("..."))).alias("ellip_lines"),
-    )
-    f_wc = ~((F.col("n_words") >= 20) & (F.col("n_words") <= 100000))
-    f_mwl = ~(
-        (3 * F.col("n_words") <= F.col("word_chars"))
-        & (F.col("word_chars") <= 10 * F.col("n_words"))
-    )
-    f_alpha = ~(5 * F.col("alpha_words") >= 4 * F.col("n_words"))
-    f_sym = ~(10 * (F.col("hash_words") + F.col("ellip_words")) <= F.col("n_words"))
-    f_stop = ~(F.col("stop_hits") >= 2)
-    f_bul = ~(10 * F.col("bullet_lines") <= 9 * F.col("n_lines"))
-    f_ell = ~(10 * F.col("ellip_lines") <= 3 * F.col("n_lines"))
-
-    def cnt(c, name):
-        return F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(name)
-
-    all_pass = ~(f_wc | f_mwl | f_alpha | f_sym | f_stop | f_bul | f_ell)
-    return (
-        feats.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            cnt(f_wc, "f_wordcount"),
-            cnt(f_mwl, "f_meanwordlen"),
-            cnt(f_alpha, "f_alpha"),
-            cnt(f_sym, "f_symbolratio"),
-            cnt(f_stop, "f_stopwords"),
-            cnt(f_bul, "f_bullets"),
-            cnt(f_ell, "f_ellipsis"),
-            cnt(all_pass, "n_pass_all"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "docs_langid_eval",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, lang, list_distinct({{_TOKS_SQL}}) AS dt FROM documents
-    ), h AS (
-      SELECT doc_id, lang,
-             len(list_intersect(dt, {_LANG_SQL_SETS['en']})) AS h_en,
-             len(list_intersect(dt, {_LANG_SQL_SETS['es']})) AS h_es,
-             len(list_intersect(dt, {_LANG_SQL_SETS['fr']})) AS h_fr,
-             len(list_intersect(dt, {_LANG_SQL_SETS['de']})) AS h_de
-      FROM t
-    ), pred AS (
-      SELECT lang,
-             CASE WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
-                  WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_de THEN 'es'
-                  WHEN h_fr > 0 AND h_fr >= h_de THEN 'fr'
-                  WHEN h_de > 0 THEN 'de'
-                  ELSE 'und' END AS p
-      FROM h
-    ), classes AS (
-      SELECT DISTINCT lang AS cls FROM pred
-      UNION SELECT DISTINCT p FROM pred
-    ), m AS (
-      SELECT c.cls,
-             SUM(CASE WHEN pr.lang = c.cls THEN 1 ELSE 0 END) AS support,
-             SUM(CASE WHEN pr.lang = c.cls AND pr.p = c.cls THEN 1 ELSE 0 END) AS tp,
-             SUM(CASE WHEN pr.lang <> c.cls AND pr.p = c.cls THEN 1 ELSE 0 END) AS fp,
-             SUM(CASE WHEN pr.lang = c.cls AND pr.p <> c.cls THEN 1 ELSE 0 END) AS fn
-      FROM classes c, pred pr GROUP BY 1
-    )
-    SELECT cls AS lang,
-           CAST(support AS BIGINT) AS support,
-           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-           CAST(fn AS BIGINT) AS fn,
-           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS "precision",
-           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
-           ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6) AS f1
-    FROM m ORDER BY lang
-    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
-    tags=("text", "lang-id", "evaluation", "metrics"),
-)
-def docs_langid_eval(spark, sf_dir):
-    """Classifier evaluation as distributed dataflow — the metrics layer
-    every model-gated pipeline needs at corpus scale: per-class support /
-    TP / FP / FN and precision / recall / F1 of the stopword lang-id
-    heuristic against the table's gold ``lang`` label (docs_lang_id is
-    the raw confusion matrix; this is its scorecard).  One prediction
-    scan → a |classes|²-sized confusion relation → per-class metric
-    arithmetic; F1 computed as 2tp/(2tp+fp+fn) so each metric is one
-    integer-ratio division, no metric-of-metric float chains.  The same
-    shape scores any deterministic gate (quality classifier, boilerplate
-    rule, toxicity screen) against labels at 100 TB."""
-    from prod_data_pipeline_spark.functions.text import distinct_tokens
-    from prod_data_pipeline_spark.operators.text import predicted_lang
-
-    docs = _t(spark, sf_dir, "documents")
-    pred = docs.select(
-        "lang", predicted_lang(distinct_tokens(F.col("text"))).alias("p")
-    )
-    classes = (
-        pred.select(F.col("lang").alias("cls"))
-        .union(pred.select(F.col("p").alias("cls")))
-        .distinct()
-    )
-    m = (
-        pred.crossJoin(F.broadcast(classes))
-        .groupBy("cls")
-        .agg(
-            F.sum(F.when(F.col("lang") == F.col("cls"), 1).otherwise(0)).alias(
-                "support"
-            ),
-            F.sum(
-                F.when((F.col("lang") == F.col("cls")) & (F.col("p") == F.col("cls")), 1)
-                .otherwise(0)
-            ).alias("tp"),
-            F.sum(
-                F.when((F.col("lang") != F.col("cls")) & (F.col("p") == F.col("cls")), 1)
-                .otherwise(0)
-            ).alias("fp"),
-            F.sum(
-                F.when((F.col("lang") == F.col("cls")) & (F.col("p") != F.col("cls")), 1)
-                .otherwise(0)
-            ).alias("fn"),
-        )
-    )
-    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
-    return m.select(
-        F.col("cls").alias("lang"),
-        F.col("support").cast("long").alias("support"),
-        tp.cast("long").alias("tp"),
-        fp.cast("long").alias("fp"),
-        fn.cast("long").alias("fn"),
-        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
-        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
-        F.round(
-            (2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0)), 6
-        ).alias("f1"),
-    ).orderBy("lang")
-
-
-@query(
-    "docs_padding_waste",
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
-               AS n_tokens
-      FROM documents
-    ), sized AS (
-      SELECT b.batch_size, d.doc_id, d.n_tokens,
-             row_number() OVER (
-               PARTITION BY b.batch_size ORDER BY d.n_tokens, d.doc_id
-             ) AS sorted_rank,
-             row_number() OVER (
-               PARTITION BY b.batch_size ORDER BY d.doc_id
-             ) AS arrival_rank,
-             COUNT(*) OVER (PARTITION BY b.batch_size) AS n_total
-      FROM d, (SELECT unnest([8, 32]) AS batch_size) b
-    ), s_batch AS (
-      SELECT batch_size, (sorted_rank - 1) // batch_size AS bid,
-             MAX(n_tokens) AS mx, SUM(n_tokens) AS tot, COUNT(*) AS c
-      FROM sized WHERE sorted_rank <= n_total - (n_total % batch_size)
-      GROUP BY 1, 2
-    ), a_batch AS (
-      SELECT batch_size, (arrival_rank - 1) // batch_size AS bid,
-             MAX(n_tokens) AS mx, SUM(n_tokens) AS tot, COUNT(*) AS c
-      FROM sized WHERE arrival_rank <= n_total - (n_total % batch_size)
-      GROUP BY 1, 2
-    ), agg AS (
-      SELECT s.batch_size,
-             SUM(s.mx * s.c - s.tot) AS sorted_pad,
-             SUM(s.mx * s.c) AS sorted_slots
-      FROM s_batch s GROUP BY 1
-    ), agg2 AS (
-      SELECT a.batch_size,
-             SUM(a.mx * a.c - a.tot) AS arrival_pad,
-             SUM(a.mx * a.c) AS arrival_slots
-      FROM a_batch a GROUP BY 1
-    )
-    SELECT CAST(agg.batch_size AS BIGINT) AS batch_size,
-           CAST(sorted_pad AS BIGINT) AS sorted_pad_tokens,
-           ROUND(CAST(sorted_pad AS DOUBLE) / sorted_slots, 6)
-             AS sorted_pad_frac,
-           CAST(arrival_pad AS BIGINT) AS arrival_pad_tokens,
-           ROUND(CAST(arrival_pad AS DOUBLE) / arrival_slots, 6)
-             AS arrival_pad_frac
-    FROM agg JOIN agg2 USING (batch_size)
-    ORDER BY batch_size
-    """,
-    tags=("packing", "training", "batching"),
-)
-def docs_padding_waste(spark, sf_dir):
-    """Padding-waste audit for fixed-size training batches: every
-    sequence in a batch pads to the batch max, so waste = Σ(max·B − Σlen)
-    over full batches.  Compares LENGTH-SORTED batching (the bucketing
-    trick every trainer uses) against arrival-order batching for batch
-    sizes 8 and 32 — the measured gap is the ROI of sorting, the number
-    that justifies the extra rank pass.  Global sequence ranks come from
-    operators.ranking.bucketed_global_rank (no single-partition sort);
-    trailing partial batches are excluded on both sides so the
-    comparison is waste-per-full-batch, all-integer until the final
-    fraction.  Companion to docs_packed_bins (which packs variable-count
-    bins instead of padding fixed-count batches)."""
-    from prod_data_pipeline_spark.functions.text import tokens
-    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
-
-    docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
-    )
-    ranked = bucketed_global_rank(d, order_cols=["n_tokens", "doc_id"]).select(
-        "doc_id", "n_tokens", F.col("rank").alias("sorted_rank"), "n_total"
-    )
-    arrival = bucketed_global_rank(d, order_cols=["doc_id"]).select(
-        F.col("doc_id").alias("a_doc_id"), F.col("rank").alias("arrival_rank")
-    )
-    # rank once, read twice: without the checkpoint each (strategy x
-    # batch-size) consumer would replay BOTH bucketed-rank plans — 72
-    # exchanges measured; with it the scan/rank cost is paid once and the
-    # per-strategy rollups read the materialized relation (~10 exchanges,
-    # all over batch-count-sized data)
-    base = (
-        ranked.join(arrival, ranked.doc_id == arrival.a_doc_id)
-        .drop("a_doc_id")
-        .transform(truncate_lineage, eager=False)
-    )
-    sizes = F.explode(F.array(F.lit(8), F.lit(32))).alias("batch_size")
-
-    def waste(rank_col: str, pad_name: str, frac_name: str):
-        full = F.col("n_total") - (F.col("n_total") % F.col("batch_size"))
-        return (
-            base.select("*", sizes)
-            .filter(F.col(rank_col) <= full)
-            .groupBy(
-                "batch_size",
-                ((F.col(rank_col) - 1) / F.col("batch_size"))
-                .cast("long")
-                .alias("bid"),
-            )
-            .agg(
-                F.max("n_tokens").alias("mx"),
-                F.sum("n_tokens").alias("tot"),
-                F.count(F.lit(1)).alias("c"),
-            )
-            .groupBy("batch_size")
-            .agg(
-                F.sum(F.col("mx") * F.col("c") - F.col("tot"))
-                .cast("long")
-                .alias(pad_name),
-                F.round(
-                    F.sum(F.col("mx") * F.col("c") - F.col("tot")).cast("double")
-                    / F.sum(F.col("mx") * F.col("c")),
-                    6,
-                ).alias(frac_name),
-            )
-        )
-
-    s = waste("sorted_rank", "sorted_pad_tokens", "sorted_pad_frac")
-    a = waste("arrival_rank", "arrival_pad_tokens", "arrival_pad_frac")
-    return (
-        s.join(a, "batch_size")
-        .select(
-            F.col("batch_size").cast("long").alias("batch_size"),
-            "sorted_pad_tokens",
-            "sorted_pad_frac",
-            "arrival_pad_tokens",
-            "arrival_pad_frac",
-        )
-        .orderBy("batch_size")
-    )
-
-
-@query(
-    "emb_hard_negatives",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), q AS (
-      SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 8
-    ), scored AS (
-      SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
-             list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
-             / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
-                * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
-             AS sim
-      FROM q, v
-      WHERE q.query_id <> v.vec_id AND q.qlabel IS DISTINCT FROM v.label
-    )
-    SELECT query_id, neighbor_id, neighbor_label, ROUND(sim, 4) AS sim,
-           CAST(ROW_NUMBER() OVER (
-             PARTITION BY query_id ORDER BY sim DESC, neighbor_id
-           ) AS BIGINT) AS rank
-    FROM scored
-    QUALIFY rank <= 5
-    ORDER BY query_id, rank
-    """,
-    tags=("similarity", "training", "contrastive", "hard-negatives"),
-)
-def emb_hard_negatives(spark, sf_dir):
-    """Hard-negative mining (operators.similarity.hard_negative_topk):
-    per anchor (vec_id < 8), the 5 most-similar vectors with a DIFFERENT
-    label — the near-boundary negatives a contrastive/metric-learning
-    loss actually learns from (random negatives are mostly trivial at
-    corpus scale).  Same broadcast-anchors x one-corpus-scan plan as
-    emb_topk_bruteforce with the label-mismatch predicate riding the
-    join condition, so positives never enter the scored relation."""
-    from prod_data_pipeline_spark.operators.similarity import hard_negative_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    out = hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
-    return out.withColumn("rank", F.col("rank").cast("long"))
-
-
-@query(
-    "events_type_audience_overlap",
-    oracle="""
-    WITH ut AS (
-      SELECT DISTINCT user_id, event_type FROM events WHERE user_id IS NOT NULL
-    ), singles AS (
-      SELECT event_type, COUNT(DISTINCT user_id) AS n FROM ut GROUP BY 1
-    ), pairs AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             COUNT(*) AS exact_both
-      FROM ut a JOIN ut b
-        ON a.user_id = b.user_id AND a.event_type < b.event_type
-      GROUP BY 1, 2
-    )
-    SELECT p.type_a, p.type_b,
-           CAST(sa.n AS BIGINT) AS exact_a,
-           CAST(sb.n AS BIGINT) AS exact_b,
-           CAST(p.exact_both AS BIGINT) AS exact_both,
-           CAST(0.1 AS DOUBLE) AS abs_err_bound_frac,
-           TRUE AS within_bound
-    FROM pairs p
-    JOIN singles sa ON sa.event_type = p.type_a
-    JOIN singles sb ON sb.event_type = p.type_b
-    ORDER BY 1, 2
-    """,
-    tags=("approx", "sketch", "audience-overlap"),
-)
-def events_type_audience_overlap(spark, sf_dir):
-    """Sketch-algebra audience overlap: |A∩B| estimated per event-type
-    pair by HLL inclusion-exclusion (est_a + est_b − est_union, the union
-    being a true sketch merge — the only set operation HLL supports) and
-    hash-checked against the exact overlap with the oracled-approximation
-    recipe: exact counts + a within-bound boolean.  The bound is ABSOLUTE
-    in (|A|+|B|) — inclusion-exclusion differences small cardinalities,
-    so relative-to-overlap error is unbounded by construction; three
-    ~1.6%-rsd estimates difference to well under 10% of |A|+|B|.  At
-    100 TB this is the pre-computed-sketch join: per-segment sketches are
-    a few KB each, any pairwise overlap matrix is sketch merges — no
-    re-scan of raw data (the same property events_hll_mergeable_users
-    proves for time slices).  One distinct (user,type) relation feeds the
-    exact side; sketches aggregate per type (5 rows) and cross in a
-    broadcast self-join."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    sk = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_n"),
-    )
-    a = sk.select(
-        F.col("event_type").alias("type_a"),
-        F.col("sk").alias("sk_a"),
-        F.col("exact_n").alias("exact_a"),
-    )
-    b = sk.select(
-        F.col("event_type").alias("type_b"),
-        F.col("sk").alias("sk_b"),
-        F.col("exact_n").alias("exact_b"),
-    )
-    crossed = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
-    est = (
-        F.hll_sketch_estimate("sk_a")
-        + F.hll_sketch_estimate("sk_b")
-        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
-    )
-    # ut feeds both self-join sides — one scan + distinct, not two
-    ut = (
-        ev.select("user_id", "event_type")
-        .distinct()
-        .transform(truncate_lineage, eager=False)
-    )
-    ua = ut.select("user_id", F.col("event_type").alias("type_a"))
-    ub = ut.select("user_id", F.col("event_type").alias("type_b"))
-    exact_pairs = (
-        ua.join(ub, ["user_id"])
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("exact_both"))
-    )
-    return (
-        crossed.join(exact_pairs, ["type_a", "type_b"])
-        .select(
-            "type_a",
-            "type_b",
-            "exact_a",
-            "exact_b",
-            "exact_both",
-            F.lit(0.1).cast("double").alias("abs_err_bound_frac"),
-            (
-                F.abs(est - F.col("exact_both"))
-                <= F.lit(0.1) * (F.col("exact_a") + F.col("exact_b"))
-            ).alias("within_bound"),
-        )
-        .orderBy("type_a", "type_b")
-    )
-
-
-@query(
-    "docs_cluster_canonical_by_quality",
-    oracle=f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, {{_TOKS_SQL}} AS toks FROM documents
-    ), s AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1),
-                         i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [] END AS sh
-      FROM t
-    ), sig AS (
-      SELECT doc_id, sh,
-             {", ".join(
-                 f"list_aggregate(list_transform(sh, x -> md5('{j}:' || x)), 'min') AS mh_{j}"
-                 for j in range(8)
-             )}
-      FROM s
-    ), bands AS (
-      {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_id, mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_key "
-          "FROM sig WHERE len(sh) > 0"
-          for b in range(4)
-      )}
-    ), pairs AS (
-      SELECT c.id_a, c.id_b FROM (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ) c
-      JOIN sig sa ON sa.doc_id = c.id_a
-      JOIN sig sb ON sb.doc_id = c.id_b
-      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= 0.5
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs
-    ), walk AS (
-      SELECT src, dst AS reach FROM edges
-      UNION
-      SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
-    ), comp AS (
-      SELECT src AS doc_id, least(src, MIN(reach)) AS cluster_id
-      FROM walk GROUP BY src
-    ), q AS (
-      SELECT doc_id,
-             ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-                   + 0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)),
-                   4) AS quality
-      FROM t
-    ), ranked AS (
-      SELECT c.cluster_id, c.doc_id, q.quality,
-             row_number() OVER (
-               PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id
-             ) AS rn
-      FROM comp c JOIN q USING (doc_id)
-    )
-    SELECT cluster_id,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_id,
-           MAX(CASE WHEN rn = 1 THEN quality END) AS canonical_quality,
-           MAX(CASE WHEN rn = 1 THEN doc_id END) <> cluster_id
-             AS differs_from_minid
-    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
-    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
-    tags=("dedup", "clustering", "curation", "quality"),
-)
-def docs_cluster_canonical_by_quality(spark, sf_dir):
-    """Quality-aware canonical selection per near-dup cluster: real
-    curation pipelines keep the BEST member of each duplicate cluster
-    (longest / highest-quality), not the smallest id — min-id keeps
-    whatever crawled first, which may be the truncated or boilerplate-
-    laden copy.  Per transitive LSH cluster (corpus_dup_clusters'
-    components) the argmax-quality member is selected with a packed
-    deterministic ordering key (quality desc, doc_id asc — struct-MAX,
-    no self-join), and differs_from_minid flags the clusters where the
-    quality rule and the naive min-id rule disagree — the measurable
-    value of the refinement.  Cost on top of clustering: one doc-keyed
-    join + one cluster-keyed agg, both graph-sized."""
-    from prod_data_pipeline_spark.operators.corpus import dup_clusters
-    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
-    from prod_data_pipeline_spark.functions.text import tokens
-    from prod_data_pipeline_spark.operators.text import quality_score
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn="md5")
-    comp = dup_clusters(pairs)
-    toks = tokens(F.col("text"))
-    q = docs.select(
-        "doc_id", quality_score(toks, F.array_distinct(toks)).alias("quality")
-    )
-    best = F.max(
-        F.struct(
-            F.col("quality").alias("q"),
-            (-F.col("doc_id")).alias("nid"),
-            F.col("doc_id").alias("id"),
-        )
-    )
-    return (
-        comp.join(q, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            best.alias("_best"),
-        )
-        .select(
-            "cluster_id",
-            "n_members",
-            F.col("_best.id").alias("canonical_id"),
-            F.col("_best.q").alias("canonical_quality"),
-            (F.col("_best.id") != F.col("cluster_id")).alias("differs_from_minid"),
-        )
-        .orderBy("cluster_id")
-    )
-
-
-@query(
-    "events_scd2_temporal_join",
-    oracle="""
-    WITH p0 AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-             CASE WHEN value < 50 THEN 'low'
-                  WHEN value < 150 THEN 'mid'
-                  ELSE 'high' END AS tier,
-             row_number() OVER (
-               PARTITION BY user_id, CAST(ts AS TIMESTAMP)
-               ORDER BY event_id DESC
-             ) AS rn
-      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
-    ), p AS (
-      SELECT user_id, ts, tier FROM p0 WHERE rn = 1
-    ), c AS (
-      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-      WHERE event_type = 'click' AND user_id IS NOT NULL
-    ), j AS (
-      SELECT c.event_id, c.user_id, p.tier
-      FROM c ASOF LEFT JOIN p
-        ON c.user_id = p.user_id AND c.ts >= p.ts
-    )
-    SELECT COALESCE(tier, 'none') AS tier,
-           CAST(COUNT(*) AS BIGINT) AS n_clicks,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM j GROUP BY 1 ORDER BY 1
-    """,
-    tags=("cdc", "scd2", "asof", "temporal-join"),
-)
-def events_scd2_temporal_join(spark, sf_dir):
-    """Fact-to-SCD2 temporal join — THE classic warehouse lookup: each
-    click joined to the spend-tier dimension version valid AT ITS OWN
-    TIMESTAMP (dim derived as change-compressed SCD2 history of the
-    user's purchase tier; clicks before any purchase land in 'none').
-    Composes three operators end-to-end: cdc.latest_snapshot dedupes
-    same-instant purchases (greatest event_id wins — determinism under
-    ties), cdc.scd2_history compresses the tier stream into validity
-    intervals, and joins.asof_join attaches the interval covering each
-    click via the union + last-ignorenulls window — one shuffle on
-    user_id, O(|facts|+|dim|) rows, never a per-key range explosion
-    (SCALE.md's as-of cost model).  The oracle computes the same
-    semantics independently with DuckDB's native ASOF JOIN on the raw
-    deduped purchase stream — interval containment against compressed
-    history must equal as-of against the uncompressed stream, so a
-    compression or join bug breaks the hash."""
-    from prod_data_pipeline_spark.operators.cdc import latest_snapshot, scd2_history
-    from prod_data_pipeline_spark.operators.joins import asof_join
-
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    tier = (
-        F.when(F.col("value") < 50, "low")
-        .when(F.col("value") < 150, "mid")
-        .otherwise("high")
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", tier.alias("tier")
-    )
-    purch = latest_snapshot(purch, ["user_id", "ts"], order_col="event_id")
-    hist = scd2_history(purch, "user_id", "ts", "tier", tiebreak=["event_id"])
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    joined = asof_join(
-        clicks,
-        hist.select("user_id", F.col("effective_from").alias("ts"), "tier"),
-        by="user_id",
-        value_cols=("tier",),
-    )
-    return (
-        joined.groupBy(F.coalesce("asof_tier", F.lit("none")).alias("tier"))
-        .agg(
-            F.count(F.lit(1)).alias("n_clicks"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-        .orderBy("tier")
-    )
-
-
-@query(
-    "events_ldiversity_audit",
-    oracle="""
-    WITH qi AS (
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(floor(value) AS BIGINT) AS vbin,
-             COUNT(*) AS c,
-             COUNT(DISTINCT event_type) AS l
-      FROM events WHERE value IS NOT NULL
-      GROUP BY 1, 2
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-           CAST(SUM(c) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_low_diversity_groups,
-           CAST(SUM(CASE WHEN l < 3 THEN c ELSE 0 END) AS BIGINT)
-             AS n_rows_at_risk,
-           CAST(MIN(l) AS BIGINT) AS min_l,
-           ROUND(CAST(SUM(CASE WHEN l < 3 THEN c ELSE 0 END) AS DOUBLE)
-                 / SUM(c), 6) AS at_risk_share
-    FROM qi
-    """,
-    tags=("dq", "privacy", "l-diversity"),
-)
-def events_ldiversity_audit(spark, sf_dir):
-    """l-diversity audit — the companion gate to events_kanonymity_audit:
-    k-anonymity bounds GROUP SIZE, but a large group whose sensitive
-    attribute (event_type here) takes fewer than l distinct values still
-    leaks it by homogeneity (every member provably did the same thing).
-    Per quasi-identifier tuple (day, integer value bin) the audit counts
-    distinct sensitive values and reports the l<3 groups with their row
-    mass — the release gate refuses when at_risk_share is material.  One
-    exact per-group COUNT DISTINCT (two-phase distinct expand, partials
-    both phases) + a groups-sized reduction; all decisions integer."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    qi = ev.groupBy(
-        F.to_date("ts").alias("day"),
-        F.floor("value").cast("long").alias("vbin"),
-    ).agg(
-        F.count(F.lit(1)).alias("c"),
-        F.countDistinct("event_type").alias("l"),
-    )
-    risk_rows = F.sum(F.when(F.col("l") < 3, F.col("c")).otherwise(0))
-    return qi.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum("c").cast("long").alias("n_rows"),
-        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
-        .cast("long")
-        .alias("n_low_diversity_groups"),
-        risk_rows.cast("long").alias("n_rows_at_risk"),
-        F.min("l").cast("long").alias("min_l"),
-        F.round(risk_rows.cast("double") / F.sum("c"), 6).alias("at_risk_share"),
-    )
-
 
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the

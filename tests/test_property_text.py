@@ -99,14 +99,15 @@ def test_char_entropy_semantics(spark):
     from pyspark.sql import functions as F
 
     fn = QUERIES["docs_char_entropy"].fn
-    import prod_data_pipeline_spark.plans.queries as Q
-
-    orig = Q._t
+    # patch the loader through the function's own globals — robust to the
+    # round-10 split of plans/queries.py into chunk modules (the body
+    # resolves _t in its defining module, not in plans.queries)
+    orig = fn.__globals__["_t"]
     try:
-        Q._t = lambda spark, sf_dir, name: df
+        fn.__globals__["_t"] = lambda spark, sf_dir, name: df
         got = {r["doc_id"]: r for r in fn(spark, "unused").collect()}
     finally:
-        Q._t = orig
+        fn.__globals__["_t"] = orig
     assert got[1]["entropy_bits"] == 0.0 and got[1]["low_entropy"]
     assert abs(got[2]["entropy_bits"] - math.log2(37)) < 1e-5  # 37 terms x 5e-8 quantization
     assert not got[2]["low_entropy"]
