@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.text import shingles, tokens
-from prod_data_pipeline_spark.session import ensure_parallelism, truncate_lineage
+from prod_data_pipeline_spark.session import (
+    compact_for_sort,
+    ensure_parallelism,
+    truncate_lineage,
+)
 
 
 def _maybe_sort(pairs: DataFrame, sort: bool) -> DataFrame:
@@ -289,10 +293,12 @@ def near_dup_pairs(
         elif sort:
             # a global sort's range partitioner SAMPLES its child — an
             # unmaterialized child executes twice (once for the sample,
-            # once for the sort).  A lazy lineage cut stores the blocks on
-            # the sampling pass and the sort re-reads them (measured
-            # -0.8 s on the srp twin at the inflated bench shape).
-            out = out.transform(truncate_lineage, eager=False)
+            # once for the sort).  compact_for_sort repartitions the slim
+            # pair relation down (defaultParallelism/4) and lazy-cuts, so
+            # checkpoint-write + sample + sort stop scheduling 65 tasks
+            # over kilobyte blocks (measured 3.2 -> 2.4 s at the inflated
+            # bench shape; see session.compact_for_sort).
+            out = compact_for_sort(out)
         return _maybe_sort(out, sort)
 
     # eligibility = the doc can produce at least one shingle (shorter docs
@@ -327,7 +333,7 @@ def near_dup_pairs(
         sig.unpersist()
         members.unpersist()
     elif sort:
-        out = out.transform(truncate_lineage, eager=False)  # see above
+        out = compact_for_sort(out)  # see above
     return _maybe_sort(out, sort)
 
 

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from prod_data_pipeline_spark.functions.vector import cosine_sim, dot, to_double_array
-from prod_data_pipeline_spark.session import ensure_parallelism, truncate_lineage
+from prod_data_pipeline_spark.session import (
+    compact_for_sort,
+    ensure_parallelism,
+    truncate_lineage,
+)
 
 
 def _norm_emb(df: DataFrame, emb_col: str) -> DataFrame:
@@ -649,10 +653,12 @@ def srp_near_dup_pairs(
             out = out.transform(truncate_lineage, eager=True)
             sig.unpersist()
         elif sort:
-            # lazy lineage cut so the sort's range-partitioner sampling
-            # pass materializes the blocks the sort then re-reads, instead
-            # of executing the verify pipeline twice (see near_dup_pairs)
-            out = out.transform(truncate_lineage, eager=False)
+            # compact + lazy lineage cut so the sort's range-partitioner
+            # sampling pass materializes few, dense blocks the sort then
+            # re-reads, instead of executing the verify pipeline twice or
+            # scheduling 65 tasks over kilobyte blocks (see near_dup_pairs
+            # and session.compact_for_sort)
+            out = compact_for_sort(out)
         return out.orderBy("id_a", "id_b") if sort else out
 
     from prod_data_pipeline_spark.operators.dedup import (
@@ -701,7 +707,7 @@ def srp_near_dup_pairs(
         sig.unpersist()
         members.unpersist()
     elif sort:
-        out = out.transform(truncate_lineage, eager=False)  # see above
+        out = compact_for_sort(out)  # see above
     return out.orderBy("id_a", "id_b") if sort else out
 
 
