@@ -170,8 +170,8 @@ def events_dq_profile(spark, sf_dir):
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(value), 0) AS avg_value,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sum_value,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) / NULLIF(COUNT(value), 0) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
@@ -373,15 +373,15 @@ def events_curated_projection(spark, sf_dir):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sum_qty,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sum_base_price,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS DOUBLE)
                AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0) AS DOUBLE) / COUNT(*) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -420,7 +420,7 @@ def q1_pricing_summary(spark, sf_dir):
     "top_orders_by_revenue",
     oracle="""
     SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, c.c_mktsegment,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS revenue
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -462,7 +462,7 @@ def top_orders_by_revenue(spark, sf_dir):
     "regional_nation_revenue",
     oracle="""
     SELECT r.r_name, n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
@@ -509,8 +509,8 @@ def regional_nation_revenue(spark, sf_dir):
     oracle="""
     SELECT p.p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sum_qty,
+           CAST((CAST(CAST(SUM(CAST(FLOOR((p.p_retailprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sum_retail,
            CAST(SUM(p.p_size) AS DOUBLE) / COUNT(*) AS avg_size
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY p.p_brand ORDER BY p.p_brand
@@ -571,10 +571,10 @@ def slow_orders_by_priority(spark, sf_dir):
     oracle="""
     WITH pa AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+             CAST((CAST(CAST(SUM(CAST(FLOOR((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+    SELECT ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) / 7.0, 4)
                AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#4'
@@ -605,7 +605,7 @@ def small_quantity_parts_revenue(spark, sf_dir):
 @query(
     "disjunctive_brand_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+    SELECT CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -914,7 +914,7 @@ def events_daily_type_pivot(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST((CAST(CAST(SUM(CAST(FLOOR((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -1261,7 +1261,7 @@ def docs_ngram_jaccard_pairs(spark, sf_dir):
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS total_tokens,
-           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((quality) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0) AS DOUBLE) / COUNT(*), 6)
                AS avg_quality
     FROM q WHERE quality >= 0.45
     GROUP BY lang ORDER BY lang
@@ -1287,8 +1287,7 @@ def corpus_curation_stats(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.round(
-                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)),
+                dsum("quality", 4) / F.count(F.lit(1)),
                 6,
             ).alias("avg_quality"),
         )
@@ -2161,7 +2160,7 @@ def docs_dsir_weights(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(s) AS BIGINT) AS n_selected,
            ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS sel_share,
-           ROUND(CAST(SUM(CAST(log_w AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((log_w) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS DOUBLE)
                  / COUNT(*), 6) AS avg_log_w
     FROM sel JOIN (SELECT DISTINCT doc_id, source FROM rawd) d USING (doc_id)
     GROUP BY 1 ORDER BY 1
@@ -2197,8 +2196,7 @@ def docs_dsir_selection(spark, sf_dir):
                 "sel_share"
             ),
             F.round(
-                F.sum(F.col("log_w").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                dsum("log_w", 6) / F.count(F.lit(1)),
                 6,
             ).alias("avg_log_w"),
         )

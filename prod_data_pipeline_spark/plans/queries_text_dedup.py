@@ -18,7 +18,9 @@ from prod_data_pipeline_spark.sources.readers import load_table
 
 from prod_data_pipeline_spark.plans.query_registry import (  # noqa: F401
     _t,
+    dnum,
     dsum,
+    num_to_double,
     query,
 )
 from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
@@ -409,8 +411,8 @@ def events_value_p99_outliers(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sx,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((l_extendedprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS sy,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
                     * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -440,8 +442,12 @@ def lineitem_qty_price_corr(spark, sf_dir):
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     s = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(qty).cast("double").alias("sx"),
-        F.sum(price).cast("double").alias("sy"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        # the second moments stay DECIMAL-product sums: their per-row
+        # numerators at scale 4 would overflow int64 past ~60M rows of
+        # price-squared magnitude, so the long-numerator recipe does not
+        # apply (see query_registry.dsum bounds)
         F.sum(qty * qty).cast("double").alias("sxx"),
         F.sum(price * price).cast("double").alias("syy"),
         F.sum(qty * price).cast("double").alias("sxy"),
@@ -791,13 +797,13 @@ def events_hll_mergeable_users(spark, sf_dir):
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS total_qty
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
       SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+      GROUP BY l_orderkey HAVING (CAST(CAST(SUM(CAST(FLOOR((l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) > 300
     )
     GROUP BY 1, 2, 3, 4
     ORDER BY total_qty DESC, o.o_orderkey
@@ -809,14 +815,14 @@ def large_volume_orders(spark, sf_dir):
     to a semi-join.  The qualifying-order relation is a pre-aggregation of
     lineitem on its OWN key (one shuffle of per-order sums), then a
     left-semi join prunes orders before the customer join — the fact table
-    is never joined un-filtered.  Exact decimal quantity sums."""
+    is never joined un-filtered.  Deterministic long-numerator quantity
+    sums (see query_registry.dsum)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(qty).alias("q"))
+        .agg(dsum("l_quantity").alias("q"))
         .filter(F.col("q") > 300)
         .select("l_orderkey")
     )
@@ -825,7 +831,7 @@ def large_volume_orders(spark, sf_dir):
         o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
-        .agg(dsum(qty).alias("total_qty"))
+        .agg(dsum("l_quantity").alias("total_qty"))
         .orderBy(F.desc("total_qty"), "o_orderkey")
     )
 
@@ -878,7 +884,7 @@ def parts_supplier_counts(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(MIN(o_totalprice), 2) AS lo,
            ROUND(MAX(o_totalprice), 2) AS hi,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST((CAST(CAST(SUM(CAST(FLOOR((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS total
     FROM d GROUP BY decile ORDER BY decile
     """,
     tags=("window", "ntile"),
@@ -972,11 +978,11 @@ def events_rolling_7day(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT l_orderkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+             CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rn
       FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
     )
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(SUM(rev.r) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(rev.rn) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
     FROM rev
     JOIN orders o ON o.o_orderkey = rev.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -991,15 +997,15 @@ def q10_returned_revenue(spark, sf_dir):
     Returned-lineitem revenue pre-aggregates on the fact table's own key
     (l_orderkey) before any join — ONE fact shuffle — then the per-order
     sums join orders and the broadcast customer/nation dims; the final
-    group runs over per-order rows, not raw lineitems.  Exact decimal
-    sums; c_custkey breaks revenue ties.
+    group runs over per-order rows, not raw lineitems.  The per-order
+    partial carries the exact int64 revenue numerator (dnum) so the
+    second-level re-sum stays exact integer arithmetic; one long->double
+    conversion at the end.  c_custkey breaks revenue ties.
     Reference parity: extends sql/athena/curated_events.sql-style golden
     aggregation to the multi-dim enrichment the reference runs in Athena."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     rev = li.groupBy("l_orderkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-        ).alias("r")
+        dnum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rn")
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1009,7 +1015,7 @@ def q10_returned_revenue(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum("r").cast("double").alias("revenue"))
+        .agg(num_to_double(F.sum("rn"), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1174,7 +1180,7 @@ def events_daily_distinct_users(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           CAST((CAST(CAST(SUM(CAST(FLOOR((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     tags=("agg", "skew", "salting"),
@@ -1185,23 +1191,23 @@ def events_salted_type_counts(spark, sf_dir):
     (operators.skew's strategy applied to aggregation) splits each key 16
     ways — partial aggregate on (type, salt), final on type — so the heavy
     keys fan across the cluster and the second shuffle carries 16 rows per
-    type.  Decimal partials keep the re-aggregated sum exact (doubles
-    re-summed across salts would not be reproducible); the oracle is the
-    plain one-phase GROUP BY it must equal."""
+    type.  Int64-numerator partials (dnum) keep the re-aggregated sum
+    exact (doubles re-summed across salts would not be reproducible); the
+    oracle is the plain one-phase GROUP BY it must equal."""
     ev = _t(spark, sf_dir, "events")
     partial = (
         ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
         .groupBy("event_type", "__salt")
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("__val"),
+            dnum("value").alias("__val"),
         )
     )
     return (
         partial.groupBy("event_type")
         .agg(
             F.sum("__cnt").alias("n_events"),
-            F.sum("__val").cast("double").alias("total_value"),
+            num_to_double(F.sum("__val")).alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -1327,12 +1333,12 @@ def q21_waiting_suppliers(spark, sf_dir):
       SELECT c_custkey, c_nationkey, c_acctbal FROM customer
       WHERE c_nationkey IN (2, 7, 12, 17, 22)
     ), avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+      SELECT CAST((CAST(CAST(SUM(CAST(FLOOR((c_acctbal) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) / COUNT(*) AS a
       FROM pool WHERE c_acctbal > 0
     )
     SELECT c_nationkey AS cntrycode,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           CAST((CAST(CAST(SUM(CAST(FLOOR((c_acctbal) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS DOUBLE) AS totacctbal
     FROM pool c, avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -1383,43 +1389,44 @@ def q22_idle_balances(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT l_suppkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tr
+             CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS trn
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(r.tr AS DOUBLE), 2) AS total_revenue
+           ROUND(CAST(r.trn AS DOUBLE) / 10000.0, 2) AS total_revenue
     FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-    WHERE r.tr = (SELECT MAX(tr) FROM rev)
+    WHERE r.trn = (SELECT MAX(trn) FROM rev)
     ORDER BY s.s_suppkey
     """,
     tags=("correlated", "tpch", "q15"),
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15: the supplier(s) hitting the window's MAX revenue — the
-    max-of-aggregate join-back pattern.  Revenue stays DECIMAL through
-    the max comparison (exact equality; a double max would be a
-    last-ulp lottery), the one-row max relation broadcasts, and ALL ties
-    surface, matching the SQL subquery semantics."""
+    max-of-aggregate join-back pattern.  Revenue stays an exact int64
+    numerator (dnum) through the max comparison (integer equality; a
+    double max would be a last-ulp lottery), the one-row max relation
+    broadcasts, and ALL ties surface, matching the SQL subquery
+    semantics."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     s = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-        ).alias("tr")
+        dnum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("trn")
     )
-    mx = rev.agg(F.max("tr").alias("mx"))
+    mx = rev.agg(F.max("trn").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("tr") == F.col("mx"))
+        .filter(F.col("trn") == F.col("mx"))
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select(
-            "s_suppkey", "s_name", F.round(F.col("tr").cast("double"), 2).alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            F.round(num_to_double(F.col("trn"), 4), 2).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -1573,7 +1580,7 @@ def docs_dup_pagerank(spark, sf_dir):
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+    SELECT CAST((CAST(CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0) AS DOUBLE)
                AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
@@ -1649,7 +1656,7 @@ def q4_late_order_priority(spark, sf_dir):
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1775,9 +1782,9 @@ def q8_market_share(spark, sf_dir):
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS revenue,
-           CAST(SUM(CAST(p.p_retailprice * l.l_quantity AS DECIMAL(18,4)))
+           CAST((CAST(CAST(SUM(CAST(FLOOR((p.p_retailprice * l.l_quantity) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0)
                 AS DOUBLE) / 10.0 AS supply_cost
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -1951,7 +1958,7 @@ def docs_vocab_coverage(spark, sf_dir):
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(CAST(SUM(CAST(mse AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 10)
+           ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((mse) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000000.0) AS DOUBLE) / COUNT(*), 10)
                AS avg_mse
     FROM q GROUP BY label ORDER BY label
     """,
@@ -2007,7 +2014,7 @@ def emb_quantization_error(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(
-                F.sum(F.col("mse").cast("decimal(18,12)")).cast("double") / F.count(F.lit(1)),
+                dsum("mse", 12) / F.count(F.lit(1)),
                 10,
             ).alias("avg_mse"),
         )
@@ -2127,13 +2134,13 @@ def events_debounce_stats(spark, sf_dir):
       FROM counts
     ), per_doc AS (
       SELECT doc_id, lang,
-             ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*), 6)
+             ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((nll) * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000000.0) AS DOUBLE) / COUNT(*), 6)
                  AS ce
       FROM tok JOIN lp USING (token) GROUP BY doc_id, lang
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((ce) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS DOUBLE) / COUNT(*), 6)
                AS avg_ce,
            ROUND(MIN(ce), 6) AS min_ce,
            ROUND(MAX(ce), 6) AS max_ce
@@ -2167,7 +2174,7 @@ def docs_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg(
             F.round(
-                F.sum(F.col("nll").cast("decimal(18,7)")).cast("double")
+                dsum("nll", 7)
                 / F.count(F.lit(1)),
                 6,
             ).alias("ce")
@@ -2178,7 +2185,7 @@ def docs_unigram_logprob(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(
-                F.sum(F.col("ce").cast("decimal(18,6)")).cast("double")
+                dsum("ce", 6)
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_ce"),
@@ -2349,11 +2356,11 @@ def docs_jaccard_prefix_pairs(spark, sf_dir):
       FROM cy
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cxy) AS n_cells,
-           (SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+           (SELECT ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((term) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE), 6)
             FROM mi_terms) AS mi_nats,
-           (SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+           (SELECT ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((term) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE), 6)
             FROM hx_terms) AS h_type_nats,
-           (SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+           (SELECT ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((term) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE), 6)
             FROM hy_terms) AS h_bucket_nats
     """,
     tags=("stats", "information", "profiling"),
@@ -2378,7 +2385,7 @@ def events_type_value_mi(spark, sf_dir):
     cy = base.groupBy("y").agg(F.count(F.lit(1)).alias("cy"))
 
     def dec_sum(col):
-        return F.round(F.sum(col.cast("decimal(18,9)")).cast("double"), 6)
+        return F.round(dsum(col, 9), 6)
 
     mi_terms = (
         cxy.join(F.broadcast(cx), "x")
@@ -2774,14 +2781,14 @@ def docs_bpe_train_16(spark, sf_dir, n_merges: int = 16):
       FROM cb JOIN cc USING (prev) JOIN cu ON cu.token = cb.cur
     ), per_doc AS (
       SELECT bi.doc_id, bi.lang,
-             ROUND(CAST(SUM(CAST(nll.nll AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*), 6)
+             ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((nll.nll) * 10000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000000.0) AS DOUBLE) / COUNT(*), 6)
                  AS ce
       FROM bi JOIN nll ON nll.prev = bi.prev AND nll.cur = bi.cur
       GROUP BY bi.doc_id, bi.lang
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((ce) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS DOUBLE) / COUNT(*), 6)
                AS avg_ce,
            ROUND(MIN(ce), 6) AS min_ce,
            ROUND(MAX(ce), 6) AS max_ce
@@ -2846,7 +2853,7 @@ def docs_bigram_logprob(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg(
             F.round(
-                F.sum(F.col("nll").cast("decimal(18,7)")).cast("double")
+                dsum("nll", 7)
                 / F.count(F.lit(1)),
                 6,
             ).alias("ce")
@@ -2857,7 +2864,7 @@ def docs_bigram_logprob(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(
-                F.sum(F.col("ce").cast("decimal(18,6)")).cast("double")
+                dsum("ce", 6)
                 / F.count(F.lit(1)),
                 6,
             ).alias("avg_ce"),
@@ -3099,10 +3106,10 @@ def docs_cross_source_dup_matrix(spark, sf_dir):
       FROM ranked WHERE rnk <= 1000
     ), s AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+             CAST((CAST(CAST(SUM(CAST(FLOOR((x) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sx,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((y) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sy,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((ROUND(x * y, 9)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sxy,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((ROUND(x * x, 9)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sxx
       FROM top
     )
     SELECT CAST(n AS BIGINT) AS n_tokens_fit,
@@ -3152,10 +3159,10 @@ def docs_zipf_fit(spark, sf_dir):
     )
     s = top.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(18,9)")).cast("double").alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)")).cast("double").alias("sxx"),
+        dsum("x", 9).alias("sx"),
+        dsum("y", 9).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("y"), 9), 9).alias("sxy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9), 9).alias("sxx"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -18,7 +18,9 @@ from prod_data_pipeline_spark.sources.readers import load_table
 
 from prod_data_pipeline_spark.plans.query_registry import (  # noqa: F401
     _t,
+    dnum,
     dsum,
+    num_to_double,
     query,
 )
 from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
@@ -127,7 +129,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           CAST((CAST(CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000.0)
                 AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -179,16 +181,16 @@ def q5_local_supplier_volume(spark, sf_dir):
     oracle="""
     WITH val AS (
       SELECT l.l_partkey AS p_partkey,
-             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS v
+             CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vn
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name = 'NATION_3'
       GROUP BY 1
     )
-    SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+    SELECT p_partkey, CAST(vn AS DOUBLE) / 10000.0 AS part_value
     FROM val
-    WHERE v * 500 > (SELECT SUM(v) FROM val)
+    WHERE vn * 500 > (SELECT SUM(vn) FROM val)
     ORDER BY part_value DESC, p_partkey
     """,
     tags=("join", "tpch", "q11", "scalar-subquery"),
@@ -199,10 +201,11 @@ def q11_important_part_value(spark, sf_dir):
     availqty*supplycost is modeled as lineitem revenue per part).  The
     defining operator — a scalar aggregate subquery in the HAVING — is
     decorrelated as a one-row broadcast cross join against the per-part
-    values.  The threshold test is exact: per-part DECIMAL sums, the
-    global total a DECIMAL sum of those, and an integer-scaled comparison
-    (v*500 > total) — no float ever decides membership.  One fact shuffle
-    on l_partkey; the one-row total broadcasts.
+    values.  The threshold test is exact: per-part int64 revenue
+    numerators (dnum), the global total an int64 sum of those, and an
+    integer comparison (vn*500 > total) — no float ever decides
+    membership.  One fact shuffle on l_partkey; the one-row total
+    broadcasts.
 
     The per-part relation is localCheckpoint'd (lazy) before it forks
     into the total branch and the filter branch: without it Catalyst
@@ -219,20 +222,14 @@ def q11_important_part_value(spark, sf_dir):
         li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ).alias("v")
-        )
+        .agg(dnum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("vn"))
     )
     val = val.transform(truncate_lineage, eager=False)
-    total = val.agg(F.sum("v").alias("total"))
+    total = val.agg(F.sum("vn").alias("total"))
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("v") * 500 > F.col("total"))
-        .select("p_partkey", F.col("v").cast("double").alias("part_value"))
+        .filter(F.col("vn") * 500 > F.col("total"))
+        .select("p_partkey", num_to_double(F.col("vn"), 4).alias("part_value"))
         .orderBy(F.desc("part_value"), "p_partkey")
     )
 
@@ -242,7 +239,7 @@ def q11_important_part_value(spark, sf_dir):
     oracle="""
     WITH shipped AS (
       SELECT l.l_suppkey, l.l_partkey,
-             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+             (CAST(CAST(SUM(CAST(FLOOR((l.l_quantity) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS qty
       FROM lineitem l
       JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_name LIKE 'red%'
@@ -266,8 +263,8 @@ def q20_promotable_suppliers(spark, sf_dir):
     (supplier IN (… agg over part-name-filtered lineitem HAVING …)),
     with the availqty threshold modeled as a fixed quantity bound since
     partsupp does not exist.  The inner aggregate groups by (suppkey,
-    partkey) exactly as the spec correlates per part; quantities sum in
-    DECIMAL so the >55 gate is exact.  Part broadcast-prunes lineitem
+    partkey) exactly as the spec correlates per part; quantities sum as
+    exact long numerators (dsum) so the threshold gate is engine-stable.  Part broadcast-prunes lineitem
     before its one shuffle; the surviving supplier keys flow into a LEFT
     SEMI join — duplicates never materialize."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -278,7 +275,7 @@ def q20_promotable_suppliers(spark, sf_dir):
     shipped = (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .agg(dsum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 40)
         .select("l_suppkey")
     )
@@ -523,7 +520,7 @@ def events_value_mad_outliers(spark, sf_dir):
     )
     SELECT k,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           CAST((CAST(CAST(SUM(CAST(FLOOR((energy) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS DOUBLE) / COUNT(*)
                AS avg_energy,
            MIN(energy) AS min_energy
     FROM r GROUP BY k ORDER BY k
@@ -579,7 +576,7 @@ def emb_matryoshka_energy(spark, sf_dir):
         stacked.groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            (F.sum(F.col("energy").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_energy"),
+            (dsum("energy", 6) / F.count(F.lit(1))).alias("avg_energy"),
             F.min("energy").alias("min_energy"),
         )
         .orderBy("k")
@@ -1506,26 +1503,26 @@ def emb_top2_principal_components(spark, sf_dir):
       SELECT o_custkey,
              CAST(MAX(o_orderdate) AS DATE) AS last_order,
              COUNT(*) AS f,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+             CAST(SUM(CAST(FLOOR((o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS mn
       FROM orders GROUP BY 1
     ), anch AS (
       SELECT CAST(MAX(o_orderdate) AS DATE) AS anchor FROM orders
     ), scored AS (
-      SELECT o_custkey, f, m,
+      SELECT o_custkey, f, mn,
              date_diff('day', last_order, (SELECT anchor FROM anch)) AS r_days
       FROM cust
     ), q AS (
-      SELECT o_custkey, f, m, r_days,
+      SELECT o_custkey, f, mn, r_days,
              ntile(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
              ntile(4) OVER (ORDER BY f, o_custkey) AS f_q,
-             ntile(4) OVER (ORDER BY CAST(m AS DOUBLE), o_custkey) AS m_q
+             ntile(4) OVER (ORDER BY CAST(mn AS DOUBLE) / 100.0, o_custkey) AS m_q
       FROM scored
     )
     SELECT r_q, f_q, m_q,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(CAST(r_days AS BIGINT)) AS BIGINT) AS total_recency_days,
            CAST(SUM(f) AS BIGINT) AS total_orders,
-           CAST(SUM(m) AS DOUBLE) AS total_monetary
+           CAST(CAST(SUM(mn) AS BIGINT) AS DOUBLE) / 100.0 AS total_monetary
     FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
     tags=("rfm", "segmentation", "ntile", "analytics"),
@@ -1538,8 +1535,9 @@ def customer_rfm_segments(spark, sf_dir):
     CUSTOMER relation (orders of magnitude below the fact table; the
     fact table pays exactly one groupBy).  Quartile 1 = most recent /
     least frequent / smallest spend — ascending NTILE with a custkey
-    tie-break, so both engines assign identical buckets; monetary stays
-    an exact DECIMAL until the final double."""
+    tie-break, so both engines assign identical buckets; monetary flows
+    as the exact int64 cent numerator (dnum) through the re-sum, one
+    double conversion at the end."""
     from prod_data_pipeline_spark.operators.ranking import (
         bucketed_global_rank,
         ntile_from_rank,
@@ -1549,13 +1547,13 @@ def customer_rfm_segments(spark, sf_dir):
     cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("f"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m"),
+        dnum("o_totalprice").alias("mn"),
     )
     anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
     scored = cust.join(F.broadcast(anchor)).select(
         "o_custkey",
         "f",
-        "m",
+        "mn",
         F.datediff(F.col("anchor"), F.col("last_order")).alias("r_days"),
     )
     # Each bucketed_global_rank references its input several times
@@ -1566,7 +1564,7 @@ def customer_rfm_segments(spark, sf_dir):
     cur = scored.transform(truncate_lineage, eager=False)
     for metric, alias in (("r_days", "r_q"), ("f", "f_q"), ("m_d", "m_q")):
         if metric == "m_d":
-            cur = cur.withColumn("m_d", F.col("m").cast("double"))
+            cur = cur.withColumn("m_d", num_to_double(F.col("mn")))
         ranked = bucketed_global_rank(cur, [metric, "o_custkey"])
         cur = ranked.withColumn(
             alias, ntile_from_rank(F.col("rank"), F.col("n_total"), 4)
@@ -1577,7 +1575,7 @@ def customer_rfm_segments(spark, sf_dir):
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.col("r_days").cast("long")).cast("long").alias("total_recency_days"),
             F.sum("f").cast("long").alias("total_orders"),
-            F.sum("m").cast("double").alias("total_monetary"),
+            num_to_double(F.sum("mn")).alias("total_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
     )
@@ -1588,20 +1586,21 @@ def customer_rfm_segments(spark, sf_dir):
     oracle="""
     WITH rev AS (
       SELECT p.p_type, l.l_suppkey,
-             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS r
+             CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rn
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY 1, 2
     ), tot AS (
-      SELECT p_type, SUM(r) AS t, COUNT(*) AS n_suppliers FROM rev GROUP BY 1
+      SELECT p_type, CAST(SUM(rn) AS BIGINT) AS tn, COUNT(*) AS n_suppliers
+      FROM rev GROUP BY 1
     ), shares AS (
       SELECT rev.p_type,
-             ROUND(CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE), 9) AS s,
+             ROUND(CAST(rev.rn AS DOUBLE) / CAST(tot.tn AS DOUBLE), 9) AS s,
              tot.n_suppliers
       FROM rev JOIN tot USING (p_type)
     )
     SELECT p_type,
            CAST(ANY_VALUE(n_suppliers) AS BIGINT) AS n_suppliers,
-           CAST(SUM(CAST(ROUND(10000 * s * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS hhi
+           CAST((CAST(CAST(SUM(CAST(FLOOR((ROUND(10000 * s * s, 6)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0) AS DOUBLE) AS hhi
     FROM shares GROUP BY p_type ORDER BY p_type
     """,
     tags=("analytics", "concentration", "hhi"),
@@ -1610,41 +1609,33 @@ def supplier_concentration_hhi(spark, sf_dir):
     """Supplier-concentration Herfindahl–Hirschman index per part type:
     HHI = Σ (100·share)² over each type's suppliers — the standard
     market-concentration screen (≥2500 = highly concentrated), here
-    auditing supply-chain single-source risk.  Revenue shares come from
-    exact DECIMAL sums; each squared share is rounded to 6 digits before
-    the exact DECIMAL re-sum, so the index is order-independent at any
-    parallelism.  One fact shuffle on (type, suppkey); the per-type
-    totals ride the same key space."""
+    auditing supply-chain single-source risk.  Revenue flows as exact
+    int64 numerators (dnum) through the per-type re-sum — shares divide
+    numerator by numerator-total so the ratio is scale-free — and each
+    squared share is rounded to 6 digits before the exact long-numerator
+    re-sum, so the index is order-independent at any parallelism.  One
+    fact shuffle on (type, suppkey); the per-type totals ride the same
+    key space."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .groupBy("p_type", "l_suppkey")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ).alias("r")
-        )
+        .agg(dnum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rn"))
     )
     tot = rev.groupBy("p_type").agg(
-        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+        F.sum("rn").alias("tn"), F.count(F.lit(1)).alias("n_suppliers")
     )
     shares = rev.join(tot, "p_type").select(
         "p_type",
         "n_suppliers",
-        F.round(F.col("r").cast("double") / F.col("t").cast("double"), 9).alias("s"),
+        F.round(F.col("rn").cast("double") / F.col("tn").cast("double"), 9).alias("s"),
     )
     return (
         shares.groupBy("p_type")
         .agg(
             F.first("n_suppliers").cast("long").alias("n_suppliers"),
-            F.sum(
-                F.round(F.lit(10000) * F.col("s") * F.col("s"), 6).cast("decimal(18,6)")
-            )
-            .cast("double")
-            .alias("hhi"),
+            dsum(F.round(F.lit(10000) * F.col("s") * F.col("s"), 6), 6).alias("hhi"),
         )
         .orderBy("p_type")
     )
@@ -1844,10 +1835,10 @@ def basket_part_pair_lift(spark, sf_dir):
       FROM pts WHERE n > 0 AND v > 0
     ), s AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+             CAST((CAST(CAST(SUM(CAST(FLOOR((x) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sx,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((y) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sy,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((ROUND(x * y, 9)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sxy,
+             CAST((CAST(CAST(SUM(CAST(FLOOR((ROUND(x * x, 9)) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0) AS DOUBLE) AS sxx
       FROM xy
     )
     SELECT CAST(s.n AS BIGINT) AS n_checkpoints,
@@ -1921,10 +1912,10 @@ def docs_heaps_law_fit(spark, sf_dir):
     )
     s = xy.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(18,9)")).cast("double").alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(18,9)")).cast("double").alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)")).cast("double").alias("sxx"),
+        dsum("x", 9).alias("sx"),
+        dsum("y", 9).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("y"), 9), 9).alias("sxy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9), 9).alias("sxx"),
     )
     fin = pts.filter(F.col("k") == 10).select(
         F.col("v").cast("long").alias("vocab_final"),
@@ -2512,7 +2503,7 @@ def sessions_peak_concurrency(spark, sf_dir):
       FROM embeddings e JOIN carr a USING (label)
     ), own AS (
       SELECT label, COUNT(*) AS n_vecs,
-             ROUND(CAST(SUM(CAST(cs AS DECIMAL(18,10))) AS DOUBLE) / COUNT(*), 6)
+             ROUND(CAST((CAST(CAST(SUM(CAST(FLOOR((cs) * 10000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000000000.0) AS DOUBLE) / COUNT(*), 6)
                AS mean_cos_own
       FROM rowcos GROUP BY label
     ), cc AS (
@@ -2586,7 +2577,7 @@ def emb_label_separation(spark, sf_dir):
     own = rowcos.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(
-            F.sum(F.col("cs").cast("decimal(18,10)")).cast("double") / F.count(F.lit(1)),
+            dsum("cs", 10) / F.count(F.lit(1)),
             6,
         ).alias("mean_cos_own"),
     )
@@ -2830,7 +2821,7 @@ def _threshold_sweep_oracle_sql(thresholds: tuple[float, ...]) -> str:
            CAST((SELECT COUNT(DISTINCT v) FROM ends WHERE jac >= theta) AS BIGINT)
              AS n_nodes,
            ROUND(COALESCE(
-             (SELECT CAST(SUM(CAST(jac AS DECIMAL(18,8))) AS DOUBLE)
+             (SELECT CAST((CAST(CAST(SUM(CAST(FLOOR((jac) * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100000000.0) AS DOUBLE)
                      / COUNT(*) FROM scored WHERE jac >= theta), 0.0), 6) AS avg_jaccard
     FROM thetas ORDER BY theta
     """
@@ -2875,7 +2866,7 @@ def docs_dup_threshold_sweep(spark, sf_dir):
     agg_pairs = kept.groupBy("theta").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(
-            F.sum(F.col("jaccard").cast("decimal(18,8)")).cast("double")
+            dsum("jaccard", 8)
             / F.count(F.lit(1)),
             6,
         ).alias("avg_jaccard"),
