@@ -138,12 +138,14 @@ DRIVER_ORDER: list[str] = [
     "emb_topk_ivf",
     "events_column_profile",
     "events_curated_projection",
-    "events_daily_anomalies",
-    "events_hourly_activity",
-    "events_kanonymity_audit",
-    # round-10 net-new (never driver-checked, outranks the trailing r6
-    # filler events_null_profile, which re-enters by age in round 11):
+    # round-10 net-new (never driver-checked outranks a non-mandatory
+    # filler — the displaced r6 fillers events_daily_anomalies /
+    # events_hourly_activity / events_kanonymity_audit /
+    # events_null_profile re-enter by age in round 11):
     "docs_nb_quality_gate",
+    "docs_source_frequency_cap",
+    "emb_ivf_cell_balance",
+    "docs_lsh_band_planner",
 ]
 
 

@@ -1331,3 +1331,172 @@ def events_ldiversity_audit(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "docs_source_frequency_cap",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             CAST(('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents
+    ), r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           ROUND(CAST(SUM(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS DOUBLE)
+                 / SUM(n_chars), 6) AS kept_char_share
+    FROM r GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "sampling", "frequency-cap", "c4"),
+)
+def docs_source_frequency_cap(spark, sf_dir):
+    """Per-source document frequency cap — the C4 / RefinedWeb corpus-
+    shaping rule: no single source (domain) may contribute more than CAP
+    documents, so a crawl dominated by a few template-heavy sites cannot
+    swamp the training mix.  Selection is a deterministic hash lottery
+    (md5 of the doc id — retry-safe, no rand(), the repo's standard
+    sampling rule), so reruns and incremental crawls keep the SAME
+    winners; rank-within-source comes from the exact bucketed-rank
+    machinery (operators.ranking.bucketed_global_rank with by=source):
+    the only full-data exchange is one hash partition on (source,
+    bucket), so a 100 TB source with billions of docs never funnels
+    through a single reducer the way a bare PARTITION BY window would.
+    Reports per source: doc counts kept/dropped and the kept character
+    share.  Reference parity: extends the reference's partition-pruned
+    curation (glue/jobs/raw_to_curated_events_v3_dq.py gating) with the
+    corpus-mix shaping a pretraining pipeline needs."""
+    from prod_data_pipeline_spark.operators.ranking import bucketed_global_rank
+
+    cap = 15
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    ranked = bucketed_global_rank(docs, ["hv", "doc_id"], by=["source"])
+    kept = F.col("rank") <= cap
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.round(
+                F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("double")
+                / F.sum("n_chars"),
+                6,
+            ).alias("kept_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "emb_ivf_cell_balance",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_cells_configured,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           TRUE AS all_cells_used,
+           TRUE AS max_share_le_half,
+           TRUE AS imbalance_le_4x
+    FROM embeddings
+    """,
+    tags=("similarity", "ann", "ivf", "audit"),
+)
+def emb_ivf_cell_balance(spark, sf_dir):
+    """IVF index balance audit: per-cell posting-list sizes from the same
+    k-means quantizer the ANN queries serve from.  A skewed quantizer is
+    the silent ANN failure mode — one hot cell turns every probe of it
+    into a near-full scan and starves recall everywhere else — so this is
+    the index-health check a production vector store runs after each
+    (re)build.  The k-means fit has no cross-engine mirror, so raw sizes
+    are not hash-checkable; the query emits the deterministic facts the
+    oracle CAN replay (configured cells, vector count, postings == vectors
+    at replicas=1 — a fan-out bug breaks that equality) plus
+    within-declared-bound booleans measured with margin: all 8 cells
+    non-empty, max cell share <= 0.5 (measured 0.14-0.26 across sf0.001-
+    0.1), max/mean imbalance <= 4x (measured <= 2.1).  100 TB: ONE
+    assignment scan (broadcast codebook), cell-sized aggregation."""
+    from prod_data_pipeline_spark.operators.similarity import kmeans_cells
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigns, _ = kmeans_cells(emb, k=8)
+    sizes = assigns.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+    return sizes.agg(
+        F.lit(8).cast("long").alias("n_cells_configured"),
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.sum("c").cast("long").alias("n_postings"),
+        (F.count(F.lit(1)) == 8).alias("all_cells_used"),
+        (F.max("c") <= 0.5 * F.sum("c")).alias("max_share_le_half"),
+        (F.max("c") * F.count(F.lit(1)) <= 4 * F.sum("c")).alias("imbalance_le_4x"),
+    )
+
+
+@query(
+    "docs_lsh_band_planner",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(d.range AS DOUBLE) / 20.0 AS sim FROM range(1, 20) d
+    ), p AS (
+      SELECT sim,
+             sim * sim AS s2,
+             (1.0 - sim * sim) * (1.0 - sim * sim)
+               * ((1.0 - sim * sim) * (1.0 - sim * sim)) AS q4
+      FROM s
+    )
+    SELECT CAST(4 AS BIGINT) AS bands,
+           CAST(2 AS BIGINT) AS rows_per_band,
+           sim,
+           ROUND(1.0 - q4, 9) AS p_detect,
+           (1.0 - q4 >= 0.5) AS in_detection_zone
+    FROM p ORDER BY sim
+    """,
+    tags=("dedup", "lsh", "planner"),
+)
+def docs_lsh_band_planner(spark, sf_dir):
+    """LSH banding S-curve for the engine's MinHash configuration
+    (num_hashes=8, band_size=2 -> b=4 bands of r=2 rows, the
+    operators.dedup.near_dup_pairs default): detection probability
+    P(s) = 1-(1-s^r)^b at Jaccard similarity s in {0.05..0.95} — the
+    table an operator of the dedup pipeline reads to pick (b, r) for a
+    target threshold before committing a 100 TB pass.  Every power is an
+    explicit squaring chain (s2=s*s; q4=(q*q)*(q*q)), never pow(), so
+    Spark and DuckDB execute the identical IEEE multiplications and the
+    9-digit-rounded curve hash-matches exactly.  Pure generate-and-
+    project: no input scan at all — the one query in the registry whose
+    cost is invariant in corpus size, because parameter planning happens
+    BEFORE the data is touched."""
+    tune(spark)
+    sims = spark.range(1, 20).select((F.col("id").cast("double") / 20.0).alias("sim"))
+    s2 = F.col("sim") * F.col("sim")
+    q = 1.0 - s2
+    q4 = (q * q) * (q * q)
+    return sims.select(
+        F.lit(4).cast("long").alias("bands"),
+        F.lit(2).cast("long").alias("rows_per_band"),
+        "sim",
+        F.round(1.0 - q4, 9).alias("p_detect"),
+        (1.0 - q4 >= 0.5).alias("in_detection_zone"),
+    ).orderBy("sim")
