@@ -137,15 +137,16 @@ DRIVER_ORDER: list[str] = [
     "emb_top_principal_component",
     "emb_topk_ivf",
     "events_column_profile",
-    "events_curated_projection",
     # round-10 net-new (never driver-checked outranks a non-mandatory
     # filler — the displaced r6 fillers events_daily_anomalies /
     # events_hourly_activity / events_kanonymity_audit /
-    # events_null_profile re-enter by age in round 11):
+    # events_null_profile / events_curated_projection re-enter by age
+    # in round 11):
     "docs_nb_quality_gate",
     "docs_source_frequency_cap",
     "emb_ivf_cell_balance",
     "docs_lsh_band_planner",
+    "emb_pq_recall_vs_exact",
 ]
 
 

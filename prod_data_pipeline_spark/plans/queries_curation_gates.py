@@ -1500,3 +1500,115 @@ def docs_lsh_band_planner(spark, sf_dir):
         F.round(1.0 - q4, 9).alias("p_detect"),
         (1.0 - q4 >= 0.5).alias("in_detection_zone"),
     ).orderBy("sim")
+
+
+@query(
+    "emb_pq_recall_vs_exact",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, ROUND(SUM(e[pos]) / COUNT(*), 6) AS c
+      FROM v, unnest(range(1, len(e) + 1)) AS t(pos)
+      GROUP BY 1, 2
+    ), carr AS (
+      SELECT label, list(c ORDER BY pos) AS carr,
+             ROW_NUMBER() OVER (ORDER BY label) - 1 AS idx
+      FROM cent GROUP BY label
+    ), dist AS (
+      SELECT v.vec_id, t.m, ca.idx,
+             floor(list_sum(list_transform(range(1, 9),
+                 i -> (v.e[8*t.m + i] - ca.carr[8*t.m + i])
+                    * (v.e[8*t.m + i] - ca.carr[8*t.m + i])))
+                   * 1099511627776.0) / 1099511627776.0 AS d
+      FROM v, unnest(range(8)) AS t(m), carr ca
+    ), codes AS (
+      SELECT vec_id, m, idx AS code FROM (
+        SELECT vec_id, m, idx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, idx) AS rn
+        FROM dist) WHERE rn = 1
+    ), qd AS (
+      SELECT vec_id AS qid, m, idx, d FROM dist WHERE vec_id < 8
+    ), adc AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id, SUM(q.d) AS dist
+      FROM codes c JOIN qd q ON q.m = c.m AND q.idx = c.code
+      WHERE q.qid <> c.vec_id
+      GROUP BY 1, 2
+    ), adc_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.qe)+1),
+                          i -> (q.qe[i] - v.e[i]) * (q.qe[i] - v.e[i])))
+                 ASC, v.vec_id) AS rnk
+        FROM q, v WHERE q.query_id <> v.vec_id
+      ) WHERE rnk <= 5
+    ), matched AS (
+      SELECT e.query_id, COUNT(a.neighbor_id) AS n_match
+      FROM exact_top e LEFT JOIN adc_top a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(n_match AS BIGINT) AS n_match,
+           CAST(n_match AS DOUBLE) / 5.0 AS recall
+    FROM matched ORDER BY query_id
+    """,
+    tags=("similarity", "ann", "pq", "quality"),
+)
+def emb_pq_recall_vs_exact(spark, sf_dir):
+    """Recall@5 of PQ asymmetric-distance search against the exact
+    squared-L2 ground truth — the compression-vs-quality audit every PQ
+    deployment runs before trading 64 floats for 8 codes.  Unlike the
+    IVF recall audits (k-means quantizer, bounded-boolean oracle), BOTH
+    sides replay bit-for-bit in DuckDB — the deterministic label-mean
+    codebook (pq_codebook), the 2^-40-quantized sub-distances, the
+    (distance, id) tie-breaks, and the exact L2 fold — so the PER-QUERY
+    intersection counts are full-hash-checked, the strongest oracle form
+    an approximate-search audit can have.  Measured recall@5 on the
+    near-random synthetic vectors is honestly low (0-2 of 5 per query at
+    sf0.01: 20 label-mean codes can barely separate isotropic noise —
+    the regime where PQ is WORST) — which is precisely what this audit
+    exists to surface before a deployment trusts the compressed index.
+    100 TB: the PQ side scans
+    codes (8 small ints per vector), the ground-truth side is one
+    broadcast-query corpus scan; the intersection joins two rank-list-
+    sized relations."""
+    from prod_data_pipeline_spark.operators.similarity import l2_topk, pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    adc = pq_adc_topk(emb, queries_df, k=5, m=8).select("query_id", "neighbor_id")
+    exact = l2_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    # matches = exact-list rows that also appear in the ADC list (semi join
+    # on (query_id, neighbor_id) — two rank-list-sized relations)
+    hits = exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
+    per = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_match")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+            (F.coalesce("n_match", F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall"
+            ),
+        )
+    )
+    return per.orderBy("query_id")
