@@ -6,10 +6,14 @@ with an equivalent ANSI-SQL string the DuckDB oracle runs over the same
 parquet tables.  Conventions that make the value-hash comparison exact:
 
 - every computed column is aliased identically on both sides;
-- money-style double sums go through DECIMAL(18,s) (exact, order-independent
-  addition — a parallel double sum is not reproducible) and are cast back to
-  DOUBLE at the end, so both engines emit bit-identical values;
-- averages are written as CAST(exact_sum AS DOUBLE) / count — one double
+- money-style double sums use the long-numerator recipe
+  (query_registry.dsum/dnum: sum(floor(x*10^s + 0.5)) over int64 — exact,
+  order-independent, fully codegen'd — one long->double cast + division by
+  the exactly-representable 10^s at the end; identical IEEE ops in both
+  engines, ~5x cheaper than the former DECIMAL(18,s) path).  Two-level
+  re-aggregations keep the NUMERATOR flowing (dnum -> num_to_double);
+  second moments whose numerators could overflow int64 stay DECIMAL;
+- averages are written as (exact_sum_as_double) / count — one double
   division instead of engine-specific AVG accumulation;
 - top-k queries always carry a unique tie-break key;
 - ``events.ts`` is parquet TIMESTAMP(NANOS): Spark reads int64 nanos
@@ -136,17 +140,17 @@ DRIVER_ORDER: list[str] = [
     "emb_srp_near_dup_pairs",
     "emb_top_principal_component",
     "emb_topk_ivf",
-    "events_column_profile",
     # round-10 net-new (never driver-checked outranks a non-mandatory
     # filler — the displaced r6 fillers events_daily_anomalies /
     # events_hourly_activity / events_kanonymity_audit /
-    # events_null_profile / events_curated_projection re-enter by age
-    # in round 11):
+    # events_null_profile / events_curated_projection /
+    # events_column_profile re-enter by age in round 11):
     "docs_nb_quality_gate",
     "docs_source_frequency_cap",
     "emb_ivf_cell_balance",
     "docs_lsh_band_planner",
     "emb_pq_recall_vs_exact",
+    "user_session_gap_sensitivity",
 ]
 
 

@@ -1612,3 +1612,96 @@ def emb_pq_recall_vs_exact(spark, sf_dir):
         )
     )
     return per.orderBy("query_id")
+
+
+@query(
+    "user_session_gap_sensitivity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_ts,
+             CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), f AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 900000000
+                  THEN 1 ELSE 0 END AS n15,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS n30,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+                  THEN 1 ELSE 0 END AS n60
+      FROM g
+    ), tot AS (
+      SELECT SUM(n15) AS s15, SUM(n30) AS s30, SUM(n60) AS s60,
+             COUNT(DISTINCT user_id) AS nu, COUNT(*) AS ne
+      FROM f
+    )
+    SELECT t.gap_s,
+           CAST(CASE t.gap_s WHEN 900 THEN s15 WHEN 1800 THEN s30
+                ELSE s60 END AS BIGINT) AS n_sessions,
+           CAST(nu AS BIGINT) AS n_users,
+           CAST(ne AS BIGINT) AS n_events,
+           ROUND(CAST(CASE t.gap_s WHEN 900 THEN s15 WHEN 1800 THEN s30
+                      ELSE s60 END AS DOUBLE) / nu, 6) AS sessions_per_user
+    FROM tot, (VALUES (900), (1800), (3600)) AS t(gap_s)
+    ORDER BY t.gap_s
+    """,
+    tags=("window", "sessionization", "sweep"),
+)
+def user_session_gap_sensitivity(spark, sf_dir):
+    """Sessionization gap-parameter sweep: session counts at inactivity
+    thresholds 15 / 30 / 60 min from ONE lag pass — the sensitivity
+    table an analytics team reads before committing to a session
+    definition (a count that swings hard between 15 and 60 min means
+    the metric is an artifact of the threshold, not of user behavior).
+    The three thresholds are conditional sums over the SAME (user, ts)
+    window — one exchange + one sort regardless of how many gap points
+    the sweep carries, the nprobe-sweep pattern applied to
+    sessionization (re-running user_sessions per gap would pay the
+    window shuffle per point).  Gap arithmetic in integer epoch-micros
+    on both engines, per the user_sessions convention."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    flag = lambda s: F.when(prev.isNull() | (gap_us > s * 1_000_000), 1).otherwise(0)
+    tot = ev.select(
+        "user_id",
+        flag(900).alias("n15"),
+        flag(1800).alias("n30"),
+        flag(3600).alias("n60"),
+    ).agg(
+        F.sum("n15").alias("s15"),
+        F.sum("n30").alias("s30"),
+        F.sum("n60").alias("s60"),
+        F.countDistinct("user_id").alias("nu"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    stacked = tot.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("gap_s"), F.col(c).alias("s")
+                    )
+                    for g, c in ((900, "s15"), (1800, "s30"), (3600, "s60"))
+                ]
+            )
+        ).alias("t"),
+        "nu",
+        "ne",
+    )
+    return stacked.select(
+        F.col("t.gap_s").cast("int").alias("gap_s"),
+        F.col("t.s").cast("long").alias("n_sessions"),
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("ne").cast("long").alias("n_events"),
+        F.round(F.col("t.s").cast("double") / F.col("nu"), 6).alias(
+            "sessions_per_user"
+        ),
+    ).orderBy("gap_s")
