@@ -51,33 +51,21 @@ from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
 # ---------------------------------------------------------------------------
 # Driver ordering.  The grading driver's correctness gate checks only the
 # FIRST 50 queries() entries in dict order, so registration order is a
-# visibility policy, not just cosmetics.  The round-7 window is the output
-# of `python -m tools.rotation --propose` applied verbatim (round-6
-# verdict directive #1): oldest driver evidence first.
-#   1. the 3 pinned bench sentinels (events_per_day, q1_pricing_summary,
-#      docs_near_dup_pairs — advisor round-5 ask: high-traffic queries
-#      stay in-window every round so regressions surface externally);
-#   2. the full r03-stale cohort — all 41 queries whose latest driver
-#      CORRECTNESS row dates to round 3 (TPC-H q10/q14/q15/q21/q22,
-#      events_value_quantiles, events_funnel_daily, media_decode_profile,
-#      the SCD/CDC family, ...). After round 7 runs, no registered
-#      query's evidence is older than r4.  This cohort includes the three
-#      historically rows-only queries (events_approx_distinct_users,
-#      events_hll_mergeable_users, emb_ivf_recall), which round 7
-#      re-projects with exact companions + within-bound booleans so they
-#      return hash-checked for the first time (verdict directive #2);
-#   3. round 7's net-new operators, never driver-checked.  The mandatory
-#      set (3 sentinels + 41 stale) leaves exactly 6 slots; round 7 added
-#      8 queries, so docs_langid_eval and docs_padding_waste DEFER to the
-#      front of round 8's window under the stale-first rule
-#      (tools/rotation.py policy #3) — both are hash-checked against
-#      their DuckDB oracles at sf0.001 by the local suite every round in
-#      the meantime.
-# Every deferred query is still replayed against its oracle at sf0.001 by
-# the local test suite each round; the structural bound is
-# ceil(n_queries/50) rounds between driver rows per query, and round 7
-# keeps net-new queries ≤15 (verdict directive #6) so max staleness stays
-# ≤3 rounds.  `tools/rotation.py --propose` regenerates next round's list.
+# visibility policy, not just cosmetics.  Each round's window is the output
+# of `python -m tools.rotation --propose`, oldest driver evidence first:
+#   1. the 3 pinned bench sentinels (DRIVER_SENTINELS — high-traffic
+#      queries stay in-window every round so regressions surface
+#      externally, advisor round-5 ask);
+#   2. every query whose latest CORRECTNESS row is at the capacity-derived
+#      freshness budget (ceil(n_queries / 47 non-sentinel slots) rounds —
+#      the fastest full rotation the window physically permits);
+#   3. net-new queries, never driver-checked (these outrank non-mandatory
+#      fillers); remaining slots fill oldest-first.
+# Every out-of-window query is still replayed against its oracle at
+# sf0.001 by the local test suite each round (tests/test_queries_parity.py
+# runs the full sweep), so the driver window is re-confirmation, not the
+# only gate.  The policy itself is pytest-enforced
+# (test_driver_order_policy) and `python -m tools.rotation` audits it.
 # ---------------------------------------------------------------------------
 
 #: Bench-headline sentinels pinned in every round's window (advisor ask).
@@ -139,18 +127,18 @@ DRIVER_ORDER: list[str] = [
     "emb_semdedup_stats",
     "emb_srp_near_dup_pairs",
     "emb_top_principal_component",
-    "emb_topk_ivf",
     # round-10 net-new (never driver-checked outranks a non-mandatory
     # filler — the displaced r6 fillers events_daily_anomalies /
     # events_hourly_activity / events_kanonymity_audit /
     # events_null_profile / events_curated_projection /
-    # events_column_profile re-enter by age in round 11):
+    # events_column_profile / emb_topk_ivf re-enter by age in round 11):
     "docs_nb_quality_gate",
     "docs_source_frequency_cap",
     "emb_ivf_cell_balance",
     "docs_lsh_band_planner",
     "emb_pq_recall_vs_exact",
     "user_session_gap_sensitivity",
+    "docs_near_dup_threshold_sweep",
 ]
 
 

@@ -1705,3 +1705,140 @@ def user_session_gap_sensitivity(spark, sf_dir):
             "sessions_per_user"
         ),
     ).orderBy("gap_s")
+
+
+@query(
+    "docs_near_dup_threshold_sweep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh_0,
+             list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh_1,
+             list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh_2,
+             list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh_3,
+             list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min') AS mh_4,
+             list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min') AS mh_5,
+             list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min') AS mh_6,
+             list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min') AS mh_7
+      FROM s
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig WHERE len(sh) > 0
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+               AS jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.3
+    ), agg AS (
+      SELECT
+        SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS c30,
+        CAST(SUM(CASE WHEN jaccard >= 0.3
+                 THEN CAST(FLOOR(jaccard * 10000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS j30,
+        SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS c50,
+        CAST(SUM(CASE WHEN jaccard >= 0.5
+                 THEN CAST(FLOOR(jaccard * 10000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS j50,
+        SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS c70,
+        CAST(SUM(CASE WHEN jaccard >= 0.7
+                 THEN CAST(FLOOR(jaccard * 10000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS j70,
+        SUM(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS c90,
+        CAST(SUM(CASE WHEN jaccard >= 0.9
+                 THEN CAST(FLOOR(jaccard * 10000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS j90
+      FROM pairs
+    )
+    SELECT t.threshold,
+           CAST(CASE t.threshold WHEN 0.3 THEN c30 WHEN 0.5 THEN c50
+                WHEN 0.7 THEN c70 ELSE c90 END AS BIGINT) AS n_pairs,
+           CASE WHEN (CASE t.threshold WHEN 0.3 THEN c30 WHEN 0.5 THEN c50
+                      WHEN 0.7 THEN c70 ELSE c90 END) > 0
+                THEN (CAST(CASE t.threshold WHEN 0.3 THEN j30 WHEN 0.5 THEN j50
+                           WHEN 0.7 THEN j70 ELSE j90 END AS DOUBLE) / 10000.0)
+                     / (CASE t.threshold WHEN 0.3 THEN c30 WHEN 0.5 THEN c50
+                        WHEN 0.7 THEN c70 ELSE c90 END)
+                ELSE 0.0 END AS mean_jaccard
+    FROM agg, (VALUES (0.3), (0.5), (0.7), (0.9)) AS t(threshold)
+    ORDER BY t.threshold
+    """,
+    tags=("dedup", "lsh", "sweep"),
+)
+def docs_near_dup_threshold_sweep(spark, sf_dir):
+    """Near-dup threshold sweep: verified-pair counts and mean Jaccard at
+    thresholds {0.3, 0.5, 0.7, 0.9} from ONE MinHash-LSH candidate pass —
+    the observed companion to docs_lsh_band_planner's theoretical
+    S-curve, and the table a curation team reads to pick the dedup
+    threshold (a count cliff between 0.5 and 0.7 means the corpus has a
+    near-dup band there; re-running the pipeline per threshold would pay
+    the signature + banding + verify cost per point).  Sweep points are
+    conditional sums over the SAME verified (pair, jaccard) relation —
+    the nprobe/gap-sweep pattern applied to dedup tuning.  Mean Jaccard
+    flows as an exact scale-4 numerator (the pre-rounded verify output)
+    through int64 sums, converted once and divided by the exact count —
+    no rounding after float math, so the full-precision double
+    hash-matches.  100 TB: identical cost to docs_near_dup_pairs at the
+    lowest threshold; the sweep adds only a fixed-width aggregate."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.3, hash_fn="md5", sort=False)
+    num = lambda t: F.sum(
+        F.when(
+            F.col("jaccard") >= t,
+            F.floor(F.col("jaccard") * F.lit(10000.0) + F.lit(0.5)),
+        ).otherwise(F.lit(0))
+    )
+    cnt = lambda t: F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+    agg = pairs.agg(
+        *[c for t, tag in ((0.3, "30"), (0.5, "50"), (0.7, "70"), (0.9, "90"))
+          for c in (cnt(t).alias(f"c{tag}"), num(t).alias(f"j{tag}"))]
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold"),
+                        F.col(f"c{tag}").alias("c"),
+                        F.col(f"j{tag}").alias("j"),
+                    )
+                    for t, tag in ((0.3, "30"), (0.5, "50"), (0.7, "70"), (0.9, "90"))
+                ]
+            )
+        ).alias("t")
+    )
+    return stacked.select(
+        F.col("t.threshold").alias("threshold"),
+        F.col("t.c").cast("long").alias("n_pairs"),
+        F.when(
+            F.col("t.c") > 0,
+            (F.col("t.j").cast("double") / F.lit(10000.0)) / F.col("t.c"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_jaccard"),
+    ).orderBy("threshold")
