@@ -76,76 +76,72 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-10 window (tools/rotation.py --propose, capacity-derived
+    # --- round-11 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
-    # full r5-aged cohort of 19 (oldest evidence in the registry — verdict
-    # r9 directive #1), then r6-aged rows oldest-first to fill the 50
-    # slots.  Round-10 net-new queries (kept ≤10 per the directive) are
-    # appended at the END of this list, displacing trailing r6 fillers
-    # (never-checked outranks a non-mandatory filler — rotation policy
-    # #3); displaced fillers re-enter by age in round 11. ---
+    # full r6-aged cohort of 26 (expires this round — verdict r10
+    # directive #1), then the ~21 OLDEST r7 rows to pre-drain round 12's
+    # 47-row r7 bulge (exactly one full window would otherwise come due at
+    # once).  Round-11 net-new queries (kept ≤5 per the directive) are
+    # appended at the END, displacing trailing r7 fillers (never-checked
+    # outranks a non-mandatory filler — rotation policy #3); a displaced
+    # r7 filler lands in round 12's mandatory set by age. ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "events_ewma_anomalies",
-    "events_scd2_asof_snapshot",
-    "events_type_markov_stationary",
-    "events_value_sketch_quantiles",
-    "fk_integrity_audit",
-    "lineitem_mahalanobis_outliers",
-    "media_audio_dominant_band",
-    "media_image_edge_density",
-    "media_image_phash_groups",
-    "media_video_motion_energy",
-    "media_video_scene_changes",
-    "orders_benford_audit",
-    "orders_pareto_frontier",
-    "orders_revenue_trend_ols",
-    "parts_adamic_adar_links",
-    "parts_related_by_ppr",
-    "sessions_peak_concurrency",
-    "supplier_concentration_hhi",
-    "users_frequent_type_sequences",
-    "customer_revenue_gini",
-    "customer_rfm_segments",
-    "docs_bigram_logprob",
-    "docs_bpe_merge_candidates",
-    "docs_bpe_second_merge",
-    "docs_bpe_train_16",
-    "docs_cross_source_dup_matrix",
-    "docs_distribution_shift",
-    "docs_filter_funnel",
-    "docs_incremental_dedup",
-    "docs_packed_bins",
-    "docs_quality_weighted_sample",
-    "docs_rag_chunk_stats",
-    "docs_shard_assignment",
-    "docs_source_token_cap",
-    "docs_taint_blast_radius",
-    "docs_zipf_fit",
-    "emb_matryoshka_energy",
-    "emb_semdedup_stats",
-    "emb_srp_near_dup_pairs",
-    "emb_top_principal_component",
-    # round-10 net-new (never driver-checked outranks a non-mandatory
-    # filler — the displaced r6 fillers events_daily_anomalies /
-    # events_hourly_activity / events_kanonymity_audit /
-    # events_null_profile / events_curated_projection /
-    # events_column_profile / emb_topk_ivf re-enter by age in round 11):
-    "docs_nb_quality_gate",
-    "docs_source_frequency_cap",
-    "emb_ivf_cell_balance",
-    "docs_lsh_band_planner",
-    "emb_pq_recall_vs_exact",
-    "user_session_gap_sensitivity",
-    "docs_near_dup_threshold_sweep",
+    "emb_topk_ivf",
+    "events_column_profile",
+    "events_curated_projection",
+    "events_daily_anomalies",
+    "events_hourly_activity",
+    "events_kanonymity_audit",
+    "events_null_profile",
+    "events_per_day_sql",
+    "events_value_mad_outliers",
+    "join_key_skew_report",
+    "media_audio_band_hash_groups",
+    "media_audio_waveform_stats",
+    "media_feature_topk",
+    "media_video_frame_stats",
+    "media_video_framehash_groups",
+    "nation_keys_except_all",
+    "nation_keys_intersect",
+    "parts_fuzzy_name_matches",
+    "props_key_stats",
+    "q11_important_part_value",
+    "q20_promotable_suppliers",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "regional_nation_revenue",
+    "tables_fingerprint_audit",
+    "user_sessions",
+    "corpus_dup_clusters",
+    "docs_boilerplate_stats",
+    "docs_bpe_token_stats",
+    "docs_chunk_spans",
+    "docs_cluster_canonical_by_quality",
+    "docs_contamination",
+    "docs_pii_scrub_stats",
+    "docs_repetition_stats",
+    "docs_tfidf_top_terms",
+    "docs_token_budget",
+    "emb_cosine_near_dup_pairs",
+    "emb_hard_negatives",
+    "emb_ivf_recall",
+    "emb_label_centroids",
+    "events_approx_distinct_users",
+    "events_asof_last_view",
+    "events_clicks_before_purchase",
+    "events_daily_distinct_users",
+    "events_funnel_daily",
+    "events_hll_mergeable_users",
+    "events_latest_per_user",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 10's mandatory set (3 sentinels + 19 r5-aged rows)
-#: left 28 free slots, filled oldest-first from the r6 cohort; nothing
+#: rotation: round 11's mandatory set (3 sentinels + 26 r6-aged rows)
+#: left 21 free slots, filled oldest-first from the r7 cohort; nothing
 #: is deferred this round.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
