@@ -808,7 +808,11 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
     triangle_stats, never |V|^2.  Existing edges leave by a left-anti
     join on the canonical (min, max) pair.  Cross-engine determinism by
     the established recipe: per-neighbor weights rounded to 12 digits,
-    summed as exact DECIMAL (order-free), reported rounded to 6.
+    summed as exact int64 NUMERATORS (floor(w*1e12+0.5) — the round-11
+    dsum sweep; order-free, BigDecimal-free), reported via integer
+    half-up to 6 digits (no ROUND(double,6) tie hazard).  Bound:
+    |score|*1e12 < 2^63 — max weight 1/ln2 means ~6.4e6 common
+    neighbors per pair fit, far past any non-pathological graph.
 
     Weights use only nodes with deg >= 2 (a wedge center always has two
     distinct neighbors, so 1/ln(1) never arises; the filter keeps the
@@ -849,7 +853,7 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum(F.col("w").cast("decimal(20,12)")).alias("aa_dec"),
+            F.sum(F.floor(F.col("w") * F.lit(1e12) + F.lit(0.5))).alias("aa_n"),
         )
         .filter(F.col("common_neighbors") >= min_common)
     )
@@ -861,7 +865,10 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
         F.col("u").alias("id_a"),
         F.col("v").alias("id_b"),
         F.col("common_neighbors").cast("long").alias("common_neighbors"),
-        F.round(F.col("aa_dec").cast("double"), 6).alias("aa_score"),
+        (
+            F.floor((F.col("aa_n") + F.lit(500000)) / F.lit(1000000.0))
+            / F.lit(1000000.0)
+        ).alias("aa_score"),
     )
     out = out.transform(truncate_lineage, eager=True)
     e.unpersist()

@@ -424,15 +424,19 @@ def fasttext_style_scores(
     else:
         counted = F.col("f")
     ex = ex.join(F.broadcast(weights), "_b", "left")
-    wsum_scale = round_w + 2
+    # long-numerator sum (round-11 dsum sweep): weights are round_w-digit
+    # rounded, so floor(w*10^round_w + 0.5) recovers each exact integer
+    # numerator and the per-doc sum stays in codegen'd int64 — no
+    # BigDecimal per feature.  Bound: n_feats*max|w|*10^round_w < 2^63
+    # (9.2e11 features/doc at round_w=7 with |w|<=10 — unreachable).
+    m = F.lit(float(10**round_w))
     agg = ex.groupBy(id_col, *carry_cols).agg(
         F.count(counted).alias("n_feats"),
-        F.coalesce(
-            F.sum(F.col("_w").cast(f"decimal(28,{wsum_scale})")),
-            F.lit(0).cast(f"decimal(28,{wsum_scale})"),
-        )
-        .cast("double")
-        .alias("_wsum"),
+        (
+            F.coalesce(F.sum(F.floor(F.col("_w") * m + F.lit(0.5))), F.lit(0))
+            .cast("double")
+            / m
+        ).alias("_wsum"),
     )
     if bias_df is not None:
         agg = agg.crossJoin(F.broadcast(bias_df))

@@ -18,6 +18,7 @@ from prod_data_pipeline_spark.sources.readers import load_table
 
 from prod_data_pipeline_spark.plans.query_registry import (  # noqa: F401
     _t,
+    dsum,
     query,
 )
 from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
@@ -420,7 +421,8 @@ def docs_paragraph_dedup(spark, sf_dir):
       FROM prior_counts
     ), perdoc AS (
       SELECT e.doc_id, e.source, COUNT(b) AS n_feats,
-             CAST(COALESCE(SUM(CAST(w AS DECIMAL(28,9))), 0) AS DOUBLE)
+             CAST(CAST(COALESCE(SUM(CAST(FLOOR(w * 10000000.0 + 0.5) AS BIGINT)),
+                                0) AS BIGINT) AS DOUBLE) / 10000000.0
                AS wsum
       FROM ex e JOIN llr USING (b)
       GROUP BY 1, 2
@@ -436,7 +438,8 @@ def docs_paragraph_dedup(spark, sf_dir):
            CAST(SUM(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_kept,
            CAST(SUM(n_feats) AS BIGINT) AS n_feats,
-           ROUND(CAST(SUM(CAST(prob AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND((CAST(CAST(SUM(CAST(FLOOR(prob * 1000000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS DOUBLE) / 1000000.0)
                  / COUNT(*), 6) AS mean_prob
     FROM scored GROUP BY 1 ORDER BY 1
     """,
@@ -476,8 +479,7 @@ def docs_model_quality_gate(spark, sf_dir):
             F.sum(F.when(F.col("keeps"), 1).otherwise(0)).cast("long").alias("n_kept"),
             F.sum("n_feats").cast("long").alias("n_feats"),
             F.round(
-                F.sum(F.col("quality_prob").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                dsum("quality_prob", 6) / F.count(F.lit(1)),
                 6,
             ).alias("mean_prob"),
         )

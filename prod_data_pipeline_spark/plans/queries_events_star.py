@@ -982,17 +982,23 @@ def top_order_per_customer(spark, sf_dir):
     "user_running_value",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_value
+           ) AS BIGINT) AS DOUBLE) / 100.0 AS running_value
     FROM events ORDER BY event_id
     """,
     tags=("window",),
 )
 def user_running_value(spark, sf_dir):
-    """Running (prefix) sum per user — exact decimal accumulation so the
-    running values are order-independent-reproducible."""
+    """Running (prefix) sum per user — long-numerator accumulation
+    (round-11 dsum sweep): the window sums exact int64 numerators
+    floor(value*100+0.5) instead of one BigDecimal per frame step, and
+    each row pays ONE long->double cast + division.  Order-independent-
+    exact like the former DECIMAL form, ~BigDecimal-free in the window
+    accumulator (the hot path at 100 TB: every row of every user
+    re-touches the accumulator).  Bound: |prefix sum|*100 < 2^63 = 9.2e16
+    of summed value per user."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -1002,7 +1008,12 @@ def user_running_value(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+        (
+            F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)))
+            .over(w)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("running_value"),
     ).orderBy("event_id")
 
 

@@ -18,6 +18,7 @@ from prod_data_pipeline_spark.sources.readers import load_table
 
 from prod_data_pipeline_spark.plans.query_registry import (  # noqa: F401
     _t,
+    dsum,
     query,
 )
 from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
@@ -67,13 +68,15 @@ from prod_data_pipeline_spark.plans.queries_tpch_graph import (  # noqa: F401
       FROM sym x JOIN sym y ON y.z = x.z AND x.n < y.n
     ), cand AS (
       SELECT u, v, COUNT(*) AS cn,
-             SUM(CAST(w.w AS DECIMAL(20,12))) AS s
+             CAST(SUM(CAST(FLOOR(w.w * 1000000000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sn
       FROM wedge JOIN w ON w.z = wedge.z
       GROUP BY u, v
     )
     SELECT u AS id_a, v AS id_b,
            CAST(cn AS BIGINT) AS common_neighbors,
-           ROUND(CAST(s AS DOUBLE), 6) AS aa_score
+           CAST(FLOOR((sn + 500000) / 1000000.0) AS BIGINT) / 1000000.0
+               AS aa_score
     FROM cand c
     WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)
     ORDER BY aa_score DESC, id_a, id_b LIMIT 50
@@ -94,8 +97,9 @@ def parts_adamic_adar_links(spark, sf_dir):
     link prediction over it is vacuous — documented dead end.)
     Basket expansion costs ~ sum(basket^2) and the wedge join
     ~ sum(deg^2), both graph-sized; per-neighbor weights round to 12
-    digits and sum as exact DECIMAL, so the DuckDB oracle replays the
-    float math bit-for-bit."""
+    digits and sum as exact int64 numerators (round-11 dsum sweep), so
+    the DuckDB oracle replays the float math bit-for-bit with zero
+    BigDecimal in the wedge aggregation."""
     from prod_data_pipeline_spark.operators.graph import adamic_adar
 
     # both self-join sides read op — a lazy cut guarantees the scan +
@@ -248,8 +252,10 @@ def parts_related_by_ppr(spark, sf_dir):
            CAST(SUM(n_grams) AS BIGINT) AS n_grams,
            CAST(SUM(n_novel) AS BIGINT) AS n_novel,
            ROUND(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams), 6) AS novelty_rate,
-           ROUND(CAST(SUM(CAST(ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6)
-                               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND((CAST(CAST(SUM(CAST(FLOOR(ROUND(CAST(n_novel AS DOUBLE)
+                                                  / n_grams, 6) * 1000000.0
+                                            + 0.5) AS BIGINT)) AS BIGINT)
+                       AS DOUBLE) / 1000000.0) / COUNT(*), 6)
                AS avg_doc_novelty
     FROM per_doc GROUP BY source ORDER BY source
     """,
@@ -264,8 +270,9 @@ def docs_novelty_by_source(spark, sf_dir):
     re-ships content the corpus already has.  One gram-keyed exchange
     (corpus-token-sized, the same shape as TF-IDF) computes first
     sightings; everything after is per-doc and per-source aggregation.
-    Per-doc novelty ratios round to 6 then sum as DECIMAL so the
-    per-source mean is summation-order-free.  Docs with < 3 tokens have
+    Per-doc novelty ratios round to 6 then sum as exact int64
+    numerators (round-11 dsum sweep) so the per-source mean is
+    summation-order-free with no BigDecimal per doc.  Docs with < 3 tokens have
     no shingles and are excluded by construction (no gram rows)."""
     from prod_data_pipeline_spark.functions.text import shingles, tokens
 
@@ -300,8 +307,7 @@ def docs_novelty_by_source(spark, sf_dir):
                 F.sum("n_novel").cast("double") / F.sum("n_grams"), 6
             ).alias("novelty_rate"),
             F.round(
-                F.sum(F.col("doc_novelty").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                dsum("doc_novelty", 6) / F.count(F.lit(1)),
                 6,
             ).alias("avg_doc_novelty"),
         )

@@ -1068,44 +1068,64 @@ def lineitem_priority_by_status(spark, sf_dir):
     "q14_promo_revenue",
     oracle="""
     WITH j AS (
-      SELECT CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS rev,
+      SELECT CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5)
+                  AS BIGINT) AS rev_n,
              p.p_type
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         AND l.l_shipdate <  TIMESTAMP '1998-03-01 00:00:00'
+    ), a AS (
+      SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_n ELSE 0 END)
+                  AS BIGINT) AS pn,
+             CAST(SUM(rev_n) AS BIGINT) AS tn
+      FROM j
     )
-    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
-                                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / CAST(SUM(rev) AS DOUBLE), 6) AS promo_revenue_pct,
-           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue
-    FROM j
+    SELECT ROUND(100.0 * CAST(pn AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+               AS promo_revenue_pct,
+           CAST(FLOOR((tn + 50) / 100.0) AS BIGINT) / 100.0 AS total_revenue
+    FROM a
     """,
     tags=("join", "tpch", "q14"),
 )
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14: promotion revenue share for a ship window.  The date
     filter reaches the lineitem scan before the part join (predicate
-    pushdown shrinks the shuffled side ~24x), both percentage terms come
-    from exact decimal sums, and the single float division has identical
-    structure on both engines."""
+    pushdown shrinks the shuffled side ~24x).  Revenue uses the
+    long-numerator recipe (round-11 dsum sweep): price*(1-disc) lies
+    exactly on the 4-digit grid, so floor(x*1e4+0.5) numerators sum
+    exactly in int64 (no BigDecimal in the agg) and the percentage is
+    ONE double ratio of the two numerator sums (the 1e4 cancels); the
+    2-digit total rounds on the NUMERATOR (floor((n+50)/100) — integer
+    half-up, removing the former ROUND(double,2) cross-engine tie
+    hazard).  Bound: |sum(revenue)|*1e4 < 2^63 holds to ~9.2e14 of
+    summed revenue."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-03-01 00:00:00").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    j = li.join(p, li.l_partkey == p.p_partkey).select(
-        rev.alias("rev"), "p_type"
+    rev_n = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(10000.0)
+        + F.lit(0.5)
     )
-    promo = F.sum(
-        F.when(F.col("p_type").startswith("PROMO"), F.col("rev")).otherwise(
-            F.lit(0).cast("decimal(18,4)")
-        )
-    ).cast("double")
-    total = F.sum("rev").cast("double")
-    return j.agg(
-        F.round(100.0 * promo / total, 6).alias("promo_revenue_pct"),
-        F.round(total, 2).alias("total_revenue"),
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        rev_n.alias("rev_n"), "p_type"
+    )
+    a = j.agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("PROMO"), F.col("rev_n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("pn"),
+        F.sum("rev_n").alias("tn"),
+    )
+    return a.select(
+        F.round(
+            F.lit(100.0) * F.col("pn").cast("double") / F.col("tn").cast("double"), 6
+        ).alias("promo_revenue_pct"),
+        (
+            F.floor((F.col("tn") + F.lit(50)) / F.lit(100.0)) / F.lit(100.0)
+        ).alias("total_revenue"),
     )
 
 
@@ -1712,7 +1732,8 @@ def q7_volume_shipping(spark, sf_dir):
     oracle="""
     WITH vol AS (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS v,
+             CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5)
+                  AS BIGINT) AS vn,
              n2.n_name AS supp_nation
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
@@ -1725,9 +1746,9 @@ def q7_volume_shipping(spark, sf_dir):
       WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
     )
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE CAST(0 AS DECIMAL(18,4)) END)
-                      AS DOUBLE)
-                 / CAST(SUM(v) AS DOUBLE), 6) AS mkt_share
+           ROUND(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vn
+                                    ELSE 0 END) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(vn) AS BIGINT) AS DOUBLE), 6) AS mkt_share
     FROM vol GROUP BY o_year ORDER BY o_year
     """,
     tags=("join", "tpch", "q8"),
@@ -1735,9 +1756,12 @@ def q7_volume_shipping(spark, sf_dir):
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8: one nation's share of ECONOMY-part revenue sold into one
     region, by order year.  The share is a conditional-sum / sum ratio over
-    ONE aggregation pass (no self-join); both sums stay exact DECIMAL until
-    the final double division.  Part/supplier/customer/nation/region all
-    broadcast — the fact tables shuffle once on l_orderkey."""
+    ONE aggregation pass (no self-join); revenue sums use the
+    long-numerator recipe (round-11 dsum sweep — price*(1-disc) is exact
+    on the 4-digit grid, numerators sum exactly in codegen'd int64, the
+    1e4 cancels in the ratio; bound |sum|*1e4 < 2^63 per (year) group).
+    Part/supplier/customer/nation/region all broadcast — the fact tables
+    shuffle once on l_orderkey."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     s = _t(spark, sf_dir, "supplier")
@@ -1747,7 +1771,10 @@ def q8_market_share(spark, sf_dir):
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n1 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
     n2 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    v = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    vn = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(10000.0)
+        + F.lit(0.5)
+    )
     vol = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -1758,18 +1785,20 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(n2), F.col("sn_key") == s.s_nationkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            v.alias("v"),
+            vn.alias("vn"),
             "supp_nation",
         )
     )
-    zero = F.lit(0).cast("decimal(18,4)")
     return (
         vol.groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v")).otherwise(zero))
-                .cast("double")
-                / F.sum("v").cast("double"),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("vn")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("vn").cast("double"),
                 6,
             ).alias("mkt_share")
         )
