@@ -656,7 +656,8 @@ def nb_quality_gate_eval(
     Bernoulli NB, closed form: for bucket b,
     ``llr(b) = round(ln((c_pos+1)/(n_pos+2)) - ln((c_neg+1)/(n_neg+2)), 7)``
     with per-class document counts; ``prior = round(ln((n_pos+1)/(n_neg+1)), 7)``;
-    a doc's score sums its distinct buckets' llr (exact DECIMAL) plus
+    a doc's score sums its distinct buckets' llr (exact int64
+    numerators, floor-half-up to 6 digits — round-11 dsum sweep) plus
     the prior; keep iff score > 0.
 
     Output: ONE row — train/eval sizes, the full confusion matrix,
@@ -750,9 +751,20 @@ def nb_quality_gate_eval(
         .groupBy("doc_id")
         .agg(
             F.max("y").alias("y"),
-            F.round(F.sum(F.col("w").cast("decimal(28,7)")), 6)
-            .cast("double")
-            .alias("wsum"),
+            # long-numerator sum (round-11 dsum sweep): llr weights are
+            # 7-digit rounded; floor((n+5)/10) is the cross-engine
+            # integer half-up to 6 digits (identical on negative
+            # numerators in both engines, unlike DECIMAL HALF_UP)
+            (
+                F.floor(
+                    (
+                        F.sum(F.floor(F.col("w") * F.lit(1e7) + F.lit(0.5)))
+                        + F.lit(5)
+                    )
+                    / F.lit(10.0)
+                )
+                / F.lit(1e6)
+            ).alias("wsum"),
         )
         .crossJoin(F.broadcast(prior))
         .select("doc_id", "y", (F.col("wsum") + F.col("pr")).alias("score"), "n_train")

@@ -531,7 +531,9 @@ def docs_model_quality_gate(spark, sf_dir):
       FROM prior_counts
     ), scored AS (
       SELECT e.doc_id, MAX(e.y) AS y,
-             CAST(ROUND(SUM(CAST(llr.w AS DECIMAL(28,7))), 6) AS DOUBLE)
+             CAST(FLOOR((CAST(SUM(CAST(FLOOR(llr.w * 10000000.0 + 0.5)
+                                       AS BIGINT)) AS BIGINT) + 5) / 10.0)
+                  AS BIGINT) / 1000000.0
                + (SELECT pr FROM prior) AS score
       FROM ex e JOIN llr USING (bucket) WHERE e.fold = 4
       GROUP BY e.doc_id

@@ -945,16 +945,18 @@ def docs_shard_rebalance_audit(spark, sf_dir):
       FROM tl
     ), surv AS (
       SELECT duration, d, n_risk, dead,
-             SUM(CAST(COALESCE(lq, 0) AS DECIMAL(24,12)))
+             CAST(CAST(SUM(CAST(FLOOR(COALESCE(lq, 0) * 1000000000000.0
+                                            + 0.5) AS BIGINT))
                OVER (ORDER BY duration
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS DOUBLE) / 1000000000000.0 AS cum
       FROM lnq
     )
     SELECT CAST(duration AS BIGINT) AS duration_days,
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d AS BIGINT) AS n_churned,
            CASE WHEN dead = 1 THEN 0.0
-                ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+                ELSE ROUND(exp(cum), 6) END AS survival
     FROM surv WHERE d > 0 ORDER BY duration_days
     """,
     tags=("analytics", "survival", "retention"),
@@ -1020,8 +1022,20 @@ def customers_survival_curve(spark, sf_dir):
         .over(w_run)
         .alias("dead"),
     )
+    # long-numerator running sum (round-11 dsum sweep): lq is 12-digit
+    # rounded, so the window accumulates exact int64 numerators instead
+    # of a BigDecimal per frame step.  Bound: |cum|*1e12 < 2^63 — cum is
+    # ln(S) >= -ln(n_customers) per step over <= horizon-days steps.
     surv = lnq.withColumn(
-        "cum", F.sum(F.coalesce(F.col("lq"), F.lit(0.0)).cast("decimal(24,12)")).over(w_run)
+        "cum",
+        F.sum(
+            F.floor(
+                F.coalesce(F.col("lq"), F.lit(0.0)) * F.lit(1e12) + F.lit(0.5)
+            )
+        )
+        .over(w_run)
+        .cast("double")
+        / F.lit(1e12),
     )
     return (
         surv.filter(F.col("d") > 0)
@@ -1030,7 +1044,7 @@ def customers_survival_curve(spark, sf_dir):
             F.col("n_risk").cast("long").alias("n_risk"),
             F.col("d").cast("long").alias("n_churned"),
             F.when(F.col("dead") == 1, F.lit(0.0))
-            .otherwise(F.round(F.exp(F.col("cum").cast("double")), 6))
+            .otherwise(F.round(F.exp(F.col("cum")), 6))
             .alias("survival"),
         )
         .orderBy("duration_days")
@@ -1077,7 +1091,9 @@ def customers_survival_curve(spark, sf_dir):
       JOIN cu ON cu.token = c3.cur
     ), per_doc AS (
       SELECT tri.doc_id, tri.lang,
-             ROUND(CAST(SUM(CAST(nll.nll AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*), 6)
+             ROUND((CAST(CAST(SUM(CAST(FLOOR(nll.nll * 10000000.0 + 0.5)
+                                           AS BIGINT)) AS BIGINT) AS DOUBLE)
+                     / 10000000.0) / COUNT(*), 6)
                  AS ce
       FROM tri JOIN nll
         ON nll.p2 = tri.p2 AND nll.p1 = tri.p1 AND nll.cur = tri.cur
@@ -1085,7 +1101,8 @@ def customers_survival_curve(spark, sf_dir):
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND((CAST(CAST(SUM(CAST(FLOOR(ce * 1000000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
                AS avg_ce,
            ROUND(MIN(ce), 6) AS min_ce,
            ROUND(MAX(ce), 6) AS max_ce
@@ -1102,7 +1119,8 @@ def docs_trigram_logprob(spark, sf_dir):
     live on VOCABULARY-sized count relations (trigram types, contexts
     derived from them by one tiny re-agg), the per-trigram-TYPE NLL is
     computed once and joined back onto the trigram stream, and the
-    round(7)-then-DECIMAL recipe makes every mean order-free.  The float
+    round(7)-then-int64-numerator recipe (round-11 dsum sweep) makes
+    every mean order-free with no BigDecimal on the trigram stream.  The float
     chain (three divisions, three multiplies, two adds, one ln) runs in
     the same left-to-right order in both engines on identical
     integer-derived doubles."""
@@ -1175,8 +1193,7 @@ def docs_trigram_logprob(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg(
             F.round(
-                F.sum(F.col("nll").cast("decimal(18,7)")).cast("double")
-                / F.count(F.lit(1)),
+                dsum("nll", 7) / F.count(F.lit(1)),
                 6,
             ).alias("ce")
         )
@@ -1186,8 +1203,7 @@ def docs_trigram_logprob(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(
-                F.sum(F.col("ce").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+                dsum("ce", 6) / F.count(F.lit(1)),
                 6,
             ).alias("avg_ce"),
             F.round(F.min("ce"), 6).alias("min_ce"),
@@ -2562,7 +2578,9 @@ _BM25_TERMS = ("merge", "stream", "hash")
       FROM tf JOIN idf ON idf.term = tf.term
     )
     SELECT doc_id,
-           ROUND(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25
+           CAST(FLOOR((CAST(SUM(CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0
+               AS bm25
     FROM contrib
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id LIMIT 20
@@ -2577,8 +2595,10 @@ def docs_bm25_topk(spark, sf_dir):
     normalization against the corpus average.  The float chain per
     (doc, term) is a fixed sequence of IEEE ops on integer-derived
     doubles (0.25/0.75 are binary-exact literals), each contribution
-    rounds to 9 and sums as exact DECIMAL, so the DuckDB oracle replays
-    the ranking bit-for-bit.  Shuffles: one df agg + one per-doc score
+    rounds to 9 and sums as an exact int64 numerator (round-11 dsum
+    sweep; the 6-digit report is integer half-up on the numerator —
+    contributions are non-negative), so the DuckDB oracle replays the
+    ranking bit-for-bit with no BigDecimal in the score agg.  Shuffles: one df agg + one per-doc score
     agg — posting-list-sized, and only for the query's terms."""
     docs = _t(spark, sf_dir, "documents")
     from prod_data_pipeline_spark.functions.text import tokens
@@ -2630,9 +2650,14 @@ def docs_bm25_topk(spark, sf_dir):
     return (
         contrib.groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("c").cast("decimal(18,9)")).cast("double"), 6
-            ).alias("bm25")
+            F.sum(F.floor(F.col("c") * F.lit(1e9) + F.lit(0.5))).alias("n9")
+        )
+        .select(
+            "doc_id",
+            (
+                F.floor((F.col("n9") + F.lit(500)) / F.lit(1000.0))
+                / F.lit(1000000.0)
+            ).alias("bm25"),
         )
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)

@@ -80,6 +80,69 @@ def dnum(c, scale: int = 2) -> F.Column:
     return F.sum(F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)))
 
 
+#: Queries whose ORACLE legitimately sums DECIMAL-typed values — the
+#: documented exception list of the round-11 dsum sweep (verdict #3).
+#: Every other registered query must use the long-numerator recipe
+#: (dsum/dnum or an explicit FLOOR(x*10^s+0.5) BIGINT sum); a pytest
+#: (tests/test_queries_parity.py::test_no_unexempted_decimal_sums)
+#: fails any NEW oracle that sums DECIMAL without an entry here, so the
+#: 5x codegen'd-agg win is the default, not a retrofit.  Inventory with
+#: per-site analysis: SCALE.md "Round-11 dsum inventory".
+DSUM_EXCEPTIONS: dict[str, str] = {
+    "lineitem_qty_price_corr": (
+        "second moments: sxx/syy/sxy numerators exceed the int64 "
+        "|sum|*10^s < 2^63 bound (documented round 10)"
+    ),
+    "customer_revenue_gini": (
+        "wide-int: sum(rank*cents) exceeds int64 at warehouse scale — "
+        "DECIMAL(38,0) exactness is the point (docstring)"
+    ),
+    # (tables_fingerprint_audit's wide-int checksum sum is Spark-side
+    # decimal(28,0) only — its oracle sums in DuckDB's native HUGEINT, so
+    # the oracle lint doesn't see it; inventoried in SCALE.md.)
+    "emb_topk_ivf": (
+        "arbitrary-real centroid means at scale 12: per-cell row bound "
+        "2^63/1e12 ~ 9.2e6 rows is not guaranteed at 100 TB — DECIMAL "
+        "precision is unbounded; cell-count-bounded BigDecimal cost"
+    ),
+    "emb_top_principal_component": (
+        "PCA family ORACLE replay contract (DECIMAL(38,12) covariance "
+        "means); the production path is int40/float64 (SCALE.md:610)"
+    ),
+    "emb_top2_principal_components": (
+        "PCA family ORACLE replay contract — same as "
+        "emb_top_principal_component"
+    ),
+    "docs_dup_pagerank": (
+        "quantized-recurrence replay: per-iteration SUM(ROUND(.,12) as "
+        "DECIMAL(20,12)) is the pinned cross-engine recurrence contract, "
+        "mirrored bit-identically by the driver-fallback Decimal replay "
+        "(operators/graph.py); node-relation-sized, not corpus-sized"
+    ),
+    "parts_related_by_ppr": "quantized-recurrence replay — see docs_dup_pagerank",
+    "events_type_markov_stationary": (
+        "quantized-recurrence replay — see docs_dup_pagerank"
+    ),
+    "docs_lang_source_chi2": (
+        "chi2 magnitude grows with corpus count: |chi2|*1e10 exceeds "
+        "2^63 past ~9.2e8 docs; BigDecimal cost is |langs|x|sources| "
+        "cells, not corpus rows"
+    ),
+    "docs_dsir_weights": (
+        "measured not-hot (round 10: the _DSIR_CTES DECIMAL sum was "
+        "0.02 s of a 3 s query — conversion abandoned on measurement); "
+        "per-doc bucket-bounded signed sums"
+    ),
+    "docs_dsir_selection": (
+        "shares _DSIR_CTES with docs_dsir_weights — same measurement"
+    ),
+    "emb_centroid_drift": (
+        "bounded cardinality: 64 product terms per label — BigDecimal "
+        "cost is labels x dims, not corpus rows; 12-digit product grid"
+    ),
+}
+
+
 def num_to_double(c, scale: int = 2) -> F.Column:
     """Final numerator->value conversion for a dnum chain: one long->double
     cast then division by the exactly-representable 10^scale (same IEEE

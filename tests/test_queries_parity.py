@@ -111,3 +111,50 @@ def test_rows_only_queries_document_their_justification():
         if spec.oracle is None:
             doc = (spec.fn.__doc__ or "").lower()
             assert "rows-only" in doc, f"{name}: no_oracle without justification"
+
+
+def _decimal_sum_sites(sql: str) -> int:
+    """Count SUM(...) aggregates whose balanced argument mentions DECIMAL
+    — a paren-aware scan, so nested CAST/ROUND/FLOOR chains can't hide a
+    BigDecimal accumulator from the lint (a plain regex misses 2-deep
+    nesting like SUM(CAST(ROUND(x * CAST(n AS DOUBLE), 12) AS DECIMAL))."""
+    import re
+
+    n = 0
+    for m in re.finditer(r"\bSUM\s*\(", sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        start = m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if "DECIMAL" in sql[start:i].upper():
+            n += 1
+    return n
+
+
+def test_no_unexempted_decimal_sums():
+    """Round-11 verdict #3 enforcement: every oracle that sums DECIMAL
+    must carry a documented DSUM_EXCEPTIONS entry (second moments,
+    wide-int sums, recurrence replay contracts, ...) — otherwise new
+    queries must use the long-numerator recipe (query_registry.dsum /
+    FLOOR(x*10^s+0.5) BIGINT sums), which measured ~5x cheaper on the
+    q1 agg shape.  Also fails on STALE exceptions so the list can only
+    shrink to the truth."""
+    from prod_data_pipeline_spark.plans.queries import QUERIES
+    from prod_data_pipeline_spark.plans.query_registry import DSUM_EXCEPTIONS
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if spec.oracle and _decimal_sum_sites(spec.oracle):
+            offenders[name] = _decimal_sum_sites(spec.oracle)
+    unexempted = sorted(set(offenders) - set(DSUM_EXCEPTIONS))
+    assert not unexempted, (
+        f"DECIMAL sums without a DSUM_EXCEPTIONS entry: {unexempted} — "
+        "use the long-numerator recipe (query_registry.dsum) or document "
+        "the exception (see SCALE.md round-11 dsum inventory)"
+    )
+    stale = sorted(set(DSUM_EXCEPTIONS) - set(offenders))
+    assert not stale, f"stale DSUM_EXCEPTIONS entries (no DECIMAL sum left): {stale}"
