@@ -124,25 +124,33 @@ DRIVER_ORDER: list[str] = [
     "docs_repetition_stats",
     "docs_tfidf_top_terms",
     "docs_token_budget",
-    "emb_cosine_near_dup_pairs",
-    "emb_hard_negatives",
-    "emb_ivf_recall",
-    "emb_label_centroids",
-    "events_approx_distinct_users",
-    "events_asof_last_view",
-    "events_clicks_before_purchase",
-    "events_daily_distinct_users",
-    "events_funnel_daily",
-    "events_hll_mergeable_users",
-    "events_latest_per_user",
+    # round-11 changed-oracle queries (rotation policy #4: a query whose
+    # oracle/recipe changed since its last driver row re-enters the
+    # window — the dsum-sweep conversions and the trained quality gate)
+    # plus the one net-new query; these displace the trailing 11 r7
+    # fillers, which land in round 12's mandatory set by age:
+    "docs_model_quality_gate",
+    "docs_nb_quality_gate",
+    "q14_promo_revenue",
+    "q8_market_share",
+    "user_running_value",
+    "parts_adamic_adar_links",
+    "docs_novelty_by_source",
+    "docs_trigram_logprob",
+    "docs_bm25_topk",
+    "customers_survival_curve",
+    "events_tcloseness_audit",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 11's mandatory set (3 sentinels + 26 r6-aged rows)
-#: left 21 free slots, filled oldest-first from the r7 cohort; nothing
-#: is deferred this round.
+#: rotation: round 11's mandatory set (3 sentinels + 26 r6-aged rows +
+#: 10 changed-oracle rows + 1 net-new) left 10 free slots, filled
+#: oldest-first from the r7 cohort; the 11 r7 rows displaced by the
+#: changed/net-new set (emb_cosine_near_dup_pairs .. events_latest_per_user)
+#: come due in round 12's mandatory set by age, which stays within
+#: capacity (3 + 26 + 11 = 40 mandatory rows there).
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 

@@ -1365,6 +1365,128 @@ def events_ldiversity_audit(spark, sf_dir):
 
 
 @query(
+    "events_tcloseness_audit",
+    oracle="""
+    WITH gv AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(value) AS BIGINT) AS vbin,
+             event_type, COUNT(*) AS c_gv
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), g AS (
+      SELECT day, vbin, CAST(SUM(c_gv) AS BIGINT) AS c_g FROM gv GROUP BY 1, 2
+    ), gl AS (
+      SELECT event_type, CAST(SUM(c_gv) AS BIGINT) AS c_i FROM gv GROUP BY 1
+    ), nn AS (
+      SELECT CAST(SUM(c_i) AS BIGINT) AS n FROM gl
+    ), num AS (
+      SELECT g.day, g.vbin, MAX(g.c_g) AS c_g,
+             CAST(SUM(abs(COALESCE(gv.c_gv, 0) * (SELECT n FROM nn)
+                          - gl.c_i * g.c_g)) AS BIGINT) AS num_g
+      FROM g CROSS JOIN gl
+      LEFT JOIN gv ON gv.day = g.day AND gv.vbin = g.vbin
+                  AND gv.event_type = gl.event_type
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT day, vbin, c_g, num_g,
+             CAST(num_g AS DOUBLE) / c_g / (SELECT n FROM nn) / 2.0 AS t,
+             CASE WHEN 5 * num_g > 2 * c_g * (SELECT n FROM nn)
+                  THEN 1 ELSE 0 END AS leaky
+      FROM num
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(c_g) AS BIGINT) AS n_rows,
+           CAST(SUM(leaky) AS BIGINT) AS n_leaky_groups,
+           CAST(SUM(CASE WHEN leaky = 1 THEN c_g ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           ROUND(MAX(t), 6) AS max_t,
+           ROUND(CAST(SUM(CASE WHEN leaky = 1 THEN c_g ELSE 0 END) AS DOUBLE)
+                 / SUM(c_g), 6) AS at_risk_share
+    FROM scored
+    """,
+    tags=("dq", "privacy", "t-closeness"),
+)
+def events_tcloseness_audit(spark, sf_dir):
+    """t-closeness audit — the third gate of the release-audit trio
+    (events_kanonymity_audit bounds group SIZE, events_ldiversity_audit
+    bounds sensitive-value VARIETY; this bounds sensitive-value
+    DISTRIBUTION SKEW): a large, diverse group whose event_type mix
+    differs sharply from the global mix still leaks (membership shifts
+    an attacker's posterior by the gap).  Per quasi-identifier group
+    (day, integer value bin), t = EMD between the group's and the global
+    sensitive-value distribution — for a categorical attribute that is
+    the total-variation distance (1/2)*sum_i |p_i - q_i|, and the gate
+    refuses groups with t > 0.2.
+
+    All-integer recipe (the repo's cross-multiplication convention):
+    |p_i - q_i| = |c_gi*N - C_i*c_g| / (c_g*N), so the per-group
+    numerator num_g = sum_i |c_gi*N - C_i*c_g| sums EXACT int64 products
+    — including the missing (group, value) combinations, which
+    contribute C_i*c_g and are materialized by crossing the group
+    relation with the BROADCAST global-value relation (|event_types|
+    rows).  The t > 1/5 gate is the integer comparison
+    5*num_g > 2*c_g*N; the reported t is one fixed-order double chain
+    (num/c_g/N/2.0).  Bounds: the int64 products need c_g*N < 2^62 —
+    past that (trillions of rows with million-row groups) the gate
+    widens to DECIMAL(38,0) or compares the deterministic double t.
+
+    100 TB shape: ONE corpus-keyed combiner-friendly groupBy on
+    (day, vbin, event_type); everything downstream is group-sized —
+    the global distribution is a |event_types|-row broadcast, and the
+    cross join is groups x |event_types|, never corpus-sized."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    gv = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.floor("value").cast("long").alias("vbin"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c_gv"))
+    gv = gv.transform(truncate_lineage, eager=False)  # 3 consumers
+    g = gv.groupBy("day", "vbin").agg(F.sum("c_gv").cast("long").alias("c_g"))
+    glob = gv.groupBy("event_type").agg(F.sum("c_gv").cast("long").alias("c_i"))
+    nn = glob.agg(F.sum("c_i").cast("long").alias("n"))
+    num = (
+        g.crossJoin(F.broadcast(glob))
+        .join(gv, ["day", "vbin", "event_type"], "left")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("day", "vbin")
+        .agg(
+            F.max("c_g").alias("c_g"),
+            F.max("n").alias("n"),
+            F.sum(
+                F.abs(
+                    F.coalesce("c_gv", F.lit(0)) * F.col("n")
+                    - F.col("c_i") * F.col("c_g")
+                )
+            )
+            .cast("long")
+            .alias("num_g"),
+        )
+    )
+    scored = num.select(
+        "c_g",
+        "num_g",
+        (
+            F.col("num_g").cast("double") / F.col("c_g") / F.col("n") / F.lit(2.0)
+        ).alias("t"),
+        F.when(
+            F.lit(5) * F.col("num_g") > F.lit(2) * F.col("c_g") * F.col("n"), 1
+        )
+        .otherwise(0)
+        .alias("leaky"),
+    )
+    risk_rows = F.sum(F.when(F.col("leaky") == 1, F.col("c_g")).otherwise(0))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("c_g").cast("long").alias("n_rows"),
+        F.sum("leaky").cast("long").alias("n_leaky_groups"),
+        risk_rows.cast("long").alias("n_rows_at_risk"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.round(risk_rows.cast("double") / F.sum("c_g"), 6).alias("at_risk_share"),
+    )
+
+
+
+@query(
     "docs_source_frequency_cap",
     oracle="""
     WITH h AS (
