@@ -88,12 +88,9 @@ def covariance_matrix(
     # feeds corrupt terms into the covariance — the same silent-skew
     # class, and consistent with similarity's _emb_matrix which treats
     # non-finite rows as invalid.
-    inf = F.lit(float("inf"))
-    bad = (
-        F.col("e").isNull()
-        | (F.size("e") != dim)
-        | F.exists("e", lambda xi: xi.isNull() | xi.isNaN() | (F.abs(xi) == inf))
-    )
+    from prod_data_pipeline_spark.functions.guards import invalid_embedding
+
+    bad = invalid_embedding(F.col("e"), dim)
     stats = x.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(bad, 1).otherwise(0)).alias("ragged"),

@@ -311,6 +311,7 @@ def kmeans_cells(
     max_iter: int = 8,
     seed: int = 42,
     fit_sample_mod: int | None = None,
+    dim: int | None = None,
 ):
     """Coarse quantizer: k-means cells (pyspark.ml, Lloyd's on DataFrames).
     Returns (assignments(id, cell), centroids(cell, centroid)).
@@ -328,7 +329,12 @@ def kmeans_cells(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    feats = df.select(
+    from prod_data_pipeline_spark.functions.guards import finite_embeddings
+
+    # non-finite hardening (round 11): a NULL/NaN/Inf row would poison
+    # Lloyd's means (fit) and get a garbage cell (assignment) — excluded
+    # from BOTH, per the _emb_matrix mask-False contract
+    feats = finite_embeddings(df, emb_col, dim).select(
         F.col(id_col), array_to_vector(to_double_array(F.col(emb_col))).alias("features")
     )
     fit_feats = feats
@@ -348,14 +354,24 @@ def kmeans_cells(
     return assignments, centroids
 
 
-def label_centroids(df: DataFrame, emb_col: str = "embedding", label_col: str = "label") -> DataFrame:
+def label_centroids(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
     """Element-wise mean embedding per label — deterministic coarse centroids.
 
     posexplode -> (label, pos) avg -> re-assemble ordered array.  Exact mean
     uses decimal accumulation so centroids are reproducible run-to-run
-    regardless of partial-agg order.
+    regardless of partial-agg order.  Rows failing
+    guards.invalid_embedding are excluded (round-11 non-finite
+    hardening — the _emb_matrix contract; one NaN element would poison
+    the label's whole centroid).
     """
-    exploded = df.select(
+    from prod_data_pipeline_spark.functions.guards import finite_embeddings
+
+    exploded = finite_embeddings(df, emb_col, dim).select(
         F.col(label_col).alias("cell"),
         F.posexplode(to_double_array(F.col(emb_col))).alias("pos", "v"),
     )
@@ -379,10 +395,19 @@ def label_centroids(df: DataFrame, emb_col: str = "embedding", label_col: str = 
     )
 
 
-def assign_cells(df: DataFrame, centroids: DataFrame, emb_col: str = "embedding") -> DataFrame:
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    emb_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
     """Assign each vector to its nearest centroid via broadcast join + argmax
-    cosine (min_by keeps it a single pass, no window)."""
-    v = _norm_emb(df, emb_col)
+    cosine (min_by keeps it a single pass, no window).  Rows failing
+    guards.invalid_embedding are excluded (round-11 hardening: a NaN
+    norm makes every cosine NaN and max_by engine-dependent)."""
+    from prod_data_pipeline_spark.functions.guards import finite_embeddings
+
+    v = _norm_emb(finite_embeddings(df, emb_col, dim), emb_col)
     joined = v.crossJoin(F.broadcast(centroids)).withColumn(
         "_csim", cosine_sim(F.col("_emb"), F.col("centroid"))
     )
@@ -1079,6 +1104,7 @@ def pq_codebook(
     emb_col: str = "embedding",
     label_col: str = "label",
     round_c: int = 6,
+    dim: int | None = None,
 ):
     """Product-quantization codebook with a DETERMINISTIC trainer: the
     per-label mean embedding (rounded to ``round_c`` at source — the
@@ -1089,9 +1115,23 @@ def pq_codebook(
     rows-only checks.  Returns (sorted_labels, {label: [c_1..c_dim]}),
     collected to the driver: a PQ codebook is control-plane-sized
     (K × dim doubles) and ships to every executor as literals, exactly
-    like a real ANN index's coarse codebook."""
+    like a real ANN index's coarse codebook.
+
+    Non-finite hardening (round-11 verdict #4): rows failing
+    ``guards.invalid_embedding`` are EXCLUDED from training (the
+    ``_emb_matrix`` mask-False contract — one NaN element would
+    otherwise make a whole label's centroid NaN and every downstream
+    ADC distance engine-dependent), and every collected code passes
+    ``assert_finite`` before shipping as a plan literal.  Pass ``dim``
+    to also exclude ragged rows (without it, raggedness detection would
+    need an extra corpus pass — positional explode semantics apply)."""
+    from prod_data_pipeline_spark.functions.guards import (
+        assert_finite,
+        finite_embeddings,
+    )
+
     cent = (
-        df.select(
+        finite_embeddings(df, emb_col, dim).select(
             F.col(label_col).alias("label"),
             F.posexplode(to_double_array(F.col(emb_col))).alias("pos", "v"),
         )
@@ -1108,7 +1148,11 @@ def pq_codebook(
         .collect()
     )
     rows = sorted(cent, key=lambda r: r["label"])
-    return [r["label"] for r in rows], {r["label"]: list(r["carr"]) for r in rows}
+    book = {
+        r["label"]: [assert_finite(c, f"pq_codebook[{r['label']}]") for c in r["carr"]]
+        for r in rows
+    }
+    return [r["label"] for r in rows], book
 
 
 #: Binary quantization scale for PQ distances: 2^40.  Power-of-two
