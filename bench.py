@@ -3,8 +3,12 @@
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_RUNS (default 2 —
-best-of-N so the driver's un-knobbed run reports steady state, not
-first-touch codegen/page-cache cost).
+the suite runs as N FULL PASSES; per-query best-of-N reports steady
+state, not first-touch codegen/page-cache cost, and the per-PASS totals
+expose the spread a single best-of number hides on a contended box
+(round-11 verdict #5): `spread.pass_totals_sec` + min/median/max and
+`spread.median_normalized` — the noise-normalized MEDIAN pass total —
+ride the same JSON as `noise.noise_factor`).
 
 Each query is materialized through the `noop` sink so we time the full
 plan execution (scan -> shuffle -> agg) without driver-collect overhead;
@@ -152,23 +156,39 @@ def main() -> None:
     materialize(QUERIES["events_per_day"].fn(spark, sf_dir))
 
     # Noise sentinel: first calibration run pays whole-stage-codegen compile
-    # for the range-sum plan and is discarded; the kept samples bracket the
-    # suite (before / between passes / after) so the factor reflects the
-    # same window the query timings came from.
+    # for the range-sum plan and is discarded; the kept samples bracket
+    # every suite pass so the factor reflects the same window the query
+    # timings came from.
     calibrate(spark)  # codegen warmup, discarded
     noise_samples = [round(calibrate(spark), 3)]
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = None
-        for _ in range(runs):
+    def run_pass(names, data_dir):
+        """One full suite pass: every query once, in order."""
+        out = {}
+        for name in names:
             t0 = time.perf_counter()
-            materialize(QUERIES[name].fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            materialize(QUERIES[name].fn(spark, data_dir))
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
 
+    # One DISCARDED warmup pass pays whole-stage-codegen compile for every
+    # headline plan (measured: a cold pass runs ~1.9x the warm total —
+    # leaving it in would make the spread read codegen, not contention),
+    # then N measured FULL passes: pass k re-times every query minutes
+    # after pass k-1, so the per-pass totals sample the box's contention
+    # trajectory — the spread a single best-of-N cannot show (round-11
+    # verdict #5).
+    run_pass(headline, sf_dir)  # codegen warmup, discarded
     noise_samples.append(round(calibrate(spark), 3))
+    passes = []
+    for _ in range(max(2, runs)):
+        passes.append(run_pass(headline, sf_dir))
+        noise_samples.append(round(calibrate(spark), 3))
+
+    timings = {
+        name: round(min(p[name] for p in passes), 3) for name in headline
+    }
+    pass_totals = [round(sum(p.values()), 3) for p in passes]
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -189,20 +209,22 @@ def main() -> None:
             f"spark_graft_bench_sf{sf}x{factor}_v{INFLATE_RECIPE_V}",
         )
         build_inflated(spark, sf_dir, factor, inflated_dir)
-        inflated: dict[str, float] = {}
-        # Same best-of-N as the main pass: the first touch of each inflated
-        # table pays cold page cache (the dataset may have been written
-        # seconds ago) + whole-stage-codegen compile, which showed up as a
-        # one-off 8x outlier on the first query to scan lineitem.
-        for name in INFLATED_QUERIES:
-            best = None
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                materialize(QUERIES[name].fn(spark, inflated_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            inflated[name] = round(best, 3)
+        # Same full-pass best-of-N as the main suite: the first touch of
+        # each inflated table pays cold page cache (the dataset may have
+        # been written seconds ago) + whole-stage-codegen compile, which
+        # showed up as a one-off 8x outlier on the first query to scan
+        # lineitem.
+        run_pass(INFLATED_QUERIES, inflated_dir)  # codegen/page-cache warmup
         noise_samples.append(round(calibrate(spark), 3))
+        ipasses = []
+        for _ in range(max(2, runs)):
+            ipasses.append(run_pass(INFLATED_QUERIES, inflated_dir))
+            noise_samples.append(round(calibrate(spark), 3))
+        inflated = {
+            name: round(min(p[name] for p in ipasses), 3)
+            for name in INFLATED_QUERIES
+        }
+        ipass_totals = [round(sum(p.values()), 3) for p in ipasses]
         result["inflated"] = {
             "factor": factor,
             "sf_equivalent": round(sf * factor, 3),
@@ -223,10 +245,28 @@ def main() -> None:
         "noise_factor": noise_factor,
     }
     result["value_normalized"] = round(total / noise_factor, 3)
+
+    def spread_stats(totals):
+        st = sorted(totals)
+        med_t = st[len(st) // 2]
+        return {
+            "pass_totals_sec": totals,
+            "min": st[0],
+            "median": med_t,
+            "max": st[-1],
+            "max_over_min": round(st[-1] / st[0], 3) if st[0] else None,
+            # the number to judge rounds on: the MEDIAN full-pass total
+            # with measured contention divided out — robust to one lucky
+            # or unlucky pass, unlike best-of and unlike a raw mean
+            "median_normalized": round(med_t / noise_factor, 3),
+        }
+
+    result["spread"] = spread_stats(pass_totals)
     if "inflated" in result:
         result["inflated"]["total_normalized"] = round(
             result["inflated"]["total"] / noise_factor, 3
         )
+        result["inflated"]["spread"] = spread_stats(ipass_totals)
 
     print(json.dumps(result))
     spark.stop()
