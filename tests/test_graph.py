@@ -441,3 +441,111 @@ def test_triangle_stats_driver_path_matches_distributed(spark):
     slow = triangle_stats(pairs, driver_edge_threshold=-1).collect()
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
     assert fast[0]["n_triangles"] == 2 and fast[0]["n_edges"] == 7
+
+
+def test_compact_for_sort_sites_compute_once_under_checkpoint_dir(tmp_path):
+    """Round-11 verdict #6, generalizing the lazy-reliable-checkpoint fix
+    structurally: every compact_for_sort call site (near_dup_pairs and
+    srp_near_dup_pairs, collapse_exact True/False — four sites) must not
+    re-execute its upstream pipeline under $SPARK_GRAFT_CHECKPOINT_DIR.
+    Invariant: an accumulator-ticking UDF on the INPUT counts the same
+    number of evaluations with sort=True (compact + range-partitioner
+    sample + sort) as with sort=False — any reintroduced lazy
+    double-compute strictly increases the sorted run's count.
+    Subprocess because a session's checkpoint dir cannot be unset."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ckpt = tmp_path / "ckpt"
+    script = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["REPO"])
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from prod_data_pipeline_spark.session import get_spark
+from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+from prod_data_pipeline_spark.operators.similarity import srp_near_dup_pairs
+
+spark = get_spark(cpus=4)
+assert spark.sparkContext.getCheckpointDir() is not None
+
+words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+doc_rows = []
+for i in range(40):
+    toks = [words[(i + j) % 8] for j in range(6)]
+    if i % 4 == 1:
+        toks = [words[(i - 1 + j) % 8] for j in range(6)]  # near-dup of i-1
+    if i % 8 == 2:
+        toks = [words[(i - 2 + j) % 8] for j in range(6)]  # exact dup shape
+    doc_rows.append((i, " ".join(toks)))
+docs_raw = spark.createDataFrame(doc_rows, "doc_id long, text string")
+emb_rows = [
+    (i, [float((i % 5) + d) / 7.0 for d in range(8)]) for i in range(40)
+] + [(100 + i, [float((i % 5) + d) / 7.0 for d in range(8)]) for i in range(10)]
+emb_raw = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+
+results = {}
+
+def measure(tag, build_input, run):
+    out = {}
+    for sort in (False, True):
+        acc = spark.sparkContext.accumulator(0)
+        def tick(x):
+            acc.add(1)
+            return x
+        tick_udf = F.udf(tick, LongType())
+        df = build_input(tick_udf)
+        n = len(run(df, sort).collect())
+        out["sorted" if sort else "base"] = acc.value
+        out["rows"] = n
+    results[tag] = out
+
+measure(
+    "near_dup_collapse",
+    lambda u: docs_raw.select(u(F.col("doc_id")).alias("doc_id"), "text"),
+    lambda df, s: near_dup_pairs(df, sort=s, collapse_exact=True),
+)
+measure(
+    "near_dup_plain",
+    lambda u: docs_raw.select(u(F.col("doc_id")).alias("doc_id"), "text"),
+    lambda df, s: near_dup_pairs(df, sort=s, collapse_exact=False),
+)
+measure(
+    "srp_collapse",
+    lambda u: emb_raw.select(u(F.col("vec_id")).alias("vec_id"), "embedding"),
+    lambda df, s: srp_near_dup_pairs(
+        df, dim=8, sort=s, collapse_exact=True, materialize=False
+    ),
+)
+measure(
+    "srp_plain",
+    lambda u: emb_raw.select(u(F.col("vec_id")).alias("vec_id"), "embedding"),
+    lambda df, s: srp_near_dup_pairs(
+        df, dim=8, sort=s, collapse_exact=False, materialize=False
+    ),
+)
+print(json.dumps(results))
+"""
+    env = dict(
+        os.environ,
+        REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        SPARK_GRAFT_CHECKPOINT_DIR=str(ckpt),
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    results = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(results) == {
+        "near_dup_collapse", "near_dup_plain", "srp_collapse", "srp_plain"
+    }
+    for tag, r in results.items():
+        assert r["base"] > 0, (tag, r)
+        assert r["sorted"] == r["base"], (
+            f"{tag}: sort path re-executed upstream "
+            f"({r['sorted']} ticks vs {r['base']} base) — a lazy "
+            "compact_for_sort double-compute was reintroduced"
+        )
