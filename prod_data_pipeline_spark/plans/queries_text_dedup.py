@@ -334,7 +334,7 @@ def orders_merge_upsert(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Distribution statistics: fixed-width histograms, quantile-threshold outlier
-# detection, and deterministic correlation from exact decimal sums.  These
+# detection, and deterministic correlation from exact fixed-point sums.  These
 # extend the reference's DQ numerics (avg/min/max, v3_dq.py:89-106) to the
 # profiling surface a warehouse exposes.
 # ---------------------------------------------------------------------------
@@ -1374,8 +1374,8 @@ def q22_idle_balances(spark, sf_dir):
     positive-balance average (scalar subquery -> broadcast one-row
     relation) with no orders since 2000 (NOT EXISTS -> left-anti join
     against the date-pruned o_custkey projection).  The threshold is an
-    exact decimal sum / count, so the float compare is bit-identical on
-    both engines."""
+    exact long-numerator sum / count (dsum), so the float compare is
+    bit-identical on both engines."""
     pool = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey").isin(2, 7, 12, 17, 22))
@@ -2000,8 +2000,8 @@ def emb_quantization_error(spark, sf_dir):
     array math — zero shuffles before the final per-label partial agg —
     so it scales embarrassingly.  Floats widen to double BEFORE any
     arithmetic (float ops would diverge between engines); the per-row MSE
-    rounds to 10 digits and sums as exact DECIMAL so the cross-engine
-    hash is stable."""
+    rounds to 10 digits and sums as an exact int64 numerator (dsum) so
+    the cross-engine hash is stable."""
     emb = _t(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     mn = F.array_min(F.col("embedding")).cast("double")
