@@ -122,8 +122,6 @@ DRIVER_ORDER: list[str] = [
     "docs_contamination",
     "docs_pii_scrub_stats",
     "docs_repetition_stats",
-    "docs_tfidf_top_terms",
-    "docs_token_budget",
     # round-11 changed-oracle queries (rotation policy #4: a query whose
     # oracle/recipe changed since its last driver row re-enters the
     # window — the dsum-sweep conversions and the trained quality gate)
@@ -140,17 +138,19 @@ DRIVER_ORDER: list[str] = [
     "docs_bm25_topk",
     "customers_survival_curve",
     "events_tcloseness_audit",
+    "docs_split_leakage_audit",
+    "events_dp_noisy_counts",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
 #: rotation: round 11's mandatory set (3 sentinels + 26 r6-aged rows +
-#: 10 changed-oracle rows + 1 net-new) left 10 free slots, filled
-#: oldest-first from the r7 cohort; the 11 r7 rows displaced by the
-#: changed/net-new set (emb_cosine_near_dup_pairs .. events_latest_per_user)
-#: come due in round 12's mandatory set by age, which stays within
-#: capacity (3 + 26 + 11 = 40 mandatory rows there).
+#: 10 changed-oracle rows + 3 net-new, within the <=5 budget) left 8
+#: free slots, filled oldest-first from the r7 cohort; the 13 displaced
+#: r7 rows (docs_tfidf_top_terms .. events_latest_per_user) come due in
+#: round 12's mandatory set by age, which stays within capacity
+#: (3 + 26 + 13 = 42 mandatory rows there).
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 

@@ -1487,6 +1487,242 @@ def events_tcloseness_audit(spark, sf_dir):
 
 
 @query(
+    "docs_split_leakage_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [] END AS sh
+      FROM t
+    ), sig AS (
+      SELECT doc_id, sh,
+             list_aggregate(list_transform(sh, x -> md5('0:' || x)), 'min') AS mh_0,
+             list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh_1,
+             list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh_2,
+             list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh_3,
+             list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min') AS mh_4,
+             list_aggregate(list_transform(sh, x -> md5('5:' || x)), 'min') AS mh_5,
+             list_aggregate(list_transform(sh, x -> md5('6:' || x)), 'min') AS mh_6,
+             list_aggregate(list_transform(sh, x -> md5('7:' || x)), 'min') AS mh_7
+      FROM s
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, mh_0 || '|' || mh_1 AS band_key FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 1, mh_2 || '|' || mh_3 FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 2, mh_4 || '|' || mh_5 FROM sig WHERE len(sh) > 0
+      UNION ALL
+      SELECT doc_id, 3, mh_6 || '|' || mh_7 FROM sig WHERE len(sh) > 0
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+                   4) AS jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), lab AS (
+      SELECT LEAST(sa.split, sb.split) || '|' || GREATEST(sa.split, sb.split)
+               AS category,
+             CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END AS crossed,
+             p.jaccard, p.id_a, p.id_b
+      FROM pairs p
+      JOIN sp sa ON sa.doc_id = p.id_a
+      JOIN sp sb ON sb.doc_id = p.id_b
+    ), perdoc AS (
+      SELECT category, COUNT(DISTINCT d) AS n_docs
+      FROM (SELECT category, unnest([id_a, id_b]) AS d FROM lab)
+      GROUP BY 1
+    )
+    SELECT l.category,
+           CAST(MAX(l.crossed) AS INT) AS is_leak,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(perdoc.n_docs) AS BIGINT) AS n_docs,
+           ROUND((CAST(CAST(SUM(CAST(FLOOR(l.jaccard * 10000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS DOUBLE) / 10000.0) / COUNT(*), 6)
+               AS avg_jaccard
+    FROM lab l JOIN perdoc USING (category)
+    GROUP BY l.category ORDER BY l.category
+    """,
+    tags=("dedup", "split", "eval-hygiene", "curation"),
+)
+def docs_split_leakage_audit(spark, sf_dir):
+    """Cross-split near-duplicate LEAKAGE audit — the eval-hygiene pass a
+    training pipeline runs after splitting: a near-duplicate pair that
+    straddles train/val or train/test lets the model "memorize" its eval
+    set without string-exact contamination (the gap docs_contamination's
+    n-gram overlap against an external benchmark cannot see, because
+    here both sides live in the SAME corpus).  Reuses the production
+    near-dup relation (MinHash-LSH 4x2 bands, exact Jaccard >= 0.5
+    verification on collisions only — the docs_near_dup_pairs recipe)
+    and the hash-based ~80/10/10 split (docs_train_val_test_split's
+    content-free md5 rule), then aggregates pairs by unordered split
+    category: is_leak flags the cross-split rows, n_docs counts the
+    distinct documents involved, avg_jaccard (long-numerator mean) says
+    how severe the duplication is.  100 TB: the pair relation is
+    LSH-collision-bounded, the split label is a projection (no join
+    against an assignment table — the split IS a hash), and the audit
+    aggregation is pairs-sized."""
+    from prod_data_pipeline_spark.operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.5, hash_fn="md5", sort=False)
+
+    def split_of(c):
+        b = F.substring(F.md5(c.cast("string")), 1, 2)
+        return F.when(b <= "cb", "train").when(b <= "e5", "val").otherwise("test")
+
+    lab = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        split_of(F.col("id_a")).alias("sp_a"),
+        split_of(F.col("id_b")).alias("sp_b"),
+    ).select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.concat(
+            F.least("sp_a", "sp_b"), F.lit("|"), F.greatest("sp_a", "sp_b")
+        ).alias("category"),
+        F.when(F.col("sp_a") != F.col("sp_b"), 1).otherwise(0).alias("crossed"),
+    )
+    from prod_data_pipeline_spark.session import truncate_lineage
+
+    lab = lab.transform(truncate_lineage, eager=False)  # 2 consumers
+    perdoc = (
+        lab.select("category", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("category")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        lab.groupBy("category")
+        .agg(
+            F.max("crossed").cast("int").alias("is_leak"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(dsum("jaccard", 4) / F.count(F.lit(1)), 6).alias("avg_jaccard"),
+        )
+        .join(perdoc, "category")
+        .select(
+            "category",
+            "is_leak",
+            "n_pairs",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "avg_jaccard",
+        )
+        .orderBy("category")
+    )
+
+
+
+@query(
+    "events_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_true
+      FROM events GROUP BY 1
+    ), u AS (
+      SELECT day, n_true,
+             (CAST(('0x' || substr(md5('dp:' || CAST(day AS VARCHAR)), 1, 13))
+                   AS BIGINT) + 1) / 4503599627370497.0 AS u
+      FROM c
+    ), noise AS (
+      SELECT day, n_true,
+             ROUND(-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 9)
+               AS noise
+      FROM u
+    )
+    SELECT day, CAST(n_true AS BIGINT) AS n_true,
+           noise,
+           CAST(FLOOR((n_true * 1000000000 + CAST(FLOOR(noise * 1000000000.0
+                                                        + 0.5) AS BIGINT)
+                       + 500) / 1000.0) AS BIGINT) / 1000000.0 AS n_released,
+           CAST(CASE WHEN abs(noise) <= 14.0 THEN 1 ELSE 0 END AS INT)
+               AS within_bound
+    FROM noise ORDER BY day
+    """,
+    tags=("dq", "privacy", "differential-privacy"),
+)
+def events_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release (epsilon = 1, Laplace
+    mechanism) — the OTHER privacy pillar next to the k/l/t release
+    audits: those gate what may leave the pipeline, this transforms
+    per-day event counts so they can leave with a quantified privacy
+    guarantee (sensitivity 1 for a per-day count, scale b = 1/eps = 1).
+    Noise is DETERMINISTIC per release key — inverse-CDF Laplace
+    x = -b*sgn(u-1/2)*ln(1-2|u-1/2|) over a content-free md5 uniform
+    u = (h52+1)/2^52 (the repo's no-rand() lottery rule: retries and
+    re-releases publish the SAME noise, so repeated runs cannot be
+    averaged to cancel it — re-randomizing per run would silently burn
+    epsilon).  The ln rides the established round-9 convention; the
+    within_bound boolean (|noise| <= 14 ~ the 1-in-1e6 Laplace tail at
+    b=1) makes a broken noise pipe fail the hash loudly.  100 TB: one
+    combiner-friendly count agg; the noise is a projection over the
+    group-sized relation."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    h52 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp:"), F.col("day").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h52 + F.lit(1)).cast("double") / F.lit(4503599627370497.0)
+    noise = F.round(
+        F.lit(-1.0)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5))),
+        9,
+    )
+    out = c.select(
+        "day",
+        F.col("n_true").cast("long").alias("n_true"),
+        noise.alias("noise"),
+    )
+    # n_released rounds on the NUMERATOR: noise is on the 1e-9 grid, so
+    # ROUND(n_true+noise, 6) would sit on an exact 6-digit half-boundary
+    # whenever the last three noise digits are 500 (~1/1000 per row) —
+    # the cross-engine ROUND tie hazard.  floor((N+500)/1000) over the
+    # exact int64 numerator is engine-identical, incl. negative noise.
+    return out.select(
+        "day",
+        "n_true",
+        "noise",
+        (
+            F.floor(
+                (
+                    F.col("n_true") * F.lit(1000000000)
+                    + F.floor(F.col("noise") * F.lit(1e9) + F.lit(0.5))
+                    + F.lit(500)
+                )
+                / F.lit(1000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("n_released"),
+        (F.abs(F.col("noise")) <= F.lit(14.0)).cast("int").alias("within_bound"),
+    ).orderBy("day")
+
+
+
+@query(
     "docs_source_frequency_cap",
     oracle="""
     WITH h AS (
