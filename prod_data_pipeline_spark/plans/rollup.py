@@ -10,8 +10,10 @@ overwrite only that rollup partition.
 Invariants:
 - idempotent per partition: same inputs -> byte-identical rollup partition
   (dynamic partition overwrite, like the curated table itself, C1);
-- exact: money sums go through DECIMAL so the rollup equals a full
-  recompute regardless of partial-agg order (tests assert equality);
+- exact: money sums use the long-numerator recipe (query_registry.dsum
+  — exact int64 numerators on the 2-digit money grid, codegen'd, no
+  BigDecimal per row) so the rollup equals a full recompute regardless
+  of partial-agg order (tests assert equality);
 - incremental cost: one partition-pruned scan of the changed date, never a
   full-table pass.
 """
@@ -21,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prod_data_pipeline_spark.plans.query_registry import dsum
 from prod_data_pipeline_spark.session import tune
 from prod_data_pipeline_spark.sources.writers import write_curated
 
@@ -31,7 +34,7 @@ def daily_rollup_frame(curated: DataFrame) -> DataFrame:
     return curated.groupBy("ingestion_date", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct(F.col("user_id")).alias("n_users"),
-        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("sum_amount"),
+        dsum("amount", 2).alias("sum_amount"),
         F.max("event_ts").alias("max_event_ts"),
     )
 

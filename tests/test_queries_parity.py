@@ -158,3 +158,41 @@ def test_no_unexempted_decimal_sums():
     )
     stale = sorted(set(DSUM_EXCEPTIONS) - set(offenders))
     assert not stale, f"stale DSUM_EXCEPTIONS entries (no DECIMAL sum left): {stale}"
+
+
+def test_no_unexempted_spark_side_decimal_sums():
+    """Companion to the oracle lint: the Spark side of a query must not
+    grow a BigDecimal aggregation either.  Scans the plans/ sources for
+    F.sum over a decimal cast; the single legitimate site is
+    tables_fingerprint_audit's wide-int checksum (sum of 48-bit hashes
+    exceeds int64 past ~32k rows; its oracle sums in DuckDB's native
+    HUGEINT, so only the Spark side needs the decimal)."""
+    import pathlib
+    import re
+
+    # (file, context-substring) — each mirrors a DSUM_EXCEPTIONS reason:
+    # second moments (syy in the OLS and Mahalanobis moment blocks),
+    # chi2's bounded-cells statistic, gini's wide-int rank*cents, and
+    # the fingerprint checksum (Spark-side only; oracle uses HUGEINT).
+    allowed = {
+        ("queries_tpch_graph.py", "fingerprint"),
+        ("queries_tpch_graph.py", "cents"),     # customer_revenue_gini wide-ints
+        ("queries_media_rank.py", "syy"),       # second moments (OLS, Mahalanobis)
+        ("queries_media_rank.py", "chi2"),      # docs_lang_source_chi2
+    }
+    plans = pathlib.Path("prod_data_pipeline_spark/plans")
+    offenders = []
+    pat = re.compile(r"F\.sum\([^\n]*\.cast\(f?\"decimal", re.IGNORECASE)
+    for path in sorted(plans.glob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if pat.search(line):
+                ctx = "\n".join(
+                    path.read_text().splitlines()[max(0, i - 3) : i + 2]
+                )
+                if any(a[0] == path.name and a[1] in ctx for a in allowed):
+                    continue
+                offenders.append(f"{path.name}:{i}: {line.strip()[:100]}")
+    assert not offenders, (
+        "Spark-side decimal sums outside the allowance — use the "
+        f"long-numerator recipe (query_registry.dsum): {offenders}"
+    )
