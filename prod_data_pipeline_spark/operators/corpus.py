@@ -170,7 +170,11 @@ def curate_corpus(
     # so the exact-dedup semi-join runs once, not per branch
     d1 = drop_exact_dups(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     # sort=False: the pair relation feeds cluster resolution, so the
-    # deterministic output sort would be a wasted range-exchange
+    # deterministic output sort would be a wasted range-exchange.
+    # collapse_exact=False: d1 is distinct-content BY CONSTRUCTION (the
+    # exact-dedup semi-join above), so the collapse pre-pass would md5-
+    # group singletons — a wasted corpus-wide shuffle (measured: the pair
+    # stage drops 1.83 -> 1.09 s warm at sf0.1 with identical pairs).
     pairs = near_dup_pairs(
         d1,
         id_col,
@@ -179,6 +183,7 @@ def curate_corpus(
         hash_fn=hash_fn,
         sort=False,
         materialize=materialize,
+        collapse_exact=False,
     )
     clusters = dup_clusters(pairs, id_col=id_col)
     losers = clusters.filter(F.col("cluster_id") != F.col(id_col)).select(id_col)
