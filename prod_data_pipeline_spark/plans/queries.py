@@ -76,81 +76,75 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-11 window (tools/rotation.py --propose, capacity-derived
+    # --- round-12 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
-    # full r6-aged cohort of 26 (expires this round — verdict r10
-    # directive #1), then the ~21 OLDEST r7 rows to pre-drain round 12's
-    # 47-row r7 bulge (exactly one full window would otherwise come due at
-    # once).  Round-11 net-new queries (kept ≤5 per the directive) are
-    # appended at the END, displacing trailing r7 fillers (never-checked
-    # outranks a non-mandatory filler — rotation policy #3); a displaced
-    # r7 filler lands in round 12's mandatory set by age. ---
+    # FULL r7-aged cohort of 38 (expires this round — verdict r11
+    # directive #1; 3 + 38 = 41 mandatory slots), then the 9 OLDEST r8
+    # rows as fillers to pre-drain round 13's 46-row r8 bulge (directive
+    # #3: with these drained, r13's mandatory load is 3 + 37 = 40 <= 44).
+    # ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "emb_topk_ivf",
-    "events_column_profile",
-    "events_curated_projection",
-    "events_daily_anomalies",
-    "events_hourly_activity",
-    "events_kanonymity_audit",
-    "events_null_profile",
-    "events_per_day_sql",
-    "events_value_mad_outliers",
-    "join_key_skew_report",
-    "media_audio_band_hash_groups",
-    "media_audio_waveform_stats",
-    "media_feature_topk",
-    "media_video_frame_stats",
-    "media_video_framehash_groups",
-    "nation_keys_except_all",
-    "nation_keys_intersect",
-    "parts_fuzzy_name_matches",
-    "props_key_stats",
-    "q11_important_part_value",
-    "q20_promotable_suppliers",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "regional_nation_revenue",
-    "tables_fingerprint_audit",
-    "user_sessions",
-    "corpus_dup_clusters",
-    "docs_boilerplate_stats",
-    "docs_bpe_token_stats",
-    "docs_chunk_spans",
-    "docs_cluster_canonical_by_quality",
-    "docs_contamination",
-    "docs_pii_scrub_stats",
-    "docs_repetition_stats",
-    # round-11 changed-oracle queries (rotation policy #4: a query whose
-    # oracle/recipe changed since its last driver row re-enters the
-    # window — the dsum-sweep conversions and the trained quality gate)
-    # plus the one net-new query; these displace the trailing 11 r7
-    # fillers, which land in round 12's mandatory set by age:
-    "docs_model_quality_gate",
-    "docs_nb_quality_gate",
-    "q14_promo_revenue",
-    "q8_market_share",
-    "user_running_value",
-    "parts_adamic_adar_links",
-    "docs_novelty_by_source",
-    "docs_trigram_logprob",
-    "docs_bm25_topk",
-    "customers_survival_curve",
-    "events_tcloseness_audit",
-    "docs_split_leakage_audit",
-    "events_dp_noisy_counts",
+    "docs_tfidf_top_terms",
+    "docs_token_budget",
+    "emb_cosine_near_dup_pairs",
+    "emb_hard_negatives",
+    "emb_ivf_recall",
+    "emb_label_centroids",
+    "events_approx_distinct_users",
+    "events_asof_last_view",
+    "events_clicks_before_purchase",
+    "events_daily_distinct_users",
+    "events_funnel_daily",
+    "events_hll_mergeable_users",
+    "events_latest_per_user",
+    "events_ldiversity_audit",
+    "events_rolling_7day",
+    "events_salted_type_counts",
+    "events_scd2_temporal_join",
+    "events_type_audience_overlap",
+    "events_type_transitions",
+    "events_user_type_scd2",
+    "events_value_histogram",
+    "events_value_p99_outliers",
+    "events_value_quantiles",
+    "large_volume_orders",
+    "lineitem_priority_by_status",
+    "lineitem_qty_price_corr",
+    "media_decode_profile",
+    "orders_price_deciles",
+    "orders_priority_extremes",
+    "orders_table_diff",
+    "parts_supplier_counts",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_idle_balances",
+    "user_activity_streaks",
+    "user_event_type_paths",
+    "user_retention_cohorts",
+    # --- r8 pre-drain fillers (oldest-first); round-12 net-new queries
+    # displace these from the END (never-checked outranks a non-mandatory
+    # filler — rotation policy #3); a displaced filler stays in r13's
+    # mandatory set by age, which the pre-drain budget already absorbs. ---
+    "brand_volume",
+    "corpus_curation_stats",
+    "customer_order_distribution",
+    "customers_with_orders_by_segment",
+    "customers_without_orders",
+    "dedup_docs_exact",
+    "disjunctive_brand_revenue",
+    "docs_dup_pagerank",
+    "docs_dup_triangles",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 11's mandatory set (3 sentinels + 26 r6-aged rows +
-#: 10 changed-oracle rows + 3 net-new, within the <=5 budget) left 8
-#: free slots, filled oldest-first from the r7 cohort; the 13 displaced
-#: r7 rows (docs_tfidf_top_terms .. events_latest_per_user) come due in
-#: round 12's mandatory set by age, which stays within capacity
-#: (3 + 26 + 13 = 42 mandatory rows there).
+#: rotation: round 12's mandatory set (3 sentinels + 38 r7-aged rows)
+#: left 9 free slots, spent pre-draining the oldest r8 rows, so nothing
+#: is deferred.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 
