@@ -810,9 +810,14 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
     the established recipe: per-neighbor weights rounded to 12 digits,
     summed as exact int64 NUMERATORS (floor(w*1e12+0.5) — the round-11
     dsum sweep; order-free, BigDecimal-free), reported via integer
-    half-up to 6 digits (no ROUND(double,6) tie hazard).  Bound:
-    |score|*1e12 < 2^63 — max weight 1/ln2 means ~6.4e6 common
-    neighbors per pair fit, far past any non-pathological graph.
+    half-up to 6 digits (no ROUND(double,6) tie hazard).  Bound: the
+    int64 SUM is exact to |score|*1e12 < 2^63, but the half-up report
+    step divides the long by a double (1e6), whose long->double
+    conversion rounds past 2^53 — so the EXACTNESS bound is
+    |score|*1e12 < 2^53 (~6.2e3 common neighbors per pair at the max
+    weight 1/ln2, far past any non-pathological wedge count); beyond
+    it cross-engine parity still holds (both engines run the identical
+    IEEE convert+divide), only absolute accuracy degrades to ~1 ulp.
 
     Weights use only nodes with deg >= 2 (a wedge center always has two
     distinct neighbors, so 1/ln(1) never arises; the filter keeps the

@@ -427,8 +427,12 @@ def fasttext_style_scores(
     # long-numerator sum (round-11 dsum sweep): weights are round_w-digit
     # rounded, so floor(w*10^round_w + 0.5) recovers each exact integer
     # numerator and the per-doc sum stays in codegen'd int64 — no
-    # BigDecimal per feature.  Bound: n_feats*max|w|*10^round_w < 2^63
-    # (9.2e11 features/doc at round_w=7 with |w|<=10 — unreachable).
+    # BigDecimal per feature.  Bound: n_feats*max|w|*10^round_w < 2^63.
+    # Trained path (round_w=7, |w|<=10): 9.2e11 features/doc —
+    # unreachable.  Default stub path (round_w=12, |w|<1): ~9.2e6
+    # features/doc — still >100x any real document (docs cap out at
+    # ~1e5 shingle+structural features), but a caller feeding
+    # multi-GB blobs through the stub scorer should lower round_w.
     m = F.lit(float(10**round_w))
     agg = ex.groupBy(id_col, *carry_cols).agg(
         F.count(counted).alias("n_feats"),

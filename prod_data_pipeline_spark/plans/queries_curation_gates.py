@@ -1430,6 +1430,16 @@ def events_tcloseness_audit(spark, sf_dir):
     past that (trillions of rows with million-row groups) the gate
     widens to DECIMAL(38,0) or compares the deterministic double t.
 
+    Accepted hazard (advisor round 11): the REPORTED max_t /
+    at_risk_share go through ROUND(double, 6) on exact integer ratios,
+    which carries the documented cross-engine ROUND tie risk whenever
+    num_g/(2*c_g*N) lands on an exact 7-digit decimal.  The gate
+    decision itself is all-integer (tie-free); the denominators here are
+    products of two data-dependent counts, so an exact 7-digit hit is
+    measure-small — if one ever trips the driver hash, switch the
+    reports to the numerator-based integer half-up used by
+    events_dp_noisy_counts.
+
     100 TB shape: ONE corpus-keyed combiner-friendly groupBy on
     (day, vbin, event_type); everything downstream is group-sized —
     the global distribution is a |event_types|-row broadcast, and the

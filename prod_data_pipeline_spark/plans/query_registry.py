@@ -97,9 +97,6 @@ DSUM_EXCEPTIONS: dict[str, str] = {
         "wide-int: sum(rank*cents) exceeds int64 at warehouse scale — "
         "DECIMAL(38,0) exactness is the point (docstring)"
     ),
-    # (tables_fingerprint_audit's wide-int checksum sum is Spark-side
-    # decimal(28,0) only — its oracle sums in DuckDB's native HUGEINT, so
-    # the oracle lint doesn't see it; inventoried in SCALE.md.)
     "emb_topk_ivf": (
         "arbitrary-real centroid means at scale 12: per-cell row bound "
         "2^63/1e12 ~ 9.2e6 rows is not guaranteed at 100 TB — DECIMAL "
@@ -139,6 +136,40 @@ DSUM_EXCEPTIONS: dict[str, str] = {
     "emb_centroid_drift": (
         "bounded cardinality: 64 product terms per label — BigDecimal "
         "cost is labels x dims, not corpus rows; 12-digit product grid"
+    ),
+}
+
+
+#: Spark-SIDE decimal-sum allowances — the companion inventory to
+#: DSUM_EXCEPTIONS for aggregations whose DECIMAL accumulator lives in
+#: the DataFrame plan rather than (or as well as) the oracle SQL.  Keyed
+#: by (plans/ file, context substring within ±2 lines of the F.sum
+#: site); the Spark-side lint (tests/test_queries_parity.py::
+#: test_no_unexempted_spark_side_decimal_sums) consumes this table and
+#: fails on STALE entries, so the whole exception inventory is this one
+#: module — a list, not a list plus scattered comments (round-11
+#: verdict #6).
+SPARK_DSUM_EXCEPTIONS: dict[tuple[str, str], str] = {
+    ("queries_tpch_graph.py", "fingerprint"): (
+        "tables_fingerprint_audit wide-int checksum: the sum of 48-bit "
+        "per-row hashes exceeds int64 past ~32k rows, so the Spark side "
+        "accumulates DECIMAL(28,0).  Its ORACLE sums BIGINT in DuckDB's "
+        "native HUGEINT (128-bit, no decimal keyword), so the oracle "
+        "lint cannot see the wide-int sum — this entry is the single "
+        "recorded exemption for the query (no DSUM_EXCEPTIONS row)"
+    ),
+    ("queries_tpch_graph.py", "cents"): (
+        "customer_revenue_gini wide-int sum(rank*cents) — Spark twin of "
+        "its DSUM_EXCEPTIONS entry"
+    ),
+    ("queries_media_rank.py", "syy"): (
+        "second moments (OLS trend / Mahalanobis syy blocks): squared "
+        "numerators exceed the int64 |sum|*10^s < 2^63 bound — Spark "
+        "twin of lineitem_qty_price_corr's DSUM_EXCEPTIONS reasoning"
+    ),
+    ("queries_media_rank.py", "chi2"): (
+        "docs_lang_source_chi2 bounded-cells statistic — Spark twin of "
+        "its DSUM_EXCEPTIONS entry"
     ),
 }
 

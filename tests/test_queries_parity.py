@@ -163,36 +163,43 @@ def test_no_unexempted_decimal_sums():
 def test_no_unexempted_spark_side_decimal_sums():
     """Companion to the oracle lint: the Spark side of a query must not
     grow a BigDecimal aggregation either.  Scans the plans/ sources for
-    F.sum over a decimal cast; the single legitimate site is
+    F.sum over a decimal cast; every legitimate site must carry a
+    documented query_registry.SPARK_DSUM_EXCEPTIONS entry (one inventory
+    for both lints — round-11 verdict #6), and stale entries fail so the
+    table can only shrink to the truth.  The one Spark-only exemption is
     tables_fingerprint_audit's wide-int checksum (sum of 48-bit hashes
     exceeds int64 past ~32k rows; its oracle sums in DuckDB's native
-    HUGEINT, so only the Spark side needs the decimal)."""
+    HUGEINT, so the oracle lint cannot see it)."""
     import pathlib
     import re
 
-    # (file, context-substring) — each mirrors a DSUM_EXCEPTIONS reason:
-    # second moments (syy in the OLS and Mahalanobis moment blocks),
-    # chi2's bounded-cells statistic, gini's wide-int rank*cents, and
-    # the fingerprint checksum (Spark-side only; oracle uses HUGEINT).
-    allowed = {
-        ("queries_tpch_graph.py", "fingerprint"),
-        ("queries_tpch_graph.py", "cents"),     # customer_revenue_gini wide-ints
-        ("queries_media_rank.py", "syy"),       # second moments (OLS, Mahalanobis)
-        ("queries_media_rank.py", "chi2"),      # docs_lang_source_chi2
-    }
+    from prod_data_pipeline_spark.plans.query_registry import (
+        SPARK_DSUM_EXCEPTIONS,
+    )
+
     plans = pathlib.Path("prod_data_pipeline_spark/plans")
     offenders = []
+    matched = set()
     pat = re.compile(r"F\.sum\([^\n]*\.cast\(f?\"decimal", re.IGNORECASE)
     for path in sorted(plans.glob("*.py")):
-        for i, line in enumerate(path.read_text().splitlines(), 1):
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
             if pat.search(line):
-                ctx = "\n".join(
-                    path.read_text().splitlines()[max(0, i - 3) : i + 2]
-                )
-                if any(a[0] == path.name and a[1] in ctx for a in allowed):
+                ctx = "\n".join(lines[max(0, i - 3) : i + 2])
+                hits = [
+                    key
+                    for key in SPARK_DSUM_EXCEPTIONS
+                    if key[0] == path.name and key[1] in ctx
+                ]
+                if hits:
+                    matched.update(hits)
                     continue
                 offenders.append(f"{path.name}:{i}: {line.strip()[:100]}")
     assert not offenders, (
-        "Spark-side decimal sums outside the allowance — use the "
-        f"long-numerator recipe (query_registry.dsum): {offenders}"
+        "Spark-side decimal sums without a SPARK_DSUM_EXCEPTIONS entry — "
+        f"use the long-numerator recipe (query_registry.dsum): {offenders}"
+    )
+    stale = sorted(set(SPARK_DSUM_EXCEPTIONS) - matched)
+    assert not stale, (
+        f"stale SPARK_DSUM_EXCEPTIONS entries (no matching F.sum site): {stale}"
     )
