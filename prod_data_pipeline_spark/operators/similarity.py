@@ -932,35 +932,74 @@ def ivf_topk_label(
     exact scale shape a real IVF index wants (the centroid codebook
     always ships to every executor anyway)."""
     cents = label_centroids(df, emb_col, label_col)
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell"])).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
-            )
-            for r in cent_rows
-        ]
+    cent_arr, _ = _codebook_literal(cents)
+    return _ivf_search_codebook(
+        df, query_df, cent_arr, k, nprobe, id_col, emb_col, round_sim
     )
 
-    def sqd(e: F.Column, c: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(e, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
-    # per-vector (distance, cell) ranking: array_sort on the struct sorts
-    # field-wise, so equal distances fall back to the cell id — fully
-    # deterministic even on exact float ties
-    ranked_cells = F.array_sort(
+def _codebook_literal(cents: DataFrame) -> tuple[F.Column, int]:
+    """Collect a (cell, centroid) relation into an inlined
+    array<struct<cell, c>> literal, sorted by cell.  The driver collect
+    is bounded by the cell count — control-plane size, like a catalog
+    read; the codebook ships to every executor with the plan, making
+    cell assignment a zero-shuffle projection.  Returns (literal,
+    n_cells)."""
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    return (
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cell"])).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+                )
+                for r in cent_rows
+            ]
+        ),
+        len(cent_rows),
+    )
+
+
+def _sqd(e: F.Column, c: F.Column) -> F.Column:
+    """Squared euclidean distance as an in-order expression fold —
+    identical IEEE op order in any engine."""
+    return F.aggregate(
+        F.zip_with(e, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ranked_cells(cent_arr: F.Column) -> F.Column:
+    """Cells of an inlined codebook ranked by squared-euclidean distance
+    to the bound `_emb` column: array_sort on (d, cell) structs sorts
+    field-wise, so equal distances fall back to the cell id — fully
+    deterministic even on exact float ties.  [0]['cell'] is the argmin
+    assignment; slice(.., 1, nprobe) is the probe order."""
+    return F.array_sort(
         F.transform(
             cent_arr,
             lambda s: F.struct(
-                sqd(F.col("_emb"), s["c"]).alias("d"), s["cell"].alias("cell")
+                _sqd(F.col("_emb"), s["c"]).alias("d"), s["cell"].alias("cell")
             ),
         )
     )
+
+
+def _ivf_search_codebook(
+    df: DataFrame,
+    query_df: DataFrame,
+    cent_arr: F.Column,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    emb_col: str,
+    round_sim: int,
+) -> DataFrame:
+    """IVF cosine top-k against a GIVEN inlined codebook (the search half
+    of ivf_topk_label, reused by the incremental-append path so a fresh
+    index and an appended index run the byte-identical search)."""
+    ranked_cells = _ranked_cells(cent_arr)
     corpus = _norm_emb(df, emb_col).select(
         F.col(id_col).alias("neighbor_id"),
         "_emb",
@@ -991,6 +1030,84 @@ def ivf_topk_label(
             "rank",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def ivf_append(
+    snapshot_df: DataFrame,
+    batch_df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Incremental IVF index maintenance: assign a NEW embedding batch to
+    the EXISTING snapshot codebook — NO retrain.  This is how a nightly
+    crawl extends a deployed ANN index: retraining the quantizer would
+    invalidate every stored posting (a full-corpus rewrite); appending
+    reuses the codebook and touches only the new rows, deferring the
+    rebuild until the balance/recall audits (emb_ivf_append_audit /
+    emb_ivf_append_recall) say the geometry has drifted.
+
+    The codebook is the deterministic label-centroid quantizer
+    (label_centroids on the SNAPSHOT — exact decimal means, so the whole
+    index replays bit-for-bit in another engine), inlined as a literal
+    via _codebook_literal: BOTH assignment passes are zero-exchange
+    projections (argmin via _ranked_cells).  The snapshot assignment here
+    stands in for the stored posting list a deployed index would read
+    back — the scale property that matters is that snapshot embeddings
+    never enter a shuffle and the quantizer never refits; a batch row
+    whose label did not exist in the snapshot lands in its nearest
+    EXISTING cell, exactly what a frozen codebook does to novel content.
+
+    Pass ``centroids`` to reuse an already-computed codebook relation
+    (skips the snapshot centroid aggregation).
+
+    Returns (postings, centroids, n_cells): postings(id, cell, is_new)
+    with is_new=false for snapshot rows, true for batch rows.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(snapshot_df, emb_col, label_col)
+    )
+    cent_arr, n_cells = _codebook_literal(cents)
+
+    def assign(df: DataFrame, is_new: bool) -> DataFrame:
+        return _norm_emb(df, emb_col).select(
+            F.col(id_col),
+            _ranked_cells(cent_arr)[0]["cell"].alias("cell"),
+            F.lit(is_new).alias("is_new"),
+        )
+
+    postings = assign(snapshot_df, False).unionByName(assign(batch_df, True))
+    return postings, cents, n_cells
+
+
+def ivf_append_topk(
+    snapshot_df: DataFrame,
+    batch_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_sim: int = 4,
+) -> DataFrame:
+    """IVF top-k over the snapshot+batch UNION served from the STALE
+    snapshot codebook — the post-append serving path whose recall the
+    rebuild decision weighs against a fresh ivf_topk_label of the union.
+    Runs the byte-identical search kernel (_ivf_search_codebook) as the
+    fresh index, so any quality gap is attributable to the codebook
+    alone."""
+    cents = label_centroids(snapshot_df, emb_col, label_col)
+    cent_arr, _ = _codebook_literal(cents)
+    union = snapshot_df.select(id_col, emb_col).unionByName(
+        batch_df.select(id_col, emb_col)
+    )
+    return _ivf_search_codebook(
+        union, query_df, cent_arr, k, nprobe, id_col, emb_col, round_sim
     )
 
 

@@ -135,16 +135,21 @@ DRIVER_ORDER: list[str] = [
     "customers_without_orders",
     "dedup_docs_exact",
     "disjunctive_brand_revenue",
-    "docs_dup_pagerank",
-    "docs_dup_triangles",
+    # round-12 net-new (verdict directive #5: incremental IVF-append
+    # maintenance); never-checked outranks a non-mandatory filler
+    # (policy #3), so these displace the two trailing r8 fillers
+    # (docs_dup_pagerank / docs_dup_triangles), which stay in round
+    # 13's mandatory set by age:
+    "emb_ivf_append_audit",
+    "emb_ivf_append_recall",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
 #: rotation: round 12's mandatory set (3 sentinels + 38 r7-aged rows)
-#: left 9 free slots, spent pre-draining the oldest r8 rows, so nothing
-#: is deferred.
+#: left 9 free slots — 7 spent pre-draining the oldest r8 rows and 2 on
+#: the round's net-new IVF-append queries — so nothing is deferred.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 

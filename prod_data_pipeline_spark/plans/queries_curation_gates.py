@@ -1853,6 +1853,311 @@ def emb_ivf_cell_balance(spark, sf_dir):
     )
 
 
+_SQDIST_SQL = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+)
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len({b})+1), i -> {b}[i] * {b}[i]))))"
+)
+
+# snapshot/batch split for the incremental-ANN family: vec_id % 8 == 7 is
+# the nightly batch (~12.5%), everything else the already-indexed snapshot
+# (the embeddings twin of docs_incremental_dedup's src<10 / src>=10 split).
+_IVF_APPEND_SPLIT_SQL = "CASE WHEN vec_id % 8 = 7 THEN 1 ELSE 0 END"
+
+
+@query(
+    "emb_ivf_append_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_IVF_APPEND_SPLIT_SQL} AS is_new
+      FROM embeddings
+    ), cm AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
+      WHERE is_new = 0
+      GROUP BY 1, 2
+    ), cent AS (
+      SELECT cell, list(m ORDER BY pos) AS c FROM cm GROUP BY cell
+    ), acell AS (
+      SELECT vec_id, is_new, cell FROM (
+        SELECT v.vec_id, v.is_new, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent.c")}, cent.cell) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ), sizes AS (
+      SELECT cell,
+             CAST(SUM(1 - is_new) AS BIGINT) AS n_snapshot,
+             CAST(SUM(is_new) AS BIGINT) AS n_batch,
+             CAST(COUNT(*) AS BIGINT) AS n_postings
+      FROM acell GROUP BY cell
+    ), tot AS (
+      SELECT CAST(SUM(n_postings) AS BIGINT) AS total,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cent) AS n_cells
+      FROM sizes
+    )
+    SELECT CAST(s.cell AS BIGINT) AS cell,
+           s.n_snapshot, s.n_batch, s.n_postings,
+           (2 * s.n_postings <= t.total) AS share_le_half,
+           (s.n_postings * t.n_cells <= 4 * t.total) AS imbalance_le_4x
+    FROM sizes s, tot t
+    ORDER BY cell
+    """,
+    tags=("similarity", "ann", "ivf", "incremental", "audit"),
+)
+def emb_ivf_append_audit(spark, sf_dir):
+    """Post-append IVF posting-list balance (operators.similarity.
+    ivf_append): the nightly embedding batch (vec_id % 8 == 7 — the
+    embeddings twin of docs_incremental_dedup's snapshot/batch split) is
+    assigned to the EXISTING snapshot codebook with NO retrain, and the
+    audit reports, per cell, the snapshot/batch posting counts plus the
+    emb_ivf_cell_balance bounds re-checked on the appended index (max
+    cell share <= 0.5, max/mean imbalance <= 4x) — the health check that
+    decides when codebook drift has gone far enough to warrant the full
+    rebuild.  Unlike the k-means balance audit, the codebook here is the
+    DETERMINISTIC label-centroid quantizer (exact decimal means, the
+    emb_topk_ivf recipe), so the oracle replays the entire appended
+    index — centroids, both assignment passes, per-cell counts, bound
+    booleans — bit-for-bit; the bound columns are exact integer
+    comparisons (2*n <= total; n*n_cells <= 4*total), no ROUND ties.
+
+    100 TB shape: the codebook never refits and SNAPSHOT EMBEDDINGS
+    NEVER RE-SHUFFLE — both assignment passes are zero-exchange
+    projections against the inlined codebook literal (argmin via
+    array_sort), and the only exchange in the plan carries cell-sized
+    partial counts (map-side combined groupBy on ~|labels| keys).  A
+    batch row whose label did not exist in the snapshot lands in its
+    nearest EXISTING cell, exactly what a frozen production codebook
+    does to novel content."""
+    from prod_data_pipeline_spark.operators.similarity import ivf_append
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
+    postings, _, n_cells = ivf_append(emb.filter(~is_new), emb.filter(is_new))
+    sizes = postings.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_snapshot"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_batch"),
+        F.count(F.lit(1)).alias("n_postings"),
+    )
+    # cell-sized relation feeding two consumers (totals + final projection)
+    sizes = sizes.transform(truncate_lineage, eager=False)
+    tot = sizes.agg(
+        F.sum("n_postings").cast("long").alias("total"),
+        F.lit(n_cells).cast("long").alias("n_cells"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_snapshot",
+            "n_batch",
+            "n_postings",
+            (2 * F.col("n_postings") <= F.col("total")).alias("share_le_half"),
+            (F.col("n_postings") * F.col("n_cells") <= 4 * F.col("total")).alias(
+                "imbalance_le_4x"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "emb_ivf_append_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_IVF_APPEND_SPLIT_SQL} AS is_new
+      FROM embeddings
+    ), cm0 AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
+      WHERE is_new = 0
+      GROUP BY 1, 2
+    ), cent0 AS (
+      SELECT cell, list(m ORDER BY pos) AS c FROM cm0 GROUP BY cell
+    ), cm1 AS (
+      SELECT label AS cell, pos,
+             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
+      GROUP BY 1, 2
+    ), cent1 AS (
+      SELECT cell, list(m ORDER BY pos) AS c FROM cm1 GROUP BY cell
+    ), acell0 AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cent0.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent0.c")}, cent0.cell) AS rn
+        FROM v, cent0
+      ) WHERE rn = 1
+    ), acell1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, cent1.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent1.c")}, cent1.cell) AS rn
+        FROM v, cent1
+      ) WHERE rn = 1
+    ), probes0 AS (
+      SELECT query_id, cell FROM (
+        SELECT v.vec_id AS query_id, cent0.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent0.c")}, cent0.cell) AS rn
+        FROM v, cent0 WHERE v.vec_id < 8
+      ) WHERE rn <= 2
+    ), probes1 AS (
+      SELECT query_id, cell FROM (
+        SELECT v.vec_id AS query_id, cent1.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent1.c")}, cent1.cell) AS rn
+        FROM v, cent1 WHERE v.vec_id < 8
+      ) WHERE rn <= 2
+    ), appended AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_COS_SQL.format(a="q.e", b="c.e")} DESC, c.vec_id) AS rk
+        FROM probes0 p
+        JOIN acell0 a ON a.cell = p.cell
+        JOIN v c ON c.vec_id = a.vec_id
+        JOIN v q ON q.vec_id = p.query_id
+        WHERE c.vec_id <> p.query_id
+      ) WHERE rk <= 5
+    ), fresh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY {_COS_SQL.format(a="q.e", b="c.e")} DESC, c.vec_id) AS rk
+        FROM probes1 p
+        JOIN acell1 a ON a.cell = p.cell
+        JOIN v c ON c.vec_id = a.vec_id
+        JOIN v q ON q.vec_id = p.query_id
+        WHERE c.vec_id <> p.query_id
+      ) WHERE rk <= 5
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL.format(a="q.e", b="c.e")} DESC, c.vec_id) AS rk
+        FROM v q, v c
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+      ) WHERE rk <= 5
+    ), hits AS (
+      SELECT e.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit_appended,
+             CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit_fresh
+      FROM exact e
+      LEFT JOIN appended a USING (query_id, neighbor_id)
+      LEFT JOIN fresh f USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    ), common AS (
+      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM appended a JOIN fresh f USING (query_id, neighbor_id)
+      GROUP BY a.query_id
+    )
+    SELECT h.query_id, h.n_exact, h.n_hit_appended, h.n_hit_fresh,
+           COALESCE(c.n_common, 0) AS n_common,
+           ROUND(CAST(h.n_hit_appended AS DOUBLE) / h.n_exact, 4)
+               AS recall_appended,
+           ROUND(CAST(h.n_hit_fresh AS DOUBLE) / h.n_exact, 4) AS recall_fresh
+    FROM hits h LEFT JOIN common c USING (query_id)
+    ORDER BY query_id
+    """,
+    tags=("similarity", "ann", "ivf", "incremental", "quality"),
+)
+def emb_ivf_append_recall(spark, sf_dir):
+    """Recall audit of the APPENDED IVF index against a FRESH rebuild —
+    the other half of the incremental-ANN maintenance decision: per
+    query, top-5 recall vs exact brute force when the union corpus is
+    served from the STALE snapshot codebook (ivf_append_topk: no
+    retrain) and when it is served from a codebook refit on the union
+    (ivf_topk_label — the fresh rebuild), plus the overlap between the
+    two answer sets.  A persistent recall_appended < recall_fresh gap is
+    the rebuild trigger; the append path deliberately runs the
+    byte-identical search kernel so the gap is attributable to the
+    codebook alone.  Both codebooks are the deterministic label-centroid
+    quantizer, so the oracle replays all THREE searches (appended,
+    fresh, exact) bit-for-bit — approximation quality itself is
+    hash-verified, not just bounded.  Recall ratios divide two exact
+    longs in one IEEE op (n/5 grid — not on any 5-digit half boundary,
+    so ROUND(.,4) is tie-free).
+
+    100 TB shape: three broadcast-queries x one-corpus-scan searches
+    (probed cells only for the two IVF paths); snapshot embeddings are
+    never re-shuffled by the append path (zero-exchange codebook
+    assignment), and the fresh-rebuild cost that the audit is weighing
+    appears in the plan as exactly one extra corpus centroid
+    aggregation."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_append_topk,
+        ivf_topk_label,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    appended = ivf_append_topk(
+        emb.filter(~is_new), emb.filter(is_new), queries_df, k=5, nprobe=2
+    ).select("query_id", "neighbor_id")
+    fresh = ivf_topk_label(emb, queries_df, k=5, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    # each pairs-sized answer set feeds two consumers below: cut lineage
+    # so the searches run once, not per consumer
+    appended = appended.transform(truncate_lineage, eager=False)
+    fresh = fresh.transform(truncate_lineage, eager=False)
+    exact = exact.transform(truncate_lineage, eager=False)
+    hits = (
+        exact.join(
+            appended.withColumn("_a", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .join(fresh.withColumn("_f", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("_a", F.lit(0))).cast("long").alias("n_hit_appended"),
+            F.sum(F.coalesce("_f", F.lit(0))).cast("long").alias("n_hit_fresh"),
+        )
+    )
+    common = (
+        appended.join(fresh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        hits.join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit_appended",
+            "n_hit_fresh",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.col("n_hit_appended").cast("double") / F.col("n_exact"), 4
+            ).alias("recall_appended"),
+            F.round(F.col("n_hit_fresh").cast("double") / F.col("n_exact"), 4).alias(
+                "recall_fresh"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 @query(
     "docs_lsh_band_planner",
     oracle="""

@@ -102,6 +102,14 @@ DSUM_EXCEPTIONS: dict[str, str] = {
         "2^63/1e12 ~ 9.2e6 rows is not guaranteed at 100 TB — DECIMAL "
         "precision is unbounded; cell-count-bounded BigDecimal cost"
     ),
+    "emb_ivf_append_audit": (
+        "label-centroid codebook replay (the emb_topk_ivf decimal-mean "
+        "recipe) — same arbitrary-real centroid-mean reasoning"
+    ),
+    "emb_ivf_append_recall": (
+        "label-centroid codebook replay x2 (snapshot + union codebooks) "
+        "— same arbitrary-real centroid-mean reasoning as emb_topk_ivf"
+    ),
     "emb_top_principal_component": (
         "PCA family ORACLE replay contract (DECIMAL(38,12) covariance "
         "means); the production path is int40/float64 (SCALE.md:610)"

@@ -708,3 +708,86 @@ def test_top_components_driver_chain_matches_distributed(spark, emb):
     assert [tuple(r) for r in fast] == [
         tuple(r) for r in sorted(slow, key=lambda r: (r[0], r[1]))
     ]
+
+
+def test_ivf_append_assigns_batch_to_existing_cells(spark):
+    """The frozen-codebook contract: a batch row lands in its nearest
+    EXISTING snapshot cell even when its label never appeared in the
+    snapshot — the codebook must come from the snapshot alone (an
+    accidental union refit would mint cell 7 here and break both
+    assertions)."""
+    from prod_data_pipeline_spark.operators.similarity import ivf_append
+
+    snap = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    batch = spark.createDataFrame(
+        [(10, [0.05, 0.95], 7), (11, [0.95, 0.05], 7)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    postings, cents, n_cells = ivf_append(snap, batch)
+    assert n_cells == 2
+    assert {r["cell"] for r in cents.collect()} == {0, 1}
+    rows = {r["vec_id"]: (r["cell"], r["is_new"]) for r in postings.collect()}
+    assert len(rows) == 6
+    assert rows[10] == (1, True) and rows[11] == (0, True)
+    assert all(not rows[v][1] for v in (0, 1, 2, 3))
+    assert rows[0][0] == rows[1][0] == 0 and rows[2][0] == rows[3][0] == 1
+
+
+def test_ivf_append_postings_plan_never_shuffles_by_key(spark, emb):
+    """Scale pin for the append path: both assignment passes are
+    zero-exchange projections against the inlined codebook literal — the
+    postings plan must contain no key-based exchange (hash or range) and
+    no join.  (ensure_parallelism may add a ROUND-ROBIN repartition on
+    the single-file test input; at real scale — thousands of splits —
+    that is a documented no-op, and it is not a key shuffle.)"""
+    from prod_data_pipeline_spark.operators.similarity import ivf_append
+
+    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
+    postings, _, _ = ivf_append(emb.filter(~is_new), emb.filter(is_new))
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_append_topk_full_probe_equals_bruteforce(spark, emb):
+    """Probing every snapshot cell makes the appended index scan the whole
+    union corpus with the same tie-break as brute force — the nprobe
+    escape hatch must reproduce the exact top-k bit-for-bit (same
+    invariant as the k-means sweep's nprobe=n_cells point)."""
+    from prod_data_pipeline_spark.operators.similarity import ivf_append_topk
+
+    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
+    snap, batch = emb.filter(~is_new), emb.filter(is_new)
+    queries = emb.filter(F.col("vec_id") < 8)
+    n_cells = snap.select("label").distinct().count()
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    appended = ivf_append_topk(snap, batch, queries, k=5, nprobe=n_cells).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+    assert [key(r) for r in appended] == [key(r) for r in exact]
+
+
+def test_ivf_append_topk_empty_batch_matches_fresh_index(spark, emb):
+    """Appending nothing must serve exactly the fresh snapshot index —
+    pins the union plumbing and that the search kernels really are
+    byte-identical."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        ivf_append_topk,
+        ivf_topk_label,
+    )
+
+    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
+    snap, batch = emb.filter(~is_new), emb.filter(is_new)
+    queries = emb.filter(F.col("vec_id") < 8)
+    empty = batch.filter(F.lit(False))
+    got = ivf_append_topk(snap, empty, queries, k=5, nprobe=2).collect()
+    want = ivf_topk_label(snap, queries, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
