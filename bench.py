@@ -117,6 +117,14 @@ INFLATED_QUERIES = [
     # key, the embedding twin of the LSH dup-clique shape above.
     "emb_topk_bruteforce",
     "emb_srp_near_dup_pairs",
+    # Curation-gate representative (round-11 verdict #4): the engine's
+    # center of mass moved to the curation-gate family, whose scale
+    # behavior previously lived only in one-off SCALE notes.  This is
+    # the most expensive of those queries — the full production
+    # MinHash-LSH pair pass under factor× bucket crowding plus the
+    # hash-split leakage join — so a banding, verify-join, or split
+    # regression gets a standing driver-visible number.
+    "docs_split_leakage_audit",
 ]
 
 

@@ -15,11 +15,19 @@ from prod_data_pipeline_spark.sources.readers import TABLES
 
 
 def oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                # Spark-written table: a DIRECTORY of part files (the
+                # bench's inflated dataset) rather than the driver
+                # testdata's single file
+                path = f"{path}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
         return con.execute(sql).fetchdf()
     finally:
