@@ -203,3 +203,23 @@ def test_no_unexempted_spark_side_decimal_sums():
     assert not stale, (
         f"stale SPARK_DSUM_EXCEPTIONS entries (no matching F.sum site): {stale}"
     )
+
+
+def test_oracle_df_reads_spark_directory_parquet(tmp_path):
+    """The bench's inflated dataset is Spark-written — each table is a
+    DIRECTORY of part files, not the driver testdata's single file.
+    oracle_df must glob that layout so inflated-shape oracle parity runs
+    (round-12: docs_split_leakage_audit verified on the 10x corpus)."""
+    import shutil
+
+    from tests.parity import oracle_df
+    from prod_data_pipeline_spark.sources.readers import TABLES
+
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        d = tmp_path / f"{t}.parquet"
+        d.mkdir()
+        shutil.copy(f"{src}/{t}.parquet", d / "part-00000.parquet")
+    got = oracle_df("SELECT COUNT(*) AS n FROM region", str(tmp_path))
+    want = oracle_df("SELECT COUNT(*) AS n FROM region", src)
+    assert got["n"][0] == want["n"][0] > 0
