@@ -87,8 +87,9 @@ INFLATE_KEYS = {
 KEY_SHIFT = 1 << 40
 # Bump when the inflation recipe changes: the inflated dataset is
 # marker-cached on disk across runs, and a recipe change must not reuse a
-# stale cache (round 6's cache has embeddings UN-inflated).
-INFLATE_RECIPE_V = 2
+# stale cache (round 6's cache has embeddings UN-inflated; v3 pins the
+# file layout — see build_inflated).
+INFLATE_RECIPE_V = 3
 
 # Relational headliners whose cost scales with the inflated facts, plus one
 # dedup headliner over the replicated corpus and the two ANN headliners
@@ -146,6 +147,15 @@ def build_inflated(spark, sf_dir: str, factor: int, out_dir: str) -> None:
                 DataFrame.union,
                 [df.withColumn(key, df[key] + (i * KEY_SHIFT)) for i in range(factor)],
             )
+            # Pin the file layout (recipe v3): without this the part-file
+            # count is whatever partitioning the BUILDING session happened
+            # to produce (observed 10 files post-reboot vs ~30 earlier),
+            # and at ~10-20 MB/file each file is one input split — an
+            # inflated fact scan then runs 10 tasks on 32 cores and the
+            # bench numbers shift with the cache's birth session rather
+            # than the code.  defaultParallelism files ≈ one split per
+            # core, deterministic across rebuilds.
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
