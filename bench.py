@@ -67,6 +67,41 @@ def calibrate(spark) -> float:
     return time.perf_counter() - t0
 
 
+# --- memory-bandwidth sentinel (round 12) -----------------------------------
+# The CPU sentinel above is register/ALU-bound, so it UNDER-reads the
+# contention mode this box actually exhibits: external tenants saturating
+# memory bandwidth / page cache, which inflates the data-heavy query
+# passes (especially the 10x inflated suite) while the CPU factor still
+# reads 1.0 (documented rounds 10-12).  This sentinel streams a constant
+# 256 MiB float64 array through numpy.sum four times (~1 GiB of memory
+# traffic, single-threaded, zero allocation after first call): its wall
+# time moves with MEMBW contention.  membw_factor is REPORTED beside
+# noise_factor for attribution; value_normalized keeps using the CPU
+# factor so round-over-round normalized numbers stay comparable.
+MEMBW_ELEMS = (1 << 28) // 8  # 256 MiB of float64
+#: Quiet-machine reference, measured round 12 on the grading box (8 warm
+#: samples 0.137-0.152 at load ~2 with the tenant's membw quiet; the
+#: factor is clamped at 1.0, so a marginally-low reference cannot deflate
+#: normalized numbers).
+MEMBW_REF_SEC = 0.135
+_membw_arr = None
+
+
+def calibrate_membw() -> float:
+    """One timed run of the constant-traffic memory-bandwidth job."""
+    global _membw_arr
+    import numpy as np
+
+    if _membw_arr is None:
+        _membw_arr = np.arange(MEMBW_ELEMS, dtype="float64")
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(4):
+        acc += float(_membw_arr.sum())
+    assert acc >= 0.0
+    return time.perf_counter() - t0
+
+
 # Synthetic inflation: fact tables get `factor` key-shifted copies (the key
 # shift is a large constant so copies never collide and fact-fact joins stay
 # consistent); dimension tables are unchanged — the TPC-H scaling shape,
@@ -180,7 +215,15 @@ def main() -> None:
     # every suite pass so the factor reflects the same window the query
     # timings came from.
     calibrate(spark)  # codegen warmup, discarded
-    noise_samples = [round(calibrate(spark), 3)]
+    calibrate_membw()  # first-touch array allocation, discarded
+    noise_samples: list[float] = []
+    membw_samples: list[float] = []
+
+    def sample_noise():
+        noise_samples.append(round(calibrate(spark), 3))
+        membw_samples.append(round(calibrate_membw(), 3))
+
+    sample_noise()
 
     def run_pass(names, data_dir):
         """One full suite pass: every query once, in order."""
@@ -199,11 +242,11 @@ def main() -> None:
     # trajectory — the spread a single best-of-N cannot show (round-11
     # verdict #5).
     run_pass(headline, sf_dir)  # codegen warmup, discarded
-    noise_samples.append(round(calibrate(spark), 3))
+    sample_noise()
     passes = []
     for _ in range(max(2, runs)):
         passes.append(run_pass(headline, sf_dir))
-        noise_samples.append(round(calibrate(spark), 3))
+        sample_noise()
 
     timings = {
         name: round(min(p[name] for p in passes), 3) for name in headline
@@ -235,11 +278,11 @@ def main() -> None:
         # showed up as a one-off 8x outlier on the first query to scan
         # lineitem.
         run_pass(INFLATED_QUERIES, inflated_dir)  # codegen/page-cache warmup
-        noise_samples.append(round(calibrate(spark), 3))
+        sample_noise()
         ipasses = []
         for _ in range(max(2, runs)):
             ipasses.append(run_pass(INFLATED_QUERIES, inflated_dir))
-            noise_samples.append(round(calibrate(spark), 3))
+            sample_noise()
         inflated = {
             name: round(min(p[name] for p in ipasses), 3)
             for name in INFLATED_QUERIES
@@ -259,10 +302,17 @@ def main() -> None:
     # normalized number.
     med = sorted(noise_samples)[len(noise_samples) // 2]
     noise_factor = max(1.0, round(med / CALIBRATION_REF_SEC, 3))
+    membw_med = sorted(membw_samples)[len(membw_samples) // 2]
     result["noise"] = {
         "calibration_samples_sec": noise_samples,
         "calibration_ref_sec": CALIBRATION_REF_SEC,
         "noise_factor": noise_factor,
+        # membw sentinel (round 12): diagnostic only — attributes the
+        # contention mode the CPU factor cannot see; normalization stays
+        # on noise_factor for cross-round comparability.
+        "membw_samples_sec": membw_samples,
+        "membw_ref_sec": MEMBW_REF_SEC,
+        "membw_factor": max(1.0, round(membw_med / MEMBW_REF_SEC, 3)),
     }
     result["value_normalized"] = round(total / noise_factor, 3)
 
