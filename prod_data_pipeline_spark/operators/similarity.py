@@ -395,6 +395,62 @@ def label_centroids(
     )
 
 
+def label_centroids_split(
+    df: DataFrame,
+    flag_col: str,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Snapshot and union label-centroid codebooks from ONE corpus pass.
+
+    Bit-identical to calling :func:`label_centroids` on the snapshot
+    subset (``flag_col`` false) and on the full frame separately —
+    DECIMAL partial sums are exact, so the conditional snapshot sum and
+    the unconditional union sum computed in the same aggregate equal the
+    two separately-computed sums, and each mean is the same single
+    IEEE long/double division — but the corpus is posexploded and
+    aggregated ONCE instead of twice.  At 100 TB this halves the
+    index-construction cost of the append-vs-rebuild recall audit: one
+    full-corpus aggregation feeds both codebooks.  Equivalence is
+    pytest-pinned (tests/test_similarity.py).
+
+    A cell with no snapshot rows (novel label arriving in the batch) is
+    absent from the snapshot codebook and present in the union codebook,
+    exactly as the two separate fits would produce."""
+    from prod_data_pipeline_spark.functions.guards import finite_embeddings
+
+    dec = "decimal(28,12)"
+    ex = finite_embeddings(df, emb_col, dim).select(
+        F.col(label_col).alias("cell"),
+        F.col(flag_col).cast("boolean").alias("_new"),
+        F.posexplode(to_double_array(F.col(emb_col))).alias("pos", "v"),
+    )
+    part = ex.groupBy("cell", "pos").agg(
+        F.sum(F.when(~F.col("_new"), F.col("v").cast(dec))).alias("s0"),
+        F.sum(F.when(~F.col("_new"), 1).otherwise(0)).alias("c0"),
+        F.sum(F.col("v").cast(dec)).alias("su"),
+        F.count(F.lit(1)).alias("cu"),
+    )
+    # cells-x-dim-sized relation feeding two codebook consumers: cut
+    # lineage so the corpus aggregation runs once, not per codebook
+    part = part.transform(truncate_lineage, eager=False)
+
+    def assemble(rel: DataFrame, mean: F.Column) -> DataFrame:
+        per = rel.select("cell", "pos", mean.alias("m"))
+        return per.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+
+    snap = assemble(
+        part.filter(F.col("c0") > 0), F.col("s0").cast("double") / F.col("c0")
+    )
+    union = assemble(part, F.col("su").cast("double") / F.col("cu"))
+    return snap, union
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -915,6 +971,7 @@ def ivf_topk_label(
     emb_col: str = "embedding",
     label_col: str = "label",
     round_sim: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with a DETERMINISTIC coarse quantizer: cells are the
     exact per-label centroid means (label_centroids — decimal-sum exact,
@@ -930,8 +987,14 @@ def ivf_topk_label(
     labels — control-plane size, like a catalog read) and inlined as
     literals: cell assignment becomes a zero-shuffle projection, the
     exact scale shape a real IVF index wants (the centroid codebook
-    always ships to every executor anyway)."""
-    cents = label_centroids(df, emb_col, label_col)
+    always ships to every executor anyway).
+
+    Pass ``centroids`` to serve from a precomputed (cell, centroid)
+    relation — e.g. the union half of label_centroids_split — instead
+    of refitting on ``df``."""
+    cents = (
+        centroids if centroids is not None else label_centroids(df, emb_col, label_col)
+    )
     cent_arr, _ = _codebook_literal(cents)
     return _ivf_search_codebook(
         df, query_df, cent_arr, k, nprobe, id_col, emb_col, round_sim
@@ -1094,14 +1157,20 @@ def ivf_append_topk(
     emb_col: str = "embedding",
     label_col: str = "label",
     round_sim: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k over the snapshot+batch UNION served from the STALE
     snapshot codebook — the post-append serving path whose recall the
     rebuild decision weighs against a fresh ivf_topk_label of the union.
     Runs the byte-identical search kernel (_ivf_search_codebook) as the
     fresh index, so any quality gap is attributable to the codebook
-    alone."""
-    cents = label_centroids(snapshot_df, emb_col, label_col)
+    alone.  Pass ``centroids`` to reuse an already-computed snapshot
+    codebook (e.g. the snapshot half of label_centroids_split)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(snapshot_df, emb_col, label_col)
+    )
     cent_arr, _ = _codebook_literal(cents)
     union = snapshot_df.select(id_col, emb_col).unionByName(
         batch_df.select(id_col, emb_col)

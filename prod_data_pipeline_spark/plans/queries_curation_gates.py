@@ -2098,24 +2098,36 @@ def emb_ivf_append_recall(spark, sf_dir):
     100 TB shape: three broadcast-queries x one-corpus-scan searches
     (probed cells only for the two IVF paths); snapshot embeddings are
     never re-shuffled by the append path (zero-exchange codebook
-    assignment), and the fresh-rebuild cost that the audit is weighing
-    appears in the plan as exactly one extra corpus centroid
-    aggregation."""
+    assignment), and BOTH codebooks — stale snapshot and fresh union —
+    derive from ONE shared corpus centroid aggregation
+    (label_centroids_split: the conditional snapshot partial and the
+    unconditional union partial ride the same exact-DECIMAL agg,
+    bit-identical to two separate fits), so the audit's
+    index-construction cost is one full-corpus pass, not two."""
     from prod_data_pipeline_spark.operators.similarity import (
         brute_force_topk,
         ivf_append_topk,
         ivf_topk_label,
+        label_centroids_split,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
     queries_df = emb.filter(F.col("vec_id") < 8)
-    appended = ivf_append_topk(
-        emb.filter(~is_new), emb.filter(is_new), queries_df, k=5, nprobe=2
-    ).select("query_id", "neighbor_id")
-    fresh = ivf_topk_label(emb, queries_df, k=5, nprobe=2).select(
-        "query_id", "neighbor_id"
+    snap_cents, union_cents = label_centroids_split(
+        emb.withColumn("_new", is_new), "_new"
     )
+    appended = ivf_append_topk(
+        emb.filter(~is_new),
+        emb.filter(is_new),
+        queries_df,
+        k=5,
+        nprobe=2,
+        centroids=snap_cents,
+    ).select("query_id", "neighbor_id")
+    fresh = ivf_topk_label(
+        emb, queries_df, k=5, nprobe=2, centroids=union_cents
+    ).select("query_id", "neighbor_id")
     exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
     # each pairs-sized answer set feeds two consumers below: cut lineage
     # so the searches run once, not per consumer

@@ -791,3 +791,37 @@ def test_ivf_append_topk_empty_batch_matches_fresh_index(spark, emb):
     got = ivf_append_topk(snap, empty, queries, k=5, nprobe=2).collect()
     want = ivf_topk_label(snap, queries, k=5, nprobe=2).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_label_centroids_split_matches_separate_fits(spark, emb):
+    """label_centroids_split's one-pass codebooks must be BIT-identical to
+    two separate label_centroids fits (snapshot subset / full union) —
+    DECIMAL partials are exact, so the conditional and unconditional sums
+    re-add to the separate fits' sums and each mean is the same IEEE
+    division.  Also covers the novel-label case via a synthetic batch."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        label_centroids_split,
+    )
+
+    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
+    snap_got, union_got = label_centroids_split(
+        emb.withColumn("_new", is_new), "_new"
+    )
+    snap_want = label_centroids(emb.filter(~is_new))
+    union_want = label_centroids(emb)
+    as_map = lambda df: {r["cell"]: list(r["centroid"]) for r in df.collect()}
+    assert as_map(snap_got) == as_map(snap_want)
+    assert as_map(union_got) == as_map(union_want)
+
+    # novel label: present only in the batch -> absent from the snapshot
+    # codebook, present in the union codebook
+    extra = spark.createDataFrame(
+        [(1000, [1.0] * 64, 99)], "vec_id long, embedding array<double>, label int"
+    )
+    both = emb.select("vec_id", "embedding", "label").unionByName(extra)
+    flagged = both.withColumn(
+        "_new", (F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)) | (F.col("vec_id") >= 1000)
+    )
+    s2, u2 = label_centroids_split(flagged, "_new")
+    assert 99 not in as_map(s2)
+    assert as_map(u2)[99] == [1.0] * 64
