@@ -1007,8 +1007,21 @@ def _codebook_literal(cents: DataFrame) -> tuple[F.Column, int]:
     is bounded by the cell count — control-plane size, like a catalog
     read; the codebook ships to every executor with the plan, making
     cell assignment a zero-shuffle projection.  Returns (literal,
-    n_cells)."""
+    n_cells).
+
+    Raises ValueError on an EMPTY centroid relation (an all-invalid or
+    empty snapshot) — F.array() of zero struct literals is VOID-typed
+    and every downstream field extraction would fail with a cryptic
+    AnalysisException; cold-starting an index belongs to a fresh
+    ivf_topk_label/kmeans_cells build on the first batch, not to
+    append."""
     cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    if not cent_rows:
+        raise ValueError(
+            "empty IVF codebook: the centroid relation has no cells "
+            "(empty or all-non-finite snapshot) — bootstrap the index "
+            "from the first batch instead of appending to nothing"
+        )
     return (
         F.array(
             *[

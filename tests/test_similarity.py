@@ -825,3 +825,21 @@ def test_label_centroids_split_matches_separate_fits(spark, emb):
     s2, u2 = label_centroids_split(flagged, "_new")
     assert 99 not in as_map(s2)
     assert as_map(u2)[99] == [1.0] * 64
+
+
+def test_ivf_append_empty_snapshot_raises_clearly(spark):
+    """Cold-start contract: appending to an EMPTY (or all-invalid)
+    snapshot must raise a clear ValueError at plan-construction time —
+    without the guard, F.array() of zero codebook structs is VOID-typed
+    and fails much later with a cryptic field-extraction
+    AnalysisException."""
+    import pytest
+
+    from prod_data_pipeline_spark.operators.similarity import ivf_append
+
+    snap = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    with pytest.raises(ValueError, match="empty IVF codebook"):
+        ivf_append(snap, batch)
