@@ -19,6 +19,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -1532,4 +1534,145 @@ def pq_adc_topk(
             "rank",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def _label_ranked(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int,
+    id_col: str,
+    emb_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact cosine top-k with query AND neighbor labels carried through —
+    the shared ranked relation behind the retrieval-evaluation metrics
+    (label_retrieval_metrics / knn_label_vote).
+
+    Identical plan and ordering contract to brute_force_topk (broadcast
+    query panel x ONE corpus scan; rank on the raw IEEE double similarity,
+    ties broken by neighbor id; zero-norm vectors have NULL cosine via
+    try_divide and are excluded), with the labels riding the same rows so
+    relevance never needs a corpus-sized label join after ranking.
+    Returns (query_id, qlabel, neighbor_id, nlabel, rank).
+    """
+    corpus = _norm_emb(df, emb_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nlabel"),
+        "_emb",
+    )
+    queries = _norm_emb(query_df, emb_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlabel"),
+        F.col("_emb").alias("_qemb"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
+        .filter(F.col("_sim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "qlabel", "neighbor_id", "nlabel", "rank")
+    )
+
+
+def label_retrieval_metrics(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query label-relevance ranking metrics — the rank-POSITION-aware
+    evaluation layer the recall audits (ivf_recall_at_k, pq_recall_vs_exact)
+    deliberately omit: recall says whether the relevant item was retrieved,
+    these say WHERE it landed.
+
+    Relevance = neighbor shares the query's label (self excluded) — the
+    standard label-based protocol for auditing embedding quality without
+    human judgments.  Per query: `first_rel_rank` (rank of the first
+    relevant neighbor, NULL if none in the top-k), `rr_num` (reciprocal
+    rank as the EXACT integer numerator lcm(1..k)/first_rel_rank over the
+    fixed denominator lcm(1..k) — e.g. 2520 at k=10 — so MRR aggregates in
+    pure int64 with no float accumulation; 0 when no hit), `hits`
+    (relevant-in-top-k count, the precision@k numerator) and `n_ranked`
+    (actual neighbors ranked, < k only when the corpus is smaller than k).
+    NULL labels are never relevant (SQL null-equality semantics, identical
+    in both engines); a query whose every cosine is NULL (zero-norm panel
+    vector) yields no row.
+
+    100 TB: the panel is a small broadcast relation; cost is ONE corpus
+    scan + the per-query window shuffle — exactly brute_force_topk's plan.
+    The metric layer on top is panel-sized.  Aggregating MRR/precision from
+    the returned integers is one tiny agg; the numerator recipe keeps the
+    cross-engine comparison exact (see plans/query_registry.dsum notes).
+    """
+    lcm = math.lcm(*range(1, k + 1))
+    ranked = _label_ranked(df, query_df, k, id_col, emb_col, label_col)
+    rel = F.col("nlabel") == F.col("qlabel")
+    return (
+        ranked.groupBy("query_id", "qlabel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranked"),
+            F.min(F.when(rel, F.col("rank"))).cast("long").alias("first_rel_rank"),
+            F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("hits"),
+        )
+        # integer division: lcm is divisible by every rank in 1..k, so the
+        # reciprocal rank is EXACT; `div` keeps it int64 end to end
+        .withColumn(
+            "rr_num",
+            F.expr(f"coalesce({lcm} div first_rel_rank, 0)").cast("long"),
+        )
+    )
+
+
+def knn_label_vote(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label prediction per query — embedding quality
+    measured as a CLASSIFIER, the downstream-task companion to the ranking
+    metrics (a space can rank same-label items adjacently yet still lose a
+    vote to a dense wrong-label neighborhood).
+
+    Prediction = the label with the most members in the query's exact
+    cosine top-k (self excluded); ties break (votes DESC, label ASC) — a
+    deterministic total order both engines replay.  NULL-label neighbors
+    ABSTAIN (filtered before voting): Spark sorts NULL first on ASC where
+    DuckDB sorts it last, so letting NULL stand for "unknown candidate"
+    would make the tie-break engine-dependent.  `correct` is
+    coalesce(predicted = qlabel, false): an unlabeled query can never be
+    scored correct.  Returns (query_id, qlabel, predicted_label, votes,
+    correct); a query with no labeled neighbors yields no row.
+
+    100 TB: same ONE-corpus-scan + panel-window plan as brute_force_topk;
+    the vote is a panel-sized two-level agg.
+    """
+    ranked = _label_ranked(df, query_df, k, id_col, emb_col, label_col).filter(
+        F.col("nlabel").isNotNull()
+    )
+    votes = ranked.groupBy("query_id", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nlabel"))
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("nlabel").alias("predicted_label"),
+            "votes",
+            F.coalesce(F.col("nlabel") == F.col("qlabel"), F.lit(False)).alias(
+                "correct"
+            ),
+        )
     )

@@ -79,10 +79,12 @@ DRIVER_ORDER: list[str] = [
     # --- round-12 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # FULL r7-aged cohort of 38 (expires this round — verdict r11
-    # directive #1; 3 + 38 = 41 mandatory slots), then the 9 OLDEST r8
-    # rows as fillers to pre-drain round 13's 46-row r8 bulge (directive
-    # #3: with these drained, r13's mandatory load is 3 + 37 = 40 <= 44).
-    # ---
+    # directive #1; 3 + 38 = 41 mandatory slots), then 4 of the OLDEST r8
+    # rows as pre-drain fillers and the round's 5 net-new queries
+    # (never-checked outranks a filler — policy #3).  Round 13's mandatory
+    # load lands at 3 + 42 = 45, one over directive #3's <= 44 target —
+    # the accepted cost of shipping the 3-query retrieval-eval family
+    # this round; 5 free slots remain for round-13 net-new work. ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
@@ -132,24 +134,27 @@ DRIVER_ORDER: list[str] = [
     "corpus_curation_stats",
     "customer_order_distribution",
     "customers_with_orders_by_segment",
-    "customers_without_orders",
-    "dedup_docs_exact",
-    "disjunctive_brand_revenue",
-    # round-12 net-new (verdict directive #5: incremental IVF-append
-    # maintenance); never-checked outranks a non-mandatory filler
-    # (policy #3), so these displace the two trailing r8 fillers
-    # (docs_dup_pagerank / docs_dup_triangles), which stay in round
-    # 13's mandatory set by age:
+    # round-12 net-new; never-checked outranks a non-mandatory filler
+    # (policy #3), so these displace the five trailing r8 fillers
+    # (docs_dup_pagerank / docs_dup_triangles / customers_without_orders /
+    # dedup_docs_exact / disjunctive_brand_revenue), which stay in round
+    # 13's mandatory set by age.  First the verdict-directive-#5
+    # incremental IVF-append pair, then the label-relevance retrieval-eval
+    # family (MRR/precision + kNN accuracy):
     "emb_ivf_append_audit",
     "emb_ivf_append_recall",
+    "emb_label_retrieval_mrr",
+    "emb_label_retrieval_by_label",
+    "emb_knn_label_accuracy",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
 #: rotation: round 12's mandatory set (3 sentinels + 38 r7-aged rows)
-#: left 9 free slots — 7 spent pre-draining the oldest r8 rows and 2 on
-#: the round's net-new IVF-append queries — so nothing is deferred.
+#: left 9 free slots — 4 spent pre-draining the oldest r8 rows and 5 on
+#: the round's net-new queries (IVF-append pair + the label-relevance
+#: retrieval-eval family) — so nothing is deferred.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 

@@ -2491,6 +2491,243 @@ def emb_ivf_nprobe_sweep(spark, sf_dir):
     )
 
 
+# Shared oracle CTE chain for the label-relevance retrieval-eval family:
+# exact cosine ranking (emb_topk_bruteforce's recipe — rank on the raw IEEE
+# double, neighbor-id tie-break) over a FIXED 64-query panel, with query and
+# neighbor labels carried through.  The metric layers on top are pure
+# integer arithmetic, so the whole family is hash-checkable end to end.
+_LABEL_RANKED_SQL = """
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, e AS qe
+      FROM v WHERE vec_id < 64
+    ), scored AS (
+      SELECT q.query_id, q.qlabel, v.vec_id AS neighbor_id, v.label AS nlabel,
+             list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * v.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(q.qe)+1), i -> q.qe[i] * q.qe[i])))
+                * sqrt(list_sum(list_transform(range(1, len(v.e)+1), i -> v.e[i] * v.e[i]))))
+             AS sim
+      FROM q, v WHERE q.query_id <> v.vec_id
+    ), ranked AS (
+      SELECT query_id, qlabel, neighbor_id, nlabel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+      QUALIFY rank <= {k}
+    )"""
+
+# per-query metric layer shared by the MRR and by-label queries (k=10;
+# 2520 = lcm(1..10), so every reciprocal rank is an exact integer)
+_LABEL_PER_QUERY_SQL = """, per AS (
+      SELECT query_id, qlabel,
+             MIN(CASE WHEN nlabel = qlabel THEN rank END) AS frr,
+             COUNT(*) FILTER (WHERE nlabel = qlabel) AS hits
+      FROM ranked GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "emb_label_retrieval_mrr",
+    oracle=_LABEL_RANKED_SQL.format(k=10)
+    + _LABEL_PER_QUERY_SQL
+    + """, agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(COALESCE(2520 // frr, 0)) AS BIGINT) AS sum_rr_num,
+             CAST(SUM(hits) AS BIGINT) AS sum_hits,
+             CAST(COUNT(frr) AS BIGINT) AS n_hit_queries
+      FROM per
+    )
+    SELECT n_queries,
+           CAST(10 AS BIGINT) AS k,
+           sum_rr_num,
+           CAST((2 * sum_rr_num * 1000000 + 2520 * n_queries)
+                // (2 * 2520 * n_queries) AS BIGINT) / 1000000.0 AS mrr_at_k,
+           sum_hits,
+           CAST((2 * sum_hits * 1000000 + 10 * n_queries)
+                // (2 * 10 * n_queries) AS BIGINT) / 1000000.0 AS precision_at_k,
+           n_hit_queries,
+           CAST((2 * n_hit_queries * 1000000 + n_queries)
+                // (2 * n_queries) AS BIGINT) / 1000000.0 AS hit_rate_at_k
+    FROM agg
+    """,
+    tags=("similarity", "eval", "ranking", "mrr"),
+)
+def emb_label_retrieval_mrr(spark, sf_dir):
+    """MRR@10 / precision@10 / hit-rate@10 of exact cosine retrieval under
+    label relevance (operators.similarity.label_retrieval_metrics) — the
+    rank-POSITION-aware embedding-quality scorecard the recall audits
+    cannot express: recall says whether a relevant item was retrieved,
+    MRR says where it landed.  Relevance = neighbor shares the query's
+    label; panel = the fixed 64 lowest vec_ids (bounded broadcast at any
+    corpus scale, so the eval stays ONE corpus scan + one panel-keyed
+    window — brute_force_topk's exact plan).  Every reciprocal rank is
+    the exact integer 2520/rank (2520 = lcm(1..10)), so MRR aggregates in
+    pure int64 and the 6-digit reports are integer half-up on the
+    numerator — the whole query is hash-checkable with zero float
+    accumulation (the raw int64 numerators ship alongside as
+    sum_rr_num/sum_hits/n_hit_queries)."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        label_retrieval_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    per = label_retrieval_metrics(emb, emb.filter(F.col("vec_id") < 64), k=10)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("rr_num").alias("sum_rr_num"),
+        F.sum("hits").alias("sum_hits"),
+        F.count("first_rel_rank").cast("long").alias("n_hit_queries"),
+    )
+    return agg.select(
+        "n_queries",
+        F.lit(10).cast("long").alias("k"),
+        "sum_rr_num",
+        (
+            F.expr(
+                "(2 * sum_rr_num * 1000000 + 2520 * n_queries)"
+                " div (2 * 2520 * n_queries)"
+            )
+            / F.lit(1000000.0)
+        ).alias("mrr_at_k"),
+        "sum_hits",
+        (
+            F.expr(
+                "(2 * sum_hits * 1000000 + 10 * n_queries)"
+                " div (2 * 10 * n_queries)"
+            )
+            / F.lit(1000000.0)
+        ).alias("precision_at_k"),
+        "n_hit_queries",
+        (
+            F.expr("(2 * n_hit_queries * 1000000 + n_queries) div (2 * n_queries)")
+            / F.lit(1000000.0)
+        ).alias("hit_rate_at_k"),
+    )
+
+
+@query(
+    "emb_label_retrieval_by_label",
+    oracle=_LABEL_RANKED_SQL.format(k=10)
+    + _LABEL_PER_QUERY_SQL
+    + """, g AS (
+      SELECT qlabel,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(COALESCE(2520 // frr, 0)) AS BIGINT) AS sum_rr_num,
+             CAST(SUM(hits) AS BIGINT) AS sum_hits
+      FROM per GROUP BY qlabel
+    )
+    SELECT qlabel,
+           n_queries,
+           sum_rr_num,
+           CAST((2 * sum_rr_num * 1000000 + 2520 * n_queries)
+                // (2 * 2520 * n_queries) AS BIGINT) / 1000000.0 AS mrr_at_k,
+           sum_hits,
+           CAST((2 * sum_hits * 1000000 + 10 * n_queries)
+                // (2 * 10 * n_queries) AS BIGINT) / 1000000.0 AS precision_at_k
+    FROM g ORDER BY qlabel
+    """,
+    tags=("similarity", "eval", "ranking", "mrr"),
+)
+def emb_label_retrieval_by_label(spark, sf_dir):
+    """Per-label MRR@10 / precision@10 breakdown of the label-relevance
+    retrieval eval — WHICH classes the embedding space clusters poorly,
+    the actionable drill-down behind emb_label_retrieval_mrr's corpus
+    number (a healthy global MRR can hide one collapsed class; per-class
+    is what decides which data to re-embed or up-sample).  Same fixed
+    64-query panel, same exact-integer numerators (2520 = lcm(1..10)),
+    per-group half-up reports — one extra tiny group-by over the
+    panel-sized per-query relation, the corpus is still scanned once."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        label_retrieval_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    per = label_retrieval_metrics(emb, emb.filter(F.col("vec_id") < 64), k=10)
+    g = per.groupBy("qlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("rr_num").alias("sum_rr_num"),
+        F.sum("hits").alias("sum_hits"),
+    )
+    return g.select(
+        "qlabel",
+        "n_queries",
+        "sum_rr_num",
+        (
+            F.expr(
+                "(2 * sum_rr_num * 1000000 + 2520 * n_queries)"
+                " div (2 * 2520 * n_queries)"
+            )
+            / F.lit(1000000.0)
+        ).alias("mrr_at_k"),
+        "sum_hits",
+        (
+            F.expr(
+                "(2 * sum_hits * 1000000 + 10 * n_queries)"
+                " div (2 * 10 * n_queries)"
+            )
+            / F.lit(1000000.0)
+        ).alias("precision_at_k"),
+    ).orderBy("qlabel")
+
+
+@query(
+    "emb_knn_label_accuracy",
+    oracle=_LABEL_RANKED_SQL.format(k=5)
+    + """, votes AS (
+      SELECT query_id, qlabel, nlabel, COUNT(*) AS c
+      FROM ranked WHERE nlabel IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, qlabel, nlabel AS plabel
+      FROM (SELECT query_id, qlabel, nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, nlabel) AS rn
+            FROM votes)
+      WHERE rn = 1
+    )
+    SELECT qlabel,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) FILTER (WHERE plabel = qlabel) AS BIGINT) AS n_correct,
+           CAST((2 * COUNT(*) FILTER (WHERE plabel = qlabel) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) / 1000000.0 AS accuracy
+    FROM pred GROUP BY qlabel ORDER BY qlabel
+    """,
+    tags=("similarity", "eval", "knn", "classification"),
+)
+def emb_knn_label_accuracy(spark, sf_dir):
+    """Leave-one-out 5-NN majority-vote label accuracy per class
+    (operators.similarity.knn_label_vote) — embedding quality measured as
+    a CLASSIFIER, the downstream-task companion to the ranking metrics: a
+    space can rank same-label items adjacently (good MRR) yet still lose
+    votes to a dense wrong-label neighborhood, which is what a retrieval-
+    augmented consumer actually experiences.  Prediction = modal label of
+    the exact cosine top-5 (self excluded), ties (votes DESC, label ASC);
+    NULL-label neighbors abstain before the vote so the tie-break never
+    touches engine-dependent NULL ordering.  Same fixed 64-query panel and
+    ONE corpus scan; accuracy reports are integer half-up per class."""
+    from prod_data_pipeline_spark.operators.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    preds = knn_label_vote(emb, emb.filter(F.col("vec_id") < 64), k=5)
+    g = preds.groupBy("qlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast("long").alias(
+            "n_correct"
+        ),
+    )
+    return g.select(
+        "qlabel",
+        "n_queries",
+        "n_correct",
+        (
+            F.expr("(2 * n_correct * 1000000 + n_queries) div (2 * n_queries)")
+            / F.lit(1000000.0)
+        ).alias("accuracy"),
+    ).orderBy("qlabel")
+
+
 @query(
     "emb_pq_adc_topk",
     oracle="""

@@ -843,3 +843,123 @@ def test_ivf_append_empty_snapshot_raises_clearly(spark):
     )
     with pytest.raises(ValueError, match="empty IVF codebook"):
         ivf_append(snap, batch)
+
+
+# --- label-relevance retrieval eval (round 12) -----------------------------
+
+
+def _eval_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_label_retrieval_metrics_known_geometry(spark):
+    """2-D vectors at known angles: ranking is unambiguous, so every metric
+    is hand-checkable.  Query v0 (label 0) ranks v1 (10°, label 1), v2
+    (20°, label 0), v3 (80°, label 0): first relevant at rank 2 ->
+    rr_num = lcm(1..3)/2 = 2, hits = 2."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        label_retrieval_metrics,
+    )
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    df = _eval_df(
+        spark,
+        [(0, vec(0), 0), (1, vec(10), 1), (2, vec(20), 0), (3, vec(80), 0)],
+    )
+    out = label_retrieval_metrics(df, df.filter(F.col("vec_id") == 0), k=3)
+    row = out.collect()[0]
+    assert row.query_id == 0 and row.qlabel == 0
+    assert row.n_ranked == 3
+    assert row.first_rel_rank == 2
+    assert row.rr_num == math.lcm(1, 2, 3) // 2
+    assert row.hits == 2
+
+
+def test_label_retrieval_metrics_no_hit_and_null_label(spark):
+    """A query whose label no neighbor shares scores rr_num=0 / hits=0 with
+    NULL first_rel_rank; NULL-label neighbors are never relevant (for a
+    NULL-label query nothing is relevant either)."""
+    from prod_data_pipeline_spark.operators.similarity import (
+        label_retrieval_metrics,
+    )
+
+    df = _eval_df(
+        spark,
+        [
+            (0, [1.0, 0.0], 9),
+            (1, [0.9, 0.1], None),
+            (2, [0.8, 0.2], 1),
+            (3, [0.0, 1.0], None),
+        ],
+    )
+    out = {r.query_id: r for r in label_retrieval_metrics(df, df, k=3).collect()}
+    assert out[0].first_rel_rank is None
+    assert out[0].rr_num == 0 and out[0].hits == 0
+    # NULL-label query: NULL = anything is never true
+    assert out[3].rr_num == 0 and out[3].hits == 0
+
+
+def test_label_retrieval_metrics_corpus_smaller_than_k(spark):
+    from prod_data_pipeline_spark.operators.similarity import (
+        label_retrieval_metrics,
+    )
+
+    df = _eval_df(spark, [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0)])
+    row = label_retrieval_metrics(df, df.filter(F.col("vec_id") == 0), k=10).collect()[0]
+    assert row.n_ranked == 1  # only one other vector exists
+    assert row.first_rel_rank == 1
+    assert row.rr_num == math.lcm(*range(1, 11))  # 2520/1
+    assert row.hits == 1
+
+
+def test_knn_label_vote_majority_and_tie_break(spark):
+    """Vote ties break (votes DESC, label ASC): a 2-2 split between labels
+    1 and 2 predicts 1.  The 5th neighbor is pushed out of top-4 by
+    construction (k=4)."""
+    from prod_data_pipeline_spark.operators.similarity import knn_label_vote
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    df = _eval_df(
+        spark,
+        [
+            (0, vec(0), 2),
+            (1, vec(5), 2),
+            (2, vec(10), 1),
+            (3, vec(15), 1),
+            (4, vec(20), 2),
+            (5, vec(70), 2),  # outside top-4 of query 0
+        ],
+    )
+    row = knn_label_vote(df, df.filter(F.col("vec_id") == 0), k=4).collect()[0]
+    assert row.predicted_label == 1  # tie 2-2, lower label wins
+    assert row.votes == 2
+    assert row.correct is False  # qlabel 2, predicted 1
+
+
+def test_knn_label_vote_null_neighbors_abstain(spark):
+    """NULL-label neighbors are filtered BEFORE voting (engine-dependent
+    NULL ordering must never decide the tie-break), and an unlabeled query
+    is never scored correct."""
+    from prod_data_pipeline_spark.operators.similarity import knn_label_vote
+
+    df = _eval_df(
+        spark,
+        [
+            (0, [1.0, 0.0], None),
+            (1, [0.99, 0.01], None),
+            (2, [0.9, 0.1], 3),
+            (3, [0.8, 0.2], 3),
+        ],
+    )
+    row = knn_label_vote(df, df.filter(F.col("vec_id") == 0), k=3).collect()[0]
+    assert row.predicted_label == 3  # the NULL-label nearest neighbor abstained
+    assert row.votes == 2
+    assert row.correct is False  # NULL qlabel coalesces to not-correct
