@@ -196,3 +196,41 @@ def value_histogram_merge(sketch: DataFrame) -> DataFrame:
     """Fold per-group histogram sketches into one: drop the group columns
     and sum cell-wise — merge is addition, exactly like cms_merge."""
     return sketch.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-size estimate from two count-min sketches — the inner-product
+    application (Cormode & Muthukrishnan §4.2): per hash row, sum over
+    shared buckets of cntA*cntB; the estimate is the MIN across rows.
+
+    Guarantee: every row's dot >= the true inner product
+    sum_k fA(k)*fB(k)  (= the equi-join row count on the sketched keys),
+    and the min overestimates by at most (e/width)*||fA||_1*||fB||_1 with
+    probability >= 1 - exp(-depth).  This is how a planner sizes a join
+    WITHOUT running it: the two sketches are (depth x width)-bounded
+    relations, so the estimate never touches the underlying corpora —
+    and because CMS cells are counters, both sides inherit cms_build's
+    incremental/mergeable story (sketch daily partitions, merge, then
+    estimate).  Both sketches MUST share (depth, width, hash_fn, salt).
+
+    The bucket join is INNER: a (row, bucket) cell missing from either
+    side is zero-count and contributes 0 to the dot.  A hash row with NO
+    shared buckets therefore yields no dot row at all — which can only
+    happen when the true inner product is 0, so min-over-present-rows
+    still upper-bounds the truth; both engines compute the identical row
+    set, keeping the oracle comparison exact.  Returns (row, dot) so the
+    caller can audit per-row spread; take MIN(dot) for the estimate.
+
+    Bounds: dot sums cntA*cntB over int64 — exact while
+    ||fA||_1 * ||fB||_1 < 2^63 (~9.2e18; a quintillion-pair join).  The
+    self-join case (sketch_a is sketch_b) estimates the second frequency
+    moment F2 = sum_k f(k)^2 — the skew/blow-up signal a planner needs
+    before attempting a key-level self-join.
+    """
+    a = sketch_a.select("row", "bucket", F.col("cnt").alias("_ca"))
+    b = sketch_b.select("row", "bucket", F.col("cnt").alias("_cb"))
+    return (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("dot"))
+    )

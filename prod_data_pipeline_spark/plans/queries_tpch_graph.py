@@ -2110,6 +2110,185 @@ def events_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+# md5 CMS bucket, DuckDB side — identical derivation to sketches._bucket
+# (and to the events_cms_heavy_hitters oracle): first 12 hex chars of
+# md5('cms<row>:<key>') as int64, mod width.  Values are <= 2^48 so the
+# C-signed % matches Spark's pmod.
+_CMS_CELLS_SQL = """
+      SELECT j,
+             CAST(('0x' || substr(md5('cms' || j || ':' || k), 1, 12))::BIGINT
+                  % 512 AS INT) AS bucket,
+             CAST(SUM(c) AS BIGINT) AS cnt
+      FROM {src} CROSS JOIN (SELECT unnest(range(4)) AS j)
+      GROUP BY 1, 2"""
+
+
+@query(
+    "events_selfjoin_size_cms",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), cells AS ("""
+    + _CMS_CELLS_SQL.format(src="counts")
+    + """
+    ), dots AS (
+      SELECT j, CAST(SUM(cnt * cnt) AS BIGINT) AS dot FROM cells GROUP BY j
+    ), agg AS (
+      SELECT CAST((SELECT SUM(c) FROM counts) AS BIGINT) AS n_rows,
+             CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS n_keys,
+             CAST((SELECT SUM(c * c) FROM counts) AS BIGINT) AS exact_size,
+             CAST((SELECT MIN(dot) FROM dots) AS BIGINT) AS cms_est
+    )
+    SELECT n_rows, n_keys, exact_size, cms_est,
+           CAST(cms_est - exact_size AS BIGINT) AS overcount,
+           cms_est >= exact_size AS est_ge_exact,
+           (cms_est - exact_size) * 512 <= 3 * n_rows * n_rows
+               AS within_weak_bound
+    FROM agg
+    """,
+    tags=("sketch", "cms", "join-size", "planner"),
+)
+def events_selfjoin_size_cms(spark, sf_dir):
+    """Self-join size (second frequency moment F2 = sum f(u)^2) of events
+    on user_id, estimated from ONE depth-4 x width-512 count-min sketch
+    via the CMS inner product (operators.sketches.cms_inner_product) and
+    checked against the exact value — the planner signal for whether a
+    user-level self-join (sessionization, co-visit mining) will blow up
+    on skewed keys, answered WITHOUT running the join: the sketch is a
+    2048-cell relation, mergeable per day like events_cms_heavy_hitters'.
+    est >= exact ALWAYS (each hash row's dot adds non-negative collision
+    mass — est_ge_exact is a provable-property boolean, false anywhere =
+    operator bug); the checked overestimate bound is the deliberately
+    WEAKER integer form (est-exact)*width <= 3*N^2 (3 > e, so it is
+    implied by the textbook (e/width)*N^2 guarantee yet needs no float
+    math — exact int64 comparison while 3*N^2 < 2^63, i.e. N < ~1.7e9
+    rows; past that, compare in DECIMAL or estimate per partition).
+    All columns integer; the md5 bucket derivation replays bit-for-bit
+    in the oracle."""
+    from prod_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    sketch = cms_build(ev, "user_id", depth=4, width=512, hash_fn="md5")
+    est = cms_inner_product(sketch, sketch).agg(
+        F.min("dot").cast("long").alias("cms_est")
+    )
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    exact = counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_rows",
+        "n_keys",
+        "exact_size",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_size")).cast("long").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_size")).alias("est_ge_exact"),
+        (
+            (F.col("cms_est") - F.col("exact_size")) * F.lit(512)
+            <= F.lit(3) * F.col("n_rows") * F.col("n_rows")
+        ).alias("within_weak_bound"),
+    )
+
+
+@query(
+    "lineitem_orders_join_size_cms",
+    oracle="""
+    WITH la AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), ob AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ), ca AS ("""
+    + _CMS_CELLS_SQL.format(src="la")
+    + """
+    ), cb AS ("""
+    + _CMS_CELLS_SQL.format(src="ob")
+    + """
+    ), dots AS (
+      SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS dot
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+      GROUP BY ca.j
+    ), agg AS (
+      SELECT CAST((SELECT SUM(c) FROM la) AS BIGINT) AS n_fact_rows,
+             CAST((SELECT SUM(c) FROM ob) AS BIGINT) AS n_dim_rows,
+             CAST((SELECT COALESCE(SUM(l.c * o.c), 0) FROM la l
+                   JOIN ob o ON l.k = o.k) AS BIGINT) AS exact_join_size,
+             CAST((SELECT MIN(dot) FROM dots) AS BIGINT) AS cms_est
+    )
+    SELECT n_fact_rows, n_dim_rows, exact_join_size, cms_est,
+           CAST(cms_est - exact_join_size AS BIGINT) AS overcount,
+           cms_est >= exact_join_size AS est_ge_exact,
+           (cms_est - exact_join_size) * 512 <= 3 * n_fact_rows * n_dim_rows
+               AS within_weak_bound
+    FROM agg
+    """,
+    tags=("sketch", "cms", "join-size", "planner"),
+)
+def lineitem_orders_join_size_cms(spark, sf_dir):
+    """Cross-relation join-size estimation: |lineitem JOIN urgent orders
+    ON orderkey| predicted from TWO independently-built count-min
+    sketches via their inner product, vs the exact join count — the
+    planner's pre-flight sizing of a fact x filtered-dim join from
+    2048-cell sketch state instead of a corpus pass.  Because CMS cells
+    are counters, each side's sketch can be maintained incrementally as
+    partitions land (cms_merge) and the estimate stays a constant-size
+    computation no matter how large either table grows; the two sketches
+    share (depth, width, hash, salt), which is what makes the inner
+    product meaningful.  Same provable-property booleans as
+    events_selfjoin_size_cms: est >= exact always, and the weak integer
+    bound (est-exact)*width <= 3*|fact|*|dim| (implied by the textbook
+    (e/width)*||fA||*||fB|| guarantee, no float math; exact while
+    3*|fact|*|dim| < 2^63).  The md5 buckets replay bit-for-bit in the
+    oracle."""
+    from prod_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    sa = cms_build(li, "l_orderkey", depth=4, width=512, hash_fn="md5")
+    sb = cms_build(od, "o_orderkey", depth=4, width=512, hash_fn="md5")
+    est = cms_inner_product(sa, sb).agg(
+        F.min("dot").cast("long").alias("cms_est")
+    )
+    nf = li.agg(F.count(F.lit(1)).cast("long").alias("n_fact_rows"))
+    nd = od.agg(F.count(F.lit(1)).cast("long").alias("n_dim_rows"))
+    ex = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .join(od.select(F.col("o_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return (
+        nf.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_fact_rows",
+            "n_dim_rows",
+            "exact_join_size",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_join_size"))
+            .cast("long")
+            .alias("overcount"),
+            (F.col("cms_est") >= F.col("exact_join_size")).alias("est_ge_exact"),
+            (
+                (F.col("cms_est") - F.col("exact_join_size")) * F.lit(512)
+                <= F.lit(3) * F.col("n_fact_rows") * F.col("n_dim_rows")
+            ).alias("within_weak_bound"),
+        )
+    )
+
+
 def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
     """Near-dup edges (same LSH pipeline as the triangle/taint oracles) +
     `rounds` unrolled peeling iterations.  Peeling is monotone, so a

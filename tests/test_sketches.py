@@ -116,3 +116,56 @@ def test_value_histogram_clamps_negative_values_to_bucket_zero(spark):
     assert min(rows) == 0 and max(rows) == 63
     assert rows[0] == 3  # two negatives + 0.0
     assert sum(rows.values()) == 5
+
+
+def test_cms_inner_product_upper_bounds_selfjoin_size(spark):
+    """Self inner product: every row's dot >= F2 = sum f(k)^2, so the MIN
+    estimate still upper-bounds it (round-12 join-size family)."""
+    from prod_data_pipeline_spark.operators.sketches import cms_inner_product
+
+    df = _events(spark)
+    sk = cms_build(df, "key", depth=4, width=16)
+    dots = cms_inner_product(sk, sk)
+    f2 = df.groupBy("key").count().agg(
+        F.sum(F.col("count") * F.col("count"))
+    ).collect()[0][0]
+    rows = dots.collect()
+    assert len(rows) == 4  # one dot per hash row
+    assert all(r["dot"] >= f2 for r in rows)
+
+
+def test_cms_inner_product_exact_when_wide(spark):
+    """With width >> keys (no collisions) the inner product IS the true
+    join size — both for self-join (F2) and for two different relations."""
+    from prod_data_pipeline_spark.operators.sketches import cms_inner_product
+
+    df = _events(spark)
+    other = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("zz",)] * 5, ["key"]
+    )
+    sa = cms_build(df, "key", depth=4, width=4096)
+    sb = cms_build(other, "key", depth=4, width=4096)
+    # true cross inner product: f_df(k1)*3 + f_df(k2)*2  (zz not in df);
+    # _events has key k appearing (k+1) times per group x 3 groups
+    true = (3 * 2 * 3) + (3 * 3 * 2)
+    est = cms_inner_product(sa, sb).agg(F.min("dot")).collect()[0][0]
+    assert est == true
+    f2 = df.groupBy("key").count().agg(
+        F.sum(F.col("count") * F.col("count"))
+    ).collect()[0][0]
+    self_est = cms_inner_product(sa, sa).agg(F.min("dot")).collect()[0][0]
+    assert self_est == f2
+
+
+def test_cms_inner_product_merged_daily_equals_global(spark):
+    """Sketch-per-day then merge gives the SAME inner product as one
+    global build — the incremental-maintenance property the join-size
+    queries rely on (cells are counters; merge is addition)."""
+    from prod_data_pipeline_spark.operators.sketches import cms_inner_product
+
+    df = _events(spark)
+    merged = cms_merge(cms_build(df, "key", depth=4, width=16, group_cols=("g",)))
+    direct = cms_build(df, "key", depth=4, width=16)
+    a = {(r["row"], r["dot"]) for r in cms_inner_product(merged, merged).collect()}
+    b = {(r["row"], r["dot"]) for r in cms_inner_product(direct, direct).collect()}
+    assert a == b
