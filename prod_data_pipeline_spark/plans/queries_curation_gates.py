@@ -488,6 +488,175 @@ def docs_model_quality_gate(spark, sf_dir):
 
 
 @query(
+    "docs_gate_agreement_kappa",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {{_TOKS_SQL}} AS tk FROM documents
+    ), lab AS (
+      SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+             CASE WHEN ROUND(0.5 * LEAST(len(tk) / 100.0, 1.0)
+                  + 0.5 * (len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)), 4)
+                  >= 0.52 THEN 1 ELSE 0 END AS y,
+             CAST(doc_id % 5 AS INT) AS fold
+      FROM t
+    ), feats AS (
+      SELECT doc_id, y, fold,
+             ['len:' || CAST(LEAST(n // 5, 40) AS VARCHAR),
+              'div:' || CAST((nd * 40) // n AS VARCHAR),
+              'lxd:' || CAST(LEAST(n // 10, 20) AS VARCHAR) || '_'
+                     || CAST((nd * 20) // n AS VARCHAR)] AS fs
+      FROM lab
+    ), ex AS (
+      SELECT doc_id, y, fold,
+             CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 4096
+                  AS BIGINT) AS b
+      FROM (SELECT doc_id, y, fold, unnest(fs) AS f FROM feats)
+      GROUP BY 1, 2, 3, 4
+    ), prior_counts AS (
+      SELECT CAST(SUM(y) AS DOUBLE) AS npos,
+             CAST(SUM(1 - y) AS DOUBLE) AS nneg
+      FROM lab WHERE fold < 4
+    ), llr AS (
+      SELECT CAST(d.range AS BIGINT) AS b,
+             ROUND(ln((COALESCE(cpos, 0) + 1.0) / (npos + 2.0))
+                   - ln((COALESCE(cneg, 0) + 1.0) / (nneg + 2.0)), 7) AS w
+      FROM range(0, 4096) d
+      LEFT JOIN (SELECT b, SUM(y) AS cpos, SUM(1 - y) AS cneg
+                 FROM ex WHERE fold < 4 GROUP BY 1) trainb
+        ON trainb.b = d.range, prior_counts
+    ), prior AS (
+      SELECT ROUND(ln((npos + 1.0) / (nneg + 1.0)), 7) AS pr
+      FROM prior_counts
+    ), perdoc AS (
+      SELECT e.doc_id, COUNT(b) AS n_feats,
+             CAST(CAST(COALESCE(SUM(CAST(FLOOR(w * 10000000.0 + 0.5) AS BIGINT)),
+                                0) AS BIGINT) AS DOUBLE) / 10000000.0
+               AS wsum
+      FROM ex e JOIN llr USING (b)
+      GROUP BY 1
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-(CASE WHEN n_feats > 0
+                 THEN (wsum + (SELECT pr FROM prior)) / n_feats
+                 ELSE 0.0 END))), 6) AS prob
+      FROM perdoc
+    ), conf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN prob >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN prob >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN prob < 0.5 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN prob < 0.5 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM scored JOIN lab USING (doc_id)
+    )
+    SELECT n_docs,
+           n11 AS n_both_keep,
+           n10 AS n_model_only,
+           n01 AS n_heuristic_only,
+           n00 AS n_both_drop,
+           CAST(FLOOR(CAST(n11 + n00 AS DOUBLE) * 1000000.0
+                      / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0
+               AS observed_agreement,
+           CAST(FLOOR(CAST((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00) AS DOUBLE) * 1000000.0
+                      / CAST(n_docs * n_docs AS DOUBLE) + 0.5) AS BIGINT)
+               / 1000000.0 AS chance_agreement,
+           CASE WHEN n_docs * n_docs
+                     = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+                THEN 1.0
+                ELSE CAST(FLOOR(CAST(n_docs * (n11 + n00)
+                          - ((n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)) AS DOUBLE) * 1000000.0
+                     / CAST(n_docs * n_docs
+                            - ((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                     + 0.5) AS BIGINT) / 1000000.0
+           END AS kappa
+    FROM conf
+    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
+    tags=("text", "curation", "quality", "eval", "agreement"),
+)
+def docs_gate_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between the TRAINED model gate (ft_trained_quality_
+    scores, prob >= 0.5) and the heuristic quality gate it distills
+    (quality_score >= 0.52) — chance-corrected distillation fidelity, the
+    number to watch on retrains: raw agreement stays high under class
+    imbalance even when the model adds nothing over always-keep, kappa
+    collapses to ~0 there.  Emits the full 2x2 confusion (both-keep /
+    model-only / heuristic-only / both-drop) plus observed agreement,
+    chance agreement, and kappa = (N*(n11+n00) - pe_num) / (N^2 - pe_num)
+    with pe_num the marginal cross product — every input an exact int64,
+    each report ONE identical IEEE divide + floor-half-up in both engines
+    (bit-identical inputs => bit-identical double => same floor; exact
+    while N^2*1e6 < 2^53, i.e. N < ~95M docs — past that, kappa on a
+    sampled panel).  The degenerate pe = 1 case (both gates constant)
+    reports kappa = 1.0 by convention, guarded identically in both
+    engines.  100 TB: the model gate is the audited one-scan pipeline;
+    the heuristic label is a projection on the same scan; the kappa layer
+    is ONE global combiner agg."""
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.quality import (
+        ft_trained_quality_scores,
+    )
+    from prod_data_pipeline_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    per = ft_trained_quality_scores(docs).select("doc_id", "keeps")
+    lab = docs.select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    ).select(
+        "doc_id",
+        (
+            quality_score(F.col("tk"), F.array_distinct("tk")) >= F.lit(0.52)
+        ).alias("_y"),
+    )
+    conf = (
+        per.join(lab, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keeps") & F.col("_y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n11"),
+            F.sum(F.when(F.col("keeps") & ~F.col("_y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n10"),
+            F.sum(F.when(~F.col("keeps") & F.col("_y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n01"),
+            F.sum(F.when(~F.col("keeps") & ~F.col("_y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n00"),
+        )
+    )
+    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return conf.select(
+        "n_docs",
+        F.col("n11").alias("n_both_keep"),
+        F.col("n10").alias("n_model_only"),
+        F.col("n01").alias("n_heuristic_only"),
+        F.col("n00").alias("n_both_drop"),
+        F.expr(
+            "CAST(FLOOR(CAST(n11 + n00 AS DOUBLE) * 1e6"
+            " / CAST(n_docs AS DOUBLE) + 0.5D) AS BIGINT) / 1e6"
+        ).alias("observed_agreement"),
+        F.expr(
+            f"CAST(FLOOR(CAST({pe_num} AS DOUBLE) * 1e6"
+            " / CAST(n_docs * n_docs AS DOUBLE) + 0.5D) AS BIGINT) / 1e6"
+        ).alias("chance_agreement"),
+        F.expr(
+            f"CASE WHEN n_docs * n_docs = {pe_num} THEN 1.0D"
+            f" ELSE CAST(FLOOR(CAST(n_docs * (n11 + n00) - {pe_num} AS DOUBLE)"
+            " * 1e6"
+            f" / CAST(n_docs * n_docs - {pe_num} AS DOUBLE)"
+            " + 0.5D) AS BIGINT) / 1e6 END"
+        ).alias("kappa"),
+    )
+
+
+@query(
     "docs_nb_quality_gate",
     oracle=f"""
     WITH t AS (
