@@ -963,3 +963,22 @@ def test_knn_label_vote_null_neighbors_abstain(spark):
     assert row.predicted_label == 3  # the NULL-label nearest neighbor abstained
     assert row.votes == 2
     assert row.correct is False  # NULL qlabel coalesces to not-correct
+
+
+def test_label_ranked_plan_broadcast_panel_one_window_exchange(spark, emb):
+    """Scale pin for the retrieval-eval family: the ranked relation must be
+    the brute-force shape — query panel BROADCAST (non-equi condition =>
+    BroadcastNestedLoopJoin), corpus scanned once, and exactly ONE
+    key-based exchange: the per-query row_number window on query_id.  A
+    second hash exchange would mean a corpus-sized label join crept in
+    after ranking."""
+    from prod_data_pipeline_spark.operators.similarity import _label_ranked
+
+    ranked = _label_ranked(
+        emb, emb.filter(F.col("vec_id") < 8), 10, "vec_id", "embedding", "label"
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # panel rides a broadcast
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(query_id" in plan
+    assert "CartesianProduct" not in plan

@@ -169,3 +169,15 @@ def test_cms_inner_product_merged_daily_equals_global(spark):
     a = {(r["row"], r["dot"]) for r in cms_inner_product(merged, merged).collect()}
     b = {(r["row"], r["dot"]) for r in cms_inner_product(direct, direct).collect()}
     assert a == b
+
+
+def test_cms_build_plan_one_partial_agged_exchange(spark):
+    """Scale pin: the sketch build is one wide-then-narrow pass — the only
+    key exchange is the (row, bucket) groupBy, and it must be fed by a
+    partial aggregate so the shuffle is bounded at depth x width cells
+    per task, not corpus-sized."""
+    df = _events(spark)
+    sk = cms_build(df, "key", depth=4, width=16)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side combine before the exchange
