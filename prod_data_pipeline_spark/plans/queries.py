@@ -82,12 +82,13 @@ DRIVER_ORDER: list[str] = [
     # directive #1; 3 + 38 = 41 mandatory slots), then 4 of the OLDEST r8
     # rows as pre-drain fillers and the round's 5 net-new queries
     # (never-checked outranks a filler — policy #3).  Round 13's mandatory
-    # load lands at 3 + 45 = 48, over directive #3's <= 44 target — the
-    # accepted cost of shipping 8 net-new oracled queries this round
+    # load lands at 3 + 46 = 49, over directive #3's <= 44 target — the
+    # accepted cost of shipping 9 net-new oracled queries this round
     # (retrieval-eval family + CMS join-size pair + IVF-append pair +
-    # gate-agreement kappa); 2 free slots remain for round-13 net-new
-    # work, and round 14's mandatory load is back to 3 + 41 r9 rows
-    # = 44. ---
+    # the model-eval completion pair); 1 free slot remains for round-13
+    # net-new work (further never-checked queries legally defer under
+    # true saturation), and round 14's mandatory load is back to
+    # 3 + 41 r9 rows = 44. ---
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
@@ -133,17 +134,16 @@ DRIVER_ORDER: list[str] = [
     # displace these from the END (never-checked outranks a non-mandatory
     # filler — rotation policy #3); a displaced filler stays in r13's
     # mandatory set by age, which the pre-drain budget already absorbs. ---
-    "brand_volume",
     # round-12 net-new; never-checked outranks a non-mandatory filler
-    # (policy #3), so these displace the eight trailing r8 fillers
+    # (policy #3), so these displace ALL nine r8 pre-drain fillers
     # (docs_dup_pagerank / docs_dup_triangles / customers_without_orders /
     # dedup_docs_exact / disjunctive_brand_revenue /
     # customer_order_distribution / customers_with_orders_by_segment /
-    # corpus_curation_stats), which stay in round 13's mandatory set by
-    # age.  First the verdict-directive-#5 incremental IVF-append pair,
-    # then the label-relevance retrieval-eval family (MRR/precision +
-    # kNN accuracy), the CMS join-size estimation pair, and the gate-
-    # agreement kappa audit:
+    # corpus_curation_stats / brand_volume), which stay in round 13's
+    # mandatory set by age.  First the verdict-directive-#5 incremental
+    # IVF-append pair, then the label-relevance retrieval-eval family
+    # (MRR/precision + kNN accuracy), the CMS join-size estimation pair,
+    # and the model-eval completion pair (agreement kappa + calibration):
     "emb_ivf_append_audit",
     "emb_ivf_append_recall",
     "emb_label_retrieval_mrr",
@@ -152,16 +152,17 @@ DRIVER_ORDER: list[str] = [
     "events_selfjoin_size_cms",
     "lineitem_orders_join_size_cms",
     "docs_gate_agreement_kappa",
+    "docs_gate_calibration",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
 #: rotation: round 12's mandatory set (3 sentinels + 38 r7-aged rows)
-#: left 9 free slots — 1 spent pre-draining the oldest r8 row and 8 on
-#: the round's net-new queries (IVF-append pair, the label-relevance
-#: retrieval-eval family, the CMS join-size pair, the gate-agreement
-#: kappa audit) — so nothing is deferred.
+#: left 9 free slots — all 9 spent on the round's net-new queries
+#: (IVF-append pair, the label-relevance retrieval-eval family, the CMS
+#: join-size pair, the model-eval completion pair) — so nothing is
+#: deferred.
 DRIVER_DEFERRED: tuple[str, ...] = ()
 
 

@@ -657,6 +657,171 @@ def docs_gate_agreement_kappa(spark, sf_dir):
 
 
 @query(
+    "docs_gate_calibration",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {{_TOKS_SQL}} AS tk FROM documents
+    ), lab AS (
+      SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+             CASE WHEN ROUND(0.5 * LEAST(len(tk) / 100.0, 1.0)
+                  + 0.5 * (len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)), 4)
+                  >= 0.52 THEN 1 ELSE 0 END AS y,
+             CAST(doc_id % 5 AS INT) AS fold
+      FROM t
+    ), feats AS (
+      SELECT doc_id, y, fold,
+             ['len:' || CAST(LEAST(n // 5, 40) AS VARCHAR),
+              'div:' || CAST((nd * 40) // n AS VARCHAR),
+              'lxd:' || CAST(LEAST(n // 10, 20) AS VARCHAR) || '_'
+                     || CAST((nd * 20) // n AS VARCHAR)] AS fs
+      FROM lab
+    ), ex AS (
+      SELECT doc_id, y, fold,
+             CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 4096
+                  AS BIGINT) AS b
+      FROM (SELECT doc_id, y, fold, unnest(fs) AS f FROM feats)
+      GROUP BY 1, 2, 3, 4
+    ), prior_counts AS (
+      SELECT CAST(SUM(y) AS DOUBLE) AS npos,
+             CAST(SUM(1 - y) AS DOUBLE) AS nneg
+      FROM lab WHERE fold < 4
+    ), llr AS (
+      SELECT CAST(d.range AS BIGINT) AS b,
+             ROUND(ln((COALESCE(cpos, 0) + 1.0) / (npos + 2.0))
+                   - ln((COALESCE(cneg, 0) + 1.0) / (nneg + 2.0)), 7) AS w
+      FROM range(0, 4096) d
+      LEFT JOIN (SELECT b, SUM(y) AS cpos, SUM(1 - y) AS cneg
+                 FROM ex WHERE fold < 4 GROUP BY 1) trainb
+        ON trainb.b = d.range, prior_counts
+    ), prior AS (
+      SELECT ROUND(ln((npos + 1.0) / (nneg + 1.0)), 7) AS pr
+      FROM prior_counts
+    ), perdoc AS (
+      SELECT e.doc_id, COUNT(b) AS n_feats,
+             CAST(CAST(COALESCE(SUM(CAST(FLOOR(w * 10000000.0 + 0.5) AS BIGINT)),
+                                0) AS BIGINT) AS DOUBLE) / 10000000.0
+               AS wsum
+      FROM ex e JOIN llr USING (b)
+      GROUP BY 1
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(1.0 / (1.0 + exp(-(CASE WHEN n_feats > 0
+                 THEN (wsum + (SELECT pr FROM prior)) / n_feats
+                 ELSE 0.0 END))), 6) AS prob
+      FROM perdoc
+    ), p6 AS (
+      SELECT s.doc_id, lab.y,
+             CAST(ROUND(s.prob * 1000000.0, 0) AS BIGINT) AS pm
+      FROM scored s JOIN lab USING (doc_id)
+    ), bins AS (
+      SELECT LEAST(pm // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(pm) AS BIGINT) AS sum_conf_micro
+      FROM p6 GROUP BY 1
+    ), ece AS (
+      SELECT CAST((2 * SUM(ABS(n_pos * 1000000 - sum_conf_micro))
+                   + SUM(n_docs))
+                  // (2 * SUM(n_docs)) AS BIGINT) / 1000000.0 AS ece
+      FROM bins
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos, sum_conf_micro,
+           CAST((2 * sum_conf_micro + n_docs) // (2 * n_docs) AS BIGINT)
+               / 1000000.0 AS mean_conf,
+           CAST((2 * n_pos * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+               / 1000000.0 AS frac_pos,
+           CAST(ABS(n_pos * 1000000 - sum_conf_micro) AS BIGINT)
+               AS gap_micro,
+           (SELECT ece FROM ece) AS ece
+    FROM bins ORDER BY bin
+    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
+    tags=("text", "curation", "quality", "eval", "calibration"),
+)
+def docs_gate_calibration(spark, sf_dir):
+    """Reliability diagram + expected calibration error (ECE) for the
+    trained model gate — completes the eval suite around the served
+    model (held-out P/R: docs_nb_quality_gate; chance-corrected
+    agreement: docs_gate_agreement_kappa; THIS: whether prob 0.8 means
+    80%): predicted probabilities bucket into 10 equal-width bins; per
+    bin the mean predicted confidence is compared with the empirical
+    positive rate, and ECE = sum_b (n_b/N)*|acc_b - conf_b| weights the
+    gaps by bin mass.  A gate used with a tunable threshold (keep the
+    top-X% by prob) is only as good as its calibration — an uncalibrated
+    distillation ranks fine at 0.5 but mis-sizes every other cut.
+
+    Exactness: prob is ROUND(x,6), so its micro-numerator pm =
+    round(prob*1e6) recovers EXACTLY (tie-free — the double is within
+    1e-9 of the integer; the repo's standard recovery); every bin stat
+    is then int64 (bin = min(pm div 1e5, 9) — floor-division of
+    non-negatives agrees across engines; n_b*|acc-conf| =
+    |n_pos*1e6 - sum_pm|/1e6 exactly), and each 6-digit report is
+    integer half-up on its numerator.  Bound: sum(pm) per bin < 2^63
+    while n_b < 9.2e12 docs.  100 TB: the gate pipeline is the audited
+    one-scan path; the calibration layer is one 10-row combiner agg +
+    a broadcast ECE scalar."""
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.quality import (
+        ft_trained_quality_scores,
+    )
+    from prod_data_pipeline_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    per = ft_trained_quality_scores(docs).select("doc_id", "quality_prob")
+    lab = docs.select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    ).select(
+        "doc_id",
+        (quality_score(F.col("tk"), F.array_distinct("tk")) >= F.lit(0.52))
+        .cast("int")
+        .alias("_y"),
+    )
+    p6 = per.join(lab, "doc_id").select(
+        F.round(F.col("quality_prob") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("pm"),
+        F.col("_y"),
+    )
+    bins = p6.groupBy(
+        F.least(F.expr("pm div 100000"), F.lit(9).cast("long")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum("pm").cast("long").alias("sum_conf_micro"),
+    )
+    ece = bins.agg(
+        (
+            F.expr(
+                "(2 * SUM(ABS(n_pos * 1000000 - sum_conf_micro)) + SUM(n_docs))"
+                " div (2 * SUM(n_docs))"
+            )
+            / F.lit(1000000.0)
+        ).alias("ece")
+    )
+    return (
+        bins.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            "sum_conf_micro",
+            (
+                F.expr("(2 * sum_conf_micro + n_docs) div (2 * n_docs)")
+                / F.lit(1000000.0)
+            ).alias("mean_conf"),
+            (
+                F.expr("(2 * n_pos * 1000000 + n_docs) div (2 * n_docs)")
+                / F.lit(1000000.0)
+            ).alias("frac_pos"),
+            F.expr("ABS(n_pos * 1000000 - sum_conf_micro)")
+            .cast("long")
+            .alias("gap_micro"),
+            "ece",
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
     "docs_nb_quality_gate",
     oracle=f"""
     WITH t AS (
