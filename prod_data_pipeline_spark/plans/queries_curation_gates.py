@@ -631,13 +631,26 @@ def docs_gate_agreement_kappa(spark, sf_dir):
             .alias("n00"),
         )
     )
-    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
     return conf.select(
         "n_docs",
         F.col("n11").alias("n_both_keep"),
         F.col("n10").alias("n_model_only"),
         F.col("n01").alias("n_heuristic_only"),
         F.col("n00").alias("n_both_drop"),
+        *kappa_report_columns(),
+    )
+
+
+def kappa_report_columns() -> list:
+    """The three kappa-report expressions over a confusion relation with
+    int64 columns (n_docs, n11, n10, n01, n00) — shared by
+    docs_gate_agreement_kappa and the edge-case pytest (negative kappa,
+    degenerate pe=1), which the corpus itself cannot reach.  Each report
+    is ONE IEEE divide on exact int64->double inputs + floor-half-up
+    (floor(x + 0.5) rounds half-up toward +inf for NEGATIVE kappa too —
+    engine-identical because both engines floor the SAME double)."""
+    pe_num = "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+    return [
         F.expr(
             "CAST(FLOOR(CAST(n11 + n00 AS DOUBLE) * 1e6"
             " / CAST(n_docs AS DOUBLE) + 0.5D) AS BIGINT) / 1e6"
@@ -653,7 +666,7 @@ def docs_gate_agreement_kappa(spark, sf_dir):
             f" / CAST(n_docs * n_docs - {pe_num} AS DOUBLE)"
             " + 0.5D) AS BIGINT) / 1e6 END"
         ).alias("kappa"),
-    )
+    ]
 
 
 @query(

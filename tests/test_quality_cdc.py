@@ -477,3 +477,52 @@ def test_no_registered_query_scores_on_stub_weights():
                 f"{path}: fasttext_style_scores called without trained "
                 "weights= in a registered query module"
             )
+
+
+def test_kappa_report_edge_cases_match_ieee_reference(spark):
+    """The kappa-report expressions on confusion counts the corpus cannot
+    produce: NEGATIVE kappa (systematic disagreement) and the degenerate
+    pe=1 guard (both gates constant -> kappa=1.0 by convention).  The
+    reference replays the SAME IEEE ops in Python (int64->float divide,
+    floor(x+0.5)), which is the cross-engine contract the oracle relies
+    on."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.plans.queries_curation_gates import (
+        kappa_report_columns,
+    )
+
+    cases = [
+        (100, 40, 10, 10, 40),  # healthy agreement
+        (100, 0, 50, 50, 0),    # systematic disagreement -> kappa < 0
+        (100, 100, 0, 0, 0),    # both gates constant-keep -> pe = 1 guard
+        (100, 0, 0, 0, 100),    # both gates constant-drop -> pe = 1 guard
+        (7, 3, 1, 2, 1),        # odd totals exercise the half-up path
+        (100, 25, 25, 25, 25),  # independence -> kappa = 0
+    ]
+    df = spark.createDataFrame(
+        cases, "n_docs long, n11 long, n10 long, n01 long, n00 long"
+    )
+    got = {
+        (r.n_docs, r.n11, r.n10, r.n01, r.n00): r
+        for r in df.select("*", *kappa_report_columns()).collect()
+    }
+
+    def half_up(num: int, den: int) -> float:
+        return math.floor(float(num) * 1e6 / float(den) + 0.5) / 1e6
+
+    for n, n11, n10, n01, n00 in cases:
+        pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        r = got[(n, n11, n10, n01, n00)]
+        assert r.observed_agreement == half_up(n11 + n00, n)
+        assert r.chance_agreement == half_up(pe, n * n)
+        if n * n == pe:
+            assert r.kappa == 1.0
+        else:
+            assert r.kappa == half_up(n * (n11 + n00) - pe, n * n - pe)
+    # sanity on the semantics, not just the arithmetic:
+    assert got[(100, 0, 50, 50, 0)].kappa < 0
+    assert got[(100, 25, 25, 25, 25)].kappa == 0.0
+    assert got[(100, 100, 0, 0, 0)].kappa == 1.0

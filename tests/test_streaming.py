@@ -476,6 +476,18 @@ def test_streaming_cms_sink_matches_batch_sketch(spark, raw, tmp_path):
     true = batch_ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
     assert all(r["cms_count"] >= r["t"] for r in est.join(true, "user_id").collect())
 
+    # round-12 join-size family: the inner-product estimate computed from
+    # the STREAMING-maintained sketch must equal the batch build's (cells
+    # identical => dots identical), and upper-bound the exact self-join
+    # size — the planner signal stays available at ingest time.
+    from prod_data_pipeline_spark.operators.sketches import cms_inner_product
+
+    sdots = {(r["row"], r["dot"]) for r in cms_inner_product(merged, merged).collect()}
+    bdots = {(r["row"], r["dot"]) for r in cms_inner_product(direct, direct).collect()}
+    assert sdots == bdots
+    f2 = true.agg(F.sum(F.col("t") * F.col("t"))).collect()[0][0]
+    assert min(d for _, d in sdots) >= f2
+
 
 def test_streaming_histogram_sink_matches_batch_sketch(spark, raw, tmp_path):
     """Per-batch histogram deltas folded with value_histogram_merge must
