@@ -1590,6 +1590,147 @@ def docs_dup_pagerank(spark, sf_dir):
     )
 
 
+def _pagerank_unroll_sql(n_iters: int = 6) -> str:
+    """The c{i}/r{i+1} CTE chain replaying pagerank_quantized's recurrence
+    (contributions rounded to 12 digits summed as exact DECIMAL, damped
+    update rounded back) — the docs_dup_pagerank oracle's unroll, generated
+    instead of copy-pasted so new PageRank-family oracles share one text."""
+    parts = []
+    prev = "r0"
+    for i in range(n_iters):
+        parts.append(
+            f"""), c{i} AS (
+      SELECT e.dst, SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(20,12))) AS s
+      FROM sym e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ), r{i + 1} AS (
+      SELECT dst AS node,
+             ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * CAST(s AS DOUBLE), 12) AS rank
+      FROM c{i}"""
+        )
+        prev = f"r{i + 1}"
+    return "".join(parts)
+
+
+@query(
+    "docs_textrank_keywords",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents
+    ), adj AS (
+      SELECT DISTINCT toks[i] AS wa, toks[i+1] AS wb
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE toks[i] <> toks[i+1]
+    ), vw AS (
+      SELECT DISTINCT w
+      FROM (SELECT wa AS w FROM adj UNION ALL SELECT wb AS w FROM adj)
+    ), vocab AS (
+      SELECT w, ('0x' || substr(md5(w), 1, 12))::BIGINT AS vid FROM vw
+    ), pairs AS (
+      SELECT DISTINCT LEAST(va.vid, vb.vid) AS id_a,
+                      GREATEST(va.vid, vb.vid) AS id_b
+      FROM adj
+      JOIN vocab va ON va.w = adj.wa
+      JOIN vocab vb ON vb.w = adj.wb
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS node, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM deg
+    """
+    + _pagerank_unroll_sql(6)
+    + """
+    )
+    SELECT v.w AS word,
+           CAST(d.deg AS BIGINT) AS n_neighbors,
+           ROUND(r.rank, 9) AS textrank
+    FROM r6 r JOIN vocab v ON v.vid = r.node JOIN deg d ON d.src = r.node
+    ORDER BY textrank DESC, word LIMIT 25
+    """,
+    tags=("text", "graph", "iterative", "keywords"),
+)
+def docs_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau): PageRank over the
+    corpus-wide word co-occurrence graph — nodes are words, an undirected
+    edge links words ADJACENT anywhere in the corpus (window 2, the
+    original paper's unweighted co-occurrence form), and the stationary
+    rank surfaces the structurally central vocabulary no tf-idf frequency
+    cut can see (a rare word bridging many contexts outranks a frequent
+    word trapped in one).  The iteration is pagerank_quantized's
+    engine-exact recurrence, so the oracle replays all 6 power iterations
+    as generated unrolled CTEs (shared with the docs_dup_pagerank
+    recipe) and the value hash holds bit-for-bit.  Word nodes map to
+    int64 ids via the md5-hex-prefix recipe the CMS bucket derivation
+    already proves cross-engine (48-bit ids: collision-free in practice
+    below ~1e5 vocabulary types; a web-scale type inventory would widen
+    to two concatenated segments).  Top-25 by (rank DESC, word).
+    100 TB: the edge build is one corpus scan + a distinct on the
+    (|vocab| x window)-bounded adjacency; the graph itself is
+    vocabulary-sized, so the iteration cost is independent of corpus
+    row count — and the tiny-graph driver fast path replays the same
+    quantized recurrence bit-identically when it fits."""
+    from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.operators.graph import pagerank_quantized
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    adj = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("wa"),
+                        F.element_at(F.col("toks"), i + 1).alias("wb"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.wa", "p.wb")
+        .filter(F.col("wa") != F.col("wb"))
+        .distinct()
+        # vocabulary-bounded (<= |V|^2 rows) but read by THREE consumers
+        # (pairs -> pagerank, vocab, deg): cut lineage so the corpus-wide
+        # token explode runs once (the multi-consumer replay audit)
+        .transform(truncate_lineage, eager=False)
+    )
+    wid = lambda c: F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+    pairs = adj.select(
+        F.least(wid(F.col("wa")), wid(F.col("wb"))).alias("id_a"),
+        F.greatest(wid(F.col("wa")), wid(F.col("wb"))).alias("id_b"),
+    ).distinct()
+    ranks = pagerank_quantized(pairs, n_iters=6, checkpoint_every=3)
+    vocab = (
+        adj.select(F.col("wa").alias("word"))
+        .union(adj.select(F.col("wb").alias("word")))
+        .distinct()
+        .select("word", wid(F.col("word")).alias("vid"))
+    )
+    sym = pairs.select(F.col("id_a").alias("src")).union(
+        pairs.select(F.col("id_b").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    return (
+        ranks.join(F.broadcast(vocab), ranks.node == vocab.vid)
+        .join(F.broadcast(deg), ranks.node == deg.src)
+        .select(
+            "word",
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.round("rank", 9).alias("textrank"),
+        )
+        .orderBy(F.desc("textrank"), F.asc("word"))
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 4: remaining TPC-H query shapes expressible on the available tables
 # (no partsupp table, so Q2/Q11/Q20 have no faithful form; Q4's

@@ -125,6 +125,10 @@ DSUM_EXCEPTIONS: dict[str, str] = {
         "(operators/graph.py); node-relation-sized, not corpus-sized"
     ),
     "parts_related_by_ppr": "quantized-recurrence replay — see docs_dup_pagerank",
+    "docs_textrank_keywords": (
+        "quantized-recurrence replay — see docs_dup_pagerank "
+        "(vocabulary-sized word graph, not corpus-sized)"
+    ),
     "events_type_markov_stationary": (
         "quantized-recurrence replay — see docs_dup_pagerank"
     ),

@@ -52,8 +52,14 @@ def test_driver_order_policy():
     latest = latest_driver_round()
     max_round = max(latest.values())
     budget = staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    # due-this-round: the window under test is for round max_round + 1, so
+    # a row from round r hits the budget when r <= max_round + 1 - budget
+    # (the former max_round - budget form computed LAST round's dueness and
+    # mislabeled the currently-expiring cohort as optional fillers)
     stale = {
-        q for q, r in latest.items() if q in QUERIES and r <= max_round - budget
+        q
+        for q, r in latest.items()
+        if q in QUERIES and r <= max_round + 1 - budget
     }
     assert stale <= window, (
         f"≥{budget}-round-stale queries outside the window: {sorted(stale - window)}"

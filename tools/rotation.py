@@ -88,7 +88,16 @@ def main() -> None:
     budget = staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
     print(f"freshness budget   : {budget} rounds "
           f"(ceil({len(QUERIES)}/{WINDOW - len(DRIVER_SENTINELS)}))")
-    stale = {q for q, r in latest.items() if q in QUERIES and r <= max_round - budget}
+    # "due" is relative to the round this window is FOR (max_round + 1):
+    # a row from round r has age (max_round + 1) - r when the next driver
+    # check runs, so it hits the budget when r <= max_round + 1 - budget.
+    # (The former `r <= max_round - budget` computed LAST round's dueness —
+    # it classified the cohort expiring THIS round as optional fillers,
+    # contradicting how rounds 10-12 actually rotated.)
+    stale = {
+        q for q, r in latest.items()
+        if q in QUERIES and r <= max_round + 1 - budget
+    }
     stale_out = sorted(stale - window)
     ok = True
     if len(DRIVER_ORDER) != WINDOW:
