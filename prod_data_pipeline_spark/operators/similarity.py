@@ -89,6 +89,36 @@ def _emb_matrix(emb: "pd.Series", dim: int):
     return x, ok
 
 
+def ranked_topk(scored: DataFrame, k: int, order: list) -> DataFrame:
+    """Two-stage per-query top-k over a (query_id, ...) scored relation —
+    the 100 TB-safe replacement for the single window
+    ``row_number() OVER (PARTITION BY query_id ORDER BY ...)``: that shape
+    shuffles EVERY scored row into |panel| reducer keys, so each task
+    sorts a corpus-sized group — a single-task bottleneck the moment the
+    corpus outgrows one executor.  Stage 1 ranks within (query_id,
+    input-partition) — |panel| x n_partitions keys, groups bounded by the
+    scan's split size — and keeps k per group; stage 2 re-ranks the
+    surviving |panel| x n_partitions x k rows globally per query.
+
+    The result is BIT-IDENTICAL to the single-window form for any total
+    order (the global top-k of a union is the top-k of per-part top-ks;
+    the tie-break key makes the order total), for ANY placement of rows —
+    spark_partition_id() only has to partition the rows, not partition
+    them deterministically — so every oracle hash is unchanged.  Returns
+    the scored relation's columns + rank, filtered to rank <= k.
+    """
+    pre = Window.partitionBy("query_id", "_pid").orderBy(*order)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(pre))
+        .filter(F.col("_r1") <= k)
+        .drop("_pid", "_r1")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -97,7 +127,8 @@ def brute_force_topk(
     emb_col: str = "embedding",
     round_sim: int = 4,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries x corpus scan + per-query window.
+    """Exact cosine top-k: broadcast queries x corpus scan + the two-stage
+    per-query top-k (ranked_topk — no corpus-sized window groups).
 
     Returns (query_id, neighbor_id, sim, rank); self-matches excluded; ties
     broken by neighbor id for determinism.
@@ -112,10 +143,8 @@ def brute_force_topk(
         # zero-norm vectors have NULL cosine (try_divide): not a neighbor
         .filter(F.col("_sim").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked_topk(scored, k, [F.desc("_sim"), F.asc("neighbor_id")])
         .select(
             "query_id",
             "neighbor_id",
@@ -166,10 +195,8 @@ def hard_negative_topk(
         .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
         .filter(F.col("_sim").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked_topk(scored, k, [F.desc("_sim"), F.asc("neighbor_id")])
         .select(
             "query_id",
             "neighbor_id",
@@ -210,10 +237,8 @@ def l2_topk(
         # guard brute_force_topk already carries)
         .filter(F.col("_d").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked_topk(scored, k, [F.asc("_d"), F.asc("neighbor_id")])
         .select(
             "query_id",
             "neighbor_id",
@@ -1097,10 +1122,8 @@ def _ivf_search_codebook(
         .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
         .filter(F.col("_sim").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked_topk(scored, k, [F.desc("_sim"), F.asc("neighbor_id")])
         .select(
             "query_id",
             "neighbor_id",
@@ -1247,10 +1270,8 @@ def ivf_topk(
         .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
         .filter(F.col("_sim").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked_topk(scored, k, [F.desc("_sim"), F.asc("neighbor_id")])
         .select(
             "query_id",
             "neighbor_id",
@@ -1523,10 +1544,8 @@ def pq_adc_topk(
         # top-k (same guard as the brute-force/IVF family)
         .filter(F.col("_adc").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("_adc"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked_topk(scored, k, [F.asc("_adc"), F.asc("neighbor_id")])
         .select(
             "query_id",
             "neighbor_id",
@@ -1571,11 +1590,8 @@ def _label_ranked(
         .withColumn("_sim", cosine_sim(F.col("_qemb"), F.col("_emb")))
         .filter(F.col("_sim").isNotNull())
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "qlabel", "neighbor_id", "nlabel", "rank")
+    return ranked_topk(scored, k, [F.desc("_sim"), F.asc("neighbor_id")]).select(
+        "query_id", "qlabel", "neighbor_id", "nlabel", "rank"
     )
 
 

@@ -965,13 +965,15 @@ def test_knn_label_vote_null_neighbors_abstain(spark):
     assert row.correct is False  # NULL qlabel coalesces to not-correct
 
 
-def test_label_ranked_plan_broadcast_panel_one_window_exchange(spark, emb):
+def test_label_ranked_plan_broadcast_panel_two_stage_topk(spark, emb):
     """Scale pin for the retrieval-eval family: the ranked relation must be
     the brute-force shape — query panel BROADCAST (non-equi condition =>
-    BroadcastNestedLoopJoin), corpus scanned once, and exactly ONE
-    key-based exchange: the per-query row_number window on query_id.  A
-    second hash exchange would mean a corpus-sized label join crept in
-    after ranking."""
+    BroadcastNestedLoopJoin), corpus scanned once, and the TWO-STAGE
+    top-k (ranked_topk): the heavy exchange keys on (query_id, _pid) so
+    no task ever sorts a corpus-sized group, and the second query_id-only
+    exchange carries just panel x partitions x k survivors.  A third hash
+    exchange would mean a corpus-sized label join crept in after
+    ranking."""
     from prod_data_pipeline_spark.operators.similarity import _label_ranked
 
     ranked = _label_ranked(
@@ -979,6 +981,11 @@ def test_label_ranked_plan_broadcast_panel_one_window_exchange(spark, emb):
     )
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan  # panel rides a broadcast
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange hashpartitioning(query_id" in plan
+    assert plan.count("hashpartitioning(query_id#") >= 1
+    # stage-1 keys include the partition id column
+    import re
+
+    assert re.search(r"hashpartitioning\(query_id#\d+L?, _pid#", plan), plan[:2000]
     assert "CartesianProduct" not in plan
