@@ -89,7 +89,9 @@ def _emb_matrix(emb: "pd.Series", dim: int):
     return x, ok
 
 
-def ranked_topk(scored: DataFrame, k: int, order: list) -> DataFrame:
+def ranked_topk(
+    scored: DataFrame, k: int, order: list, keys: tuple = ("query_id",)
+) -> DataFrame:
     """Two-stage per-query top-k over a (query_id, ...) scored relation —
     the 100 TB-safe replacement for the single window
     ``row_number() OVER (PARTITION BY query_id ORDER BY ...)``: that shape
@@ -107,8 +109,8 @@ def ranked_topk(scored: DataFrame, k: int, order: list) -> DataFrame:
     them deterministically — so every oracle hash is unchanged.  Returns
     the scored relation's columns + rank, filtered to rank <= k.
     """
-    pre = Window.partitionBy("query_id", "_pid").orderBy(*order)
-    w = Window.partitionBy("query_id").orderBy(*order)
+    pre = Window.partitionBy(*keys, "_pid").orderBy(*order)
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         scored.withColumn("_pid", F.spark_partition_id())
         .withColumn("_r1", F.row_number().over(pre))
@@ -956,14 +958,13 @@ def ivf_nprobe_sweep(
     fanned = cand.withColumn("nprobe", F.explode(np_arr)).filter(
         F.col("_pr") <= F.col("nprobe")
     )
-    w = Window.partitionBy("query_id", "nprobe").orderBy(
-        F.desc("_sim"), F.asc("neighbor_id")
-    )
-    approx = (
-        fanned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("nprobe", "query_id", "neighbor_id")
-    )
+    # two-stage top-k with the composite (query, nprobe) key — the fanned
+    # candidate relation is corpus/n_cells-scaled per sweep point, the
+    # same unbounded-group hazard ranked_topk bounds for the search paths
+    approx = ranked_topk(
+        fanned, k, [F.desc("_sim"), F.asc("neighbor_id")],
+        keys=("query_id", "nprobe"),
+    ).select("nprobe", "query_id", "neighbor_id")
     exact = brute_force_topk(df, query_df, k, id_col, emb_col).select(
         "query_id", "neighbor_id"
     )
