@@ -67,6 +67,15 @@ class Snapshot:
     # commit metadata, atomic with the version (e.g. the streaming sink's
     # last_batch_id transaction marker, a rollback's source version).
     meta: dict = None  # type: ignore[assignment]
+    # merge-on-read equality deletes: {delete_id: {"col": c, "value": v,
+    # "applies_to": [files]}}.  Each entry hides rows where col == value
+    # from the listed files WITHOUT rewriting them (delete_where_mor);
+    # applies_to is the bloom/zone-pruned possible-match set AT DELETE
+    # TIME, which is also what scopes the delete like an Iceberg sequence
+    # number: files appended later are absent from the list, so a
+    # re-inserted key survives.  read_snapshot applies the filters;
+    # compact_deletes folds them back into data files.
+    deletes: dict = None  # type: ignore[assignment]
 
 
 class ConcurrentCommit(Exception):
@@ -163,6 +172,7 @@ def _publish(table_path: str, build) -> "Snapshot":
         blooms=manifest.get("blooms", {}),
         nulls=manifest.get("nulls", {}),
         meta=manifest.get("meta", {}),
+        deletes=manifest.get("deletes", {}),
     )
 
 
@@ -190,6 +200,7 @@ def read_manifest(table_path: str, version: int) -> Snapshot:
         blooms=m.get("blooms", {}),
         nulls=m.get("nulls", {}),
         meta=m.get("meta", {}),
+        deletes=m.get("deletes", {}),
     )
 
 
@@ -408,9 +419,14 @@ def commit_snapshot(
             stats = {**(prev.stats or {}), **new_stats}
             blooms = {**(prev.blooms or {}), **new_blooms}
             nulls = {**(prev.nulls or {}), **new_nulls}
+            # MOR deletes carry verbatim: the appended files are absent
+            # from every applies_to, so a re-inserted key is visible —
+            # the sequence-number semantics
+            deletes = dict(prev.deletes or {})
         else:
             files, n_rows = written, n_new
             stats, blooms, nulls = new_stats, new_blooms, new_nulls
+            deletes = {}
         return {
             "version": version,
             "files": files,
@@ -420,6 +436,7 @@ def commit_snapshot(
             "blooms": blooms,
             "nulls": nulls,
             "meta": meta or {},
+            "deletes": deletes,
         }
 
     return _publish(table_path, build)
@@ -475,6 +492,34 @@ def prune_files_eq(snap: Snapshot, col: str, value) -> list[str]:
     return kept
 
 
+def _carry_deletes(prev_deletes: dict, kept_files: list[str]) -> dict:
+    """Intersect every merge-on-read delete entry's applies_to with the
+    files that survive a commit; entries whose scope empties are dropped
+    (every file they hid rows from was rewritten or removed)."""
+    kept = set(kept_files)
+    out = {}
+    for did, e in (prev_deletes or {}).items():
+        scoped = [f for f in e["applies_to"] if f in kept]
+        if scoped:
+            out[did] = {**e, "applies_to": scoped}
+    return out
+
+
+def _pending_filters(snap: Snapshot, files) -> list:
+    """(col, value) filters of every MOR delete entry touching ``files`` —
+    a rewrite of those files MUST apply them or it would resurrect the
+    hidden rows.  Applying an entry's filter to files OUTSIDE its
+    applies_to is a provable no-op (those files were bloom/zone-proven
+    free of the value at delete time), so a rewrite may apply the
+    returned filters to its whole input union."""
+    touched = set(files)
+    return [
+        (e["col"], e["value"])
+        for e in (snap.deletes or {}).values()
+        if touched & set(e["applies_to"])
+    ]
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -506,8 +551,36 @@ def read_snapshot(
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     snap = read_manifest(table_path, v)
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+
+    def _with_deletes(files: list[str]) -> DataFrame:
+        # apply merge-on-read equality deletes: group files by the SET of
+        # entries scoping them (usually one or two groups), filter each
+        # group once, and union — a per-file predicate without per-file
+        # plans.  Files outside every applies_to read untouched.
+        entries = snap.deletes or {}
+        if not entries:
+            return reader.parquet(*files)
+        scopes = {did: set(e["applies_to"]) for did, e in entries.items()}
+        groups: dict = {}
+        for f in files:
+            key = frozenset(did for did, sc in scopes.items() if f in sc)
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key in sorted(groups, key=sorted):
+            df = reader.parquet(*groups[key])
+            for did in sorted(key):
+                e = entries[did]
+                df = df.filter(
+                    ~F.col(e["col"]).eqNullSafe(F.lit(e["value"]))
+                )
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df, allowMissingColumns=merge_schema)
+        return out
+
     if prune is None:
-        return reader.parquet(*snap.files)
+        return _with_deletes(snap.files)
     col, lo, hi = prune
     kept = prune_files(snap, col, lo, hi)
     if not kept:
@@ -517,7 +590,7 @@ def read_snapshot(
             .filter(F.lit(False))
             .filter(F.col(col).between(lo, hi))
         )
-    return reader.parquet(*kept).filter(F.col(col).between(lo, hi))
+    return _with_deletes(kept).filter(F.col(col).between(lo, hi))
 
 
 def delete_where(
@@ -571,6 +644,11 @@ def delete_where(
         src = spark.read.parquet(*sorted(rewrite))
         n_rewritten_before = src.count()
         kept_rows = src.filter(~F.col(col).eqNullSafe(F.lit(value)))
+        # a rewritten file may carry pending MOR deletes — fold them in or
+        # the rewrite would resurrect the hidden rows (no-op on files the
+        # entries never scoped, see _pending_filters)
+        for dcol, dval in _pending_filters(snap, rewrite):
+            kept_rows = kept_rows.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
         commit_id = uuid.uuid4().hex
         data_dir = os.path.join(table_path, "data", commit_id)
         kept_rows.write.mode("error").parquet(data_dir)
@@ -615,6 +693,162 @@ def delete_where(
             "blooms": blooms,
             "nulls": nulls,
             "meta": {},
+            # rewritten files had their pending MOR deletes folded in
+            "deletes": _carry_deletes(snap.deletes, carried),
+        }
+
+    return _publish(table_path, build)
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+) -> Snapshot:
+    """Merge-on-read targeted deletion (Iceberg equality-delete / Delta
+    deletion-vector shape): instead of rewriting the files that may hold
+    ``col == value`` (delete_where's copy-on-write), commit a manifest
+    DELETE ENTRY scoping them — readers filter the hidden rows out at
+    scan time, and no data byte moves.  The write cost is O(manifest):
+    at 100 TB this is the difference between a sub-second GDPR delete
+    and rewriting terabytes on the delete path, deferring the rewrite to
+    the next scheduled compaction (compact_deletes / rewrite_small_files
+    both fold pending entries in).
+
+    Scoping = sequencing: ``applies_to`` is the bloom/zone-pruned
+    possible-match file set AT DELETE TIME, so rows of the SAME key
+    appended later live in files outside the list and stay visible —
+    the Iceberg sequence-number semantics without per-file sequence
+    bookkeeping (the trade: applies_to is file-list-sized; a production
+    format stores a sequence number instead — documented, deliberate).
+    Applying the entry's filter to a file outside applies_to would be a
+    provable no-op anyway, which is what makes rewrites safe to apply
+    pending filters across their whole input.
+
+    ``value`` must be JSON-representable (str/int/float/bool/None) — it
+    round-trips through the manifest.  NULL rows are never deleted
+    (null-safe equality, same as delete_where).  ``n_rows`` stays the
+    PHYSICAL count: hidden rows still occupy bytes until a compaction
+    folds the entry in (meta records the pending logical debt).  No-ops
+    (returns the current snapshot, no version bump) when pruning proves
+    the value absent from every file."""
+    if value is not None and not isinstance(value, (str, int, float, bool)):
+        raise TypeError(
+            f"MOR delete value must be JSON-representable, got {type(value)}"
+        )
+    v = current_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    snap = read_manifest(table_path, v)
+    affected = prune_files_eq(snap, col, value)
+    if not affected:
+        return snap  # bloom/zone proof: nothing to hide
+
+    did = uuid.uuid4().hex
+
+    def build(prev_v: int | None, version: int) -> dict:
+        if prev_v != v:
+            # applies_to was pruned against v; a concurrent append could
+            # add files containing the key that this entry must NOT scope
+            raise ConcurrentCommit(
+                f"table advanced v{v} -> v{prev_v} during MOR delete; re-run"
+            )
+        return {
+            "version": version,
+            "files": snap.files,
+            "n_rows": snap.n_rows,  # physical rows unchanged
+            "mode": "mor-delete",
+            "stats": snap.stats or {},
+            "blooms": snap.blooms or {},
+            "nulls": snap.nulls or {},
+            "meta": {"mor_delete": [col, _stats_repr(value)]},
+            "deletes": {
+                **(snap.deletes or {}),
+                did: {"col": col, "value": value, "applies_to": affected},
+            },
+        }
+
+    return _publish(table_path, build)
+
+
+def compact_deletes(spark: SparkSession, table_path: str) -> Snapshot:
+    """Fold every pending merge-on-read delete back into data files (the
+    MOR -> COW merge, Iceberg's rewrite_position_delete_files analog):
+    rewrite exactly the files some entry scopes with all applicable
+    filters applied, carry every other file untouched, and commit a
+    version with NO delete entries.  Reads of the new version are then
+    filter-free; prior versions keep their MOR semantics via time travel.
+    No-ops (returns the current snapshot) when nothing is pending.
+
+    Write amplification is bounded by the union of applies_to sets — the
+    same bloom/zone-pruned footprint the COW delete would have paid at
+    delete time, now paid once on a maintenance schedule instead of on
+    the (latency-sensitive) delete path."""
+    from pyspark.sql import functions as F
+
+    v = current_version(table_path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    snap = read_manifest(table_path, v)
+    if not (snap.deletes or {}):
+        return snap
+    rewrite = sorted({f for e in snap.deletes.values() for f in e["applies_to"]})
+    carried = [f for f in snap.files if f not in set(rewrite)]
+
+    stats_cols = tuple(
+        sorted({c for per_file in (snap.stats or {}).values() for c in per_file})
+    )
+    bloom_cols = tuple(
+        sorted({c for per_file in (snap.blooms or {}).values() for c in per_file})
+    )
+
+    src = spark.read.parquet(*rewrite)
+    n_before = src.count()
+    for dcol, dval in _pending_filters(snap, rewrite):
+        src = src.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(table_path, "data", commit_id)
+    src.write.mode("error").parquet(data_dir)
+    written = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    n_new, new_stats, new_blooms, new_nulls = (
+        _collect_file_stats(spark, written, stats_cols, bloom_cols)
+        if written
+        else (0, {}, {}, {})
+    )
+
+    files = carried + written
+    carried_set = set(carried)
+
+    def build(prev_v: int | None, version: int) -> dict:
+        if prev_v != v:
+            raise ConcurrentCommit(
+                f"table advanced v{v} -> v{prev_v} during delete compaction; "
+                "re-run"
+            )
+        return {
+            "version": version,
+            "files": files,
+            "n_rows": snap.n_rows - n_before + n_new,
+            "mode": "merge-deletes",
+            "stats": {
+                **{f: x for f, x in (snap.stats or {}).items() if f in carried_set},
+                **new_stats,
+            },
+            "blooms": {
+                **{f: x for f, x in (snap.blooms or {}).items() if f in carried_set},
+                **new_blooms,
+            },
+            "nulls": {
+                **{f: x for f, x in (snap.nulls or {}).items() if f in carried_set},
+                **new_nulls,
+            },
+            "meta": {"merged_delete_entries": len(snap.deletes)},
+            "deletes": {},
         }
 
     return _publish(table_path, build)
@@ -797,6 +1031,9 @@ def commit_replace_where(
                 **new_nulls,
             },
             "meta": {**(meta or {}), "replace_where": [col, _stats_repr(value)]},
+            "deletes": _carry_deletes(
+                (prev.deletes if prev else {}) or {}, kept
+            ),
         }
 
     return _publish(table_path, build)
@@ -887,6 +1124,8 @@ def rewrite_small_files(
     min == max per file, so compaction and partition replacement compose
     for the life of the table (the streaming-ingest → nightly-compact →
     daily-replace loop)."""
+    from pyspark.sql import functions as F
+
     v = current_version(table_path)
     if v is None:
         raise FileNotFoundError(f"no committed version at {table_path}")
@@ -903,21 +1142,30 @@ def rewrite_small_files(
         sorted({c for per_file in (snap.blooms or {}).values() for c in per_file})
     )
 
+    n_small_before = (
+        spark.read.parquet(*small).count() if _pending_filters(snap, small) else 0
+    )
     total = sum(os.path.getsize(f) for f in small)
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_id)
+    pending = _pending_filters(snap, small)
     if partition_col is None:
-        spark.read.parquet(*small).coalesce(int(n_out)).write.mode("error").parquet(
-            data_dir
-        )
+        src0 = spark.read.parquet(*small)
+        for dcol, dval in pending:
+            # fold pending MOR deletes into the compaction (the classic
+            # merge-on-read maintenance contract) — otherwise the packed
+            # files would resurrect hidden rows
+            src0 = src0.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
+        src0.coalesce(int(n_out)).write.mode("error").parquet(data_dir)
     else:
         # one output file per partition VALUE (kept as a data column, so
         # stats re-collection proves min == max and replace_where keeps
         # working); the value count is maintenance-small by definition
-        from pyspark.sql import functions as F
-
-        src = spark.read.parquet(*small).persist()
+        src = spark.read.parquet(*small)
+        for dcol, dval in pending:
+            src = src.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
+        src = src.persist()
         values = sorted(
             (r[0] for r in src.select(partition_col).distinct().collect()),
             key=lambda x: (x is None, str(x)),
@@ -961,12 +1209,17 @@ def rewrite_small_files(
         return {
             "version": version,
             "files": files,
-            "n_rows": snap.n_rows,  # row-preserving by construction
+            # row-preserving by construction UNLESS pending MOR deletes
+            # were folded in — then the physical count drops by the rows
+            # they hid (n_new already measured over the written files)
+            "n_rows": snap.n_rows if not pending
+            else snap.n_rows - n_small_before + n_new,
             "mode": "compact",
             "stats": stats,
             "blooms": blooms,
             "nulls": nulls,
             "meta": {"compacted_files": len(small), "new_files": len(written)},
+            "deletes": _carry_deletes(snap.deletes, carried),
         }
 
     return _publish(table_path, build)
@@ -1015,6 +1268,7 @@ def rollback(table_path: str, to_version: int) -> Snapshot:
             "blooms": target.blooms or {},
             "nulls": target.nulls or {},
             "meta": {"rolled_back_to": to_version},
+            "deletes": target.deletes or {},
         }
 
     return _publish(table_path, build)

@@ -986,3 +986,175 @@ def test_generalized_txn_map_carries_per_key_max(spark, tmp_path):
     assert read_manifest(t, s3.version).meta["txn"] == {"appA": 5, "appB": 1}
     s4 = commit_snapshot(df(30), t, mode="overwrite", meta={"txn": {"appB": 2}})
     assert read_manifest(t, s4.version).meta["txn"] == {"appA": 5, "appB": 2}
+
+
+# --- merge-on-read equality deletes (round 12) ------------------------------
+
+
+def _mor_table(spark, tmp_path, name="mor"):
+    """3 commits of 10 rows each, user_id bloom+stats tracked so pruning
+    scopes MOR deletes to the files that may hold the key."""
+    from prod_data_pipeline_spark.sources.manifest import commit_snapshot
+
+    t = str(tmp_path / name)
+    for lo in (0, 10, 20):
+        df = (
+            spark.range(lo, lo + 10)
+            .withColumn("user_id", F.col("id"))
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1)
+        )
+        commit_snapshot(
+            df, t, mode="append", stats_cols=("user_id",), bloom_cols=("user_id",)
+        )
+    return t
+
+
+def test_mor_delete_hides_rows_without_touching_files(spark, tmp_path):
+    from prod_data_pipeline_spark.sources.manifest import (
+        delete_where_mor,
+        read_manifest,
+        read_snapshot,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    before = read_manifest(t, 3)
+    s = delete_where_mor(spark, t, "user_id", 15)
+    assert s.version == 4
+    # zero data movement: identical file list, physical row count unchanged
+    assert s.files == before.files
+    assert s.n_rows == before.n_rows
+    assert len(s.deletes) == 1
+    (entry,) = s.deletes.values()
+    # pruning scoped the entry to the one file that may hold user_id=15
+    assert len(entry["applies_to"]) == 1
+    # the delete is immediately invisible to readers
+    got = read_snapshot(spark, t)
+    assert got.count() == 29
+    assert got.filter(F.col("user_id") == 15).count() == 0
+    # time travel to the pre-delete version still shows the row
+    assert read_snapshot(spark, t, version=3).filter(
+        F.col("user_id") == 15
+    ).count() == 1
+
+
+def test_mor_delete_sequencing_reinserted_key_survives(spark, tmp_path):
+    """The Iceberg sequence semantics: a key appended AFTER the delete is
+    outside every applies_to and stays visible, while the old rows stay
+    hidden."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        delete_where_mor,
+        read_snapshot,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    delete_where_mor(spark, t, "user_id", 7)
+    assert read_snapshot(spark, t).filter(F.col("user_id") == 7).count() == 0
+    # re-insert the key (new file, new version)
+    df = (
+        spark.range(7, 8)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.lit(999).cast("long"))
+        .coalesce(1)
+    )
+    commit_snapshot(
+        df, t, mode="append", stats_cols=("user_id",), bloom_cols=("user_id",)
+    )
+    got = read_snapshot(spark, t).filter(F.col("user_id") == 7).collect()
+    assert [r.v for r in got] == [999]  # new row visible, old row hidden
+
+
+def test_mor_delete_noop_when_pruning_proves_absence(spark, tmp_path):
+    from prod_data_pipeline_spark.sources.manifest import delete_where_mor
+
+    t = _mor_table(spark, tmp_path)
+    s = delete_where_mor(spark, t, "user_id", 9999)
+    assert s.version == 3  # no version bump, no entry
+    assert not (s.deletes or {})
+
+
+def test_compact_deletes_folds_entries_and_preserves_content(spark, tmp_path):
+    from prod_data_pipeline_spark.sources.manifest import (
+        compact_deletes,
+        delete_where_mor,
+        read_snapshot,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    delete_where_mor(spark, t, "user_id", 3)
+    delete_where_mor(spark, t, "user_id", 25)
+    logical = sorted(r.user_id for r in read_snapshot(spark, t).collect())
+    s = compact_deletes(spark, t)
+    assert not (s.deletes or {})
+    assert s.n_rows == 28  # physical == logical after the merge
+    after = sorted(r.user_id for r in read_snapshot(spark, t).collect())
+    assert after == logical
+    # idempotent: nothing pending -> no version bump
+    assert compact_deletes(spark, t).version == s.version
+    # prior versions keep MOR semantics via time travel
+    assert read_snapshot(spark, t, version=5).count() == 28
+    assert read_snapshot(spark, t, version=3).count() == 30
+
+
+def test_binpack_compaction_folds_pending_mor_deletes(spark, tmp_path):
+    """rewrite_small_files must not resurrect hidden rows: pending entries
+    fold into the packed files and drop from the manifest."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        delete_where_mor,
+        read_manifest,
+        read_snapshot,
+        rewrite_small_files,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    delete_where_mor(spark, t, "user_id", 12)
+    s = rewrite_small_files(spark, t)  # everything is tiny: full pack
+    assert s.mode == "compact"
+    assert not (s.deletes or {})
+    assert s.n_rows == 29
+    got = read_snapshot(spark, t)
+    assert got.count() == 29
+    assert got.filter(F.col("user_id") == 12).count() == 0
+
+
+def test_cow_delete_folds_pending_mor_on_shared_files(spark, tmp_path):
+    """A copy-on-write delete whose rewrite set overlaps a pending MOR
+    entry applies BOTH predicates — the rewritten file cannot resurrect
+    the MOR-hidden rows."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        delete_where,
+        delete_where_mor,
+        read_snapshot,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    delete_where_mor(spark, t, "user_id", 11)  # same file as 12 (10..19)
+    s = delete_where(spark, t, "user_id", 12)  # COW rewrite of that file
+    got = read_snapshot(spark, t)
+    assert got.count() == 28
+    assert got.filter(F.col("user_id").isin(11, 12)).count() == 0
+    # the MOR entry's only scoped file was rewritten -> entry dropped
+    assert not (s.deletes or {})
+
+
+def test_mor_delete_null_safety_and_value_type_guard(spark, tmp_path):
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        delete_where_mor,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "mor_null")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 5)], "id long, user_id long"
+    ).coalesce(1)
+    commit_snapshot(df, t, stats_cols=("user_id",))
+    delete_where_mor(spark, t, "user_id", 5)
+    got = read_snapshot(spark, t).collect()
+    # NULL rows survive a value delete (null-safe equality)
+    assert sorted(r.id for r in got) == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        delete_where_mor(spark, t, "user_id", object())
