@@ -1142,14 +1142,12 @@ def rewrite_small_files(
         sorted({c for per_file in (snap.blooms or {}).values() for c in per_file})
     )
 
-    n_small_before = (
-        spark.read.parquet(*small).count() if _pending_filters(snap, small) else 0
-    )
+    pending = _pending_filters(snap, small)
+    n_small_before = spark.read.parquet(*small).count() if pending else 0
     total = sum(os.path.getsize(f) for f in small)
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_id)
-    pending = _pending_filters(snap, small)
     if partition_col is None:
         src0 = spark.read.parquet(*small)
         for dcol, dval in pending:
