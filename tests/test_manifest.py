@@ -851,6 +851,8 @@ def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
     from prod_data_pipeline_spark.sources.manifest import (
         ConcurrentCommit,
         commit_replace_where,
+        compact_deletes,
+        delete_where_mor,
         read_manifest,
         rewrite_small_files,
         rollback,
@@ -871,6 +873,7 @@ def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
 
     append_payloads: dict[int, tuple[str, int, int]] = {}
     replace_payloads: dict[int, tuple[str, int, int]] = {}
+    mor_payloads: dict[int, int] = {}
 
     def appender(w):
         d = f"2025-05-0{w + 2}"
@@ -904,6 +907,31 @@ def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
                 except ConcurrentCommit:
                     _time.sleep(0.02)
 
+    def mor_deleter():
+        # ids from the seed partition; the replacer may wipe them first, in
+        # which case the delete is a logical no-op — the transition
+        # invariant (cur == prev minus matching rows) holds either way
+        for did in (3, 11, 17):
+            for _ in range(12):
+                try:
+                    s2 = delete_where_mor(spark, t, "id", did)
+                    if s2.mode == "mor-delete":  # a real entry landed
+                        mor_payloads[s2.version] = did
+                    break
+                except ConcurrentCommit:
+                    _time.sleep(0.02)
+            _time.sleep(0.03)
+
+    def delete_compactor():
+        for _ in range(2):
+            _time.sleep(0.1)
+            for _ in range(12):
+                try:
+                    compact_deletes(spark, t)
+                    break
+                except ConcurrentCommit:
+                    _time.sleep(0.02)
+
     def rollbacker():
         for _ in range(2):
             for _ in range(12):
@@ -914,13 +942,15 @@ def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
                     _time.sleep(0.02)
             _time.sleep(0.05)
 
-    with ThreadPoolExecutor(5) as ex:
+    with ThreadPoolExecutor(7) as ex:
         futs = [
             ex.submit(appender, 0),
             ex.submit(appender, 1),
             ex.submit(compactor),
             ex.submit(replacer),
             ex.submit(rollbacker),
+            ex.submit(mor_deleter),
+            ex.submit(delete_compactor),
         ]
         for f in futs:
             f.result()  # surface worker exceptions
@@ -942,7 +972,12 @@ def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
         for f in m.files:
             assert os.path.exists(f), f"v{ver} lists a missing file"
         cur = multiset(ver)
-        assert sum(cur.values()) == m.n_rows, f"v{ver} n_rows drifted"
+        if m.deletes:
+            # MOR entries pending: n_rows is the PHYSICAL count, hidden
+            # rows still occupy files until a compaction folds them in
+            assert sum(cur.values()) <= m.n_rows, f"v{ver} logical > physical"
+        else:
+            assert sum(cur.values()) == m.n_rows, f"v{ver} n_rows drifted"
         if ver == 1:
             continue
         prev = multiset(ver - 1)
@@ -960,6 +995,13 @@ def test_multi_writer_full_op_matrix_serializes(spark, tmp_path):
             assert out_d == prev_out, f"v{ver} touched other partitions"
         elif m.mode == "rollback":
             assert cur == multiset(m.meta["rolled_back_to"]), f"v{ver} rollback"
+        elif m.mode == "mor-delete":
+            did = mor_payloads[ver]
+            expect = Counter({k: c for k, c in prev.items() if k[0] != did})
+            assert cur == expect, f"v{ver} MOR delete"
+        elif m.mode == "merge-deletes":
+            assert cur == prev, f"v{ver} delete compaction changed rows"
+            assert not m.deletes, f"v{ver} entries survived the merge"
         else:
             raise AssertionError(f"unexpected mode {m.mode} at v{ver}")
 
