@@ -79,9 +79,10 @@ DRIVER_ORDER: list[str] = [
     # --- round-12 window (tools/rotation.py --propose, capacity-derived
     # 5-round freshness budget): the pinned bench sentinels lead, then the
     # FULL r7-aged cohort of 38 (expires this round — verdict r11
-    # directive #1; 3 + 38 = 41 mandatory slots), then 4 of the OLDEST r8
-    # rows as pre-drain fillers and the round's 5 net-new queries
-    # (never-checked outranks a filler — policy #3).  Round 13's mandatory
+    # directive #1; 3 + 38 = 41 mandatory slots), then the round's 9
+    # net-new queries in all 9 free slots (never-checked outranks a
+    # filler — policy #3; no r8 pre-drain filler survived the
+    # displacement).  Round 13's mandatory
     # load lands at 3 + 46 = 49, over directive #3's <= 44 target — the
     # accepted cost of shipping 9 net-new oracled queries this round
     # (retrieval-eval family + CMS join-size pair + IVF-append pair +
@@ -130,10 +131,6 @@ DRIVER_ORDER: list[str] = [
     "user_activity_streaks",
     "user_event_type_paths",
     "user_retention_cohorts",
-    # --- r8 pre-drain fillers (oldest-first); round-12 net-new queries
-    # displace these from the END (never-checked outranks a non-mandatory
-    # filler — rotation policy #3); a displaced filler stays in r13's
-    # mandatory set by age, which the pre-drain budget already absorbs. ---
     # round-12 net-new; never-checked outranks a non-mandatory filler
     # (policy #3), so these displace ALL nine r8 pre-drain fillers
     # (docs_dup_pagerank / docs_dup_triangles / customers_without_orders /

@@ -462,26 +462,31 @@ def prune_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
 
 
 def prune_files_eq(snap: Snapshot, col: str, value) -> list[str]:
-    """Files of `snap` that may contain rows with col == value, by per-file
-    bloom filter: keep a file unless its bloom PROVES absence (some probe
-    bit unset).  False positives only — a kept file may still lack the
-    value; a dropped file provably cannot contain it.  Files without a
-    bloom for `col` are always kept.  Zone maps answer range predicates
-    on clustered columns; blooms answer point lookups on high-cardinality
-    keys the layout was NOT sorted by — the complementary half of
-    Iceberg/Delta-style file skipping.
+    """Files of `snap` that may contain rows with col == value, by BOTH
+    skipping indexes: the point lookup is also the degenerate range
+    [value, value], so a file is dropped when its zone map proves the
+    value outside [min, max] OR its bloom proves absence (some probe bit
+    unset) — the intersection is strictly tighter than either alone
+    (round 12: a stats-only table now scopes equality deletes without
+    requiring blooms).  False positives only — a kept file may still
+    lack the value; a dropped file provably cannot contain it.  Files
+    tracking neither index for `col` are always kept.
 
     Pruning applies only to value types whose Python str() rendering
     provably matches Spark's CAST(col AS STRING) (str / int / date);
     for any other type (float, bool, timestamp, decimal) every file is
     kept — correct, just unpruned — because a rendering mismatch would
-    turn the bloom's false-positive-only contract into false NEGATIVES,
+    turn the indexes' false-positive-only contract into false NEGATIVES,
     and delete_where would silently skip rows it must delete."""
     if not _bloom_value_render_safe(value):
         return list(snap.files)
+    rendered = _stats_repr(value)
+    zone_kept = set(prune_files(snap, col, rendered, rendered))
     probes = _bloom_positions_py(value)
     kept = []
     for f in snap.files:
+        if f not in zone_kept:
+            continue  # zone map proves the value cannot occur in f
         setbits = (snap.blooms or {}).get(f, {}).get(col)
         if setbits is None:
             kept.append(f)
@@ -505,19 +510,47 @@ def _carry_deletes(prev_deletes: dict, kept_files: list[str]) -> dict:
     return out
 
 
-def _pending_filters(snap: Snapshot, files) -> list:
-    """(col, value) filters of every MOR delete entry touching ``files`` —
-    a rewrite of those files MUST apply them or it would resurrect the
-    hidden rows.  Applying an entry's filter to files OUTSIDE its
-    applies_to is a provable no-op (those files were bloom/zone-proven
-    free of the value at delete time), so a rewrite may apply the
-    returned filters to its whole input union."""
+def _has_pending(snap: Snapshot, files) -> bool:
+    """True when any MOR delete entry scopes one of ``files`` — a rewrite
+    of those files must fold the entries in via _grouped_delete_read."""
     touched = set(files)
-    return [
-        (e["col"], e["value"])
-        for e in (snap.deletes or {}).values()
-        if touched & set(e["applies_to"])
-    ]
+    return any(
+        touched & set(e["applies_to"]) for e in (snap.deletes or {}).values()
+    )
+
+
+def _grouped_delete_read(
+    reader, entries: dict, files: list, allow_missing: bool = False
+):
+    """Read ``files`` with every applicable MOR delete entry applied — to
+    exactly the files each entry scopes, never the whole union.  An
+    entry's filter must NOT touch files outside its applies_to: a file
+    APPENDED AFTER the delete may legitimately re-insert the deleted key
+    (the sequencing contract), and a union-wide filter would silently
+    destroy it.  Files are grouped by their applicable entry-set (one or
+    two groups in practice), each group filtered once, and the groups
+    unioned — the shared kernel behind read_snapshot and every rewrite
+    path (COW delete, bin-pack compaction, delete compaction)."""
+    from pyspark.sql import functions as F
+
+    scopes = {did: set(e["applies_to"]) for did, e in (entries or {}).items()}
+    if not scopes:
+        return reader.parquet(*files)
+    groups: dict = {}
+    for f in files:
+        key = frozenset(did for did, sc in scopes.items() if f in sc)
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for key in sorted(groups, key=sorted):
+        df = reader.parquet(*groups[key])
+        for did in sorted(key):
+            e = entries[did]
+            df = df.filter(~F.col(e["col"]).eqNullSafe(F.lit(e["value"])))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=allow_missing)
+    return out
 
 
 def read_snapshot(
@@ -553,31 +586,11 @@ def read_snapshot(
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
 
     def _with_deletes(files: list[str]) -> DataFrame:
-        # apply merge-on-read equality deletes: group files by the SET of
-        # entries scoping them (usually one or two groups), filter each
-        # group once, and union — a per-file predicate without per-file
-        # plans.  Files outside every applies_to read untouched.
-        entries = snap.deletes or {}
-        if not entries:
-            return reader.parquet(*files)
-        scopes = {did: set(e["applies_to"]) for did, e in entries.items()}
-        groups: dict = {}
-        for f in files:
-            key = frozenset(did for did, sc in scopes.items() if f in sc)
-            groups.setdefault(key, []).append(f)
-        parts = []
-        for key in sorted(groups, key=sorted):
-            df = reader.parquet(*groups[key])
-            for did in sorted(key):
-                e = entries[did]
-                df = df.filter(
-                    ~F.col(e["col"]).eqNullSafe(F.lit(e["value"]))
-                )
-            parts.append(df)
-        out = parts[0]
-        for df in parts[1:]:
-            out = out.unionByName(df, allowMissingColumns=merge_schema)
-        return out
+        # apply merge-on-read equality deletes to exactly the files each
+        # entry scopes (grouped by entry-set — _grouped_delete_read)
+        return _grouped_delete_read(
+            reader, snap.deletes or {}, files, allow_missing=merge_schema
+        )
 
     if prune is None:
         return _with_deletes(snap.files)
@@ -641,14 +654,15 @@ def delete_where(
     n_new, new_stats, new_blooms, new_nulls = 0, {}, {}, {}
     n_rewritten_before = 0
     if rewrite:
-        src = spark.read.parquet(*sorted(rewrite))
-        n_rewritten_before = src.count()
+        n_rewritten_before = spark.read.parquet(*sorted(rewrite)).count()
+        # fold pending MOR deletes in — scoped to exactly the files each
+        # entry covers (a union-wide filter would destroy a key
+        # re-inserted by a later append) — then apply this delete's own
+        # predicate
+        src = _grouped_delete_read(
+            spark.read, snap.deletes or {}, sorted(rewrite)
+        )
         kept_rows = src.filter(~F.col(col).eqNullSafe(F.lit(value)))
-        # a rewritten file may carry pending MOR deletes — fold them in or
-        # the rewrite would resurrect the hidden rows (no-op on files the
-        # entries never scoped, see _pending_filters)
-        for dcol, dval in _pending_filters(snap, rewrite):
-            kept_rows = kept_rows.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
         commit_id = uuid.uuid4().hex
         data_dir = os.path.join(table_path, "data", commit_id)
         kept_rows.write.mode("error").parquet(data_dir)
@@ -726,16 +740,20 @@ def delete_where_mor(
     provable no-op anyway, which is what makes rewrites safe to apply
     pending filters across their whole input.
 
-    ``value`` must be JSON-representable (str/int/float/bool/None) — it
-    round-trips through the manifest.  NULL rows are never deleted
-    (null-safe equality, same as delete_where).  ``n_rows`` stays the
+    ``value`` must be a non-NULL JSON-representable scalar
+    (str/int/float/bool) — it round-trips through the manifest.
+    ``value=None`` is REJECTED: ``eqNullSafe(NULL)`` would hide every
+    NULL-keyed row, contradicting the family's null-safe contract (NULL
+    rows are never deleted by a value delete); replacing the NULL
+    partition is commit_replace_where's job.  ``n_rows`` stays the
     PHYSICAL count: hidden rows still occupy bytes until a compaction
     folds the entry in (meta records the pending logical debt).  No-ops
     (returns the current snapshot, no version bump) when pruning proves
     the value absent from every file."""
-    if value is not None and not isinstance(value, (str, int, float, bool)):
+    if value is None or not isinstance(value, (str, int, float, bool)):
         raise TypeError(
-            f"MOR delete value must be JSON-representable, got {type(value)}"
+            "MOR delete value must be a non-NULL JSON-representable scalar, "
+            f"got {value!r}"
         )
     v = current_version(table_path)
     if v is None:
@@ -803,10 +821,9 @@ def compact_deletes(spark: SparkSession, table_path: str) -> Snapshot:
         sorted({c for per_file in (snap.blooms or {}).values() for c in per_file})
     )
 
-    src = spark.read.parquet(*rewrite)
-    n_before = src.count()
-    for dcol, dval in _pending_filters(snap, rewrite):
-        src = src.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
+    n_before = spark.read.parquet(*rewrite).count()
+    # scoped per entry — never a union-wide filter (sequencing contract)
+    src = _grouped_delete_read(spark.read, snap.deletes or {}, rewrite)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_id)
     src.write.mode("error").parquet(data_dir)
@@ -1142,28 +1159,25 @@ def rewrite_small_files(
         sorted({c for per_file in (snap.blooms or {}).values() for c in per_file})
     )
 
-    pending = _pending_filters(snap, small)
+    pending = _has_pending(snap, small)
     n_small_before = spark.read.parquet(*small).count() if pending else 0
     total = sum(os.path.getsize(f) for f in small)
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_id)
     if partition_col is None:
-        src0 = spark.read.parquet(*small)
-        for dcol, dval in pending:
-            # fold pending MOR deletes into the compaction (the classic
-            # merge-on-read maintenance contract) — otherwise the packed
-            # files would resurrect hidden rows
-            src0 = src0.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
+        # fold pending MOR deletes into the compaction (the classic
+        # merge-on-read maintenance contract), scoped per entry — a
+        # union-wide filter would destroy later-appended re-inserts
+        src0 = _grouped_delete_read(spark.read, snap.deletes or {}, small)
         src0.coalesce(int(n_out)).write.mode("error").parquet(data_dir)
     else:
         # one output file per partition VALUE (kept as a data column, so
         # stats re-collection proves min == max and replace_where keeps
         # working); the value count is maintenance-small by definition
-        src = spark.read.parquet(*small)
-        for dcol, dval in pending:
-            src = src.filter(~F.col(dcol).eqNullSafe(F.lit(dval)))
-        src = src.persist()
+        src = _grouped_delete_read(
+            spark.read, snap.deletes or {}, small
+        ).persist()
         values = sorted(
             (r[0] for r in src.select(partition_col).distinct().collect()),
             key=lambda x: (x is None, str(x)),
@@ -1179,8 +1193,12 @@ def rewrite_small_files(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    n_new, new_stats, new_blooms, new_nulls = _collect_file_stats(
-        spark, written, stats_cols, bloom_cols
+    # written can be EMPTY when pending MOR deletes hid every small-file
+    # row (the partitioned path then runs zero per-value writes)
+    n_new, new_stats, new_blooms, new_nulls = (
+        _collect_file_stats(spark, written, stats_cols, bloom_cols)
+        if written
+        else (0, {}, {}, {})
     )
 
     files = carried + written

@@ -1200,3 +1200,113 @@ def test_mor_delete_null_safety_and_value_type_guard(spark, tmp_path):
 
     with _pytest.raises(TypeError):
         delete_where_mor(spark, t, "user_id", object())
+
+
+def test_rewrite_paths_never_destroy_reinserted_keys(spark, tmp_path):
+    """THE sequencing hazard of folding pending MOR deletes into rewrites
+    (caught in round-12 review): a key re-inserted AFTER the delete lives
+    in a file outside the entry's applies_to, and a union-wide filter in
+    any rewrite path would silently destroy it.  Both compaction flavors
+    and the COW delete must apply entries scoped per file."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        compact_deletes,
+        delete_where,
+        delete_where_mor,
+        read_snapshot,
+        rewrite_small_files,
+    )
+
+    def reinsert(t, uid, v):
+        df = (
+            spark.range(uid, uid + 1)
+            .withColumn("user_id", F.col("id"))
+            .withColumn("v", F.lit(v).cast("long"))
+            .coalesce(1)
+        )
+        commit_snapshot(
+            df, t, mode="append", stats_cols=("user_id",), bloom_cols=("user_id",)
+        )
+
+    # bin-pack compaction
+    t = _mor_table(spark, tmp_path, "seq_binpack")
+    delete_where_mor(spark, t, "user_id", 11)
+    reinsert(t, 11, 901)
+    rewrite_small_files(spark, t)  # packs ALL files incl. the re-insert
+    got = read_snapshot(spark, t).filter(F.col("user_id") == 11).collect()
+    assert [r.v for r in got] == [901], "bin-pack destroyed the re-inserted key"
+
+    # dedicated delete compaction
+    t = _mor_table(spark, tmp_path, "seq_merge")
+    delete_where_mor(spark, t, "user_id", 11)
+    reinsert(t, 11, 902)
+    # second entry scoping the re-inserted file: its rewrite set now spans
+    # a file the FIRST entry must not touch
+    delete_where_mor(spark, t, "user_id", 12)
+    s = compact_deletes(spark, t)
+    assert not (s.deletes or {})
+    got = read_snapshot(spark, t).filter(F.col("user_id").isin(11, 12)).collect()
+    assert [(r.user_id, r.v) for r in got] == [(11, 902)]
+
+    # copy-on-write delete overlapping the scoped file
+    t = _mor_table(spark, tmp_path, "seq_cow")
+    delete_where_mor(spark, t, "user_id", 11)
+    reinsert(t, 11, 903)
+    delete_where(spark, t, "user_id", 12)  # rewrites the 10..19 file
+    got = read_snapshot(spark, t).filter(F.col("user_id").isin(11, 12)).collect()
+    assert [(r.user_id, r.v) for r in got] == [(11, 903)]
+
+
+def test_mor_delete_rejects_null_value(spark, tmp_path):
+    """value=None would hide every NULL-keyed row via eqNullSafe — the
+    exact opposite of the family's null-safe contract — so it refuses."""
+    import pytest as _pytest
+
+    from prod_data_pipeline_spark.sources.manifest import delete_where_mor
+
+    t = _mor_table(spark, tmp_path, "mor_nullval")
+    with _pytest.raises(TypeError):
+        delete_where_mor(spark, t, "user_id", None)
+
+
+def test_binpack_survives_fully_hidden_small_set(spark, tmp_path):
+    """All rows of every small file hidden by pending MOR deletes: the
+    partitioned bin-pack writes ZERO files and must still commit cleanly
+    (empty-write guard), dropping the now-scopeless entry."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        delete_where_mor,
+        read_snapshot,
+        rewrite_small_files,
+    )
+
+    t = str(tmp_path / "hidden_small")
+    big = (
+        spark.range(0, 2000)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("day", F.lit("2025-06-01"))
+        .coalesce(1)
+    )
+    commit_snapshot(big, t, stats_cols=("user_id", "day"))
+    for _ in range(2):
+        tiny = (
+            spark.range(0, 5)
+            .withColumn("user_id", F.lit(99999).cast("long"))
+            .withColumn("day", F.lit("2025-06-02"))
+            .coalesce(1)
+        )
+        commit_snapshot(tiny, t, mode="append", stats_cols=("user_id", "day"))
+    delete_where_mor(spark, t, "user_id", 99999)  # scopes ONLY the tiny files
+    big_file_bytes = max(
+        os.path.getsize(f)
+        for f in __import__(
+            "prod_data_pipeline_spark.sources.manifest", fromlist=["read_manifest"]
+        ).read_manifest(t, 4).files
+    )
+    s = rewrite_small_files(
+        spark, t, target_file_bytes=big_file_bytes, partition_col="day"
+    )
+    assert s.mode == "compact"
+    assert not (s.deletes or {})
+    assert s.n_rows == 2000
+    assert read_snapshot(spark, t).count() == 2000
