@@ -72,11 +72,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     t = sub.add_parser(
-        "table", help="manifest-table maintenance (history/compact/rollback/vacuum)"
+        "table",
+        help="manifest-table maintenance "
+        "(history/compact/rollback/vacuum/delete/compact-deletes)",
     )
     t.add_argument(
         "action",
-        choices=["history", "compact", "rollback", "vacuum", "clean-orphans"],
+        choices=[
+            "history", "compact", "rollback", "vacuum", "clean-orphans",
+            "delete", "compact-deletes",
+        ],
         help="maintenance operation",
     )
     t.add_argument("table_path", help="manifest table root directory")
@@ -99,6 +104,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--partition-col", default=None,
         help="compact: keep one output file per value of this column "
         "(preserves replace_where provability)",
+    )
+    t.add_argument(
+        "--where", nargs=2, metavar=("COL", "VALUE"), default=None,
+        help="delete: the col value equality predicate (int-looking "
+        "values are parsed as ints)",
+    )
+    t.add_argument(
+        "--mor", action="store_true",
+        help="delete: merge-on-read (an O(manifest) delete entry instead "
+        "of rewriting files; fold back later with compact-deletes)",
     )
     t.add_argument(
         "--cpus", type=int, default=None, help="local[N] cores (default: all)"
@@ -148,6 +163,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "table":
         from prod_data_pipeline_spark.sources.manifest import (
             clean_orphans,
+            compact_deletes,
+            delete_where,
+            delete_where_mor,
             rewrite_small_files,
             rollback,
             snapshots,
@@ -180,8 +198,30 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             print(json.dumps({"version": s.version, "meta": s.meta}))
             return 0
-        spark = get_spark(app_name="pdp-table-compact", cpus=args.cpus)
+        spark = get_spark(app_name=f"pdp-table-{args.action}", cpus=args.cpus)
         try:
+            if args.action == "delete":
+                if args.where is None:
+                    print("error: delete requires --where COL VALUE",
+                          file=sys.stderr)
+                    return 2
+                col, raw = args.where
+                value = int(raw) if raw.lstrip("-").isdigit() else raw
+                op = delete_where_mor if args.mor else delete_where
+                s = op(spark, args.table_path, col, value)
+                print(json.dumps({
+                    "version": s.version, "mode": s.mode,
+                    "n_rows": s.n_rows,
+                    "pending_deletes": len(s.deletes or {}),
+                }))
+                return 0
+            if args.action == "compact-deletes":
+                s = compact_deletes(spark, args.table_path)
+                print(json.dumps({
+                    "version": s.version, "mode": s.mode, "n_rows": s.n_rows,
+                    "pending_deletes": len(s.deletes or {}),
+                }))
+                return 0
             s = rewrite_small_files(
                 spark, args.table_path,
                 target_file_bytes=args.target_file_mb * 1024 * 1024,
@@ -191,7 +231,7 @@ def main(argv: list[str] | None = None) -> int:
                 "version": s.version, "n_files": len(s.files), "meta": s.meta or {},
             }))
             return 0
-        except FileNotFoundError as ex:
+        except (FileNotFoundError, TypeError) as ex:
             print(f"error: {ex}", file=sys.stderr)
             return 1
         finally:

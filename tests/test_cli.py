@@ -163,3 +163,48 @@ def test_cli_table_maintenance_roundtrip(tmp_path, spark):
     proc = _run(["table", "vacuum", t, "--keep-last", "1"])
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert json.loads(proc.stdout.splitlines()[-1])["removed_files"] > 0
+
+
+def test_cli_mor_delete_and_compaction(tmp_path, spark):
+    """delete --mor -> compact-deletes from the shell (round 12): the MOR
+    delete bumps a version without touching n_rows (physical count), the
+    read hides the key, the fold-back restores physical == logical, and
+    delete without --where exits 2."""
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "mtbl")
+    commit_snapshot(
+        spark.range(0, 50)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.col("id") * 3)
+        .coalesce(1),
+        t,
+        stats_cols=("user_id",),
+        bloom_cols=("user_id",),
+    )
+
+    proc = _run(["table", "delete", t, "--where", "user_id", "7", "--mor",
+                 "--cpus", "4"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.splitlines()[-1])
+    assert out["mode"] == "mor-delete"
+    assert out["n_rows"] == 50  # physical rows untouched
+    assert out["pending_deletes"] == 1
+    got = read_snapshot(spark, t)
+    assert got.count() == 49
+    assert got.filter(F.col("user_id") == 7).count() == 0
+
+    proc = _run(["table", "compact-deletes", t, "--cpus", "4"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.splitlines()[-1])
+    assert out["mode"] == "merge-deletes"
+    assert out["n_rows"] == 49 and out["pending_deletes"] == 0
+    assert read_snapshot(spark, t).count() == 49
+
+    proc = _run(["table", "delete", t])
+    assert proc.returncode == 2
