@@ -158,12 +158,12 @@ DRIVER_ORDER: list[str] = [
 #: rotation: round 12's mandatory set (3 sentinels + 38 r7-aged rows)
 #: left 9 free slots — all 9 spent on the round's net-new queries
 #: (IVF-append pair, the label-relevance retrieval-eval family, the CMS
-#: join-size pair, the model-eval completion pair).  The 10th net-new
-#: query (TextRank keywords) defers under TRUE saturation (zero
-#: non-mandatory fillers hold slots — policy #3's legal deferral); it
-#: is sf0.001+sf0.01 hash-checked by the local suite every round and
-#: fronts round 13's rotation.
-DRIVER_DEFERRED: tuple[str, ...] = ("docs_textrank_keywords",)
+#: join-size pair, the model-eval completion pair).  The 10th and 11th
+#: net-new queries (TextRank keywords; the exact gate ROC-AUC) defer
+#: under TRUE saturation (zero non-mandatory fillers hold slots —
+#: policy #3's legal deferral); both are sf0.001+sf0.01 hash-checked by
+#: the local suite every round and front round 13's rotation.
+DRIVER_DEFERRED: tuple[str, ...] = ("docs_textrank_keywords", "docs_gate_auc")
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
