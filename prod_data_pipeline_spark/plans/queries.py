@@ -76,94 +76,78 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-12 window (tools/rotation.py --propose, capacity-derived
-    # 5-round freshness budget): the pinned bench sentinels lead, then the
-    # FULL r7-aged cohort of 38 (expires this round — verdict r11
-    # directive #1; 3 + 38 = 41 mandatory slots), then the round's 9
-    # net-new queries in all 9 free slots (never-checked outranks a
-    # filler — policy #3; no r8 pre-drain filler survived the
-    # displacement).  Round 13's mandatory
-    # load lands at 3 + 46 = 49, over directive #3's <= 44 target — the
-    # accepted cost of shipping 9 net-new oracled queries this round
-    # (retrieval-eval family + CMS join-size pair + IVF-append pair +
-    # the model-eval completion pair); 1 free slot remains for round-13
-    # net-new work (further never-checked queries legally defer under
-    # true saturation), and round 14's mandatory load is back to
-    # 3 + 41 r9 rows = 44. ---
+    # --- round-13 window (tools/rotation.py --propose, adopted verbatim
+    # per verdict r12 directive #1): the 2 never-driver-checked queries
+    # lead (docs_gate_auc, docs_textrank_keywords), then the 3 pinned
+    # bench sentinels, then 45 of the 46 r8-aged rows (oldest-first).
+    # Mandatory load was 51 > 50, so exactly one r8 row defers to the
+    # FRONT of round 14 under true saturation: small_quantity_parts_revenue
+    # (alphabetically last of the r8 cohort; see DRIVER_DEFERRED).
+    # Round-13 net-new registration is frozen at 0 (directive #2), so
+    # round 14's mandatory load is 3 sentinels + 1 deferral + 41 r9 rows
+    # = 45 <= 47 non-sentinel capacity — the saturation debt drains here.
+    "docs_gate_auc",
+    "docs_textrank_keywords",
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "docs_tfidf_top_terms",
-    "docs_token_budget",
-    "emb_cosine_near_dup_pairs",
-    "emb_hard_negatives",
-    "emb_ivf_recall",
-    "emb_label_centroids",
-    "events_approx_distinct_users",
-    "events_asof_last_view",
-    "events_clicks_before_purchase",
-    "events_daily_distinct_users",
-    "events_funnel_daily",
-    "events_hll_mergeable_users",
-    "events_latest_per_user",
-    "events_ldiversity_audit",
-    "events_rolling_7day",
-    "events_salted_type_counts",
-    "events_scd2_temporal_join",
-    "events_type_audience_overlap",
-    "events_type_transitions",
-    "events_user_type_scd2",
-    "events_value_histogram",
-    "events_value_p99_outliers",
-    "events_value_quantiles",
-    "large_volume_orders",
-    "lineitem_priority_by_status",
-    "lineitem_qty_price_corr",
-    "media_decode_profile",
-    "orders_price_deciles",
-    "orders_priority_extremes",
-    "orders_table_diff",
-    "parts_supplier_counts",
-    "q10_returned_revenue",
-    "q15_top_supplier",
-    "q21_waiting_suppliers",
-    "q22_idle_balances",
-    "user_activity_streaks",
-    "user_event_type_paths",
-    "user_retention_cohorts",
-    # round-12 net-new; never-checked outranks a non-mandatory filler
-    # (policy #3), so these displace ALL nine r8 pre-drain fillers
-    # (docs_dup_pagerank / docs_dup_triangles / customers_without_orders /
-    # dedup_docs_exact / disjunctive_brand_revenue /
-    # customer_order_distribution / customers_with_orders_by_segment /
-    # corpus_curation_stats / brand_volume), which stay in round 13's
-    # mandatory set by age.  First the verdict-directive-#5 incremental
-    # IVF-append pair, then the label-relevance retrieval-eval family
-    # (MRR/precision + kNN accuracy), the CMS join-size estimation pair,
-    # and the model-eval completion pair (agreement kappa + calibration):
-    "emb_ivf_append_audit",
-    "emb_ivf_append_recall",
-    "emb_label_retrieval_mrr",
-    "emb_label_retrieval_by_label",
-    "emb_knn_label_accuracy",
-    "events_selfjoin_size_cms",
-    "lineitem_orders_join_size_cms",
-    "docs_gate_agreement_kappa",
-    "docs_gate_calibration",
+    "brand_volume",
+    "corpus_curation_stats",
+    "customer_order_distribution",
+    "customers_with_orders_by_segment",
+    "customers_without_orders",
+    "dedup_docs_exact",
+    "disjunctive_brand_revenue",
+    "docs_dup_pagerank",
+    "docs_dup_triangles",
+    "docs_jaccard_prefix_pairs",
+    "docs_lang_id",
+    "docs_langid_eval",
+    "docs_minhash_signatures",
+    "docs_mixing_weights",
+    "docs_ngram_jaccard_pairs",
+    "docs_padding_waste",
+    "docs_quality_scores",
+    "docs_simhash_pairs",
+    "docs_stratified_sample",
+    "docs_token_stats",
+    "docs_train_val_test_split",
+    "docs_unigram_logprob",
+    "docs_vocab_coverage",
+    "docs_winnow_fingerprints",
+    "dup_event_ids",
+    "emb_quantization_error",
+    "emb_topk_bruteforce",
+    "events_cube_day_type",
+    "events_daily_type_pivot",
+    "events_debounce_stats",
+    "events_dq_profile",
+    "events_grouping_sets",
+    "events_per_day_dense",
+    "events_type_value_mi",
+    "events_type_value_stats",
+    "nation_keys_except",
+    "order_rollup_stats",
+    "orders_merge_upsert",
+    "props_typed_struct_stats",
+    "q4_late_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "repeat_users_topk",
+    "slow_orders_by_priority",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 12's mandatory set (3 sentinels + 38 r7-aged rows)
-#: left 9 free slots — all 9 spent on the round's net-new queries
-#: (IVF-append pair, the label-relevance retrieval-eval family, the CMS
-#: join-size pair, the model-eval completion pair).  The 10th and 11th
-#: net-new queries (TextRank keywords; the exact gate ROC-AUC) defer
-#: under TRUE saturation (zero non-mandatory fillers hold slots —
-#: policy #3's legal deferral); both are sf0.001+sf0.01 hash-checked by
-#: the local suite every round and front round 13's rotation.
-DRIVER_DEFERRED: tuple[str, ...] = ("docs_textrank_keywords", "docs_gate_auc")
+#: rotation: round 13's mandatory load was 51 (2 dark + 3 sentinels +
+#: 46 r8-aged rows) against a 50-slot window, so exactly one r8 row
+#: defers under TRUE saturation (zero non-mandatory fillers hold slots
+#: -- policy #3's legal deferral).  It is sf0.001+sf0.01 hash-checked
+#: by the local suite every round and fronts round 14's rotation, whose
+#: mandatory load is then 3 + 1 + 41 r9 rows = 45 <= capacity.
+DRIVER_DEFERRED: tuple[str, ...] = ("small_quantity_parts_revenue",)
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

@@ -99,23 +99,35 @@ def main() -> None:
         if q in QUERIES and r <= max_round + 1 - budget
     }
     stale_out = sorted(stale - window)
+    # A slot is "mandatory" when held by a sentinel, a due-stale query, or
+    # a never-checked query; anything else is a filler.  Deferring a due
+    # row (stale OR never-checked) is legal ONLY under true saturation —
+    # mandatory load > WINDOW with zero fillers holding slots (round-13
+    # case: 2 dark + 3 sentinels + 46 stale = 51 > 50).
+    window_fillers = [
+        q for q in DRIVER_ORDER
+        if q not in DRIVER_SENTINELS and q not in stale and q in latest
+    ]
     ok = True
     if len(DRIVER_ORDER) != WINDOW:
         print(f"POLICY FAIL: window has {len(DRIVER_ORDER)} entries, want {WINDOW}")
         ok = False
     if stale_out:
-        print(f"POLICY FAIL: {len(stale_out)} >={budget}-round-stale queries outside the window: {stale_out}")
-        ok = False
+        if window_fillers:
+            print(f"POLICY FAIL: {len(stale_out)} >={budget}-round-stale queries outside the window: {stale_out}")
+            ok = False
+        else:
+            print(
+                f"NOTE: window saturated by mandatory rows; {len(stale_out)} "
+                f"stale defer to the front of next round's window: {stale_out}"
+            )
     if missing_sentinels:
         print(f"POLICY FAIL: sentinels missing from window: {missing_sentinels}")
         ok = False
     if deferred:
         # deferral is legal only under saturation: every window slot must be
         # held by a sentinel, a stale query, or another never-checked query
-        fillers = [
-            q for q in DRIVER_ORDER
-            if q not in DRIVER_SENTINELS and q not in stale and q in latest
-        ]
+        fillers = window_fillers
         if fillers:
             print(
                 f"POLICY FAIL: {len(deferred)} never-checked deferred while "
