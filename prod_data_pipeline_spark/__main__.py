@@ -17,7 +17,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import sys
+
+
+def parse_where_value(raw: str):
+    """CLI --where VALUE coercion: int for a plain optional-sign digit
+    run, else the string verbatim.  A regex rather than the former
+    lstrip("-").isdigit() probe, which accepted "--5" and then crashed
+    with an uncaught ValueError from int("--5"); the regex also rejects
+    int()-isms like "5_0" or padded whitespace, which stay strings."""
+    return int(raw) if re.fullmatch(r"-?\d+", raw) else raw
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -206,7 +216,7 @@ def main(argv: list[str] | None = None) -> int:
                           file=sys.stderr)
                     return 2
                 col, raw = args.where
-                value = int(raw) if raw.lstrip("-").isdigit() else raw
+                value = parse_where_value(raw)
                 op = delete_where_mor if args.mor else delete_where
                 s = op(spark, args.table_path, col, value)
                 print(json.dumps({

@@ -811,13 +811,16 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
     summed as exact int64 NUMERATORS (floor(w*1e12+0.5) — the round-11
     dsum sweep; order-free, BigDecimal-free), reported via integer
     half-up to 6 digits (no ROUND(double,6) tie hazard).  Bound: the
-    int64 SUM is exact to |score|*1e12 < 2^63, but the half-up report
-    step divides the long by a double (1e6), whose long->double
-    conversion rounds past 2^53 — so the EXACTNESS bound is
-    |score|*1e12 < 2^53 (~6.2e3 common neighbors per pair at the max
-    weight 1/ln2, far past any non-pathological wedge count); beyond
-    it cross-engine parity still holds (both engines run the identical
-    IEEE convert+divide), only absolute accuracy degrades to ~1 ulp.
+    int64 SUM is exact to |score|*1e12 < 2^63, and the half-up report
+    step is a LONG integer division ((n+5e5) div 1e6 — Spark div and
+    DuckDB // both truncate, identical on these non-negative
+    numerators), so the only long->double conversion is the final
+    6-digit quotient: exactness holds while |score|*1e6 < 2^53
+    (|score| < ~9e9 — unreachable: it needs ~6.2e9 common neighbors
+    per pair at the max weight 1/ln2), effectively the int64 sum
+    bound.  (Round-12 shipped this step as floor(long/1e6-double),
+    whose conversion capped exactness at |score|*1e12 < 2^53; the div
+    form closes that r12-advisory gap.)
 
     Weights use only nodes with deg >= 2 (a wedge center always has two
     distinct neighbors, so 1/ln(1) never arises; the filter keeps the
@@ -871,7 +874,7 @@ def adamic_adar(pairs: DataFrame, min_common: int = 1) -> DataFrame:
         F.col("v").alias("id_b"),
         F.col("common_neighbors").cast("long").alias("common_neighbors"),
         (
-            F.floor((F.col("aa_n") + F.lit(500000)) / F.lit(1000000.0))
+            F.expr("(aa_n + 500000L) div 1000000")
             / F.lit(1000000.0)
         ).alias("aa_score"),
     )

@@ -427,12 +427,18 @@ def fasttext_style_scores(
     # long-numerator sum (round-11 dsum sweep): weights are round_w-digit
     # rounded, so floor(w*10^round_w + 0.5) recovers each exact integer
     # numerator and the per-doc sum stays in codegen'd int64 — no
-    # BigDecimal per feature.  Bound: n_feats*max|w|*10^round_w < 2^63.
-    # Trained path (round_w=7, |w|<=10): 9.2e11 features/doc —
-    # unreachable.  Default stub path (round_w=12, |w|<1): ~9.2e6
-    # features/doc — still >100x any real document (docs cap out at
-    # ~1e5 shingle+structural features), but a caller feeding
-    # multi-GB blobs through the stub scorer should lower round_w.
+    # BigDecimal per feature.  Bounds: the int64 SUM overflows at
+    # n_feats*max|w|*10^round_w >= 2^63, but the governing bound is the
+    # cast("double") report step below, whose long->double conversion
+    # rounds past 2^53.  Trained path (round_w=7, |w|<=10): exact to
+    # ~9.0e9 features/doc — unreachable.  Default stub path
+    # (round_w=12, |w|<1): exact to ~9.0e3 features/doc; past that
+    # (real docs carry up to ~1e5 shingle+structural features) the
+    # score degrades gracefully to ~1 ulp — identically in BOTH
+    # engines, since the DuckDB oracle replays the same IEEE
+    # convert+divide, so cross-engine parity survives even where
+    # absolute exactness does not.  A caller needing exact stub sums
+    # on huge feature sets should lower round_w.
     m = F.lit(float(10**round_w))
     agg = ex.groupBy(id_col, *carry_cols).agg(
         F.count(counted).alias("n_feats"),
@@ -758,7 +764,14 @@ def nb_quality_gate_eval(
             # long-numerator sum (round-11 dsum sweep): llr weights are
             # 7-digit rounded; floor((n+5)/10) is the cross-engine
             # integer half-up to 6 digits (identical on negative
-            # numerators in both engines, unlike DECIMAL HALF_UP)
+            # numerators in both engines, unlike DECIMAL HALF_UP).
+            # The float division keeps floor semantics on NEGATIVE
+            # sums — a long `div` would truncate toward zero and shift
+            # half-up ties — at the cost of the long->double conversion
+            # capping EXACTNESS at |wsum|*1e7 < 2^53 (|wsum| < ~9e8;
+            # needs ~1.4e8 max-weight bucket hits per doc, unreachable);
+            # past it both engines still run the identical IEEE
+            # convert+divide, so parity holds at ~1 ulp.
             (
                 F.floor(
                     (

@@ -219,7 +219,12 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     happen when the true inner product is 0, so min-over-present-rows
     still upper-bounds the truth; both engines compute the identical row
     set, keeping the oracle comparison exact.  Returns (row, dot) so the
-    caller can audit per-row spread; take MIN(dot) for the estimate.
+    caller can audit per-row spread; take MIN(dot) for the estimate —
+    and COALESCE it to 0 (in Spark AND the oracle identically): when the
+    two key sets are fully disjoint EVERY hash row can lack shared
+    buckets, this relation is empty, and a bare MIN(dot) yields NULL
+    where the provably-correct estimate is 0 (NULL would poison the
+    downstream est_ge_exact / within_weak_bound booleans).
 
     Bounds: dot sums cntA*cntB over int64 — exact while
     ||fA||_1 * ||fB||_1 < 2^63 (~9.2e18; a quintillion-pair join).  The

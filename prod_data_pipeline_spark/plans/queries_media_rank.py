@@ -75,7 +75,7 @@ from prod_data_pipeline_spark.plans.queries_tpch_graph import (  # noqa: F401
     )
     SELECT u AS id_a, v AS id_b,
            CAST(cn AS BIGINT) AS common_neighbors,
-           CAST(FLOOR((sn + 500000) / 1000000.0) AS BIGINT) / 1000000.0
+           ((sn + 500000) // 1000000) / 1000000.0
                AS aa_score
     FROM cand c
     WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v)
@@ -2578,8 +2578,8 @@ _BM25_TERMS = ("merge", "stream", "hash")
       FROM tf JOIN idf ON idf.term = tf.term
     )
     SELECT doc_id,
-           CAST(FLOOR((CAST(SUM(CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT))
-                            AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0
+           ((CAST(SUM(CAST(FLOOR(c * 1000000000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) + 500) // 1000) / 1000000.0
                AS bm25
     FROM contrib
     GROUP BY doc_id
@@ -2655,7 +2655,7 @@ def docs_bm25_topk(spark, sf_dir):
         .select(
             "doc_id",
             (
-                F.floor((F.col("n9") + F.lit(500)) / F.lit(1000.0))
+                F.expr("(n9 + 500L) div 1000")
                 / F.lit(1000000.0)
             ).alias("bm25"),
         )

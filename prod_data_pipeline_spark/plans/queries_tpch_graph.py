@@ -2138,7 +2138,7 @@ _CMS_CELLS_SQL = """
       SELECT CAST((SELECT SUM(c) FROM counts) AS BIGINT) AS n_rows,
              CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS n_keys,
              CAST((SELECT SUM(c * c) FROM counts) AS BIGINT) AS exact_size,
-             CAST((SELECT MIN(dot) FROM dots) AS BIGINT) AS cms_est
+             CAST(COALESCE((SELECT MIN(dot) FROM dots), 0) AS BIGINT) AS cms_est
     )
     SELECT n_rows, n_keys, exact_size, cms_est,
            CAST(cms_est - exact_size AS BIGINT) AS overcount,
@@ -2174,7 +2174,7 @@ def events_selfjoin_size_cms(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     sketch = cms_build(ev, "user_id", depth=4, width=512, hash_fn="md5")
     est = cms_inner_product(sketch, sketch).agg(
-        F.min("dot").cast("long").alias("cms_est")
+        F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("cms_est")
     )
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     exact = counts.agg(
@@ -2220,7 +2220,7 @@ def events_selfjoin_size_cms(spark, sf_dir):
              CAST((SELECT SUM(c) FROM ob) AS BIGINT) AS n_dim_rows,
              CAST((SELECT COALESCE(SUM(l.c * o.c), 0) FROM la l
                    JOIN ob o ON l.k = o.k) AS BIGINT) AS exact_join_size,
-             CAST((SELECT MIN(dot) FROM dots) AS BIGINT) AS cms_est
+             CAST(COALESCE((SELECT MIN(dot) FROM dots), 0) AS BIGINT) AS cms_est
     )
     SELECT n_fact_rows, n_dim_rows, exact_join_size, cms_est,
            CAST(cms_est - exact_join_size AS BIGINT) AS overcount,
@@ -2259,7 +2259,7 @@ def lineitem_orders_join_size_cms(spark, sf_dir):
     sa = cms_build(li, "l_orderkey", depth=4, width=512, hash_fn="md5")
     sb = cms_build(od, "o_orderkey", depth=4, width=512, hash_fn="md5")
     est = cms_inner_product(sa, sb).agg(
-        F.min("dot").cast("long").alias("cms_est")
+        F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("cms_est")
     )
     nf = li.agg(F.count(F.lit(1)).cast("long").alias("n_fact_rows"))
     nd = od.agg(F.count(F.lit(1)).cast("long").alias("n_dim_rows"))

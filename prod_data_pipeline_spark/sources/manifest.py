@@ -448,7 +448,11 @@ def prune_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
     cannot overlap; files without stats for `col` are always kept (sound
     by construction — pruning can never drop a matching row).  Bounds
     compare with Python ordering, so pass values of the column's type
-    (or its str() form for temporal columns, whose ISO strings sort)."""
+    (or its str() form for temporal columns, whose ISO strings sort).
+    A probe whose Python type does not order against a file's stored
+    bounds (e.g. str "5" vs int stats) keeps that file — degrading to
+    unpruned, never raising, so a type-mismatched equality delete stays
+    merely slower instead of crashing the commit path."""
     kept = []
     for f in snap.files:
         rng = (snap.stats or {}).get(f, {}).get(col)
@@ -456,7 +460,11 @@ def prune_files(snap: Snapshot, col: str, lo, hi) -> list[str]:
             kept.append(f)
             continue
         mn, mx = rng
-        if not (mx < lo or mn > hi):
+        try:
+            disjoint = mx < lo or mn > hi
+        except TypeError:
+            disjoint = False  # unorderable probe: keep the file (sound)
+        if not disjoint:
             kept.append(f)
     return kept
 
@@ -545,6 +553,16 @@ def _grouped_delete_read(
         df = reader.parquet(*groups[key])
         for did in sorted(key):
             e = entries[did]
+            if e["col"] not in df.columns:
+                # Schema-evolved scope: these files predate the column, so
+                # every row reads it as NULL.  Resolving F.col would throw
+                # unresolved-column; the NULL semantics are decidable here
+                # instead — a non-NULL delete value matches nothing (skip
+                # the filter), a NULL delete value matches every row
+                # (drop the group's rows outright).
+                if e["value"] is None:
+                    df = df.filter(F.lit(False))
+                continue
             df = df.filter(~F.col(e["col"]).eqNullSafe(F.lit(e["value"])))
         parts.append(df)
     out = parts[0]
@@ -988,10 +1006,17 @@ def commit_replace_where(
                 if n_null == 0:
                     continue  # entirely the target partition: dropped
                 ambiguous.append(f)
-            elif rng[0] <= _stats_repr(value) <= rng[1]:
-                ambiguous.append(f)  # straddles the value: may mix partitions
             else:
-                kept.append(f)
+                try:
+                    straddles = rng[0] <= _stats_repr(value) <= rng[1]
+                except TypeError:
+                    # probe type doesn't order against the stored bounds
+                    # (e.g. str "5" vs int stats): cannot prove disjoint
+                    straddles = True
+                if straddles:
+                    ambiguous.append(f)  # straddles the value: may mix partitions
+                else:
+                    kept.append(f)
         if ambiguous:
             raise ValueError(
                 f"replace_where({col}={value!r}): {len(ambiguous)} file(s) have "

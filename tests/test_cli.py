@@ -208,3 +208,16 @@ def test_cli_mor_delete_and_compaction(tmp_path, spark):
 
     proc = _run(["table", "delete", t])
     assert proc.returncode == 2
+
+
+def test_parse_where_value_coercion():
+    """r12-advisory: "--5" must stay a string (the old isdigit probe
+    crashed in int()); plain signed digit runs coerce, int()-isms don't."""
+    from prod_data_pipeline_spark.__main__ import parse_where_value
+
+    assert parse_where_value("5") == 5
+    assert parse_where_value("-5") == -5
+    assert parse_where_value("--5") == "--5"
+    assert parse_where_value("5_0") == "5_0"
+    assert parse_where_value(" 5") == " 5"
+    assert parse_where_value("abc") == "abc"

@@ -1310,3 +1310,75 @@ def test_binpack_survives_fully_hidden_small_set(spark, tmp_path):
     assert not (s.deletes or {})
     assert s.n_rows == 2000
     assert read_snapshot(spark, t).count() == 2000
+
+
+def test_zone_prune_type_mismatched_probe_keeps_files(spark, tmp_path):
+    """r12-advisory: a probe whose Python type doesn't order against the
+    stored bounds (str "15" vs int stats) degrades to unpruned instead of
+    raising TypeError from the zone comparison."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        prune_files,
+        prune_files_eq,
+        read_manifest,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    snap = read_manifest(t, 3)
+    # zone map alone: unorderable probe keeps every file (sound, unpruned)
+    assert prune_files(snap, "user_id", "15", "15") == list(snap.files)
+    # the equality path still prunes via the BLOOM (hashes the rendered
+    # string, identical for 15 and "15"): no crash, and the intersection
+    # recovers the same single-file scope the int probe yields
+    assert prune_files_eq(snap, "user_id", "15") == prune_files_eq(
+        snap, "user_id", 15
+    )
+
+
+def test_replace_where_type_mismatched_value_fails_clean(spark, tmp_path):
+    """The straddle comparison in commit_replace_where treats an
+    unorderable probe as ambiguous -> the documented ValueError, not an
+    uncaught TypeError."""
+    from prod_data_pipeline_spark.sources.manifest import commit_replace_where
+
+    t = _mor_table(spark, tmp_path)
+    df = (
+        spark.range(0, 1)
+        .withColumn("user_id", F.lit("x"))
+        .withColumn("v", F.lit(0).cast("long"))
+    )
+    with pytest.raises(ValueError, match="straddling|outside the target"):
+        commit_replace_where(df, t, "user_id", "x", stats_cols=("user_id",))
+
+
+def test_mor_delete_on_schema_evolved_column(spark, tmp_path):
+    """r12-advisory: files written BEFORE a column existed carry no
+    stats/bloom for it, so pruning keeps them in the delete's scope; the
+    grouped read must not throw unresolved-column on those groups.  A
+    non-NULL delete value provably matches nothing there (the column
+    reads all-NULL), so the filter is skipped; rows in post-evolution
+    files still hide."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        delete_where_mor,
+        read_snapshot,
+    )
+
+    t = _mor_table(spark, tmp_path)  # 30 rows, no "tier" column
+    evolved = (
+        spark.range(100, 110)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", (F.col("id") % 2).cast("long"))
+        .coalesce(1)
+    )
+    commit_snapshot(
+        evolved, t, mode="append", stats_cols=("tier",), bloom_cols=("tier",)
+    )
+    s = delete_where_mor(spark, t, "tier", 1)
+    (entry,) = s.deletes.values()
+    # the pre-evolution files have no stats for "tier": pruning keeps them
+    assert len(entry["applies_to"]) > 1
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert got.count() == 30 + 5  # old rows intact, tier=1 rows hidden
+    assert got.filter(F.col("tier") == 1).count() == 0
+    assert got.filter(F.col("tier").isNull()).count() == 30

@@ -181,3 +181,29 @@ def test_cms_build_plan_one_partial_agged_exchange(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_cms_inner_product_disjoint_keys_empty_relation(spark):
+    """r12-advisory: fully disjoint key sets can leave every hash row
+    without shared buckets -> zero dot rows; the caller contract is
+    COALESCE(MIN(dot), 0), which recovers the provably-correct estimate
+    0 instead of NULL."""
+    from prod_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    # single-key sketches guarantee bucket disjointness unless the two
+    # keys collide in EVERY row's hash — vanishingly unlikely for this
+    # fixed pair (asserted via the empty relation below, so a collision
+    # would fail loudly, not silently pass)
+    a = spark.createDataFrame([("alpha-key-1",)], "k string")
+    b = spark.createDataFrame([("omega-key-2",)], "k string")
+    sa = cms_build(a, "k", depth=4, width=512, hash_fn="md5")
+    sb = cms_build(b, "k", depth=4, width=512, hash_fn="md5")
+    dots = cms_inner_product(sa, sb)
+    assert dots.count() == 0
+    est = dots.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("cms_est")
+    ).collect()[0]
+    assert est.cms_est == 0
