@@ -144,6 +144,27 @@ def main() -> None:
     if ok:
         print("policy check: OK (window size, stale-first coverage, sentinels)")
 
+    # Forward load: assuming every in-window query gets a row this round,
+    # what is NEXT round's mandatory set?  (sentinels + next-round-due
+    # stale + anything still never-checked) — the number that tells the
+    # round's builder how many free slots remain before registering
+    # net-new queries re-saturates the window.
+    nxt_latest = {
+        q: max_round + 1 if q in window else latest.get(q, 0) for q in QUERIES
+    }
+    nxt_stale = {
+        q for q, r in nxt_latest.items() if r and r <= max_round + 2 - budget
+    }
+    nxt_never = [q for q in QUERIES if not nxt_latest[q]]
+    nxt_load = len(
+        set(DRIVER_SENTINELS) | nxt_stale | set(nxt_never)
+    )
+    print(
+        f"next-round mandatory load: {nxt_load} of {WINDOW} slots "
+        f"({len(DRIVER_SENTINELS)} sentinels + {len(nxt_stale - set(DRIVER_SENTINELS))} "
+        f"due-stale + {len(nxt_never)} never-checked; {WINDOW - nxt_load} free)"
+    )
+
     if "--propose" in sys.argv:
         # next round: assume everything in the current window gets a row
         nxt = {q: max(latest.values()) + 1 if q in window else latest.get(q, 0)
