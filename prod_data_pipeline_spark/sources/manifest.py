@@ -551,6 +551,25 @@ def _grouped_delete_read(
     parts = []
     for key in sorted(groups, key=sorted):
         df = reader.parquet(*groups[key])
+        missing = [
+            entries[did]["col"]
+            for did in key
+            if entries[did]["col"] not in df.columns
+        ]
+        if missing:
+            # Without mergeSchema Spark samples ONE footer for the group's
+            # schema; in a group mixing pre- and post-evolution files it
+            # may sample an old file and hide a column the newer files DO
+            # carry — skipping the filter on that evidence would silently
+            # resurrect deleted rows.  Merge the group's footers for an
+            # authoritative answer; only a column absent from EVERY file
+            # gets the decidable-NULL shortcut below.
+            merged = (
+                df.sparkSession.read.option("mergeSchema", "true")
+                .parquet(*groups[key])
+            )
+            if any(c in merged.columns for c in missing):
+                df = merged
         for did in sorted(key):
             e = entries[did]
             if e["col"] not in df.columns:

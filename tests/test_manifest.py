@@ -1382,3 +1382,41 @@ def test_mor_delete_on_schema_evolved_column(spark, tmp_path):
     assert got.count() == 30 + 5  # old rows intact, tier=1 rows hidden
     assert got.filter(F.col("tier") == 1).count() == 0
     assert got.filter(F.col("tier").isNull()).count() == 30
+
+
+def test_mor_delete_mixed_schema_group_never_resurrects(spark, tmp_path):
+    """A delete entry scoping BOTH pre- and post-evolution files puts them
+    in ONE read group; schema sampling without mergeSchema may pick an
+    old footer and hide the column the new files carry.  The grouped read
+    must merge the group's footers before deciding the column is absent —
+    otherwise compaction (plain spark.read) would skip the filter and
+    RESURRECT deleted rows into the rewritten files."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        compact_deletes,
+        delete_where_mor,
+        read_snapshot,
+    )
+
+    t = _mor_table(spark, tmp_path)  # 30 rows across 3 files, no "tier"
+    evolved = (
+        spark.range(100, 110)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", (F.col("id") % 2).cast("long"))
+        .coalesce(1)
+    )
+    commit_snapshot(
+        evolved, t, mode="append", stats_cols=("tier",), bloom_cols=("tier",)
+    )
+    delete_where_mor(spark, t, "tier", 1)  # scopes old files too (no stats)
+    # compaction reads the mixed group with a PLAIN reader and rewrites:
+    # the 5 tier=1 rows must stay gone afterwards, the other 35 survive
+    s = compact_deletes(spark, t)
+    assert not (s.deletes or {})
+    assert s.n_rows == 35
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert got.count() == 35
+    assert got.filter(F.col("tier") == 1).count() == 0
+    assert got.filter(F.col("tier") == 0).count() == 5
+    assert got.filter(F.col("tier").isNull()).count() == 30
