@@ -431,7 +431,7 @@ def fasttext_style_scores(
     # n_feats*max|w|*10^round_w >= 2^63, but the governing bound is the
     # cast("double") report step below, whose long->double conversion
     # rounds past 2^53.  Trained path (round_w=7, |w|<=10): exact to
-    # ~9.0e9 features/doc — unreachable.  Default stub path
+    # ~9.0e7 features/doc (2^53/1e8) — unreachable.  Default stub path
     # (round_w=12, |w|<1): exact to ~9.0e3 features/doc; past that
     # (real docs carry up to ~1e5 shingle+structural features) the
     # score degrades gracefully to ~1 ulp — identically in BOTH

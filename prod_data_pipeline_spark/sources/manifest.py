@@ -585,8 +585,19 @@ def _grouped_delete_read(
             df = df.filter(~F.col(e["col"]).eqNullSafe(F.lit(e["value"])))
         parts.append(df)
     out = parts[0]
+    # Groups can come back with DIFFERENT widths even under a non-merging
+    # reader: the footer-merge promotion above widens exactly the groups
+    # a schema-evolved delete scopes, while unscoped groups keep their
+    # sampled schema.  A strict unionByName would then crash every
+    # default read and every rewrite (bin-pack has no merge knob at
+    # all), so divergent column sets always union with
+    # allowMissingColumns=True — the absent columns ARE null for those
+    # rows, which is strictly more faithful than plain Spark's
+    # sampled-footer projection, and rewrites must never drop an
+    # evolved column's data anyway.
     for df in parts[1:]:
-        out = out.unionByName(df, allowMissingColumns=allow_missing)
+        allow = allow_missing or set(df.columns) != set(out.columns)
+        out = out.unionByName(df, allowMissingColumns=allow)
     return out
 
 
@@ -699,7 +710,29 @@ def delete_where(
         src = _grouped_delete_read(
             spark.read, snap.deletes or {}, sorted(rewrite)
         )
-        kept_rows = src.filter(~F.col(col).eqNullSafe(F.lit(value)))
+        if col not in src.columns:
+            # Schema-evolved delete column: pruning keeps stats-less
+            # pre-evolution files in the rewrite set, and the plain read
+            # may sample one of THEIR footers — resolving F.col then
+            # throws nondeterministically (which footer gets sampled).
+            # Merge the rewrite set's footers for an authoritative
+            # schema; a column absent from EVERY rewritten file reads
+            # all-NULL, so a non-NULL value provably deletes nothing
+            # there and the predicate is skipped.
+            merged = spark.read.option("mergeSchema", "true").parquet(
+                *sorted(rewrite)
+            )
+            if col in merged.columns:
+                src = merged
+        if col in src.columns:
+            kept_rows = src.filter(~F.col(col).eqNullSafe(F.lit(value)))
+        elif value is None:
+            # every row reads the absent column as NULL: a NULL-targeted
+            # delete drops them all (same decidable-NULL semantics as
+            # the grouped MOR read)
+            kept_rows = src.filter(F.lit(False))
+        else:
+            kept_rows = src  # non-NULL value matches nothing here
         commit_id = uuid.uuid4().hex
         data_dir = os.path.join(table_path, "data", commit_id)
         kept_rows.write.mode("error").parquet(data_dir)

@@ -1420,3 +1420,79 @@ def test_mor_delete_mixed_schema_group_never_resurrects(spark, tmp_path):
     assert got.filter(F.col("tier") == 1).count() == 0
     assert got.filter(F.col("tier") == 0).count() == 5
     assert got.filter(F.col("tier").isNull()).count() == 30
+
+
+def test_mixed_width_groups_union_and_binpack(spark, tmp_path):
+    """Review finding (r13): a schema-evolved MOR delete promotes exactly
+    the groups it scopes to the merged (wider) schema; an unscoped
+    old-schema group then has fewer columns, and the final union — and
+    bin-pack compaction, which has no merge knob — must widen instead of
+    crashing NUM_COLUMNS_MISMATCH."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        delete_where_mor,
+        read_snapshot,
+        rewrite_small_files,
+    )
+
+    t = _mor_table(spark, tmp_path)  # 30 old-schema rows
+    evolved = (
+        spark.range(100, 110)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", (F.col("id") % 2).cast("long"))
+        .coalesce(1)
+    )
+    commit_snapshot(
+        evolved, t, mode="append", stats_cols=("tier",), bloom_cols=("tier",)
+    )
+    delete_where_mor(spark, t, "tier", 1)  # scopes every existing file
+    # append one MORE old-schema file AFTER the delete: outside every
+    # applies_to -> its group keeps the narrow sampled schema
+    late = (
+        spark.range(200, 205)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.col("id") * 2)
+        .coalesce(1)
+    )
+    commit_snapshot(late, t, mode="append", stats_cols=("user_id",))
+    # default (non-merged) read crosses the mixed-width groups
+    got = read_snapshot(spark, t)
+    assert got.count() == 30 + 5 + 5
+    assert got.filter(F.col("user_id") >= 200).count() == 5
+    # bin-pack folds the pending delete across the mixed-width groups
+    s = rewrite_small_files(spark, t, target_file_bytes=1 << 20)
+    assert s.n_rows == 40
+    final = read_snapshot(spark, t, merge_schema=True)
+    assert final.count() == 40
+    assert final.filter(F.col("tier") == 1).count() == 0
+
+
+def test_cow_delete_on_schema_evolved_column(spark, tmp_path):
+    """Review finding (r13): copy-on-write delete_where on an evolved
+    column kept crashing UNRESOLVED_COLUMN whenever the plain read
+    sampled a pre-evolution footer (nondeterministic by uuid dir
+    order).  The rewrite read now merges footers like the MOR path."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        delete_where,
+        read_snapshot,
+    )
+
+    t = _mor_table(spark, tmp_path)
+    evolved = (
+        spark.range(100, 110)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", (F.col("id") % 2).cast("long"))
+        .coalesce(1)
+    )
+    commit_snapshot(
+        evolved, t, mode="append", stats_cols=("tier",), bloom_cols=("tier",)
+    )
+    s = delete_where(spark, t, "tier", 1)
+    assert not (s.deletes or {})
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert got.count() == 35
+    assert got.filter(F.col("tier") == 1).count() == 0
+    assert got.filter(F.col("tier").isNull()).count() == 30

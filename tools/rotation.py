@@ -20,10 +20,14 @@ so a 3-round budget mathematically over-saturates the window):
      refresh is worse than deferring a brand-new query one round (new
      queries are hash-verified against their oracles at sf0.001 by the
      local suite every round regardless);
-  3. every never-driver-checked query goes in IF slots remain; when the
-     sentinel+stale set saturates the window, the overflow defers to the
-     FRONT of next round's window (reported below, not a failure —
-     a failure is a deferral while a non-mandatory filler holds a slot);
+  3. every never-driver-checked query goes in, seated AHEAD of the
+     stale cohort (round-12 verdict: a query with ZERO driver evidence
+     outranks one whose evidence is merely old — --propose emits them
+     first, and the round-13 window was adopted on that ordering); when
+     sentinels + never-checked + stale outgrow the window, the overflow
+     (stale or never-checked alike) defers to the FRONT of next round's
+     window (reported below, not a failure — a failure is ANY due row
+     deferred while a non-mandatory filler holds a slot);
   4. queries whose oracle changed since their last driver row go in
      (cannot be detected here — the round's builder must add them);
   5. remaining slots fill oldest-driver-row-first.
