@@ -707,8 +707,15 @@ def delete_where(
         # entry covers (a union-wide filter would destroy a key
         # re-inserted by a later append) — then apply this delete's own
         # predicate
+        # REWRITES always read with merged footers: a sampled narrow
+        # footer would silently DROP an evolved column's data from the
+        # rewritten files (reads may project; rewrites must not lose
+        # columns).  Footer merging is negligible next to the full read
+        # the rewrite performs anyway.
         src = _grouped_delete_read(
-            spark.read, snap.deletes or {}, sorted(rewrite)
+            spark.read.option("mergeSchema", "true"),
+            snap.deletes or {},
+            sorted(rewrite),
         )
         if col not in src.columns:
             # Schema-evolved delete column: pruning keeps stats-less
@@ -892,8 +899,11 @@ def compact_deletes(spark: SparkSession, table_path: str) -> Snapshot:
     )
 
     n_before = spark.read.parquet(*rewrite).count()
-    # scoped per entry — never a union-wide filter (sequencing contract)
-    src = _grouped_delete_read(spark.read, snap.deletes or {}, rewrite)
+    # scoped per entry — never a union-wide filter (sequencing contract);
+    # merged footers so the rewrite can never drop an evolved column
+    src = _grouped_delete_read(
+        spark.read.option("mergeSchema", "true"), snap.deletes or {}, rewrite
+    )
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_id)
     src.write.mode("error").parquet(data_dir)
@@ -1246,14 +1256,16 @@ def rewrite_small_files(
         # fold pending MOR deletes into the compaction (the classic
         # merge-on-read maintenance contract), scoped per entry — a
         # union-wide filter would destroy later-appended re-inserts
-        src0 = _grouped_delete_read(spark.read, snap.deletes or {}, small)
+        src0 = _grouped_delete_read(
+            spark.read.option("mergeSchema", "true"), snap.deletes or {}, small
+        )
         src0.coalesce(int(n_out)).write.mode("error").parquet(data_dir)
     else:
         # one output file per partition VALUE (kept as a data column, so
         # stats re-collection proves min == max and replace_where keeps
         # working); the value count is maintenance-small by definition
         src = _grouped_delete_read(
-            spark.read, snap.deletes or {}, small
+            spark.read.option("mergeSchema", "true"), snap.deletes or {}, small
         ).persist()
         values = sorted(
             (r[0] for r in src.select(partition_col).distinct().collect()),

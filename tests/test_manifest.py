@@ -1496,3 +1496,36 @@ def test_cow_delete_on_schema_evolved_column(spark, tmp_path):
     assert got.count() == 35
     assert got.filter(F.col("tier") == 1).count() == 0
     assert got.filter(F.col("tier").isNull()).count() == 30
+
+
+def test_binpack_never_drops_evolved_column(spark, tmp_path):
+    """Rewrites must read with merged footers even with NO pending
+    deletes: bin-packing an evolved table off a sampled pre-evolution
+    footer would silently DROP the evolved column's data from the
+    rewritten files (reads may project; rewrites must not lose
+    columns)."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        commit_snapshot,
+        read_snapshot,
+        rewrite_small_files,
+    )
+
+    t = _mor_table(spark, tmp_path)  # 3 small old-schema files
+    evolved = (
+        spark.range(100, 110)
+        .withColumn("user_id", F.col("id"))
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", (F.col("id") % 2).cast("long"))
+        .coalesce(1)
+    )
+    commit_snapshot(
+        evolved, t, mode="append", stats_cols=("tier",), bloom_cols=("tier",)
+    )
+    s = rewrite_small_files(spark, t, target_file_bytes=1 << 20)
+    assert s.mode == "compact"
+    got = read_snapshot(spark, t, merge_schema=True)
+    assert got.count() == 40
+    # the evolved column's data survived the rewrite
+    assert "tier" in got.columns
+    assert got.filter(F.col("tier") == 1).count() == 5
+    assert got.filter(F.col("tier") == 0).count() == 5
