@@ -76,78 +76,75 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-13 window (tools/rotation.py --propose, adopted verbatim
-    # per verdict r12 directive #1): the 2 never-driver-checked queries
-    # lead (docs_gate_auc, docs_textrank_keywords), then the 3 pinned
-    # bench sentinels, then 45 of the 46 r8-aged rows (oldest-first).
-    # Mandatory load was 51 > 50, so exactly one r8 row defers to the
-    # FRONT of round 14 under true saturation: small_quantity_parts_revenue
-    # (alphabetically last of the r8 cohort; see DRIVER_DEFERRED).
-    # Round-13 net-new registration is frozen at 0 (directive #2), so
-    # round 14's mandatory load is 3 sentinels + 1 deferral + 41 r9 rows
-    # = 45 <= 47 non-sentinel capacity — the saturation debt drains here.
-    "docs_gate_auc",
-    "docs_textrank_keywords",
+    # --- round-14 window (verdict r13 directive #1): the 3 pinned bench
+    # sentinels lead, then the 4 queries whose plan/oracle changed AFTER
+    # their latest driver row (policy #4 — the r13 advisory fixes:
+    # half-up long-division in parts_adamic_adar_links/docs_bm25_topk,
+    # disjoint-keys COALESCE in the two CMS join-size queries), then the
+    # r8 deferral small_quantity_parts_revenue fronting per policy #3,
+    # then the 41 r9-aged rows (oldest-first), then 1 filler pre-draining
+    # the r10 cohort (customer_revenue_gini, its oldest row — verdict
+    # directive #5).  Mandatory load 49 <= 50; no deferral this round.
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "brand_volume",
-    "corpus_curation_stats",
-    "customer_order_distribution",
-    "customers_with_orders_by_segment",
-    "customers_without_orders",
-    "dedup_docs_exact",
-    "disjunctive_brand_revenue",
-    "docs_dup_pagerank",
-    "docs_dup_triangles",
-    "docs_jaccard_prefix_pairs",
-    "docs_lang_id",
-    "docs_langid_eval",
-    "docs_minhash_signatures",
-    "docs_mixing_weights",
-    "docs_ngram_jaccard_pairs",
-    "docs_padding_waste",
-    "docs_quality_scores",
-    "docs_simhash_pairs",
-    "docs_stratified_sample",
-    "docs_token_stats",
-    "docs_train_val_test_split",
-    "docs_unigram_logprob",
-    "docs_vocab_coverage",
-    "docs_winnow_fingerprints",
-    "dup_event_ids",
-    "emb_quantization_error",
-    "emb_topk_bruteforce",
-    "events_cube_day_type",
-    "events_daily_type_pivot",
-    "events_debounce_stats",
-    "events_dq_profile",
-    "events_grouping_sets",
-    "events_per_day_dense",
-    "events_type_value_mi",
-    "events_type_value_stats",
-    "nation_keys_except",
-    "order_rollup_stats",
-    "orders_merge_upsert",
-    "props_typed_struct_stats",
-    "q4_late_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "repeat_users_topk",
-    "slow_orders_by_priority",
+    "parts_adamic_adar_links",
+    "docs_bm25_topk",
+    "events_selfjoin_size_cms",
+    "lineitem_orders_join_size_cms",
+    "small_quantity_parts_revenue",
+    "basket_part_pair_lift",
+    "customers_cohort_ltv",
+    "docs_bpe_encode_stats",
+    "docs_cdc_chunk_dedup",
+    "docs_char_entropy",
+    "docs_collocations_pmi",
+    "docs_containment_pairs",
+    "docs_dsir_selection",
+    "docs_dsir_weights",
+    "docs_dup_threshold_sweep",
+    "docs_gopher_full_gate",
+    "docs_heaps_law_fit",
+    "docs_kcore_summary",
+    "docs_lang_source_chi2",
+    "docs_leakage_safe_split",
+    "docs_local_clustering",
+    "docs_lpa_communities",
+    "docs_lsh_recall_vs_exact",
+    "docs_paragraph_dedup",
+    "docs_paragraph_repetition",
+    "docs_shard_rebalance_audit",
+    "docs_simhash_recall_vs_exact",
+    "docs_snm_recall_vs_exact",
+    "docs_sorted_neighborhood_pairs",
+    "docs_substring_dup_spans",
+    "docs_token_mass_quantiles",
+    "docs_tokenizer_fertility",
+    "docs_weighted_reservoir_topk",
+    "emb_centroid_drift",
+    "emb_ivf_nprobe_sweep",
+    "emb_label_separation",
+    "emb_mmr_rerank",
+    "emb_pq_adc_topk",
+    "emb_rrf_topk",
+    "emb_top2_principal_components",
+    "events_cms_heavy_hitters",
+    "events_conversion_latency",
+    "lineitem_zorder_clustering",
+    "top_order_per_customer",
+    "top_orders_by_revenue",
+    "trading_nations",
+    "customer_revenue_gini",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation: round 13's mandatory load was 51 (2 dark + 3 sentinels +
-#: 46 r8-aged rows) against a 50-slot window, so exactly one r8 row
-#: defers under TRUE saturation (zero non-mandatory fillers hold slots
-#: -- policy #3's legal deferral).  It is sf0.001+sf0.01 hash-checked
-#: by the local suite every round and fronts round 14's rotation, whose
-#: mandatory load is then 3 + 1 + 41 r9 rows = 45 <= capacity.
-DRIVER_DEFERRED: tuple[str, ...] = ("small_quantity_parts_revenue",)
+#: rotation.  Round 14's mandatory load is 49 (3 sentinels + 4
+#: changed-code queries + 1 r8 deferral + 41 r9 rows) against the
+#: 50-slot window, so nothing defers this round; the 50th slot
+#: pre-drains the r10 cohort (45 rows due in round 15).
+DRIVER_DEFERRED: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QuerySpec]:
