@@ -76,7 +76,19 @@ def test_driver_order_policy():
         if q not in DRIVER_SENTINELS and q not in stale and q in latest
     ]
     deferred = (stale | never_checked) - window
-    if deferred:
+    # Spent-window state (round-13 verdict directive #2): once every
+    # window row has its driver row at max_round, the window demonstrably
+    # RAN and is historical — the newly-due cohort correctly waits outside
+    # it because the successor window cannot be adopted until the next
+    # round's builder starts.  Without this, the lint goes red at EVERY
+    # round boundary by construction (it cost rounds 12 and 13 their
+    # end-of-round green), while detecting no real policy breach: the
+    # stale-first check below only means something for a window that has
+    # yet to run.
+    window_spent = bool(latest) and all(
+        latest.get(q) == max_round for q in DRIVER_ORDER
+    )
+    if deferred and not window_spent:
         assert not fillers, (
             f"due rows deferred {sorted(deferred)} while non-mandatory "
             f"fillers hold window slots: {fillers}"

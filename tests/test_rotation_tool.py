@@ -1,0 +1,95 @@
+"""Pins tools/rotation.py's round-turnover behavior (round-13 verdict
+directive #2): the audit must distinguish a SPENT window (every window row
+already has its driver row at max_round — the round's CORRECTNESS file has
+landed, so the due cohort legitimately waits outside the window) from a
+mid-round policy breach (due rows outside while non-mandatory fillers hold
+slots), and the next-round mandatory-load projection must not re-bump a
+spent window a round forward (the r13 artifact: it printed 90 of 50 slots
+where the true load was 45).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import tools.rotation as rotation
+from prod_data_pipeline_spark.plans.queries import (
+    DRIVER_ORDER,
+    DRIVER_SENTINELS,
+    QUERIES,
+)
+
+
+def _run(monkeypatch, capsys, latest):
+    monkeypatch.setattr(rotation, "latest_driver_round", lambda: latest)
+    with pytest.raises(SystemExit) as exc:
+        rotation.main()
+    return exc.value.code, capsys.readouterr().out
+
+
+def _spread_rounds(names, budget, max_round):
+    """Assign non-window queries driver rounds young enough to not be due
+    at max_round + 1 (i.e. > max_round + 1 - budget), cycling so the
+    distribution looks like a healthy rotation."""
+    fresh = [max_round + 1 - budget + 1 + (i % (budget - 1)) for i in range(len(names))]
+    return dict(zip(names, fresh))
+
+
+def test_spent_window_is_not_a_policy_failure(monkeypatch, capsys):
+    """After the round's CORRECTNESS lands (all window rows at max_round),
+    a newly-due cohort outside the window is turnover bookkeeping: exit 0,
+    SPENT note, and the load projection keys off latest as-is."""
+    max_round = 40
+    budget = rotation.staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    outside = [q for q in QUERIES if q not in DRIVER_ORDER]
+    # a due cohort outside the window: old enough to be stale next round
+    due = outside[:10]
+    latest = {q: max_round for q in DRIVER_ORDER}
+    latest.update(_spread_rounds(outside[10:], budget, max_round))
+    latest.update({q: max_round + 1 - budget for q in due})
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 0, out
+    assert "SPENT" in out
+    assert "POLICY FAIL" not in out
+    assert f"due-stale queries front the next window" in out
+    # spent-window projection: next round is max_round + 1, computed from
+    # latest as-is -> load = sentinels + the 10 due rows
+    want = len(set(DRIVER_SENTINELS) | set(due))
+    assert f"next-round (r{max_round + 1}) mandatory load: {want} of" in out
+
+
+def test_midround_fillers_with_due_outside_still_fails(monkeypatch, capsys):
+    """Mid-round (window rows NOT all at max_round), a due row outside the
+    window while a non-mandatory filler holds a slot is the real policy
+    breach and must keep failing."""
+    max_round = 40
+    budget = rotation.staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    outside = [q for q in QUERIES if q not in DRIVER_ORDER]
+    due = outside[:5]
+    latest = {q: max_round for q in QUERIES}  # window rows fresh = fillers
+    # break the spent state: one window row predates max_round but is not due
+    non_sentinel = next(q for q in DRIVER_ORDER if q not in DRIVER_SENTINELS)
+    latest[non_sentinel] = max_round - 1
+    latest.update({q: max_round + 1 - budget for q in due})
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 1
+    assert "POLICY FAIL" in out
+
+
+def test_midround_projection_bumps_window_forward(monkeypatch, capsys):
+    """Mid-round the projection assumes the current window earns rows at
+    max_round + 1 and reports the round after (max_round + 2)."""
+    max_round = 40
+    budget = rotation.staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    outside = [q for q in QUERIES if q not in DRIVER_ORDER]
+    # healthy mid-round: window holds the due-at-max_round+1 cohort
+    latest = {q: max_round + 1 - budget for q in DRIVER_ORDER}
+    latest.update(_spread_rounds(outside, budget, max_round))
+    latest[DRIVER_ORDER[3]] = max_round  # not spent
+    # sentinels always have fresh rows too
+    for s in DRIVER_SENTINELS:
+        latest[s] = max_round + 1 - budget
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 0, out
+    assert "SPENT" not in out
+    assert f"next-round (r{max_round + 2}, after this window runs)" in out

@@ -89,6 +89,22 @@ def main() -> None:
     deferred = [q for q in never if q not in window]
     missing_sentinels = [s for s in DRIVER_SENTINELS if s not in window]
     max_round = max(latest.values()) if latest else 0
+    # Spent-window detection (round-13 verdict directive #2): once every
+    # window row has its driver row at max_round, the CORRECTNESS file for
+    # this window's round has landed and the window is HISTORICAL — the
+    # newly-due cohort correctly sits outside it, because its successor
+    # window cannot be adopted until the next round's builder starts.
+    # In that state stale-first / deferral violations are turnover
+    # bookkeeping, not policy breaches, and the next-round load must be
+    # computed from the recorded rows as-is (the old projection re-bumped
+    # the already-run window a round forward and printed 90/50 where the
+    # true load was 45).
+    window_spent = bool(latest) and all(
+        latest.get(q) == max_round for q in DRIVER_ORDER
+    )
+    if window_spent:
+        print(f"window state       : SPENT (all {len(DRIVER_ORDER)} rows "
+              f"recorded at round {max_round}; adopt the next window first)")
     budget = staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
     print(f"freshness budget   : {budget} rounds "
           f"(ceil({len(QUERIES)}/{WINDOW - len(DRIVER_SENTINELS)}))")
@@ -117,7 +133,12 @@ def main() -> None:
         print(f"POLICY FAIL: window has {len(DRIVER_ORDER)} entries, want {WINDOW}")
         ok = False
     if stale_out:
-        if window_fillers:
+        if window_spent:
+            print(
+                f"NOTE: spent window; {len(stale_out)} due-stale queries "
+                f"front the next window: {stale_out}"
+            )
+        elif window_fillers:
             print(f"POLICY FAIL: {len(stale_out)} >={budget}-round-stale queries outside the window: {stale_out}")
             ok = False
         else:
@@ -132,7 +153,12 @@ def main() -> None:
         # deferral is legal only under saturation: every window slot must be
         # held by a sentinel, a stale query, or another never-checked query
         fillers = window_fillers
-        if fillers:
+        if window_spent:
+            print(
+                f"NOTE: spent window; {len(deferred)} never-checked front "
+                f"the next window: {deferred}"
+            )
+        elif fillers:
             print(
                 f"POLICY FAIL: {len(deferred)} never-checked deferred while "
                 f"non-mandatory fillers hold slots: deferred={deferred} "
@@ -148,31 +174,51 @@ def main() -> None:
     if ok:
         print("policy check: OK (window size, stale-first coverage, sentinels)")
 
-    # Forward load: assuming every in-window query gets a row this round,
-    # what is NEXT round's mandatory set?  (sentinels + next-round-due
-    # stale + anything still never-checked) — the number that tells the
-    # round's builder how many free slots remain before registering
-    # net-new queries re-saturates the window.
-    nxt_latest = {
-        q: max_round + 1 if q in window else latest.get(q, 0) for q in QUERIES
-    }
+    # Forward load: what is NEXT round's mandatory set?  (sentinels +
+    # next-round-due stale + anything still never-checked) — the number
+    # that tells the round's builder how many free slots remain before
+    # registering net-new queries re-saturates the window.  Mid-round the
+    # current window will earn rows at max_round + 1, so the projection
+    # bumps window rows forward and looks a round further out; once the
+    # window is SPENT its rows are already recorded at max_round, so the
+    # load for the upcoming round is computed from latest as-is (the old
+    # unconditional bump double-counted the spent window and printed
+    # 90/50 with a negative free-slot count — r13 verdict/advice fix).
+    if window_spent:
+        nxt_round = max_round + 1
+        nxt_latest = {q: latest.get(q, 0) for q in QUERIES}
+        label = f"next-round (r{nxt_round}) mandatory load"
+    else:
+        nxt_round = max_round + 2
+        nxt_latest = {
+            q: max_round + 1 if q in window else latest.get(q, 0)
+            for q in QUERIES
+        }
+        label = (
+            f"next-round (r{nxt_round}, after this window runs) "
+            f"mandatory load"
+        )
+    # a row from round r has age nxt_round - r when round nxt_round's
+    # driver check runs; it hits the budget when r <= nxt_round - budget
     nxt_stale = {
-        q for q, r in nxt_latest.items() if r and r <= max_round + 2 - budget
+        q for q, r in nxt_latest.items() if r and r <= nxt_round - budget
     }
     nxt_never = [q for q in QUERIES if not nxt_latest[q]]
     nxt_load = len(
         set(DRIVER_SENTINELS) | nxt_stale | set(nxt_never)
     )
     print(
-        f"next-round mandatory load: {nxt_load} of {WINDOW} slots "
+        f"{label}: {nxt_load} of {WINDOW} slots "
         f"({len(DRIVER_SENTINELS)} sentinels + {len(nxt_stale - set(DRIVER_SENTINELS))} "
         f"due-stale + {len(nxt_never)} never-checked; {WINDOW - nxt_load} free)"
     )
 
     if "--propose" in sys.argv:
-        # next round: assume everything in the current window gets a row
-        nxt = {q: max(latest.values()) + 1 if q in window else latest.get(q, 0)
-               for q in QUERIES}
+        # next round: mid-round, assume everything in the current window
+        # gets a row; once the window is spent those rows are already
+        # recorded, so propose straight from latest (nxt_latest handles
+        # both cases above).
+        nxt = nxt_latest
         order = [q for q in never if q not in window]  # should be empty
         order += list(DRIVER_SENTINELS)
         for _, q in sorted((r, q) for q, r in nxt.items()):
