@@ -186,6 +186,61 @@ SPARK_DSUM_EXCEPTIONS: dict[tuple[str, str], str] = {
 }
 
 
+#: Half-up report steps written as FLOOR((numerator + bias) / 10^k.0) —
+#: float division of an int64 numerator — cap exactness at
+#: |numerator| < 2^53 because of the long->double conversion; the r13
+#: advisory converted parts_adamic_adar_links and docs_bm25_topk to the
+#: LONG division form ((n + bias) div 10^k / Duck `//`), which holds to
+#: the full int64 bound.  The lint (tests/test_queries_parity.py::
+#: test_no_unexempted_float_div_half_up) fails any NEW float-division
+#: half-up site so a refactor cannot silently reopen the 2^53 cap; the
+#: entries below are the documented survivors.  `div`/`//` truncate
+#: toward ZERO, so the long form is only value-identical to floor on
+#: NON-NEGATIVE numerators — negative-capable numerators (signed noise,
+#: signed log-likelihood sums) must keep the float floor form, whose
+#: half-up-toward-+inf tie behavior both engines reproduce identically.
+FLOORDIV_EXCEPTIONS: dict[str, str] = {
+    "docs_nb_quality_gate": (
+        "signed llr sums: `div` truncates toward zero and would shift "
+        "half-up ties on negative score numerators; floor keeps the "
+        "engine-identical toward-+inf tie.  Documented 2^53 cap: "
+        "|wsum|*1e7 < 2^53 needs ~1.4e8 max-weight bucket hits per doc "
+        "(operators/quality.py docstring)"
+    ),
+    "events_dp_noisy_counts": (
+        "signed Laplace noise: the numerator n_true*1e9 + noise_n + 500 "
+        "goes negative whenever noise < -n_true, so floor semantics are "
+        "required; bound |n|*1e9 < 2^53 holds to ~9e6 events/day"
+    ),
+    "q14_promo_revenue": (
+        "non-negative revenue numerator — CONVERTIBLE to the div form, "
+        "but changing the oracle mid-round burns a driver-window slot "
+        "(rotation policy #4); convert when its next rotation slot opens. "
+        "Documented cap |revenue|*1e4 < 2^53 ~ 9e11 summed revenue"
+    ),
+}
+
+
+#: Spark-side twins of FLOORDIV_EXCEPTIONS, keyed by (plans/ or
+#: operators/ file name, context substring within the F.floor site's
+#: surrounding lines) — same stale-entry discipline as
+#: SPARK_DSUM_EXCEPTIONS.
+SPARK_FLOORDIV_EXCEPTIONS: dict[tuple[str, str], str] = {
+    ("quality.py", "wsum"): (
+        "docs_nb_quality_gate signed llr sum — Spark twin of its "
+        "FLOORDIV_EXCEPTIONS entry"
+    ),
+    ("queries_curation_gates.py", "n_released"): (
+        "events_dp_noisy_counts signed noise — Spark twin of its "
+        "FLOORDIV_EXCEPTIONS entry"
+    ),
+    ("queries_text_dedup.py", "total_revenue"): (
+        "q14_promo_revenue non-negative deferral — Spark twin of its "
+        "FLOORDIV_EXCEPTIONS entry"
+    ),
+}
+
+
 def num_to_double(c, scale: int = 2) -> F.Column:
     """Final numerator->value conversion for a dnum chain: one long->double
     cast then division by the exactly-representable 10^scale (same IEEE

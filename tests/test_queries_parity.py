@@ -177,6 +177,143 @@ def test_no_unexempted_decimal_sums():
     assert not stale, f"stale DSUM_EXCEPTIONS entries (no DECIMAL sum left): {stale}"
 
 
+def _floor_float_div_sites(sql: str) -> int:
+    """Count FLOOR(...) sites whose balanced argument divides by a float
+    literal at TOP level and carries an integer bias anywhere inside —
+    the half-up-report-via-float-division form whose long->double
+    conversion caps exactness at 2^53 (r13 advisory: the div form holds
+    to the full int64 bound).  Bucketing floors (FLOOR(value / 25.0), no
+    bias) and quantize steps (FLOOR(x * 10^s.0 + 0.5), float bias, no
+    top-level division) do not match."""
+    import re
+
+    n = 0
+    for m in re.finditer(r"\bFLOOR\s*\(", sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        start = m.end()
+        top = []
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if depth == 1:
+                top.append(c)
+            i += 1
+        arg, toptxt = sql[start:i - 1], "".join(top)
+        if re.search(r"/\s*\d+\.0", toptxt) and re.search(
+            r"\+\s*\d+(?![.\d])", arg
+        ):
+            n += 1
+    return n
+
+
+def test_no_unexempted_float_div_half_up():
+    """Round-13 verdict #6 enforcement: a half-up report step must use
+    the LONG integer division form ((n + bias) div 10^k — exact to the
+    int64 sum bound) unless it carries a documented
+    query_registry.FLOORDIV_EXCEPTIONS entry (signed numerators need
+    floor semantics; `div` truncates toward zero).  A refactor of
+    parts_adamic_adar_links / docs_bm25_topk back to
+    FLOOR((n + 5e5) / 1e6.0) silently reopens the 2^53 exactness cap —
+    this lint goes red instead.  Stale entries fail too."""
+    from prod_data_pipeline_spark.plans.queries import QUERIES
+    from prod_data_pipeline_spark.plans.query_registry import (
+        FLOORDIV_EXCEPTIONS,
+    )
+
+    offenders = {
+        name: _floor_float_div_sites(spec.oracle)
+        for name, spec in QUERIES.items()
+        if spec.oracle and _floor_float_div_sites(spec.oracle)
+    }
+    unexempted = sorted(set(offenders) - set(FLOORDIV_EXCEPTIONS))
+    assert not unexempted, (
+        f"float-division half-up report steps without a "
+        f"FLOORDIV_EXCEPTIONS entry: {unexempted} — use the long "
+        "division form ((n + bias) div 10^k in Spark, // in DuckDB; "
+        "non-negative numerators only) or document the exception"
+    )
+    stale = sorted(set(FLOORDIV_EXCEPTIONS) - set(offenders))
+    assert not stale, (
+        f"stale FLOORDIV_EXCEPTIONS entries (no float-div floor left): {stale}"
+    )
+
+
+def test_no_unexempted_spark_side_float_div_half_up():
+    """Companion scanning the DataFrame side: an F.floor whose balanced
+    argument divides by a float literal at top level and carries an
+    integer F.lit bias must have a SPARK_FLOORDIV_EXCEPTIONS entry."""
+    import pathlib
+    import re
+
+    from prod_data_pipeline_spark.plans.query_registry import (
+        SPARK_FLOORDIV_EXCEPTIONS,
+    )
+
+    offenders = []
+    matched = set()
+    pkg = pathlib.Path("prod_data_pipeline_spark")
+    for path in sorted(list(pkg.glob("plans/*.py")) + list(pkg.glob("operators/*.py"))):
+        text = path.read_text()
+        for m in re.finditer(r"F\.floor\s*\(", text):
+            depth, i = 1, m.end()
+            start = m.end()
+            slashes = []  # original indices of top-level '/' in the arg
+            while i < len(text) and depth:
+                c = text[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "/" and depth == 1:
+                    slashes.append(i)
+                i += 1
+            arg = text[start : i - 1]
+            float_div = any(
+                re.match(r"\s*(F\.lit\()?\d+(\.\d|e\d)", text[s + 1 :])
+                for s in slashes
+            )
+            if not (float_div and re.search(r"\+\s*F\.lit\(\d+\)", arg)):
+                continue
+            line = text[: m.start()].count("\n") + 1
+            lines = text.splitlines()
+            ctx = "\n".join(lines[max(0, line - 3) : line + 12])
+            hits = [
+                key
+                for key in SPARK_FLOORDIV_EXCEPTIONS
+                if key[0] == path.name and key[1] in ctx
+            ]
+            if hits:
+                matched.update(hits)
+                continue
+            offenders.append(f"{path.name}:{line}")
+    assert not offenders, (
+        f"Spark-side float-division half-up sites without a "
+        f"SPARK_FLOORDIV_EXCEPTIONS entry: {offenders}"
+    )
+    stale = sorted(set(SPARK_FLOORDIV_EXCEPTIONS) - matched)
+    assert not stale, f"stale SPARK_FLOORDIV_EXCEPTIONS entries: {stale}"
+
+
+def test_cms_join_size_queries_guard_disjoint_keys():
+    """r13 advisory regression pin: both CMS join-size queries must keep
+    the disjoint-keys COALESCE on BOTH engines (an empty dot relation
+    means the provably-correct estimate is 0, not NULL) — dropping it
+    reverts the r12 advisory fix."""
+    from prod_data_pipeline_spark.plans.queries import QUERIES
+
+    for name in ("events_selfjoin_size_cms", "lineitem_orders_join_size_cms"):
+        assert "COALESCE((SELECT MIN(dot) FROM dots), 0)" in QUERIES[name].oracle, name
+    import pathlib
+
+    src = pathlib.Path(
+        "prod_data_pipeline_spark/plans/queries_tpch_graph.py"
+    ).read_text()
+    assert src.count('F.coalesce(F.min("dot"), F.lit(0))') == 2
+
+
 def test_no_unexempted_spark_side_decimal_sums():
     """Companion to the oracle lint: the Spark side of a query must not
     grow a BigDecimal aggregation either.  Scans the plans/ sources for
