@@ -79,11 +79,22 @@ def calibrate(spark) -> float:
 # noise_factor for attribution; value_normalized keeps using the CPU
 # factor so round-over-round normalized numbers stay comparable.
 MEMBW_ELEMS = (1 << 28) // 8  # 256 MiB of float64
-#: Quiet-machine reference, measured round 12 on the grading box (8 warm
-#: samples 0.137-0.152 at load ~2 with the tenant's membw quiet; the
-#: factor is clamped at 1.0, so a marginally-low reference cannot deflate
-#: normalized numbers).
-MEMBW_REF_SEC = 0.135
+#: Round-12 quiet-machine reference (8 warm samples 0.137-0.152 at load
+#: ~2).  KEPT for cross-round comparability — emitted as
+#: `membw_factor_r12` — but superseded as the gate reference: rounds 13-14
+#: measured the box's IDLE floor itself drifting 4-9% above this pin
+#: (r13 per-run minima 0.140-0.148; r14 re-pin batches min 0.1456/0.1481,
+#: quiet medians 0.148-0.156 at 1-min load 0.15), so a factor against
+#: 0.135 conflates floor drift with burst contention and the <=1.05
+#: quiet gate became unsatisfiable (six r13 attempts, none landed).
+MEMBW_REF_SEC_R12 = 0.135
+#: Round-14 re-pin (verdict r13 directive #4): the min across the
+#: round's idle samples, so `membw_factor` measures burst contention
+#: above the CURRENT floor.  The BASELINE.md addendum's quiet gate
+#: (membw_factor <= 1.05) is restated against this value.  The factor
+#: is clamped at 1.0, so a marginally-low reference cannot deflate
+#: normalized numbers.
+MEMBW_REF_SEC = 0.145
 _membw_arr = None
 
 
@@ -313,6 +324,9 @@ def main() -> None:
         "membw_samples_sec": membw_samples,
         "membw_ref_sec": MEMBW_REF_SEC,
         "membw_factor": max(1.0, round(membw_med / MEMBW_REF_SEC, 3)),
+        # the r12 pin's factor, kept so rounds <=13 stay comparable
+        "membw_ref_sec_r12": MEMBW_REF_SEC_R12,
+        "membw_factor_r12": max(1.0, round(membw_med / MEMBW_REF_SEC_R12, 3)),
     }
     result["value_normalized"] = round(total / noise_factor, 3)
 
@@ -321,6 +335,12 @@ def main() -> None:
         med_t = st[len(st) // 2]
         return {
             "pass_totals_sec": totals,
+            # measured pass count, so a consumer comparing across rounds
+            # can tell a robust median from a lone SPARK_GRAFT_BENCH_RUNS=1
+            # sample (r13 advisory: single-pass results must be
+            # self-describing)
+            "passes": len(totals),
+            "degenerate_spread": len(totals) < 2,
             "min": st[0],
             "median": med_t,
             "max": st[-1],
