@@ -76,6 +76,18 @@ class Snapshot:
     # re-inserted key survives.  read_snapshot applies the filters;
     # compact_deletes folds them back into data files.
     deletes: dict = None  # type: ignore[assignment]
+    # authoritative table schema (Spark StructType jsonValue, all fields
+    # nullable), recorded at commit time and evolved ADDITIVELY: previous
+    # columns keep position and type, columns new to a commit append.
+    # Readers project to it (spark.read.schema), so a table's width is a
+    # manifest fact — stable across footer sampling and pending MOR
+    # delete state (r13 advisory: per-group footer promotion made the
+    # same table expose evolved columns before compaction and hide them
+    # after) — and reads pay ZERO footer scans, the Iceberg/Delta
+    # schema-in-metadata design.  None on tables whose last commit
+    # predates round 14 (legacy: reads fall back to footer behavior; the
+    # next commit records the footer-merged union once).
+    schema: dict = None  # type: ignore[assignment]
 
 
 class ConcurrentCommit(Exception):
@@ -173,6 +185,7 @@ def _publish(table_path: str, build) -> "Snapshot":
         nulls=manifest.get("nulls", {}),
         meta=manifest.get("meta", {}),
         deletes=manifest.get("deletes", {}),
+        schema=manifest.get("schema"),
     )
 
 
@@ -201,6 +214,7 @@ def read_manifest(table_path: str, version: int) -> Snapshot:
         nulls=m.get("nulls", {}),
         meta=m.get("meta", {}),
         deletes=m.get("deletes", {}),
+        schema=m.get("schema"),
     )
 
 
@@ -358,6 +372,70 @@ def _bloom_pos_col(col: str, j: int, bits: int = _BLOOM_BITS):
     ).cast("int")
 
 
+def _schema_value(df: DataFrame) -> dict:
+    """A frame's schema as the manifest-recorded jsonValue, every field
+    forced nullable (pre-evolution rows read an evolved column as NULL,
+    so the authoritative schema can never promise non-null)."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    ).jsonValue()
+
+
+def _auth_struct(snap: "Snapshot"):
+    """The snapshot's authoritative schema as a StructType, or None on a
+    legacy table (no schema recorded yet)."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(snap.schema) if snap.schema else None
+
+
+def _rewrite_reader(spark: SparkSession, snap: "Snapshot"):
+    """The reader every rewrite path (COW delete, delete compaction,
+    bin-pack) uses: authoritative-schema projection when the manifest
+    records one, merged footers otherwise — never a sampled footer,
+    which could drop an evolved column's data from rewritten files."""
+    auth = _auth_struct(snap)
+    if auth is not None:
+        return spark.read.schema(auth)
+    return spark.read.option("mergeSchema", "true")
+
+
+def _evolve_schema_value(
+    spark: SparkSession, prev: "Snapshot | None", df: DataFrame
+) -> dict:
+    """Additive schema evolution at commit time: previous columns keep
+    their position and type; columns new to ``df`` append in frame order.
+    A same-name type conflict is a corrupt evolution and fails fast.
+    Legacy base (files committed before schemas were recorded): the
+    previous width is recovered ONCE from merged footers and recorded
+    from then on — the only footer scan a schema-recorded table ever
+    pays."""
+    from pyspark.sql.types import StructField, StructType
+
+    if prev is None or not prev.files:
+        return _schema_value(df)
+    if prev.schema:
+        base = StructType.fromJson(prev.schema)
+    else:
+        base = (
+            spark.read.option("mergeSchema", "true").parquet(*prev.files).schema
+        )
+    fields = [StructField(f.name, f.dataType, True) for f in base.fields]
+    have = {f.name: f.dataType for f in fields}
+    for f in df.schema.fields:
+        if f.name not in have:
+            fields.append(StructField(f.name, f.dataType, True))
+        elif f.dataType != have[f.name]:
+            raise ValueError(
+                f"schema evolution is additive-only: column {f.name!r} is "
+                f"{have[f.name].simpleString()} in the table but "
+                f"{f.dataType.simpleString()} in the commit"
+            )
+    return StructType(fields).jsonValue()
+
+
 def commit_snapshot(
     df: DataFrame,
     table_path: str,
@@ -423,10 +501,14 @@ def commit_snapshot(
             # from every applies_to, so a re-inserted key is visible —
             # the sequence-number semantics
             deletes = dict(prev.deletes or {})
+            # evolved against the ACTUAL head (under the commit lock), so
+            # a concurrent append's new columns are never dropped
+            schema = _evolve_schema_value(spark, prev, df)
         else:
             files, n_rows = written, n_new
             stats, blooms, nulls = new_stats, new_blooms, new_nulls
             deletes = {}
+            schema = _schema_value(df)
         return {
             "version": version,
             "files": files,
@@ -437,6 +519,7 @@ def commit_snapshot(
             "nulls": nulls,
             "meta": meta or {},
             "deletes": deletes,
+            "schema": schema,
         }
 
     return _publish(table_path, build)
@@ -618,20 +701,28 @@ def read_snapshot(
     `read_snapshot(...).filter(lo <= col <= hi)` exactly — skipping is a
     physical optimization, never a semantic one.
 
-    `merge_schema=True` enables ADDITIVE schema evolution across commits
-    (the read_curated contract, on manifest tables): an append whose
-    frame carries a new column coexists with older files lacking it —
-    the union schema comes back with NULLs for pre-evolution rows.
-    Off by default because schema merging footprint-scans every file's
-    footer; at warehouse scale the table format records the schema in
-    the manifest instead (one more field, same commit path)."""
+    Schema: on tables whose manifest records the authoritative schema
+    (every commit since round 14), the read projects to EXACTLY it —
+    `spark.read.schema(...)` — so the width is a manifest fact: stable
+    across footer sampling, pending MOR delete state, and compaction
+    (r13 advisory), with NULLs for pre-evolution rows and zero footer
+    scans, the Iceberg/Delta schema-in-metadata design.  `merge_schema`
+    is then moot.  On LEGACY tables (no recorded schema) the flag keeps
+    its old meaning: `merge_schema=True` footprint-scans every footer
+    for the additive union; False samples one footer (plain Spark)."""
     from pyspark.sql import functions as F
 
     v = version if version is not None else current_version(table_path)
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     snap = read_manifest(table_path, v)
-    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    auth = _auth_struct(snap)
+    if auth is not None:
+        reader = spark.read.schema(auth)
+    elif merge_schema:
+        reader = spark.read.option("mergeSchema", "true")
+    else:
+        reader = spark.read
 
     def _with_deletes(files: list[str]) -> DataFrame:
         # apply merge-on-read equality deletes to exactly the files each
@@ -707,30 +798,27 @@ def delete_where(
         # entry covers (a union-wide filter would destroy a key
         # re-inserted by a later append) — then apply this delete's own
         # predicate
-        # REWRITES always read with merged footers: a sampled narrow
+        # REWRITES always read full-width: the authoritative manifest
+        # schema when recorded, else merged footers — a sampled narrow
         # footer would silently DROP an evolved column's data from the
         # rewritten files (reads may project; rewrites must not lose
         # columns).  Footer merging is negligible next to the full read
         # the rewrite performs anyway.
         src = _grouped_delete_read(
-            spark.read.option("mergeSchema", "true"),
+            _rewrite_reader(spark, snap),
             snap.deletes or {},
             sorted(rewrite),
         )
-        if col not in src.columns:
-            # Schema-evolved delete column: pruning keeps stats-less
-            # pre-evolution files in the rewrite set, and the plain read
-            # may sample one of THEIR footers — resolving F.col then
-            # throws nondeterministically (which footer gets sampled).
-            # Merge the rewrite set's footers for an authoritative
-            # schema; a column absent from EVERY rewritten file reads
-            # all-NULL, so a non-NULL value provably deletes nothing
-            # there and the predicate is skipped.
-            merged = spark.read.option("mergeSchema", "true").parquet(
-                *sorted(rewrite)
-            )
-            if col in merged.columns:
-                src = merged
+        # The merged-footer grouped read above is AUTHORITATIVE on width:
+        # every group reads with mergeSchema and the union allows missing
+        # columns, so src carries every column present in ANY rewrite
+        # file.  `col not in src.columns` therefore means the column is
+        # absent from EVERY rewritten file (schema-evolved delete column
+        # older than all of them) and the decidable-NULL branches below
+        # apply.  Do NOT "fall back" to a raw re-read here: it would
+        # bypass the pending MOR delete filters folded in by the grouped
+        # read and resurrect deleted rows in the rewritten files
+        # (r13 advisory).
         if col in src.columns:
             kept_rows = src.filter(~F.col(col).eqNullSafe(F.lit(value)))
         elif value is None:
@@ -786,6 +874,7 @@ def delete_where(
             "meta": {},
             # rewritten files had their pending MOR deletes folded in
             "deletes": _carry_deletes(snap.deletes, carried),
+            "schema": snap.schema,  # a delete never changes the width
         }
 
     return _publish(table_path, build)
@@ -862,6 +951,7 @@ def delete_where_mor(
                 **(snap.deletes or {}),
                 did: {"col": col, "value": value, "applies_to": affected},
             },
+            "schema": snap.schema,
         }
 
     return _publish(table_path, build)
@@ -900,9 +990,9 @@ def compact_deletes(spark: SparkSession, table_path: str) -> Snapshot:
 
     n_before = spark.read.parquet(*rewrite).count()
     # scoped per entry — never a union-wide filter (sequencing contract);
-    # merged footers so the rewrite can never drop an evolved column
+    # full-width read so the rewrite can never drop an evolved column
     src = _grouped_delete_read(
-        spark.read.option("mergeSchema", "true"), snap.deletes or {}, rewrite
+        _rewrite_reader(spark, snap), snap.deletes or {}, rewrite
     )
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_path, "data", commit_id)
@@ -946,6 +1036,7 @@ def compact_deletes(spark: SparkSession, table_path: str) -> Snapshot:
             },
             "meta": {"merged_delete_entries": len(snap.deletes)},
             "deletes": {},
+            "schema": snap.schema,
         }
 
     return _publish(table_path, build)
@@ -1138,6 +1229,9 @@ def commit_replace_where(
             "deletes": _carry_deletes(
                 (prev.deletes if prev else {}) or {}, kept
             ),
+            # kept files from other partitions retain their columns, so
+            # the width evolves additively against the previous schema
+            "schema": _evolve_schema_value(spark, prev, df),
         }
 
     return _publish(table_path, build)
@@ -1257,7 +1351,7 @@ def rewrite_small_files(
         # merge-on-read maintenance contract), scoped per entry — a
         # union-wide filter would destroy later-appended re-inserts
         src0 = _grouped_delete_read(
-            spark.read.option("mergeSchema", "true"), snap.deletes or {}, small
+            _rewrite_reader(spark, snap), snap.deletes or {}, small
         )
         src0.coalesce(int(n_out)).write.mode("error").parquet(data_dir)
     else:
@@ -1265,7 +1359,7 @@ def rewrite_small_files(
         # stats re-collection proves min == max and replace_where keeps
         # working); the value count is maintenance-small by definition
         src = _grouped_delete_read(
-            spark.read.option("mergeSchema", "true"), snap.deletes or {}, small
+            _rewrite_reader(spark, snap), snap.deletes or {}, small
         ).persist()
         values = sorted(
             (r[0] for r in src.select(partition_col).distinct().collect()),
@@ -1325,6 +1419,7 @@ def rewrite_small_files(
             "nulls": nulls,
             "meta": {"compacted_files": len(small), "new_files": len(written)},
             "deletes": _carry_deletes(snap.deletes, carried),
+            "schema": snap.schema,  # layout-only: width unchanged
         }
 
     return _publish(table_path, build)
@@ -1374,6 +1469,7 @@ def rollback(table_path: str, to_version: int) -> Snapshot:
             "nulls": target.nulls or {},
             "meta": {"rolled_back_to": to_version},
             "deletes": target.deletes or {},
+            "schema": target.schema,  # the restored version's width
         }
 
     return _publish(table_path, build)

@@ -1529,3 +1529,103 @@ def test_binpack_never_drops_evolved_column(spark, tmp_path):
     assert "tier" in got.columns
     assert got.filter(F.col("tier") == 1).count() == 5
     assert got.filter(F.col("tier") == 0).count() == 5
+
+
+def test_authoritative_schema_recorded_and_stable_across_mor_state(spark, tmp_path):
+    """r13 advisory: a default read's width must be a MANIFEST fact, not a
+    function of footer sampling plus pending-delete scoping.  Before this,
+    a schema-evolved MOR delete widened exactly the scoped groups, so the
+    same table could expose `tier` before compaction and hide it after."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        compact_deletes,
+        delete_where_mor,
+        read_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 30).withColumn("v", F.col("id") * 2).coalesce(3)
+    commit_snapshot(base, t, mode="append", stats_cols=("id",))
+    evolved = (
+        spark.range(100, 110)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", (F.col("id") % 2).cast("long"))
+        .coalesce(1)
+    )
+    s2 = commit_snapshot(evolved, t, mode="append", stats_cols=("tier",))
+    assert [f["name"] for f in s2.schema["fields"]] == ["id", "v", "tier"]
+
+    # DEFAULT read (merge_schema=False): full recorded width already
+    cols_before = read_snapshot(spark, t).columns
+    delete_where_mor(spark, t, "tier", 1)
+    cols_pending = read_snapshot(spark, t).columns
+    compact_deletes(spark, t)
+    cols_after = read_snapshot(spark, t).columns
+    assert cols_before == cols_pending == cols_after == ["id", "v", "tier"]
+    # the compaction carried the schema forward in the manifest itself
+    v = current_version(t)
+    assert read_manifest(t, v).schema == s2.schema
+    # pre-evolution rows read the evolved column as NULL on a default read
+    got = read_snapshot(spark, t)
+    assert got.filter(F.col("tier").isNull()).count() == 30
+    assert got.filter(F.col("tier") == 1).count() == 0
+
+
+def test_schema_evolution_is_additive_only(spark, tmp_path):
+    """A same-name type conflict is a corrupt evolution: fail at commit
+    time, not as a read-side cast surprise."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(0, 5).withColumn("v", F.col("id") * 2), t)
+    bad = spark.range(5, 8).withColumn("v", F.lit("s"))
+    with pytest.raises(ValueError, match="additive-only"):
+        commit_snapshot(bad, t, mode="append")
+
+
+def test_legacy_manifest_without_schema_upgrades_on_next_commit(spark, tmp_path):
+    """Tables committed before round 14 carry no schema field: reads fall
+    back to footer behavior, and the NEXT commit records the
+    footer-merged union (one-time scan) so evolved columns are never
+    dropped from the recorded width."""
+    import json
+
+    from prod_data_pipeline_spark.sources.manifest import read_manifest
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.range(0, 10)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", F.lit(1).cast("long")),
+        t,
+    )
+    # simulate a pre-round-14 manifest: strip the schema field
+    mpath = str(tmp_path / "tbl" / "manifests" / "v1.json")
+    m = json.load(open(mpath))
+    del m["schema"]
+    json.dump(m, open(mpath, "w"))
+    assert read_manifest(t, 1).schema is None
+    assert read_snapshot(spark, t).columns == ["id", "v", "tier"]  # footer path
+
+    # next commit appends a NARROWER frame: the recorded union must still
+    # carry every legacy column
+    s2 = commit_snapshot(spark.range(10, 15).withColumn("v", F.lit(0).cast("long")), t, mode="append")
+    assert [f["name"] for f in s2.schema["fields"]] == ["id", "v", "tier"]
+    got = read_snapshot(spark, t)
+    assert got.columns == ["id", "v", "tier"]
+    assert got.filter(F.col("tier").isNull()).count() == 5
+
+
+def test_rollback_restores_schema_with_files(spark, tmp_path):
+    from prod_data_pipeline_spark.sources.manifest import rollback
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(0, 5).withColumn("v", F.col("id")), t)
+    commit_snapshot(
+        spark.range(5, 8)
+        .withColumn("v", F.col("id"))
+        .withColumn("extra", F.lit(1).cast("long")),
+        t,
+        mode="append",
+    )
+    assert read_snapshot(spark, t).columns == ["id", "v", "extra"]
+    s3 = rollback(t, 1)
+    assert [f["name"] for f in s3.schema["fields"]] == ["id", "v"]
+    assert read_snapshot(spark, t).columns == ["id", "v"]
