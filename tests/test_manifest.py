@@ -1629,3 +1629,54 @@ def test_rollback_restores_schema_with_files(spark, tmp_path):
     s3 = rollback(t, 1)
     assert [f["name"] for f in s3.schema["fields"]] == ["id", "v"]
     assert read_snapshot(spark, t).columns == ["id", "v"]
+
+
+def test_narrow_append_on_schema_recorded_table(spark, tmp_path):
+    """Appending a frame MISSING a recorded column keeps the table's full
+    width (the union schema never narrows); the narrow commit's rows read
+    the absent column as NULL on a default read."""
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.range(0, 10)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", F.lit(7).cast("long")),
+        t,
+    )
+    s2 = commit_snapshot(
+        spark.range(10, 14).withColumn("v", F.lit(0).cast("long")), t, mode="append"
+    )
+    assert [f["name"] for f in s2.schema["fields"]] == ["id", "v", "tier"]
+    got = read_snapshot(spark, t)
+    assert got.columns == ["id", "v", "tier"]
+    assert got.filter(F.col("tier").isNull()).count() == 4
+    assert got.filter(F.col("tier") == 7).count() == 10
+
+
+def test_replace_where_evolves_schema_additively(spark, tmp_path):
+    """A partition replacement whose frame carries a NEW column widens the
+    recorded schema; kept files from other partitions read it as NULL."""
+    from prod_data_pipeline_spark.sources.manifest import commit_replace_where
+
+    t = str(tmp_path / "tbl")
+    for day in (0, 1):
+        frame = (
+            spark.range(day * 10, day * 10 + 10)
+            .withColumn("day", F.lit(day).cast("long"))
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1)
+        )
+        commit_snapshot(frame, t, mode="append", stats_cols=("day",))
+    repl = (
+        spark.range(100, 105)
+        .withColumn("day", F.lit(1).cast("long"))
+        .withColumn("v", F.col("id"))
+        .withColumn("flag", F.lit(True))
+        .coalesce(1)
+    )
+    s2 = commit_replace_where(repl, t, "day", 1, stats_cols=("day",))
+    assert [f["name"] for f in s2.schema["fields"]] == ["id", "day", "v", "flag"]
+    got = read_snapshot(spark, t)
+    assert got.columns == ["id", "day", "v", "flag"]
+    assert got.filter(F.col("day") == 1).count() == 5
+    assert got.filter((F.col("day") == 0) & F.col("flag").isNull()).count() == 10
+    assert got.filter(F.col("flag")).count() == 5
