@@ -93,3 +93,69 @@ def test_midround_projection_bumps_window_forward(monkeypatch, capsys):
     assert code == 0, out
     assert "SPENT" not in out
     assert f"next-round (r{max_round + 2}, after this window runs)" in out
+
+
+def _ledger_with_one_stale_fp(name):
+    """A ledger where `name` carries a deliberately wrong fingerprint
+    (as if its plan/oracle changed after its last driver row) and every
+    other query matches its live state."""
+    ledger = {
+        q: {"fp": rotation.query_fingerprint(QUERIES[q]), "round": 9}
+        for q in QUERIES
+    }
+    ledger[name] = {"fp": "0" * 32, "round": 9}
+    return ledger
+
+
+def test_changed_query_outside_window_fails_policy4(monkeypatch, capsys):
+    """Mid-round, a query whose live fingerprint differs from the state
+    its last driver row certified must sit IN the window; outside it the
+    audit fails loudly (the r13->r14 manual-tracking gap, now visible)."""
+    max_round = 40
+    outside = next(q for q in QUERIES if q not in DRIVER_ORDER)
+    budget = rotation.staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    latest = {q: max_round + 1 - budget + 1 for q in QUERIES}  # nothing due
+    latest[DRIVER_ORDER[0]] = max_round  # not spent
+    monkeypatch.setattr(
+        rotation, "load_fingerprints", lambda: _ledger_with_one_stale_fp(outside)
+    )
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 1
+    assert "policy #4" in out and outside in out
+
+
+def test_changed_query_notes_when_window_spent(monkeypatch, capsys):
+    """Once the window is spent the changed query cannot be seated until
+    the next adoption: NOTE, not failure — the next builder fronts it."""
+    max_round = 40
+    outside = next(q for q in QUERIES if q not in DRIVER_ORDER)
+    latest = {q: max_round for q in QUERIES}
+    monkeypatch.setattr(
+        rotation, "load_fingerprints", lambda: _ledger_with_one_stale_fp(outside)
+    )
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 0, out
+    assert "front the next window (policy #4)" in out and outside in out
+
+
+def test_live_ledger_matches_live_queries():
+    """The committed fingerprint ledger must cover every registered query
+    and agree with the live code for every OUT-OF-WINDOW query — i.e. no
+    query changed since its last driver row without being seated (in-
+    window queries may drift mid-round; re-run --fingerprint after
+    editing one).  This is the pytest face of rotation policy #4."""
+    from prod_data_pipeline_spark.plans.queries import DRIVER_ORDER as window
+
+    ledger = rotation.load_fingerprints()
+    assert ledger, "tools/query_fingerprints.json missing — run --fingerprint"
+    missing = sorted(set(QUERIES) - set(ledger))
+    # queries with no driver row yet are ledgered at first adoption
+    latest = rotation.latest_driver_round()
+    missing = [q for q in missing if q in latest]
+    assert not missing, f"registered queries absent from the ledger: {missing}"
+    changed, _ = rotation.changed_since_driver_row(QUERIES, set(window))
+    assert not changed, (
+        f"plan/oracle changed since last driver row, outside the window "
+        f"(policy #4): {changed} — seat them or re-run --fingerprint "
+        "after a window re-adoption"
+    )

@@ -28,9 +28,22 @@ so a 3-round budget mathematically over-saturates the window):
      (stale or never-checked alike) defers to the FRONT of next round's
      window (reported below, not a failure — a failure is ANY due row
      deferred while a non-mandatory filler holds a slot);
-  4. queries whose oracle changed since their last driver row go in
-     (cannot be detected here — the round's builder must add them);
+  4. queries whose plan/oracle changed since their last driver row go
+     in — detected via the fingerprint ledger since round 14 (see
+     below); before that the builder had to track changes by hand,
+     which is exactly how the four r13 advisory-touched queries came to
+     need manual fronting in r14;
   5. remaining slots fill oldest-driver-row-first.
+
+Fingerprint ledger (tools/query_fingerprints.json): for every query,
+the md5 of (oracle SQL + DataFrame-builder source) at the last state a
+driver row checked, plus that round.  `--fingerprint` refreshes the
+ledger for the CURRENT window (run it right after adopting a round's
+window — those queries are about to be driver-checked at their current
+state); the audit then flags any query whose live fingerprint differs
+from its ledger entry while sitting OUTSIDE the window (a policy-#4
+violation the tool can now see).  Queries with no ledger entry are
+reported, not failed.
 """
 
 from __future__ import annotations
@@ -53,6 +66,46 @@ def staleness_budget(n_queries: int, n_sentinels: int) -> int:
     this means the rotation was skipped; anything younger may simply be
     waiting its turn in an oldest-first cycle."""
     return max(1, math.ceil(n_queries / max(1, WINDOW - n_sentinels)))
+
+
+FINGERPRINTS = os.path.join(REPO, "tools", "query_fingerprints.json")
+
+
+def query_fingerprint(spec) -> str:
+    """md5 over the parts of a registered query a driver row certifies:
+    the oracle SQL and the DataFrame builder's source.  Whitespace is
+    NOT normalized — a comment-only edit re-flags the query, which is
+    the cheap, safe direction (one window slot vs a silent policy-#4
+    miss)."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(spec.fn)
+    return hashlib.md5(
+        ((spec.oracle or "") + "\0" + src).encode()
+    ).hexdigest()
+
+
+def load_fingerprints() -> dict:
+    if not os.path.exists(FINGERPRINTS):
+        return {}
+    with open(FINGERPRINTS) as f:
+        return json.load(f)
+
+
+def changed_since_driver_row(queries: dict, window: set) -> tuple[list, list]:
+    """(policy-#4 offenders, unledgered names): offenders are queries
+    whose live fingerprint differs from the ledgered
+    last-driver-checked state while sitting OUTSIDE the window."""
+    ledger = load_fingerprints()
+    changed, unledgered = [], []
+    for name, spec in queries.items():
+        entry = ledger.get(name)
+        if entry is None:
+            unledgered.append(name)
+        elif entry["fp"] != query_fingerprint(spec) and name not in window:
+            changed.append(name)
+    return changed, unledgered
 
 
 def latest_driver_round() -> dict[str, int]:
@@ -171,6 +224,65 @@ def main() -> None:
                 f"never-checked defer to the front of next round's window: "
                 f"{deferred}"
             )
+    # Policy #4 (fingerprint ledger, round 14): a query whose plan/oracle
+    # changed since the state its last driver row certified must re-enter
+    # the window.  Mid-round this is a failure; once the window is spent
+    # it fronts the next window (same turnover semantics as stale rows).
+    changed, unledgered = changed_since_driver_row(QUERIES, window)
+    if changed:
+        if window_spent:
+            print(
+                f"NOTE: {len(changed)} plan/oracle-changed queries front "
+                f"the next window (policy #4): {sorted(changed)}"
+            )
+        else:
+            print(
+                f"POLICY FAIL: {len(changed)} queries changed since their "
+                f"last driver row but sit outside the window (policy #4): "
+                f"{sorted(changed)}"
+            )
+            ok = False
+    if unledgered:
+        print(
+            f"note: {len(unledgered)} queries have no fingerprint ledger "
+            "entry (run --fingerprint after adopting a window)"
+        )
+
+    if "--fingerprint" in sys.argv:
+        if window_spent:
+            print(
+                "refusing --fingerprint on a SPENT window: its rows were "
+                "checked against possibly-older code; adopt the next "
+                "window first, then fingerprint"
+            )
+            sys.exit(1)
+        ledger = load_fingerprints()
+        for name in DRIVER_ORDER:
+            ledger[name] = {
+                "fp": query_fingerprint(QUERIES[name]),
+                "round": max_round + 1,
+            }
+        seeded = [
+            name for name in QUERIES
+            if name not in ledger and name in latest
+        ]
+        for name in seeded:
+            # initial seeding: assumes the query is UNCHANGED since its
+            # latest driver row (valid at the r14 seeding — the r13
+            # verdict certified the only post-row-changed queries, all
+            # seated in the r14 window and ledgered above)
+            ledger[name] = {
+                "fp": query_fingerprint(QUERIES[name]),
+                "round": latest[name],
+            }
+        with open(FINGERPRINTS, "w") as f:
+            json.dump(dict(sorted(ledger.items())), f, indent=0)
+        print(
+            f"fingerprinted {len(DRIVER_ORDER)} window queries for round "
+            f"{max_round + 1}"
+            + (f"; seeded {len(seeded)} out-of-window queries" if seeded else "")
+        )
+
     if ok:
         print("policy check: OK (window size, stale-first coverage, sentinels)")
 
