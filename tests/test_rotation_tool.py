@@ -159,3 +159,25 @@ def test_live_ledger_matches_live_queries():
         f"(policy #4): {changed} — seat them or re-run --fingerprint "
         "after a window re-adoption"
     )
+
+
+def test_propose_seats_changed_queries(monkeypatch, capsys):
+    """--propose must seat ledger-detected policy-#4 queries right after
+    the sentinels, even when their driver rows are otherwise fresh."""
+    import sys
+
+    max_round = 40
+    outside = next(q for q in QUERIES if q not in DRIVER_ORDER)
+    latest = {q: max_round for q in QUERIES}  # spent window, nothing stale
+    monkeypatch.setattr(
+        rotation, "load_fingerprints", lambda: _ledger_with_one_stale_fp(outside)
+    )
+    monkeypatch.setattr(sys, "argv", ["rotation", "--propose"])
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 0, out
+    proposal = [
+        line.strip().strip('",').strip('"')
+        for line in out.splitlines()
+        if line.strip().startswith('"')
+    ]
+    assert outside in proposal[: len(DRIVER_SENTINELS) + 1], proposal[:6]

@@ -329,16 +329,22 @@ def main() -> None:
         # next round: mid-round, assume everything in the current window
         # gets a row; once the window is spent those rows are already
         # recorded, so propose straight from latest (nxt_latest handles
-        # both cases above).
+        # both cases above).  Seating order: never-checked (policy #3),
+        # sentinels (policy #1), ledger-detected changed queries
+        # (policy #4 — automated since r14), then oldest-first.
         nxt = nxt_latest
         order = [q for q in never if q not in window]  # should be empty
         order += list(DRIVER_SENTINELS)
+        order += [q for q in sorted(changed) if q not in order]
         for _, q in sorted((r, q) for q, r in nxt.items()):
             if len(order) >= WINDOW:
                 break
             if q not in order:
                 order.append(q)
-        print("\nproposed next-round DRIVER_ORDER (oldest-first + sentinels):")
+        print(
+            "\nproposed next-round DRIVER_ORDER "
+            "(never-checked + sentinels + changed + oldest-first):"
+        )
         for q in order[:WINDOW]:
             print(f'    "{q}",')
 
