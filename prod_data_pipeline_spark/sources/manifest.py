@@ -391,6 +391,21 @@ def _auth_struct(snap: "Snapshot"):
     return StructType.fromJson(snap.schema) if snap.schema else None
 
 
+def _require_schema_column(snap: "Snapshot", col: str, op: str) -> None:
+    """Fail fast when a delete targets a column the recorded schema does
+    not contain: SQL errors on an unknown column, and before this guard a
+    typo'd ``delete_where(col, None)`` read the phantom column as
+    all-NULL and deleted EVERY row in its rewrite set.  Legacy tables
+    (no recorded schema) keep the old decidable-NULL behavior — absence
+    cannot be proven there without a footer scan."""
+    auth = _auth_struct(snap)
+    if auth is not None and col not in auth.fieldNames():
+        raise ValueError(
+            f"{op}({col!r}): column not in the table schema "
+            f"{auth.fieldNames()}"
+        )
+
+
 def _rewrite_reader(spark: SparkSession, snap: "Snapshot"):
     """The reader every rewrite path (COW delete, delete compaction,
     bin-pack) uses: authoritative-schema projection when the manifest
@@ -779,6 +794,7 @@ def delete_where(
     if v is None:
         raise FileNotFoundError(f"no committed version at {table_path}")
     snap = read_manifest(table_path, v)
+    _require_schema_column(snap, col, "delete_where")
     rewrite = set(prune_files_eq(snap, col, value))
     carried = [f for f in snap.files if f not in rewrite]
 
@@ -809,13 +825,14 @@ def delete_where(
             snap.deletes or {},
             sorted(rewrite),
         )
-        # The merged-footer grouped read above is AUTHORITATIVE on width:
-        # every group reads with mergeSchema and the union allows missing
-        # columns, so src carries every column present in ANY rewrite
-        # file.  `col not in src.columns` therefore means the column is
-        # absent from EVERY rewritten file (schema-evolved delete column
-        # older than all of them) and the decidable-NULL branches below
-        # apply.  Do NOT "fall back" to a raw re-read here: it would
+        # The full-width grouped read above is AUTHORITATIVE: it carries
+        # the recorded schema (or, on a legacy table, every column present
+        # in ANY rewrite file via merged footers).  `col not in
+        # src.columns` therefore only happens on a LEGACY table whose
+        # rewrite set entirely predates the column (the schema-recorded
+        # path already failed fast on unknown columns above) and the
+        # decidable-NULL branches below apply.  Do NOT "fall back" to a
+        # raw re-read here: it would
         # bypass the pending MOR delete filters folded in by the grouped
         # read and resurrect deleted rows in the rewritten files
         # (r13 advisory).
@@ -925,6 +942,7 @@ def delete_where_mor(
     if v is None:
         raise FileNotFoundError(f"no committed version at {table_path}")
     snap = read_manifest(table_path, v)
+    _require_schema_column(snap, col, "delete_where_mor")
     affected = prune_files_eq(snap, col, value)
     if not affected:
         return snap  # bloom/zone proof: nothing to hide

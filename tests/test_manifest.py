@@ -1680,3 +1680,22 @@ def test_replace_where_evolves_schema_additively(spark, tmp_path):
     assert got.filter(F.col("day") == 1).count() == 5
     assert got.filter((F.col("day") == 0) & F.col("flag").isNull()).count() == 10
     assert got.filter(F.col("flag")).count() == 5
+
+
+def test_delete_on_unknown_column_fails_fast(spark, tmp_path):
+    """With a recorded schema, a delete targeting a column the table does
+    not have raises instead of silently no-opping (non-NULL value) or —
+    the dangerous case — reading the phantom column as all-NULL and
+    deleting every row in the rewrite set (delete_where(col, None))."""
+    from prod_data_pipeline_spark.sources.manifest import (
+        delete_where,
+        delete_where_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(spark.range(0, 10).withColumn("v", F.col("id") * 2), t)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        delete_where(spark, t, "no_such_col", None)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        delete_where_mor(spark, t, "no_such_col", 1)
+    assert read_snapshot(spark, t).count() == 10
