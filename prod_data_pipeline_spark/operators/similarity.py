@@ -1148,8 +1148,8 @@ def ivf_append(
     crawl extends a deployed ANN index: retraining the quantizer would
     invalidate every stored posting (a full-corpus rewrite); appending
     reuses the codebook and touches only the new rows, deferring the
-    rebuild until the balance/recall audits (emb_ivf_append_audit /
-    emb_ivf_append_recall) say the geometry has drifted.
+    rebuild until the balance/recall audit panel (emb_ivf_append_panel)
+    says the geometry has drifted.
 
     The codebook is the deterministic label-centroid quantizer
     (label_centroids on the SNAPSHOT — exact decimal means, so the whole

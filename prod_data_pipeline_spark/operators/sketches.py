@@ -1,6 +1,6 @@
 """Mergeable count-min sketches over DataFrames.
 
-Companion to the HLL family (plans/queries.py `events_hll_mergeable_users`):
+Companion to the HLL family (plans/queries.py `events_hll_users_panel`):
 where HLL answers "how many distinct keys", a count-min sketch (CMS,
 Cormode & Muthukrishnan 2005) answers "about how often does THIS key
 occur" from sub-linear state — the standard streaming/heavy-hitter

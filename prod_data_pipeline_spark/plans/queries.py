@@ -42,6 +42,9 @@ from prod_data_pipeline_spark.plans.queries_text_dedup import *  # noqa: F401,F4
 from prod_data_pipeline_spark.plans.queries_tpch_graph import *  # noqa: F401,F403
 from prod_data_pipeline_spark.plans.queries_media_rank import *  # noqa: F401,F403
 from prod_data_pipeline_spark.plans.queries_curation_gates import *  # noqa: F401,F403
+# round-15 consolidation panels (verdict r14 directive #1) — registered
+# LAST so the 223 surviving registration positions are unchanged
+from prod_data_pipeline_spark.plans.queries_merged_panels import *  # noqa: F401,F403,E402
 # underscore names are not carried by star imports; re-export the ones
 # with external consumers (tests/test_property_text.py)
 from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401

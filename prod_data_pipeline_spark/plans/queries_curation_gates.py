@@ -30,9 +30,6 @@ from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
     docs_quality_scores,
     emb_topk_bruteforce,
 )
-from prod_data_pipeline_spark.plans.queries_text_dedup import (  # noqa: F401
-    events_hll_mergeable_users,
-)
 from prod_data_pipeline_spark.plans.queries_tpch_graph import (  # noqa: F401
     events_kanonymity_audit,
 )
@@ -487,164 +484,16 @@ def docs_model_quality_gate(spark, sf_dir):
     )
 
 
-@query(
-    "docs_gate_agreement_kappa",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {{_TOKS_SQL}} AS tk FROM documents
-    ), lab AS (
-      SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
-             CASE WHEN ROUND(0.5 * LEAST(len(tk) / 100.0, 1.0)
-                  + 0.5 * (len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)), 4)
-                  >= 0.52 THEN 1 ELSE 0 END AS y,
-             CAST(doc_id % 5 AS INT) AS fold
-      FROM t
-    ), feats AS (
-      SELECT doc_id, y, fold,
-             ['len:' || CAST(LEAST(n // 5, 40) AS VARCHAR),
-              'div:' || CAST((nd * 40) // n AS VARCHAR),
-              'lxd:' || CAST(LEAST(n // 10, 20) AS VARCHAR) || '_'
-                     || CAST((nd * 20) // n AS VARCHAR)] AS fs
-      FROM lab
-    ), ex AS (
-      SELECT doc_id, y, fold,
-             CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 4096
-                  AS BIGINT) AS b
-      FROM (SELECT doc_id, y, fold, unnest(fs) AS f FROM feats)
-      GROUP BY 1, 2, 3, 4
-    ), prior_counts AS (
-      SELECT CAST(SUM(y) AS DOUBLE) AS npos,
-             CAST(SUM(1 - y) AS DOUBLE) AS nneg
-      FROM lab WHERE fold < 4
-    ), llr AS (
-      SELECT CAST(d.range AS BIGINT) AS b,
-             ROUND(ln((COALESCE(cpos, 0) + 1.0) / (npos + 2.0))
-                   - ln((COALESCE(cneg, 0) + 1.0) / (nneg + 2.0)), 7) AS w
-      FROM range(0, 4096) d
-      LEFT JOIN (SELECT b, SUM(y) AS cpos, SUM(1 - y) AS cneg
-                 FROM ex WHERE fold < 4 GROUP BY 1) trainb
-        ON trainb.b = d.range, prior_counts
-    ), prior AS (
-      SELECT ROUND(ln((npos + 1.0) / (nneg + 1.0)), 7) AS pr
-      FROM prior_counts
-    ), perdoc AS (
-      SELECT e.doc_id, COUNT(b) AS n_feats,
-             CAST(CAST(COALESCE(SUM(CAST(FLOOR(w * 10000000.0 + 0.5) AS BIGINT)),
-                                0) AS BIGINT) AS DOUBLE) / 10000000.0
-               AS wsum
-      FROM ex e JOIN llr USING (b)
-      GROUP BY 1
-    ), scored AS (
-      SELECT doc_id,
-             ROUND(1.0 / (1.0 + exp(-(CASE WHEN n_feats > 0
-                 THEN (wsum + (SELECT pr FROM prior)) / n_feats
-                 ELSE 0.0 END))), 6) AS prob
-      FROM perdoc
-    ), conf AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CASE WHEN prob >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n11,
-             CAST(SUM(CASE WHEN prob >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n10,
-             CAST(SUM(CASE WHEN prob < 0.5 AND y = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n01,
-             CAST(SUM(CASE WHEN prob < 0.5 AND y = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n00
-      FROM scored JOIN lab USING (doc_id)
-    )
-    SELECT n_docs,
-           n11 AS n_both_keep,
-           n10 AS n_model_only,
-           n01 AS n_heuristic_only,
-           n00 AS n_both_drop,
-           CAST(FLOOR(CAST(n11 + n00 AS DOUBLE) * 1000000.0
-                      / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0
-               AS observed_agreement,
-           CAST(FLOOR(CAST((n11 + n10) * (n11 + n01)
-                           + (n01 + n00) * (n10 + n00) AS DOUBLE) * 1000000.0
-                      / CAST(n_docs * n_docs AS DOUBLE) + 0.5) AS BIGINT)
-               / 1000000.0 AS chance_agreement,
-           CASE WHEN n_docs * n_docs
-                     = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
-                THEN 1.0
-                ELSE CAST(FLOOR(CAST(n_docs * (n11 + n00)
-                          - ((n11 + n10) * (n11 + n01)
-                             + (n01 + n00) * (n10 + n00)) AS DOUBLE) * 1000000.0
-                     / CAST(n_docs * n_docs
-                            - ((n11 + n10) * (n11 + n01)
-                               + (n01 + n00) * (n10 + n00)) AS DOUBLE)
-                     + 0.5) AS BIGINT) / 1000000.0
-           END AS kappa
-    FROM conf
-    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
-    tags=("text", "curation", "quality", "eval", "agreement"),
-)
-def docs_gate_agreement_kappa(spark, sf_dir):
-    """Cohen's kappa between the TRAINED model gate (ft_trained_quality_
-    scores, prob >= 0.5) and the heuristic quality gate it distills
-    (quality_score >= 0.52) — chance-corrected distillation fidelity, the
-    number to watch on retrains: raw agreement stays high under class
-    imbalance even when the model adds nothing over always-keep, kappa
-    collapses to ~0 there.  Emits the full 2x2 confusion (both-keep /
-    model-only / heuristic-only / both-drop) plus observed agreement,
-    chance agreement, and kappa = (N*(n11+n00) - pe_num) / (N^2 - pe_num)
-    with pe_num the marginal cross product — every input an exact int64,
-    each report ONE identical IEEE divide + floor-half-up in both engines
-    (bit-identical inputs => bit-identical double => same floor; exact
-    while N^2*1e6 < 2^53, i.e. N < ~95M docs — past that, kappa on a
-    sampled panel).  The degenerate pe = 1 case (both gates constant)
-    reports kappa = 1.0 by convention, guarded identically in both
-    engines.  100 TB: the model gate is the audited one-scan pipeline;
-    the heuristic label is a projection on the same scan; the kappa layer
-    is ONE global combiner agg."""
-    from prod_data_pipeline_spark.functions.text import tokens
-    from prod_data_pipeline_spark.operators.quality import (
-        ft_trained_quality_scores,
-    )
-    from prod_data_pipeline_spark.operators.text import quality_score
-
-    docs = _t(spark, sf_dir, "documents")
-    per = ft_trained_quality_scores(docs).select("doc_id", "keeps")
-    lab = docs.select(
-        "doc_id", tokens(F.col("text")).alias("tk")
-    ).select(
-        "doc_id",
-        (
-            quality_score(F.col("tk"), F.array_distinct("tk")) >= F.lit(0.52)
-        ).alias("_y"),
-    )
-    conf = (
-        per.join(lab, "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("keeps") & F.col("_y"), 1).otherwise(0))
-            .cast("long")
-            .alias("n11"),
-            F.sum(F.when(F.col("keeps") & ~F.col("_y"), 1).otherwise(0))
-            .cast("long")
-            .alias("n10"),
-            F.sum(F.when(~F.col("keeps") & F.col("_y"), 1).otherwise(0))
-            .cast("long")
-            .alias("n01"),
-            F.sum(F.when(~F.col("keeps") & ~F.col("_y"), 1).otherwise(0))
-            .cast("long")
-            .alias("n00"),
-        )
-    )
-    return conf.select(
-        "n_docs",
-        F.col("n11").alias("n_both_keep"),
-        F.col("n10").alias("n_model_only"),
-        F.col("n01").alias("n_heuristic_only"),
-        F.col("n00").alias("n_both_drop"),
-        *kappa_report_columns(),
-    )
+# docs_gate_agreement_kappa merged into plans/queries_merged_panels.py::
+# docs_gate_eval_panel (round-15 consolidation switch) — the panel derives
+# the 2x2 confusion from the calibration bins (keep <=> pm >= 5e5 <=> bin
+# >= 5) and reports the same kappa columns via kappa_report_columns below.
 
 
 def kappa_report_columns() -> list:
     """The three kappa-report expressions over a confusion relation with
     int64 columns (n_docs, n11, n10, n01, n00) — shared by
-    docs_gate_agreement_kappa and the edge-case pytest (negative kappa,
+    docs_gate_eval_panel and the edge-case pytest (negative kappa,
     degenerate pe=1), which the corpus itself cannot reach.  Each report
     is ONE IEEE divide on exact int64->double inputs + floor-half-up
     (floor(x + 0.5) rounds half-up toward +inf for NEGATIVE kappa too —
@@ -669,169 +518,10 @@ def kappa_report_columns() -> list:
     ]
 
 
-@query(
-    "docs_gate_calibration",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {{_TOKS_SQL}} AS tk FROM documents
-    ), lab AS (
-      SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
-             CASE WHEN ROUND(0.5 * LEAST(len(tk) / 100.0, 1.0)
-                  + 0.5 * (len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)), 4)
-                  >= 0.52 THEN 1 ELSE 0 END AS y,
-             CAST(doc_id % 5 AS INT) AS fold
-      FROM t
-    ), feats AS (
-      SELECT doc_id, y, fold,
-             ['len:' || CAST(LEAST(n // 5, 40) AS VARCHAR),
-              'div:' || CAST((nd * 40) // n AS VARCHAR),
-              'lxd:' || CAST(LEAST(n // 10, 20) AS VARCHAR) || '_'
-                     || CAST((nd * 20) // n AS VARCHAR)] AS fs
-      FROM lab
-    ), ex AS (
-      SELECT doc_id, y, fold,
-             CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 4096
-                  AS BIGINT) AS b
-      FROM (SELECT doc_id, y, fold, unnest(fs) AS f FROM feats)
-      GROUP BY 1, 2, 3, 4
-    ), prior_counts AS (
-      SELECT CAST(SUM(y) AS DOUBLE) AS npos,
-             CAST(SUM(1 - y) AS DOUBLE) AS nneg
-      FROM lab WHERE fold < 4
-    ), llr AS (
-      SELECT CAST(d.range AS BIGINT) AS b,
-             ROUND(ln((COALESCE(cpos, 0) + 1.0) / (npos + 2.0))
-                   - ln((COALESCE(cneg, 0) + 1.0) / (nneg + 2.0)), 7) AS w
-      FROM range(0, 4096) d
-      LEFT JOIN (SELECT b, SUM(y) AS cpos, SUM(1 - y) AS cneg
-                 FROM ex WHERE fold < 4 GROUP BY 1) trainb
-        ON trainb.b = d.range, prior_counts
-    ), prior AS (
-      SELECT ROUND(ln((npos + 1.0) / (nneg + 1.0)), 7) AS pr
-      FROM prior_counts
-    ), perdoc AS (
-      SELECT e.doc_id, COUNT(b) AS n_feats,
-             CAST(CAST(COALESCE(SUM(CAST(FLOOR(w * 10000000.0 + 0.5) AS BIGINT)),
-                                0) AS BIGINT) AS DOUBLE) / 10000000.0
-               AS wsum
-      FROM ex e JOIN llr USING (b)
-      GROUP BY 1
-    ), scored AS (
-      SELECT doc_id,
-             ROUND(1.0 / (1.0 + exp(-(CASE WHEN n_feats > 0
-                 THEN (wsum + (SELECT pr FROM prior)) / n_feats
-                 ELSE 0.0 END))), 6) AS prob
-      FROM perdoc
-    ), p6 AS (
-      SELECT s.doc_id, lab.y,
-             CAST(ROUND(s.prob * 1000000.0, 0) AS BIGINT) AS pm
-      FROM scored s JOIN lab USING (doc_id)
-    ), bins AS (
-      SELECT LEAST(pm // 100000, 9) AS bin,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(y) AS BIGINT) AS n_pos,
-             CAST(SUM(pm) AS BIGINT) AS sum_conf_micro
-      FROM p6 GROUP BY 1
-    ), ece AS (
-      SELECT CAST((2 * SUM(ABS(n_pos * 1000000 - sum_conf_micro))
-                   + SUM(n_docs))
-                  // (2 * SUM(n_docs)) AS BIGINT) / 1000000.0 AS ece
-      FROM bins
-    )
-    SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos, sum_conf_micro,
-           CAST((2 * sum_conf_micro + n_docs) // (2 * n_docs) AS BIGINT)
-               / 1000000.0 AS mean_conf,
-           CAST((2 * n_pos * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
-               / 1000000.0 AS frac_pos,
-           CAST(ABS(n_pos * 1000000 - sum_conf_micro) AS BIGINT)
-               AS gap_micro,
-           (SELECT ece FROM ece) AS ece
-    FROM bins ORDER BY bin
-    """.replace("{{_TOKS_SQL}}", "{_TOKS_SQL}").format(_TOKS_SQL=_TOKS_SQL),
-    tags=("text", "curation", "quality", "eval", "calibration"),
-)
-def docs_gate_calibration(spark, sf_dir):
-    """Reliability diagram + expected calibration error (ECE) for the
-    trained model gate — completes the eval suite around the served
-    model (held-out P/R: docs_nb_quality_gate; chance-corrected
-    agreement: docs_gate_agreement_kappa; THIS: whether prob 0.8 means
-    80%): predicted probabilities bucket into 10 equal-width bins; per
-    bin the mean predicted confidence is compared with the empirical
-    positive rate, and ECE = sum_b (n_b/N)*|acc_b - conf_b| weights the
-    gaps by bin mass.  A gate used with a tunable threshold (keep the
-    top-X% by prob) is only as good as its calibration — an uncalibrated
-    distillation ranks fine at 0.5 but mis-sizes every other cut.
-
-    Exactness: prob is ROUND(x,6), so its micro-numerator pm =
-    round(prob*1e6) recovers EXACTLY (tie-free — the double is within
-    1e-9 of the integer; the repo's standard recovery); every bin stat
-    is then int64 (bin = min(pm div 1e5, 9) — floor-division of
-    non-negatives agrees across engines; n_b*|acc-conf| =
-    |n_pos*1e6 - sum_pm|/1e6 exactly), and each 6-digit report is
-    integer half-up on its numerator.  Bound: sum(pm) per bin < 2^63
-    while n_b < 9.2e12 docs.  100 TB: the gate pipeline is the audited
-    one-scan path; the calibration layer is one 10-row combiner agg +
-    a broadcast ECE scalar."""
-    from prod_data_pipeline_spark.functions.text import tokens
-    from prod_data_pipeline_spark.operators.quality import (
-        ft_trained_quality_scores,
-    )
-    from prod_data_pipeline_spark.operators.text import quality_score
-
-    docs = _t(spark, sf_dir, "documents")
-    per = ft_trained_quality_scores(docs).select("doc_id", "quality_prob")
-    lab = docs.select(
-        "doc_id", tokens(F.col("text")).alias("tk")
-    ).select(
-        "doc_id",
-        (quality_score(F.col("tk"), F.array_distinct("tk")) >= F.lit(0.52))
-        .cast("int")
-        .alias("_y"),
-    )
-    p6 = per.join(lab, "doc_id").select(
-        F.round(F.col("quality_prob") * F.lit(1000000.0), 0)
-        .cast("long")
-        .alias("pm"),
-        F.col("_y"),
-    )
-    bins = p6.groupBy(
-        F.least(F.expr("pm div 100000"), F.lit(9).cast("long")).alias("bin")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("_y").cast("long").alias("n_pos"),
-        F.sum("pm").cast("long").alias("sum_conf_micro"),
-    )
-    ece = bins.agg(
-        (
-            F.expr(
-                "(2 * SUM(ABS(n_pos * 1000000 - sum_conf_micro)) + SUM(n_docs))"
-                " div (2 * SUM(n_docs))"
-            )
-            / F.lit(1000000.0)
-        ).alias("ece")
-    )
-    return (
-        bins.crossJoin(F.broadcast(ece))
-        .select(
-            "bin",
-            "n_docs",
-            "n_pos",
-            "sum_conf_micro",
-            (
-                F.expr("(2 * sum_conf_micro + n_docs) div (2 * n_docs)")
-                / F.lit(1000000.0)
-            ).alias("mean_conf"),
-            (
-                F.expr("(2 * n_pos * 1000000 + n_docs) div (2 * n_docs)")
-                / F.lit(1000000.0)
-            ).alias("frac_pos"),
-            F.expr("ABS(n_pos * 1000000 - sum_conf_micro)")
-            .cast("long")
-            .alias("gap_micro"),
-            "ece",
-        )
-        .orderBy("bin")
-    )
+# docs_gate_calibration merged into plans/queries_merged_panels.py::
+# docs_gate_eval_panel (round-15 consolidation switch) — the panel's
+# metric='calibration' rows are this query's bins + ECE from the shared
+# trained-gate pass.
 
 
 @query(
@@ -2373,304 +2063,16 @@ _COS_SQL = (
 _IVF_APPEND_SPLIT_SQL = "CASE WHEN vec_id % 8 = 7 THEN 1 ELSE 0 END"
 
 
-@query(
-    "emb_ivf_append_audit",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             {_IVF_APPEND_SPLIT_SQL} AS is_new
-      FROM embeddings
-    ), cm AS (
-      SELECT label AS cell, pos,
-             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
-      WHERE is_new = 0
-      GROUP BY 1, 2
-    ), cent AS (
-      SELECT cell, list(m ORDER BY pos) AS c FROM cm GROUP BY cell
-    ), acell AS (
-      SELECT vec_id, is_new, cell FROM (
-        SELECT v.vec_id, v.is_new, cent.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent.c")}, cent.cell) AS rn
-        FROM v, cent
-      ) WHERE rn = 1
-    ), sizes AS (
-      SELECT cell,
-             CAST(SUM(1 - is_new) AS BIGINT) AS n_snapshot,
-             CAST(SUM(is_new) AS BIGINT) AS n_batch,
-             CAST(COUNT(*) AS BIGINT) AS n_postings
-      FROM acell GROUP BY cell
-    ), tot AS (
-      SELECT CAST(SUM(n_postings) AS BIGINT) AS total,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM cent) AS n_cells
-      FROM sizes
-    )
-    SELECT CAST(s.cell AS BIGINT) AS cell,
-           s.n_snapshot, s.n_batch, s.n_postings,
-           (2 * s.n_postings <= t.total) AS share_le_half,
-           (s.n_postings * t.n_cells <= 4 * t.total) AS imbalance_le_4x
-    FROM sizes s, tot t
-    ORDER BY cell
-    """,
-    tags=("similarity", "ann", "ivf", "incremental", "audit"),
-)
-def emb_ivf_append_audit(spark, sf_dir):
-    """Post-append IVF posting-list balance (operators.similarity.
-    ivf_append): the nightly embedding batch (vec_id % 8 == 7 — the
-    embeddings twin of docs_incremental_dedup's snapshot/batch split) is
-    assigned to the EXISTING snapshot codebook with NO retrain, and the
-    audit reports, per cell, the snapshot/batch posting counts plus the
-    emb_ivf_cell_balance bounds re-checked on the appended index (max
-    cell share <= 0.5, max/mean imbalance <= 4x) — the health check that
-    decides when codebook drift has gone far enough to warrant the full
-    rebuild.  Unlike the k-means balance audit, the codebook here is the
-    DETERMINISTIC label-centroid quantizer (exact decimal means, the
-    emb_topk_ivf recipe), so the oracle replays the entire appended
-    index — centroids, both assignment passes, per-cell counts, bound
-    booleans — bit-for-bit; the bound columns are exact integer
-    comparisons (2*n <= total; n*n_cells <= 4*total), no ROUND ties.
-
-    100 TB shape: the codebook never refits and SNAPSHOT EMBEDDINGS
-    NEVER RE-SHUFFLE — both assignment passes are zero-exchange
-    projections against the inlined codebook literal (argmin via
-    array_sort), and the only exchange in the plan carries cell-sized
-    partial counts (map-side combined groupBy on ~|labels| keys).  A
-    batch row whose label did not exist in the snapshot lands in its
-    nearest EXISTING cell, exactly what a frozen production codebook
-    does to novel content."""
-    from prod_data_pipeline_spark.operators.similarity import ivf_append
-
-    emb = _t(spark, sf_dir, "embeddings")
-    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
-    postings, _, n_cells = ivf_append(emb.filter(~is_new), emb.filter(is_new))
-    sizes = postings.groupBy("cell").agg(
-        F.sum(F.when(F.col("is_new"), 0).otherwise(1))
-        .cast("long")
-        .alias("n_snapshot"),
-        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_batch"),
-        F.count(F.lit(1)).alias("n_postings"),
-    )
-    # cell-sized relation feeding two consumers (totals + final projection)
-    sizes = sizes.transform(truncate_lineage, eager=False)
-    tot = sizes.agg(
-        F.sum("n_postings").cast("long").alias("total"),
-        F.lit(n_cells).cast("long").alias("n_cells"),
-    )
-    return (
-        sizes.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("cell").cast("long").alias("cell"),
-            "n_snapshot",
-            "n_batch",
-            "n_postings",
-            (2 * F.col("n_postings") <= F.col("total")).alias("share_le_half"),
-            (F.col("n_postings") * F.col("n_cells") <= 4 * F.col("total")).alias(
-                "imbalance_le_4x"
-            ),
-        )
-        .orderBy("cell")
-    )
+# emb_ivf_append_audit merged into plans/queries_merged_panels.py::
+# emb_ivf_append_panel (round-15 consolidation switch) — the panel's
+# section='cell_audit' rows carry the same per-cell posting counts and
+# integer balance-bound booleans over the shared appended postings.
 
 
-@query(
-    "emb_ivf_append_recall",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             {_IVF_APPEND_SPLIT_SQL} AS is_new
-      FROM embeddings
-    ), cm0 AS (
-      SELECT label AS cell, pos,
-             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
-      WHERE is_new = 0
-      GROUP BY 1, 2
-    ), cent0 AS (
-      SELECT cell, list(m ORDER BY pos) AS c FROM cm0 GROUP BY cell
-    ), cm1 AS (
-      SELECT label AS cell, pos,
-             CAST(SUM(CAST(e[pos] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
-      FROM v, UNNEST(range(1, len(e) + 1)) AS t(pos)
-      GROUP BY 1, 2
-    ), cent1 AS (
-      SELECT cell, list(m ORDER BY pos) AS c FROM cm1 GROUP BY cell
-    ), acell0 AS (
-      SELECT vec_id, cell FROM (
-        SELECT v.vec_id, cent0.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent0.c")}, cent0.cell) AS rn
-        FROM v, cent0
-      ) WHERE rn = 1
-    ), acell1 AS (
-      SELECT vec_id, cell FROM (
-        SELECT v.vec_id, cent1.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent1.c")}, cent1.cell) AS rn
-        FROM v, cent1
-      ) WHERE rn = 1
-    ), probes0 AS (
-      SELECT query_id, cell FROM (
-        SELECT v.vec_id AS query_id, cent0.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent0.c")}, cent0.cell) AS rn
-        FROM v, cent0 WHERE v.vec_id < 8
-      ) WHERE rn <= 2
-    ), probes1 AS (
-      SELECT query_id, cell FROM (
-        SELECT v.vec_id AS query_id, cent1.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY {_SQDIST_SQL.format(a="v.e", b="cent1.c")}, cent1.cell) AS rn
-        FROM v, cent1 WHERE v.vec_id < 8
-      ) WHERE rn <= 2
-    ), appended AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT p.query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY p.query_id
-                 ORDER BY {_COS_SQL.format(a="q.e", b="c.e")} DESC, c.vec_id) AS rk
-        FROM probes0 p
-        JOIN acell0 a ON a.cell = p.cell
-        JOIN v c ON c.vec_id = a.vec_id
-        JOIN v q ON q.vec_id = p.query_id
-        WHERE c.vec_id <> p.query_id
-      ) WHERE rk <= 5
-    ), fresh AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT p.query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY p.query_id
-                 ORDER BY {_COS_SQL.format(a="q.e", b="c.e")} DESC, c.vec_id) AS rk
-        FROM probes1 p
-        JOIN acell1 a ON a.cell = p.cell
-        JOIN v c ON c.vec_id = a.vec_id
-        JOIN v q ON q.vec_id = p.query_id
-        WHERE c.vec_id <> p.query_id
-      ) WHERE rk <= 5
-    ), exact AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY {_COS_SQL.format(a="q.e", b="c.e")} DESC, c.vec_id) AS rk
-        FROM v q, v c
-        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
-      ) WHERE rk <= 5
-    ), hits AS (
-      SELECT e.query_id,
-             CAST(COUNT(*) AS BIGINT) AS n_exact,
-             CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_hit_appended,
-             CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_hit_fresh
-      FROM exact e
-      LEFT JOIN appended a USING (query_id, neighbor_id)
-      LEFT JOIN fresh f USING (query_id, neighbor_id)
-      GROUP BY e.query_id
-    ), common AS (
-      SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM appended a JOIN fresh f USING (query_id, neighbor_id)
-      GROUP BY a.query_id
-    )
-    SELECT h.query_id, h.n_exact, h.n_hit_appended, h.n_hit_fresh,
-           COALESCE(c.n_common, 0) AS n_common,
-           ROUND(CAST(h.n_hit_appended AS DOUBLE) / h.n_exact, 4)
-               AS recall_appended,
-           ROUND(CAST(h.n_hit_fresh AS DOUBLE) / h.n_exact, 4) AS recall_fresh
-    FROM hits h LEFT JOIN common c USING (query_id)
-    ORDER BY query_id
-    """,
-    tags=("similarity", "ann", "ivf", "incremental", "quality"),
-)
-def emb_ivf_append_recall(spark, sf_dir):
-    """Recall audit of the APPENDED IVF index against a FRESH rebuild —
-    the other half of the incremental-ANN maintenance decision: per
-    query, top-5 recall vs exact brute force when the union corpus is
-    served from the STALE snapshot codebook (ivf_append_topk: no
-    retrain) and when it is served from a codebook refit on the union
-    (ivf_topk_label — the fresh rebuild), plus the overlap between the
-    two answer sets.  A persistent recall_appended < recall_fresh gap is
-    the rebuild trigger; the append path deliberately runs the
-    byte-identical search kernel so the gap is attributable to the
-    codebook alone.  Both codebooks are the deterministic label-centroid
-    quantizer, so the oracle replays all THREE searches (appended,
-    fresh, exact) bit-for-bit — approximation quality itself is
-    hash-verified, not just bounded.  Recall ratios divide two exact
-    longs in one IEEE op (n/5 grid — not on any 5-digit half boundary,
-    so ROUND(.,4) is tie-free).
-
-    100 TB shape: three broadcast-queries x one-corpus-scan searches
-    (probed cells only for the two IVF paths); snapshot embeddings are
-    never re-shuffled by the append path (zero-exchange codebook
-    assignment), and BOTH codebooks — stale snapshot and fresh union —
-    derive from ONE shared corpus centroid aggregation
-    (label_centroids_split: the conditional snapshot partial and the
-    unconditional union partial ride the same exact-DECIMAL agg,
-    bit-identical to two separate fits), so the audit's
-    index-construction cost is one full-corpus pass, not two."""
-    from prod_data_pipeline_spark.operators.similarity import (
-        brute_force_topk,
-        ivf_append_topk,
-        ivf_topk_label,
-        label_centroids_split,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    is_new = F.pmod(F.col("vec_id"), F.lit(8)) == F.lit(7)
-    queries_df = emb.filter(F.col("vec_id") < 8)
-    snap_cents, union_cents = label_centroids_split(
-        emb.withColumn("_new", is_new), "_new"
-    )
-    appended = ivf_append_topk(
-        emb.filter(~is_new),
-        emb.filter(is_new),
-        queries_df,
-        k=5,
-        nprobe=2,
-        centroids=snap_cents,
-    ).select("query_id", "neighbor_id")
-    fresh = ivf_topk_label(
-        emb, queries_df, k=5, nprobe=2, centroids=union_cents
-    ).select("query_id", "neighbor_id")
-    exact = brute_force_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
-    # each pairs-sized answer set feeds two consumers below: cut lineage
-    # so the searches run once, not per consumer
-    appended = appended.transform(truncate_lineage, eager=False)
-    fresh = fresh.transform(truncate_lineage, eager=False)
-    exact = exact.transform(truncate_lineage, eager=False)
-    hits = (
-        exact.join(
-            appended.withColumn("_a", F.lit(1)), ["query_id", "neighbor_id"], "left"
-        )
-        .join(fresh.withColumn("_f", F.lit(1)), ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.sum(F.coalesce("_a", F.lit(0))).cast("long").alias("n_hit_appended"),
-            F.sum(F.coalesce("_f", F.lit(0))).cast("long").alias("n_hit_fresh"),
-        )
-    )
-    common = (
-        appended.join(fresh, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    return (
-        hits.join(common, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            "n_hit_appended",
-            "n_hit_fresh",
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            F.round(
-                F.col("n_hit_appended").cast("double") / F.col("n_exact"), 4
-            ).alias("recall_appended"),
-            F.round(F.col("n_hit_fresh").cast("double") / F.col("n_exact"), 4).alias(
-                "recall_fresh"
-            ),
-        )
-        .orderBy("query_id")
-    )
+# emb_ivf_append_recall merged into plans/queries_merged_panels.py::
+# emb_ivf_append_panel (round-15 consolidation switch) — the panel's
+# section='query_recall' rows replay all three searches (appended /
+# fresh-rebuild / exact) off the shared label_centroids_split codebooks.
 
 
 @query(

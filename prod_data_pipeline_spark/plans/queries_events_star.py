@@ -846,41 +846,10 @@ def events_grouping_sets(spark, sf_dir):
     )
 
 
-@query(
-    "events_value_quantiles",
-    oracle="""
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.9), 6) AS p90,
-           ROUND(quantile_cont(value, 0.99), 6) AS p99
-    FROM events WHERE value IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("quantile",),
-)
-def events_value_quantiles(spark, sf_dir):
-    """Exact interpolated quantiles per type, distributed.  `F.percentile`
-    buffers every group value in one aggregation state (~1/n_types of the
-    column per task at 100 TB); operators.ranking.exact_quantiles keeps
-    the same quantile_cont answer via bucketed exact ranking — parallel
-    at any scale.  Use `approx_percentile` instead when sketch error is
-    acceptable (one pass, mergeable)."""
-    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
 
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
-        .select("event_type", "value")
-    )
-    q = exact_quantiles(
-        ev, "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}, by=["event_type"]
-    )
-    return (
-        q.groupBy("event_type")
-        .pivot("qname", ["p50", "p90", "p99"])
-        .agg(F.round(F.first("quantile"), 6))
-        .orderBy("event_type")
-    )
+# events_value_quantiles merged into plans/queries_merged_panels.py::
+# events_value_distribution (round-15 consolidation switch) — the panel's
+# 'quantiles' section is this query's exact plan over the shared scan.
 
 
 @query(
@@ -3334,42 +3303,9 @@ def media_feature_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query(
-    "events_approx_distinct_users",
-    oracle="""
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(0.1 AS DOUBLE) AS rel_err_bound,
-           TRUE AS within_bound
-    FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    tags=("approx",),
-)
-def events_approx_distinct_users(spark, sf_dir):
-    """HyperLogLog++ approximate distinct users per event_type.  The HLL
-    estimate itself is engine-specific (no DuckDB mirror), so the query
-    emits what the oracle CAN hash-check: the exact per-type count and a
-    within-declared-bound boolean — |approx - exact| / exact <= 0.1, a
-    5x-rsd envelope over the requested rsd=0.02 (3-sigma is 6%).  A
-    broken sketch (collapsed registers, wrong hashing) flips the boolean
-    and fails the driver's hash check; the tighter exact-vs-approx bound
-    stays unit-tested."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.count_distinct(F.col("user_id")).alias("exact_users"),
-        )
-        .select(
-            "event_type",
-            "exact_users",
-            F.lit(0.1).cast("double").alias("rel_err_bound"),
-            (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= F.lit(0.1) * F.col("exact_users")
-            ).alias("within_bound"),
-        )
-        .orderBy("event_type")
-    )
+# events_approx_distinct_users merged into plans/queries_merged_panels.py::
+# events_hll_users_panel (round-15 consolidation switch) — the panel's
+# per-event_type rollup rows carry the same exact counts + within-bound
+# booleans; the tighter exact-vs-approx bound stays unit-tested
+# (tests/test_dedup_text.py::test_approx_distinct_error_bound).
 

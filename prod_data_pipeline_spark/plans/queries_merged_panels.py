@@ -1,22 +1,17 @@
-"""Round-15 consolidation panels — PREPARED in round 14, NOT yet registered.
+"""Round-15 consolidation panels — REGISTERED round 15 (prepared round 14).
 
 SCALE.md's rotation-relief inventory names four near-twin query pairs whose
 merges each free one permanent driver-window slot.  Verdict r13 directive
-#3 schedules the SWITCH for round 15 (merging mid-round-14 would orphan the
-r9-refresh driver rows the round exists to create) and scopes round 14 to
-landing the merged implementations + oracles behind the wire, proven by
-tests (tests/test_merged_panels.py runs each panel against its oracle with
-the same parity harness the registered sweep uses).
-
-The round-15 switch plan (also recorded in SCALE.md):
-  1. register each panel via @query under its name below;
-  2. de-register the two source queries of each pair (their latest driver
-     rows — r13/r14 — will by then be younger than the freshness budget,
-     so nothing in the rotation is orphaned);
-  3. move each pair's SURVEY §2 rows onto the panel row;
-  4. seat all four panels in the r15 window as never-driver-checked
-     (policy #3) — net registry 231 - 8 + 4 = 227, full-rotation budget
-     ceil(227/47) = 5 rounds with 16 extra slack slots per cycle.
+#3 scoped round 14 to landing the merged implementations + oracles behind
+the wire (proven by tests/test_merged_panels.py with the registered sweep's
+parity harness); verdict r14 directive #1 executed the switch in round 15:
+each panel below is registered via @query, its two source queries are
+de-registered in the same commit, the pairs' SURVEY §2 rows moved onto the
+panel rows, and the DSUM_EXCEPTIONS entries migrated
+(emb_ivf_append_audit/recall -> emb_ivf_append_panel).  Net registry
+231 - 8 + 4 = 227; full-rotation budget stays ceil(227/47) = 5 rounds with
+~16 extra slack slots per cycle.  The panels seat in the r15 window as
+never-driver-checked (rotation policy #3).
 
 Each panel computes its pair's SHARED pipeline once and emits the union of
 both result shapes (NULL-padded, identically on both engines), so the
@@ -43,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from prod_data_pipeline_spark.plans.query_registry import _t
+from prod_data_pipeline_spark.plans.query_registry import _t, query
 from prod_data_pipeline_spark.plans.queries_curation_gates import (
     _COS_SQL,
     _IVF_APPEND_SPLIT_SQL,
@@ -72,6 +67,11 @@ ORDER BY scope
 """
 
 
+@query(
+    "events_hll_users_panel",
+    oracle=HLL_USERS_PANEL_ORACLE,
+    tags=("approx", "sketch", "rollup", "panel"),
+)
 def events_hll_users_panel(spark, sf_dir):
     """Distinct-user estimation panel, per event_type AND corpus-wide in
     one query: exact count, single-pass HLL sketch, and merged-of-daily
@@ -84,8 +84,14 @@ def events_hll_users_panel(spark, sf_dir):
     Scopes: one row per event_type plus a '__all__' row — ONE rollup agg
     computes direct sketches and exact counts for every scope, and ONE
     rollup over the daily-sketch relation computes every merged
-    estimate.  100 TB: two corpus scans (daily sketching + rollup) where
-    the pair this panel replaces ran three."""
+    estimate.  The direct/merged rollups join null-safely on scope, so a
+    NULL event_type group (scope NULL on both sides, kept by DuckDB's
+    ROLLUP too) survives the join instead of being dropped by inner-join
+    NULL semantics (r14 advisory); the '__all__' rollup-total label
+    assumes no literal '__all__' event_type value — the scan schema pins
+    event_type to the TESTDATA_EVENT_TYPES vocabulary, which excludes
+    it.  100 TB: two corpus scans (daily sketching + rollup) where the
+    pair this panel replaces ran three."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     # grouping() is only legal inside the aggregate list, so the scope
     # label derives from a g flag emitted by each rollup agg
@@ -118,7 +124,8 @@ def events_hll_users_panel(spark, sf_dir):
     )
     bound = F.lit(0.1)
     return (
-        de.join(merged, "scope")
+        de.join(merged, de["scope"].eqNullSafe(merged["scope"]))
+        .drop(merged["scope"])
         .select(
             "scope",
             "exact_users",
@@ -271,6 +278,11 @@ GATE_EVAL_PANEL_ORACLE = """
 """.format(_TOKS_SQL=_TOKS_SQL)
 
 
+@query(
+    "docs_gate_eval_panel",
+    oracle=GATE_EVAL_PANEL_ORACLE,
+    tags=("text", "curation", "quality", "eval", "panel"),
+)
 def docs_gate_eval_panel(spark, sf_dir):
     """Trained-gate evaluation panel: the reliability diagram + ECE
     (metric='calibration', 10 rows) AND the chance-corrected
@@ -522,6 +534,11 @@ IVF_APPEND_PANEL_ORACLE = f"""
 """
 
 
+@query(
+    "emb_ivf_append_panel",
+    oracle=IVF_APPEND_PANEL_ORACLE,
+    tags=("similarity", "ivf", "incremental", "panel"),
+)
 def emb_ivf_append_panel(spark, sf_dir):
     """Post-append IVF maintenance panel: per-cell posting-list balance
     (section='cell_audit': snapshot/batch counts + the share<=0.5 and
@@ -677,6 +694,11 @@ ORDER BY section, bin, event_type
 """
 
 
+@query(
+    "events_value_distribution",
+    oracle=VALUE_DISTRIBUTION_ORACLE,
+    tags=("stats", "histogram", "quantile", "panel"),
+)
 def events_value_distribution(spark, sf_dir):
     """Event-value distribution panel: the fixed-width 25-unit histogram
     (section='histogram': per-bin count + observed min/max) and exact
@@ -740,8 +762,9 @@ def events_value_distribution(spark, sf_dir):
 
 
 #: name -> (builder, oracle SQL, (source query A, source query B)) — the
-#: round-15 registration payload; tests/test_merged_panels.py proves each
-#: against its oracle before the switch.
+#: pair-provenance record behind the round-15 switch;
+#: tests/test_merged_panels.py::test_switch_state pins the post-switch
+#: invariant (panel registered <=> both sources de-registered).
 MERGED_PANELS = {
     "events_hll_users_panel": (
         events_hll_users_panel,

@@ -27,7 +27,6 @@ from prod_data_pipeline_spark.plans.queries_events_star import (  # noqa: F401
     _TOKS_SQL,
     docs_quality_scores,
     emb_ivf_recall,
-    events_approx_distinct_users,
 )
 
 # ---------------------------------------------------------------------------
@@ -340,32 +339,10 @@ def orders_merge_upsert(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "events_value_histogram",
-    oracle="""
-    SELECT CAST(FLOOR(value / 25.0) AS INT) AS bin,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(MIN(value), 6) AS bin_min,
-           ROUND(MAX(value), 6) AS bin_max
-    FROM events WHERE value IS NOT NULL
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("stats", "histogram"),
-)
-def events_value_histogram(spark, sf_dir):
-    """Fixed-width histogram of event values (25-unit bins): a single
-    combiner-friendly aggregation — the bin id is a pure projection, so at
-    100 TB this is one scan + a tiny shuffle of ~20 partial rows per task."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    return (
-        ev.groupBy(F.floor(F.col("value") / 25.0).cast("int").alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value"), 6).alias("bin_min"),
-            F.round(F.max("value"), 6).alias("bin_max"),
-        )
-        .orderBy("bin")
-    )
+# events_value_histogram merged into plans/queries_merged_panels.py::
+# events_value_distribution (round-15 consolidation switch) — the panel's
+# 'histogram' section is this query's exact combiner agg over the shared
+# filtered scan.
 
 
 @query(
@@ -738,58 +715,11 @@ def emb_label_centroids(spark, sf_dir):
     )
 
 
-@query(
-    "events_hll_mergeable_users",
-    oracle="""
-    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           CAST(0.1 AS DOUBLE) AS rel_err_bound,
-           TRUE AS merged_within_bound,
-           TRUE AS direct_within_bound
-    FROM events WHERE user_id IS NOT NULL
-    """,
-    tags=("approx", "sketch"),
-)
-def events_hll_mergeable_users(spark, sf_dir):
-    """Mergeable distinct-count sketches (Apache DataSketches HLL): per-day
-    user sketches unioned into a corpus-wide estimate alongside the
-    single-pass sketch and the exact count.
-
-    This is the incremental-rollup pattern for COUNT(DISTINCT) at 100 TB:
-    daily partitions keep a few-KB binary sketch each; any date-range
-    distinct count is a union of sketches — no re-scan of raw data.
-    Sketch estimates are engine-specific, so the hashed output carries the
-    exact count plus two within-declared-bound booleans (merged-of-daily
-    and single-pass, each within 10% relative error — DataSketches HLL at
-    the default lgK=12 has rsd~1.6%, so 0.1 is a >5-sigma envelope).  A
-    sketch/merge regression flips a boolean and fails the driver hash;
-    the tighter merged==direct and error-bound properties are unit-tested
-    (tests/test_quality_cdc.py)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    merged = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("merged_users")
-    )
-    direct = ev.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias(
-            "direct_users"
-        ),
-        F.count_distinct("user_id").alias("exact_users"),
-    )
-    bound = F.lit(0.1)
-    return merged.crossJoin(direct).select(
-        "exact_users",
-        bound.cast("double").alias("rel_err_bound"),
-        (
-            F.abs(F.col("merged_users") - F.col("exact_users"))
-            <= bound * F.col("exact_users")
-        ).alias("merged_within_bound"),
-        (
-            F.abs(F.col("direct_users") - F.col("exact_users"))
-            <= bound * F.col("exact_users")
-        ).alias("direct_within_bound"),
-    )
+# events_hll_mergeable_users merged into plans/queries_merged_panels.py::
+# events_hll_users_panel (round-15 consolidation switch) — the panel's
+# '__all__' rollup row carries the same merged-of-daily + single-pass HLL
+# within-bound booleans and exact count; the tighter merged==direct and
+# error-bound properties stay unit-tested (tests/test_quality_cdc.py).
 
 
 @query(

@@ -102,13 +102,11 @@ DSUM_EXCEPTIONS: dict[str, str] = {
         "2^63/1e12 ~ 9.2e6 rows is not guaranteed at 100 TB — DECIMAL "
         "precision is unbounded; cell-count-bounded BigDecimal cost"
     ),
-    "emb_ivf_append_audit": (
-        "label-centroid codebook replay (the emb_topk_ivf decimal-mean "
-        "recipe) — same arbitrary-real centroid-mean reasoning"
-    ),
-    "emb_ivf_append_recall": (
-        "label-centroid codebook replay x2 (snapshot + union codebooks) "
-        "— same arbitrary-real centroid-mean reasoning as emb_topk_ivf"
+    "emb_ivf_append_panel": (
+        "label-centroid codebook replay x2 (snapshot + union codebooks, "
+        "the emb_topk_ivf decimal-mean recipe) — same arbitrary-real "
+        "centroid-mean reasoning; carries the former emb_ivf_append_audit"
+        "/emb_ivf_append_recall entries (r15 consolidation switch)"
     ),
     "emb_top_principal_component": (
         "PCA family ORACLE replay contract (DECIMAL(38,12) covariance "

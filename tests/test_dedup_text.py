@@ -177,15 +177,19 @@ def test_lang_id_on_real_sentences(spark):
 
 def test_approx_distinct_error_bound(spark):
     """The hashed projection keeps only oracle-replayable facts: the exact
-    count and the within-bound boolean.  The tighter 5%/absolute-3 bound
-    the old projection exposed is re-derived here from the raw HLL agg."""
+    counts and the within-bound booleans (per event_type AND the '__all__'
+    rollup total since the r15 events_hll_users_panel merge).  The tighter
+    5%/absolute-3 bound the old projection exposed is re-derived here from
+    the raw HLL agg."""
     from prod_data_pipeline_spark.plans.queries import QUERIES
     from prod_data_pipeline_spark.sources.readers import load_table
 
-    rows = QUERIES["events_approx_distinct_users"].fn(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) > 0
+    rows = QUERIES["events_hll_users_panel"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1  # per-type rows + the '__all__' rollup row
+    assert sum(1 for r in rows if r["scope"] == "__all__") == 1
     for r in rows:
-        assert r["within_bound"] is True
+        assert r["direct_within_bound"] is True
+        assert r["merged_within_bound"] is True
         assert r["rel_err_bound"] == 0.1
         assert r["exact_users"] > 0
     ev = load_table(spark, "/root/testdata/sf0.001", "events")

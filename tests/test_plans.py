@@ -117,7 +117,7 @@ def test_ranking_queries_have_no_unbounded_global_sort(spark):
     sketch relations)."""
     for name in (
         "orders_price_deciles",
-        "events_value_quantiles",
+        "events_value_distribution",
         "events_value_p99_outliers",
     ):
         plan = _executed_plan(spark, name)
