@@ -79,75 +79,80 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-14 window (verdict r13 directive #1): the 3 pinned bench
-    # sentinels lead, then the 4 queries whose plan/oracle changed AFTER
-    # their latest driver row (policy #4 — the r13 advisory fixes:
-    # half-up long-division in parts_adamic_adar_links/docs_bm25_topk,
-    # disjoint-keys COALESCE in the two CMS join-size queries), then the
-    # r8 deferral small_quantity_parts_revenue fronting per policy #3,
-    # then the 41 r9-aged rows (oldest-first), then 1 filler pre-draining
-    # the r10 cohort (customer_revenue_gini, its oldest row — verdict
-    # directive #5).  Mandatory load 49 <= 50; no deferral this round.
+    # --- round-15 window (verdict r14 directive #1): the 4 consolidation
+    # panels lead as never-driver-checked (policy #3 — registered this
+    # round by the switch), then the 3 pinned bench sentinels, then
+    # q14_promo_revenue (policy #4 — its half-up report converted to the
+    # long-division form this round; ledger-detected), then 42 of the 44
+    # r10-due rows oldest/alphabetical-first.  Mandatory load is 52 > 50
+    # with ZERO fillers (true saturation), so the last two r10 rows defer
+    # to the FRONT of round 16's window (DRIVER_DEFERRED below) — r16's
+    # projected load stays under 50 because seating q14 pre-drains its
+    # r11-due slot.
+    "events_hll_users_panel",
+    "docs_gate_eval_panel",
+    "emb_ivf_append_panel",
+    "events_value_distribution",
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "parts_adamic_adar_links",
-    "docs_bm25_topk",
-    "events_selfjoin_size_cms",
-    "lineitem_orders_join_size_cms",
-    "small_quantity_parts_revenue",
-    "basket_part_pair_lift",
-    "customers_cohort_ltv",
-    "docs_bpe_encode_stats",
-    "docs_cdc_chunk_dedup",
-    "docs_char_entropy",
-    "docs_collocations_pmi",
-    "docs_containment_pairs",
-    "docs_dsir_selection",
-    "docs_dsir_weights",
-    "docs_dup_threshold_sweep",
-    "docs_gopher_full_gate",
-    "docs_heaps_law_fit",
-    "docs_kcore_summary",
-    "docs_lang_source_chi2",
-    "docs_leakage_safe_split",
-    "docs_local_clustering",
-    "docs_lpa_communities",
-    "docs_lsh_recall_vs_exact",
-    "docs_paragraph_dedup",
-    "docs_paragraph_repetition",
-    "docs_shard_rebalance_audit",
-    "docs_simhash_recall_vs_exact",
-    "docs_snm_recall_vs_exact",
-    "docs_sorted_neighborhood_pairs",
-    "docs_substring_dup_spans",
-    "docs_token_mass_quantiles",
-    "docs_tokenizer_fertility",
-    "docs_weighted_reservoir_topk",
-    "emb_centroid_drift",
-    "emb_ivf_nprobe_sweep",
-    "emb_label_separation",
-    "emb_mmr_rerank",
-    "emb_pq_adc_topk",
-    "emb_rrf_topk",
-    "emb_top2_principal_components",
-    "events_cms_heavy_hitters",
-    "events_conversion_latency",
-    "lineitem_zorder_clustering",
-    "top_order_per_customer",
-    "top_orders_by_revenue",
-    "trading_nations",
-    "customer_revenue_gini",
+    "q14_promo_revenue",
+    "customer_rfm_segments",
+    "docs_bigram_logprob",
+    "docs_bpe_merge_candidates",
+    "docs_bpe_second_merge",
+    "docs_bpe_train_16",
+    "docs_cross_source_dup_matrix",
+    "docs_distribution_shift",
+    "docs_filter_funnel",
+    "docs_incremental_dedup",
+    "docs_lsh_band_planner",
+    "docs_near_dup_threshold_sweep",
+    "docs_packed_bins",
+    "docs_quality_weighted_sample",
+    "docs_rag_chunk_stats",
+    "docs_shard_assignment",
+    "docs_source_frequency_cap",
+    "docs_source_token_cap",
+    "docs_taint_blast_radius",
+    "docs_zipf_fit",
+    "emb_ivf_cell_balance",
+    "emb_matryoshka_energy",
+    "emb_pq_recall_vs_exact",
+    "emb_semdedup_stats",
+    "emb_srp_near_dup_pairs",
+    "emb_top_principal_component",
+    "events_ewma_anomalies",
+    "events_scd2_asof_snapshot",
+    "events_type_markov_stationary",
+    "events_value_sketch_quantiles",
+    "fk_integrity_audit",
+    "lineitem_mahalanobis_outliers",
+    "media_audio_dominant_band",
+    "media_image_edge_density",
+    "media_image_phash_groups",
+    "media_video_motion_energy",
+    "media_video_scene_changes",
+    "orders_benford_audit",
+    "orders_pareto_frontier",
+    "orders_revenue_trend_ols",
+    "parts_related_by_ppr",
+    "sessions_peak_concurrency",
+    "supplier_concentration_hhi",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation.  Round 14's mandatory load is 49 (3 sentinels + 4
-#: changed-code queries + 1 r8 deferral + 41 r9 rows) against the
-#: 50-slot window, so nothing defers this round; the 50th slot
-#: pre-drains the r10 cohort (45 rows due in round 15).
-DRIVER_DEFERRED: tuple[str, ...] = ()
+#: rotation.  Round 15's mandatory load is 52 (4 never-checked panels +
+#: 3 sentinels + 1 policy-#4 q14 conversion + 44 r10-due rows) against
+#: the 50-slot window with zero fillers — true saturation, so the two
+#: youngest-by-name r10 rows defer (rotation tool's oldest-first
+#: ordering cuts alphabetically within a round cohort).
+DRIVER_DEFERRED: tuple[str, ...] = (
+    "user_session_gap_sensitivity",
+    "users_frequent_type_sequences",
+)
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

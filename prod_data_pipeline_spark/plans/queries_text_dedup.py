@@ -1012,7 +1012,7 @@ def lineitem_priority_by_status(spark, sf_dir):
     )
     SELECT ROUND(100.0 * CAST(pn AS DOUBLE) / CAST(tn AS DOUBLE), 6)
                AS promo_revenue_pct,
-           CAST(FLOOR((tn + 50) / 100.0) AS BIGINT) / 100.0 AS total_revenue
+           ((tn + 50) // 100) / 100.0 AS total_revenue
     FROM a
     """,
     tags=("join", "tpch", "q14"),
@@ -1025,9 +1025,12 @@ def q14_promo_revenue(spark, sf_dir):
     exactly on the 4-digit grid, so floor(x*1e4+0.5) numerators sum
     exactly in int64 (no BigDecimal in the agg) and the percentage is
     ONE double ratio of the two numerator sums (the 1e4 cancels); the
-    2-digit total rounds on the NUMERATOR (floor((n+50)/100) — integer
-    half-up, removing the former ROUND(double,2) cross-engine tie
-    hazard).  Bound: |sum(revenue)|*1e4 < 2^63 holds to ~9.2e14 of
+    2-digit total rounds on the NUMERATOR via long division
+    ((n+50) div 100 / Duck `//` — integer half-up, legal because the
+    revenue numerator is non-negative; converted from the float
+    FLOOR((n+50)/100.0) form in r15, closing its FLOORDIV_EXCEPTIONS
+    deferral and lifting the 2^53 long->double cap to the full int64
+    bound).  Bound: |sum(revenue)|*1e4 < 2^63 holds to ~9.2e14 of
     summed revenue."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -1053,9 +1056,7 @@ def q14_promo_revenue(spark, sf_dir):
         F.round(
             F.lit(100.0) * F.col("pn").cast("double") / F.col("tn").cast("double"), 6
         ).alias("promo_revenue_pct"),
-        (
-            F.floor((F.col("tn") + F.lit(50)) / F.lit(100.0)) / F.lit(100.0)
-        ).alias("total_revenue"),
+        (F.expr("(tn + 50) div 100") / F.lit(100.0)).alias("total_revenue"),
     )
 
 

@@ -210,13 +210,10 @@ FLOORDIV_EXCEPTIONS: dict[str, str] = {
         "goes negative whenever noise < -n_true, so floor semantics are "
         "required; bound |n|*1e9 < 2^53 holds to ~9e6 events/day"
     ),
-    "q14_promo_revenue": (
-        "non-negative revenue numerator — CONVERTIBLE to the div form, "
-        "but changing the oracle mid-round burns a driver-window slot "
-        "(rotation policy #4); convert when its next rotation slot opens. "
-        "Documented cap |revenue|*1e4 < 2^53 ~ 9e11 summed revenue"
-    ),
 }
+# q14_promo_revenue's non-negative deferral entry was retired in r15: the
+# query now uses the long-division half-up form ((n + 50) div 100 /
+# Duck `//`), exact to the full int64 bound.
 
 
 #: Spark-side twins of FLOORDIV_EXCEPTIONS, keyed by (plans/ or
@@ -230,10 +227,6 @@ SPARK_FLOORDIV_EXCEPTIONS: dict[tuple[str, str], str] = {
     ),
     ("queries_curation_gates.py", "n_released"): (
         "events_dp_noisy_counts signed noise — Spark twin of its "
-        "FLOORDIV_EXCEPTIONS entry"
-    ),
-    ("queries_text_dedup.py", "total_revenue"): (
-        "q14_promo_revenue non-negative deferral — Spark twin of its "
         "FLOORDIV_EXCEPTIONS entry"
     ),
 }

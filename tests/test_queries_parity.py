@@ -70,10 +70,29 @@ def test_driver_order_policy():
     # queries still get their oracle hash-checked at sf0.001 by this
     # suite every round, and front the next round's window.
     never_checked = {q for q in QUERIES if q not in latest}
+    # A window query whose ledger entry is stamped changed_at == round ==
+    # max_round + 1 is a policy-#4 seating (its plan/oracle moved since
+    # its last driver row and --fingerprint recorded the move at this
+    # window's adoption) — mandatory, not a filler (round-15 case:
+    # q14_promo_revenue's half-up conversion).
+    from tools.rotation import load_fingerprints
+
+    ledger = load_fingerprints()
+
+    def _seated_for_change(q):
+        e = ledger.get(q) or {}
+        return (
+            e.get("changed_at") is not None
+            and e.get("changed_at") == e.get("round") == max_round + 1
+        )
+
     fillers = [
         q
         for q in DRIVER_ORDER
-        if q not in DRIVER_SENTINELS and q not in stale and q in latest
+        if q not in DRIVER_SENTINELS
+        and q not in stale
+        and q in latest
+        and not _seated_for_change(q)
     ]
     deferred = (stale | never_checked) - window
     # Spent-window state (round-13 verdict directive #2): once every

@@ -100,10 +100,14 @@ def _ledger_with_one_stale_fp(name):
     (as if its plan/oracle changed after its last driver row) and every
     other query matches its live state."""
     ledger = {
-        q: {"fp": rotation.query_fingerprint(QUERIES[q]), "round": 9}
+        q: {
+            "fp": rotation.query_fingerprint(QUERIES[q]),
+            "round": 9,
+            "algo": rotation.FP_ALGO,
+        }
         for q in QUERIES
     }
-    ledger[name] = {"fp": "0" * 32, "round": 9}
+    ledger[name] = {"fp": "0" * 32, "round": 9, "algo": rotation.FP_ALGO}
     return ledger
 
 
@@ -181,3 +185,84 @@ def test_propose_seats_changed_queries(monkeypatch, capsys):
         if line.strip().startswith('"')
     ]
     assert outside in proposal[: len(DRIVER_SENTINELS) + 1], proposal[:6]
+
+
+def test_old_algo_entries_are_unledgered_not_changed(monkeypatch, capsys):
+    """An entry hashed under an older fingerprint algorithm must never be
+    compared against a live algo-2 hash (everything would flag changed);
+    the audit reports it as unledgered instead."""
+    max_round = 40
+    outside = next(q for q in QUERIES if q not in DRIVER_ORDER)
+    budget = rotation.staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    latest = {q: max_round + 1 - budget + 1 for q in QUERIES}  # nothing due
+    latest[DRIVER_ORDER[0]] = max_round  # not spent
+    ledger = _ledger_with_one_stale_fp(outside)
+    ledger[outside]["algo"] = 1  # wrong fp, but from the old algorithm
+    monkeypatch.setattr(rotation, "load_fingerprints", lambda: ledger)
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 0, out
+    assert "policy #4" not in out
+    assert "no fingerprint ledger entry" in out
+
+
+def test_fingerprint_sees_helper_edits_via_closure():
+    """Algo 2 (r14 advisory #1): the fingerprint must move when a
+    same-package HELPER the builder calls changes, not just the builder's
+    own source — monkeypatching a callee's source via a synthetic spec
+    is impossible, so assert structurally: the closure of a builder that
+    locally imports an operator includes that operator's source."""
+    from prod_data_pipeline_spark.operators.ranking import exact_quantiles
+
+    spec = QUERIES["events_value_distribution"]  # locally imports it
+    seen = {}
+    rotation._collect_closure(spec.fn, seen)
+    names = {k[1] for k in seen}
+    assert "events_value_distribution" in names
+    assert "exact_quantiles" in names, sorted(names)
+    # and a global-name reference (registry helper) rides along too
+    assert "_t" in names, sorted(names)
+    # sanity: the hash is a function of the closure, so two specs sharing
+    # a helper differ only by their own sources/oracles
+    assert rotation.query_fingerprint(spec) != rotation.query_fingerprint(
+        QUERIES["events_hll_users_panel"]
+    )
+    assert exact_quantiles is not None
+
+
+def test_changed_at_seating_is_not_a_filler(monkeypatch, capsys):
+    """A window query whose ledger entry carries changed_at == round ==
+    max_round + 1 is a policy-#4 seating: due rows may legally defer past
+    it (saturation), whereas the same window with a true filler fails."""
+    max_round = 40
+    budget = rotation.staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    outside = [q for q in QUERIES if q not in DRIVER_ORDER]
+    due = outside[:5]
+    seated = next(q for q in DRIVER_ORDER if q not in DRIVER_SENTINELS)
+    latest = {q: max_round + 1 - budget + 1 for q in QUERIES}
+    # every window slot mandatory: all stale except the changed seating
+    for q in DRIVER_ORDER:
+        latest[q] = max_round + 1 - budget
+    latest[seated] = max_round  # fresh row -> filler unless changed_at
+    latest.update({q: max_round + 1 - budget for q in due})
+
+    ledger = {
+        q: {
+            "fp": rotation.query_fingerprint(QUERIES[q]),
+            "round": latest[q],
+            "algo": rotation.FP_ALGO,
+        }
+        for q in QUERIES
+    }
+    ledger[seated]["round"] = max_round + 1
+    ledger[seated]["changed_at"] = max_round + 1
+    monkeypatch.setattr(rotation, "load_fingerprints", lambda: dict(ledger))
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 0, out
+    assert "window saturated by mandatory rows" in out
+
+    # drop the stamp -> same composition now has a filler -> breach
+    del ledger[seated]["changed_at"]
+    ledger[seated]["round"] = latest[seated]
+    code, out = _run(monkeypatch, capsys, latest)
+    assert code == 1
+    assert "POLICY FAIL" in out

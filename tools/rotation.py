@@ -36,14 +36,24 @@ so a 3-round budget mathematically over-saturates the window):
   5. remaining slots fill oldest-driver-row-first.
 
 Fingerprint ledger (tools/query_fingerprints.json): for every query,
-the md5 of (oracle SQL + DataFrame-builder source) at the last state a
-driver row checked, plus that round.  `--fingerprint` refreshes the
-ledger for the CURRENT window (run it right after adopting a round's
-window — those queries are about to be driver-checked at their current
-state); the audit then flags any query whose live fingerprint differs
-from its ledger entry while sitting OUTSIDE the window (a policy-#4
-violation the tool can now see).  Queries with no ledger entry are
-reported, not failed.
+the md5 of (oracle SQL + the TRANSITIVE-CLOSURE source of the DataFrame
+builder: the builder itself plus every same-package function/class it
+references, directly or through local imports, plus referenced
+module-level constants) at the last state a driver row checked, plus
+that round.  Closure hashing (algo 2, r15 — r14 advisory #1) closes the
+algo-1 blind spot where an edit to a helper the builder calls (e.g.
+operators/quality.py) left the fingerprint unchanged; remaining blind
+spots are dynamic dispatch (getattr-by-name lookups) and behavior
+smuggled through non-repr-stable constants — neither occurs in plans/
+today.  `--fingerprint` refreshes the ledger for the CURRENT window
+(run it right after adopting a round's window — those queries are about
+to be driver-checked at their current state) and stamps `changed_at` on
+any window entry whose fingerprint actually moved, so the audit can
+tell a policy-#4 seating from a non-mandatory filler; the audit then
+flags any query whose live fingerprint differs from its ledger entry
+while sitting OUTSIDE the window (a policy-#4 violation the tool can
+now see).  Queries with no ledger entry — or with an entry from an
+older algo — are reported, not failed.
 """
 
 from __future__ import annotations
@@ -71,19 +81,133 @@ def staleness_budget(n_queries: int, n_sentinels: int) -> int:
 FINGERPRINTS = os.path.join(REPO, "tools", "query_fingerprints.json")
 
 
+#: Fingerprint algorithm version.  1 = builder source only (r14);
+#: 2 = transitive-closure source (r15, r14 advisory #1).  Entries from an
+#: older algo are treated as unledgered (reported, never silently
+#: compared against a differently-computed hash).
+FP_ALGO = 2
+
+_PKG = "prod_data_pipeline_spark"
+
+#: repr-stable value types included in the closure when a builder
+#: references a module-level constant by name (e.g. _TOKS_SQL grids,
+#: threshold dicts).
+_CONST_TYPES = (str, bytes, int, float, bool, tuple, frozenset, dict, list)
+
+
+def _code_names(fn) -> set:
+    """Every name referenced by fn's code object tree (including nested
+    lambdas/comprehensions) plus names bound by `from pkg.mod import y`
+    statements in its source — the resolution inputs for the closure."""
+    import types
+
+    names: set = set()
+    stack = [fn.__code__]
+    while stack:
+        co = stack.pop()
+        names.update(co.co_names)
+        names.update(co.co_freevars)
+        for c in co.co_consts:
+            if isinstance(c, types.CodeType):
+                stack.append(c)
+    return names
+
+
+def _local_imports(src: str) -> list:
+    """(module, name) pairs for `from prod_data_pipeline_spark... import`
+    statements anywhere in the source — builders import operators inside
+    the function body, where the imported callee never lands in
+    __globals__."""
+    import ast
+    import textwrap
+
+    out = []
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:  # pragma: no cover — source always parses
+        return out
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and (
+            node.module.split(".")[0] == _PKG
+        ):
+            for alias in node.names:
+                out.append((node.module, alias.name))
+    return out
+
+
+def _collect_closure(obj, seen: dict) -> None:
+    """Depth-first same-package source collection: functions and classes
+    reachable from `obj` by global-name reference or local `from ... import`,
+    keyed (module, qualname) for deterministic ordering; referenced
+    module-level constants hash by repr under ('const:<module>', name)."""
+    import importlib
+    import inspect
+    import types
+
+    mod = getattr(obj, "__module__", "") or ""
+    if not mod.startswith(_PKG):
+        return
+    key = (mod, getattr(obj, "__qualname__", getattr(obj, "__name__", "?")))
+    if key in seen:
+        return
+    try:
+        seen[key] = inspect.getsource(obj)
+    except (OSError, TypeError):  # pragma: no cover — C-level or synthetic
+        seen[key] = repr(obj)
+        return
+
+    fns: list = []
+    if isinstance(obj, type):
+        fns = [
+            v for v in vars(obj).values()
+            if isinstance(v, (types.FunctionType, staticmethod, classmethod))
+        ]
+        fns = [getattr(f, "__func__", f) for f in fns]
+    elif isinstance(obj, types.FunctionType):
+        fns = [obj]
+
+    for fn in fns:
+        g = getattr(fn, "__globals__", {})
+        src = seen[key]
+        for name in sorted(_code_names(fn)):
+            v = g.get(name)
+            if isinstance(v, (types.FunctionType, type)):
+                _collect_closure(v, seen)
+            elif isinstance(v, _CONST_TYPES) and not name.startswith("__"):
+                gmod = g.get("__name__", mod)
+                ckey = (f"const:{gmod}", name)
+                if ckey not in seen and str(gmod).startswith(_PKG):
+                    seen[ckey] = repr(v)
+        for imod, iname in _local_imports(src):
+            try:
+                m = importlib.import_module(imod)
+                v = getattr(m, iname, None)
+            except ImportError:  # pragma: no cover
+                v = None
+            if isinstance(v, (types.FunctionType, type)):
+                _collect_closure(v, seen)
+            elif isinstance(v, _CONST_TYPES):
+                ckey = (f"const:{imod}", iname)
+                if ckey not in seen:
+                    seen[ckey] = repr(v)
+
+
 def query_fingerprint(spec) -> str:
     """md5 over the parts of a registered query a driver row certifies:
-    the oracle SQL and the DataFrame builder's source.  Whitespace is
-    NOT normalized — a comment-only edit re-flags the query, which is
-    the cheap, safe direction (one window slot vs a silent policy-#4
+    the oracle SQL and the TRANSITIVE-CLOSURE source of the DataFrame
+    builder (builder + every same-package function/class it references,
+    plus referenced module-level constants).  Whitespace is NOT
+    normalized — a comment-only edit re-flags the query, which is the
+    cheap, safe direction (one window slot vs a silent policy-#4
     miss)."""
     import hashlib
-    import inspect
 
-    src = inspect.getsource(spec.fn)
-    return hashlib.md5(
-        ((spec.oracle or "") + "\0" + src).encode()
-    ).hexdigest()
+    seen: dict = {}
+    _collect_closure(spec.fn, seen)
+    parts = [(spec.oracle or "")] + [
+        f"{m}.{q}\n{src}" for (m, q), src in sorted(seen.items())
+    ]
+    return hashlib.md5("\0".join(parts).encode()).hexdigest()
 
 
 def load_fingerprints() -> dict:
@@ -101,7 +225,9 @@ def changed_since_driver_row(queries: dict, window: set) -> tuple[list, list]:
     changed, unledgered = [], []
     for name, spec in queries.items():
         entry = ledger.get(name)
-        if entry is None:
+        if entry is None or entry.get("algo", 1) != FP_ALGO:
+            # no entry, or an entry hashed under an older algorithm —
+            # comparing across algos would flag everything; report instead
             unledgered.append(name)
         elif entry["fp"] != query_fingerprint(spec) and name not in window:
             changed.append(name)
@@ -172,14 +298,29 @@ def main() -> None:
         if q in QUERIES and r <= max_round + 1 - budget
     }
     stale_out = sorted(stale - window)
-    # A slot is "mandatory" when held by a sentinel, a due-stale query, or
-    # a never-checked query; anything else is a filler.  Deferring a due
-    # row (stale OR never-checked) is legal ONLY under true saturation —
-    # mandatory load > WINDOW with zero fillers holding slots (round-13
-    # case: 2 dark + 3 sentinels + 46 stale = 51 > 50).
+    # A slot is "mandatory" when held by a sentinel, a due-stale query, a
+    # never-checked query, or a policy-#4 seating (a query whose
+    # fingerprint MOVED at this window's --fingerprint — the `changed_at ==
+    # round == max_round + 1` ledger stamp); anything else is a filler.
+    # Deferring a due row (stale OR never-checked) is legal ONLY under
+    # true saturation — mandatory load > WINDOW with zero fillers holding
+    # slots (round-13 case: 2 dark + 3 sentinels + 46 stale = 51 > 50;
+    # round-15 case: 3 sentinels + 4 panels + 44 stale + 1 changed = 52).
+    ledger = load_fingerprints()
+
+    def _seated_for_change(q: str) -> bool:
+        e = ledger.get(q) or {}
+        return (
+            e.get("changed_at") is not None
+            and e.get("changed_at") == e.get("round") == max_round + 1
+        )
+
     window_fillers = [
         q for q in DRIVER_ORDER
-        if q not in DRIVER_SENTINELS and q not in stale and q in latest
+        if q not in DRIVER_SENTINELS
+        and q not in stale
+        and q in latest
+        and not _seated_for_change(q)
     ]
     ok = True
     if len(DRIVER_ORDER) != WINDOW:
@@ -258,22 +399,40 @@ def main() -> None:
             sys.exit(1)
         ledger = load_fingerprints()
         for name in DRIVER_ORDER:
-            ledger[name] = {
-                "fp": query_fingerprint(QUERIES[name]),
-                "round": max_round + 1,
-            }
+            old = ledger.get(name)
+            new_fp = query_fingerprint(QUERIES[name])
+            entry = {"fp": new_fp, "round": max_round + 1, "algo": FP_ALGO}
+            if (
+                old is not None
+                and old.get("algo", 1) == FP_ALGO
+                and old["fp"] != new_fp
+            ):
+                # the plan/oracle moved since the last driver row — this
+                # seat is a policy-#4 seating, not a filler (the audit's
+                # window_fillers computation consumes this stamp)
+                entry["changed_at"] = max_round + 1
+            ledger[name] = entry
         seeded = [
             name for name in QUERIES
-            if name not in ledger and name in latest
+            if name in latest
+            and (
+                name not in ledger
+                or ledger[name].get("algo", 1) != FP_ALGO
+            )
+            and name not in DRIVER_ORDER
         ]
         for name in seeded:
-            # initial seeding: assumes the query is UNCHANGED since its
-            # latest driver row (valid at the r14 seeding — the r13
-            # verdict certified the only post-row-changed queries, all
-            # seated in the r14 window and ledgered above)
+            # initial seeding / algo migration: assumes the query is
+            # UNCHANGED since its latest driver row (valid at the r14
+            # seeding — the r13 verdict certified the only
+            # post-row-changed queries, all seated in the r14 window and
+            # ledgered above; valid again at the r15 algo-2 migration —
+            # the r14 verdict's diff audit certified no registered
+            # query's plan changed in r14 outside its window)
             ledger[name] = {
                 "fp": query_fingerprint(QUERIES[name]),
                 "round": latest[name],
+                "algo": FP_ALGO,
             }
         with open(FINGERPRINTS, "w") as f:
             json.dump(dict(sorted(ledger.items())), f, indent=0)
