@@ -426,10 +426,14 @@ def _evolve_schema_value(
     Legacy base (files committed before schemas were recorded): the
     previous width is recovered ONCE from merged footers and recorded
     from then on — the only footer scan a schema-recorded table ever
-    pays."""
+    pays.  A recorded schema keeps evolving additively even when the
+    previous version has NO files (every row deleted): deletes carry the
+    schema forward, so an append to an emptied table must not silently
+    reset the recorded width/column order or skip the type-conflict
+    check (r14 advisory #2)."""
     from pyspark.sql.types import StructField, StructType
 
-    if prev is None or not prev.files:
+    if prev is None or (not prev.files and not prev.schema):
         return _schema_value(df)
     if prev.schema:
         base = StructType.fromJson(prev.schema)

@@ -1699,3 +1699,35 @@ def test_delete_on_unknown_column_fails_fast(spark, tmp_path):
     with pytest.raises(ValueError, match="not in the table schema"):
         delete_where_mor(spark, t, "no_such_col", 1)
     assert read_snapshot(spark, t).count() == 10
+
+
+def test_append_after_full_delete_keeps_recorded_schema(spark, tmp_path):
+    """Deleting EVERY row leaves a version with schema recorded but zero
+    files; a later narrower/conflicting append must keep evolving against
+    the recorded schema, not silently reset the width or skip the
+    additive-only type check (r14 advisory #2)."""
+    from prod_data_pipeline_spark.sources.manifest import delete_where
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.range(0, 10)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("tier", F.lit(1).cast("long")),
+        t,
+    )
+    s2 = delete_where(spark, t, "tier", 1)  # COW: every row shares tier=1
+    assert s2.files == [] or read_snapshot(spark, t).count() == 0
+    assert [f["name"] for f in s2.schema["fields"]] == ["id", "v", "tier"]
+
+    # narrower append: the recorded union must keep every column
+    s3 = commit_snapshot(spark.range(20, 25), t, mode="append")
+    assert [f["name"] for f in s3.schema["fields"]] == ["id", "v", "tier"]
+    got = read_snapshot(spark, t)
+    assert got.columns == ["id", "v", "tier"]
+    assert got.count() == 5 and got.filter(F.col("v").isNull()).count() == 5
+
+    # type conflict against the carried schema still fails fast
+    with pytest.raises(ValueError, match="additive-only"):
+        commit_snapshot(
+            spark.range(30, 32).withColumn("v", F.lit("s")), t, mode="append"
+        )
