@@ -356,3 +356,26 @@ def test_new_round7_operator_plan_shapes(spark):
         "padding-waste replays the rank plans per consumer again "
         f"({plan.count('Exchange')} exchanges)"
     )
+
+
+def test_consolidation_panel_plan_shapes(spark):
+    """Pins the r15 panels' physical shapes so a refactor cannot silently
+    multiply corpus scans:
+
+    - events_hll_users_panel: exactly TWO parquet scans (daily sketching
+      + the direct rollup — the merge's whole point; the pair ran three)
+      joined with a broadcast, never a sort-merge.
+    - events_value_distribution: one histogram scan + the exact_quantiles
+      pipeline.  exact_quantiles currently consumes its ranked relation
+      twice (totals + flank join) at 4 scans each — 9 total; the
+      scheduled r16 operator change (derive totals from the bucket-count
+      relation) halves the quantile side, so this pin is an UPPER bound
+      that must only ever move down.
+    """
+    plan = _executed_plan(spark, "events_hll_users_panel")
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+    plan = _executed_plan(spark, "events_value_distribution")
+    assert plan.count("Scan parquet") <= 10
+    assert "SortMergeJoin" not in plan
