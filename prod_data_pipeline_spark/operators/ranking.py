@@ -179,3 +179,119 @@ def exact_quantiles(
             ).alias("quantile"),
         )
     )
+
+
+def exact_quantiles_v2(
+    df: DataFrame,
+    value_col: str,
+    probs: dict[str, float],
+    by: Sequence[str] = (),
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Round-16 swap payload for :func:`exact_quantiles` — identical
+    answers from HALF the corpus scans (prepared behind the wire in
+    round 15; registered consumers keep calling ``exact_quantiles``
+    until their rotation slots open, because swapping the shared body
+    re-flags five queries under rotation policy #4).
+
+    ``exact_quantiles`` consumes its ranked relation TWICE — a
+    corpus-wide DISTINCT for the per-group totals, then the flank join —
+    so the whole ``bucketed_global_rank`` pipeline (4 scans) replays per
+    consumer: 8 scans.  The totals are group-level facts the rank pass
+    already aggregates, so this version inlines the rank and reads
+    ``n_total`` off the bucket-count OFFSETS relation (|groups| ×
+    n_buckets rows — no corpus re-scan), leaving the ranked relation
+    single-consumer: 4 scans, and strictly fewer exchanges.  The flank
+    join, interpolation arithmetic, and tie semantics are byte-identical
+    to ``exact_quantiles``; equality is pinned by
+    tests/test_ranking.py::test_exact_quantiles_v2_identical and the
+    scan count by test_exact_quantiles_v2_halves_scans."""
+    by = list(by)
+    val = F.col(value_col).cast("double")
+
+    bprobs = [i / n_buckets for i in range(1, n_buckets)]
+    agg = [F.approx_percentile(val, F.lit(bprobs), F.lit(10_000)).alias("__bounds")]
+    bounds = df.groupBy(*by).agg(*agg) if by else df.agg(*agg)
+    joined = (
+        df.join(F.broadcast(bounds), on=by) if by else df.crossJoin(F.broadcast(bounds))
+    )
+    bucketed = joined.withColumn(
+        "__b", F.size(F.filter("__bounds", lambda x: val > x))
+    ).drop("__bounds")
+
+    w_rn = Window.partitionBy(*by, "__b").orderBy(F.col(value_col).asc())
+    ranked = bucketed.withColumn("__rn", F.row_number().over(w_rn))
+
+    part = [F.col(c) for c in by] if by else [F.lit(0)]
+    counts = bucketed.groupBy(*by, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    # |groups| x n_buckets rows feeding TWO consumers (the rank-offset
+    # join and the totals) — cut lineage so the corpus-side combiner agg
+    # behind it runs once, not per consumer
+    from prod_data_pipeline_spark.session import truncate_lineage
+
+    counts = counts.transform(truncate_lineage, eager=False)
+    w_off = Window.partitionBy(*part).orderBy("__b")
+    offsets = counts.select(
+        *by,
+        "__b",
+        F.coalesce(
+            F.sum("__cnt").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy(*part)).alias(TOTAL_COL),
+    )
+
+    # group totals straight off the offsets relation — |groups| rows,
+    # zero corpus scans (THE change vs exact_quantiles)
+    totals = offsets.select(*by, TOTAL_COL).distinct()
+    prob_rows = F.array(
+        *[
+            F.struct(F.lit(name).alias("qname"), F.lit(p).alias("p"))
+            for name, p in probs.items()
+        ]
+    )
+    needed = (
+        totals.withColumn("__q", F.explode(prob_rows))
+        .select(
+            *by,
+            F.col("__q.qname").alias("qname"),
+            (F.lit(1) + F.col("__q.p") * (F.col(TOTAL_COL) - 1)).alias("__h"),
+        )
+        .withColumn("__k1", F.floor("__h").cast("bigint"))
+        .withColumn("__k2", F.ceil("__h").cast("bigint"))
+        .withColumn("__frac", F.col("__h") - F.col("__k1"))
+    )
+
+    ranked = (
+        ranked.join(F.broadcast(offsets), on=[*by, "__b"])
+        .withColumn(RANK_COL, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__b", "__rn", "__off")
+    )
+    r, nd = ranked.alias("__r"), needed.alias("__nd")
+    cond = [F.col(f"__r.{c}") == F.col(f"__nd.{c}") for c in by] + [
+        (F.col(f"__r.{RANK_COL}") == F.col("__nd.__k1"))
+        | (F.col(f"__r.{RANK_COL}") == F.col("__nd.__k2"))
+    ]
+    hits = r.join(F.broadcast(nd), cond).select(
+        *[F.col(f"__nd.{c}") for c in by],
+        F.col("__nd.qname").alias("qname"),
+        F.col("__nd.__k1").alias("__k1"),
+        F.col("__nd.__frac").alias("__frac"),
+        F.col(f"__r.{RANK_COL}").alias("__rk"),
+        F.col(f"__r.{value_col}").cast("double").alias("__v"),
+    )
+    return (
+        hits.groupBy(*by, "qname", "__k1", "__frac")
+        .agg(
+            F.max(F.when(F.col("__rk") == F.col("__k1"), F.col("__v"))).alias("__lo"),
+            F.max(F.when(F.col("__rk") != F.col("__k1"), F.col("__v"))).alias("__hi"),
+        )
+        .select(
+            *by,
+            "qname",
+            (
+                F.col("__lo")
+                + (F.coalesce("__hi", "__lo") - F.col("__lo")) * F.col("__frac")
+            ).alias("quantile"),
+        )
+    )

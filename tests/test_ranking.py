@@ -102,3 +102,61 @@ def test_exact_quantiles_tiny_groups(spark):
     assert got[("a", "p50")] == 42.0 and got[("a", "p99")] == 42.0
     assert got[("b", "p50")] == pytest.approx(15.0)
     assert got[("b", "p99")] == pytest.approx(10.0 + 0.99 * 10.0)
+
+
+def test_exact_quantiles_v2_identical(spark):
+    """The r16 swap payload must return bit-identical rows to
+    exact_quantiles — same flank join, same interpolation double ops —
+    on both the global and the grouped shape, including a
+    fewer-rows-than-buckets group."""
+    from prod_data_pipeline_spark.operators.ranking import (
+        exact_quantiles,
+        exact_quantiles_v2,
+    )
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    probs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    for by in ([], ["event_type"]):
+        a = {
+            tuple(r)
+            for r in exact_quantiles(ev, "value", probs, by=by).collect()
+        }
+        b = {
+            tuple(r)
+            for r in exact_quantiles_v2(ev, "value", probs, by=by).collect()
+        }
+        assert a == b, (by, a ^ b)
+    # tiny group (fewer rows than buckets): ranks 1..3, h interpolation
+    tiny = spark.createDataFrame(
+        [("g", 1.0), ("g", 5.0), ("g", 9.0), ("h", 2.0)], ["g", "v"]
+    )
+    a = sorted(map(tuple, exact_quantiles(tiny, "v", {"p50": 0.5}, by=["g"]).collect()))
+    b = sorted(map(tuple, exact_quantiles_v2(tiny, "v", {"p50": 0.5}, by=["g"]).collect()))
+    assert a == b == [("g", "p50", 5.0), ("h", "p50", 2.0)]
+
+
+def test_exact_quantiles_v2_halves_scans(spark):
+    """The point of the swap: the ranked relation is single-consumer, so
+    the source scans exactly halve (8 -> 4 on the events shape)."""
+    from prod_data_pipeline_spark.operators.ranking import (
+        exact_quantiles,
+        exact_quantiles_v2,
+    )
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    probs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    old = exact_quantiles(ev, "value", probs, by=["event_type"])
+    new = exact_quantiles_v2(ev, "value", probs, by=["event_type"])
+    n_old = old._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+    n_new = new._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+    assert n_new * 2 <= n_old, (n_new, n_old)
