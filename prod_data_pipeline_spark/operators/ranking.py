@@ -127,85 +127,22 @@ def exact_quantiles(
     use the sketch when a bounded error is acceptable (one pass, no
     rank join), use this when the answer must be exact — both stay
     parallel at any scale.
-    """
-    by = list(by)
-    ranked = bucketed_global_rank(df, [value_col], by=by, n_buckets=n_buckets)
 
-    # One row per (group, prob): target rank h, flanking integer ranks.
-    totals = ranked.select(*by, TOTAL_COL).distinct()
-    prob_rows = F.array(
-        *[
-            F.struct(F.lit(name).alias("qname"), F.lit(p).alias("p"))
-            for name, p in probs.items()
-        ]
-    )
-    needed = (
-        totals.withColumn("__q", F.explode(prob_rows))
-        .select(
-            *by,
-            F.col("__q.qname").alias("qname"),
-            (F.lit(1) + F.col("__q.p") * (F.col(TOTAL_COL) - 1)).alias("__h"),
-        )
-        .withColumn("__k1", F.floor("__h").cast("bigint"))
-        .withColumn("__k2", F.ceil("__h").cast("bigint"))
-        .withColumn("__frac", F.col("__h") - F.col("__k1"))
-    )
-
-    r, nd = ranked.alias("__r"), needed.alias("__nd")
-    cond = [F.col(f"__r.{c}") == F.col(f"__nd.{c}") for c in by] + [
-        (F.col(f"__r.{RANK_COL}") == F.col("__nd.__k1"))
-        | (F.col(f"__r.{RANK_COL}") == F.col("__nd.__k2"))
-    ]
-    hits = r.join(F.broadcast(nd), cond).select(
-        *[F.col(f"__nd.{c}") for c in by],
-        F.col("__nd.qname").alias("qname"),
-        F.col("__nd.__k1").alias("__k1"),
-        F.col("__nd.__frac").alias("__frac"),
-        F.col(f"__r.{RANK_COL}").alias("__rk"),
-        F.col(f"__r.{value_col}").cast("double").alias("__v"),
-    )
-    return (
-        hits.groupBy(*by, "qname", "__k1", "__frac")
-        .agg(
-            F.max(F.when(F.col("__rk") == F.col("__k1"), F.col("__v"))).alias("__lo"),
-            F.max(F.when(F.col("__rk") != F.col("__k1"), F.col("__v"))).alias("__hi"),
-        )
-        .select(
-            *by,
-            "qname",
-            (
-                F.col("__lo")
-                + (F.coalesce("__hi", "__lo") - F.col("__lo")) * F.col("__frac")
-            ).alias("quantile"),
-        )
-    )
-
-
-def exact_quantiles_v2(
-    df: DataFrame,
-    value_col: str,
-    probs: dict[str, float],
-    by: Sequence[str] = (),
-    n_buckets: int = 32,
-) -> DataFrame:
-    """Round-16 swap payload for :func:`exact_quantiles` — identical
-    answers from HALF the corpus scans (prepared behind the wire in
-    round 15; registered consumers keep calling ``exact_quantiles``
-    until their rotation slots open, because swapping the shared body
-    re-flags five queries under rotation policy #4).
-
-    ``exact_quantiles`` consumes its ranked relation TWICE — a
+    Single-consumer rank (round-16 swap, prepared and equality-proven in
+    round 15): the original body consumed its ranked relation TWICE — a
     corpus-wide DISTINCT for the per-group totals, then the flank join —
-    so the whole ``bucketed_global_rank`` pipeline (4 scans) replays per
-    consumer: 8 scans.  The totals are group-level facts the rank pass
-    already aggregates, so this version inlines the rank and reads
+    so the whole ``bucketed_global_rank`` pipeline (4 scans) replayed per
+    consumer: 8 corpus scans.  The totals are group-level facts the rank
+    pass already aggregates, so this body inlines the rank and reads
     ``n_total`` off the bucket-count OFFSETS relation (|groups| ×
     n_buckets rows — no corpus re-scan), leaving the ranked relation
     single-consumer: 4 scans, and strictly fewer exchanges.  The flank
     join, interpolation arithmetic, and tie semantics are byte-identical
-    to ``exact_quantiles``; equality is pinned by
-    tests/test_ranking.py::test_exact_quantiles_v2_identical and the
-    scan count by test_exact_quantiles_v2_halves_scans."""
+    to the two-consumer form (pinned at swap time by the r15
+    side-by-side run recorded in SCALE.md; the live pins are
+    tests/test_ranking.py::test_exact_quantiles_events_shape and the
+    ≤4-scan pin in test_exact_quantiles_scan_count).
+    """
     by = list(by)
     val = F.col(value_col).cast("double")
 
@@ -242,7 +179,7 @@ def exact_quantiles_v2(
     )
 
     # group totals straight off the offsets relation — |groups| rows,
-    # zero corpus scans (THE change vs exact_quantiles)
+    # zero corpus scans (THE change vs the pre-r16 two-consumer body)
     totals = offsets.select(*by, TOTAL_COL).distinct()
     prob_rows = F.array(
         *[

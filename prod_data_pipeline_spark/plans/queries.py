@@ -79,79 +79,84 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-15 window (verdict r14 directive #1): the 4 consolidation
-    # panels lead as never-driver-checked (policy #3 — registered this
-    # round by the switch), then the 3 pinned bench sentinels, then
-    # q14_promo_revenue (policy #4 — its half-up report converted to the
-    # long-division form this round; ledger-detected), then 42 of the 44
-    # r10-due rows oldest/alphabetical-first.  Mandatory load is 52 > 50
-    # with ZERO fillers (true saturation), so the last two r10 rows defer
-    # to the FRONT of round 16's window (DRIVER_DEFERRED below) — r16's
-    # projected load stays under 50 because seating q14 pre-drains its
-    # r11-due slot.
-    "events_hll_users_panel",
-    "docs_gate_eval_panel",
-    "emb_ivf_append_panel",
-    "events_value_distribution",
+    # --- round-16 window (verdict r15 directives #2/#3): the two r10
+    # deferrals FRONT (they sit at the 5-round budget edge), then the 3
+    # pinned bench sentinels, then the 3 policy-#4 seatings from the
+    # scheduled exact_quantiles single-consumer-rank swap (the closure
+    # fingerprint flags FIVE consumers, not the four the r15 narrative
+    # counted — events_value_distribution's r15 row also certifies the
+    # old body; the swap rode this adoption commit so the stamps land in
+    # the same --fingerprint run), then 42 of the 44 r11-due rows
+    # oldest/alphabetical-first.  Mandatory load is 2 + 3 + 3 + 44 = 52
+    # > 50 with ZERO fillers (true saturation; the two remaining swap
+    # consumers are r11 rows already inside the cohort), so the two
+    # youngest-by-name r11 rows defer to the FRONT of round 17's window
+    # (DRIVER_DEFERRED below).
+    "user_session_gap_sensitivity",
+    "users_frequent_type_sequences",
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "q14_promo_revenue",
-    "customer_rfm_segments",
-    "docs_bigram_logprob",
-    "docs_bpe_merge_candidates",
-    "docs_bpe_second_merge",
-    "docs_bpe_train_16",
-    "docs_cross_source_dup_matrix",
-    "docs_distribution_shift",
-    "docs_filter_funnel",
-    "docs_incremental_dedup",
-    "docs_lsh_band_planner",
-    "docs_near_dup_threshold_sweep",
-    "docs_packed_bins",
-    "docs_quality_weighted_sample",
-    "docs_rag_chunk_stats",
-    "docs_shard_assignment",
-    "docs_source_frequency_cap",
-    "docs_source_token_cap",
-    "docs_taint_blast_radius",
-    "docs_zipf_fit",
-    "emb_ivf_cell_balance",
-    "emb_matryoshka_energy",
-    "emb_pq_recall_vs_exact",
-    "emb_semdedup_stats",
-    "emb_srp_near_dup_pairs",
-    "emb_top_principal_component",
-    "events_ewma_anomalies",
-    "events_scd2_asof_snapshot",
-    "events_type_markov_stationary",
-    "events_value_sketch_quantiles",
-    "fk_integrity_audit",
-    "lineitem_mahalanobis_outliers",
-    "media_audio_dominant_band",
-    "media_image_edge_density",
-    "media_image_phash_groups",
-    "media_video_motion_energy",
-    "media_video_scene_changes",
-    "orders_benford_audit",
-    "orders_pareto_frontier",
-    "orders_revenue_trend_ols",
-    "parts_related_by_ppr",
-    "sessions_peak_concurrency",
-    "supplier_concentration_hhi",
+    "events_value_p99_outliers",
+    "events_conversion_latency",
+    "events_value_distribution",
+    "corpus_dup_clusters",
+    "customers_survival_curve",
+    "docs_boilerplate_stats",
+    "docs_bpe_token_stats",
+    "docs_chunk_spans",
+    "docs_cluster_canonical_by_quality",
+    "docs_contamination",
+    "docs_model_quality_gate",
+    "docs_nb_quality_gate",
+    "docs_novelty_by_source",
+    "docs_pii_scrub_stats",
+    "docs_repetition_stats",
+    "docs_split_leakage_audit",
+    "docs_trigram_logprob",
+    "emb_topk_ivf",
+    "events_column_profile",
+    "events_curated_projection",
+    "events_daily_anomalies",
+    "events_dp_noisy_counts",
+    "events_hourly_activity",
+    "events_kanonymity_audit",
+    "events_null_profile",
+    "events_per_day_sql",
+    "events_tcloseness_audit",
+    "events_value_mad_outliers",
+    "join_key_skew_report",
+    "media_audio_band_hash_groups",
+    "media_audio_waveform_stats",
+    "media_feature_topk",
+    "media_video_frame_stats",
+    "media_video_framehash_groups",
+    "nation_keys_except_all",
+    "nation_keys_intersect",
+    "parts_fuzzy_name_matches",
+    "props_key_stats",
+    "q11_important_part_value",
+    "q20_promotable_suppliers",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "regional_nation_revenue",
+    "tables_fingerprint_audit",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation.  Round 15's mandatory load is 52 (4 never-checked panels +
-#: 3 sentinels + 1 policy-#4 q14 conversion + 44 r10-due rows) against
-#: the 50-slot window with zero fillers — true saturation, so the two
-#: youngest-by-name r10 rows defer (rotation tool's oldest-first
-#: ordering cuts alphabetically within a round cohort).
+#: rotation.  Round 16's mandatory load is 52 (2 r10 deferrals + 3
+#: sentinels + 44 r11-due rows + 3 policy-#4 exact_quantiles-swap
+#: consumers from younger cohorts) against the 50-slot window with zero
+#: fillers — true saturation, so the two youngest-by-name r11 rows defer
+#: (rotation tool's oldest-first ordering cuts alphabetically within a
+#: round cohort; both stay oracle-checked at sf0.001 by the local suite
+#: every round).
 DRIVER_DEFERRED: tuple[str, ...] = (
-    "user_session_gap_sensitivity",
-    "users_frequent_type_sequences",
+    "user_running_value",
+    "user_sessions",
 )
 
 

@@ -366,16 +366,15 @@ def test_consolidation_panel_plan_shapes(spark):
       + the direct rollup — the merge's whole point; the pair ran three)
       joined with a broadcast, never a sort-merge.
     - events_value_distribution: one histogram scan + the exact_quantiles
-      pipeline.  exact_quantiles currently consumes its ranked relation
-      twice (totals + flank join) at 4 scans each — 9 total; the
-      scheduled r16 operator change (derive totals from the bucket-count
-      relation) halves the quantile side, so this pin is an UPPER bound
-      that must only ever move down.
+      pipeline.  The r16 single-consumer-rank swap (derive totals from
+      the bucket-count relation, lineage-cut) landed: measured 4 scans
+      at swap time, down from the pre-swap 10.  This pin is an UPPER
+      bound that must only ever move down.
     """
     plan = _executed_plan(spark, "events_hll_users_panel")
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
     plan = _executed_plan(spark, "events_value_distribution")
-    assert plan.count("Scan parquet") <= 10
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
     assert "SortMergeJoin" not in plan

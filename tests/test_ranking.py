@@ -104,15 +104,13 @@ def test_exact_quantiles_tiny_groups(spark):
     assert got[("b", "p99")] == pytest.approx(10.0 + 0.99 * 10.0)
 
 
-def test_exact_quantiles_v2_identical(spark):
-    """The r16 swap payload must return bit-identical rows to
-    exact_quantiles — same flank join, same interpolation double ops —
-    on both the global and the grouped shape, including a
-    fewer-rows-than-buckets group."""
-    from prod_data_pipeline_spark.operators.ranking import (
-        exact_quantiles,
-        exact_quantiles_v2,
-    )
+def test_exact_quantiles_events_shape(spark):
+    """Post-swap value pins on the shapes the r15 side-by-side run proved
+    bit-identical (recorded in SCALE.md): the real events table, global
+    and grouped, against Spark's own percentile_cont; plus the
+    fewer-rows-than-buckets group whose exact answers are pinned as
+    literals (these were the identity test's assertion values before the
+    r16 body swap retired the two-consumer form)."""
     from prod_data_pipeline_spark.sources.readers import load_table
 
     ev = (
@@ -121,32 +119,32 @@ def test_exact_quantiles_v2_identical(spark):
         .select("event_type", "value")
     )
     probs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
-    for by in ([], ["event_type"]):
-        a = {
-            tuple(r)
-            for r in exact_quantiles(ev, "value", probs, by=by).collect()
-        }
-        b = {
-            tuple(r)
-            for r in exact_quantiles_v2(ev, "value", probs, by=by).collect()
-        }
-        assert a == b, (by, a ^ b)
+    got_g = {
+        (r["event_type"], r["qname"]): r["quantile"]
+        for r in exact_quantiles(ev, "value", probs, by=["event_type"]).collect()
+    }
+    ref_g = ev.groupBy("event_type").agg(
+        *[F.percentile("value", p).alias(nm) for nm, p in probs.items()]
+    )
+    for r in ref_g.collect():
+        for nm in probs:
+            assert got_g[(r["event_type"], nm)] == pytest.approx(r[nm], abs=1e-9)
+    got = {r["qname"]: r["quantile"] for r in exact_quantiles(ev, "value", probs).collect()}
+    ref = ev.agg(*[F.percentile("value", p).alias(nm) for nm, p in probs.items()]).first()
+    for nm in probs:
+        assert got[nm] == pytest.approx(ref[nm], abs=1e-9)
     # tiny group (fewer rows than buckets): ranks 1..3, h interpolation
     tiny = spark.createDataFrame(
         [("g", 1.0), ("g", 5.0), ("g", 9.0), ("h", 2.0)], ["g", "v"]
     )
     a = sorted(map(tuple, exact_quantiles(tiny, "v", {"p50": 0.5}, by=["g"]).collect()))
-    b = sorted(map(tuple, exact_quantiles_v2(tiny, "v", {"p50": 0.5}, by=["g"]).collect()))
-    assert a == b == [("g", "p50", 5.0), ("h", "p50", 2.0)]
+    assert a == [("g", "p50", 5.0), ("h", "p50", 2.0)]
 
 
-def test_exact_quantiles_v2_halves_scans(spark):
-    """The point of the swap: the ranked relation is single-consumer, so
-    the source scans exactly halve (8 -> 4 on the events shape)."""
-    from prod_data_pipeline_spark.operators.ranking import (
-        exact_quantiles,
-        exact_quantiles_v2,
-    )
+def test_exact_quantiles_scan_count(spark):
+    """The point of the r16 swap: the ranked relation is single-consumer,
+    so one exact_quantiles call costs at most 4 source scans on the
+    events shape (the pre-swap two-consumer body cost 8)."""
     from prod_data_pipeline_spark.sources.readers import load_table
 
     ev = (
@@ -155,8 +153,6 @@ def test_exact_quantiles_v2_halves_scans(spark):
         .select("event_type", "value")
     )
     probs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
-    old = exact_quantiles(ev, "value", probs, by=["event_type"])
-    new = exact_quantiles_v2(ev, "value", probs, by=["event_type"])
-    n_old = old._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
-    n_new = new._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
-    assert n_new * 2 <= n_old, (n_new, n_old)
+    q = exact_quantiles(ev, "value", probs, by=["event_type"])
+    n = q._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+    assert n <= 4, n
