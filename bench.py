@@ -245,7 +245,16 @@ def inflated_gate(inflated: dict, membw_factor: float) -> dict:
             for q, t in inflated.items()
             if q in refs
         }
-        med = sorted(ratios.values())[len(ratios) // 2]
+        if not ratios:
+            # a trimmed INFLATED_QUERIES run with no ref overlap carries
+            # no gate signal — same no-verdict shape as tier 0
+            out["tier"] = 0
+            return out
+        # true median (averages the two middle elements for an even-sized
+        # pack — the former upper-middle pick biased the uniformity rule)
+        import statistics
+
+        med = round(statistics.median(ratios.values()), 3)
         out["refs"] = "quiet_r10" if tier == 1 else "floor_r13_r15"
         out["ratios"] = ratios
         out["median_ratio"] = med

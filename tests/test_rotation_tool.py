@@ -266,3 +266,53 @@ def test_changed_at_seating_is_not_a_filler(monkeypatch, capsys):
     code, out = _run(monkeypatch, capsys, latest)
     assert code == 1
     assert "POLICY FAIL" in out
+
+
+def test_refingerprint_same_round_preserves_changed_at(
+    monkeypatch, capsys, tmp_path
+):
+    """r15 advisory (medium): a second --fingerprint run in the same
+    unspent round must not erase a changed_at stamp.  The fp moved at the
+    first run and is stable at the second, but the seat is still a
+    policy-#4 seating for this round — the old rewrite dropped the stamp
+    (it only set changed_at when old fp != new fp), retroactively
+    reclassifying the seat as a filler and, with DRIVER_DEFERRED
+    non-empty, flipping the audit to a false POLICY FAIL."""
+    import json
+    import sys as _sys
+
+    max_round = 40
+    budget = rotation.staleness_budget(len(QUERIES), len(DRIVER_SENTINELS))
+    seated = next(q for q in DRIVER_ORDER if q not in DRIVER_SENTINELS)
+    latest = {q: max_round + 1 - budget + 1 for q in QUERIES}
+    latest[DRIVER_ORDER[0]] = max_round  # not spent
+    ledger = {
+        q: {
+            "fp": rotation.query_fingerprint(QUERIES[q]),
+            "round": max_round + 1,
+            "algo": rotation.FP_ALGO,
+        }
+        for q in DRIVER_ORDER
+    }
+    ledger[seated]["changed_at"] = max_round + 1  # stamped at run 1
+    fps = tmp_path / "fps.json"
+    fps.write_text(json.dumps(ledger))
+    monkeypatch.setattr(rotation, "FINGERPRINTS", str(fps))
+    monkeypatch.setattr(_sys, "argv", ["rotation", "--fingerprint"])
+    code, out = _run(monkeypatch, capsys, latest)
+    assert "fingerprinted" in out
+    rewritten = json.loads(fps.read_text())
+    assert rewritten[seated].get("changed_at") == max_round + 1, (
+        rewritten[seated]
+    )
+    # a stamp from an EARLIER round must still be dropped (the entry is
+    # genuinely unchanged since that round's driver row certified it)
+    stale_stamped = next(
+        q for q in DRIVER_ORDER
+        if q not in DRIVER_SENTINELS and q != seated
+    )
+    ledger[stale_stamped]["changed_at"] = max_round  # old round's stamp
+    fps.write_text(json.dumps(ledger))
+    code, out = _run(monkeypatch, capsys, latest)
+    rewritten = json.loads(fps.read_text())
+    assert "changed_at" not in rewritten[stale_stamped]

@@ -91,8 +91,12 @@ _PKG = "prod_data_pipeline_spark"
 
 #: repr-stable value types included in the closure when a builder
 #: references a module-level constant by name (e.g. _TOKS_SQL grids,
-#: threshold dicts).
-_CONST_TYPES = (str, bytes, int, float, bool, tuple, frozenset, dict, list)
+#: threshold dicts).  frozenset is deliberately ABSENT (r15 advisory):
+#: its repr order follows per-process str hash randomization, so hashing
+#: one would make query_fingerprint nondeterministic across runs and
+#: spuriously flag policy-#4 changes.  No plans/ closure references one
+#: today; if one ever must, hash repr(sorted(v)) instead.
+_CONST_TYPES = (str, bytes, int, float, bool, tuple, dict, list)
 
 
 def _code_names(fn) -> set:
@@ -411,6 +415,17 @@ def main() -> None:
                 # seat is a policy-#4 seating, not a filler (the audit's
                 # window_fillers computation consumes this stamp)
                 entry["changed_at"] = max_round + 1
+            elif (
+                old is not None
+                and old.get("changed_at") == max_round + 1
+            ):
+                # re-run in the same unspent round: the fp already moved
+                # at an earlier --fingerprint and is now stable — carry
+                # the stamp forward instead of silently reclassifying a
+                # policy-#4 seating as a filler (r15 advisory: the erased
+                # stamp plus a non-empty DRIVER_DEFERRED turns the audit
+                # into a false POLICY FAIL)
+                entry["changed_at"] = old["changed_at"]
             ledger[name] = entry
         seeded = [
             name for name in QUERIES
