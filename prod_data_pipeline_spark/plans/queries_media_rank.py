@@ -1125,9 +1125,18 @@ def docs_trigram_logprob(spark, sf_dir):
     the same left-to-right order in both engines on identical
     integer-derived doubles."""
     from prod_data_pipeline_spark.functions.text import tokens
+    from prod_data_pipeline_spark.session import truncate_lineage
 
     docs = _t(spark, sf_dir, "documents")
+    # The tokenized snapshot feeds FOUR corpus-sized consumers (unigram
+    # stream, bigram stream, and the trigram stream twice: type counts +
+    # the per-doc scoring join).  Without a lineage cut each consumer
+    # replays the scan AND the regex tokenization — 7 executed-plan
+    # parquet scans (r16 plan census).  One materialization is the same
+    # trade the dedup family documents: tokenize once, never re-shuffle
+    # snapshot text.
     t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    t = t.transform(truncate_lineage, eager=False)
     tok = t.select(F.explode("toks").alias("token"))
     cu = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
     nn = cu.agg(F.sum("cu").cast("double").alias("n"))
