@@ -2455,12 +2455,18 @@ def events_conversion_latency(spark, sf_dir):
     exact integer microseconds until the final interpolation; two
     per-user aggs and one key join are the only corpus-sized work."""
     from prod_data_pipeline_spark.operators.ranking import exact_quantiles
+    from prod_data_pipeline_spark.session import truncate_lineage
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # per-user first-view is SLIM (|users| rows) but feeds THREE
+    # consumers (the purchase join, the latency join, the viewer count);
+    # cut lineage so its corpus agg runs once instead of replaying the
+    # events scan per consumer (r16 census: 6 scans -> 2)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("vt"))
+        .transform(truncate_lineage, eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2469,9 +2475,11 @@ def events_conversion_latency(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("pt"))
     )
+    # one-column converted-user relation, consumed by the count and the
+    # quantile machinery's two passes
     lat = p.join(v, "user_id").select(
         (F.unix_micros("pt") - F.unix_micros("vt")).alias("us")
-    )
+    ).transform(truncate_lineage, eager=False)
     n_viewers = v.count()
     n_conv = lat.count()
     q = exact_quantiles(lat, "us", {"p50": 0.5, "p90": 0.9})

@@ -87,8 +87,13 @@ def q2_min_cost_supplier(spark, sf_dir):
     unit_cost).  Unit cost stays a raw IEEE double end-to-end (one
     division, one MIN — both engines produce identical bits; no rounding
     ever decides the match).  At 100 TB the ps aggregation shuffles
-    (partkey, suppkey) once; supplier/nation/region broadcast; the min
-    join is partkey-aligned with the eu relation — no extra exchange."""
+    (partkey, suppkey) once; supplier/nation/region broadcast; the
+    per-part minimum is a whole-partition window over the slim eu
+    relation — ONE partkey exchange, no groupBy+self-join (the former
+    decorrelated-join form consumed eu twice, replaying the lineitem agg
+    and every broadcast: 9 scans, r16 census; the window form reads each
+    table once and keeps min-cost ties exactly as the equality join
+    did)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     ps = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
@@ -102,16 +107,14 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .select("partkey", "suppkey", "unit_cost", "s_name", "s_acctbal", "n_name")
     )
-    best = eu.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
     return (
-        eu.join(
-            best,
-            (eu.partkey == best.partkey) & (eu.unit_cost == best.min_cost),
+        eu.withColumn(
+            "min_cost", F.min("unit_cost").over(Window.partitionBy("partkey"))
         )
-        .drop(best.partkey)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
         .select(
             F.col("s_acctbal").cast("double").alias("s_acctbal"),
