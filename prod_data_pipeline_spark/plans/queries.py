@@ -79,85 +79,79 @@ DRIVER_SENTINELS: tuple[str, ...] = (
 )
 
 DRIVER_ORDER: list[str] = [
-    # --- round-16 window (verdict r15 directives #2/#3): the two r10
-    # deferrals FRONT (they sit at the 5-round budget edge), then the 3
-    # pinned bench sentinels, then the 3 policy-#4 seatings from the
-    # scheduled exact_quantiles single-consumer-rank swap (the closure
-    # fingerprint flags FIVE consumers, not the four the r15 narrative
-    # counted — events_value_distribution's r15 row also certifies the
-    # old body; the swap rode this adoption commit so the stamps land in
-    # the same --fingerprint run), then 42 of the 44 r11-due rows
-    # oldest/alphabetical-first.  Mandatory load is 2 + 3 + 3 + 44 = 52
-    # > 50 with ZERO fillers (true saturation; the two remaining swap
-    # consumers are r11 rows already inside the cohort), so the two
-    # youngest-by-name r11 rows defer to the FRONT of round 17's window
-    # (DRIVER_DEFERRED below).
-    "user_session_gap_sensitivity",
-    "users_frequent_type_sequences",
+    # --- round-17 window (`python -m tools.rotation --propose` at the
+    # optimization-round HEAD): 3 pinned bench sentinels, then the 9
+    # policy-#4 seatings — every query whose plan changed this round
+    # (the six lineage-cut scan-volume fixes docs_bigram_logprob,
+    # docs_heaps_law_fit, docs_unigram_logprob, events_type_value_mi,
+    # events_value_sketch_quantiles + the hll-panel NULL-ordering fix;
+    # emb_ivf_recall / events_clicks_before_purchase /
+    # orders_price_deciles are ALSO policy-#4 but were already due-stale
+    # r12 rows) — then the 2 r11 deferrals FRONTED per the r16 record,
+    # then the remaining r12-due cohort oldest/alphabetical-first.
+    # Mandatory load 3 + 12 + 38-3(overlap) + 2 = 50 of 50: the round's
+    # 12 policy-#4 seatings (three of them already due-stale r12 rows)
+    # exactly fill the window with zero non-mandatory fillers.
     "events_per_day",
     "q1_pricing_summary",
     "docs_near_dup_pairs",
-    "events_value_p99_outliers",
-    "events_conversion_latency",
-    "events_value_distribution",
-    "corpus_dup_clusters",
-    "customers_survival_curve",
-    "docs_boilerplate_stats",
-    "docs_bpe_token_stats",
-    "docs_chunk_spans",
-    "docs_cluster_canonical_by_quality",
-    "docs_contamination",
-    "docs_model_quality_gate",
-    "docs_nb_quality_gate",
-    "docs_novelty_by_source",
-    "docs_pii_scrub_stats",
-    "docs_repetition_stats",
-    "docs_split_leakage_audit",
-    "docs_trigram_logprob",
-    "emb_topk_ivf",
-    "events_column_profile",
-    "events_curated_projection",
-    "events_daily_anomalies",
-    "events_dp_noisy_counts",
-    "events_hourly_activity",
-    "events_kanonymity_audit",
-    "events_null_profile",
-    "events_per_day_sql",
-    "events_tcloseness_audit",
-    "events_value_mad_outliers",
-    "join_key_skew_report",
-    "media_audio_band_hash_groups",
-    "media_audio_waveform_stats",
-    "media_feature_topk",
-    "media_video_frame_stats",
-    "media_video_framehash_groups",
-    "nation_keys_except_all",
-    "nation_keys_intersect",
-    "parts_fuzzy_name_matches",
-    "props_key_stats",
-    "q11_important_part_value",
-    "q20_promotable_suppliers",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "regional_nation_revenue",
-    "tables_fingerprint_audit",
+    "docs_bigram_logprob",
+    "docs_bpe_encode_stats",
+    "docs_collocations_pmi",
+    "docs_dsir_selection",
+    "docs_heaps_law_fit",
+    "docs_unigram_logprob",
+    "emb_ivf_recall",
+    "events_clicks_before_purchase",
+    "events_hll_users_panel",
+    "events_type_value_mi",
+    "events_value_sketch_quantiles",
+    "orders_price_deciles",
+    "user_running_value",
+    "user_sessions",
+    "docs_tfidf_top_terms",
+    "docs_token_budget",
+    "emb_cosine_near_dup_pairs",
+    "emb_hard_negatives",
+    "emb_knn_label_accuracy",
+    "emb_label_centroids",
+    "emb_label_retrieval_by_label",
+    "emb_label_retrieval_mrr",
+    "events_asof_last_view",
+    "events_daily_distinct_users",
+    "events_funnel_daily",
+    "events_latest_per_user",
+    "events_ldiversity_audit",
+    "events_rolling_7day",
+    "events_salted_type_counts",
+    "events_scd2_temporal_join",
+    "events_type_audience_overlap",
+    "events_type_transitions",
+    "events_user_type_scd2",
+    "large_volume_orders",
+    "lineitem_priority_by_status",
+    "lineitem_qty_price_corr",
+    "media_decode_profile",
+    "orders_priority_extremes",
+    "orders_table_diff",
+    "parts_supplier_counts",
+    "q10_returned_revenue",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_idle_balances",
+    "user_activity_streaks",
+    "user_event_type_paths",
+    "user_retention_cohorts",
 ]
 
 
 
 #: Queries deferred past the window to the FRONT of next round's
-#: rotation.  Round 16's mandatory load is 52 (2 r10 deferrals + 3
-#: sentinels + 44 r11-due rows + 3 policy-#4 exact_quantiles-swap
-#: consumers from younger cohorts) against the 50-slot window with zero
-#: fillers — true saturation, so the two youngest-by-name r11 rows defer
-#: (rotation tool's oldest-first ordering cuts alphabetically within a
-#: round cohort; both stay oracle-checked at sf0.001 by the local suite
-#: every round).
-DRIVER_DEFERRED: tuple[str, ...] = (
-    "user_running_value",
-    "user_sessions",
-)
+#: rotation.  Round 17's mandatory load is exactly 50 (3 sentinels + 12
+#: policy-#4 seatings, 3 of them already due-stale + 2 r10/r11 deferrals
+#: + 33 remaining r12-due rows) — the window saturates with zero
+#: non-mandatory fillers and zero deferrals.
+DRIVER_DEFERRED: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, QuerySpec]:

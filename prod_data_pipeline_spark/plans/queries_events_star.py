@@ -2160,7 +2160,14 @@ def docs_dsir_selection(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     raw = docs.filter(F.col("lang") != "en")
     target = docs.filter(F.col("lang") == "en")
-    w = dsir_importance(raw, target).withColumn("_negw", -F.col("log_w"))
+    # The slim weight relation feeds bucketed_global_rank's three passes;
+    # each replay re-ran the full-corpus left join inside dsir_importance
+    # (5 documents scan nodes without the cut, 1 with).
+    w = (
+        dsir_importance(raw, target)
+        .withColumn("_negw", -F.col("log_w"))
+        .transform(truncate_lineage, eager=False)
+    )
     ranked = bucketed_global_rank(w, ["_negw", "doc_id"])
     sel = ranked.withColumn(
         "s",
@@ -2381,7 +2388,9 @@ def emb_ivf_recall(spark, sf_dir):
     (tests/test_similarity.py::test_ivf_recall_at_k_floor)."""
     from prod_data_pipeline_spark.operators.similarity import ivf_recall_at_k
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # One corpus read: the quantizer fit, probe assignment and exact
+    # baseline all replay `emb` (7 scans) unless the lineage is cut here.
+    emb = _t(spark, sf_dir, "embeddings").transform(truncate_lineage, eager=False)
     queries_df = emb.filter(F.col("vec_id") < 8)
     per_query = ivf_recall_at_k(emb, queries_df, k=5, nprobe=4, n_cells=8)
     return per_query.agg(
@@ -3008,9 +3017,11 @@ def events_clicks_before_purchase(spark, sf_dir):
     from prod_data_pipeline_spark.operators.joins import time_range_join
 
     ev = _t(spark, sf_dir, "events")
+    # The slim purchases relation feeds both the range join and the
+    # left-join spine; cut its lineage so events is scanned once for it.
     p = ev.filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull()).select(
         "event_id", "user_id", F.col("ts").alias("purchase_ts")
-    )
+    ).transform(truncate_lineage, eager=False)
     c = ev.filter((F.col("event_type") == "click") & F.col("user_id").isNotNull()).select(
         "user_id", "ts"
     )

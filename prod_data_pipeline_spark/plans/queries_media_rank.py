@@ -720,7 +720,12 @@ def docs_collocations_pmi(spark, sf_dir):
     from prod_data_pipeline_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    t = docs.select(tokens(F.col("text")).alias("toks"))
+    # Tokenize once (same cut as the n-gram LM queries): the snapshot
+    # feeds the unigram and bigram count streams — 5 corpus reads without
+    # it, 1 tokenize pass with.
+    t = docs.select(tokens(F.col("text")).alias("toks")).transform(
+        truncate_lineage, eager=False
+    )
     tok = t.select(F.explode("toks").alias("token"))
     cu = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     nu = cu.agg(F.sum("c").cast("double").alias("nu"))
@@ -1745,12 +1750,16 @@ def events_value_sketch_quantiles(spark, sf_dir):
     )
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # Two cuts = the no-restructure floor of 2 corpus reads (sketch and
+    # exact halves need different columns): the slim rank input feeds the
+    # bucketed-rank pipeline (bounds sketch + bucketing + offsets), and
+    # the tiny per-day sketch (|days| x 64 rows) feeds merge + day count.
     r = ev.select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("vc")
-    )
+    ).transform(truncate_lineage, eager=False)
     sk = value_histogram_build(
         ev, "value", by=(F.to_date("ts").alias("day"),), n_buckets=64, vmax_cents=50_000
-    )
+    ).transform(truncate_lineage, eager=True)
     merged = value_histogram_merge(sk)
     w_all = Window.partitionBy(F.lit(0))
     w_run = w_all.orderBy("bucket").rowsBetween(

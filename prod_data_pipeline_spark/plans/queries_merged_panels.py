@@ -139,7 +139,10 @@ def events_hll_users_panel(spark, sf_dir):
                 <= bound * F.col("exact_users")
             ).alias("merged_within_bound"),
         )
-        .orderBy("scope")
+        # asc_nulls_last matches DuckDB's default ORDER BY NULL placement;
+        # Spark's default (NULLs first) would diverge if a NULL scope ever
+        # appeared (r15 advisory, seated r17).
+        .orderBy(F.col("scope").asc_nulls_last())
     )
 
 

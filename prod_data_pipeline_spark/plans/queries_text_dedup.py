@@ -835,7 +835,16 @@ def orders_price_deciles(spark, sf_dir):
         ntile_from_rank,
     )
 
-    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # Builder-local input cut: bucketed_global_rank consumes its input for
+    # the bounds sketch, the bucketing pass and the offsets join — 4 orders
+    # scans without it, 1 with (operator untouched; decision rule recorded
+    # in SCALE.md "r17 prep": the ~7% local wall trade buys a 4x scan-volume
+    # win at 100 TB).
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .transform(truncate_lineage, eager=False)
+    )
     ranked = bucketed_global_rank(orders, ["o_totalprice", "o_orderkey"])
     return (
         ranked.select(
@@ -2263,7 +2272,11 @@ def docs_unigram_logprob(spark, sf_dir):
     from prod_data_pipeline_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token"))
+    # Tokenize once: the token stream feeds the LM count pass and the
+    # score-back join (3 corpus reads without the cut, 1 with).
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).transform(truncate_lineage, eager=False)
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     tot = counts.agg(F.sum("c").cast("double").alias("n"))
     lp = counts.crossJoin(F.broadcast(tot)).select(
@@ -2476,10 +2489,13 @@ def events_type_value_mi(spark, sf_dir):
     the same determinism discipline as the unigram-LM and quantized-
     PageRank oracles, so the value hash holds across engines."""
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # The slim (x, y) relation feeds four aggregations (n, cxy, cx, cy) —
+    # 9 events scans without the cut, 1 with; the trade (small local wall
+    # cost for an 9x scan-volume win at scale) is recorded in SCALE.md.
     base = ev.select(
         F.col("event_type").alias("x"),
         F.floor(F.col("value") / 25.0).cast("int").alias("y"),
-    )
+    ).transform(truncate_lineage, eager=False)
     nn = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
     cxy = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
     cx = base.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
@@ -2914,7 +2930,12 @@ def docs_bigram_logprob(spark, sf_dir):
     from prod_data_pipeline_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+    # Tokenize once (same cut as docs_trigram_logprob): the snapshot feeds
+    # the unigram counts, the bigram counts and the score-back join — 5
+    # corpus reads without it, 1 with.
+    t = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    ).transform(truncate_lineage, eager=False)
     tok = t.select(F.explode("toks").alias("token"))
     cu = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
     nn = cu.agg(F.sum("cu").cast("double").alias("n"))

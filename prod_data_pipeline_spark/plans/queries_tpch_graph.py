@@ -1882,16 +1882,25 @@ def docs_heaps_law_fit(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # The gram stream (regex tokenize + bigram explode) feeds both the
+    # first-appearance and per-doc-count aggregations; without the cut the
+    # whole tokenize pipeline replays per consumer and the checkpoint
+    # fan-out below multiplies that to 10 corpus reads.  The two tiny
+    # relations (ks: 10 rows, pts: 10 rows) are cut eagerly so their
+    # broadcast fan-out does not replay the gram aggregations either.
     g = (
         docs.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.explode(grams_arr).alias("gram"))
+        .transform(truncate_lineage, eager=False)
     )
     firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     percount = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     mx = docs.agg(F.max("doc_id").alias("m"))
     ks = mx.select(
         F.explode(F.sequence(F.lit(1), F.lit(10))).alias("k"), "m"
-    ).select("k", F.expr("(m * k) div 10").alias("t"))
+    ).select("k", F.expr("(m * k) div 10").alias("t")).transform(
+        truncate_lineage, eager=True
+    )
     v = (
         firsts.join(F.broadcast(ks))
         .filter(F.col("first_doc") <= F.col("t"))
@@ -1908,7 +1917,7 @@ def docs_heaps_law_fit(spark, sf_dir):
         "k",
         F.coalesce("v", F.lit(0)).alias("v"),
         F.coalesce("n", F.lit(0)).alias("n"),
-    )
+    ).transform(truncate_lineage, eager=True)
     xy = pts.filter((F.col("n") > 0) & (F.col("v") > 0)).select(
         F.round(F.log(F.col("n").cast("double")), 9).alias("x"),
         F.round(F.log(F.col("v").cast("double")), 9).alias("y"),
@@ -3123,10 +3132,15 @@ def docs_bpe_encode_stats(spark, sf_dir):
     from prod_data_pipeline_spark.functions.text import tokens as _tokens
 
     docs = _t(spark, sf_dir, "documents")
+    # One corpus tokenize: the (source, word, count) relation feeds the
+    # merge-learning chain (tf -> m1 -> v1 -> m2 -> vocab, four replay
+    # paths) and the final re-encode join — 5 documents scans without the
+    # cut, 1 with; every replay is then a vocab-sized re-agg of the cache.
     tsrc = (
         docs.select("source", F.explode(_tokens(F.col("text"))).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .transform(truncate_lineage, eager=False)
     )
     tf = tsrc.groupBy("token").agg(F.sum("c").alias("c"))
 

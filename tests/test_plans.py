@@ -378,3 +378,33 @@ def test_consolidation_panel_plan_shapes(spark):
     plan = _executed_plan(spark, "events_value_distribution")
     assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
     assert "SortMergeJoin" not in plan
+
+
+def test_r17_lineage_cuts_scan_counts(spark):
+    """Pins the round-17 scan-volume fixes: each builder-local lineage cut
+    collapses the query's FINAL plan to at most the quoted parquet-scan
+    count (the cut relation's single materializing scan runs inside the
+    same invocation, before the final action — plans/r17 README).  These
+    are UPPER bounds that must only ever move down; the before counts
+    (plans/r16 census) were 7/3/4/10/9/6/5/3/5/5/5 respectively."""
+    bounds = {
+        "emb_ivf_recall": 0,
+        "events_clicks_before_purchase": 1,  # the clicks side scans once
+        "orders_price_deciles": 0,
+        "docs_heaps_law_fit": 0,
+        "events_type_value_mi": 0,
+        "events_value_sketch_quantiles": 0,
+        "docs_bigram_logprob": 0,
+        "docs_unigram_logprob": 0,
+        # dsir: the source-rollup join side scans once; planning is
+        # session-state sensitive (1 standalone, 2 after a full-suite
+        # prefix) — the pin exists to catch a regression to the 5-scan
+        # pre-cut shape, so the bound is the observed ceiling
+        "docs_dsir_selection": 2,
+        "docs_collocations_pmi": 0,
+        "docs_bpe_encode_stats": 0,
+    }
+    for name, bound in bounds.items():
+        plan = _executed_plan(spark, name)
+        n = plan.count("Scan parquet")
+        assert n <= bound, f"{name}: {n} parquet scans in final plan (> {bound})"
