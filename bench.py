@@ -22,6 +22,20 @@ reference is reported as `noise.noise_factor`, and `value_normalized` /
 `inflated.total_normalized` divide measured contention out of the raw
 totals, so "the machine was busy" is a number the judge can check, not a
 claim.
+
+Round-17 changes (ADDITIONS ONLY — no entry removed, renamed, or
+re-timed differently):
+- `events_conversion_latency` + `docs_trigram_logprob` join both packs
+  (HEADLINE_ADDITIONS / INFLATED_ADDITIONS) so driver-side BENCH/PERF can
+  see optimization work; they ride the same passes, so the per-PASS
+  spread totals now include them.  The legacy `value` and
+  `inflated.total` metrics keep summing the SAME queries as rounds <=16;
+  the grown packs land in `value_full_pack` / `inflated.total_full_pack`.
+- `cpu_scaling_probe`: a fixed-total-work compute-bound entry in
+  `queries` (see scaling_probe_df) whose 8c/32c wall ratio tracks the
+  core ratio (~2.7x measured), making the $SPARK_GRAFT_CPUS contract
+  driver-visible; excluded from every total.
+- the JSON echoes `cpus` (the core count the session was built with).
 """
 
 from __future__ import annotations
@@ -40,6 +54,59 @@ from prod_data_pipeline_spark.session import get_spark
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# --- round-17 additions-only pack growth (verdict r16 directive #6) ----------
+# Two of the r16 optimization targets join the timed pack so driver-side
+# BENCH/PERF can measure optimization work directly (none of r16's four
+# plan wins was bench-visible).  ADDITIONS ONLY: every pre-r17 entry keeps
+# its name and methodology, and the legacy `value` / `inflated.total`
+# metrics keep summing the SAME queries as rounds <=16 so they stay
+# comparable round-over-round; the additions are reported per-query in
+# `queries` / `inflated.queries` and in the new *_full_pack totals.
+HEADLINE_ADDITIONS = ["events_conversion_latency", "docs_trigram_logprob"]
+
+
+# --- CPU-scaling probe (verdict r16 directive #2) ----------------------------
+# Every sf0.1 headline query is latency-floor-bound per query (8c/32c wall
+# ratios ~1), which left the driver's scaling block illegible
+# (`suspect_cpus_ignored` despite session.py honoring $SPARK_GRAFT_CPUS).
+# This probe is a fixed-total-work, compute-bound job derived from the
+# parquet inputs: seeds from `nation`, a two-level explode generates a
+# constant 25*FAN1*FAN2 rows spread over a FIXED task count, and each row
+# pays a DEPTH-long xxhash64 chain (pure codegen, no per-row arrays, no
+# data-sized shuffle).  Its wall time tracks 1/cores (measured r17:
+# ~2.5 s at local[32] vs ~6.7 s at local[8], ratio ~2.7 — the residual
+# is the fixed scan/shuffle/plan overhead), so the per-query scaling
+# ratio the driver computes from `queries` is >>1 exactly when the bench
+# honors the core count.  Deterministic integer arithmetic throughout;
+# recomputed from parquet on every invocation like every other entry.
+PROBE_NAME = "cpu_scaling_probe"
+PROBE_FAN1 = 64
+PROBE_FAN2 = 16_000
+PROBE_PARTS = 64  # fixed: total work constant, cores share it
+PROBE_DEPTH = 256
+
+
+def scaling_probe_df(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from prod_data_pipeline_spark.sources.readers import load_table
+
+    seeds = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias("k"))
+        .select("k", F.explode(F.sequence(F.lit(1), F.lit(PROBE_FAN1))).alias("i"))
+        .select((F.col("k") * PROBE_FAN1 + F.col("i")).alias("s"))
+        .repartition(PROBE_PARTS)
+    )
+    rows = seeds.select(
+        "s", F.explode(F.sequence(F.lit(1), F.lit(PROBE_FAN2))).alias("j")
+    ).select((F.col("s") * PROBE_FAN2 + F.col("j")).alias("x"))
+    col = F.col("x")
+    for _ in range(PROBE_DEPTH):
+        col = F.xxhash64(col)
+    return rows.agg(F.sum(F.pmod(col, F.lit(1000000007))).alias("probe_checksum"))
 
 
 # --- machine-noise sentinel (round-10 verdict directive #2) -----------------
@@ -173,6 +240,15 @@ INFLATED_QUERIES = [
     # regression gets a standing driver-visible number.
     "docs_split_leakage_audit",
 ]
+
+# r17 addition (verdict r16 directive #6), timed at the inflated scale
+# too so its lineage-cut plan gets a standing sf1-equivalent number.
+# Kept OUT of the legacy INFLATED_QUERIES sum: `inflated.total` keeps its
+# pre-r17 identity, the grown pack totals land in total_full_pack.
+# docs_trigram_logprob stays HEADLINE-ONLY: at 10x documents its n-gram
+# LM pass costs ~11 s/pass (a third of the whole inflated suite) and the
+# banding/leakage entries already cover the documents family at scale.
+INFLATED_ADDITIONS = ["events_conversion_latency"]
 
 
 # BASELINE.md quiet-window per-query references for the inflated pass
@@ -310,6 +386,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = [name for name, spec in QUERIES.items() if spec.headline]
+    # additions-only growth (r17): the legacy 10 keep their names and the
+    # legacy `value` metric; the additions ride the same passes.
+    pack = headline + [q for q in HEADLINE_ADDITIONS if q not in headline]
     # Warmup: run the cheapest headline once to pay JVM/codegen startup.
     materialize(QUERIES["events_per_day"].fn(spark, sf_dir))
 
@@ -344,24 +423,43 @@ def main() -> None:
     # after pass k-1, so the per-pass totals sample the box's contention
     # trajectory — the spread a single best-of-N cannot show (round-11
     # verdict #5).
-    run_pass(headline, sf_dir)  # codegen warmup, discarded
+    run_pass(pack, sf_dir)  # codegen warmup, discarded
     sample_noise()
     passes = []
     for _ in range(max(1, runs)):
-        passes.append(run_pass(headline, sf_dir))
+        passes.append(run_pass(pack, sf_dir))
         sample_noise()
 
     timings = {
-        name: round(min(p[name] for p in passes), 3) for name in headline
+        name: round(min(p[name] for p in passes), 3) for name in pack
     }
     pass_totals = [round(sum(p.values()), 3) for p in passes]
 
-    total = round(sum(timings.values()), 3)
+    # CPU-scaling probe: timed with the same warmup + best-of-N
+    # methodology, OUTSIDE the suite passes (so pass totals keep
+    # measuring the query pack) and excluded from both totals below —
+    # it exists to make the core-count contract driver-visible, not to
+    # move the headline number.
+    materialize(scaling_probe_df(spark, sf_dir))  # codegen warmup
+    probe_ts = []
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        materialize(scaling_probe_df(spark, sf_dir))
+        probe_ts.append(round(time.perf_counter() - t0, 3))
+    timings[PROBE_NAME] = round(min(probe_ts), 3)
+    sample_noise()
+
+    # `value` keeps its pre-r17 identity (the SAME 10 headline queries)
+    # for round-over-round comparability; the grown pack's total is
+    # value_full_pack (additions included, probe excluded).
+    total = round(sum(timings[n] for n in headline), 3)
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "queries": timings,
+        "value_full_pack": round(sum(timings[n] for n in pack), 3),
         "sf": sf,
     }
 
@@ -380,22 +478,26 @@ def main() -> None:
         # been written seconds ago) + whole-stage-codegen compile, which
         # showed up as a one-off 8x outlier on the first query to scan
         # lineitem.
-        run_pass(INFLATED_QUERIES, inflated_dir)  # codegen/page-cache warmup
+        ipack = INFLATED_QUERIES + [
+            q for q in INFLATED_ADDITIONS if q not in INFLATED_QUERIES
+        ]
+        run_pass(ipack, inflated_dir)  # codegen/page-cache warmup
         sample_noise()
         ipasses = []
         for _ in range(max(1, runs)):
-            ipasses.append(run_pass(INFLATED_QUERIES, inflated_dir))
+            ipasses.append(run_pass(ipack, inflated_dir))
             sample_noise()
         inflated = {
-            name: round(min(p[name] for p in ipasses), 3)
-            for name in INFLATED_QUERIES
+            name: round(min(p[name] for p in ipasses), 3) for name in ipack
         }
         ipass_totals = [round(sum(p.values()), 3) for p in ipasses]
         result["inflated"] = {
             "factor": factor,
             "sf_equivalent": round(sf * factor, 3),
             "queries": inflated,
-            "total": round(sum(inflated.values()), 3),
+            # legacy identity: the same 11 queries rounds <=16 summed
+            "total": round(sum(inflated[n] for n in INFLATED_QUERIES), 3),
+            "total_full_pack": round(sum(inflated.values()), 3),
         }
 
     # Noise normalization: median of the bracketing samples vs the pinned
